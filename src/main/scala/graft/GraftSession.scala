@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory + runtime tuning for the graft engine.
+  *
+  * Reference semantics pinned here (see SURVEY.md §7.4):
+  *   - `spark.sql.ansi.enabled=false`: the reference relies on silent
+  *     null-on-bad-cast (`spark_airports_final.py:56,59` in the reference)
+  *     and PERMISSIVE `from_json`; Spark 4 defaults ANSI on, which would
+  *     throw instead.
+  *   - UTC session timezone: DuckDB-oracle parity for timestamp math.
+  *   - AQE on: runtime shuffle coalescing / skew-join handling — the
+  *     scale-out path for the 100 TB target.
+  *   - 32 shuffle partitions: matches local[32]; on a real cluster this is
+  *     overridden by AQE + `spark.sql.shuffle.partitions` at submit time.
+  */
+object GraftSession {
+
+  /** Runtime confs every graft query assumes. Safe to call on a session we
+    * did not build (the driver's Verify/Bench build their own); only session
+    * confs that are settable at runtime go here.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    val c = spark.conf
+    c.set("spark.sql.ansi.enabled", "false")
+    c.set("spark.sql.session.timeZone", "UTC")
+    c.set("spark.sql.adaptive.enabled", "true")
+    c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // 10 MB default is conservative; dims (region/nation/supplier/part at
+    // test SFs) are tiny and must broadcast. At 100 TB the dims are still
+    // small relative to facts — this threshold scales.
+    c.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    spark
+  }
+
+  /** Local session for tests / CLI runs. */
+  def local(appName: String = "graft", cores: Int = Runtime.getRuntime.availableProcessors.min(32)): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    tune(spark)
+  }
+}

@@ -1,0 +1,456 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational query pack over the TPC-H-ish driver tables.
+  *
+  * Covers the reference's entire aggregate surface (SURVEY.md §2.5 A1-A2:
+  * global multi-aggregate with count/countDistinct/avg/min/max) and the
+  * practical extension surface (§2.6, §7): grouped aggregation, inner /
+  * semi / anti / multi-way joins, window functions, sorts + deterministic
+  * top-k, set operations, rollup, conditional aggregation, date and string
+  * functions, JSON extraction (events.props — SURVEY.md §1 data-model
+  * table), and sessionization.
+  *
+  * Scale notes (100 TB target):
+  *   - fact-side scans carry their filters/projections directly on the read
+  *     → parquet pushdown prunes row groups and columns.
+  *   - dimension joins (region/nation/supplier/part/customer) are explicit
+  *     `broadcast()` — no shuffle of the fact table for those joins.
+  *   - fact-fact joins (lineitem⋈orders) shuffle on the join key once;
+  *     grouped aggregates are partial+final hash aggs (map-side combine).
+  *   - AQE (enabled in GraftSession.tune) coalesces post-shuffle partitions
+  *     and handles skew at runtime.
+  */
+object RelationalPack {
+
+  /** Exact, order-independent sum of a double column: cast to DECIMAL(18,4)
+    * (deterministic nearest-rounding of each value), sum exactly, cast the
+    * total back to double. Matches the oracle pattern
+    * `CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)`.
+    */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+  private val DSUM = "CAST(SUM(CAST(%s AS DECIMAL(18,4))) AS DOUBLE)"
+  private def dsumSql(expr: String): String = DSUM.format(expr)
+
+  def all: Seq[QueryDef] = Seq(
+
+    // ---- q01: TPC-H Q1-style pricing summary -------------------------------
+    QueryDef(
+      "q01_pricing_summary",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+         |           * CAST(1 + l_tax AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+         |  ${dsumSql("l_quantity")} / COUNT(*) AS avg_qty,
+         |  ${dsumSql("l_extendedprice")} / COUNT(*) AS avg_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 4))
+            * (lit(1) + col("l_tax")).cast(DecimalType(18, 4))).cast("double").as("sum_charge"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // ---- q02: global multi-aggregate (reference parity A1, SURVEY §2.5) ----
+    QueryDef(
+      "q02_global_stats",
+      s"""SELECT COUNT(*) AS n_rows,
+         |  COUNT(DISTINCT l_orderkey) AS n_orders,
+         |  ${dsumSql("l_quantity")} / COUNT(*) AS avg_qty,
+         |  MIN(l_extendedprice) AS min_price,
+         |  MAX(l_extendedprice) AS max_price,
+         |  MIN(l_shipdate) AS first_ship,
+         |  MAX(l_shipdate) AS last_ship
+         |FROM lineitem""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        min(col("l_shipdate")).as("first_ship"),
+        max(col("l_shipdate")).as("last_ship"))
+    },
+
+    // ---- q03: selective filter + projection (pushdown showcase) ------------
+    QueryDef(
+      "q03_filter_project",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount > 0.07 AND l_quantity < 5
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1998-01-01 00:00:00").cast("timestamp")
+          && col("l_discount") > 0.07 && col("l_quantity") < 5)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ---- q04: join + grouped agg + deterministic top-k ---------------------
+    QueryDef(
+      "q04_top_customers",
+      s"""SELECT c.c_custkey, c.c_name,
+         |  COUNT(*) AS n_orders,
+         |  ${dsumSql("o.o_totalprice")} AS total_spent
+         |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+         |GROUP BY c.c_custkey, c.c_name
+         |ORDER BY total_spent DESC, c_custkey
+         |LIMIT 25""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).as("c")
+        .join(Tables.orders(s, d).as("o"), col("c.c_custkey") === col("o.o_custkey"))
+        .groupBy(col("c.c_custkey"), col("c.c_name"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o.o_totalprice")).as("total_spent"))
+        .orderBy(col("total_spent").desc, col("c_custkey"))
+        .limit(25)
+    },
+
+    // ---- q05: fact-fact join (shuffle on key) + grouped agg ----------------
+    QueryDef(
+      "q05_join_priority_agg",
+      s"""SELECT o.o_orderpriority,
+         |  COUNT(*) AS n_items,
+         |  ${dsumSql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |GROUP BY o.o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).as("l")
+        .join(Tables.orders(s, d).as("o"), col("l.l_orderkey") === col("o.o_orderkey"))
+        .groupBy(col("o.o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          dsum(col("l.l_extendedprice") * (lit(1) - col("l.l_discount"))).as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ---- q06: broadcast dimension chain customer→nation→region -------------
+    QueryDef(
+      "q06_region_customers",
+      s"""SELECT r.r_name,
+         |  COUNT(*) AS n_customers,
+         |  ${dsumSql("c.c_acctbal")} AS total_acctbal
+         |FROM customer c
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |GROUP BY r.r_name
+         |ORDER BY r_name""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).as("c")
+        .join(broadcast(Tables.nation(s, d).as("n")), col("c.c_nationkey") === col("n.n_nationkey"))
+        .join(broadcast(Tables.region(s, d).as("r")), col("n.n_regionkey") === col("r.r_regionkey"))
+        .groupBy(col("r.r_name"))
+        .agg(count(lit(1)).as("n_customers"), dsum(col("c.c_acctbal")).as("total_acctbal"))
+        .orderBy("r_name")
+    },
+
+    // ---- q07: TPC-H Q5-style 6-way join, revenue by nation -----------------
+    QueryDef(
+      "q07_revenue_by_nation",
+      s"""SELECT n.n_name,
+         |  ${dsumSql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+         |FROM customer c
+         |JOIN orders o   ON c.c_custkey = o.o_custkey
+         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+         |JOIN nation n   ON s.s_nationkey = n.n_nationkey
+         |JOIN region r   ON n.n_regionkey = r.r_regionkey
+         |WHERE r.r_name = 'ASIA'
+         |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n.n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).as("c")
+      val o = Tables.orders(s, d).as("o")
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+          && col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      val l = Tables.lineitem(s, d).as("l")
+      val sup = Tables.supplier(s, d).as("s")
+      val n = Tables.nation(s, d).as("n")
+      val r = Tables.region(s, d).as("r").filter(col("r_name") === "ASIA")
+      c.join(o, col("c.c_custkey") === col("o.o_custkey"))
+        .join(l, col("l.l_orderkey") === col("o.o_orderkey"))
+        .join(broadcast(sup), col("l.l_suppkey") === col("s.s_suppkey")
+          && col("c.c_nationkey") === col("s.s_nationkey"))
+        .join(broadcast(n), col("s.s_nationkey") === col("n.n_nationkey"))
+        .join(broadcast(r), col("n.n_regionkey") === col("r.r_regionkey"))
+        .groupBy(col("n.n_name"))
+        .agg(dsum(col("l.l_extendedprice") * (lit(1) - col("l.l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // ---- q08: semi join (EXISTS) -------------------------------------------
+    QueryDef(
+      "q08_semi_join",
+      """SELECT c.c_mktsegment, COUNT(*) AS n_big_spenders
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 150000)
+      Tables.customer(s, d)
+        .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_big_spenders"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ---- q09: anti join (NOT EXISTS) ---------------------------------------
+    QueryDef(
+      "q09_anti_join",
+      """SELECT n.n_name, COUNT(*) AS n_orderless
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY n.n_name
+        |ORDER BY n_name""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orderless"))
+        .orderBy("n_name")
+    },
+
+    // ---- q10: window ranking, top-3 orders per customer --------------------
+    QueryDef(
+      "q10_window_topk",
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3
+        |ORDER BY o_custkey, rk""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rk"))
+        .filter(col("rk") <= 3)
+        .orderBy("o_custkey", "rk")
+    },
+
+    // ---- q11: window running sum (deterministic frame order + exact sum) ---
+    QueryDef(
+      "q11_window_running",
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+        |       OVER (PARTITION BY l_suppkey
+        |             ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |       AS DOUBLE) AS running_qty
+        |FROM lineitem
+        |WHERE l_suppkey <= 5
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d)
+        .filter(col("l_suppkey") <= 5)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity").cast(DecimalType(18, 4))).over(w).cast("double").as("running_qty"),
+          col("l_shipdate"))
+        .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+        .drop("l_shipdate")
+    },
+
+    // ---- q12: distinct -----------------------------------------------------
+    QueryDef(
+      "q12_distinct",
+      """SELECT DISTINCT l_returnflag, l_linestatus
+        |FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ---- q13: set operations (UNION / INTERSECT / EXCEPT) ------------------
+    QueryDef(
+      "q13_setops",
+      """SELECT 'union' AS op, COUNT(*) AS n FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |UNION ALL
+        |SELECT 'intersect' AS op, COUNT(*) AS n FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |UNION ALL
+        |SELECT 'except' AS op, COUNT(*) AS n FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |ORDER BY op""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val a = cust.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val b = cust.filter(col("c_acctbal") > 5000).select("c_custkey")
+      val u = a.union(b).distinct().agg(count(lit(1)).as("n")).withColumn("op", lit("union"))
+      val i = a.intersect(b).agg(count(lit(1)).as("n")).withColumn("op", lit("intersect"))
+      val e = a.except(b).agg(count(lit(1)).as("n")).withColumn("op", lit("except"))
+      u.unionByName(i).unionByName(e).select("op", "n").orderBy("op")
+    },
+
+    // ---- q14: rollup with grouping id --------------------------------------
+    QueryDef(
+      "q14_rollup",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  GROUPING(l_returnflag, l_linestatus) AS gid,
+         |  COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // ---- q15: conditional aggregation (pivot-style) ------------------------
+    QueryDef(
+      "q15_conditional_agg",
+      s"""SELECT l_linestatus,
+         |  SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+         |  SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS n_accepted,
+         |  SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS n_none,
+         |  ${dsumSql("CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END")} AS discounted_price
+         |FROM lineitem
+         |GROUP BY l_linestatus
+         |ORDER BY l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("l_returnflag") === "R", 1).otherwise(0)).as("n_returned"),
+          sum(when(col("l_returnflag") === "A", 1).otherwise(0)).as("n_accepted"),
+          sum(when(col("l_returnflag") === "N", 1).otherwise(0)).as("n_none"),
+          dsum(when(col("l_discount") > 0.05, col("l_extendedprice")).otherwise(0)).as("discounted_price"))
+        .orderBy("l_linestatus")
+    },
+
+    // ---- q16: date functions -----------------------------------------------
+    QueryDef(
+      "q16_orders_by_month",
+      s"""SELECT YEAR(o_orderdate) AS yr, MONTH(o_orderdate) AS mo,
+         |  COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS total
+         |FROM orders
+         |GROUP BY YEAR(o_orderdate), MONTH(o_orderdate)
+         |ORDER BY yr, mo""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("yr", "mo")
+    },
+
+    // ---- q17: string functions ---------------------------------------------
+    QueryDef(
+      "q17_string_funcs",
+      """SELECT CONCAT(p_brand, '/', p_type) AS brand_type,
+        |  COUNT(*) AS n,
+        |  MIN(LENGTH(p_name)) AS min_name_len,
+        |  MAX(LENGTH(p_name)) AS max_name_len,
+        |  MIN(UPPER(SUBSTRING(p_name, 1, 8))) AS first_name_pfx
+        |FROM part
+        |GROUP BY CONCAT(p_brand, '/', p_type)
+        |ORDER BY brand_type""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .groupBy(concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(length(col("p_name"))).as("min_name_len"),
+          max(length(col("p_name"))).as("max_name_len"),
+          min(upper(substring(col("p_name"), 1, 8))).as("first_name_pfx"))
+        .orderBy("brand_type")
+    },
+
+    // ---- q18: LIKE filter --------------------------------------------------
+    QueryDef(
+      "q18_like_filter",
+      """SELECT p_size, COUNT(*) AS n
+        |FROM part
+        |WHERE p_type LIKE 'ECON%' OR p_name LIKE '%al%'
+        |GROUP BY p_size
+        |ORDER BY p_size""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_type").like("ECON%") || col("p_name").like("%al%"))
+        .groupBy(col("p_size"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("p_size")
+    },
+
+    // ---- q19: JSON extraction from events.props ----------------------------
+    QueryDef(
+      "q19_events_json",
+      s"""SELECT CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k_val,
+         |  COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+         |FROM events
+         |GROUP BY CAST(json_extract_string(props, '$$.k') AS INTEGER)
+         |ORDER BY k_val""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("k_val")
+    },
+
+    // ---- q20: event-time bucketing (hourly) --------------------------------
+    QueryDef(
+      "q20_events_hourly",
+      s"""SELECT DATE_TRUNC('hour', ts) AS hr, event_type,
+         |  COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+         |FROM events
+         |GROUP BY DATE_TRUNC('hour', ts), event_type
+         |ORDER BY hr, event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("hr", "event_type")
+    },
+
+    // ---- q21: sessionization via window lag (gap > 30 min) -----------------
+    QueryDef(
+      "q21_event_sessions",
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  SUM(new_sess) AS n_sessions
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+        |           - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT))
+        |             OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+        |           OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events) t
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sec = col("ts").cast("long")
+      Tables.events(s, d)
+        .select(col("user_id"),
+          when(sec - lag(sec, 1).over(w) > 1800
+            || lag(col("ts"), 1).over(w).isNull, 1).otherwise(0).as("new_sess"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("new_sess")).as("n_sessions"))
+        .orderBy("user_id")
+    }
+  )
+}
