@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def packs: Seq[QueryDef] =
-    _root_.graft.queries.RelationalPack.all
+    _root_.graft.queries.RelationalPack.all ++
+      _root_.graft.queries.TextDedupPack.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The 6-way broadcast-heavy revenue-by-nation join (TPC-H Q5-style).

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale document corpora.
+  *
+  * Two families:
+  *   - portable variants (md5-salted MinHash, hex-bit SimHash) live in
+  *     [[graft.queries.TextDedupPack]] so the DuckDB oracle can replay them;
+  *   - the xxhash64-based variants here are the *scale path*: xxhash64 is a
+  *     codegen'd Catalyst expression (no string hex round-trips), signatures
+  *     stay numeric, and candidate generation is a band-bucket shuffle whose
+  *     fan-out is O(docs × bands), never O(docs²).
+  *
+  * At 100 TB: shingling + signatures are narrow map-side work; the only
+  * shuffles are (a) groupBy doc for signatures, (b) band-bucket exchange,
+  * (c) the candidate-pair verify join — all keyed, all AQE-coalesced.
+  * Skewed buckets (a band value shared by thousands of near-identical docs)
+  * are capped via `maxBucket` before the pair blow-up.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per exact key. Hash-based
+    * groupBy — one shuffle on the (hashed) key.
+    */
+  def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Word n-gram shingles (distinct) per document: (id, shingle_hash). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val toks = split(col(textCol), " ")
+    df.filter(size(split(col(textCol), " ")) >= n)
+      .select(col(idCol),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => xxhash64(concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
+        ))).as("shingle"))
+  }
+
+  /** MinHash signatures: for each of `numHashes` seeds, the min over the
+    * doc's shingle set of xxhash64(shingle, seed). Columns mh0..mh{k-1}.
+    */
+  def minHashSignatures(sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"mh$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band buckets: hash `rowsPerBand` consecutive signature components
+    * per band. Two docs sharing any band bucket become a candidate pair.
+    */
+  def lshCandidates(
+      sig: DataFrame, idCol: String,
+      numHashes: Int, bands: Int,
+      maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"mh$i")): _*).as("bh"))
+    }
+    val buckets = sig
+      .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    // cap pathological buckets before the O(k²) pair expansion
+    val capped = buckets
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "bh")))
+      .filter(col("__n") <= maxBucket)
+      .drop("__n")
+    val a = capped.select(col(idCol).as("id_a"), col("band"), col("bh"))
+    val b = capped.select(col(idCol).as("id_b"), col("band"), col("bh"))
+    a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs against the shingle sets.
+    * Joins are keyed on doc id — no quadratic blow-up; only candidates pay.
+    */
+  def verifyJaccard(sh: DataFrame, idCol: String, candidates: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val common = candidates
+      .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col(idCol).as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("common") * lit(1.0) / (col("na") + col("nb") - col("common"))).as("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → verify. */
+  def nearDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val sig = minHashSignatures(sh, idCol, numHashes)
+    val cand = lshCandidates(sig, idCol, numHashes, bands)
+    verifyJaccard(sh, idCol, cand)
+      .filter(col("jaccard") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** 64-bit SimHash over whitespace tokens (with multiplicity), built from
+    * xxhash64 token hashes — entirely numeric, codegen-friendly. Output:
+    * (id, simhash). Near-dup = small hamming distance between simhashes.
+    */
+  def simHash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(split(col(textCol), " ")).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    // one row per (doc, bit): +1/-1 vote per token
+    val bits = tok.select(col(idCol), col("h"),
+      explode(sequence(lit(0), lit(63))).as("bit"))
+      .withColumn("vote",
+        when(call_function("shiftright", col("h"), col("bit")).bitwiseAND(1) === 1, 1).otherwise(-1))
+    bits.groupBy(col(idCol), col("bit"))
+      .agg(sum(col("vote")).as("v"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("v") > 0, call_function("shiftleft", lit(1L), col("bit"))).otherwise(0L)).as("simhash"))
+  }
+
+  /** Hamming-distance near-dup pairs over simhashes, blocked by 16-bit
+    * chunks (pigeonhole: distance ≤ 3 over 4 chunks ⇒ ≥1 identical chunk).
+    */
+  def simHashNearDup(sim: DataFrame, idCol: String, maxDist: Int = 3): DataFrame = {
+    val chunks = (0 until 4).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFF).as("ck"))
+    }
+    val blocked = sim.select(col(idCol), col("simhash"), explode(array(chunks: _*)).as("b"))
+      .select(col(idCol), col("simhash"), col("b.chunk").as("chunk"), col("b.ck").as("ck"))
+    val a = blocked.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("chunk"), col("ck"))
+    val b = blocked.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("chunk"), col("ck"))
+    a.join(b, Seq("chunk", "ck")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,314 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Text-analysis + deduplication pack over the `documents` table — the
+  * training-data-pipeline operator family (exact dedup, fingerprinting,
+  * token/quality stats, language-ID heuristic, n-gram Jaccard near-dup,
+  * MinHash-LSH, SimHash).
+  *
+  * Oracle-checked variants use only cross-engine-identical primitives
+  * (md5, substring/instr on its hex output, integer arithmetic, IEEE double
+  * division), so DuckDB replays them bit-for-bit. The xxhash64-based
+  * native variants in [[graft.operators.Dedup]] are the 100 TB scale path
+  * and are driver-checked rows-only.
+  */
+object TextDedupPack {
+
+  private val STOP_EN = Seq("the", "a", "of", "and", "is")
+  private val STOP_FR = Seq("le", "la", "et", "un", "une")
+  private val STOP_DE = Seq("der", "die", "und", "ein", "ist")
+  private val STOP_ES = Seq("el", "los", "y", "una", "es")
+
+  /** Shared SQL for distinct word-3-gram extraction (DuckDB dialect). */
+  private val GRAMS_SQL =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |          WHERE len(string_split(text, ' ')) >= 3),
+      |grams AS (SELECT DISTINCT doc_id,
+      |            unnest(list_transform(range(1, len(t) - 1),
+      |                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+      |          FROM toks)""".stripMargin
+
+  /** Spark-side distinct word-3-gram extraction: (doc_id, gram string). */
+  private def sparkGrams(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val toks = split(col("text"), " ")
+    Tables.documents(s, d)
+      .filter(size(toks) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))
+        ))).as("gram"))
+  }
+
+  def all: Seq[QueryDef] = Seq(
+
+    // ---- q22: exact dedup by content hash ----------------------------------
+    QueryDef(
+      "q22_dedup_exact",
+      """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY keep_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id")
+    },
+
+    // ---- q23: normalized-fingerprint dedup stats per source ----------------
+    QueryDef(
+      "q23_fingerprint_dedup",
+      """SELECT source,
+        |  COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g')))) AS n_unique
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      val norm = trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z ]", ""), " +", " "))
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), countDistinct(md5(norm)).as("n_unique"))
+        .orderBy("source")
+    },
+
+    // ---- q24: token counting per language ----------------------------------
+    QueryDef(
+      "q24_text_tokens",
+      """SELECT lang,
+        |  COUNT(*) AS n_docs,
+        |  SUM(len(string_split(text, ' '))) AS total_tokens,
+        |  MIN(len(string_split(text, ' '))) AS min_tokens,
+        |  MAX(len(string_split(text, ' '))) AS max_tokens,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (s, d) =>
+      val ntok = size(split(col("text"), " "))
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(ntok).as("total_tokens"),
+          min(ntok).as("min_tokens"),
+          max(ntok).as("max_tokens"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+        .orderBy("lang")
+    },
+
+    // ---- q25: quality scoring per source -----------------------------------
+    QueryDef(
+      "q25_text_quality",
+      s"""WITH scored AS (
+         |  SELECT source,
+         |    len(list_filter(string_split(text, ' '),
+         |        x -> x IN (${STOP_EN.map("'" + _ + "'").mkString(",")})))
+         |      * 1.0 / len(string_split(text, ' ')) AS stop_ratio,
+         |    list_sum(list_transform(string_split(text, ' '), x -> length(x)))
+         |      * 1.0 / len(string_split(text, ' ')) AS avg_word_len,
+         |    len(string_split(text, ' ')) AS n_tok
+         |  FROM documents)
+         |SELECT source,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(CAST(stop_ratio AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS avg_stop_ratio,
+         |  CAST(SUM(CAST(avg_word_len AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS avg_word_len,
+         |  SUM(CASE WHEN n_tok < 40 THEN 1 ELSE 0 END) AS n_short
+         |FROM scored
+         |GROUP BY source
+         |ORDER BY source""".stripMargin) { (s, d) =>
+      val toks = split(col("text"), " ")
+      val ntok = size(toks)
+      val stopRatio = size(filter(toks, x => x.isin(STOP_EN: _*))) * lit(1.0) / ntok
+      val awl = aggregate(transform(toks, x => length(x)), lit(0), (a, x) => a + x) * lit(1.0) / ntok
+      Tables.documents(s, d)
+        .select(col("source"), stopRatio.as("stop_ratio"), awl.as("avg_word_len"), ntok.as("n_tok"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          (sum(col("stop_ratio").cast(DecimalType(18, 8))).cast("double") / count(lit(1))).as("avg_stop_ratio"),
+          (sum(col("avg_word_len").cast(DecimalType(18, 8))).cast("double") / count(lit(1))).as("avg_word_len"),
+          sum(when(col("n_tok") < 40, 1).otherwise(0)).as("n_short"))
+        .orderBy("source")
+    },
+
+    // ---- q26: language-ID heuristic (stopword profiles) --------------------
+    QueryDef(
+      "q26_lang_id", {
+        def cnt(words: Seq[String]) =
+          s"len(list_filter(string_split(text, ' '), x -> x IN (${words.map("'" + _ + "'").mkString(",")})))"
+        s"""WITH scores AS (
+           |  SELECT lang,
+           |    ${cnt(STOP_EN)} AS s_en, ${cnt(STOP_FR)} AS s_fr,
+           |    ${cnt(STOP_DE)} AS s_de, ${cnt(STOP_ES)} AS s_es
+           |  FROM documents)
+           |SELECT lang,
+           |  CASE WHEN s_en = 0 AND s_fr = 0 AND s_de = 0 AND s_es = 0 THEN 'und'
+           |       WHEN s_en >= greatest(s_fr, s_de, s_es) THEN 'en'
+           |       WHEN s_fr >= greatest(s_de, s_es) THEN 'fr'
+           |       WHEN s_de >= s_es THEN 'de'
+           |       ELSE 'es' END AS pred_lang,
+           |  COUNT(*) AS n
+           |FROM scores
+           |GROUP BY 1, 2
+           |ORDER BY lang, pred_lang""".stripMargin
+      }) { (s, d) =>
+      val toks = split(col("text"), " ")
+      def cnt(words: Seq[String]) = size(filter(toks, x => x.isin(words: _*)))
+      Tables.documents(s, d)
+        .select(col("lang"),
+          cnt(STOP_EN).as("s_en"), cnt(STOP_FR).as("s_fr"),
+          cnt(STOP_DE).as("s_de"), cnt(STOP_ES).as("s_es"))
+        .select(col("lang"),
+          when(col("s_en") === 0 && col("s_fr") === 0 && col("s_de") === 0 && col("s_es") === 0, "und")
+            .when(col("s_en") >= greatest(col("s_fr"), col("s_de"), col("s_es")), "en")
+            .when(col("s_fr") >= greatest(col("s_de"), col("s_es")), "fr")
+            .when(col("s_de") >= col("s_es"), "de")
+            .otherwise("es").as("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")
+    },
+
+    // ---- q27: exact n-gram Jaccard near-duplicate pairs --------------------
+    QueryDef(
+      "q27_ngram_jaccard",
+      s"""WITH $GRAMS_SQL,
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+         |pairs AS (SELECT g1.doc_id AS doc_a, g2.doc_id AS doc_b, COUNT(*) AS common
+         |          FROM grams g1 JOIN grams g2
+         |            ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+         |          GROUP BY g1.doc_id, g2.doc_id)
+         |SELECT doc_a, doc_b,
+         |  common * 1.0 / (sa.n + sb.n - common) AS jaccard
+         |FROM pairs
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val grams = sparkGrams(s, d)
+      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = grams.as("g1")
+        .join(grams.as("g2"),
+          col("g1.gram") === col("g2.gram") && col("g1.doc_id") < col("g2.doc_id"))
+        .groupBy(col("g1.doc_id").as("doc_a"), col("g2.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("common"))
+      val jc = col("common") * lit(1.0) / (col("na") + col("nb") - col("common"))
+      pairs
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), jc.as("jaccard"))
+        .filter(jc >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- q28: MinHash-LSH near-dup (md5-salted, oracle-replayable) ---------
+    QueryDef(
+      "q28_minhash_lsh", {
+        val mhCols = (0 until 16).map(i => s"MIN(md5('$i:' || gram)) AS mh$i").mkString(",\n    ")
+        val bandSelects = (0 until 4).map { b =>
+          val cat = (b * 4 until b * 4 + 4).map(i => s"mh$i").mkString(" || ")
+          s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM mh"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH $GRAMS_SQL,
+           |mh AS (SELECT doc_id,
+           |    $mhCols
+           |  FROM grams GROUP BY doc_id),
+           |bands AS (
+           |  $bandSelects),
+           |cand AS (SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+           |         FROM bands b1 JOIN bands b2
+           |           ON b1.band = b2.band AND b1.bh = b2.bh
+           |          AND b1.doc_id < b2.doc_id),
+           |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+           |common AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+           |           FROM cand c
+           |           JOIN grams g1 ON g1.doc_id = c.doc_a
+           |           JOIN grams g2 ON g2.doc_id = c.doc_b AND g2.gram = g1.gram
+           |           GROUP BY c.doc_a, c.doc_b)
+           |SELECT doc_a, doc_b,
+           |  common * 1.0 / (sa.n + sb.n - common) AS jaccard
+           |FROM common
+           |JOIN sizes sa ON sa.doc_id = doc_a
+           |JOIN sizes sb ON sb.doc_id = doc_b
+           |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }) { (s, d) =>
+      val grams = sparkGrams(s, d)
+      val mhAggs = (0 until 16).map(i => min(md5(concat(lit(s"$i:"), col("gram")))).as(s"mh$i"))
+      val mh = grams.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+      val bands = (0 until 4).map { b =>
+        mh.select(col("doc_id"), lit(b).as("band"),
+          md5(concat((b * 4 until b * 4 + 4).map(i => col(s"mh$i")): _*)).as("bh"))
+      }.reduce(_ unionByName _)
+      val cand = bands.as("b1")
+        .join(bands.as("b2"),
+          col("b1.band") === col("b2.band") && col("b1.bh") === col("b2.bh")
+            && col("b1.doc_id") < col("b2.doc_id"))
+        .select(col("b1.doc_id").as("doc_a"), col("b2.doc_id").as("doc_b"))
+        .distinct()
+      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val common = cand
+        .join(grams.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
+        .join(grams.select(col("doc_id").as("doc_b"), col("gram")), Seq("doc_b", "gram"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+      val jc = col("common") * lit(1.0) / (col("na") + col("nb") - col("common"))
+      common
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), jc.as("jaccard"))
+        .filter(jc >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- q29: 16-bit SimHash fingerprints (md5-hex-bit, oracle-replayable) -
+    QueryDef(
+      "q29_simhash", {
+        val bitSql = (0 until 16).map { j =>
+          val hexPos = j / 4 + 1
+          val shift = j % 4
+          s"""CASE WHEN 2 * len(list_filter(string_split(text, ' '),
+             |    x -> ((instr('0123456789abcdef', substring(md5(x), $hexPos, 1)) - 1) >> $shift) & 1 = 1))
+             |  > len(string_split(text, ' ')) THEN ${1 << j} ELSE 0 END""".stripMargin
+        }.mkString("\n  + ")
+        s"""SELECT doc_id,
+           |  $bitSql AS simhash16
+           |FROM documents
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      val toks = split(col("text"), " ")
+      val bitCols = (0 until 16).map { j =>
+        val hexPos = j / 4 + 1
+        val shift = j % 4
+        val bitSet = (x: org.apache.spark.sql.Column) =>
+          shiftright(instr2(lit("0123456789abcdef"), substring(md5(x), hexPos, 1)) - 1, shift)
+            .bitwiseAND(1) === 1
+        when(lit(2) * size(filter(toks, x => bitSet(x))) > size(toks), 1 << j).otherwise(0)
+      }
+      Tables.documents(s, d)
+        .select(col("doc_id"), bitCols.reduce(_ + _).as("simhash16"))
+        .orderBy("doc_id")
+    },
+
+    // ---- native xxhash64 scale-path variants (rows-only checks) ------------
+    QueryDef.rowsOnly("q51_dedup_minhash_native") { (s, d) =>
+      Dedup.nearDuplicates(Tables.documents(s, d), "doc_id", "text")
+    },
+    QueryDef.rowsOnly("q52_dedup_simhash_native") { (s, d) =>
+      val sim = Dedup.simHash64(Tables.documents(s, d), "doc_id", "text")
+      Dedup.simHashNearDup(sim, "doc_id", maxDist = 8).orderBy("id_a", "id_b")
+    },
+    QueryDef.rowsOnly("q53_dedup_exact_native") { (s, d) =>
+      Dedup.exact(Tables.documents(s, d), Seq("text"), "doc_id")
+        .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+    }
+  )
+
+  /** `functions.instr` only takes a literal needle; SQL `instr(str, substr)`
+    * accepts two expressions — expose that via expr-compatible helper.
+    */
+  private def instr2(haystack: org.apache.spark.sql.Column, needle: org.apache.spark.sql.Column) =
+    call_function("instr", haystack, needle)
+}
