@@ -32,6 +32,10 @@ object GraftSession {
     // test SFs) are tiny and must broadcast. At 100 TB the dims are still
     // small relative to facts — this threshold scales.
     c.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    // events.parquet stores TIMESTAMP(NANOS); Spark reads it as long under
+    // this flag (Tables.events then truncates ns→µs like DuckDB does). Set
+    // here — not in the loader — so loaders never mutate session state.
+    c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark
   }
 

@@ -25,15 +25,14 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark does not read
-    * natively — read it as long (legacy.parquet.nanosAsLong) and truncate to
-    * microseconds, exactly as DuckDB's ns→µs TIMESTAMP conversion does.
+    * natively — read it as long (legacy.parquet.nanosAsLong, set in
+    * [[GraftSession.tune]]) and truncate to microseconds, exactly as
+    * DuckDB's ns→µs TIMESTAMP conversion does.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
     load(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
-  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -1,0 +1,152 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.etl.Etl
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reference-parity ETL pack (SURVEY.md §2.1-2.5, §2.10).
+  *
+  * The Kafka wire fixture is derived deterministically from the shared
+  * `customer` parquet with pure string ops, so DuckDB replays it
+  * bit-for-bit — no extra fixture files needed. The derivation injects
+  * exactly the malformed shapes FIXTURES.md §1 calls for:
+  *   - `c_custkey % 7 == 0`  → empty-string `lat`
+  *   - `c_custkey % 11 == 0` → `icao` key absent entirely (NiFi
+  *     `Null Value=false` behavior)
+  *   - `c_custkey % 13 == 0` → non-numeric `lat` ("bogus")
+  *   - `c_custkey % 17 == 0` → syntactically invalid JSON (truncated)
+  * Coordinates are integer-valued strings so no float formatting crosses
+  * the engine boundary.
+  */
+object EtlPack {
+
+  // ---- fixture: Kafka-message JSON wire derived from `customer` ----------
+
+  /** Valid JSON body per customer (field order matches Etl.airportSchema
+    * so to_json re-serialization is the identity on clean rows). */
+  private def jsonBody = {
+    val k = col("c_custkey")
+    val latS = when(k % 7 === 0, lit(""))
+      .when(k % 13 === 0, lit("bogus"))
+      .otherwise((k % 180 - 90).cast("string"))
+    val lonS = (k % 360 - 180).cast("string")
+    val icaoPart = when(k % 11 === 0, lit(""))
+      .otherwise(concat(lit(",\"icao\":\""), upper(substring(md5(col("c_name")), 1, 4)), lit("\"")))
+    concat(
+      lit("{\"id\":\""), k.cast("string"), lit("\""),
+      icaoPart,
+      lit(",\"name\":\""), col("c_name"), lit("\""),
+      lit(",\"lat\":\""), latS, lit("\""),
+      lit(",\"lon\":\""), lonS, lit("\"}"))
+  }
+
+  /** Wire DataFrame with a BINARY `value` column (exercises the
+    * CAST(value AS STRING) Kafka-value path, P1). %17 rows are truncated
+    * to invalid JSON. */
+  private def wire(s: SparkSession, d: String): DataFrame = {
+    val k = col("c_custkey")
+    Tables.customer(s, d)
+      .select(encode(
+        when(k % 17 === 0, substring(jsonBody, 1, 20)).otherwise(jsonBody),
+        "UTF-8").as("value"))
+  }
+
+  /** DuckDB replay of the same wire (string form; the binary leg is
+    * Spark-only, semantically CAST(encode(s)) == s). */
+  // NOTE: no line here may start with '|' or '||' — these fragments are
+  // embedded in outer stripMargin strings, which would eat a leading pipe.
+  private val WIRE_SQL =
+    """wire AS (
+      |  SELECT CASE WHEN c_custkey % 17 = 0 THEN substring(j, 1, 20) ELSE j END AS value
+      |  FROM (
+      |    SELECT c_custkey,
+      |      concat('{"id":"', CAST(c_custkey AS VARCHAR), '"',
+      |        CASE WHEN c_custkey % 11 = 0 THEN ''
+      |             ELSE concat(',"icao":"', upper(substring(md5(c_name), 1, 4)), '"') END,
+      |        ',"name":"', c_name, '"',
+      |        ',"lat":"', CASE WHEN c_custkey % 7 = 0 THEN ''
+      |                         WHEN c_custkey % 13 = 0 THEN 'bogus'
+      |                         ELSE CAST(c_custkey % 180 - 90 AS VARCHAR) END, '"',
+      |        ',"lon":"', CAST(c_custkey % 360 - 180 AS VARCHAR), '"}') AS j
+      |    FROM customer))""".stripMargin
+
+  /** DuckDB replay of Etl.parse: permissive JSON extract (invalid JSON →
+    * all-null row; missing key → null). */
+  private val PARSED_SQL =
+    s"""$WIRE_SQL,
+       |parsed AS (
+       |  SELECT CASE WHEN json_valid(value) THEN json_extract_string(value, '$$.id') END AS id,
+       |         CASE WHEN json_valid(value) THEN json_extract_string(value, '$$.icao') END AS icao,
+       |         CASE WHEN json_valid(value) THEN json_extract_string(value, '$$.name') END AS name,
+       |         CASE WHEN json_valid(value) THEN json_extract_string(value, '$$.lat') END AS lat,
+       |         CASE WHEN json_valid(value) THEN json_extract_string(value, '$$.lon') END AS lon
+       |  FROM wire)""".stripMargin
+
+  /** DuckDB replay of Etl.clean ('' or non-numeric coord → null, then
+    * validity filter). */
+  private val CLEANED_SQL =
+    s"""$PARSED_SQL,
+       |cleaned AS (
+       |  SELECT id, name, icao,
+       |         CASE WHEN lat IS NOT NULL AND lat <> '' THEN TRY_CAST(lat AS DOUBLE) END AS latitude,
+       |         CASE WHEN lon IS NOT NULL AND lon <> '' THEN TRY_CAST(lon AS DOUBLE) END AS longitude
+       |  FROM parsed
+       |  WHERE latitude IS NOT NULL AND longitude IS NOT NULL)""".stripMargin
+
+  def all: Seq[QueryDef] = Seq(
+
+    // ---- q30: parse + clean (P1,P2,P3,P4,P5,P6,P7,F1,F2) -------------------
+    QueryDef(
+      "q30_etl_parse_clean",
+      s"""WITH $CLEANED_SQL
+         |SELECT id, name, icao, latitude, longitude
+         |FROM cleaned
+         |ORDER BY id""".stripMargin) { (s, d) =>
+      Etl.clean(Etl.parse(wire(s, d))).orderBy("id")
+    },
+
+    // ---- q31: the reference's A1 global stats over the cleaned table -------
+    QueryDef(
+      "q31_etl_stats",
+      s"""WITH $CLEANED_SQL
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(DISTINCT id) AS BIGINT) AS n_ids,
+         |  CAST(SUM(CAST(latitude AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_lat,
+         |  CAST(SUM(CAST(longitude AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_lon,
+         |  MIN(latitude) AS min_lat,
+         |  MAX(latitude) AS max_lat
+         |FROM cleaned""".stripMargin) { (s, d) =>
+      Etl.stats(Etl.clean(Etl.parse(wire(s, d))))
+    },
+
+    // ---- q32: NiFi ingest emulation — page → SplitJson → to_json wire ------
+    // Builds OpenAIP-style {"items":[...]} pages from the valid wire rows,
+    // explodes $.items[*] (§2.10 SplitJson), re-serializes each item with
+    // to_json(struct(...)) (P10) keyed by id (K3 shape). On clean data the
+    // split→reserialize chain is the identity, which the oracle states
+    // directly.
+    QueryDef(
+      "q32_etl_wire_roundtrip",
+      s"""WITH $WIRE_SQL
+         |SELECT json_extract_string(value, '$$.id') AS key, value
+         |FROM wire
+         |WHERE json_valid(value)
+         |  AND json_extract_string(value, '$$.icao') IS NOT NULL
+         |ORDER BY key""".stripMargin) { (s, d) =>
+      val k = col("c_custkey")
+      val pages = Tables.customer(s, d)
+        .filter(k % 17 =!= 0)                       // invalid rows never leave NiFi
+        .select((k / lit(100)).cast("long").as("page"), k.as("sortk"), jsonBody.as("j"))
+        .groupBy("page")
+        .agg(concat(lit("{\"items\":["),
+          concat_ws(",", transform(array_sort(collect_list(struct(col("sortk"), col("j")))),
+            x => x.getField("j"))),
+          lit("]}")).as("body"))
+      Etl.toWire(
+        Etl.splitItems(pages, "body").filter(col("icao").isNotNull),
+        "id", Seq("id", "icao", "name", "lat", "lon"))
+        .orderBy("key")
+    }
+  )
+}

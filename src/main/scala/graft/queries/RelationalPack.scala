@@ -244,7 +244,7 @@ object RelationalPack {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       Tables.orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-          row_number().over(w).as("rk"))
+          row_number().over(w).cast("long").as("rk"))
         .filter(col("rk") <= 3)
         .orderBy("o_custkey", "rk")
     },
@@ -332,9 +332,9 @@ object RelationalPack {
     QueryDef(
       "q15_conditional_agg",
       s"""SELECT l_linestatus,
-         |  SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
-         |  SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS n_accepted,
-         |  SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS n_none,
+         |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+         |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+         |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_none,
          |  ${dsumSql("CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END")} AS discounted_price
          |FROM lineitem
          |GROUP BY l_linestatus
@@ -358,7 +358,8 @@ object RelationalPack {
          |GROUP BY YEAR(o_orderdate), MONTH(o_orderdate)
          |ORDER BY yr, mo""".stripMargin) { (s, d) =>
       Tables.orders(s, d)
-        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"))
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
         .orderBy("yr", "mo")
     },
@@ -378,8 +379,8 @@ object RelationalPack {
         .groupBy(concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"))
         .agg(
           count(lit(1)).as("n"),
-          min(length(col("p_name"))).as("min_name_len"),
-          max(length(col("p_name"))).as("max_name_len"),
+          min(length(col("p_name")).cast("long")).as("min_name_len"),
+          max(length(col("p_name")).cast("long")).as("max_name_len"),
           min(upper(substring(col("p_name"), 1, 8))).as("first_name_pfx"))
         .orderBy("brand_type")
     },
@@ -431,7 +432,7 @@ object RelationalPack {
     QueryDef(
       "q21_event_sessions",
       """SELECT user_id, COUNT(*) AS n_events,
-        |  SUM(new_sess) AS n_sessions
+        |  CAST(SUM(new_sess) AS BIGINT) AS n_sessions
         |FROM (
         |  SELECT user_id,
         |    CASE WHEN CAST(FLOOR(EPOCH(ts)) AS BIGINT)

@@ -80,14 +80,14 @@ object TextDedupPack {
       "q24_text_tokens",
       """SELECT lang,
         |  COUNT(*) AS n_docs,
-        |  SUM(len(string_split(text, ' '))) AS total_tokens,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
         |  MIN(len(string_split(text, ' '))) AS min_tokens,
         |  MAX(len(string_split(text, ' '))) AS max_tokens,
         |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
         |FROM documents
         |GROUP BY lang
         |ORDER BY lang""".stripMargin) { (s, d) =>
-      val ntok = size(split(col("text"), " "))
+      val ntok = size(split(col("text"), " ")).cast("long")
       Tables.documents(s, d)
         .groupBy(col("lang"))
         .agg(
@@ -115,7 +115,7 @@ object TextDedupPack {
          |  COUNT(*) AS n_docs,
          |  CAST(SUM(CAST(stop_ratio AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS avg_stop_ratio,
          |  CAST(SUM(CAST(avg_word_len AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS avg_word_len,
-         |  SUM(CASE WHEN n_tok < 40 THEN 1 ELSE 0 END) AS n_short
+         |  CAST(SUM(CASE WHEN n_tok < 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
          |FROM scored
          |GROUP BY source
          |ORDER BY source""".stripMargin) { (s, d) =>
