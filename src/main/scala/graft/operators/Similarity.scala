@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Two paths, mirroring the Dedup design:
+  *   - [[cosineTopK]]: exact brute-force — broadcast the (small) query set
+  *     against the full corpus; O(|Q|·N·dim) multiply-adds, all inside
+  *     whole-stage codegen (higher-order array functions, no UDFs). The
+  *     baseline and the verifier for the approximate path.
+  *   - [[annTopK]]: sign-random-projection LSH (SimHash for cosine space) —
+  *     L independent b-bit hash tables from a seeded ±1 hyperplane matrix;
+  *     candidates = same-bucket pairs in any table, then exact re-rank.
+  *     Candidate generation is a keyed equi-join on (table, bucket) whose
+  *     fan-out is bounded by bucket occupancy — never the N² cross join.
+  *
+  * At 100 TB: the corpus side stays partitioned; only the query set and the
+  * hyperplane matrix (a few KB) broadcast. Bucket skew is capped the same
+  * way Dedup caps LSH bands (`maxBucket`). For a trillion-vector corpus the
+  * natural extension is IVF (k-means coarse quantizer) — the bucket join
+  * below is exactly the IVF probe join with LSH buckets in place of
+  * centroid assignments.
+  */
+object Similarity {
+
+  /** Exact dot product of two double-array columns (sequential fold —
+    * deterministic within Spark; for cross-engine determinism use the
+    * decimal variant in VectorPack). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, p) => acc + p)
+
+  private def toDouble(a: Column): Column = transform(a, _.cast("double"))
+
+  /** Cosine similarity between two float-array columns, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = toDouble(a)
+    val bd = toDouble(b)
+    dot(ad, bd) / sqrt(dot(ad, ad) * dot(bd, bd))
+  }
+
+  /** Exact brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (self excluded). `queries` and `corpus` need
+    * (idCol, vecCol). Query side is broadcast — corpus never shuffles.
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        cosine(col("qvec"), col("nvec")).as("cos_sim"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** Deterministic ±1 hyperplane matrix: `tables × bits` hyperplanes of
+    * dimension `dim`, from a seeded PRNG (build-time constant — broadcast
+    * as literals, a few KB). */
+  private[graft] def hyperplanes(dim: Int, bits: Int, tables: Int, seed: Long): Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(tables, bits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** Sign-random-projection bucket ids: one row per (id, table, bucket).
+    * bucket bit j = sign(v · h_j) — a SimHash in cosine space. */
+  def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
+                 dim: Int = 64, bits: Int = 12, tables: Int = 4,
+                 seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, bits, tables, seed)
+    val vd = toDouble(col(vecCol))
+    val tableCols = (0 until tables).map { t =>
+      val bucket = (0 until bits).map { j =>
+        val h = array(planes(t)(j).map(lit(_)): _*)
+        when(dot(vd, h) > 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bucket.as("bucket"))
+    }
+    df.select(col(idCol), explode(array(tableCols: _*)).as("tb"))
+      .select(col(idCol), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
+  /** ANN top-k: LSH-bucket candidates (any shared table bucket), exact
+    * cosine re-rank, top-k per query. `maxBucket` caps pathological
+    * buckets before pair expansion (cf. Dedup.lshCandidates). */
+  def annTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              dim: Int = 64, bits: Int = 12, tables: Int = 4,
+              seed: Long = 42L, maxBucket: Int = 2000): DataFrame = {
+    val cb = lshBuckets(corpus, idCol, vecCol, dim, bits, tables, seed)
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("tbl", "bucket")))
+      .filter(col("__n") <= maxBucket)
+      .select(col(idCol).as("nid"), col("tbl"), col("bucket"))
+    val qb = lshBuckets(queries, idCol, vecCol, dim, bits, tables, seed)
+      .select(col(idCol).as("qid"), col("tbl"), col("bucket"))
+    val cand = cb.join(broadcast(qb), Seq("tbl", "bucket"))
+      .filter(col("nid") =!= col("qid"))
+      .select("qid", "nid").distinct()
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+    val scored = cand
+      .join(broadcast(q), "qid")
+      .join(c, "nid")
+      .select(col("qid"), col("nid"), cosine(col("qvec"), col("nvec")).as("cos_sim"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** Exact embedding dedup companion: near-identical vectors by cosine ≥
+    * threshold among LSH candidates (embedding-cosine near-dup family). */
+  def cosineNearDup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double = 0.95,
+                    dim: Int = 64, bits: Int = 16, tables: Int = 6,
+                    seed: Long = 42L): DataFrame = {
+    val b = lshBuckets(df, idCol, vecCol, dim, bits, tables, seed)
+    val a = b.select(col(idCol).as("id_a"), col("tbl"), col("bucket"))
+    val bb = b.select(col(idCol).as("id_b"), col("tbl"), col("bucket"))
+    val cand = a.join(bb, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val v = df.select(col(idCol), col(vecCol))
+    cand
+      .join(v.select(col(idCol).as("id_a"), col(vecCol).as("va")), "id_a")
+      .join(v.select(col(idCol).as("id_b"), col(vecCol).as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

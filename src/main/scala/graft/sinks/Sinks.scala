@@ -1,0 +1,63 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink adapters (SURVEY.md §2.2 K1-K4) + the S3 read-back scan.
+  *
+  * JDBC semantics preserved from the reference
+  * (`spark_airports_final.py:77-97`): `mode("overwrite")` drops/recreates
+  * the table, per-partition parallel inserts are NOT atomic across
+  * partitions (documented, not "fixed" — parity). The read-back with no
+  * partitionColumn is a single-task scan, exactly like the reference's
+  * verification read.
+  *
+  * Tested against embedded Derby (`jdbc:derby:memory:...`) — the only JDBC
+  * driver in this container; the URL/driver are parameters, so Postgres at
+  * deploy time is a config change.
+  */
+object Sinks {
+
+  /** K1: JDBC write with overwrite (`spark_airports_final.py:77-86`). */
+  def jdbcWrite(df: DataFrame, url: String, table: String, driver: String,
+                mode: SaveMode = SaveMode.Overwrite,
+                props: Map[String, String] = Map.empty): Unit = {
+    val w = df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("driver", driver)
+      .mode(mode)
+    props.foreach { case (k, v) => w.option(k, v) }
+    w.save()
+  }
+
+  /** S3: JDBC read-back for self-verification
+    * (`spark_airports_final.py:91-97`). Single partition unless
+    * partitionColumn options are supplied — matching the reference. */
+  def jdbcRead(spark: SparkSession, url: String, table: String,
+               driver: String): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("driver", driver)
+      .load()
+
+  /** K3: Kafka producer sink (NiFi PublishKafka semantics: keyed writes,
+    * acks=all — `tp.xml:849,875,853`). Input must have key/value columns.
+    * Requires the kafka connector at runtime. */
+  def kafkaWrite(df: DataFrame, bootstrap: String, topic: String): Unit =
+    df.select(col("key").cast("string"), col("value").cast("string"))
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("kafka.acks", "all")
+      .save()
+
+  /** K3-surrogate: durable keyed wire write for test round-trips. */
+  def wireParquet(df: DataFrame, path: String): Unit =
+    df.select(col("key").cast("string"), col("value").cast("string"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** K4: console sample (`df.show(n)` sites in the reference). */
+  def consoleSample(df: DataFrame, n: Int = 5): Unit = df.show(n, truncate = false)
+}

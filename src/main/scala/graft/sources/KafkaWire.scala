@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Kafka source adapters (SURVEY.md §2.1 S1/S2) + a file-backed surrogate.
+  *
+  * The real connectors are thin option-builders over Spark's kafka data
+  * source (`spark-sql-kafka-0-10`); this container ships no Kafka jars or
+  * broker, so tests run against [[surrogate]] — a DataFrame with the exact
+  * fixed schema the Kafka source produces (printed by the reference at
+  * `spark_kafka_direct.py:32`). Everything downstream (Etl.parse etc.)
+  * consumes only that schema, so swapping surrogate → real source is a
+  * one-line change at the edge.
+  */
+object KafkaWire {
+
+  /** The Kafka source's fixed schema. */
+  val wireSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+
+  /** S1: batch scan of a topic from earliest
+    * (`spark_airports_final.py:19-24`). Requires the kafka connector on the
+    * classpath at runtime. */
+  def batch(spark: SparkSession, bootstrap: String, topic: String,
+            startingOffsets: String = "earliest"): DataFrame =
+    spark.read.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+
+  /** S2: unbounded scan of the same topic (`spark_kafka_direct.py:21-27`). */
+  def stream(spark: SparkSession, bootstrap: String, topic: String,
+             startingOffsets: String = "earliest"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+
+  /** Surrogate wire: wrap (key, value) string columns of `df` into the
+    * Kafka schema — deterministic offsets by key order within one
+    * partition, epoch timestamp. For tests and oracle-checked queries. */
+  def surrogate(df: DataFrame, keyCol: String, valueCol: String,
+                topic: String): DataFrame = {
+    val w = Window.orderBy(col(keyCol))
+    df.select(
+      encode(col(keyCol).cast("string"), "UTF-8").as("key"),
+      encode(col(valueCol).cast("string"), "UTF-8").as("value"),
+      lit(topic).as("topic"),
+      lit(0).as("partition"),
+      (row_number().over(w) - 1).cast("long").as("offset"),
+      timestamp_seconds(lit(0)).as("timestamp"),
+      lit(0).as("timestampType"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming surface (SURVEY.md §2.7).
+  *
+  * The reference's streaming job (`spark_kafka_direct.py:21-44`) is a Kafka
+  * scan → global COUNT(*) → console sink in complete mode, bounded by a 15 s
+  * `awaitTermination`. Re-expressed Spark-first and made deterministic:
+  * file/`MemoryStream` sources, `Trigger.AvailableNow` (process everything
+  * available, then stop — the bounded-run semantics without the wall-clock
+  * race), an explicit checkpoint dir (the reference configured none and
+  * leaned on the console sink tolerating that), and a memory sink so results
+  * are queryable.
+  *
+  * Batch-over-stream duality (§2.7): the transforms here are plain DataFrame
+  * functions, so the same code runs on `read` and `readStream` inputs — the
+  * batch/stream equality tests assert exactly that.
+  *
+  * At scale: complete-mode global count keeps ONE row of state; windowed
+  * counts keep one row per (window, key) and need a watermark in append mode
+  * to bound state — both are StateStore-backed incremental aggs, shuffled
+  * on the group key once per micro-batch.
+  */
+object Streams {
+
+  /** Streaming scan over the driver's events parquet (S2-surrogate: same
+    * shape as a Kafka topic replay — unbounded source API, bounded data).
+    * Schema comes from a batch footer read; ts arrives as nanos-long
+    * (GraftSession.tune pins the legacy flag) and is truncated to micros
+    * exactly like graft.Tables.events.
+    */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    spark.readStream
+      .schema(schema)
+      // glob, not the bare file path: FileStreamSource requires its base
+      // path to be a directory, and the non-glob prefix here is $sfDir
+      .parquet(s"$sfDir/events.parque[t]")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** A3: streaming global COUNT(*) (`spark_kafka_direct.py:35-40`). */
+  def globalCount(stream: DataFrame): DataFrame =
+    stream.groupBy().count()
+
+  /** Event-time tumbling-window counts — the extension the reference's
+    * complete-mode count points at. Complete mode needs no watermark; the
+    * append-mode + watermark variant is exercised in the test suite. */
+  def hourlyCounts(stream: DataFrame): DataFrame =
+    stream
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Run a complete-mode streaming aggregate to a memory sink with
+    * Trigger.AvailableNow and an explicit checkpoint, block until done,
+    * and return the final result table. Deterministic: AvailableNow drains
+    * every available input split, then terminates.
+    */
+  def runCompleteToMemory(
+      spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
+    spark.catalog.dropTempView(name)
+    val ckpt = Files.createTempDirectory(s"graft-ckpt-$name-").toString
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}
