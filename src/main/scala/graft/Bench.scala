@@ -16,9 +16,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm-up: a join+agg exercises scan, exchange, hash-agg and codegen paths
-    try SparkEntry.queries("q05_join_priority_agg")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    // warm-up: a join+agg exercises scan, exchange, hash-agg and codegen
+    // paths; fall back to the first query so a rename can't silently drop
+    // the warm-up (and with it, skew the first timed query)
+    val warmup = SparkEntry.queries.getOrElse(
+      "q05_join_priority_agg", SparkEntry.queries.toSeq.minBy(_._1)._2)
+    try warmup(spark, sfDir).count()
+    catch { case e: Throwable => System.err.println(s"[bench] warm-up FAILED: ${e.getMessage}") }
     spark.catalog.clearCache()
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

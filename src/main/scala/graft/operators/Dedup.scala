@@ -68,11 +68,13 @@ object Dedup {
     val buckets = sig
       .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    // cap pathological buckets before the O(k²) pair expansion
+    // cap pathological buckets before the O(k²) pair expansion; persisted —
+    // both sides of the self-join scan it
     val capped = buckets
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "bh")))
       .filter(col("__n") <= maxBucket)
       .drop("__n")
+      .persist()
     val a = capped.select(col(idCol).as("id_a"), col("band"), col("bh"))
     val b = capped.select(col(idCol).as("id_b"), col("band"), col("bh"))
     a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
@@ -95,12 +97,18 @@ object Dedup {
         (col("common") * lit(1.0) / (col("na") + col("nb") - col("common"))).as("jaccard"))
   }
 
-  /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → verify. */
+  /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → verify.
+    *
+    * The shingle set feeds three consumers (signatures + both verify join
+    * legs), so it is persisted — without it the explode lineage recomputes
+    * per consumer. Callers running many queries in one session should
+    * `spark.catalog.clearCache()` between them (Bench/Verify do).
+    */
   def nearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+    val sh = shingles(df, idCol, textCol, n).persist()
     val sig = minHashSignatures(sh, idCol, numHashes)
     val cand = lshCandidates(sig, idCol, numHashes, bands)
     verifyJaccard(sh, idCol, cand)
@@ -111,33 +119,60 @@ object Dedup {
   /** 64-bit SimHash over whitespace tokens (with multiplicity), built from
     * xxhash64 token hashes — entirely numeric, codegen-friendly. Output:
     * (id, simhash). Near-dup = small hamming distance between simhashes.
+    *
+    * One row per token, 64 partial-aggregated SUM columns — no per-bit row
+    * explosion (the previous shape exploded every token 64× before the
+    * shuffle; this one ships 64 ints of map-side partial state per doc).
     */
   def simHash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol), explode(split(col(textCol), " ")).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    // one row per (doc, bit): +1/-1 vote per token
-    val bits = tok.select(col(idCol), col("h"),
-      explode(sequence(lit(0), lit(63))).as("bit"))
-      .withColumn("vote",
-        when(call_function("shiftright", col("h"), col("bit")).bitwiseAND(1) === 1, 1).otherwise(-1))
-    bits.groupBy(col(idCol), col("bit"))
-      .agg(sum(col("vote")).as("v"))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("v") > 0, call_function("shiftleft", lit(1L), col("bit"))).otherwise(0L)).as("simhash"))
+      .select(col(idCol), xxhash64(col("t")).as("h"))
+    val voteAggs = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j")
+    }
+    tok.groupBy(col(idCol))
+      .agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
   }
 
-  /** Hamming-distance near-dup pairs over simhashes, blocked by 16-bit
-    * chunks (pigeonhole: distance ≤ 3 over 4 chunks ⇒ ≥1 identical chunk).
+  /** Hamming-distance near-dup pairs over simhashes, blocked by bit chunks.
+    *
+    * Recall guarantee (pigeonhole): with `maxDist + 1` chunks, any pair at
+    * hamming distance ≤ maxDist differs in at most `maxDist` chunks, so at
+    * least one chunk is identical and the pair surfaces in that block. The
+    * chunks partition the 64 bits as evenly as possible (width =
+    * 64 / (maxDist+1), remainder bits spread over the first chunks).
+    *
+    * Scale trade-off: larger `maxDist` ⇒ narrower chunks ⇒ bigger blocks.
+    * At 100 TB keep maxDist small (≤ 3–8) or pre-partition by an exact key;
+    * `maxBlock` caps pathological blocks (e.g. a constant-text cluster) at
+    * the documented cost of recall *within the capped block only*.
     */
-  def simHashNearDup(sim: DataFrame, idCol: String, maxDist: Int = 3): DataFrame = {
-    val chunks = (0 until 4).map { c =>
+  def simHashNearDup(
+      sim: DataFrame, idCol: String, maxDist: Int = 3,
+      maxBlock: Int = Int.MaxValue): DataFrame = {
+    require(maxDist >= 0 && maxDist < 32, "maxDist must be in [0, 32)")
+    val nChunks = maxDist + 1
+    val base = 64 / nChunks
+    val widths = (0 until nChunks).map(c => if (c < 64 % nChunks) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    val chunks = (0 until nChunks).map { c =>
+      val mask = if (widths(c) == 64) -1L else (1L << widths(c)) - 1
       struct(lit(c).as("chunk"),
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFF).as("ck"))
+        shiftright(col("simhash"), offsets(c)).bitwiseAND(mask).as("ck"))
     }
     val blocked = sim.select(col(idCol), col("simhash"), explode(array(chunks: _*)).as("b"))
       .select(col(idCol), col("simhash"), col("b.chunk").as("chunk"), col("b.ck").as("ck"))
-    val a = blocked.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("chunk"), col("ck"))
-    val b = blocked.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("chunk"), col("ck"))
+    val capped =
+      if (maxBlock == Int.MaxValue) blocked
+      else blocked
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy("chunk", "ck")))
+        .filter(col("__n") <= maxBlock)
+        .drop("__n")
+    val a = capped.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("chunk"), col("ck"))
+    val b = capped.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("chunk"), col("ck"))
     a.join(b, Seq("chunk", "ck")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))

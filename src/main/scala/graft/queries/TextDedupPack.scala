@@ -23,25 +23,55 @@ object TextDedupPack {
   private val STOP_DE = Seq("der", "die", "und", "ein", "ist")
   private val STOP_ES = Seq("el", "los", "y", "una", "es")
 
-  /** Shared SQL for distinct word-3-gram extraction (DuckDB dialect). */
-  private val GRAMS_SQL =
-    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-      |          WHERE len(string_split(text, ' ')) >= 3),
-      |grams AS (SELECT DISTINCT doc_id,
-      |            unnest(list_transform(range(1, len(t) - 1),
-      |                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
-      |          FROM toks)""".stripMargin
+  /** Document-frequency cap for near-dup shingles: a gram shared by more
+    * than this many documents is stopword-class (no near-dup signal) and is
+    * dropped *before* any pair join — the self-join fan-out per gram is then
+    * bounded at cap², so join size is O(#grams · cap²) instead of
+    * Σ df(gram)², which is quadratic in duplicated content and detonates at
+    * 100 TB. Jaccard is computed over the capped shingle space on BOTH
+    * engines (q27/q28 oracles apply the identical filter). At the test SFs
+    * max df is 25, so the capped results coincide with the uncapped ones.
+    */
+  private val MAX_GRAM_DF = 100
 
-  /** Spark-side distinct word-3-gram extraction: (doc_id, gram string). */
+  /** LSH band-bucket occupancy cap for q28 — mirrors Dedup.lshCandidates:
+    * a band value shared by more than this many docs would pair-explode. */
+  private val MAX_BUCKET = 100
+
+  /** Shared SQL for distinct word-3-gram extraction with the df cap
+    * (DuckDB dialect). */
+  private val GRAMS_SQL =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |          WHERE len(string_split(text, ' ')) >= 3),
+       |grams_all AS (SELECT DISTINCT doc_id,
+       |            unnest(list_transform(range(1, len(t) - 1),
+       |                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+       |          FROM toks),
+       |grams AS (SELECT doc_id, gram FROM (
+       |            SELECT doc_id, gram, COUNT(*) OVER (PARTITION BY gram) AS df
+       |            FROM grams_all)
+       |          WHERE df <= $MAX_GRAM_DF)""".stripMargin
+
+  /** Spark-side distinct word-3-gram extraction with the df cap:
+    * (doc_id, gram string). Tokenizes via an explicit projection so the
+    * split runs once per row, not once per element_at. Persisted — q27/q28
+    * reuse the gram set 3-4× (sizes, both join sides); Bench/Verify clear
+    * the cache between queries.
+    */
   private def sparkGrams(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val toks = split(col("text"), " ")
+    val t = col("t")
     Tables.documents(s, d)
-      .filter(size(toks) >= 3)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(t) >= 3)
       .select(col("doc_id"),
         explode(array_distinct(transform(
-          sequence(lit(1), size(toks) - 2),
-          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))
+          sequence(lit(1), size(t) - 2),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))
         ))).as("gram"))
+      .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("gram")))
+      .filter(col("df") <= MAX_GRAM_DF)
+      .drop("df")
+      .persist()
   }
 
   def all: Seq[QueryDef] = Seq(
@@ -218,8 +248,13 @@ object TextDedupPack {
            |  FROM grams GROUP BY doc_id),
            |bands AS (
            |  $bandSelects),
+           |bandsc AS (SELECT doc_id, band, bh FROM (
+           |             SELECT doc_id, band, bh,
+           |               COUNT(*) OVER (PARTITION BY band, bh) AS n
+           |             FROM bands)
+           |           WHERE n <= $MAX_BUCKET),
            |cand AS (SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
-           |         FROM bands b1 JOIN bands b2
+           |         FROM bandsc b1 JOIN bandsc b2
            |           ON b1.band = b2.band AND b1.bh = b2.bh
            |          AND b1.doc_id < b2.doc_id),
            |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
@@ -238,13 +273,19 @@ object TextDedupPack {
       }) { (s, d) =>
       val grams = sparkGrams(s, d)
       val mhAggs = (0 until 16).map(i => min(md5(concat(lit(s"$i:"), col("gram")))).as(s"mh$i"))
-      val mh = grams.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+      // persist: the 4 band branches below each scan mh
+      val mh = grams.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*).persist()
       val bands = (0 until 4).map { b =>
         mh.select(col("doc_id"), lit(b).as("band"),
           md5(concat((b * 4 until b * 4 + 4).map(i => col(s"mh$i")): _*)).as("bh"))
       }.reduce(_ unionByName _)
-      val cand = bands.as("b1")
-        .join(bands.as("b2"),
+      val bandsc = bands
+        .withColumn("__n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+        .filter(col("__n") <= MAX_BUCKET)
+        .drop("__n")
+      val cand = bandsc.as("b1")
+        .join(bandsc.as("b2"),
           col("b1.band") === col("b2.band") && col("b1.bh") === col("b2.bh")
             && col("b1.doc_id") < col("b2.doc_id"))
         .select(col("b1.doc_id").as("doc_a"), col("b2.doc_id").as("doc_b"))

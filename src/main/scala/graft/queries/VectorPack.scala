@@ -15,10 +15,14 @@ import org.apache.spark.sql.types.DecimalType
   * order-independent in both engines. Only then does one double division +
   * sqrt happen, and the result is rounded to DECIMAL(18,12) before ordering
   * and output, so a last-ulp divergence cannot flip the hash or the rank.
+  * The rounded decimal is cast back to DOUBLE on the wire (both engines):
+  * decimal *physical* encodings differ across engines (Spark parquet
+  * FIXED_LEN_BYTE_ARRAY vs DuckDB native) and broke the driver's hash in
+  * round 2 even with bit-identical values — float64 is representation-stable.
   *
-  * q35 is the oracle-checked exact path; q55/q56 are the native scale
-  * paths (LSH-bucketed ANN / embedding near-dup), rows-only with recall
-  * asserted against q35 in the test suite.
+  * q35 is the oracle-checked exact path; q55 is the native ANN scale path
+  * (rows-only; recall vs q35 asserted in SimilaritySpec). q56 plants
+  * deterministic near-duplicate vectors and is fully oracle-checked.
   */
 object VectorPack {
 
@@ -48,7 +52,7 @@ object VectorPack {
         |  FROM q JOIN embeddings e ON e.vec_id <> qid),
         |scored AS (
         |  SELECT qid, nid,
-        |    CAST(CAST(dot AS DOUBLE)/sqrt(CAST(nq.nrm AS DOUBLE)*CAST(nn.nrm AS DOUBLE)) AS DECIMAL(18,12)) AS cos_sim
+        |    CAST(CAST(CAST(dot AS DOUBLE)/sqrt(CAST(nq.nrm AS DOUBLE)*CAST(nn.nrm AS DOUBLE)) AS DECIMAL(18,12)) AS DOUBLE) AS cos_sim
         |  FROM pairs JOIN norms nq ON nq.vec_id = qid JOIN norms nn ON nn.vec_id = nid)
         |SELECT qid, nid, cos_sim,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS BIGINT) AS rk
@@ -67,7 +71,7 @@ object VectorPack {
         .join(norms.select(col("vec_id").as("nid"), col("nrm").as("nn")), "nid")
         .select(col("qid"), col("nid"),
           (col("dot").cast("double") / sqrt(col("nq").cast("double") * col("nn").cast("double")))
-            .cast(DecimalType(18, 12)).as("cos_sim"))
+            .cast(DecimalType(18, 12)).cast("double").as("cos_sim"))
       val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
       scored.withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 5)

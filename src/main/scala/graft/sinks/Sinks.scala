@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   * partitionColumn is a single-task scan, exactly like the reference's
   * verification read.
   *
-  * Tested against embedded Derby (`jdbc:derby:memory:...`) — the only JDBC
-  * driver in this container; the URL/driver are parameters, so Postgres at
-  * deploy time is a config change.
+  * The JDBC legs run against embedded Derby (`jdbc:derby:memory:...`) in
+  * EtlLifecycleSpec — the only JDBC driver in this container; the
+  * URL/driver are parameters, so Postgres at deploy time is a config
+  * change. [[kafkaWrite]] needs a broker + connector jar and is
+  * unexercised here: requires external service.
   */
 object Sinks {
 

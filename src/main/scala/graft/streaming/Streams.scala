@@ -50,30 +50,56 @@ object Streams {
     stream.groupBy().count()
 
   /** Event-time tumbling-window counts — the extension the reference's
-    * complete-mode count points at. Complete mode needs no watermark; the
-    * append-mode + watermark variant is exercised in the test suite. */
+    * complete-mode count points at. Complete mode needs no watermark (state
+    * = one row per open window, re-emitted each batch). */
   def hourlyCounts(stream: DataFrame): DataFrame =
     stream
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
-  /** Run a complete-mode streaming aggregate to a memory sink with
-    * Trigger.AvailableNow and an explicit checkpoint, block until done,
-    * and return the final result table. Deterministic: AvailableNow drains
-    * every available input split, then terminates.
+  /** Append-mode variant with a watermark — the state-bounding shape for an
+    * unbounded 100 TB stream: windows older than the watermark are finalized,
+    * emitted once, and their state evicted. Under Trigger.AvailableNow the
+    * final micro-batch advances the watermark past every drained event, so
+    * all windows flush and the append result equals the batch answer for
+    * on-time data (asserted in StreamingSpec).
     */
-  def runCompleteToMemory(
-      spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
+  def hourlyCountsAppend(stream: DataFrame, delay: String = "1 hour"): DataFrame =
+    stream
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Run a streaming aggregate to a memory sink with Trigger.AvailableNow
+    * and an explicit checkpoint, block until done, and return the final
+    * result table. Deterministic: AvailableNow drains every available input
+    * split, then terminates. The checkpoint dir is deleted on completion —
+    * these runs are bounded one-shots, not resumable services.
+    */
+  def runToMemory(
+      spark: SparkSession, agg: DataFrame, name: String,
+      mode: String = "complete"): DataFrame = {
     spark.catalog.dropTempView(name)
-    val ckpt = Files.createTempDirectory(s"graft-ckpt-$name-").toString
+    val ckpt = Files.createTempDirectory(s"graft-ckpt-$name-")
     val q = agg.writeStream
-      .outputMode("complete")
+      .outputMode(mode)
       .format("memory")
       .queryName(name)
-      .option("checkpointLocation", ckpt)
+      .option("checkpointLocation", ckpt.toString)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally deleteRecursively(ckpt)
     spark.table(name)
+  }
+
+  def runCompleteToMemory(
+      spark: SparkSession, agg: DataFrame, name: String): DataFrame =
+    runToMemory(spark, agg, name, "complete")
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val paths = Files.walk(root).iterator().asScala.toSeq.reverse
+    paths.foreach(p => Files.deleteIfExists(p))
   }
 }
