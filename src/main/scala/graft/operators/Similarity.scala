@@ -112,13 +112,25 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
-  /** Exact embedding dedup companion: near-identical vectors by cosine ≥
-    * threshold among LSH candidates (embedding-cosine near-dup family). */
+  /** Embedding near-dup pairs: cosine ≥ threshold among LSH candidates
+    * (embedding-cosine near-dup family). `maxBucket` caps pathological
+    * buckets before the self-join pair expansion (cf. Dedup.lshCandidates) —
+    * a hot bucket (e.g. a cluster of identical vectors) would otherwise
+    * pair-explode. `score` is the exact re-rank expression; the default is
+    * the double-precision [[cosine]], callers needing cross-engine
+    * determinism pass a decimal-exact scorer (cf. VectorPack). The LSH
+    * stage only affects recall — every emitted pair is exactly scored and
+    * threshold-filtered.
+    */
   def cosineNearDup(df: DataFrame, idCol: String, vecCol: String,
                     threshold: Double = 0.95,
                     dim: Int = 64, bits: Int = 16, tables: Int = 6,
-                    seed: Long = 42L): DataFrame = {
+                    seed: Long = 42L, maxBucket: Int = 10000,
+                    score: (Column, Column) => Column = cosine): DataFrame = {
     val b = lshBuckets(df, idCol, vecCol, dim, bits, tables, seed)
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("tbl", "bucket")))
+      .filter(col("__n") <= maxBucket)
+      .drop("__n")
     val a = b.select(col(idCol).as("id_a"), col("tbl"), col("bucket"))
     val bb = b.select(col(idCol).as("id_b"), col("tbl"), col("bucket"))
     val cand = a.join(bb, Seq("tbl", "bucket"))
@@ -128,7 +140,26 @@ object Similarity {
     cand
       .join(v.select(col(idCol).as("id_a"), col(vecCol).as("va")), "id_a")
       .join(v.select(col(idCol).as("id_b"), col(vecCol).as("vb")), "id_b")
-      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos_sim"))
+      .select(col("id_a"), col("id_b"), score(col("va"), col("vb")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Derived corpus with one near-duplicate twin per vector: element 0
+    * halved (exact in IEEE — exponent decrement), id offset by `offset`.
+    * cos(v, twin) = (S - x₀²/2) / sqrt(S·(S - 3x₀²/4)) with S = ‖v‖² —
+    * ≈ 0.998 for random 64-d vectors (x₀² ≈ S/64), never below 0.94.
+    * Gives an ANN/near-dup corpus with *known* ground-truth neighbors;
+    * random gaussian corpora have none (max pairwise cos ≈ 0.5), so recall
+    * is unmeasurable on the raw table.
+    */
+  def plantTwins(df: DataFrame, idCol: String, vecCol: String,
+                 offset: Long): DataFrame = {
+    val base = df.select(col(idCol), col(vecCol))
+    val twin = df.select(
+      (col(idCol) + offset).as(idCol),
+      transform(col(vecCol), (x, i) =>
+        when(i === 0, (x.cast("double") / 2.0d).cast("float")).otherwise(x))
+        .as(vecCol))
+    base.unionByName(twin)
   }
 }

@@ -21,12 +21,21 @@ import org.apache.spark.sql.types.DecimalType
   * round 2 even with bit-identical values — float64 is representation-stable.
   *
   * q35 is the oracle-checked exact path; q55 is the native ANN scale path
-  * (rows-only; recall vs q35 asserted in SimilaritySpec). q56 plants
-  * deterministic near-duplicate vectors and is fully oracle-checked.
+  * (rows-only; recall vs the exact scorer asserted in SimilaritySpec). q56
+  * plants deterministic near-duplicate twins ([[Similarity.plantTwins]]:
+  * element 0 halved, cos ≈ 0.998 ≫ max random-pair cos ≈ 0.5) so the LSH
+  * near-dup path has known ground truth, and is fully oracle-checked: the
+  * oracle derives the planted pairs directly and scores them with the same
+  * decimal-exact formula. The LSH stage only affects recall; its miss
+  * probability at the chosen (bits=16, tables=12) is < 1e-3 per run over
+  * all planted pairs at the oracle SFs.
   */
 object VectorPack {
 
   private val D = DecimalType(38, 20)
+
+  /** vec_id offset distinguishing planted twins in q56's corpus. */
+  private val TWIN_OFFSET = 1000000L
 
   /** Exact decimal dot product of two float-array columns. */
   private def dotDec(a: Column, b: Column): Column =
@@ -34,6 +43,15 @@ object VectorPack {
       zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(D)),
       lit(0).cast(D),
       (acc, p) => (acc + p).cast(D))
+
+  /** Cross-engine-deterministic cosine (cf. the class scaladoc): decimal
+    * dot/norms, one double division, rounded to DECIMAL(18,12), cast back
+    * to DOUBLE for a representation-stable wire type. Shared by q56 and
+    * SimilaritySpec's ground-truth checks. */
+  def cosineDec(a: Column, b: Column): Column =
+    (dotDec(a, b).cast("double") /
+      sqrt(dotDec(a, a).cast("double") * dotDec(b, b).cast("double")))
+      .cast(DecimalType(18, 12)).cast("double")
 
   def all: Seq[QueryDef] = Seq(
 
@@ -79,16 +97,49 @@ object VectorPack {
         .orderBy("qid", "rk")
     },
 
-    // ---- native LSH scale paths (rows-only; recall asserted in tests) ------
+    // ---- q55: ANN top-k over the planted corpus (rows-only scale path) -----
+    // Corpus = embeddings ∪ twins; each query's true nearest neighbor (its
+    // twin at cos ≈ 0.998) must surface through the bucket join — recall
+    // asserted in SimilaritySpec. Raw-corpus neighbors (cos ≈ 0.5) appear
+    // when they share a bucket; the top-k re-rank is exact either way.
     QueryDef.rowsOnly("q55_ann_topk") { (s, d) =>
       val emb = Tables.embeddings(s, d)
+      val corpus = Similarity.plantTwins(emb, "vec_id", "embedding", TWIN_OFFSET)
       Similarity.annTopK(
-        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        corpus, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, bits = 12, tables = 8)
         .orderBy("qid", "rk")
     },
-    QueryDef.rowsOnly("q56_embedding_near_dup") { (s, d) =>
+
+    // ---- q56: embedding near-dup over the planted corpus (oracle-checked) --
+    QueryDef(
+      "q56_embedding_near_dup",
+      s"""WITH twins AS (
+         |  SELECT vec_id, embedding,
+         |    list_concat([CAST(CAST(embedding[1] AS DOUBLE)/2 AS FLOAT)],
+         |                embedding[2:]) AS twin
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT vec_id AS id_a, vec_id + $TWIN_OFFSET AS id_b,
+         |    CAST(CAST(CAST(
+         |      list_sum(list_transform(range(1,65), i ->
+         |        CAST(CAST(embedding[i] AS DOUBLE)*CAST(twin[i] AS DOUBLE) AS DECIMAL(38,20)))) AS DOUBLE)
+         |      / sqrt(
+         |        CAST(list_sum(list_transform(embedding, x ->
+         |          CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,20)))) AS DOUBLE)
+         |        * CAST(list_sum(list_transform(twin, x ->
+         |          CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,20)))) AS DOUBLE))
+         |      AS DECIMAL(18,12)) AS DOUBLE) AS cos_sim
+         |  FROM twins)
+         |SELECT id_a, id_b, cos_sim
+         |FROM scored
+         |WHERE cos_sim >= 0.99
+         |ORDER BY id_a""".stripMargin) { (s, d) =>
+      val corpus = Similarity.plantTwins(
+        Tables.embeddings(s, d), "vec_id", "embedding", TWIN_OFFSET)
       Similarity.cosineNearDup(
-        Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.9)
+        corpus, "vec_id", "embedding", threshold = 0.99,
+        bits = 16, tables = 12, score = cosineDec)
         .orderBy("id_a", "id_b")
     }
   )
