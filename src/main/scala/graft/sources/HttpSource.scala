@@ -17,8 +17,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * parallelize by mapping URLs over an RDD, but the reference's single-GET
   * semantics don't need it.
   *
-  * Zero-egress container: tests feed [[fromBody]]/[[fromFile]]; [[fetch]]
-  * is the production edge.
+  * Zero-egress container: EtlLifecycleSpec exercises [[fetch]] against an
+  * in-process loopback HTTP server (headers included) and
+  * [[fromBody]]/[[fromFile]] as the fixture legs.
   */
 object HttpSource {
 

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -49,9 +49,17 @@ object KafkaWire {
 
   /** Surrogate wire: wrap (key, value) string columns of `df` into the
     * Kafka schema — deterministic offsets by key order within one
-    * partition, epoch timestamp. For tests and oracle-checked queries. */
+    * partition, epoch timestamp. For tests and oracle-checked queries.
+    * Field names and types match [[wireSchema]] exactly; the literal
+    * columns are statically non-nullable, which is strictly *stronger*
+    * than the all-nullable schema the real source declares — every
+    * consumer of the real schema accepts the surrogate's. */
   def surrogate(df: DataFrame, keyCol: String, valueCol: String,
                 topic: String): DataFrame = {
+    // test surrogate only: the un-partitioned global Window (deterministic
+    // offsets) is a single-task bottleneck — fine on fixtures, never on a
+    // real topic (the real source gets offsets from the broker per
+    // partition)
     val w = Window.orderBy(col(keyCol))
     df.select(
       encode(col(keyCol).cast("string"), "UTF-8").as("key"),

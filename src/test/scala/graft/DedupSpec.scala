@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup-family consistency: the xxhash64 native scale paths against exact
+  * brute-force ground truth, and against the oracle-checked portable
+  * variants in TextDedupPack.
+  */
+class DedupSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sf)
+
+  test("exact dedup keeps the lowest id per duplicated text") {
+    val kept = Dedup.exact(docs, Seq("text"), "doc_id")
+    // every text appears exactly once
+    assert(kept.groupBy("text").count().filter(col("count") > 1).count() == 0)
+    // and the survivor is the min doc_id of its group
+    val expected = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.select("doc_id").as[Long].collect().toSet == expected)
+  }
+
+  test("simHashNearDup equals brute-force hamming at maxDist 3 and 8") {
+    val sim = Dedup.simHash64(docs, "doc_id", "text").persist()
+    val a = sim.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = sim.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+    for (maxDist <- Seq(3, 8)) {
+      val expected = brute.filter(col("hamming") <= maxDist)
+        .select("id_a", "id_b", "hamming")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val got = Dedup.simHashNearDup(sim, "doc_id", maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == expected, s"maxDist=$maxDist")
+    }
+    sim.unpersist()
+  }
+
+  test("simHashNearDup blocking guarantee on adversarial synthetic hashes") {
+    // pairs engineered to differ in spread-out bit positions — the worst
+    // case for chunk blocking: distance d spread over d distinct chunks
+    def spread(d: Int): Long =
+      (0 until d).map(i => 1L << (i * (63 / math.max(d, 1)))).foldLeft(0L)(_ | _)
+    val hashes = Seq(
+      1L -> 0L, 2L -> spread(1), 3L -> spread(3), 4L -> spread(4),
+      5L -> spread(8), 6L -> spread(9), 7L -> -1L, 8L -> Long.MaxValue,
+      9L -> (spread(2) | (1L << 63)), 10L -> 0xF0F0F0F0F0F0F0F0L)
+    val sim = hashes.toDF("doc_id", "simhash")
+    val a = sim.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = sim.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+    for (maxDist <- Seq(0, 1, 3, 8, 15)) {
+      val expected = brute.filter(col("hamming") <= maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = Dedup.simHashNearDup(sim, "doc_id", maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"maxDist=$maxDist")
+    }
+  }
+
+  test("native MinHash-LSH pairs (q51) superset the exact Jaccard pairs (q27)") {
+    val exact = SparkEntry.byName("q27_ngram_jaccard").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val native = Dedup.nearDuplicates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val missing = exact.keySet -- native.keySet
+    assert(missing.isEmpty, s"LSH missed exact pairs: $missing")
+    // identical Jaccard on the shared pairs: same shingle space (word
+    // 3-grams), same integer-count division
+    exact.foreach { case (pair, j) =>
+      assert(native(pair) == j, s"jaccard mismatch for $pair")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("verifyJaccard computes exact set Jaccard on a known fixture") {
+    val docsFx = Seq(
+      (1L, "a b c d e"),   // grams: abc bcd cde
+      (2L, "a b c d x"),   // grams: abc bcd cdx → common 2, union 4 → 0.5
+      (3L, "p q r s t")    // disjoint
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docsFx, "doc_id", "text")
+    val cand = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.verifyJaccard(sh, "doc_id", cand)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((1L, 2L)) == 0.5)
+    assert(got.get((1L, 3L)).isEmpty) // no common shingles → no row
+  }
+}

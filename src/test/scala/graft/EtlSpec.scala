@@ -1,0 +1,116 @@
+package graft
+
+import graft.etl.Etl
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SC}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the parse/clean path (SURVEY.md §5d): arbitrary
+  * malformed wire input never throws, and the cleaned output's invariants
+  * hold regardless of input shape.
+  *
+  * Each ScalaCheck trial feeds a whole batch of generated wire values
+  * through one Spark job — Spark overhead per trial, not per value.
+  */
+class EtlSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val jsonString: Gen[String] =
+    Gen.oneOf(
+      Gen.alphaNumStr.map(s => s"\"$s\""),
+      Gen.const("null"),
+      Gen.chooseNum(-1000, 1000).map(_.toString))
+
+  /** Well-formed JSON object with a random subset of the airport keys
+    * (NiFi omits absent attributes) plus occasional extra keys. */
+  private val validJson: Gen[String] = for {
+    keys <- Gen.someOf("id", "icao", "name", "lat", "lon")
+    extra <- Gen.oneOf(Seq.empty[String], Seq("zzz"))
+    vals <- Gen.listOfN(keys.size + extra.size, jsonString)
+  } yield (keys ++ extra).zip(vals)
+    .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+
+  private val wireValue: Gen[String] = Gen.frequency(
+    4 -> validJson,
+    2 -> validJson.map(_.dropRight(Gen.chooseNum(1, 10).sample.getOrElse(1))),
+    2 -> Gen.asciiPrintableStr,
+    1 -> Gen.const(""),
+    1 -> Gen.const("[1,2,3]"),
+    1 -> Gen.const("{\"lat\":{\"nested\":1},\"lon\":[2]}"))
+
+  private val wireBatch: Gen[List[String]] =
+    Gen.listOfN(60, wireValue)
+
+  private def check(p: Prop): Unit = {
+    val res = SC.check(SC.Parameters.default.withMinSuccessfulTests(5), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("parse never throws and preserves row count and schema") {
+    check(Prop.forAll(wireBatch) { values =>
+      val wire = values.toDF("s").select(encode($"s", "UTF-8").as("value"))
+      val parsed = Etl.parse(wire)
+      parsed.columns.toSeq == Seq("id", "icao", "name", "lat", "lon") &&
+        parsed.count() == values.size
+    })
+  }
+
+  test("clean output rows always have non-null numeric coords") {
+    check(Prop.forAll(wireBatch) { values =>
+      val wire = values.toDF("s").select(encode($"s", "UTF-8").as("value"))
+      val cleaned = Etl.clean(Etl.parse(wire))
+      cleaned.filter($"latitude".isNull || $"longitude".isNull).count() == 0L
+    })
+  }
+
+  /** Wire rows whose validity is decided at generation time — no
+    * re-implementation of engine cast semantics in the expectation. */
+  private case class GenRow(json: String, valid: Boolean)
+
+  private val coordGen: Gen[(String, Boolean)] = Gen.frequency(
+    5 -> Gen.chooseNum(-89, 89).map(i => (s""""$i"""", true)),
+    1 -> Gen.const(("\"\"", false)),          // empty string → null coord
+    1 -> Gen.const(("\"bogus\"", false)),     // non-numeric → null coord
+    1 -> Gen.const(("null", false)))          // explicit null
+
+  private val structuredRow: Gen[GenRow] = for {
+    id <- Gen.chooseNum(0, 999)
+    (lat, latOk) <- coordGen
+    (lon, lonOk) <- coordGen
+    truncate <- Gen.frequency(5 -> false, 1 -> true)
+  } yield {
+    val j = s"""{"id":"$id","name":"n$id","lat":$lat,"lon":$lon}"""
+    if (truncate) GenRow(j.dropRight(5), valid = false)
+    else GenRow(j, latOk && lonOk)
+  }
+
+  test("clean keeps exactly the generation-time-valid rows") {
+    check(Prop.forAll(Gen.listOfN(60, structuredRow)) { rows =>
+      val wire = rows.map(_.json).toDF("s")
+        .select(encode($"s", "UTF-8").as("value"))
+      Etl.clean(Etl.parse(wire)).count() == rows.count(_.valid).toLong
+    })
+  }
+
+  test("typed-parse variant nulls bad coords inside from_json (§2.9)") {
+    // from_json with DoubleType accepts JSON *number* tokens only: a
+    // quoted coord ("4.5") is a type mismatch → null field (the NiFi wire
+    // quotes all attributes, so the reference's typed variant yields null
+    // coords on that wire — the root job's string-schema + explicit cast
+    // is the one that handles it)
+    val values = Seq(
+      """{"id":"1","name":"a","lat":4.5,"lon":-3}""",
+      """{"id":"2","name":"b","lat":"4.5","lon":-3}""",
+      """{"id":"3","name":"c","lon":7}""")
+    val wire = values.toDF("s").select(encode($"s", "UTF-8").as("value"))
+    val parsed = Etl.parse(wire, Etl.airportSchemaTyped)
+    val rows = parsed.select("id", "lat", "lon").collect().map(r =>
+      (r.getString(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(rows == Set(
+      ("1", Some(4.5), Some(-3.0)),
+      ("2", None, Some(-3.0)),
+      ("3", None, Some(7.0))))
+  }
+
+}

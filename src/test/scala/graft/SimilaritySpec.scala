@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.Similarity
+import graft.queries.VectorPack
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN / embedding-near-dup recall and correctness against exact ground
+  * truth. Random gaussian corpora have no near neighbors (max pairwise
+  * cos ≈ 0.5 at these sizes), so recall is measured on planted twins
+  * ([[Similarity.plantTwins]]) whose cosine ≈ 0.998 is known by
+  * construction.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+  import spark.implicits._
+
+  private val offset = 1000000L
+  private def emb = Tables.embeddings(spark, sf)
+
+  test("annTopK finds the planted twin as the top neighbor for every query") {
+    val corpus = Similarity.plantTwins(emb, "vec_id", "embedding", offset)
+    val queries = emb.filter(col("vec_id") < 50)
+    val top = Similarity.annTopK(
+      corpus, queries, "vec_id", "embedding", k = 5, bits = 12, tables = 8)
+    val rank1 = top.filter(col("rk") === 1)
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    assert(rank1.size == 50, s"queries with no candidates: ${50 - rank1.size}")
+    val wrong = rank1.filter { case (q, n) => n != q + offset }
+    assert(wrong.isEmpty, s"twin not at rank 1 for: $wrong")
+  }
+
+  test("annTopK cos_sim values equal the exact brute-force scores") {
+    val corpus = Similarity.plantTwins(emb, "vec_id", "embedding", offset)
+    val queries = emb.filter(col("vec_id") < 10)
+    val ann = Similarity.annTopK(
+      corpus, queries, "vec_id", "embedding", k = 5, bits = 12, tables = 8)
+      .select("qid", "nid", "cos_sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = Similarity.cosineTopK(corpus, queries, "vec_id", "embedding", k = corpus.count().toInt)
+      .select("qid", "nid", "cos_sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ann.foreach { case (pair, c) =>
+      assert(exact(pair) == c, s"score drift for $pair")  // same expression → bit-equal
+    }
+  }
+
+  test("cosineNearDup returns exactly the planted pairs above threshold") {
+    val corpus = Similarity.plantTwins(emb, "vec_id", "embedding", offset)
+    val got = Similarity.cosineNearDup(
+      corpus, "vec_id", "embedding", threshold = 0.99,
+      bits = 16, tables = 12, score = VectorPack.cosineDec)
+      .select("id_a", "id_b", "cos_sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // ground truth: score every planted pair directly with the same
+    // decimal-exact expression; no LSH involved
+    val expected = emb.select(col("vec_id"), col("embedding"))
+      .join(Similarity.plantTwins(emb, "vec_id", "embedding", offset)
+          .filter(col("vec_id") >= offset)
+          .select((col("vec_id") - offset).as("vec_id"), col("embedding").as("twin")),
+        "vec_id")
+      .select(col("vec_id").as("id_a"), (col("vec_id") + offset).as("id_b"),
+        VectorPack.cosineDec(col("embedding"), col("twin")).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "planted corpus produced no near-dup pairs")
+  }
+
+  test("cosineNearDup on a handcrafted corpus: only the true near-dup pair surfaces") {
+    val e1 = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
+    val e1close = Array.tabulate(64)(i => if (i == 0) 1.0f else if (i == 1) 0.01f else 0.0f)
+    val e2 = Array.tabulate(64)(i => if (i == 1) 1.0f else 0.0f)
+    val df = Seq((1L, e1.toSeq), (2L, e1close.toSeq), (3L, e2.toSeq))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDup(df, "vec_id", "embedding", threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
