@@ -120,6 +120,26 @@ object EtlPack {
       Etl.stats(Etl.clean(Etl.parse(wire(s, d))))
     },
 
+    // ---- q36: the full §3.1 lifecycle as a checked entry -------------------
+    // Drives Etl.runBatch (F3 count-gate, A2 actions, persist) with a
+    // parquet sink (K1-surrogate durable write), then answers from the
+    // READ-BACK table — the oracle checking this row-for-row means the
+    // write+read-back leg round-tripped losslessly, the reference's own
+    // self-verification step (spark_airports_final.py:91-101) as a gate.
+    QueryDef(
+      "q36_etl_lifecycle",
+      s"""WITH $CLEANED_SQL
+         |SELECT id, name, icao, latitude, longitude
+         |FROM cleaned
+         |ORDER BY id""".stripMargin) { (s, d) =>
+      val out = java.nio.file.Files.createTempDirectory("graft-q36-").toString + "/airports"
+      val (nClean, _) = Etl.runBatch(s, wire(s, d),
+        df => df.write.mode("overwrite").parquet(out))
+      val back = s.read.parquet(out)
+      assert(back.count() == nClean, "read-back count != cleaned count")
+      back.orderBy("id")
+    },
+
     // ---- q32: NiFi ingest emulation — page → SplitJson → to_json wire ------
     // Builds OpenAIP-style {"items":[...]} pages from the valid wire rows,
     // explodes $.items[*] (§2.10 SplitJson), re-serializes each item with

@@ -35,6 +35,27 @@ object StreamingPack {
         s, Streams.hourlyCounts(Streams.eventsStream(s, d)), "mq34")
         .select(col("w.start").as("hr"), col("event_type"), col("n"))
         .orderBy("hr", "event_type")
+    },
+
+    // ---- q37: append-mode + watermark — the state-bounding shape -----------
+    // Emits exactly the finalized windows: end <= watermark, where the
+    // final-batch watermark is max event time minus the 1 h delay
+    // (equality with batch asserted in StreamingSpec; semantics replayed
+    // by the oracle's max-ts cutoff).
+    QueryDef(
+      "q37_stream_hourly_append",
+      """WITH mx AS (SELECT max(ts) AS m FROM events)
+        |SELECT DATE_TRUNC('hour', ts) AS hr, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events, mx
+        |WHERE DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= m - INTERVAL 1 HOUR
+        |GROUP BY DATE_TRUNC('hour', ts), event_type
+        |ORDER BY hr, event_type""".stripMargin) { (s, d) =>
+      Streams.runToMemory(
+        s, Streams.hourlyCountsAppend(Streams.eventsStream(s, d), "1 hour"),
+        "mq37", mode = "append")
+        .select(col("w.start").as("hr"), col("event_type"), col("n"))
+        .orderBy("hr", "event_type")
     }
   )
 }
