@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.{Multimodal, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (binary-column) pack over a blob fixture derived
+  * deterministically from `documents`: each doc's text bytes wrapped in a
+  * real container magic (PNG / JPEG / RIFF-WAVE / raw, by doc_id % 4).
+  *
+  * Cross-engine parity: DuckDB (this version) cannot slice BLOBs, so the
+  * oracles replay binary substrings on `hex(blob)` (2 hex chars per byte,
+  * uppercase in both engines); the Spark side stays binary-native
+  * (substring/length/compare on BinaryType — no hex round-trip in the
+  * engine path, only in checked *outputs*).
+  */
+object MultimodalPack {
+
+  private def hexLit(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
+
+  private val PNG_HEX = hexLit(Multimodal.PNG_MAGIC)     // 89504E470D0A1A0A
+  private val JPEG_HEX = hexLit(Multimodal.JPEG_MAGIC)   // FFD8FF
+  private val RIFF_HEX = hexLit(Multimodal.RIFF_MAGIC)
+  private val WAVE_HEX = hexLit(Multimodal.WAVE_TAG)
+
+  /** Spark-side blob fixture: magic ++ utf8(text) by doc_id % 4. */
+  private[graft] def blobs(s: SparkSession, d: String): DataFrame = {
+    val m = pmod(col("doc_id"), lit(4))
+    val enc = encode(col("text"), "UTF-8")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      when(m === 0, concat(lit(Multimodal.PNG_MAGIC), enc))
+        .when(m === 1, concat(lit(Multimodal.JPEG_MAGIC), enc))
+        .when(m === 2, concat(lit(Multimodal.RIFF_MAGIC),
+          lit(Array[Byte](0, 0, 0, 0)), lit(Multimodal.WAVE_TAG), enc))
+        .otherwise(enc).as("content"))
+  }
+
+  /** DuckDB replay of the same fixture + mime sniff (hex-string based). */
+  private val BLOBS_SQL =
+    s"""blobs AS (
+       |  SELECT doc_id,
+       |    CASE doc_id % 4
+       |      WHEN 0 THEN '\\x89PNG\\x0D\\x0A\\x1A\\x0A'::BLOB || encode(text)
+       |      WHEN 1 THEN '\\xFF\\xD8\\xFF'::BLOB || encode(text)
+       |      WHEN 2 THEN 'RIFF'::BLOB || '\\x00\\x00\\x00\\x00'::BLOB || 'WAVE'::BLOB || encode(text)
+       |      ELSE encode(text) END AS content
+       |  FROM documents),
+       |sniffed AS (
+       |  SELECT doc_id, content, hex(content) AS h, octet_length(content) AS nbytes,
+       |    CASE WHEN substring(hex(content), 1, 16) = '$PNG_HEX' THEN 'image/png'
+       |         WHEN substring(hex(content), 1, 6) = '$JPEG_HEX' THEN 'image/jpeg'
+       |         WHEN substring(hex(content), 1, 8) = '$RIFF_HEX'
+       |          AND substring(hex(content), 17, 8) = '$WAVE_HEX' THEN 'audio/wav'
+       |         ELSE 'application/octet-stream' END AS mime
+       |  FROM blobs)""".stripMargin
+
+  def all: Seq[QueryDef] = Seq(
+
+    // ---- q38: magic-byte mime sniffing + per-mime byte stats ---------------
+    QueryDef(
+      "q38_multimodal_sniff",
+      s"""WITH $BLOBS_SQL
+         |SELECT mime,
+         |  CAST(COUNT(*) AS BIGINT) AS n_files,
+         |  CAST(SUM(nbytes) AS BIGINT) AS total_bytes,
+         |  CAST(MIN(nbytes) AS BIGINT) AS min_bytes,
+         |  CAST(MAX(nbytes) AS BIGINT) AS max_bytes
+         |FROM sniffed
+         |GROUP BY mime
+         |ORDER BY mime""".stripMargin) { (s, d) =>
+      blobs(s, d)
+        .select(Multimodal.sniffMime(col("content")).as("mime"),
+          length(col("content")).cast("long").as("nbytes"))
+        .groupBy("mime")
+        .agg(
+          count(lit(1)).as("n_files"),
+          sum(col("nbytes")).as("total_bytes"),
+          min(col("nbytes")).as("min_bytes"),
+          max(col("nbytes")).as("max_bytes"))
+        .orderBy("mime")
+    },
+
+    // ---- q39: frame sampling over the binary payload -----------------------
+    QueryDef(
+      "q39_multimodal_frames",
+      s"""WITH $BLOBS_SQL
+         |SELECT s.doc_id, s.mime, CAST(r.i AS BIGINT) AS frame_no,
+         |  substring(s.h, CAST(r.i * 64 + 1 AS BIGINT), 32) AS frame_hex
+         |FROM sniffed s, range(0, 4) r(i)
+         |WHERE s.doc_id < 30 AND r.i * 32 + 16 <= s.nbytes
+         |ORDER BY s.doc_id, frame_no""".stripMargin) { (s, d) =>
+      val sniffed = blobs(s, d)
+        .filter(col("doc_id") < 30)
+        .select(col("doc_id"), col("content"),
+          Multimodal.sniffMime(col("content")).as("mime"))
+      Multimodal.frames(sniffed, "content", frameLen = 16, stride = 32, maxFrames = 4)
+        .select(col("doc_id"), col("mime"), col("frame_no").cast("long"),
+          hex(col("frame")).as("frame_hex"))
+        .orderBy("doc_id", "frame_no")
+    },
+
+    // ---- q57: STUB decode→embed features feeding the near-dup family -------
+    // The corpus has no exact-duplicate texts, so duplicates are planted:
+    // docs with id < 50 appear again (same bytes, id + offset). Identical
+    // blobs ⇒ identical stub features ⇒ cos_sim = 1.0 pairs, always in the
+    // same LSH bucket (recall 1 for exact dups, no luck involved); asserted
+    // against exact blob equality in MultimodalSpec. xxhash64 has no DuckDB
+    // twin → rows-only.
+    QueryDef.rowsOnly("q57_multimodal_feature_dedup") { (s, d) =>
+      val b = blobs(s, d)
+      val corpus = b.unionByName(
+        b.filter(col("doc_id") < 50)
+          .select((col("doc_id") + DUP_OFFSET).as("doc_id"), col("content")))
+      val feats = corpus
+        .select(col("doc_id"), Multimodal.featuresStub(col("content")).as("feat"))
+      Similarity.cosineNearDup(
+        feats, "doc_id", "feat", threshold = 0.9999,
+        dim = 8, bits = 8, tables = 4)
+        .orderBy("id_a", "id_b")
+    }
+  )
+
+  private[graft] val DUP_OFFSET = 1000000L
+}
