@@ -32,23 +32,34 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** Word n-gram shingles (distinct) per document: (id, shingle_hash). */
+  /** Word n-gram shingles (distinct) per document: (id, shingle_hash).
+    *
+    * The token array is materialized by its own projection first:
+    * higher-order functions are not codegen'd, so an inline `split` would
+    * re-tokenize the whole string at every `element_at` — O(tokens²) per
+    * document. (CollapseProject keeps the projection: the array is
+    * referenced many times and split is not cheap.)
+    */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val toks = split(col(textCol), " ")
-    df.filter(size(split(col(textCol), " ")) >= n)
+    val t = col("__toks")
+    df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .filter(size(t) >= n)
       .select(col(idCol),
         explode(array_distinct(transform(
-          sequence(lit(1), size(toks) - (n - 1)),
-          i => xxhash64(concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
+          sequence(lit(1), size(t) - (n - 1)),
+          i => xxhash64(concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*))
         ))).as("shingle"))
   }
 
   /** MinHash signatures: for each of `numHashes` seeds, the min over the
-    * doc's shingle set of xxhash64(shingle, seed). Columns mh0..mh{k-1}.
+    * doc's shingle set of xxhash64(shingle, seed). Columns mh0..mh{k-1},
+    * plus `n_sh` (shingle-set size) — computed in the same single pass so
+    * the Jaccard verify step never re-aggregates the full shingle table.
     */
   def minHashSignatures(sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
-    val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"mh$i"))
+    val aggs = count(lit(1)).as("n_sh") +:
+      (0 until numHashes).map(i =>
+        min(xxhash64(col("shingle"), lit(i))).as(s"mh$i"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -83,9 +94,14 @@ object Dedup {
 
   /** Exact Jaccard verification of candidate pairs against the shingle sets.
     * Joins are keyed on doc id — no quadratic blow-up; only candidates pay.
+    * Pass `precomputedSizes` (idCol, n) when the caller already aggregated
+    * per-doc shingle counts (nearDuplicates gets them free from the
+    * signature pass).
     */
-  def verifyJaccard(sh: DataFrame, idCol: String, candidates: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+  def verifyJaccard(sh: DataFrame, idCol: String, candidates: DataFrame,
+                    precomputedSizes: Option[DataFrame] = None): DataFrame = {
+    val sizes = precomputedSizes.getOrElse(
+      sh.groupBy(col(idCol)).agg(count(lit(1)).as("n")))
     val common = candidates
       .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
@@ -109,9 +125,10 @@ object Dedup {
       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
     val sh = shingles(df, idCol, textCol, n).persist()
-    val sig = minHashSignatures(sh, idCol, numHashes)
+    val sig = minHashSignatures(sh, idCol, numHashes).persist()
     val cand = lshCandidates(sig, idCol, numHashes, bands)
-    verifyJaccard(sh, idCol, cand)
+    verifyJaccard(sh, idCol, cand,
+      precomputedSizes = Some(sig.select(col(idCol), col("n_sh").as("n"))))
       .filter(col("jaccard") >= threshold)
       .orderBy("id_a", "id_b")
   }

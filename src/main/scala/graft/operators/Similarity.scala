@@ -140,6 +140,12 @@ object Similarity {
     cand
       .join(v.select(col(idCol).as("id_a"), col(vecCol).as("va")), "id_a")
       .join(v.select(col(idCol).as("id_b"), col(vecCol).as("vb")), "id_b")
+      // prescreen with the cheap double cosine before the (possibly
+      // expensive, e.g. decimal-exact) scorer: double and decimal-rounded
+      // cosine differ by ulps, so the 0.005 margin cannot drop a pair the
+      // scorer would keep — the scorer only runs on ~the output set, not
+      // on every LSH candidate
+      .filter(cosine(col("va"), col("vb")) >= threshold - 0.005)
       .select(col("id_a"), col("id_b"), score(col("va"), col("vb")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
