@@ -5,13 +5,18 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 
 Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
 corresponding oracle SQL from oracle_sql.json in DuckDB with views named after
-the testdata tables, and compares: schema (column names), row count, and exact
-values (columns sorted by name, rows sorted by all columns).
+the testdata tables, and compares: column names, DuckDB logical types, row
+count, and exact values (columns sorted by name, rows sorted by all columns).
 
-Reports EXACT vs CLOSE (float within 1e-9 rel) vs MISMATCH. The driver's gate
-is an exact type-sensitive hash, so this local gate must be STRICTER: CLOSE
-counts as FAIL, and pandas-level dtypes are compared (catches e.g. DuckDB
-HUGEINT vs Spark BIGINT, which broke 4 queries in round 1).
+The driver's gate is an exact type-sensitive hash, so this local gate must be
+STRICTER:
+  - CLOSE (float within 1e-9) counts as FAIL;
+  - logical types come from DuckDB itself (one execution per side; pandas
+    dtypes hid e.g. DECIMAL-vs-DOUBLE behind 'object');
+  - any DECIMAL or HUGEINT *output* column fails the lint outright: their
+    cross-engine physical representations have broken the driver's hash twice
+    (round 1 HUGEINT sums, round 2 DECIMAL cos_sim) even with bit-identical
+    values — cast to BIGINT/DOUBLE on both sides instead.
 """
 import sys, json, glob, math
 import duckdb
@@ -19,42 +24,53 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
-def norm_cell(v):
-    if isinstance(v, float):
-        return v
-    return v
+UNSAFE_WIRE_TYPES = ("DECIMAL", "HUGEINT")
+
+
+def norm_type(t):
+    """Comparable logical type: timestamps normalized (parquet-UTC vs duckdb
+    naive/ns is benign to the driver), everything else verbatim."""
+    s = str(t).upper()
+    if s.startswith("TIMESTAMP"):
+        return "TIMESTAMP"
+    return s
+
+
+def run_side(con, query):
+    """One execution: (rows, columns, normalized types, raw types)."""
+    rel = con.sql(query)
+    types = [str(t) for t in rel.types]
+    cols = list(rel.columns)
+    rows = rel.fetchall()
+    return rows, cols, [norm_type(t) for t in types], types
+
 
 def rows_sorted(rows):
     return sorted(rows, key=lambda r: tuple(str(x) for x in r))
 
-def dtype_key(df):
-    """Comparable dtype map: tz-aware timestamps normalized to naive (the
-    driver tolerates tz; parquet-UTC vs duckdb-naive is benign)."""
-    out = {}
-    for c in df.columns:
-        dt = df[c].dtype
-        s = str(dt)
-        if s.startswith("datetime64") or "UTC" in s:
-            s = "datetime64"
-        out[c] = s
-    return out
 
-def compare(name, spark_rows, spark_cols, duck_rows, duck_cols,
-            spark_dtypes=None, duck_dtypes=None):
-    if sorted(spark_cols) != sorted(duck_cols):
-        return f"SCHEMA MISMATCH spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
-    if spark_dtypes is not None and duck_dtypes != spark_dtypes:
-        diff = {c: (spark_dtypes.get(c), duck_dtypes.get(c))
-                for c in spark_dtypes
-                if spark_dtypes.get(c) != duck_dtypes.get(c)}
-        return f"DTYPE MISMATCH (spark, duck): {diff}"
-    if len(spark_rows) != len(duck_rows):
-        return f"ROWCOUNT MISMATCH spark={len(spark_rows)} duck={len(duck_rows)}"
-    # reorder columns by sorted name
-    sidx = [spark_cols.index(c) for c in sorted(spark_cols)]
-    didx = [duck_cols.index(c) for c in sorted(duck_cols)]
-    s = rows_sorted([[r[i] for i in sidx] for r in spark_rows])
-    d = rows_sorted([[r[i] for i in didx] for r in duck_rows])
+def compare(spark, duck):
+    s_rows, s_cols, s_types, s_raw = spark
+    d_rows, d_cols, d_types, d_raw = duck
+    for side, cols, raw in (("spark", s_cols, s_raw), ("duck", d_cols, d_raw)):
+        bad = [f"{c}:{t}" for c, t in zip(cols, raw)
+               if any(u in t.upper() for u in UNSAFE_WIRE_TYPES)]
+        if bad:
+            return f"UNSAFE WIRE TYPE ({side}): {bad} — driver hash is representation-sensitive; cast to BIGINT/DOUBLE"
+    if sorted(s_cols) != sorted(d_cols):
+        return f"SCHEMA MISMATCH spark={sorted(s_cols)} duck={sorted(d_cols)}"
+    s_tmap = dict(zip(s_cols, s_types))
+    d_tmap = dict(zip(d_cols, d_types))
+    if s_tmap != d_tmap:
+        diff = {c: (s_tmap.get(c), d_tmap.get(c))
+                for c in s_tmap if s_tmap.get(c) != d_tmap.get(c)}
+        return f"TYPE MISMATCH (spark, duck): {diff}"
+    if len(s_rows) != len(d_rows):
+        return f"ROWCOUNT MISMATCH spark={len(s_rows)} duck={len(d_rows)}"
+    sidx = [s_cols.index(c) for c in sorted(s_cols)]
+    didx = [d_cols.index(c) for c in sorted(d_cols)]
+    s = rows_sorted([[r[i] for i in sidx] for r in s_rows])
+    d = rows_sorted([[r[i] for i in didx] for r in d_rows])
     exact = True
     for rs, rd in zip(s, d):
         for a, b in zip(rs, rd):
@@ -66,6 +82,7 @@ def compare(name, spark_rows, spark_cols, duck_rows, duck_cols,
                     continue
             return f"VALUE MISMATCH e.g. {a!r} != {b!r} in row {rs} vs {rd}"
     return "EXACT" if exact else "CLOSE(float-drift)"
+
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -81,16 +98,9 @@ def main():
             continue
         try:
             src = "read_parquet([" + ",".join(f"'{f}'" for f in files) + "])"
-            spark_pd = con.execute(f"SELECT * FROM {src}").df()
-            sdf = con.execute(f"SELECT * FROM {src}")
-            spark_rows = sdf.fetchall()
-            spark_cols = [c[0] for c in sdf.description]
-            duck_pd = con.execute(oracle[name]).df()
-            ddf = con.execute(oracle[name])
-            duck_rows = ddf.fetchall()
-            duck_cols = [c[0] for c in ddf.description]
-            results[name] = compare(name, spark_rows, spark_cols, duck_rows, duck_cols,
-                                    dtype_key(spark_pd), dtype_key(duck_pd))
+            results[name] = compare(
+                run_side(con, f"SELECT * FROM {src}"),
+                run_side(con, oracle[name]))
         except Exception as e:
             results[name] = f"ERROR {type(e).__name__}: {e}"
     width = max(len(n) for n in results) if results else 0
@@ -102,5 +112,6 @@ def main():
         print(f"{'PASS' if ok else 'FAIL'}  {name:<{width}}  {r}")
     print(f"\n{n_ok}/{len(results)} pass")
     sys.exit(0 if n_ok == len(results) else 1)
+
 
 main()
