@@ -36,6 +36,14 @@ object GraftSession {
     // this flag (Tables.events then truncates ns→µs like DuckDB does). Set
     // here — not in the loader — so loaders never mutate session state.
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Union.rewriteConstraints crashes ("key not found: <attr>") when a
+    // filter constraint over a custom deterministic expression is
+    // alias-chased through a self-union of the same scan (q57 shape; the
+    // old HOF formulation dodged it only because lambda-bearing constraints
+    // are excluded from inference). The inferred-IsNotNull/transitive
+    // predicates this disables are marginal for these plans — every join
+    // key here is explicitly filtered or dimension-broadcast.
+    c.set("spark.sql.constraintPropagation.enabled", "false")
     spark
   }
 

@@ -1,0 +1,14 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.{ColumnBridge, FloatDot}
+
+/** Public face of the native vector expressions (see
+  * [[org.apache.spark.sql.graftbridge.FloatDot]] for the codegen'd
+  * implementation and why it lives in the bridge package).
+  */
+object VectorExprs {
+  /** Codegen'd dot product of two float/double array columns (double out). */
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(FloatDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

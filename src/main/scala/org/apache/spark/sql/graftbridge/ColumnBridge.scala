@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal shim into Spark's `private[sql]` Column↔Expression converters
+  * (`org.apache.spark.sql.classic.ExpressionUtils`), required to expose a
+  * custom Catalyst [[Expression]] as a user-facing [[Column]] in Spark 4's
+  * column-node API. Standard practice for Spark extension libraries; the
+  * only thing in this package.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.functions.VectorExprs
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native codegen'd FloatDot expression against the interpreted
+  * higher-order-function formulation it replaced — must be bit-identical
+  * (same order, same widening), on both the codegen and interpreted paths.
+  */
+class VectorExprsSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+  import spark.implicits._
+
+  private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(transform(a, _.cast("double")), transform(b, _.cast("double")),
+      (x, y) => x * y), lit(0.0), (acc, p) => acc + p)
+
+  test("FloatDot is bit-identical to the HOF dot on real embeddings") {
+    val emb = Tables.embeddings(spark, sf)
+    val pairs = emb.select(col("vec_id"), col("embedding").as("a"))
+      .join(emb.select((col("vec_id") + 1).as("vec_id"), col("embedding").as("b")), "vec_id")
+    val drift = pairs.select(
+      VectorExprs.dot(col("a"), col("b")).as("native"),
+      hofDot(col("a"), col("b")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(drift.count() == 0)
+  }
+
+  test("FloatDot handles float×double (hyperplane) inputs and length mismatch") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(2.0d, 0.5d))).toDF("f", "d")
+    // common prefix only: 1*2 + 2*0.5 = 3.0
+    assert(df.select(VectorExprs.dot(col("f"), col("d"))).as[Double].collect()(0) == 3.0)
+  }
+
+  test("FloatDot: null array yields null; empty arrays yield 0") {
+    val df = Seq(
+      (Some(Seq(1.0f)), Some(Seq(1.0f))),
+      (None, Some(Seq(1.0f))),
+      (Some(Seq.empty[Float]), Some(Seq.empty[Float])))
+      .toDF("a", "b")
+    val got = df.select(VectorExprs.dot(col("a"), col("b"))).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    assert(got == Seq(Some(1.0), None, Some(0.0)))
+  }
+
+  test("FloatDot interpreted path (eval without codegen) matches") {
+    // force interpreted eval by constant-folding context: literal arrays
+    val e = org.apache.spark.sql.graftbridge.FloatDot(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0f, 2.0f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(3.0d, 4.0d), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))
+    assert(e.eval(null) == 11.0)
+  }
+}
