@@ -333,6 +333,78 @@ object TextDedupPack {
         .orderBy("doc_id")
     },
 
+    // ---- q40: BPE-ish tokenization — regex tokens + 4-char subword chunks --
+    // Whitespace counting is q24; this is the subword path a training-data
+    // pipeline budgets with: regexp tokenizer (letters|digits|punct) and a
+    // fixed-width chunking as the BPE stand-in (real BPE needs a learned
+    // merge table — the counting/vocab plumbing is identical). The subword
+    // explode is the only shuffle-feeding step; everything per-row is
+    // map-side.
+    QueryDef(
+      "q40_bpe_tokens", {
+        val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+        s"""WITH per_doc AS (
+           |  SELECT lang, regexp_extract_all(text, '$pat') AS toks
+           |  FROM documents),
+           |a AS (
+           |  SELECT lang, COUNT(*) AS n_docs,
+           |    CAST(SUM(len(toks)) AS BIGINT) AS total_tokens
+           |  FROM per_doc GROUP BY lang),
+           |subs AS (
+           |  SELECT lang,
+           |    unnest(flatten(list_transform(toks, w ->
+           |      list_transform(range(1, (length(w)+3)//4 + 1), i ->
+           |        substring(w, (i-1)*4 + 1, 4))))) AS sub
+           |  FROM per_doc),
+           |b AS (
+           |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS total_subwords,
+           |    CAST(COUNT(DISTINCT sub) AS BIGINT) AS vocab_subwords
+           |  FROM subs GROUP BY lang)
+           |SELECT a.lang, n_docs, total_tokens, total_subwords, vocab_subwords
+           |FROM a JOIN b ON a.lang = b.lang
+           |ORDER BY a.lang""".stripMargin
+      }) { (s, d) =>
+      val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+      val perDoc = Tables.documents(s, d)
+        .select(col("lang"), regexp_extract_all(col("text"), lit(pat), lit(0)).as("toks"))
+        .persist()
+      val a = perDoc.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(size(col("toks"))).as("total_tokens"))
+      val subs = perDoc.select(col("lang"),
+        explode(flatten(transform(col("toks"), w =>
+          transform(sequence(lit(1), floor((length(w) + 3) / 4).cast("int")),
+            i => w.substr((i - 1) * 4 + 1, lit(4)))))).as("sub"))
+      val b = subs.groupBy("lang")
+        .agg(count(lit(1)).as("total_subwords"),
+          countDistinct(col("sub")).as("vocab_subwords"))
+      a.join(b, "lang").orderBy("lang")
+    },
+
+    // ---- q41: rolling-hash document fingerprint ----------------------------
+    // Order-sensitive polynomial rolling hash over per-word codes
+    // (Karp-Rabin shape: fp ← fp·P + code mod M). Unlike q22's md5-of-text,
+    // the rolling form is incrementally maintainable (append a word in
+    // O(1)) — the fingerprint a streaming ingest keeps per growing doc.
+    // All-integer arithmetic, exact in both engines.
+    QueryDef(
+      "q41_rolling_fingerprint",
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(7::BIGINT,
+        |      list_transform(string_split(text, ' '), w ->
+        |        CAST(length(w) * 31 + ascii(substring(w, 1, 1)) AS BIGINT))),
+        |    (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val code = (w: org.apache.spark.sql.Column) =>
+        (length(w) * 31 + ascii(substring(w, 1, 1))).cast("long")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          aggregate(transform(split(col("text"), " "), code), lit(7L),
+            (acc, x) => (acc * 1000003L + x) % 2147483647L).as("fp"))
+        .orderBy("doc_id")
+    },
+
     // ---- native xxhash64 scale-path variants (rows-only checks) ------------
     QueryDef.rowsOnly("q51_dedup_minhash_native") { (s, d) =>
       Dedup.nearDuplicates(Tables.documents(s, d), "doc_id", "text")
