@@ -56,6 +56,45 @@ object StreamingPack {
         "mq37", mode = "append")
         .select(col("w.start").as("hr"), col("event_type"), col("n"))
         .orderBy("hr", "event_type")
+    },
+
+    // ---- q42: streaming sessionization via flatMapGroupsWithState ----------
+    // Custom keyed state (unaligned, data-driven session boundaries). The
+    // oracle replays the exact emission rule: every session closed by a
+    // later in-stream event, plus tail sessions whose event-time timeout
+    // (last event + gap) falls below the final watermark (max ts, delay 0).
+    QueryDef(
+      "q42_stream_sessions",
+      """WITH ord AS (
+        |  SELECT user_id, ts, event_id, epoch_ms(ts) AS ms,
+        |    CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts))
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+        |         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |numbered AS (
+        |  SELECT user_id, ts, ms,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+        |  FROM ord),
+        |sess AS (
+        |  SELECT user_id, sess_no, MIN(ts) AS sess_start, MAX(ms) AS last_ms,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM numbered GROUP BY user_id, sess_no),
+        |wm AS (SELECT epoch_ms(max(ts)) AS w FROM events),
+        |flagged AS (
+        |  SELECT user_id, sess_start, n_events, last_ms,
+        |    sess_no = MAX(sess_no) OVER (PARTITION BY user_id) AS is_tail
+        |  FROM sess)
+        |SELECT user_id, sess_start, n_events
+        |FROM flagged, wm
+        |WHERE NOT is_tail OR last_ms + 1800000 < w
+        |ORDER BY user_id, sess_start""".stripMargin) { (s, d) =>
+      Streams.runToMemory(
+        s, Streams.sessionize(Streams.eventsStream(s, d)).toDF(),
+        "mq42", mode = "append")
+        .select(col("user_id"), col("sess_start"), col("n_events"))
+        .orderBy("user_id", "sess_start")
     }
   )
 }

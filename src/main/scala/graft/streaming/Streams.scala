@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured Streaming surface (SURVEY.md §2.7).
   *
@@ -69,6 +69,79 @@ object Streams {
       .withWatermark("ts", delay)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
+
+  /** One event of the sessionization input (subset of the events table). */
+  case class SessionEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
+
+  /** Keyed state: the user's currently-open session. */
+  case class OpenSession(start: java.sql.Timestamp, lastMs: Long, n: Long)
+
+  /** One emitted (closed) session. */
+  case class ClosedSession(user_id: Long, sess_start: java.sql.Timestamp, n_events: Long)
+
+  /** Streaming sessionization via `flatMapGroupsWithState` — custom keyed
+    * state, the §2.7 extension the windowed aggregates can't express
+    * (sessions have data-driven, unaligned boundaries).
+    *
+    * Semantics (mirrors batch q21): per user, events sorted by (ts,
+    * event_id); a gap > `gapSec` closes the open session. A closed session
+    * emits (user, session start, event count). The open tail session closes
+    * via event-time timeout once the watermark passes last-event + gap —
+    * so with bounded input and delay d, exactly the sessions whose
+    * `last_ms + gap·1000 < max_ts_ms − d` flush; the rest stay in state.
+    * Deterministic under Trigger.AvailableNow: in-batch gaps close
+    * everything except each user's final session, and the final no-data
+    * batch fires the eligible timeouts (the oracle states both cases in
+    * SQL).
+    *
+    * At 100 TB: state is one row per ACTIVE user (not per event), shuffled
+    * once per micro-batch on user_id; the watermark bounds state lifetime —
+    * idle users' sessions time out and are evicted.
+    */
+  def sessionize(stream: DataFrame, gapSec: Int = 1800,
+                 delay: String = "0 seconds"): Dataset[ClosedSession] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val gapMs = gapSec * 1000L
+    stream
+      .withWatermark("ts", delay)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"), col("ts"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, events: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(uid, s.start, s.n))
+          } else {
+            // batch arrival order is arbitrary — restore event-time order
+            val sorted = events.toIndexedSeq.sortBy(e =>
+              (e.ts.getTime, e.ts.getNanos, e.event_id))
+            var open = state.getOption
+            val closed = IndexedSeq.newBuilder[ClosedSession]
+            sorted.foreach { e =>
+              val ms = e.ts.getTime
+              open match {
+                case Some(s) if ms - s.lastMs <= gapMs =>
+                  open = Some(s.copy(lastMs = ms, n = s.n + 1))
+                case Some(s) =>
+                  closed += ClosedSession(uid, s.start, s.n)
+                  open = Some(OpenSession(e.ts, ms, 1))
+                case None =>
+                  open = Some(OpenSession(e.ts, ms, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 
   /** Run a streaming aggregate to a memory sink with Trigger.AvailableNow
     * and an explicit checkpoint, block until done, and return the final

@@ -53,4 +53,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "append run emitted nothing — watermark never flushed")
     assert(streamed == batchFinalized)
   }
+
+  test("flatMapGroupsWithState sessionization equals the batch session set (closed + timed-out)") {
+    val gapMs = 1800000L
+    val streamed = Streams.runToMemory(
+      spark, Streams.sessionize(Streams.eventsStream(spark, sf)).toDF(),
+      "t_sessions", mode = "append")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+
+    // batch replay of the emission rule
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val ms = (expr("unix_micros(ts)") / 1000).cast("long")
+    val numbered = batchEvents
+      .withColumn("ms", ms)
+      .withColumn("new_sess",
+        when(col("ms") - lag(col("ms"), 1).over(w) > gapMs
+          || lag(col("ts"), 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("sess_no", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wmMs = numbered.agg(max(col("ms"))).collect()(0).getLong(0)
+    val sess = numbered.groupBy("user_id", "sess_no")
+      .agg(min(col("ts")).as("sess_start"), max(col("ms")).as("last_ms"),
+        count(lit(1)).as("n_events"))
+      .withColumn("is_tail",
+        col("sess_no") === max(col("sess_no")).over(
+          Window.partitionBy("user_id")))
+    val expected = sess
+      .filter(!col("is_tail") || col("last_ms") + gapMs < wmMs)
+      .select("user_id", "sess_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+
+    assert(streamed.nonEmpty)
+    assert(streamed == expected)
+    // and the state actually bounds: tail sessions within the gap of
+    // stream end are withheld, so streamed is a strict subset of all
+    val all = sess.count()
+    assert(streamed.size < all)
+  }
 }
