@@ -111,6 +111,18 @@ object VectorPack {
         .orderBy("qid", "rk")
     },
 
+    // ---- q58: IVF ANN over the planted corpus (rows-only scale path) -------
+    // Coarse-quantizer variant of q55: k-means cells + nprobe probing,
+    // exact re-rank. Twin recall asserted in SimilaritySpec.
+    QueryDef.rowsOnly("q58_ivf_topk") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val corpus = Similarity.plantTwins(emb, "vec_id", "embedding", TWIN_OFFSET)
+      graft.operators.Ivf.ivfTopK(
+        corpus, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4)
+        .orderBy("qid", "rk")
+    },
+
     // ---- q56: embedding near-dup over the planted corpus (oracle-checked) --
     QueryDef(
       "q56_embedding_near_dup",

@@ -67,6 +67,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.nonEmpty, "planted corpus produced no near-dup pairs")
   }
 
+  test("IVF topK finds the planted twin at rank 1 for nearly every query") {
+    val corpus = Similarity.plantTwins(emb, "vec_id", "embedding", offset)
+    val top = graft.operators.Ivf.ivfTopK(
+      corpus, emb, "vec_id", "embedding", k = 1, nlist = 16, nprobe = 4)
+    val rank1 = top.filter(col("rk") === 1)
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    val n = emb.count()
+    val hits = rank1.count { case (q, nid) => nid == q + offset }
+    // twins sit at cos ~0.998 — a miss means query and twin fell in
+    // disjoint probe sets, which the nprobe=4 margin makes rare; the
+    // corpus/seed are fixed so this is deterministic, pinned with margin
+    assert(hits >= (n * 0.95).toInt, s"IVF twin recall $hits/$n")
+  }
+
+  test("kmeans cell assignment covers all cells and is deterministic") {
+    val cents = graft.operators.Ivf.kmeansCentroids(emb, "vec_id", "embedding", nlist = 8, iters = 2)
+    val cents2 = graft.operators.Ivf.kmeansCentroids(emb, "vec_id", "embedding", nlist = 8, iters = 2)
+    assert(cents.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq)
+    val cells = emb.select(graft.operators.Ivf.assignCell(col("embedding"), cents).as("cid"))
+      .groupBy("cid").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(cells.keySet.subsetOf((0 until 8).toSet))
+    assert(cells.values.sum == emb.count())
+    assert(cells.size >= 6, s"degenerate clustering: $cells") // most cells populated
+  }
+
   test("cosineNearDup on a handcrafted corpus: only the true near-dup pair surfaces") {
     val e1 = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
     val e1close = Array.tabulate(64)(i => if (i == 0) 1.0f else if (i == 1) 0.01f else 0.0f)
