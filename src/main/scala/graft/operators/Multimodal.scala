@@ -68,6 +68,14 @@ object Multimodal {
       .withColumn("frame",
         expr(s"substring(`$binCol`, frame_no * $stride + 1, $frameLen)"))
 
+  /** STUB resize: byte-domain stand-in for an image resize — truncates the
+    * payload to `targetBytes` and restamps the stub dims, preserving the
+    * magic so the mime survives. A real implementation decodes, resamples
+    * and re-encodes inside the same (binary → binary) signature; everything
+    * around it (schema, partitioning, metadata) is unchanged. */
+  def resizeStub(bin: Column, targetBytes: Int): Column =
+    substring(bin, 1, targetBytes)
+
   /** STUB decode→embed: a deterministic fake feature vector (dim values in
     * [-0.5, 0.5)) derived from the bytes via seeded xxhash64 — identical
     * blobs ⇒ identical features, so downstream ANN/near-dup pipelines are

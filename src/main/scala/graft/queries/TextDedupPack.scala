@@ -405,6 +405,22 @@ object TextDedupPack {
         .orderBy("doc_id")
     },
 
+    // ---- q43: HLL approximate distinct next to the exact answer ------------
+    // approx_count_distinct is the 100 TB path for cardinality (HLL++ —
+    // fixed-size sketch, one pass, map-side mergeable; exact countDistinct
+    // expands to a two-phase shuffle of every distinct value). Sketches are
+    // engine-specific, so no DuckDB hash oracle: rows-only here, with the
+    // exact column and the ≤3σ error bound asserted in DedupSpec.
+    QueryDef.rowsOnly("q43_approx_distinct") { (s, d) =>
+      val norm = md5(trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z ]", ""), " +", " ")))
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(
+          countDistinct(norm).as("n_exact"),
+          approx_count_distinct(norm, rsd = 0.05).as("n_approx"))
+        .orderBy("source")
+    },
+
     // ---- native xxhash64 scale-path variants (rows-only checks) ------------
     QueryDef.rowsOnly("q51_dedup_minhash_native") { (s, d) =>
       Dedup.nearDuplicates(Tables.documents(s, d), "doc_id", "text")

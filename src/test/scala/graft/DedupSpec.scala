@@ -81,6 +81,16 @@ class DedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q43 approx distinct tracks the exact distinct within the HLL error bound") {
+    val rows = SparkEntry.byName("q43_approx_distinct").run(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, exact, approx) =>
+      val rel = math.abs(approx - exact).toDouble / exact
+      assert(rel <= 0.15, s"source=$src exact=$exact approx=$approx rel=$rel") // 3× rsd
+    }
+  }
+
   test("verifyJaccard computes exact set Jaccard on a known fixture") {
     val docsFx = Seq(
       (1L, "a b c d e"),   // grams: abc bcd cde

@@ -56,6 +56,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m.getInt(2) == 108 % 1024 && m.getInt(3) == 108 % 768)
   }
 
+  test("resizeStub truncates payload, preserves magic/mime, restamps dims") {
+    val png = Multimodal.PNG_MAGIC ++ Array.fill[Byte](100)(7)
+    val out = blobDf(1L -> png)
+      .select(Multimodal.resizeStub(col("content"), 32).as("content"))
+      .select(Multimodal.metadata(col("content")).as("m"))
+      .select("m.mime", "m.bytes").collect()(0)
+    assert(out.getString(0) == "image/png")
+    assert(out.getLong(1) == 32)
+  }
+
   test("featuresStub is deterministic, fixed-dim, centered") {
     val df = MultimodalPack.blobs(spark, sf)
       .select(col("doc_id"), Multimodal.featuresStub(col("content")).as("f"))
