@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftbridge.{ColumnBridge, FloatDot}
+
+/** Session extension registering graft's native SQL functions, so pure-SQL
+  * users get the codegen'd expressions too:
+  *
+  *   spark.sql.extensions=graft.GraftExtensions   (submit-time, clusters)
+  *   GraftExtensions.register(spark)              (live session, tests/REPL)
+  *
+  * Functions:
+  *   graft_dot(array<float|double>, array<float|double>) → double
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[FloatDot].getName, "graft_dot"),
+      (children: Seq[Expression]) => FloatDot(children(0), children(1))))
+}
+
+object GraftExtensions {
+  /** Register the same functions on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    ColumnBridge.registerTempFunction(spark, "graft_dot",
+      children => FloatDot(children(0), children(1)))
+}

@@ -58,6 +58,24 @@ object StreamingPack {
         .orderBy("hr", "event_type")
     },
 
+    // ---- q44: exactly-once dedup over an at-least-once stream --------------
+    // Two readers of the same source unioned = every event delivered twice
+    // (the Kafka at-least-once shape); dropDuplicatesWithinWatermark
+    // restores exactly-once and evicts seen-key state behind the watermark.
+    // The oracle is simply the distinct source — duplicates must vanish.
+    QueryDef(
+      "q44_stream_dedup",
+      """SELECT event_id, user_id, event_type
+        |FROM events
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val twice = Streams.eventsStream(s, d).unionByName(Streams.eventsStream(s, d))
+      Streams.runToMemory(
+        s, Streams.dedupWithinWatermark(twice, "event_id")
+          .select(col("event_id"), col("user_id"), col("event_type")),
+        "mq44", mode = "append")
+        .orderBy("event_id")
+    },
+
     // ---- q42: streaming sessionization via flatMapGroupsWithState ----------
     // Custom keyed state (unaligned, data-driven session boundaries). The
     // oracle replays the exact emission rule: every session closed by a

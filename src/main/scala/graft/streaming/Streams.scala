@@ -70,6 +70,17 @@ object Streams {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Exactly-once dedup over an at-least-once stream: duplicate deliveries
+    * of the same key inside the watermark are dropped, and — unlike plain
+    * `dropDuplicates` — seen-key state is EVICTED once the watermark
+    * passes, so state is bounded by the delivery-delay window instead of
+    * growing with every key ever seen (the difference between a Kafka
+    * replay surviving the night and an OOM at 100 TB).
+    */
+  def dedupWithinWatermark(stream: DataFrame, keyCol: String,
+                           delay: String = "1 hour"): DataFrame =
+    stream.withWatermark("ts", delay).dropDuplicatesWithinWatermark(keyCol)
+
   /** One event of the sessionization input (subset of the events table). */
   case class SessionEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
 

@@ -13,4 +13,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a temp SQL function on a live session (sessionState is
+    * private[sql]); the SparkSessionExtensions route in
+    * [[graft.GraftExtensions]] is the config-time equivalent for cluster
+    * deploys. */
+  def registerTempFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+                           builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
 }

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the properties the 100 TB story depends on, pinned
+  * as tests so a regression (lost pushdown, un-broadcast dimension, surprise
+  * cartesian) fails `sbt test` instead of surfacing at cluster scale.
+  *
+  * Plans are inspected pre-execution (AQE not yet applied), so the
+  * assertions hold for the *static* plan the optimizer commits to.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+
+  private def plan(df: DataFrame): SparkPlan = df.queryExecution.executedPlan match {
+    case a: AdaptiveSparkPlanExec => a.initialPlan
+    case p => p
+  }
+
+  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
+    p.collect(pf) ++ p.subqueries.flatMap(collectAll(_)(pf))
+
+  private def q(name: String): DataFrame = SparkEntry.byName(name).run(spark, sf)
+
+  test("q03 filter + projection are pushed into the parquet scan") {
+    val s = plan(q("q03_filter_project")).toString
+    assert(s.contains("PushedFilters: ["), s)
+    assert(s.contains("IsNotNull") || s.contains("GreaterThan"), s)
+    // pruned read schema — not the full lineitem width
+    assert(!s.contains("l_comment"), "scan reads columns the query never uses")
+  }
+
+  test("q07 joins every dimension via broadcast, no shuffle on the dims") {
+    val p = plan(q("q07_revenue_by_nation"))
+    val bhj = collectAll(p) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 4, s"expected >=4 broadcast joins, got ${bhj.size}")
+    val cartesian = collectAll(p) { case c: CartesianProductExec => c }
+    assert(cartesian.isEmpty)
+  }
+
+  test("q01 aggregates with a single shuffle (partial+final hash agg)") {
+    val p = plan(q("q01_pricing_summary"))
+    val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
+    // one exchange for the groupBy, one for the global sort of the output
+    assert(shuffles.size <= 2, s"${shuffles.size} shuffles:\n$p")
+  }
+
+  test("q35 broadcasts the query side; the corpus is never shuffled for the join") {
+    val p = plan(q("q35_cosine_topk"))
+    // the deliberate broadcast nested-loop (crossJoin with broadcast hint)
+    val bnl = collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnl.nonEmpty, "expected the broadcast cross join of the query set")
+    val cartesian = collectAll(p) { case c: CartesianProductExec => c }
+    assert(cartesian.isEmpty, "unbroadcast cartesian product in the exact top-k")
+  }
+
+  test("no query plan in the whole registry contains an unbroadcast cartesian product") {
+    // rows-only + oracle queries alike; streaming queries excluded (their
+    // plan materializes through the streaming engine)
+    val streaming = Set("q33_stream_count", "q34_stream_hourly",
+      "q37_stream_hourly_append", "q42_stream_sessions")
+    val lifecycle = Set("q36_etl_lifecycle") // runs its own actions on build
+    SparkEntry.queries.keys.filterNot(streaming).filterNot(lifecycle).foreach { name =>
+      val p = plan(q(name))
+      val cartesian = collectAll(p) { case c: CartesianProductExec => c }
+      assert(cartesian.isEmpty, s"$name has a cartesian product")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("partitioned parquet write + filtered read prunes partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part-").toString + "/docs"
+    Tables.documents(spark, sf).write.partitionBy("lang").mode("overwrite").parquet(dir)
+    val s = plan(spark.read.parquet(dir).filter(org.apache.spark.sql.functions.col("lang") === "en"))
+      .toString
+    assert(s.contains("PartitionFilters: [") && s.contains("lang"), s)
+    // data filters on the partition column never reach the row scan
+    assert(!s.contains("PushedFilters: [IsNotNull(lang)"), s)
+  }
+}

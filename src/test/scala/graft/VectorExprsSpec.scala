@@ -44,6 +44,14 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(got == Seq(Some(1.0), None, Some(0.0)))
   }
 
+  test("graft_dot is callable from SQL after extension registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(3.0D, 4.0D)) AS d")
+      .as[Double].collect()(0)
+    assert(r == 11.0)
+  }
+
   test("FloatDot interpreted path (eval without codegen) matches") {
     // force interpreted eval by constant-folding context: literal arrays
     val e = org.apache.spark.sql.graftbridge.FloatDot(
