@@ -235,9 +235,16 @@ object TextDedupPack {
     },
 
     // ---- q28: MinHash-LSH near-dup (md5-salted, oracle-replayable) ---------
+    // 16 hash functions from 4 salted md5s: each md5's 32 hex chars yield
+    // four 8-char (32-bit) slices — distinct bit regions of a strong hash
+    // are independent enough for MinHash banding, and the md5 work (the
+    // dominant cost of this portable path) drops 4×. Final pairs are
+    // exact-Jaccard-verified regardless, so hash quality only moves recall.
     QueryDef(
       "q28_minhash_lsh", {
-        val mhCols = (0 until 16).map(i => s"MIN(md5('$i:' || gram)) AS mh$i").mkString(",\n    ")
+        val mhCols = (0 until 16).map(i =>
+          s"MIN(substring(md5('${i / 4}:' || gram), ${(i % 4) * 8 + 1}, 8)) AS mh$i")
+          .mkString(",\n    ")
         val bandSelects = (0 until 4).map { b =>
           val cat = (b * 4 until b * 4 + 4).map(i => s"mh$i").mkString(" || ")
           s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM mh"
@@ -272,7 +279,9 @@ object TextDedupPack {
            |ORDER BY doc_a, doc_b""".stripMargin
       }) { (s, d) =>
       val grams = sparkGrams(s, d)
-      val mhAggs = (0 until 16).map(i => min(md5(concat(lit(s"$i:"), col("gram")))).as(s"mh$i"))
+      // 4 slices per salted md5 (CSE computes each md5 once per row)
+      val mhAggs = (0 until 16).map(i =>
+        min(substring(md5(concat(lit(s"${i / 4}:"), col("gram"))), (i % 4) * 8 + 1, 8)).as(s"mh$i"))
       // persist: the 4 band branches below each scan mh
       val mh = grams.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*).persist()
       val bands = (0 until 4).map { b =>
