@@ -430,6 +430,22 @@ object TextDedupPack {
         .orderBy("source")
     },
 
+    // ---- q47: heavy-hitter tokens via the Misra-Gries typed Aggregator -----
+    // One-pass mergeable k-counter sketch instead of shuffling every
+    // distinct token (see functions.MisraGries). Sketch contents depend on
+    // merge order (guarantees don't — HeavyHittersSpec), so rows-only:
+    // one row per lang, top tracked tokens as a map.
+    QueryDef.rowsOnly("q47_heavy_hitters") { (s, d) =>
+      val mg = udaf(new graft.functions.MisraGries(50))
+      Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+        .groupBy("lang")
+        .agg(mg(col("t")).as("hh"))
+        .select(col("lang"), map_keys(col("hh")).as("tracked"),
+          size(map_keys(col("hh"))).as("n_tracked"))
+        .orderBy("lang")
+    },
+
     // ---- native xxhash64 scale-path variants (rows-only checks) ------------
     QueryDef.rowsOnly("q51_dedup_minhash_native") { (s, d) =>
       Dedup.nearDuplicates(Tables.documents(s, d), "doc_id", "text")
