@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftbridge.{ColumnBridge, FloatDot}
+import org.apache.spark.sql.graftbridge.{ColumnBridge, FloatDot, SrpBuckets}
 
 /** Public face of the native vector expressions (see
   * [[org.apache.spark.sql.graftbridge.FloatDot]] for the codegen'd
@@ -11,4 +11,10 @@ object VectorExprs {
   /** Codegen'd dot product of two float/double array columns (double out). */
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(FloatDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** All SRP bucket ids of a float-vector column in one fused expression:
+    * element t = the `bits`-bit bucket of hash table t. `planes` is the
+    * flattened (table-major) hyperplane matrix. */
+  def srpBuckets(v: Column, planes: Array[Array[Double]], bits: Int): Column =
+    ColumnBridge.column(SrpBuckets(ColumnBridge.expression(v), planes, bits))
 }

@@ -65,21 +65,19 @@ object Similarity {
   }
 
   /** Sign-random-projection bucket ids: one row per (id, table, bucket).
-    * bucket bit j = sign(v · h_j) — a SimHash in cosine space. */
+    * bucket bit j = sign(v · h_j) — a SimHash in cosine space. All
+    * `tables × bits` projections run in one fused native expression
+    * ([[graft.functions.VectorExprs.srpBuckets]]); the compositional
+    * per-bit form built a ~12k-node plan whose analysis/codegen dominated
+    * the query. */
   def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
                  dim: Int = 64, bits: Int = 12, tables: Int = 4,
                  seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(dim, bits, tables, seed)
-    val v = col(vecCol)
-    val tableCols = (0 until tables).map { t =>
-      val bucket = (0 until bits).map { j =>
-        val h = array(planes(t)(j).map(lit(_)): _*)
-        when(dot(v, h) > 0, lit(1 << j)).otherwise(lit(0))
-      }.reduce(_ + _)
-      struct(lit(t).as("tbl"), bucket.as("bucket"))
-    }
-    df.select(col(idCol), explode(array(tableCols: _*)).as("tb"))
-      .select(col(idCol), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val flat = planes.flatten // table-major: planes(t)(j) = flat(t*bits + j)
+    df.select(col(idCol),
+        posexplode(graft.functions.VectorExprs.srpBuckets(col(vecCol), flat, bits)))
+      .select(col(idCol), col("pos").as("tbl"), col("col").as("bucket"))
   }
 
   /** ANN top-k: LSH-bucket candidates (any shared table bucket), exact

@@ -44,6 +44,31 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(got == Seq(Some(1.0), None, Some(0.0)))
   }
 
+  test("SrpBuckets equals the compositional per-bit formulation bit-for-bit") {
+    val planes = graft.operators.Similarity.hyperplanes(dim = 64, bits = 12, tables = 8, seed = 42L)
+    val flat = planes.flatten
+    val emb = Tables.embeddings(spark, sf)
+    // compositional ground truth: one dot per (table, bit)
+    val refCols = (0 until 8).map { t =>
+      (0 until 12).map { j =>
+        val h = array(planes(t)(j).map(lit(_)): _*)
+        when(VectorExprs.dot(col("embedding"), h) > 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _).as(s"b$t")
+    }
+    val fused = emb.select(col("vec_id"),
+      VectorExprs.srpBuckets(col("embedding"), flat, 12).as("bk"))
+    val reference = emb.select(col("vec_id") +: refCols: _*)
+    val joined = fused.join(reference, "vec_id")
+    val drift = (0 until 8).map(t =>
+      joined.filter(col("bk")(t) =!= col(s"b$t")).count()).sum
+    assert(drift == 0)
+    // null vector → null bucket array
+    val nulls = Seq((1L, None: Option[Seq[Float]])).toDF("vec_id", "embedding")
+      .select(VectorExprs.srpBuckets(col("embedding"), flat, 12))
+      .collect()
+    assert(nulls(0).isNullAt(0))
+  }
+
   test("graft_dot is callable from SQL after extension registration") {
     GraftExtensions.register(spark)
     val r = spark.sql(
