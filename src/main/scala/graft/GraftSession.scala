@@ -55,6 +55,10 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // managed tables (bucketed-write tests) land in a scratch dir, never
+      // the working tree
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse-").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     tune(spark)

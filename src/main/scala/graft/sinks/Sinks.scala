@@ -62,4 +62,15 @@ object Sinks {
 
   /** K4: console sample (`df.show(n)` sites in the reference). */
   def consoleSample(df: DataFrame, n: Int = 5): Unit = df.show(n, truncate = false)
+
+  /** Bucketed managed-table write: rows are hash-bucketed (and sorted)
+    * on `key` at write time, so every later equi-join or aggregation on
+    * that key reads co-located buckets with NO exchange — the
+    * pre-shuffled layout a 100 TB fact table wants (PlanSpec asserts the
+    * shuffle-free join). Bucket count should match downstream
+    * parallelism, not file-size targets. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
 }

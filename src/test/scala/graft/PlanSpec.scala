@@ -73,6 +73,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed tables join and aggregate without an exchange under the join") {
+    import org.apache.spark.sql.functions.col
+    graft.sinks.Sinks.writeBucketed(Tables.orders(spark, sf), "orders_b", "o_orderkey", 8)
+    graft.sinks.Sinks.writeBucketed(
+      Tables.lineitem(spark, sf).withColumnRenamed("l_orderkey", "o_orderkey"),
+      "lineitem_b", "o_orderkey", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ — broadcast would trivially avoid shuffles
+    try {
+      val j = spark.table("orders_b").join(spark.table("lineitem_b"), "o_orderkey")
+        .groupBy("o_orderpriority").count()
+      val shuffles = collectAll(plan(j)) { case s: ShuffleExchangeExec => s }
+      // bucket layout feeds the join directly; only the groupBy exchanges
+      assert(shuffles.size <= 1, s"bucketed join still shuffles:\n${plan(j)}")
+      assert(j.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("partitioned parquet write + filtered read prunes partitions at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part-").toString + "/docs"
     Tables.documents(spark, sf).write.partitionBy("lang").mode("overwrite").parquet(dir)
