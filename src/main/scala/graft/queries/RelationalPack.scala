@@ -428,6 +428,25 @@ object RelationalPack {
         .orderBy("hr", "event_type")
     },
 
+    // ---- q50: dynamic-key JSON props as MapType (SURVEY §1) ----------------
+    // from_json with MapType handles JSON objects whose keys are data, not
+    // schema — the shape `get_json_object` (q19) can't cover generically.
+    QueryDef(
+      "q50_props_map",
+      """WITH kv AS (SELECT unnest(json_keys(props)) AS key, props FROM events)
+        |SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(json_extract(props, '$.' || key) AS BIGINT)) AS BIGINT) AS total
+        |FROM kv GROUP BY key ORDER BY key""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(explode(from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.LongType))).as(Seq("key", "value")))
+        .groupBy("key")
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+        .orderBy("key")
+    },
+
     // ---- q48: CUBE with grouping indicators --------------------------------
     QueryDef(
       "q48_cube",
