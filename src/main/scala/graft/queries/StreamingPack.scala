@@ -76,6 +76,34 @@ object StreamingPack {
         .orderBy("event_id")
     },
 
+    // ---- q59: stream-stream join — clicks within 30 min before purchase ---
+    // Inner two-stream join with watermarks + event-time range condition
+    // (state evicted behind the watermarks). For bounded input every
+    // matching pair is emitted, so the oracle is the plain inequality
+    // join.
+    QueryDef(
+      "q59_stream_stream_join",
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin) { (s, d) =>
+      def side(t: String, prefix: String) =
+        Streams.eventsStream(s, d).filter(col("event_type") === t)
+          .select(col("event_id").as(s"${prefix}_event_id"),
+            col("user_id").as(s"${prefix}_user_id"), col("ts").as(s"${prefix}_ts"))
+      Streams.runToMemory(
+        s, Streams.streamStreamJoin(
+          side("purchase", "p"), side("click", "c"),
+          "p_user_id", "c_user_id", "p_ts", "c_ts", windowSec = 1800),
+        "mq59", mode = "append")
+        .select(col("p_event_id").as("purchase_id"),
+          col("c_event_id").as("click_id"),
+          col("p_user_id").as("user_id"))
+        .orderBy("purchase_id", "click_id")
+    },
+
     // ---- q42: streaming sessionization via flatMapGroupsWithState ----------
     // Custom keyed state (unaligned, data-driven session boundaries). The
     // oracle replays the exact emission rule: every session closed by a

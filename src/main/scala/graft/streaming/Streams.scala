@@ -81,6 +81,25 @@ object Streams {
                            delay: String = "1 hour"): DataFrame =
     stream.withWatermark("ts", delay).dropDuplicatesWithinWatermark(keyCol)
 
+  /** Stream-stream inner join with an event-time range: right rows within
+    * `[left.ts − windowSec, left.ts]` for the same key. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so each
+    * side's buffered state is evicted once the other side's watermark
+    * passes the reachable window — the state-bounded two-stream join
+    * (billions of buffered rows otherwise). Column names: caller supplies
+    * pre-renamed sides to avoid ambiguity.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       lKey: String, rKey: String, lTs: String, rTs: String,
+                       windowSec: Long, delay: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(lTs, delay)
+    val r = right.withWatermark(rTs, delay)
+    l.join(r,
+      col(lKey) === col(rKey) &&
+        col(rTs) >= col(lTs) - expr(s"INTERVAL $windowSec SECONDS") &&
+        col(rTs) <= col(lTs))
+  }
+
   /** One event of the sessionization input (subset of the events table). */
   case class SessionEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
 

@@ -64,6 +64,18 @@ class EtlSpec extends AnyFunSuite {
     })
   }
 
+  test("toWire ∘ parse is the identity on parsed rows with all fields present") {
+    check(Prop.forAll(Gen.listOfN(40, structuredRow)) { rows =>
+      val wire = rows.map(_.json).toDF("s").select(encode($"s", "UTF-8").as("value"))
+      val parsed = graft.etl.Etl.parse(wire)
+        .filter($"id".isNotNull && $"name".isNotNull && $"lat".isNotNull && $"lon".isNotNull)
+      val rewired = graft.etl.Etl.toWire(parsed, "id", Seq("id", "icao", "name", "lat", "lon"))
+      val reparsed = graft.etl.Etl.parse(
+        rewired.select(encode($"value", "UTF-8").as("value")))
+      reparsed.collect().toSet == parsed.collect().toSet
+    })
+  }
+
   /** Wire rows whose validity is decided at generation time — no
     * re-implementation of engine cast semantics in the expectation. */
   private case class GenRow(json: String, valid: Boolean)

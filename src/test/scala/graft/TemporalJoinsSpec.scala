@@ -52,6 +52,25 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 2L))
   }
 
+  test("asofJoin equals the naive inequality join on real events × orders") {
+    val events = Tables.events(spark, TestSpark.sf).select("event_id", "user_id", "ts")
+    val orders = Tables.orders(spark, TestSpark.sf)
+      .groupBy(col("o_custkey").as("k"), col("o_orderdate").cast("timestamp").as("ots"))
+      .agg(max(col("o_orderkey")).as("okey"))
+    val fast = TemporalJoins.asofJoin(events, "user_id", "ts", orders, "k", "ots",
+      struct(col("okey")), asofCol = "a")
+      .select(col("event_id"), col("a.okey"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // naive: inequality join + argmax over (ots, okey)
+    val naive = events.join(orders,
+        events("user_id") === orders("k") && orders("ots") <= events("ts"), "left")
+      .groupBy("event_id")
+      .agg(max_by(col("okey"), struct(col("ots"), col("okey"))).as("okey"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(fast == naive)
+    assert(fast.nonEmpty)
+  }
+
   test("rangeJoinCount equals the naive inequality join on real events") {
     val events = Tables.events(spark, TestSpark.sf)
     val anchors = events.filter(col("event_type") === "signup")
