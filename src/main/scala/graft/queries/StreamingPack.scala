@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
 import graft.streaming.Streams
 import org.apache.spark.sql.functions._
 
@@ -102,6 +102,26 @@ object StreamingPack {
           col("c_event_id").as("click_id"),
           col("p_user_id").as("user_id"))
         .orderBy("purchase_id", "click_id")
+    },
+
+    // ---- q60: stream-static join — enrich the stream from a dimension ------
+    // The static side needs no watermark/state: it is (re)read per
+    // micro-batch and broadcast when small — the standard streaming
+    // enrichment shape. Aggregate in complete mode so the final table
+    // equals the batch join+agg.
+    QueryDef(
+      "q60_stream_static_join",
+      """SELECT c.c_mktsegment AS mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        |GROUP BY c.c_mktsegment
+        |ORDER BY mktsegment""".stripMargin) { (s, d) =>
+      val dim = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      val joined = Streams.eventsStream(s, d)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("mktsegment"))
+        .agg(count(lit(1)).as("n"))
+      Streams.runCompleteToMemory(s, joined, "mq60")
+        .orderBy("mktsegment")
     },
 
     // ---- q42: streaming sessionization via flatMapGroupsWithState ----------
