@@ -46,8 +46,8 @@ object RelationalPack {
          |  ${dsumSql("l_quantity")} AS sum_qty,
          |  ${dsumSql("l_extendedprice")} AS sum_base_price,
          |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
-         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
-         |           * CAST(1 + l_tax AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+         |                AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
          |  ${dsumSql("l_quantity")} / COUNT(*) AS avg_qty,
          |  ${dsumSql("l_extendedprice")} / COUNT(*) AS avg_price,
          |  COUNT(*) AS count_order
@@ -62,8 +62,14 @@ object RelationalPack {
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
           dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 4))
-            * (lit(1) + col("l_tax")).cast(DecimalType(18, 4))).cast("double").as("sum_charge"),
+          // scale 6, NOT the usual dsum scale 4: the money columns carry
+          // 2 decimals, so this 3-factor product has ≤6 — at scale 6 the
+          // decimal cast never rounds (both engines recover the exact
+          // 6-decimal value from the double) where scale 4 hits .xxxx5
+          // half-boundaries that Spark (HALF_UP) and DuckDB (half-even)
+          // round apart — diverged only at sf0.1 row counts
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+            .cast(DecimalType(18, 6))).cast("double").as("sum_charge"),
           (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
           (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
           count(lit(1)).as("count_order"))
