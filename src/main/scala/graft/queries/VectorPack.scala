@@ -13,7 +13,7 @@ import org.apache.spark.sql.types.DecimalType
   * product float·float is EXACT in double (24-bit mantissas ⇒ ≤48-bit
   * product), then cast to DECIMAL(38,20) and summed exactly —
   * order-independent in both engines. Only then does one double division +
-  * sqrt happen, and the result is rounded to DECIMAL(18,12) before ordering
+  * sqrt happen, and the result is rounded to DECIMAL(18,8) before ordering
   * and output, so a last-ulp divergence cannot flip the hash or the rank.
   * The rounded decimal is cast back to DOUBLE on the wire (both engines):
   * decimal *physical* encodings differ across engines (Spark parquet
@@ -45,13 +45,13 @@ object VectorPack {
       (acc, p) => (acc + p).cast(D))
 
   /** Cross-engine-deterministic cosine (cf. the class scaladoc): decimal
-    * dot/norms, one double division, rounded to DECIMAL(18,12), cast back
+    * dot/norms, one double division, rounded to DECIMAL(18,8), cast back
     * to DOUBLE for a representation-stable wire type. Shared by q56 and
     * SimilaritySpec's ground-truth checks. */
   def cosineDec(a: Column, b: Column): Column =
     (dotDec(a, b).cast("double") /
       sqrt(dotDec(a, a).cast("double") * dotDec(b, b).cast("double")))
-      .cast(DecimalType(18, 12)).cast("double")
+      .cast(DecimalType(18, 8)).cast("double")
 
   def all: Seq[QueryDef] = Seq(
 
@@ -70,7 +70,7 @@ object VectorPack {
         |  FROM q JOIN embeddings e ON e.vec_id <> qid),
         |scored AS (
         |  SELECT qid, nid,
-        |    CAST(CAST(CAST(dot AS DOUBLE)/sqrt(CAST(nq.nrm AS DOUBLE)*CAST(nn.nrm AS DOUBLE)) AS DECIMAL(18,12)) AS DOUBLE) AS cos_sim
+        |    CAST(CAST(CAST(dot AS DOUBLE)/sqrt(CAST(nq.nrm AS DOUBLE)*CAST(nn.nrm AS DOUBLE)) AS DECIMAL(18,8)) AS DOUBLE) AS cos_sim
         |  FROM pairs JOIN norms nq ON nq.vec_id = qid JOIN norms nn ON nn.vec_id = nid)
         |SELECT qid, nid, cos_sim,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS BIGINT) AS rk
@@ -89,7 +89,7 @@ object VectorPack {
         .join(norms.select(col("vec_id").as("nid"), col("nrm").as("nn")), "nid")
         .select(col("qid"), col("nid"),
           (col("dot").cast("double") / sqrt(col("nq").cast("double") * col("nn").cast("double")))
-            .cast(DecimalType(18, 12)).cast("double").as("cos_sim"))
+            .cast(DecimalType(18, 8)).cast("double").as("cos_sim"))
       val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
       scored.withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 5)
@@ -141,7 +141,7 @@ object VectorPack {
          |          CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,20)))) AS DOUBLE)
          |        * CAST(list_sum(list_transform(twin, x ->
          |          CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,20)))) AS DOUBLE))
-         |      AS DECIMAL(18,12)) AS DOUBLE) AS cos_sim
+         |      AS DECIMAL(18,8)) AS DOUBLE) AS cos_sim
          |  FROM twins)
          |SELECT id_a, id_b, cos_sim
          |FROM scored
