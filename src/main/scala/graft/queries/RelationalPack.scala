@@ -434,6 +434,28 @@ object RelationalPack {
         .orderBy("hr", "event_type")
     },
 
+    // ---- q61: pivot — event types to columns per user ----------------------
+    // relational pivot with an explicit value list (deterministic schema;
+    // never pivot on discovered values in production — schema drift).
+    // DuckDB replays as conditional aggregation.
+    QueryDef(
+      "q61_pivot",
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "purchase", "view", "error"))
+        .count()
+        .na.fill(0L, Seq("click", "purchase", "view", "error"))
+        .orderBy("user_id")
+    },
+
     // ---- q50: dynamic-key JSON props as MapType (SURVEY §1) ----------------
     // from_json with MapType handles JSON objects whose keys are data, not
     // schema — the shape `get_json_object` (q19) can't cover generically.

@@ -63,6 +63,18 @@ object Sinks {
   /** K4: console sample (`df.show(n)` sites in the reference). */
   def consoleSample(df: DataFrame, n: Int = 5): Unit = df.show(n, truncate = false)
 
+  /** Compacted parquet write: bounds BOTH file-count and rows-per-file —
+    * the two ends of the small-files/giant-files problem that kills
+    * 100 TB table maintenance (a files.maxPartitionBytes-sized scan task
+    * per tiny file; unsplittable memory spikes per huge one). `numFiles`
+    * should track data volume / target file size (~128 MB-1 GB each). */
+  def compactParquet(df: DataFrame, path: String, numFiles: Int,
+                     maxRecordsPerFile: Long = 5000000L): Unit =
+    df.repartition(numFiles)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+
   /** Bucketed managed-table write: rows are hash-bucketed (and sorted)
     * on `key` at write time, so every later equi-join or aggregation on
     * that key reads co-located buckets with NO exchange — the

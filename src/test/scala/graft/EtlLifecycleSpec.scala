@@ -128,6 +128,17 @@ class EtlLifecycleSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("compactParquet bounds file count and rows per file") {
+    val dir = Files.createTempDirectory("graft-compact-").toString + "/docs"
+    val docs = Tables.documents(spark, TestSpark.sf)
+    graft.sinks.Sinks.compactParquet(docs, dir, numFiles = 3, maxRecordsPerFile = 100)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    val n = docs.count()
+    // 3 partitions × ceil(rows-per-partition / 100) files, all data intact
+    assert(files.length >= 3 && files.length <= 3 * (n / 100 + 1).toInt, s"${files.length} files")
+    assert(spark.read.parquet(dir).count() == n)
+  }
+
   test("HttpSource.fromFile reads a fixture body (S4 fixture leg)") {
     val f = Files.createTempFile("graft-page-", ".json")
     Files.writeString(f, """{"items":[{"id":"9","name":"iota","lat":"0","lon":"0"}]}""")
