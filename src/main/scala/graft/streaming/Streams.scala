@@ -179,20 +179,30 @@ object Streams {
     * split, then terminates. The checkpoint dir is deleted on completion —
     * these runs are bounded one-shots, not resumable services.
     */
+  /** `statePartitions`: stateful streaming ops allocate one state store
+    * per shuffle partition PER stateful operator — size it to key
+    * cardinality, not batch parallelism (the session default of 32 means
+    * 32 store instances to checkpoint for a 15-key stream). Pinned at
+    * query start; a streaming query's partitioning is then fixed for the
+    * checkpoint's lifetime. */
   def runToMemory(
       spark: SparkSession, agg: DataFrame, name: String,
-      mode: String = "complete"): DataFrame = {
+      mode: String = "complete", statePartitions: Option[Int] = Some(8)): DataFrame = {
     spark.catalog.dropTempView(name)
     val ckpt = Files.createTempDirectory(s"graft-ckpt-$name-")
-    val q = agg.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally deleteRecursively(ckpt)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try {
+      val q = agg.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally deleteRecursively(ckpt)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 
