@@ -19,12 +19,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "graft_dot"),
-      (children: Seq[Expression]) => FloatDot(children(0), children(1))))
+      GraftExtensions.dotBuilder))
 }
 
 object GraftExtensions {
+  private[graft] val dotBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2,
+      s"graft_dot requires exactly 2 arguments, got ${children.length}")
+    FloatDot(children(0), children(1))
+  }
+
   /** Register the same functions on an already-built session. */
   def register(spark: SparkSession): Unit =
-    ColumnBridge.registerTempFunction(spark, "graft_dot",
-      children => FloatDot(children(0), children(1)))
+    ColumnBridge.registerTempFunction(spark, "graft_dot", dotBuilder)
 }

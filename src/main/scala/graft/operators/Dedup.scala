@@ -81,11 +81,7 @@ object Dedup {
       .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
     // cap pathological buckets before the O(k²) pair expansion; persisted —
     // both sides of the self-join scan it
-    val capped = buckets
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "bh")))
-      .filter(col("__n") <= maxBucket)
-      .drop("__n")
-      .persist()
+    val capped = Occupancy.cap(buckets, Seq("band", "bh"), maxBucket, persistResult = true)
     val a = capped.select(col(idCol).as("id_a"), col("band"), col("bh"))
     val b = capped.select(col(idCol).as("id_b"), col("band"), col("bh"))
     a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
@@ -182,12 +178,8 @@ object Dedup {
     }
     val blocked = sim.select(col(idCol), col("simhash"), explode(array(chunks: _*)).as("b"))
       .select(col(idCol), col("simhash"), col("b.chunk").as("chunk"), col("b.ck").as("ck"))
-    val capped =
-      if (maxBlock == Int.MaxValue) blocked
-      else blocked
-        .withColumn("__n", count(lit(1)).over(Window.partitionBy("chunk", "ck")))
-        .filter(col("__n") <= maxBlock)
-        .drop("__n")
+    // persisted either way: both sides of the self-join scan the blocked set
+    val capped = Occupancy.cap(blocked, Seq("chunk", "ck"), maxBlock).persist()
     val a = capped.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("chunk"), col("ck"))
     val b = capped.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("chunk"), col("ck"))
     a.join(b, Seq("chunk", "ck")).filter(col("id_a") < col("id_b"))

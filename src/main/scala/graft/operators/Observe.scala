@@ -23,14 +23,17 @@ object Observe {
 
   /** Attach ingest metrics to a parsed-and-cleaned pipeline stage. `parsed`
     * must still carry the raw `lat`/`lon` string columns (pre-clean). */
-  def parseMetrics(parsed: DataFrame, name: String = "graft_parse"): DataFrame =
+  def parseMetrics(parsed: DataFrame, name: String = "graft_parse"): DataFrame = {
+    def badCoord(c: String) =
+      col(c).isNotNull && col(c) =!= "" && col(c).cast("double").isNull
     parsed.observe(
       name,
       count(lit(1)).as("rows_in"),
-      count(when(col("id").isNull && col("name").isNull && col("lat").isNull
-        && col("lon").isNull, 1)).as("rows_unparseable"),
-      count(when(col("lat").isNotNull && col("lat") =!= ""
-        && col("lat").cast("double").isNull, 1)).as("rows_bad_coord"))
+      // all five schema fields null ⇔ from_json returned a null struct
+      count(when(col("id").isNull && col("icao").isNull && col("name").isNull
+        && col("lat").isNull && col("lon").isNull, 1)).as("rows_unparseable"),
+      count(when(badCoord("lat") || badCoord("lon"), 1)).as("rows_bad_coord"))
+  }
 
   /** Generic row counter on any stage (the `LogAttribute` success route). */
   def rowCount(df: DataFrame, name: String): DataFrame =

@@ -87,9 +87,9 @@ object Similarity {
               idCol: String, vecCol: String, k: Int,
               dim: Int = 64, bits: Int = 12, tables: Int = 4,
               seed: Long = 42L, maxBucket: Int = 2000): DataFrame = {
-    val cb = lshBuckets(corpus, idCol, vecCol, dim, bits, tables, seed)
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy("tbl", "bucket")))
-      .filter(col("__n") <= maxBucket)
+    val cb = Occupancy.cap(
+        lshBuckets(corpus, idCol, vecCol, dim, bits, tables, seed),
+        Seq("tbl", "bucket"), maxBucket)
       .select(col(idCol).as("nid"), col("tbl"), col("bucket"))
     val qb = lshBuckets(queries, idCol, vecCol, dim, bits, tables, seed)
       .select(col(idCol).as("qid"), col("tbl"), col("bucket"))
@@ -122,10 +122,10 @@ object Similarity {
                     dim: Int = 64, bits: Int = 16, tables: Int = 6,
                     seed: Long = 42L, maxBucket: Int = 10000,
                     score: (Column, Column) => Column = cosine): DataFrame = {
-    val b = lshBuckets(df, idCol, vecCol, dim, bits, tables, seed)
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy("tbl", "bucket")))
-      .filter(col("__n") <= maxBucket)
-      .drop("__n")
+    // persisted: both sides of the candidate self-join scan the capped set
+    val b = Occupancy.cap(
+      lshBuckets(df, idCol, vecCol, dim, bits, tables, seed),
+      Seq("tbl", "bucket"), maxBucket, persistResult = true)
     val a = b.select(col(idCol).as("id_a"), col("tbl"), col("bucket"))
     val bb = b.select(col(idCol).as("id_b"), col("tbl"), col("bucket"))
     val cand = a.join(bb, Seq("tbl", "bucket"))

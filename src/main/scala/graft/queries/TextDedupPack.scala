@@ -60,7 +60,7 @@ object TextDedupPack {
     */
   private def sparkGrams(s: org.apache.spark.sql.SparkSession, d: String) = {
     val t = col("t")
-    Tables.documents(s, d)
+    val grams = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(t) >= 3)
       .select(col("doc_id"),
@@ -68,10 +68,7 @@ object TextDedupPack {
           sequence(lit(1), size(t) - 2),
           i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))
         ))).as("gram"))
-      .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("gram")))
-      .filter(col("df") <= MAX_GRAM_DF)
-      .drop("df")
-      .persist()
+    graft.operators.Occupancy.cap(grams, Seq("gram"), MAX_GRAM_DF, persistResult = true)
   }
 
   def all: Seq[QueryDef] = Seq(
@@ -288,11 +285,9 @@ object TextDedupPack {
         mh.select(col("doc_id"), lit(b).as("band"),
           md5(concat((b * 4 until b * 4 + 4).map(i => col(s"mh$i")): _*)).as("bh"))
       }.reduce(_ unionByName _)
-      val bandsc = bands
-        .withColumn("__n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
-        .filter(col("__n") <= MAX_BUCKET)
-        .drop("__n")
+      // persisted: both sides of the candidate self-join scan it
+      val bandsc = graft.operators.Occupancy.cap(
+        bands, Seq("band", "bh"), MAX_BUCKET, persistResult = true)
       val cand = bandsc.as("b1")
         .join(bandsc.as("b2"),
           col("b1.band") === col("b2.band") && col("b1.bh") === col("b2.bh")

@@ -156,7 +156,14 @@ object Streams {
               val ms = e.ts.getTime
               open match {
                 case Some(s) if ms - s.lastMs <= gapMs =>
-                  open = Some(s.copy(lastMs = ms, n = s.n + 1))
+                  // late events (ms < lastMs, e.g. arriving a batch after
+                  // their neighbors but inside the watermark) merge into
+                  // the open session WITHOUT moving its bounds backwards —
+                  // lastMs regressing would rewind the event-time timeout
+                  // and mis-split on the next in-order event
+                  val start =
+                    if (e.ts.compareTo(s.start) < 0) e.ts else s.start
+                  open = Some(OpenSession(start, math.max(s.lastMs, ms), s.n + 1))
                 case Some(s) =>
                   closed += ClosedSession(uid, s.start, s.n)
                   open = Some(OpenSession(e.ts, ms, 1))

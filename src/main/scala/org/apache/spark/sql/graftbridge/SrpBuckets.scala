@@ -27,12 +27,19 @@ case class SrpBuckets(child: Expression, planes: Array[Array[Double]], bits: Int
 
   private def tables: Int = planes.length / bits
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "srp_buckets"
 
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override protected def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
+    val f = isFloat
     val out = new Array[Int](tables)
     var t = 0
     while (t < tables) {
@@ -43,7 +50,10 @@ case class SrpBuckets(child: Expression, planes: Array[Array[Double]], bits: Int
         val n = math.min(arr.numElements(), h.length)
         var s = 0.0
         var d = 0
-        while (d < n) { s += arr.getFloat(d).toDouble * h(d); d += 1 }
+        while (d < n) {
+          s += (if (f) arr.getFloat(d).toDouble else arr.getDouble(d)) * h(d)
+          d += 1
+        }
         if (s > 0) b |= (1 << j)
         j += 1
       }
@@ -73,7 +83,7 @@ case class SrpBuckets(child: Expression, planes: Array[Array[Double]], bits: Int
          |    int $n = java.lang.Math.min($a.numElements(), $h.length);
          |    double $s = 0.0;
          |    for (int $d = 0; $d < $n; $d++) {
-         |      $s += (double) $a.getFloat($d) * $h[$d];
+         |      $s += ${if (isFloat) s"(double) $a.getFloat($d)" else s"$a.getDouble($d)"} * $h[$d];
          |    }
          |    if ($s > 0) $b |= (1 << $j);
          |  }

@@ -19,7 +19,8 @@ class ObserveSpec extends AnyFunSuite {
       """{"id":"3","icao":"CCCC","name":"bad","lat":"bogus","lon":"7"}""",
       """{"id":"4","icao":"DDDD","name":"empty","lat":"","lon":"7"}""",
       """{"id":"5","icao":"EEEE","name":"trunc","lat":"1""",
-      """{"id":"6","icao":"FFFF","name":"zeta","lat":"-89","lon":"179"}""")
+      """{"id":"6","icao":"FFFF","name":"zeta","lat":"-89","lon":"179"}""",
+      """{"id":"7","icao":"GGGG","name":"lonbad","lat":"4","lon":"junk"}""")
     val wire = wireJson.toDF("s").select(encode($"s", "UTF-8").as("value"))
     val observed = Observe.parseMetrics(Etl.parse(wire))
     val cleaned = Etl.clean(observed)
@@ -27,9 +28,9 @@ class ObserveSpec extends AnyFunSuite {
     // queryExecution (collect/write do; count() plans its own aggregate)
     assert(cleaned.collect().length == 3)
     val m = Observe.metricsOf(cleaned, "graft_parse").get
-    assert(m("rows_in") == 6L)
+    assert(m("rows_in") == 7L)
     assert(m("rows_unparseable") == 1L) // truncated JSON → all-null struct
-    assert(m("rows_bad_coord") == 1L)   // "bogus" (empty string is its own case)
+    assert(m("rows_bad_coord") == 2L)   // "bogus" lat + "junk" lon ('' is its own case)
   }
 
   test("rowCount metric equals the action's row count without a second scan") {

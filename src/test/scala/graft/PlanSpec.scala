@@ -63,7 +63,8 @@ class PlanSpec extends AnyFunSuite {
     // rows-only + oracle queries alike; streaming queries excluded (their
     // plan materializes through the streaming engine)
     val streaming = Set("q33_stream_count", "q34_stream_hourly",
-      "q37_stream_hourly_append", "q42_stream_sessions")
+      "q37_stream_hourly_append", "q42_stream_sessions", "q44_stream_dedup",
+      "q59_stream_stream_join", "q60_stream_static_join")
     val lifecycle = Set("q36_etl_lifecycle") // runs its own actions on build
     SparkEntry.queries.keys.filterNot(streaming).filterNot(lifecycle).foreach { name =>
       val p = plan(q(name))

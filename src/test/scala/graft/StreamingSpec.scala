@@ -54,6 +54,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batchFinalized)
   }
 
+  test("sessionize: a late event inside the watermark merges without rewinding session bounds") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s:00")
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val sessions = Streams.sessionize(
+      mem.toDF.toDF("user_id", "event_id", "ts"), gapSec = 1800, delay = "4 hours")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-late-").toString
+    val q = sessions.toDF.writeStream.outputMode("append")
+      .format("memory").queryName("t_late")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData((1L, 1L, ts("10:00")), (1L, 2L, ts("10:10")))
+      q.processAllAvailable()
+      mem.addData((1L, 3L, ts("09:45"))) // late but within the 4 h watermark
+      q.processAllAvailable()
+      // 30 min after the TRUE last event (10:10) — must still merge; a
+      // rewound lastMs (09:45) would mis-split here
+      mem.addData((1L, 4L, ts("10:40")))
+      q.processAllAvailable()
+      assert(spark.table("t_late").count() == 0, "session split prematurely after late event")
+      mem.addData((1L, 5L, ts("11:30"))) // true gap > 30 min → closes it
+      q.processAllAvailable()
+      val rows = spark.table("t_late")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSeq
+      assert(rows == Seq((1L, ts("09:45"), 4L))) // start min'd to the late event
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization equals the batch session set (closed + timed-out)") {
     val gapMs = 1800000L
     val streamed = Streams.runToMemory(

@@ -67,6 +67,19 @@ class VectorExprsSpec extends AnyFunSuite {
       .select(VectorExprs.srpBuckets(col("embedding"), flat, 12))
       .collect()
     assert(nulls(0).isNullAt(0))
+    // double-array vectors bucket identically to their float originals
+    // (the compositional form accepted any numeric array — no regression)
+    val both = emb.select(col("vec_id"),
+        VectorExprs.srpBuckets(col("embedding"), flat, 12).as("f"),
+        VectorExprs.srpBuckets(col("embedding").cast("array<double>"), flat, 12).as("d"))
+      .filter(col("f") =!= col("d"))
+    assert(both.count() == 0)
+  }
+
+  test("graft_dot rejects wrong arity with a clear error") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception](spark.sql("SELECT graft_dot(array(1.0F))").collect())
+    assert(e.getMessage.contains("2 arguments") || e.getMessage.contains("graft_dot"))
   }
 
   test("graft_dot is callable from SQL after extension registration") {
