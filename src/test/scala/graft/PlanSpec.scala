@@ -92,6 +92,17 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("temporal joins plan as equi-joins/windows, never nested-loop") {
+    // the naive as-of/range formulations are inequality joins, which Spark
+    // plans as BroadcastNestedLoopJoin — quadratic work at scale. Ours
+    // must never regress to that.
+    for (name <- Seq("q45_asof_join", "q46_range_join")) {
+      val p = plan(q(name))
+      val bnl = collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }
+      assert(bnl.isEmpty, s"$name planned a nested-loop join:\n$p")
+    }
+  }
+
   test("partitioned parquet write + filtered read prunes partitions at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part-").toString + "/docs"
     Tables.documents(spark, sf).write.partitionBy("lang").mode("overwrite").parquet(dir)
