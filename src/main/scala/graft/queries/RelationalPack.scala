@@ -434,6 +434,36 @@ object RelationalPack {
         .orderBy("hr", "event_type")
     },
 
+    // ---- q62: ranking-window functions (ntile/percent_rank/cume_dist) ------
+    // Completes the window-function surface beyond q10/q11's
+    // rank/row_number/running sums. All three emit exact rationals of row
+    // counts — identical IEEE division both engines. Unique (qty, okey,
+    // lineno) tiebreak keeps every rank deterministic.
+    QueryDef(
+      "q62_rank_windows",
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  nth_value(l_quantity, 2) OVER (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_qty
+        |FROM lineitem
+        |WHERE l_orderkey % 50 = 0
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber)
+        |ORDER BY l_returnflag, l_quantity, l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          nth_value(col("l_quantity"), 2).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("second_qty"))
+        .orderBy("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+    },
+
     // ---- q61: pivot — event types to columns per user ----------------------
     // relational pivot with an explicit value list (deterministic schema;
     // never pivot on discovered values in production — schema drift).

@@ -91,6 +91,17 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("Occupancy.cap keeps exactly the rows of groups within the cap") {
+    val df = Seq.tabulate(100)(i => (s"k${i % 7}", i.toLong)).toDF("k", "v")
+    // group sizes: k0..k1 → 15, k2..k6 → 14
+    val capped = graft.operators.Occupancy.cap(df, Seq("k"), max = 14)
+      .groupBy("k").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped.keySet == (2 until 7).map(i => s"k$i").toSet)
+    assert(capped.values.forall(_ == 14))
+    // MaxValue cap is the identity (no window, no filter)
+    assert(graft.operators.Occupancy.cap(df, Seq("k"), Int.MaxValue).count() == 100)
+  }
+
   test("verifyJaccard computes exact set Jaccard on a known fixture") {
     val docsFx = Seq(
       (1L, "a b c d e"),   // grams: abc bcd cde
