@@ -179,7 +179,7 @@ object Dedup {
     val blocked = sim.select(col(idCol), col("simhash"), explode(array(chunks: _*)).as("b"))
       .select(col(idCol), col("simhash"), col("b.chunk").as("chunk"), col("b.ck").as("ck"))
     // persisted either way: both sides of the self-join scan the blocked set
-    val capped = Occupancy.cap(blocked, Seq("chunk", "ck"), maxBlock).persist()
+    val capped = Occupancy.cap(blocked, Seq("chunk", "ck"), maxBlock, persistResult = true)
     val a = capped.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("chunk"), col("ck"))
     val b = capped.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("chunk"), col("ck"))
     a.join(b, Seq("chunk", "ck")).filter(col("id_a") < col("id_b"))

@@ -19,11 +19,12 @@ object Occupancy {
     * clear the cache between them (Bench/Verify do). */
   def cap(df: DataFrame, keys: Seq[String], max: Int,
           persistResult: Boolean = false): DataFrame = {
-    if (max == Int.MaxValue) return df
-    val out = df
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
-      .filter(col("__n") <= max)
-      .drop("__n")
+    val out =
+      if (max == Int.MaxValue) df // no window, no filter
+      else df
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+        .filter(col("__n") <= max)
+        .drop("__n")
     if (persistResult) out.persist() else out
   }
 }

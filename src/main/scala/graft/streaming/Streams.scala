@@ -151,16 +151,30 @@ object Streams {
             val sorted = events.toIndexedSeq.sortBy(e =>
               (e.ts.getTime, e.ts.getNanos, e.event_id))
             var open = state.getOption
+            // very-late events (> gap BEFORE the open session's start)
+            // cannot belong to it; they gap-cluster among themselves and
+            // their sessions emit at batch end (best-effort for extreme
+            // lateness — they never reopen already-emitted history)
+            var late = Option.empty[OpenSession]
             val closed = IndexedSeq.newBuilder[ClosedSession]
             sorted.foreach { e =>
               val ms = e.ts.getTime
               open match {
+                case Some(s) if ms < s.start.getTime - gapMs =>
+                  late match {
+                    case Some(l) if ms - l.lastMs <= gapMs =>
+                      late = Some(OpenSession(l.start, math.max(l.lastMs, ms), l.n + 1))
+                    case Some(l) =>
+                      closed += ClosedSession(uid, l.start, l.n)
+                      late = Some(OpenSession(e.ts, ms, 1))
+                    case None =>
+                      late = Some(OpenSession(e.ts, ms, 1))
+                  }
                 case Some(s) if ms - s.lastMs <= gapMs =>
-                  // late events (ms < lastMs, e.g. arriving a batch after
-                  // their neighbors but inside the watermark) merge into
-                  // the open session WITHOUT moving its bounds backwards —
-                  // lastMs regressing would rewind the event-time timeout
-                  // and mis-split on the next in-order event
+                  // merge-eligible (incl. late-but-within-gap events)
+                  // WITHOUT moving bounds backwards — a regressing lastMs
+                  // would rewind the event-time timeout and mis-split on
+                  // the next in-order event
                   val start =
                     if (e.ts.compareTo(s.start) < 0) e.ts else s.start
                   open = Some(OpenSession(start, math.max(s.lastMs, ms), s.n + 1))
@@ -171,6 +185,7 @@ object Streams {
                   open = Some(OpenSession(e.ts, ms, 1))
               }
             }
+            late.foreach(l => closed += ClosedSession(uid, l.start, l.n))
             open.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.lastMs + gapMs)

@@ -76,11 +76,20 @@ class StreamingSpec extends AnyFunSuite {
       mem.addData((1L, 4L, ts("10:40")))
       q.processAllAvailable()
       assert(spark.table("t_late").count() == 0, "session split prematurely after late event")
-      mem.addData((1L, 5L, ts("11:30"))) // true gap > 30 min → closes it
+      // VERY late (> gap before the session start): cannot merge — emits
+      // as its own closed singleton session at batch end
+      mem.addData((1L, 6L, ts("08:00")))
+      q.processAllAvailable()
+      val early = spark.table("t_late")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+      assert(early == Set((1L, ts("08:00"), 1L)))
+      mem.addData((1L, 5L, ts("11:30"))) // true gap > 30 min → closes the open session
       q.processAllAvailable()
       val rows = spark.table("t_late")
-        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSeq
-      assert(rows == Seq((1L, ts("09:45"), 4L))) // start min'd to the late event
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        (1L, ts("08:00"), 1L),
+        (1L, ts("09:45"), 4L))) // start min'd to the within-gap late event
     } finally q.stop()
   }
 
