@@ -16,13 +16,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm-up: a join+agg exercises scan, exchange, hash-agg and codegen
-    // paths; fall back to the first query so a rename can't silently drop
-    // the warm-up (and with it, skew the first timed query)
-    val warmup = SparkEntry.queries.getOrElse(
-      "q05_join_priority_agg", SparkEntry.queries.toSeq.minBy(_._1)._2)
-    try warmup(spark, sfDir).count()
-    catch { case e: Throwable => System.err.println(s"[bench] warm-up FAILED: ${e.getMessage}") }
+    // warm-up: exercise the distinct first-touch JIT/codegen families so
+    // cold-compile cost never lands on a timed query — join+agg (scan,
+    // exchange, hash-agg), the ETL md5-wire/from_json/regex derivation
+    // (r3 recorded q30 at 11.6 s cold vs 0.5 s warm), and the text-pack
+    // regex/md5/HOF path. Fall back to the first query so a rename can't
+    // silently drop the warm-up (and with it, skew the first timed query).
+    val warmupNames = Seq("q05_join_priority_agg", "q30_etl_parse_clean", "q23_fingerprint_dedup")
+    val warmups = warmupNames.flatMap(SparkEntry.queries.get) match {
+      case Nil => Seq(SparkEntry.queries.toSeq.minBy(_._1)._2)
+      case ws => ws
+    }
+    warmups.foreach { w =>
+      try w(spark, sfDir).count()
+      catch { case e: Throwable => System.err.println(s"[bench] warm-up FAILED: ${e.getMessage}") }
+    }
     spark.catalog.clearCache()
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorExprs.{dot => vdot}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -88,6 +88,38 @@ object Ivf {
     val centroids = kmeansCentroids(corpus, idCol, vecCol, nlist, iters, seed)
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
       assignCell(col(vecCol), centroids).as("cid"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      explode(probeCells(col(vecCol), centroids, nprobe)).as("cid"))
+    val scored = c.join(broadcast(q), "cid")
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        Similarity.cosine(col("qvec"), col("nvec")).as("cos_sim"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** The 100 TB corpus layout: parquet partitioned by cell id. A probe is
+    * then an equi-join on the partition column with the broadcast query
+    * side, so dynamic partition pruning restricts the scan to the probed
+    * cells' directories — the corpus is neither fully scanned nor shuffled
+    * (PlanSpec asserts the pruning expression in the scan's partition
+    * filters). Cell assignment happens once, at write time. */
+  def writeCellPartitioned(corpus: DataFrame, idCol: String, vecCol: String,
+                           centroids: Array[Array[Double]], path: String): Unit =
+    corpus
+      .select(col(idCol), col(vecCol), assignCell(col(vecCol), centroids).as("cid"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(path)
+
+  /** IVF top-k against a [[writeCellPartitioned]] layout: same probe shape
+    * as [[ivfTopK]], but cell assignment is pre-materialized in the
+    * partition layout, so the cid join prunes partitions instead of
+    * assigning + shuffling the corpus. */
+  def ivfTopKPartitioned(spark: SparkSession, path: String, queries: DataFrame,
+                         idCol: String, vecCol: String, k: Int,
+                         centroids: Array[Array[Double]], nprobe: Int = 4): DataFrame = {
+    val c = spark.read.parquet(path)
+      .select(col(idCol).as("nid"), col(vecCol).as("nvec"), col("cid"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
       explode(probeCells(col(vecCol), centroids, nprobe)).as("cid"))
     val scored = c.join(broadcast(q), "cid")

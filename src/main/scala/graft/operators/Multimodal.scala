@@ -39,17 +39,30 @@ object Multimodal {
         substring(bin, 9, 4) === lit(WAVE_TAG), "audio/wav")
       .otherwise("application/octet-stream")
 
-  /** Typed metadata struct for a media column: mime + byte size + STUB
-    * decoded dimensions (deterministic fakes of a header parse — a real
-    * PNG width lives at bytes 17-20; decoding it needs nothing more than
-    * another substring, but the fixture blobs carry no real header). */
-  def metadata(bin: Column): Column =
+  val IHDR_TAG: Array[Byte] = "IHDR".getBytes("UTF-8")
+
+  /** Big-endian uint32 at 1-based byte offset `pos`, via a hex round-trip —
+    * hex/conv are codegen'd builtins, so this stays inside whole-stage
+    * codegen like every other expression here. */
+  private def beUInt32(bin: Column, pos: Int): Column =
+    conv(hex(substring(bin, pos, 4)), 16, 10).cast("long")
+
+  /** Typed metadata struct for a media column: mime + byte size + decoded
+    * dimensions. The dimension decode is a REAL header parse for PNG —
+    * a PNG file is magic(8) ++ IHDR chunk (len(4) ++ "IHDR"(4) ++ width(4,
+    * big-endian) ++ height(4, big-endian) ++ ...), so width/height live at
+    * bytes 17-24 and two binary substrings decode them. Formats whose
+    * dimension metadata needs a full parse (JPEG SOF scan, WAV fmt chunk)
+    * yield null dims — the honest answer without a codec. */
+  def metadata(bin: Column): Column = {
+    val isPng = substring(bin, 1, 8) === lit(PNG_MAGIC) &&
+      substring(bin, 13, 4) === lit(IHDR_TAG)
     struct(
       sniffMime(bin).as("mime"),
       length(bin).cast("long").as("bytes"),
-      // STUB: fake decode — deterministic stand-ins for decoded dims
-      pmod(length(bin), lit(1024)).cast("int").as("width"),
-      pmod(length(bin), lit(768)).cast("int").as("height"))
+      when(isPng, beUInt32(bin, 17)).cast("long").as("width"),
+      when(isPng, beUInt32(bin, 21)).cast("long").as("height"))
+  }
 
   /** Frame sampling: up to `maxFrames` fixed-length windows at a fixed
     * byte stride (a video keyframe / audio clip sampler shape). Emits one
@@ -69,8 +82,8 @@ object Multimodal {
         expr(s"substring(`$binCol`, frame_no * $stride + 1, $frameLen)"))
 
   /** STUB resize: byte-domain stand-in for an image resize — truncates the
-    * payload to `targetBytes` and restamps the stub dims, preserving the
-    * magic so the mime survives. A real implementation decodes, resamples
+    * payload to `targetBytes`, preserving the leading magic/header bytes so
+    * mime and metadata survive. A real implementation decodes, resamples
     * and re-encodes inside the same (binary → binary) signature; everything
     * around it (schema, partitioning, metadata) is unchanged. */
   def resizeStub(bin: Column, targetBytes: Int): Column =

@@ -15,16 +15,18 @@ object Occupancy {
 
   /** Filter out over-occupied key groups. Set `persistResult` when the
     * result feeds BOTH sides of a self-join — the window count would
-    * otherwise run once per side. Callers running many queries per session
-    * clear the cache between them (Bench/Verify do). */
+    * otherwise run once per side. Cache lifecycle follows `scope`
+    * (default: session-managed, released by the harness's clearCache();
+    * long-lived sessions pass a [[CacheScope]] and release it). */
   def cap(df: DataFrame, keys: Seq[String], max: Int,
-          persistResult: Boolean = false): DataFrame = {
+          persistResult: Boolean = false,
+          scope: CacheScope = CacheScope.sessionManaged): DataFrame = {
     val out =
       if (max == Int.MaxValue) df // no window, no filter
       else df
         .withColumn("__n", count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
         .filter(col("__n") <= max)
         .drop("__n")
-    if (persistResult) out.persist() else out
+    if (persistResult) scope.persist(out) else out
   }
 }

@@ -121,11 +121,12 @@ object Similarity {
                     threshold: Double = 0.95,
                     dim: Int = 64, bits: Int = 16, tables: Int = 6,
                     seed: Long = 42L, maxBucket: Int = 10000,
-                    score: (Column, Column) => Column = cosine): DataFrame = {
+                    score: (Column, Column) => Column = cosine,
+                    scope: CacheScope = CacheScope.sessionManaged): DataFrame = {
     // persisted: both sides of the candidate self-join scan the capped set
     val b = Occupancy.cap(
       lshBuckets(df, idCol, vecCol, dim, bits, tables, seed),
-      Seq("tbl", "bucket"), maxBucket, persistResult = true)
+      Seq("tbl", "bucket"), maxBucket, persistResult = true, scope = scope)
     val a = b.select(col(idCol).as("id_a"), col("tbl"), col("bucket"))
     val bb = b.select(col(idCol).as("id_b"), col("tbl"), col("bucket"))
     val cand = a.join(bb, Seq("tbl", "bucket"))

@@ -30,6 +30,14 @@ object TemporalJoins {
   def asofJoin(left: DataFrame, lKey: String, lTs: String,
                right: DataFrame, rKey: String, rTs: String,
                payload: Column, asofCol: String = "asof"): DataFrame = {
+    // the left side keeps all its columns, so the internal working names
+    // must not collide — silently overwriting then dropping a caller's
+    // column would corrupt its data (r3 advice)
+    val reserved = Seq("__k", "__t", "__p", "__side")
+    val clash = reserved.filter(left.columns.contains)
+    require(clash.isEmpty,
+      s"asofJoin: left columns ${clash.mkString(", ")} collide with reserved " +
+        s"internal names (${reserved.mkString(", ")}) — rename them first")
     val r = right.select(col(rKey).as("__k"), col(rTs).cast("timestamp").as("__t"),
       payload.as("__p"), lit(0).as("__side"))
     val l = left
@@ -56,9 +64,12 @@ object TemporalJoins {
                      right: DataFrame, rKey: String, rTs: String,
                      windowSec: Long, countCol: String = "n_in_window"): DataFrame = {
     val winUs = windowSec * 1000000L
-    // truncating division == floor here: unix epochs in this engine are
-    // positive (the testdata and any sane event time)
-    def bucket(us: Column): Column = (us / winUs).cast("long")
+    // exact integer floor-division: strip the non-negative pmod remainder,
+    // then `div` truncates losslessly. Correct for pre-1970 (negative)
+    // epochs and immune to the 2^53 precision cliff a double-division
+    // round-trip has (r3 advice)
+    def bucket(us: Column): Column =
+      call_function("div", us - pmod(us, lit(winUs)), lit(winUs))
     val lBuckets = left.select(col(leftId).as("__lid"), col(lKey).as("__k"),
         unix_micros(col(lTs)).as("__lus"))
       .withColumn("__b", explode(array(

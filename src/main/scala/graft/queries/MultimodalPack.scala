@@ -24,13 +24,23 @@ object MultimodalPack {
   private val RIFF_HEX = hexLit(Multimodal.RIFF_MAGIC)
   private val WAVE_HEX = hexLit(Multimodal.WAVE_TAG)
 
-  /** Spark-side blob fixture: magic ++ utf8(text) by doc_id % 4. */
+  /** Spark-side blob fixture: container header ++ utf8(text) by doc_id % 4.
+    * PNG blobs carry a REAL IHDR chunk (length 13, "IHDR", 4-byte
+    * big-endian width/height derived from doc_id, bit-depth 8, color type
+    * 2, default compression/filter/interlace) so [[Multimodal.metadata]]'s
+    * header parse decodes genuine planted dimensions (q63). */
   private[graft] def blobs(s: SparkSession, d: String): DataFrame = {
     val m = pmod(col("doc_id"), lit(4))
     val enc = encode(col("text"), "UTF-8")
+    def be32(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 8, "0"))
+    val ihdr = concat(
+      lit(Array[Byte](0, 0, 0, 13)), lit(Multimodal.IHDR_TAG),
+      be32(lit(1) + pmod(col("doc_id"), lit(512))),
+      be32(lit(1) + pmod(col("doc_id"), lit(384))),
+      lit(Array[Byte](8, 2, 0, 0, 0)))
     Tables.documents(s, d).select(
       col("doc_id"),
-      when(m === 0, concat(lit(Multimodal.PNG_MAGIC), enc))
+      when(m === 0, concat(lit(Multimodal.PNG_MAGIC), ihdr, enc))
         .when(m === 1, concat(lit(Multimodal.JPEG_MAGIC), enc))
         .when(m === 2, concat(lit(Multimodal.RIFF_MAGIC),
           lit(Array[Byte](0, 0, 0, 0)), lit(Multimodal.WAVE_TAG), enc))
@@ -42,7 +52,12 @@ object MultimodalPack {
     s"""blobs AS (
        |  SELECT doc_id,
        |    CASE doc_id % 4
-       |      WHEN 0 THEN '\\x89PNG\\x0D\\x0A\\x1A\\x0A'::BLOB || encode(text)
+       |      WHEN 0 THEN '\\x89PNG\\x0D\\x0A\\x1A\\x0A'::BLOB ||
+       |        '\\x00\\x00\\x00\\x0D'::BLOB || 'IHDR'::BLOB ||
+       |        unhex(lpad(to_hex(1 + doc_id % 512), 8, '0')) ||
+       |        unhex(lpad(to_hex(1 + doc_id % 384), 8, '0')) ||
+       |        '\\x08\\x02\\x00\\x00\\x00'::BLOB ||
+       |        encode(text)
        |      WHEN 1 THEN '\\xFF\\xD8\\xFF'::BLOB || encode(text)
        |      WHEN 2 THEN 'RIFF'::BLOB || '\\x00\\x00\\x00\\x00'::BLOB || 'WAVE'::BLOB || encode(text)
        |      ELSE encode(text) END AS content
@@ -99,6 +114,31 @@ object MultimodalPack {
         .select(col("doc_id"), col("mime"), col("frame_no").cast("long"),
           hex(col("frame")).as("frame_hex"))
         .orderBy("doc_id", "frame_no")
+    },
+
+    // ---- q63: typed metadata with a REAL PNG IHDR header parse -------------
+    // Multimodal.metadata decodes width/height from the IHDR chunk (4-byte
+    // big-endian ints at bytes 17-24) — the fixture plants doc_id-derived
+    // dims, and the oracle independently re-parses them from the blob's hex
+    // (chunk tag checked at hex chars 25-32 = 'IHDR'). Non-PNG formats
+    // yield null dims (no codec), emitted as -1 so the driver's hash never
+    // sees a null numeric column.
+    QueryDef(
+      "q63_multimodal_metadata",
+      s"""WITH $BLOBS_SQL
+         |SELECT doc_id, mime, CAST(nbytes AS BIGINT) AS bytes,
+         |  COALESCE(CASE WHEN mime = 'image/png' AND substring(h, 25, 8) = '49484452'
+         |       THEN ('0x' || substring(h, 33, 8))::BIGINT END, -1) AS width,
+         |  COALESCE(CASE WHEN mime = 'image/png' AND substring(h, 25, 8) = '49484452'
+         |       THEN ('0x' || substring(h, 41, 8))::BIGINT END, -1) AS height
+         |FROM sniffed
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      blobs(s, d)
+        .select(col("doc_id"), Multimodal.metadata(col("content")).as("m"))
+        .select(col("doc_id"), col("m.mime").as("mime"), col("m.bytes").as("bytes"),
+          coalesce(col("m.width"), lit(-1L)).as("width"),
+          coalesce(col("m.height"), lit(-1L)).as("height"))
+        .orderBy("doc_id")
     },
 
     // ---- q57: STUB decode→embed features feeding the near-dup family -------

@@ -545,6 +545,26 @@ object RelationalPack {
         .orderBy("l_returnflag")
     },
 
+    // ---- q64: approx percentiles next to the exact answer ------------------
+    // approx_percentile is the 100 TB path for quantiles (KLL/GK-style
+    // sketch — fixed-size state, map-side mergeable); exact percentile
+    // (q49) buffers EVERY value of the group in aggregation state, which is
+    // OOM-bait on a skewed 100 TB group (see SCALE.md). Sketch contents are
+    // engine-specific, so no DuckDB hash oracle: rows-only here, with the
+    // exact columns alongside and the rank-error bound asserted in
+    // PercentileSpec — the q43 exact-vs-HLL pattern.
+    QueryDef.rowsOnly("q64_approx_percentiles") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+          percentile(col("l_quantity"), lit(0.9)).as("p90_qty"),
+          approx_percentile(col("l_quantity"), lit(0.5), lit(1000)).as("approx_median_qty"),
+          approx_percentile(col("l_quantity"), lit(0.9), lit(1000)).as("approx_p90_qty"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- q21: sessionization via window lag (gap > 30 min) -----------------
     QueryDef(
       "q21_event_sessions",

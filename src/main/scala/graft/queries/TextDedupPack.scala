@@ -38,6 +38,9 @@ object TextDedupPack {
     * a band value shared by more than this many docs would pair-explode. */
   private val MAX_BUCKET = 100
 
+  /** doc_id offset distinguishing q65's planted simhash twins. */
+  private val SIMHASH_TWIN_OFFSET = 1000000L
+
   /** Shared SQL for distinct word-3-gram extraction with the df cap
     * (DuckDB dialect). */
   private val GRAMS_SQL =
@@ -425,20 +428,43 @@ object TextDedupPack {
         .orderBy("source")
     },
 
-    // ---- q47: heavy-hitter tokens via the Misra-Gries typed Aggregator -----
-    // One-pass mergeable k-counter sketch instead of shuffling every
-    // distinct token (see functions.MisraGries). Sketch contents depend on
-    // merge order (guarantees don't — HeavyHittersSpec), so rows-only:
-    // one row per lang, top tracked tokens as a map.
-    QueryDef.rowsOnly("q47_heavy_hitters") { (s, d) =>
-      val mg = udaf(new graft.functions.MisraGries(50))
-      Tables.documents(s, d)
+    // ---- q47: heavy-hitter tokens — MG sketch prune, then exact verify -----
+    // The 100 TB shape for "which tokens exceed 1/(k+1) of a language's
+    // volume": pass 1 builds a Misra-Gries sketch per lang (fixed k-counter
+    // state, mergeable partials — functions.MisraGries; never shuffles the
+    // token universe). MG guarantees its tracked set contains EVERY token
+    // with true frequency > N/(k+1). Pass 2 exact-counts only the ≤k
+    // tracked candidates (broadcast join prunes everything else map-side
+    // before the shuffle) and keeps those above the threshold. Because the
+    // final filter is on exact counts, the result equals the exact
+    // heavy-hitter set regardless of sketch merge order — so it is fully
+    // oracle-checkable, while the sketch still does the scale-critical
+    // pruning. (The oracle, lacking the sketch, counts all tokens.)
+    QueryDef(
+      "q47_heavy_hitters",
+      """WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tot AS (SELECT lang, COUNT(*) AS n FROM toks GROUP BY lang),
+        |cnt AS (SELECT lang, t, COUNT(*) AS c FROM toks GROUP BY lang, t)
+        |SELECT cnt.lang AS lang, t AS token, c AS cnt
+        |FROM cnt JOIN tot ON cnt.lang = tot.lang
+        |WHERE c * 51 > n
+        |ORDER BY lang, token""".stripMargin) { (s, d) =>
+      val k = 50
+      val mg = udaf(new graft.functions.MisraGries(k))
+      // scanned twice (sketch pass + exact pass) — persisted; Bench/Verify
+      // clear the cache between queries
+      val toks = Tables.documents(s, d)
         .select(col("lang"), explode(split(col("text"), " ")).as("t"))
-        .groupBy("lang")
-        .agg(mg(col("t")).as("hh"))
-        .select(col("lang"), map_keys(col("hh")).as("tracked"),
-          size(map_keys(col("hh"))).as("n_tracked"))
-        .orderBy("lang")
+        .persist()
+      val candidates = toks.groupBy("lang").agg(mg(col("t")).as("hh"))
+        .select(col("lang"), explode(map_keys(col("hh"))).as("t"))
+      val totals = toks.groupBy("lang").agg(count(lit(1)).as("n"))
+      toks.join(broadcast(candidates), Seq("lang", "t"))
+        .groupBy("lang", "t").agg(count(lit(1)).as("cnt"))
+        .join(broadcast(totals), "lang")
+        .filter(col("cnt") * (k + 1) > col("n"))
+        .select(col("lang"), col("t").as("token"), col("cnt"))
+        .orderBy("lang", "token")
     },
 
     // ---- native xxhash64 scale-path variants (rows-only checks) ------------
@@ -449,7 +475,54 @@ object TextDedupPack {
       val sim = Dedup.simHash64(Tables.documents(s, d), "doc_id", "text")
       Dedup.simHashNearDup(sim, "doc_id", maxDist = 8).orderBy("id_a", "id_b")
     },
-    QueryDef.rowsOnly("q53_dedup_exact_native") { (s, d) =>
+    // ---- q65: simhash blocking with PLANTED hamming-distance ground truth --
+    // q52's xxhash64 signatures have no DuckDB twin, so the blocking
+    // operator itself gets an oracle here: portable 60-bit signatures
+    // (md5-hex → BIGINT, identical in both engines), plus a planted twin
+    // per doc_id < 50 at EXACTLY hamming distance 3 (three contiguous bits
+    // flipped: sig XOR (7 << (doc_id % 58))). The operator's pigeonhole
+    // blocking guarantees recall for distance ≤ maxDist and its final
+    // filter makes precision exact, so its output must equal the oracle's
+    // brute-force all-pairs xor/bit_count scan — hash-checked.
+    QueryDef(
+      "q65_simhash_planted",
+      s"""WITH base AS (
+         |  SELECT doc_id, ('0x' || substring(md5(text), 1, 15))::BIGINT AS simhash
+         |  FROM documents),
+         |twins AS (
+         |  SELECT doc_id + $SIMHASH_TWIN_OFFSET AS tid,
+         |    xor(simhash, 7::BIGINT << CAST(doc_id % 58 AS INT)) AS sh
+         |  FROM base WHERE doc_id < 50),
+         |sims AS (
+         |  SELECT doc_id, simhash FROM base
+         |  UNION ALL
+         |  SELECT tid AS doc_id, sh AS simhash FROM twins)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"),
+          conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("simhash"))
+      val mask = call_function("shiftleft", lit(7L), pmod(col("doc_id"), lit(58)).cast("int"))
+      val sims = base.unionByName(
+        base.filter(col("doc_id") < 50).select(
+          (col("doc_id") + SIMHASH_TWIN_OFFSET).as("doc_id"),
+          col("simhash").bitwiseXOR(mask).as("simhash")))
+      Dedup.simHashNearDup(sims, "doc_id", maxDist = 8)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")
+    },
+
+    QueryDef(
+      "q53_dedup_exact_native",
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
       Dedup.exact(Tables.documents(s, d), Seq("text"), "doc_id")
         .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
     }

@@ -44,15 +44,23 @@ object Sinks {
       .option("driver", driver)
       .load()
 
+  /** The exact option set [[kafkaWrite]] hands to the kafka sink — pure
+    * data so KafkaShapeSpec pins the wire shape without the connector jar
+    * (the `save()` format-resolve step is what throws here; the spec
+    * asserts that exact failure). */
+  def kafkaWriteOptions(bootstrap: String, topic: String): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrap,
+      "topic" -> topic,
+      "kafka.acks" -> "all")
+
   /** K3: Kafka producer sink (NiFi PublishKafka semantics: keyed writes,
     * acks=all — `tp.xml:849,875,853`). Input must have key/value columns.
     * Requires the kafka connector at runtime. */
   def kafkaWrite(df: DataFrame, bootstrap: String, topic: String): Unit =
     df.select(col("key").cast("string"), col("value").cast("string"))
       .write.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("topic", topic)
-      .option("kafka.acks", "all")
+      .options(kafkaWriteOptions(bootstrap, topic))
       .save()
 
   /** K3-surrogate: durable keyed wire write for test round-trips. */

@@ -27,24 +27,32 @@ object KafkaWire {
     StructField("timestamp", TimestampType),
     StructField("timestampType", IntegerType)))
 
+  /** The exact option set both scans hand to the kafka data source —
+    * exposed as pure data so KafkaShapeSpec can pin the wire shape even
+    * though `load()` itself cannot run here (no connector jar: the resolve
+    * step `DataSource.lookupDataSource("kafka")` is the one that throws,
+    * asserted in the spec). */
+  def scanOptions(bootstrap: String, topic: String,
+                  startingOffsets: String = "earliest"): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrap,
+      "subscribe" -> topic,
+      "startingOffsets" -> startingOffsets)
+
   /** S1: batch scan of a topic from earliest
     * (`spark_airports_final.py:19-24`). Requires the kafka connector on the
     * classpath at runtime. */
   def batch(spark: SparkSession, bootstrap: String, topic: String,
             startingOffsets: String = "earliest"): DataFrame =
     spark.read.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
+      .options(scanOptions(bootstrap, topic, startingOffsets))
       .load()
 
   /** S2: unbounded scan of the same topic (`spark_kafka_direct.py:21-27`). */
   def stream(spark: SparkSession, bootstrap: String, topic: String,
              startingOffsets: String = "earliest"): DataFrame =
     spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
+      .options(scanOptions(bootstrap, topic, startingOffsets))
       .load()
 
   /** Surrogate wire: wrap (key, value) string columns of `df` into the

@@ -206,26 +206,32 @@ object Streams {
     * cardinality, not batch parallelism (the session default of 32 means
     * 32 store instances to checkpoint for a 15-key stream). Pinned at
     * query start; a streaming query's partitioning is then fixed for the
-    * checkpoint's lifetime. */
+    * checkpoint's lifetime.
+    *
+    * The override is scoped to a CLONED session (same context and shared
+    * state, its own SQLConf) and the plan is rebound there, so concurrent
+    * queries on the caller's session never observe the streaming-sized
+    * shuffle-partition setting (r3 advice — the previous mutate-and-restore
+    * leaked it for the duration of the run). The memory-sink table lives in
+    * the clone; the returned DataFrame is bound to it. */
   def runToMemory(
       spark: SparkSession, agg: DataFrame, name: String,
       mode: String = "complete", statePartitions: Option[Int] = Some(8)): DataFrame = {
-    spark.catalog.dropTempView(name)
     val ckpt = Files.createTempDirectory(s"graft-ckpt-$name-")
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    statePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n.toString))
-    try {
-      val q = agg.writeStream
-        .outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt.toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      finally deleteRecursively(ckpt)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.table(name)
+    val scoped = org.apache.spark.sql.graftbridge.SessionBridge.cloneSession(spark)
+    statePartitions.foreach(n =>
+      scoped.conf.set("spark.sql.shuffle.partitions", n.toString))
+    val q = org.apache.spark.sql.graftbridge.SessionBridge.rebind(agg, scoped)
+      .writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally deleteRecursively(ckpt)
+    scoped.table(name)
   }
 
   def runCompleteToMemory(

@@ -45,15 +45,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(2).sameElements(bytes.slice(64, 80)))
   }
 
-  test("metadata struct carries mime, byte size and stub dims") {
-    val png = Multimodal.PNG_MAGIC ++ Array.fill[Byte](100)(7)
-    val m = blobDf(1L -> png)
-      .select(Multimodal.metadata(col("content")).as("m"))
-      .select("m.mime", "m.bytes", "m.width", "m.height")
-      .collect()(0)
-    assert(m.getString(0) == "image/png")
-    assert(m.getLong(1) == 108)
-    assert(m.getInt(2) == 108 % 1024 && m.getInt(3) == 108 % 768)
+  private def be32(v: Int): Array[Byte] =
+    Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  test("metadata decodes real PNG IHDR dimensions, null dims elsewhere") {
+    // real PNG layout: magic(8) ++ chunk len 13 ++ "IHDR" ++ w(4,BE) ++ h(4,BE) ++ ...
+    val png = Multimodal.PNG_MAGIC ++ be32(13) ++ Multimodal.IHDR_TAG ++
+      be32(640) ++ be32(131072 + 480) ++ Array[Byte](8, 2, 0, 0, 0) ++
+      Array.fill[Byte](50)(7)
+    val jpeg = Multimodal.JPEG_MAGIC ++ Array.fill[Byte](20)(3)
+    // PNG magic but a corrupted chunk tag must NOT be parsed as dims
+    val badTag = Multimodal.PNG_MAGIC ++ be32(13) ++ "XXXX".getBytes ++
+      be32(640) ++ be32(480) ++ Array[Byte](8, 2, 0, 0, 0)
+    val rows = blobDf(1L -> png, 2L -> jpeg, 3L -> badTag)
+      .select(col("id"), Multimodal.metadata(col("content")).as("m"))
+      .select(col("id"), col("m.mime"), col("m.bytes"), col("m.width"), col("m.height"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(rows(1L) == (("image/png", png.length.toLong, 640L, 131552L)))
+    assert(rows(2L) == (("image/jpeg", jpeg.length.toLong, -1L, -1L)))
+    assert(rows(3L) == (("image/png", badTag.length.toLong, -1L, -1L)))
   }
 
   test("resizeStub truncates payload, preserves magic/mime, restamps dims") {

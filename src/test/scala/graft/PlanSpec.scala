@@ -103,6 +103,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF probe over a cell-partitioned corpus prunes to the probed cells") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    val centroids = graft.operators.Ivf.kmeansCentroids(emb, "vec_id", "embedding",
+      nlist = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-").toString + "/corpus"
+    graft.operators.Ivf.writeCellPartitioned(emb, "vec_id", "embedding", centroids, dir)
+    val probe = graft.operators.Ivf.ivfTopKPartitioned(
+      spark, dir, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+      k = 3, centroids, nprobe = 2)
+    val s = plan(probe).toString
+    // the corpus scan must carry a dynamic pruning expression on cid —
+    // at 100 TB this is what turns a full corpus scan into nprobe cells
+    assert(s.contains("PartitionFilters") && s.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the IVF probe scan:\n$s")
+    assert(probe.count() > 0)
+  }
+
   test("partitioned parquet write + filtered read prunes partitions at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part-").toString + "/docs"
     Tables.documents(spark, sf).write.partitionBy("lang").mode("overwrite").parquet(dir)

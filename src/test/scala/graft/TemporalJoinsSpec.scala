@@ -52,6 +52,31 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 2L))
   }
 
+  test("rangeJoinCount buckets pre-1970 (negative-epoch) timestamps correctly") {
+    // floor semantics matter below epoch 0: truncating division would put
+    // 1969-12-31 23:30 in bucket 0 alongside 1970-00:30 and drop matches
+    val anchors = Seq((1L, 7L, ts("1969-12-31 23:30:00"))).toDF("aid", "k", "ats")
+    val others = Seq(
+      (7L, ts("1969-12-31 23:30:00")),  // == start → in
+      (7L, ts("1970-01-01 00:29:59")),  // just inside, across epoch 0 → in
+      (7L, ts("1970-01-01 00:30:00")),  // == end → out
+      (7L, ts("1969-12-31 23:29:59")))  // before → out
+      .toDF("k", "ots")
+    val got = TemporalJoins.rangeJoinCount(
+      anchors, "aid", "k", "ats", others, "k", "ots", windowSec = 3600)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L))
+  }
+
+  test("asofJoin refuses a left side whose columns collide with reserved names") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "x")).toDF("k", "tts", "__side")
+    val right = Seq((1L, ts("2024-01-01 09:00:00"), 1.0)).toDF("k", "qts", "px")
+    val e = intercept[IllegalArgumentException] {
+      TemporalJoins.asofJoin(left, "k", "tts", right, "k", "qts", struct(col("px")))
+    }
+    assert(e.getMessage.contains("__side"))
+  }
+
   test("asofJoin equals the naive inequality join on real events × orders") {
     val events = Tables.events(spark, TestSpark.sf).select("event_id", "user_id", "ts")
     val orders = Tables.orders(spark, TestSpark.sf)
