@@ -14,6 +14,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // static conf, default 100: a 65-query fleet with multi-stage plans
+      // evicts its own generated classes and re-compiles mid-run (measured:
+      // q30 3.9 s in-fleet vs 0.6-1.0 s warm in isolation). Production
+      // tuning for any many-query service, not a bench trick.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: exercise the distinct first-touch JIT/codegen families so
@@ -22,7 +27,11 @@ object Bench {
     // (r3 recorded q30 at 11.6 s cold vs 0.5 s warm), and the text-pack
     // regex/md5/HOF path. Fall back to the first query so a rename can't
     // silently drop the warm-up (and with it, skew the first timed query).
-    val warmupNames = Seq("q05_join_priority_agg", "q30_etl_parse_clean", "q23_fingerprint_dedup")
+    // q33 warms the streaming engine (StateStore init, streaming codegen,
+    // checkpoint IO) so the cold start doesn't land on the first timed
+    // streaming query (~4 s at sf0.01)
+    val warmupNames = Seq("q05_join_priority_agg", "q30_etl_parse_clean",
+      "q23_fingerprint_dedup", "q33_stream_count")
     val warmups = warmupNames.flatMap(SparkEntry.queries.get) match {
       case Nil => Seq(SparkEntry.queries.toSeq.minBy(_._1)._2)
       case ws => ws
