@@ -64,6 +64,32 @@ object Multimodal {
       when(isPng, beUInt32(bin, 21)).cast("long").as("height"))
   }
 
+  val FMT_TAG: Array[Byte] = "fmt ".getBytes("UTF-8")
+
+  /** Little-endian uint32/uint16 at 1-based byte offset `pos`: hex the
+    * bytes, reorder pairs to big-endian, parse. Codegen'd builtins only. */
+  private def leUInt(bin: Column, pos: Int, nBytes: Int): Column = {
+    val h = hex(substring(bin, pos, nBytes))
+    val be = concat((nBytes to 1 by -1).map(i => substring(h, (i - 1) * 2 + 1, 2)): _*)
+    conv(be, 16, 10).cast("long")
+  }
+
+  /** REAL WAV fmt-chunk parse: a canonical WAV file is RIFF(4) ++ size(4)
+    * ++ "WAVE"(4) ++ "fmt "(4) ++ chunkSize(4) ++ audioFormat(2,LE) ++
+    * channels(2,LE) ++ sampleRate(4,LE) ++ ... — so channels live at bytes
+    * 23-24 and sample rate at 25-28, both little-endian. Non-WAV input (or
+    * a WAV whose first chunk is not canonical "fmt ") yields nulls.
+    * (JPEG dimensions need a variable-length SOF segment scan — a loop,
+    * not a fixed substring — and stay undecoded by design.) */
+  def wavMeta(bin: Column): Column = {
+    val isWav = sniffMime(bin) === "audio/wav" &&
+      substring(bin, 13, 4) === lit(FMT_TAG)
+    struct(
+      when(isWav, leUInt(bin, 21, 2)).as("audio_format"),
+      when(isWav, leUInt(bin, 23, 2)).as("channels"),
+      when(isWav, leUInt(bin, 25, 4)).as("sample_rate"))
+  }
+
   /** Frame sampling: up to `maxFrames` fixed-length windows at a fixed
     * byte stride (a video keyframe / audio clip sampler shape). Emits one
     * row per (row, frame_no) with the frame bytes; frames that would run

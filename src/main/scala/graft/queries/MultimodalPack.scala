@@ -38,12 +38,21 @@ object MultimodalPack {
       be32(lit(1) + pmod(col("doc_id"), lit(512))),
       be32(lit(1) + pmod(col("doc_id"), lit(384))),
       lit(Array[Byte](8, 2, 0, 0, 0)))
+    // real fmt chunk: "fmt " ++ size 16 (LE) ++ PCM format 1 (LE) ++
+    // planted channels (mono/stereo by doc_id % 8) ++ planted sample rate
+    // (44100 = 44 AC 00 00 LE / 16000 = 80 3E 00 00 LE)
+    val mono = pmod(col("doc_id"), lit(8)) === 2
+    val fmt = concat(
+      lit(Multimodal.FMT_TAG), lit(Array[Byte](16, 0, 0, 0)), lit(Array[Byte](1, 0)),
+      when(mono, lit(Array[Byte](1, 0))).otherwise(lit(Array[Byte](2, 0))),
+      when(mono, lit(Array[Byte](0x44, 0xAC.toByte, 0, 0)))
+        .otherwise(lit(Array[Byte](0x80.toByte, 0x3E, 0, 0))))
     Tables.documents(s, d).select(
       col("doc_id"),
       when(m === 0, concat(lit(Multimodal.PNG_MAGIC), ihdr, enc))
         .when(m === 1, concat(lit(Multimodal.JPEG_MAGIC), enc))
         .when(m === 2, concat(lit(Multimodal.RIFF_MAGIC),
-          lit(Array[Byte](0, 0, 0, 0)), lit(Multimodal.WAVE_TAG), enc))
+          lit(Array[Byte](0, 0, 0, 0)), lit(Multimodal.WAVE_TAG), fmt, enc))
         .otherwise(enc).as("content"))
   }
 
@@ -59,7 +68,11 @@ object MultimodalPack {
        |        '\\x08\\x02\\x00\\x00\\x00'::BLOB ||
        |        encode(text)
        |      WHEN 1 THEN '\\xFF\\xD8\\xFF'::BLOB || encode(text)
-       |      WHEN 2 THEN 'RIFF'::BLOB || '\\x00\\x00\\x00\\x00'::BLOB || 'WAVE'::BLOB || encode(text)
+       |      WHEN 2 THEN 'RIFF'::BLOB || '\\x00\\x00\\x00\\x00'::BLOB || 'WAVE'::BLOB ||
+       |        'fmt '::BLOB || '\\x10\\x00\\x00\\x00'::BLOB || '\\x01\\x00'::BLOB ||
+       |        CASE WHEN doc_id % 8 = 2 THEN '\\x01\\x00'::BLOB ELSE '\\x02\\x00'::BLOB END ||
+       |        CASE WHEN doc_id % 8 = 2 THEN '\\x44\\xAC\\x00\\x00'::BLOB ELSE '\\x80\\x3E\\x00\\x00'::BLOB END ||
+       |        encode(text)
        |      ELSE encode(text) END AS content
        |  FROM documents),
        |sniffed AS (
@@ -138,6 +151,34 @@ object MultimodalPack {
         .select(col("doc_id"), col("m.mime").as("mime"), col("m.bytes").as("bytes"),
           coalesce(col("m.width"), lit(-1L)).as("width"),
           coalesce(col("m.height"), lit(-1L)).as("height"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q66: WAV fmt-chunk metadata parse (little-endian decode) ----------
+    // Multimodal.wavMeta decodes PCM format/channels/sample-rate from the
+    // canonical fmt chunk (LE uint16/uint32 at fixed offsets); the fixture
+    // plants mono@44100 / stereo@16000 by doc_id, and the oracle re-parses
+    // the blob hex with the same byte-reorder ('fmt ' tag = hex 666D7420 at
+    // chars 25-32; channels chars 45-48; sample rate chars 49-56). Non-WAV
+    // rows → -1 (null-free numeric columns for the driver hash).
+    QueryDef(
+      "q66_wav_metadata",
+      s"""WITH $BLOBS_SQL
+         |SELECT doc_id, mime,
+         |  COALESCE(CASE WHEN mime = 'audio/wav' AND substring(h, 25, 8) = '666D7420'
+         |    THEN ('0x' || substring(h, 47, 2) || substring(h, 45, 2))::BIGINT END, -1) AS channels,
+         |  COALESCE(CASE WHEN mime = 'audio/wav' AND substring(h, 25, 8) = '666D7420'
+         |    THEN ('0x' || substring(h, 55, 2) || substring(h, 53, 2) ||
+         |          substring(h, 51, 2) || substring(h, 49, 2))::BIGINT END, -1) AS sample_rate
+         |FROM sniffed
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      blobs(s, d)
+        .select(col("doc_id"),
+          Multimodal.sniffMime(col("content")).as("mime"),
+          Multimodal.wavMeta(col("content")).as("w"))
+        .select(col("doc_id"), col("mime"),
+          coalesce(col("w.channels"), lit(-1L)).as("channels"),
+          coalesce(col("w.sample_rate"), lit(-1L)).as("sample_rate"))
         .orderBy("doc_id")
     },
 

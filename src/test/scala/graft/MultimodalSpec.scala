@@ -69,6 +69,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(3L) == (("image/png", badTag.length.toLong, -1L, -1L)))
   }
 
+  test("wavMeta decodes little-endian fmt fields, null on non-canonical input") {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    val wav = Multimodal.RIFF_MAGIC ++ le32(100) ++ Multimodal.WAVE_TAG ++
+      Multimodal.FMT_TAG ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(48000) ++
+      Array.fill[Byte](20)(0)
+    // RIFF/WAVE but first chunk is not "fmt " → sniffs as wav, no decode
+    val weird = Multimodal.RIFF_MAGIC ++ le32(100) ++ Multimodal.WAVE_TAG ++
+      "LIST".getBytes ++ le32(4) ++ Array.fill[Byte](8)(0)
+    val rows = blobDf(1L -> wav, 2L -> weird)
+      .select(col("id"), Multimodal.wavMeta(col("content")).as("w"))
+      .select(col("id"), col("w.audio_format"), col("w.channels"), col("w.sample_rate"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(rows(1L) == ((1L, 2L, 48000L)))
+    assert(rows(2L) == ((-1L, -1L, -1L)))
+  }
+
   test("resizeStub truncates payload, preserves magic/mime, restamps dims") {
     val png = Multimodal.PNG_MAGIC ++ Array.fill[Byte](100)(7)
     val out = blobDf(1L -> png)
