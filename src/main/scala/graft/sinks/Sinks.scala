@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   * The JDBC legs run against embedded Derby (`jdbc:derby:memory:...`) in
   * EtlLifecycleSpec — the only JDBC driver in this container; the
   * URL/driver are parameters, so Postgres at deploy time is a config
-  * change. [[kafkaWrite]] needs a broker + connector jar and is
-  * unexercised here: requires external service.
+  * change whose column-type mapping (TEXT/FLOAT8) is pinned against
+  * Spark's own PostgresDialect in PostgresDialectSpec. [[kafkaWrite]]
+  * needs a broker + connector jar and is unexercised here: requires
+  * external service (KafkaShapeSpec pins its option shape).
   */
 object Sinks {
 
