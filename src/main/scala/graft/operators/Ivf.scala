@@ -79,6 +79,20 @@ object Ivf {
     centroids
   }
 
+  /** Shared probe tail: join cell-assigned corpus (nid, nvec, cid) with
+    * the exploded probe set (qid, qvec, cid), exact cosine re-rank, top-k.
+    * One implementation so the ad-hoc and partitioned variants cannot
+    * drift on tie-break or self-pair semantics. */
+  private def probeScoreRank(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
+    val scored = c.join(broadcast(q), "cid")
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        Similarity.cosine(col("qvec"), col("nvec")).as("cos_sim"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** IVF top-k: assign corpus to cells once, probe `nprobe` cells per
     * query, exact cosine re-rank. Output (qid, nid, cos_sim, rk). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
@@ -90,13 +104,7 @@ object Ivf {
       assignCell(col(vecCol), centroids).as("cid"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
       explode(probeCells(col(vecCol), centroids, nprobe)).as("cid"))
-    val scored = c.join(broadcast(q), "cid")
-      .filter(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"),
-        Similarity.cosine(col("qvec"), col("nvec")).as("cos_sim"))
-    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+    probeScoreRank(c, q, k)
   }
 
   /** The 100 TB corpus layout: parquet partitioned by cell id. A probe is
@@ -122,12 +130,6 @@ object Ivf {
       .select(col(idCol).as("nid"), col(vecCol).as("nvec"), col("cid"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
       explode(probeCells(col(vecCol), centroids, nprobe)).as("cid"))
-    val scored = c.join(broadcast(q), "cid")
-      .filter(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"),
-        Similarity.cosine(col("qvec"), col("nvec")).as("cos_sim"))
-    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+    probeScoreRank(c, q, k)
   }
 }

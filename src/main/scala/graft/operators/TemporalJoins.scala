@@ -30,14 +30,14 @@ object TemporalJoins {
   def asofJoin(left: DataFrame, lKey: String, lTs: String,
                right: DataFrame, rKey: String, rTs: String,
                payload: Column, asofCol: String = "asof"): DataFrame = {
-    // the left side keeps all its columns, so the internal working names
-    // must not collide — silently overwriting then dropping a caller's
-    // column would corrupt its data (r3 advice)
-    val reserved = Seq("__k", "__t", "__p", "__side")
+    // the left side keeps all its columns, so neither the internal working
+    // names nor the OUTPUT column may collide — silently overwriting a
+    // caller's column would corrupt its data (r3 advice)
+    val reserved = Seq("__k", "__t", "__p", "__side", asofCol)
     val clash = reserved.filter(left.columns.contains)
     require(clash.isEmpty,
       s"asofJoin: left columns ${clash.mkString(", ")} collide with reserved " +
-        s"internal names (${reserved.mkString(", ")}) — rename them first")
+        s"internal/output names (${reserved.mkString(", ")}) — rename them first")
     val r = right.select(col(rKey).as("__k"), col(rTs).cast("timestamp").as("__t"),
       payload.as("__p"), lit(0).as("__side"))
     val l = left
@@ -59,10 +59,16 @@ object TemporalJoins {
     * buckets; a left row probes its own bucket and the next, so the join
     * is a (key, bucket) equi-join with local residual filters — fan-out
     * is bounded by bucket occupancy, never |left|×|right|.
+    *
+    * By default, left rows with zero in-window matches are OMITTED (inner
+    * join semantics — matches the SQL-oracle formulation). Pass
+    * `includeEmpty = true` to get one row per distinct left id with a 0
+    * count instead (one extra keyed left-join on the id).
     */
   def rangeJoinCount(left: DataFrame, leftId: String, lKey: String, lTs: String,
                      right: DataFrame, rKey: String, rTs: String,
-                     windowSec: Long, countCol: String = "n_in_window"): DataFrame = {
+                     windowSec: Long, countCol: String = "n_in_window",
+                     includeEmpty: Boolean = false): DataFrame = {
     val winUs = windowSec * 1000000L
     // exact integer floor-division: strip the non-negative pmod remainder,
     // then `div` truncates losslessly. Correct for pre-1970 (negative)
@@ -78,9 +84,14 @@ object TemporalJoins {
     val rBuckets = right.select(col(rKey).as("__k"),
       unix_micros(col(rTs)).as("__rus"),
       bucket(unix_micros(col(rTs))).as("__b"))
-    lBuckets.join(rBuckets, Seq("__k", "__b"))
+    val counts = lBuckets.join(rBuckets, Seq("__k", "__b"))
       .filter(col("__rus") >= col("__lus") && col("__rus") < col("__lus") + winUs)
-      .groupBy(col("__lid").as(leftId))
+      .groupBy(col("__lid"))
       .agg(count(lit(1)).as(countCol))
+    if (!includeEmpty) counts.select(col("__lid").as(leftId), col(countCol))
+    else left.select(col(leftId).as("__lid")).distinct()
+      .join(counts, Seq("__lid"), "left")
+      .select(col("__lid").as(leftId),
+        coalesce(col(countCol), lit(0L)).as(countCol))
   }
 }

@@ -11,26 +11,32 @@ class PercentileSpec extends AnyFunSuite {
   import TestSpark.{sf, spark}
 
   test("approx_percentile lands within the rank-error bound of exact") {
-    // accuracy a ⇒ the reported value's rank is within n/a of the target
-    // rank. Assert value-wise: the approx must lie between the exact
-    // interpolated quantiles at p ± 1/a (clamped to [0,1]).
+    // accuracy a ⇒ the returned DATA value's rank is within n/a of the
+    // target rank (the sketch returns an actual element, not an
+    // interpolation). Assert directly in rank space: the approx value must
+    // lie between the order statistics at ranks (p ± 1/a)·n, with one
+    // index of slack for floor/ceil convention differences.
     val acc = 1000
     val eps = 1.0 / acc
+    val groups = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rs) => g -> rs.map(_.getDouble(1)).sorted }
+    assert(groups.nonEmpty)
     for (p <- Seq(0.5, 0.9)) {
-      val lo = math.max(0.0, p - eps)
-      val hi = math.min(1.0, p + eps)
-      val rows = Tables.lineitem(spark, sf)
+      val approxRows = Tables.lineitem(spark, sf)
         .groupBy(col("l_returnflag"))
-        .agg(
-          percentile(col("l_quantity"), lit(lo)).as("lo"),
-          percentile(col("l_quantity"), lit(hi)).as("hi"),
-          approx_percentile(col("l_quantity"), lit(p), lit(acc)).as("approx"))
-        .collect()
-      assert(rows.nonEmpty)
-      rows.foreach { r =>
-        val (l, h, a) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
-        assert(a >= l && a <= h,
-          s"p=$p group=${r.get(0)}: approx $a outside exact rank band [$l, $h]")
+        .agg(approx_percentile(col("l_quantity"), lit(p), lit(acc)).as("approx"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      groups.foreach { case (g, sorted) =>
+        val n = sorted.length
+        val a = approxRows(g)
+        val loIdx = math.max(0, math.floor((p - eps) * n).toInt - 1)
+        val hiIdx = math.min(n - 1, math.ceil((p + eps) * n).toInt + 1)
+        assert(a >= sorted(loIdx) && a <= sorted(hiIdx),
+          s"p=$p group=$g n=$n: approx $a outside rank band " +
+            s"[${sorted(loIdx)}, ${sorted(hiIdx)}] (idx $loIdx..$hiIdx)")
       }
     }
   }

@@ -75,6 +75,30 @@ class TemporalJoinsSpec extends AnyFunSuite {
       TemporalJoins.asofJoin(left, "k", "tts", right, "k", "qts", struct(col("px")))
     }
     assert(e.getMessage.contains("__side"))
+    // output-name collision is the same corruption class: a left column
+    // named like asofCol would be silently overwritten
+    val left2 = Seq((1L, ts("2024-01-01 10:00:00"), "x")).toDF("k", "tts", "asof")
+    val e2 = intercept[IllegalArgumentException] {
+      TemporalJoins.asofJoin(left2, "k", "tts", right, "k", "qts", struct(col("px")))
+    }
+    assert(e2.getMessage.contains("asof"))
+  }
+
+  test("rangeJoinCount includeEmpty emits zero-count rows for unmatched anchors") {
+    val anchors = Seq(
+      (1L, 7L, ts("2024-01-01 10:30:00")),
+      (2L, 9L, ts("2024-01-01 10:30:00")))  // key 9 has no right rows
+      .toDF("aid", "k", "ats")
+    val others = Seq((7L, ts("2024-01-01 10:45:00"))).toDF("k", "ots")
+    val inner = TemporalJoins.rangeJoinCount(
+      anchors, "aid", "k", "ats", others, "k", "ots", windowSec = 3600)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inner == Map(1L -> 1L)) // default: unmatched anchor omitted
+    val full = TemporalJoins.rangeJoinCount(
+      anchors, "aid", "k", "ats", others, "k", "ots", windowSec = 3600,
+      includeEmpty = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == Map(1L -> 1L, 2L -> 0L))
   }
 
   test("asofJoin equals the naive inequality join on real events × orders") {
