@@ -213,7 +213,9 @@ object Streams {
     * queries on the caller's session never observe the streaming-sized
     * shuffle-partition setting (r3 advice — the previous mutate-and-restore
     * leaked it for the duration of the run). The memory-sink table lives in
-    * the clone; the returned DataFrame is bound to it. */
+    * the clone; the returned DataFrame is bound to it — it is NOT registered
+    * on the caller's session, so `spark.table(name)` does not resolve it and
+    * a pre-existing parent temp view of the same name is left untouched. */
   def runToMemory(
       spark: SparkSession, agg: DataFrame, name: String,
       mode: String = "complete", statePartitions: Option[Int] = Some(8)): DataFrame = {

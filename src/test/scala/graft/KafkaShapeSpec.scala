@@ -44,7 +44,13 @@ class KafkaShapeSpec extends AnyFunSuite {
       val e = intercept[Throwable](body)
       val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
         .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
-      assert(msgs.toLowerCase.contains("kafka"),
+      // pin the *lookup* as the failing step: Spark raises DATA_SOURCE_NOT_FOUND
+      // ("Failed to find the data source: kafka"). A mere "kafka" substring would
+      // also match a broker connection error if a connector jar ever landed on
+      // the test classpath — which should fail this test, not pass it.
+      val lookupFailure = msgs.contains("DATA_SOURCE_NOT_FOUND") ||
+        msgs.toLowerCase.contains("failed to find data source: kafka")
+      assert(lookupFailure,
         s"expected the kafka data-source lookup to be the failing step, got: $msgs")
     }
     failsAtLookup(KafkaWire.batch(spark, "broker:9092", "t"))
