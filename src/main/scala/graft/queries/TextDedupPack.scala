@@ -18,10 +18,10 @@ import org.apache.spark.sql.types.DecimalType
   */
 object TextDedupPack {
 
-  private val STOP_EN = Seq("the", "a", "of", "and", "is")
-  private val STOP_FR = Seq("le", "la", "et", "un", "une")
-  private val STOP_DE = Seq("der", "die", "und", "ein", "ist")
-  private val STOP_ES = Seq("el", "los", "y", "una", "es")
+  private[queries] val STOP_EN = Seq("the", "a", "of", "and", "is")
+  private[queries] val STOP_FR = Seq("le", "la", "et", "un", "une")
+  private[queries] val STOP_DE = Seq("der", "die", "und", "ein", "ist")
+  private[queries] val STOP_ES = Seq("el", "los", "y", "una", "es")
 
   /** Document-frequency cap for near-dup shingles: a gram shared by more
     * than this many documents is stopword-class (no near-dup signal) and is
@@ -55,6 +55,23 @@ object TextDedupPack {
        |            FROM grams_all)
        |          WHERE df <= $MAX_GRAM_DF)""".stripMargin
 
+  /** Shared SQL for the q27 near-dup pair pipeline (DuckDB dialect):
+    * capped grams → co-occurrence counts → Jaccard ≥ 0.5 pairs as `jpairs`.
+    * q67 builds its connected-components oracle on top of it. */
+  private val PAIRS_SQL =
+    s"""$GRAMS_SQL,
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+       |co AS (SELECT g1.doc_id AS doc_a, g2.doc_id AS doc_b, COUNT(*) AS common
+       |       FROM grams g1 JOIN grams g2
+       |         ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+       |       GROUP BY g1.doc_id, g2.doc_id),
+       |jpairs AS (SELECT doc_a, doc_b,
+       |    common * 1.0 / (sa.n + sb.n - common) AS jaccard
+       |  FROM co
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5)""".stripMargin
+
   /** Spark-side distinct word-3-gram extraction with the df cap:
     * (doc_id, gram string). Tokenizes via an explicit projection so the
     * split runs once per row, not once per element_at. Persisted — q27/q28
@@ -72,6 +89,25 @@ object TextDedupPack {
           i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))
         ))).as("gram"))
     graft.operators.Occupancy.cap(grams, Seq("gram"), MAX_GRAM_DF, persistResult = true)
+  }
+
+  /** Spark side of [[PAIRS_SQL]]: exact n-gram Jaccard near-dup pairs
+    * (doc_a, doc_b, jaccard ≥ 0.5), unordered. Shared by q27 (pair listing)
+    * and q67 (connected-components clustering of the same pairs). */
+  private def jaccardPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val grams = sparkGrams(s, d)
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = grams.as("g1")
+      .join(grams.as("g2"),
+        col("g1.gram") === col("g2.gram") && col("g1.doc_id") < col("g2.doc_id"))
+      .groupBy(col("g1.doc_id").as("doc_a"), col("g2.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    val jc = col("common") * lit(1.0) / (col("na") + col("nb") - col("common"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), jc.as("jaccard"))
+      .filter(jc >= 0.5)
   }
 
   def all: Seq[QueryDef] = Seq(
@@ -205,33 +241,41 @@ object TextDedupPack {
     // ---- q27: exact n-gram Jaccard near-duplicate pairs --------------------
     QueryDef(
       "q27_ngram_jaccard",
-      s"""WITH $GRAMS_SQL,
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
-         |pairs AS (SELECT g1.doc_id AS doc_a, g2.doc_id AS doc_b, COUNT(*) AS common
-         |          FROM grams g1 JOIN grams g2
-         |            ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
-         |          GROUP BY g1.doc_id, g2.doc_id)
-         |SELECT doc_a, doc_b,
-         |  common * 1.0 / (sa.n + sb.n - common) AS jaccard
-         |FROM pairs
-         |JOIN sizes sa ON sa.doc_id = doc_a
-         |JOIN sizes sb ON sb.doc_id = doc_b
-         |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+      s"""WITH $PAIRS_SQL
+         |SELECT doc_a, doc_b, jaccard FROM jpairs
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      val grams = sparkGrams(s, d)
-      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pairs = grams.as("g1")
-        .join(grams.as("g2"),
-          col("g1.gram") === col("g2.gram") && col("g1.doc_id") < col("g2.doc_id"))
-        .groupBy(col("g1.doc_id").as("doc_a"), col("g2.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("common"))
-      val jc = col("common") * lit(1.0) / (col("na") + col("nb") - col("common"))
-      pairs
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-        .select(col("doc_a"), col("doc_b"), jc.as("jaccard"))
-        .filter(jc >= 0.5)
-        .orderBy("doc_a", "doc_b")
+      jaccardPairs(s, d).orderBy("doc_a", "doc_b")
+    },
+
+    // ---- q67: near-dup CLUSTERS — connected components over q27's pairs ----
+    // Pairs aren't what a dedup pipeline keeps: it needs one canonical doc
+    // per transitive near-dup group (a~b, b~c ⇒ {a,b,c} even when a,c never
+    // paired). Spark side runs operators.Components (alternating
+    // large-star/small-star, O(log² n) keyed rounds — no driver-side graph);
+    // the oracle replays it as a recursive-CTE transitive closure, feasible
+    // because the oracle runs at test SFs. Canonical = min doc_id.
+    QueryDef(
+      "q67_dedup_clusters",
+      s"""WITH RECURSIVE $PAIRS_SQL,
+         |und AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |        UNION ALL
+         |        SELECT doc_b AS u, doc_a AS v FROM jpairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM und
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, least(u, MIN(v)) AS cluster_id
+         |         FROM reach GROUP BY u)
+         |SELECT cluster_id, doc_id,
+         |  CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+         |FROM comp
+         |ORDER BY cluster_id, doc_id""".stripMargin) { (s, d) =>
+      graft.operators.Components
+        .connectedComponents(jaccardPairs(s, d).select("doc_a", "doc_b"),
+          "doc_a", "doc_b")
+        .select(col("component").as("cluster_id"), col("id").as("doc_id"),
+          when(col("id") === col("component"), 1L).otherwise(0L).as("is_canonical"))
+        .orderBy("cluster_id", "doc_id")
     },
 
     // ---- q28: MinHash-LSH near-dup (md5-salted, oracle-replayable) ---------

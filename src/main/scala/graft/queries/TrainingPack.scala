@@ -1,0 +1,184 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.{Packing, Redact, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Training-data preparation pack: the corpus-level operations between a
+  * deduplicated document set and a token stream — deterministic train/val/
+  * test splitting, PII redaction, quality-rule filtering (Gopher-style
+  * funnel), and sequence packing into fixed context windows.
+  *
+  * Everything here is map-side or singly-keyed: splits and redaction are
+  * pure per-row expressions; the funnel is one groupBy; packing is a
+  * per-group prefix sum. All four are oracle-checked — the split hash, the
+  * redaction regexes and the packing arithmetic use only cross-engine-
+  * identical primitives.
+  */
+object TrainingPack {
+
+  private val ALL_STOPS =
+    TextDedupPack.STOP_EN ++ TextDedupPack.STOP_FR ++
+      TextDedupPack.STOP_DE ++ TextDedupPack.STOP_ES
+
+  /** Context-window capacity for q71 (tokens). */
+  private val PACK_CAPACITY = 2048
+
+  def all: Seq[QueryDef] = Seq(
+
+    // ---- q68: deterministic stratified train/val/test split ----------------
+    // Assignment = first 8 md5 hex chars of "split:doc_id" mod 100 — stable
+    // across runs/engines/cluster sizes (a re-run can never leak eval docs
+    // into training), pure map-side, salt-keyed for re-draws. The query
+    // reports the stratification: docs + tokens per (split, lang).
+    QueryDef(
+      "q68_train_split",
+      """WITH b AS (
+        |  SELECT lang, text,
+        |    ('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+        |  FROM documents)
+        |SELECT
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  lang,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |FROM b
+        |GROUP BY 1, 2
+        |ORDER BY split, lang""".stripMargin) { (s, d) =>
+      val assigned = Sampling.splitColumn(col("doc_id"), "split",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      Tables.documents(s, d)
+        .select(assigned.as("split"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("ntok"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("total_tokens"))
+        .orderBy("split", "lang")
+    },
+
+    // ---- q69: PII redaction with planted ground truth ----------------------
+    // The fixture corpus has no PII, so each doc gets a deterministic planted
+    // email + phone (+ SSN on every third doc); the redactor must find and
+    // replace exactly those. Patterns live in operators.Redact, written in
+    // the Java-regex ∩ RE2 subset with no backslash escapes so DuckDB
+    // replays them byte-for-byte (md5 of the redacted text is hash-checked).
+    QueryDef(
+      "q69_pii_redaction", {
+        val Seq(email, phone, ssn) = Redact.Rules.map(_._1)
+        s"""WITH planted AS (
+           |  SELECT doc_id,
+           |    text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com or 555-' ||
+           |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+           |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+           |      CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END AS t
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(t, '$email'))
+           |    + len(regexp_extract_all(t, '$phone'))
+           |    + len(regexp_extract_all(t, '$ssn')) AS BIGINT) AS n_pii,
+           |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+           |    '$email', '<EMAIL>', 'g'),
+           |    '$phone', '<PHONE>', 'g'),
+           |    '$ssn', '<SSN>', 'g')) AS redacted_md5
+           |FROM planted
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      val planted = concat(
+        col("text"), lit(" Contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        when(col("doc_id") % 3 === 0, " ssn 123-45-6789").otherwise(""))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Redact.piiCount(planted).as("n_pii"),
+          md5(Redact.redact(planted)).as("redacted_md5"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q70: quality-rule funnel (Gopher-style) ---------------------------
+    // Four cheap per-doc rules (token count in range, mean word length in
+    // range, symbol ratio, ≥1 stopword) and the count surviving each — the
+    // shape every corpus-quality report takes. One groupBy; all rule math is
+    // per-row integer/IEEE-double arithmetic.
+    QueryDef(
+      "q70_quality_funnel", {
+        val stops = ALL_STOPS.map("'" + _ + "'").mkString(",")
+        s"""WITH scored AS (
+           |  SELECT source,
+           |    len(string_split(text, ' ')) AS ntok,
+           |    list_sum(list_transform(string_split(text, ' '), x -> length(x)))
+           |      * 1.0 / len(string_split(text, ' ')) AS awl,
+           |    len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0 / n_chars AS symratio,
+           |    len(list_filter(string_split(text, ' '), x -> x IN ($stops))) AS nstop
+           |  FROM documents)
+           |SELECT source,
+           |  COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN ntok BETWEEN 5 AND 1000 THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,
+           |  CAST(SUM(CASE WHEN awl >= 2.0 AND awl <= 12.0 THEN 1 ELSE 0 END) AS BIGINT) AS pass_wordlen,
+           |  CAST(SUM(CASE WHEN symratio < 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS pass_symbol,
+           |  CAST(SUM(CASE WHEN nstop >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS pass_stop,
+           |  CAST(SUM(CASE WHEN ntok BETWEEN 5 AND 1000 AND awl >= 2.0 AND awl <= 12.0
+           |                 AND symratio < 0.1 AND nstop >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+           |FROM scored
+           |GROUP BY source
+           |ORDER BY source""".stripMargin
+      }) { (s, d) =>
+      val toks = split(col("text"), " ")
+      val ntok = size(toks)
+      val awl = aggregate(transform(toks, x => length(x)), lit(0), (a, x) => a + x) *
+        lit(1.0) / ntok
+      val symratio = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 ]"), lit(0))) *
+        lit(1.0) / col("n_chars")
+      val nstop = size(filter(toks, x => x.isin(ALL_STOPS: _*)))
+      val passLen = col("ntok").between(5, 1000)
+      val passWl = col("awl") >= 2.0 && col("awl") <= 12.0
+      val passSym = col("symratio") < 0.1
+      val passStop = col("nstop") >= 1
+      def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1).otherwise(0)).cast("long")
+      Tables.documents(s, d)
+        .select(col("source"), ntok.as("ntok"), awl.as("awl"),
+          symratio.as("symratio"), nstop.as("nstop"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          cnt(passLen).as("pass_len"),
+          cnt(passWl).as("pass_wordlen"),
+          cnt(passSym).as("pass_symbol"),
+          cnt(passStop).as("pass_stop"),
+          cnt(passLen && passWl && passSym && passStop).as("pass_all"))
+        .orderBy("source")
+    },
+
+    // ---- q71: sequence packing — concat-and-chunk into context windows -----
+    // Documents concatenate in doc_id order per lang; a doc belongs to the
+    // window its first token lands in. The per-group prefix sum is the
+    // deterministic packing a trainer replays; at 100 TB the group is
+    // (lang, shard) so every ordered scan stays bounded (operators.Packing).
+    QueryDef(
+      "q71_sequence_packing",
+      s"""WITH t AS (
+         |  SELECT lang, doc_id, len(string_split(text, ' ')) AS ntok
+         |  FROM documents),
+         |c AS (
+         |  SELECT lang, ntok,
+         |    CAST(COALESCE(SUM(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+         |  FROM t)
+         |SELECT lang,
+         |  CAST(FLOOR(start_offset / $PACK_CAPACITY.0) AS BIGINT) AS bin,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(ntok) AS BIGINT) AS bin_tokens
+         |FROM c
+         |GROUP BY 1, 2
+         |ORDER BY lang, bin""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ntok"))
+      Packing.concatAndChunk(t, Seq("lang"), "doc_id", "ntok", PACK_CAPACITY)
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("bin_tokens"))
+        .orderBy("lang", "bin")
+    }
+  )
+}

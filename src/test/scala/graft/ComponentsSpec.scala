@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.Components
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Connected components vs a driver-side union-find ground truth, across
+  * graph shapes that stress different failure modes: random sparse graphs
+  * (many small components), a long path (worst-case diameter — the shape
+  * naive min-label propagation can't finish), cliques (dense merge), and
+  * messy inputs (self-loops, duplicate + reversed edges).
+  */
+class ComponentsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  /** Union-find reference: component = min node id. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def check(edges: Seq[(Long, Long)], clue: String): Unit = {
+    val got = Components
+      .connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = unionFind(edges.filter(e => e._1 != e._2))
+    assert(got == expected, clue)
+  }
+
+  test("random sparse graph matches union-find") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(400)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter(e => e._1 != e._2)
+    check(edges, "random G(300, ~400)")
+  }
+
+  test("long path converges (worst-case diameter)") {
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    check(edges, "path of 64 nodes")
+    // one component rooted at 0
+    val labels = Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+    assert(labels.select("component").distinct().as[Long].collect().toSeq == Seq(0L))
+    assert(labels.count() == 64)
+  }
+
+  test("two cliques joined by a bridge merge into one component") {
+    val c1 = for (i <- 0L until 10L; j <- (i + 1) until 10L) yield (i, j)
+    val c2 = for (i <- 100L until 110L; j <- (i + 1) until 110L) yield (i, j)
+    check(c1 ++ c2, "two disjoint cliques")
+    check(c1 ++ c2 :+ (9L, 100L), "bridged cliques")
+  }
+
+  test("self-loops, duplicates and reversed edges are tolerated") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L), (2L, 5L), (5L, 2L))
+    // node 3 only has a self-loop -> no real edge -> absent from output
+    val got = Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 1L))
+  }
+
+  test("every node gets exactly one label") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(500)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter(e => e._1 != e._2)
+    val labels = Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+    val dup = labels.groupBy("id").count().filter(col("count") > 1).count()
+    assert(dup == 0, "a node was labeled twice")
+  }
+
+  test("empty edge set yields empty labels") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Components.connectedComponents(empty, "a", "b").count() == 0)
+  }
+}

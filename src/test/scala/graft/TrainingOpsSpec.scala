@@ -1,0 +1,128 @@
+package graft
+
+import graft.operators.{Packing, Redact, Sampling}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-data operators: deterministic splits, PII redaction, sequence
+  * packing — properties the oracle hash can't express (stability across
+  * runs, salt sensitivity, idempotence, exact packing semantics).
+  */
+class TrainingOpsSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sf)
+
+  // ---- Sampling ----------------------------------------------------------
+
+  private val SPLITS = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+
+  test("split is total, disjoint, and stable across evaluations") {
+    val assigned = docs.select(col("doc_id"),
+      Sampling.splitColumn(col("doc_id"), "s1", SPLITS).as("split"))
+    assert(assigned.filter(col("split").isNull).count() == 0)
+    val a = assigned.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = docs.select(col("doc_id"),
+        Sampling.splitColumn(col("doc_id"), "s1", SPLITS).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b, "same salt must give identical assignment")
+    assert(a.size == docs.count())
+  }
+
+  test("split ratios approximate the weights") {
+    val counts = docs
+      .select(Sampling.splitColumn(col("doc_id"), "s1", SPLITS).as("split"))
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    // md5 buckets are uniform; at n=500 allow a generous binomial tolerance
+    assert(math.abs(counts("train") / n - 0.80) < 0.08, counts.toString)
+    assert(math.abs(counts.getOrElse("val", 0L) / n - 0.10) < 0.06, counts.toString)
+    assert(math.abs(counts.getOrElse("test", 0L) / n - 0.10) < 0.06, counts.toString)
+  }
+
+  test("a different salt re-draws assignments") {
+    val a = docs.select(col("doc_id"),
+        Sampling.splitColumn(col("doc_id"), "s1", SPLITS).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = docs.select(col("doc_id"),
+        Sampling.splitColumn(col("doc_id"), "s2", SPLITS).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val moved = a.count { case (id, s) => b(id) != s }
+    // expected ~32% move (1 - Σ wᵢ²); any healthy re-draw moves plenty
+    assert(moved > a.size / 10, s"only $moved of ${a.size} moved")
+  }
+
+  test("split weights must sum to 100") {
+    intercept[IllegalArgumentException] {
+      Sampling.splitColumn(col("doc_id"), "s", Seq("a" -> 50, "b" -> 40))
+    }
+  }
+
+  // ---- Redact ------------------------------------------------------------
+
+  test("redaction replaces exactly the planted PII") {
+    val in = Seq(
+      (1L, "mail me at a.b@x.co and 555-123-4567 or 123-45-6789 ok"),
+      (2L, "no pii here at all"),
+      (3L, "two mails x@y.org z@w.net")).toDF("id", "t")
+    val out = in.select(col("id"), Redact.redact(col("t")).as("r"),
+        Redact.piiCount(col("t")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(
+      (1L, "mail me at <EMAIL> and <PHONE> or <SSN> ok", 3L),
+      (2L, "no pii here at all", 0L),
+      (3L, "two mails <EMAIL> <EMAIL>", 2L)))
+  }
+
+  test("redaction is idempotent") {
+    val planted = docs.select(
+      concat(col("text"), lit(" u"), col("doc_id").cast("string"),
+        lit("@ex.com 555-000-1111 123-45-6789")).as("t"))
+    val once = planted.select(Redact.redact(col("t")).as("r"))
+    val twice = once.select(Redact.redact(col("r")).as("r"))
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+  }
+
+  test("a phone number is consumed whole, never half-eaten by the SSN rule") {
+    val out = Seq.tabulate(1)(_ => "call 555-123-4567 now").toDF("t")
+      .select(Redact.redact(col("t"))).as[String].head()
+    assert(out == "call <PHONE> now")
+  }
+
+  // ---- Packing -----------------------------------------------------------
+
+  test("concat-and-chunk assigns docs to the window of their first token") {
+    val in = Seq(
+      ("en", 1L, 4L), ("en", 2L, 4L), ("en", 3L, 4L), ("en", 4L, 4L),
+      ("fr", 1L, 11L), ("fr", 2L, 1L)).toDF("lang", "doc_id", "ntok")
+    val out = Packing.concatAndChunk(in, Seq("lang"), "doc_id", "ntok", 10)
+      .select("lang", "doc_id", "start_offset", "bin")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // en stream: offsets 0,4,8,12 → bins 0,0,0,1 (doc 3 straddles 10 but starts in bin 0)
+    // fr stream: offsets 0,11 → bins 0,1
+    assert(out == Set(
+      ("en", 1L, 0L, 0L), ("en", 2L, 4L, 0L), ("en", 3L, 8L, 0L), ("en", 4L, 12L, 1L),
+      ("fr", 1L, 0L, 0L), ("fr", 2L, 11L, 1L)))
+  }
+
+  test("packing conserves tokens and bins are contiguous per group") {
+    val t = docs.select(col("lang"), col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ntok"))
+    val packed = Packing.concatAndChunk(t, Seq("lang"), "doc_id", "ntok", 512).persist()
+    try {
+      val total = t.agg(sum("ntok")).as[Long].head()
+      assert(packed.agg(sum("ntok")).as[Long].head() == total)
+      // bins 0..max all non-empty per lang
+      val gaps = packed.groupBy("lang")
+        .agg(countDistinct("bin").as("nbins"), max("bin").as("maxbin"))
+        .filter(col("nbins") =!= col("maxbin") + 1)
+      assert(gaps.count() == 0, "bin index has gaps")
+      // every bin's first doc starts inside that bin's token window
+      val bad = packed.groupBy("lang", "bin").agg(min("start_offset").as("first"))
+        .filter(col("first") < col("bin") * 512 || col("first") >= (col("bin") + 1) * 512)
+      assert(bad.count() == 0, "a bin's first doc starts outside its window")
+    } finally packed.unpersist()
+  }
+}
