@@ -48,20 +48,30 @@ object Multimodal {
     conv(hex(substring(bin, pos, 4)), 16, 10).cast("long")
 
   /** Typed metadata struct for a media column: mime + byte size + decoded
-    * dimensions. The dimension decode is a REAL header parse for PNG —
-    * a PNG file is magic(8) ++ IHDR chunk (len(4) ++ "IHDR"(4) ++ width(4,
-    * big-endian) ++ height(4, big-endian) ++ ...), so width/height live at
-    * bytes 17-24 and two binary substrings decode them. Formats whose
-    * dimension metadata needs a full parse (JPEG SOF scan, WAV fmt chunk)
-    * yield null dims — the honest answer without a codec. */
+    * dimensions. The dimension decode is a REAL header parse for both image
+    * formats:
+    *   - PNG: magic(8) ++ IHDR chunk (len(4) ++ "IHDR"(4) ++ width(4,
+    *     big-endian) ++ height(4, big-endian) ++ ...) — width/height live at
+    *     bytes 17-24 and two binary substrings decode them;
+    *   - JPEG: dims live in a SOF segment at a data-dependent offset behind
+    *     a variable-length segment list, so a fixed substring can't reach
+    *     them — [[graft.functions.MediaExprs.jpegDimsPacked]] (native
+    *     codegen'd segment walk) extracts them.
+    * Inputs without a parseable header yield null dims — the honest answer
+    * without a codec. */
   def metadata(bin: Column): Column = {
     val isPng = substring(bin, 1, 8) === lit(PNG_MAGIC) &&
       substring(bin, 13, 4) === lit(IHDR_TAG)
+    // deterministic expression: Catalyst CSE collapses the two uses
+    val jp = graft.functions.MediaExprs.jpegDimsPacked(bin)
+    val jpegOk = substring(bin, 1, 3) === lit(JPEG_MAGIC) && jp >= 0
     struct(
       sniffMime(bin).as("mime"),
       length(bin).cast("long").as("bytes"),
-      when(isPng, beUInt32(bin, 17)).cast("long").as("width"),
-      when(isPng, beUInt32(bin, 21)).cast("long").as("height"))
+      when(isPng, beUInt32(bin, 17))
+        .when(jpegOk, jp.bitwiseAND(lit(0xFFFFL))).cast("long").as("width"),
+      when(isPng, beUInt32(bin, 21))
+        .when(jpegOk, shiftright(jp, 16).bitwiseAND(lit(0xFFFFL))).cast("long").as("height"))
   }
 
   val FMT_TAG: Array[Byte] = "fmt ".getBytes("UTF-8")
@@ -78,9 +88,7 @@ object Multimodal {
     * ++ "WAVE"(4) ++ "fmt "(4) ++ chunkSize(4) ++ audioFormat(2,LE) ++
     * channels(2,LE) ++ sampleRate(4,LE) ++ ... — so channels live at bytes
     * 23-24 and sample rate at 25-28, both little-endian. Non-WAV input (or
-    * a WAV whose first chunk is not canonical "fmt ") yields nulls.
-    * (JPEG dimensions need a variable-length SOF segment scan — a loop,
-    * not a fixed substring — and stay undecoded by design.) */
+    * a WAV whose first chunk is not canonical "fmt ") yields nulls. */
   def wavMeta(bin: Column): Column = {
     val isWav = sniffMime(bin) === "audio/wav" &&
       substring(bin, 13, 4) === lit(FMT_TAG)

@@ -28,16 +28,32 @@ object MultimodalPack {
     * PNG blobs carry a REAL IHDR chunk (length 13, "IHDR", 4-byte
     * big-endian width/height derived from doc_id, bit-depth 8, color type
     * 2, default compression/filter/interlace) so [[Multimodal.metadata]]'s
-    * header parse decodes genuine planted dimensions (q63). */
+    * header parse decodes genuine planted dimensions (q63). JPEG blobs
+    * carry a real segment list — SOI, a COM segment whose length VARIES
+    * with doc_id (so the SOF offset is data-dependent and a fixed-substring
+    * "parser" can't fake the decode), then a well-formed single-component
+    * SOF0 with planted dims. */
   private[graft] def blobs(s: SparkSession, d: String): DataFrame = {
     val m = pmod(col("doc_id"), lit(4))
     val enc = encode(col("text"), "UTF-8")
+    def be16(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 4, "0"))
     def be32(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 8, "0"))
     val ihdr = concat(
       lit(Array[Byte](0, 0, 0, 13)), lit(Multimodal.IHDR_TAG),
       be32(lit(1) + pmod(col("doc_id"), lit(512))),
       be32(lit(1) + pmod(col("doc_id"), lit(384))),
       lit(Array[Byte](8, 2, 0, 0, 0)))
+    // SOI ++ COM(len 2+c, c='doc_id % 5' pad bytes) ++ SOF0(len 11,
+    // precision 8, height, width, 1 component) ++ payload
+    val c = pmod(col("doc_id"), lit(5))
+    val jpegSeg = concat(
+      lit(Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xFE.toByte)),
+      be16(lit(2) + c),
+      encode(call_function("repeat", lit("X"), c), "UTF-8"),
+      lit(Array[Byte](0xFF.toByte, 0xC0.toByte, 0x00, 0x0B, 0x08)),
+      be16(lit(1) + pmod(col("doc_id"), lit(480))),
+      be16(lit(1) + pmod(col("doc_id"), lit(640))),
+      lit(Array[Byte](0x01, 0x01, 0x11, 0x00)))
     // real fmt chunk: "fmt " ++ size 16 (LE) ++ PCM format 1 (LE) ++
     // planted channels (mono/stereo by doc_id % 8) ++ planted sample rate
     // (44100 = 44 AC 00 00 LE / 16000 = 80 3E 00 00 LE)
@@ -50,7 +66,7 @@ object MultimodalPack {
     Tables.documents(s, d).select(
       col("doc_id"),
       when(m === 0, concat(lit(Multimodal.PNG_MAGIC), ihdr, enc))
-        .when(m === 1, concat(lit(Multimodal.JPEG_MAGIC), enc))
+        .when(m === 1, concat(jpegSeg, enc))
         .when(m === 2, concat(lit(Multimodal.RIFF_MAGIC),
           lit(Array[Byte](0, 0, 0, 0)), lit(Multimodal.WAVE_TAG), fmt, enc))
         .otherwise(enc).as("content"))
@@ -67,7 +83,13 @@ object MultimodalPack {
        |        unhex(lpad(to_hex(1 + doc_id % 384), 8, '0')) ||
        |        '\\x08\\x02\\x00\\x00\\x00'::BLOB ||
        |        encode(text)
-       |      WHEN 1 THEN '\\xFF\\xD8\\xFF'::BLOB || encode(text)
+       |      WHEN 1 THEN '\\xFF\\xD8\\xFF\\xFE'::BLOB ||
+       |        unhex(lpad(to_hex(2 + doc_id % 5), 4, '0')) ||
+       |        encode(repeat('X', CAST(doc_id % 5 AS BIGINT))) ||
+       |        '\\xFF\\xC0\\x00\\x0B\\x08'::BLOB ||
+       |        unhex(lpad(to_hex(1 + doc_id % 480), 4, '0')) ||
+       |        unhex(lpad(to_hex(1 + doc_id % 640), 4, '0')) ||
+       |        '\\x01\\x01\\x11\\x00'::BLOB || encode(text)
        |      WHEN 2 THEN 'RIFF'::BLOB || '\\x00\\x00\\x00\\x00'::BLOB || 'WAVE'::BLOB ||
        |        'fmt '::BLOB || '\\x10\\x00\\x00\\x00'::BLOB || '\\x01\\x00'::BLOB ||
        |        CASE WHEN doc_id % 8 = 2 THEN '\\x01\\x00'::BLOB ELSE '\\x02\\x00'::BLOB END ||
@@ -129,21 +151,33 @@ object MultimodalPack {
         .orderBy("doc_id", "frame_no")
     },
 
-    // ---- q63: typed metadata with a REAL PNG IHDR header parse -------------
-    // Multimodal.metadata decodes width/height from the IHDR chunk (4-byte
-    // big-endian ints at bytes 17-24) — the fixture plants doc_id-derived
-    // dims, and the oracle independently re-parses them from the blob's hex
-    // (chunk tag checked at hex chars 25-32 = 'IHDR'). Non-PNG formats
-    // yield null dims (no codec), emitted as -1 so the driver's hash never
+    // ---- q63: typed metadata with REAL PNG + JPEG header parses ------------
+    // Multimodal.metadata decodes PNG width/height from the IHDR chunk
+    // (4-byte big-endian ints at bytes 17-24) and JPEG dims via the native
+    // SOF segment walk (graftbridge.JpegDims). The fixture plants
+    // doc_id-derived dims behind a doc_id-VARYING COM segment, and the
+    // oracle re-parses both from the blob's hex — for JPEG it computes the
+    // SOF offset from the planted COM length (13+2c with c = doc_id%5,
+    // checking the 'FFC0' tag there), which only agrees with the Spark side
+    // if the generic walk really followed the segment list. Unparseable
+    // formats yield null dims, emitted as -1 so the driver's hash never
     // sees a null numeric column.
     QueryDef(
       "q63_multimodal_metadata",
       s"""WITH $BLOBS_SQL
          |SELECT doc_id, mime, CAST(nbytes AS BIGINT) AS bytes,
          |  COALESCE(CASE WHEN mime = 'image/png' AND substring(h, 25, 8) = '49484452'
-         |       THEN ('0x' || substring(h, 33, 8))::BIGINT END, -1) AS width,
+         |       THEN ('0x' || substring(h, 33, 8))::BIGINT
+         |       WHEN mime = 'image/jpeg'
+         |        AND substring(h, CAST(13 + 2 * (doc_id % 5) AS INT), 4) = 'FFC0'
+         |       THEN ('0x' || substring(h, CAST(27 + 2 * (doc_id % 5) AS INT), 4))::BIGINT
+         |       END, -1) AS width,
          |  COALESCE(CASE WHEN mime = 'image/png' AND substring(h, 25, 8) = '49484452'
-         |       THEN ('0x' || substring(h, 41, 8))::BIGINT END, -1) AS height
+         |       THEN ('0x' || substring(h, 41, 8))::BIGINT
+         |       WHEN mime = 'image/jpeg'
+         |        AND substring(h, CAST(13 + 2 * (doc_id % 5) AS INT), 4) = 'FFC0'
+         |       THEN ('0x' || substring(h, CAST(23 + 2 * (doc_id % 5) AS INT), 4))::BIGINT
+         |       END, -1) AS height
          |FROM sniffed
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       blobs(s, d)

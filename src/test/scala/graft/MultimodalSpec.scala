@@ -69,6 +69,63 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(3L) == (("image/png", badTag.length.toLong, -1L, -1L)))
   }
 
+  private def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+    Array(0xFF.toByte, marker.toByte,
+      ((payload.length + 2) >>> 8).toByte, ((payload.length + 2) & 0xFF).toByte) ++ payload
+
+  private def sof0(h: Int, w: Int): Array[Byte] =
+    seg(0xC0, Array[Byte](8, (h >>> 8).toByte, (h & 0xFF).toByte,
+      (w >>> 8).toByte, (w & 0xFF).toByte, 1, 1, 0x11, 0))
+
+  test("JpegParse walks the segment list to the SOF dims") {
+    import org.apache.spark.sql.graftbridge.JpegParse.parse
+    val soi = Array(0xFF.toByte, 0xD8.toByte)
+    def dims(p: Long): (Long, Long) = (p >> 16, p & 0xFFFF)
+    // canonical: SOI ++ APP0 ++ DQT ++ SOF0 ++ payload
+    val app0 = seg(0xE0, "JFIF".getBytes ++ Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    val dqt = seg(0xDB, Array.fill[Byte](65)(9))
+    assert(dims(parse(soi ++ app0 ++ dqt ++ sof0(480, 640) ++ "data".getBytes)) == ((480L, 640L)))
+    // progressive marker (SOF2 = C2) also carries dims
+    val sof2 = seg(0xC2, Array[Byte](8, 1, 0, 2, 0, 1, 1, 0x11, 0))
+    assert(dims(parse(soi ++ sof2)) == ((256L, 512L)))
+    // fill bytes before a marker are legal padding
+    val fill = Array.fill[Byte](3)(0xFF.toByte)
+    assert(dims(parse(soi ++ fill ++ sof0(7, 9))) == ((7L, 9L)))
+    // standalone markers (TEM, RST) carry no length and are skipped
+    val standalone = Array(0xFF.toByte, 0x01.toByte, 0xFF.toByte, 0xD0.toByte)
+    assert(dims(parse(soi ++ standalone ++ sof0(5, 6))) == ((5L, 6L)))
+    // DHT (C4) is NOT a SOF even though it's in C0-CF
+    val dht = seg(0xC4, Array.fill[Byte](20)(1))
+    assert(dims(parse(soi ++ dht ++ sof0(3, 4))) == ((3L, 4L)))
+  }
+
+  test("JpegParse rejects streams without a reachable SOF") {
+    import org.apache.spark.sql.graftbridge.JpegParse.parse
+    val soi = Array(0xFF.toByte, 0xD8.toByte)
+    assert(parse("not a jpeg".getBytes) == -1L)
+    assert(parse(soi) == -1L) // nothing after SOI
+    // EOI or SOS before any SOF
+    assert(parse(soi ++ Array(0xFF.toByte, 0xD9.toByte)) == -1L)
+    assert(parse(soi ++ seg(0xDA, Array[Byte](1, 1, 0)) ++ sof0(1, 2)) == -1L)
+    // declared segment length overruns the buffer
+    assert(parse(soi ++ Array[Byte](0xFF.toByte, 0xE0.toByte, 0x7F.toByte, 0xFF.toByte, 0)) == -1L)
+    // truncated mid-SOF (length field says 11 but bytes stop at height)
+    assert(parse(soi ++ Array[Byte](0xFF.toByte, 0xC0.toByte, 0, 11, 8, 0, 1)) == -1L)
+    // garbage where a marker should be
+    assert(parse(soi ++ "xx".getBytes) == -1L)
+  }
+
+  test("metadata decodes JPEG dims through the native expression") {
+    val jpeg = Array(0xFF.toByte, 0xD8.toByte) ++
+      seg(0xFE, "comment!".getBytes) ++ sof0(1080, 1920) ++ "payload".getBytes
+    val row = blobDf(1L -> jpeg)
+      .select(Multimodal.metadata(col("content")).as("m"))
+      .select("m.mime", "m.width", "m.height").collect()(0)
+    assert(row.getString(0) == "image/jpeg")
+    assert(row.getLong(1) == 1920L)
+    assert(row.getLong(2) == 1080L)
+  }
+
   test("wavMeta decodes little-endian fmt fields, null on non-canonical input") {
     def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
     def le32(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
