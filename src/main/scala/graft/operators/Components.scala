@@ -49,10 +49,20 @@ object Components {
     var n = e.count()
     var converged = n == 0L
     var rounds = 0
-    while (!converged && rounds < maxRounds) {
-      // eager localCheckpoint: materializes the round AND truncates lineage
-      val next = smallStar(largeStar(e)).localCheckpoint()
-      val nNext = next.count()
+    // `<= maxRounds`: detection consumes a round — the loop only learns it
+    // converged one iteration AFTER the edge set stops changing, so a graph
+    // needing exactly maxRounds productive rounds gets one extra detection
+    // round instead of a spurious failure.
+    while (!converged && rounds <= maxRounds) {
+      // the observe metric rides the SAME job that materializes the eager
+      // localCheckpoint (which also truncates lineage) — no separate count()
+      // action per round
+      val metricName = s"__cc_n_$rounds"
+      val obs = smallStar(largeStar(e)).observe(metricName, count(lit(1)))
+      val next = obs.localCheckpoint()
+      val nNext = obs.queryExecution.observedMetrics.get(metricName)
+        .map(_.getLong(0))
+        .getOrElse(next.count()) // defensive: metrics missing ⇒ count directly
       // both sides are distinct sets: equal size + empty difference ⇒ equal
       converged = nNext == n && next.exceptAll(e).isEmpty
       e.unpersist(blocking = false)
@@ -62,8 +72,8 @@ object Components {
     }
     if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxRounds rounds " +
-          "(raise maxRounds; expected O(log² n))")
+        s"connectedComponents did not converge in $maxRounds productive rounds " +
+          "+ 1 detection round (raise maxRounds; expected O(log² n))")
     // fixpoint is a union of stars: every non-min node has exactly one edge
     // to its component min; the mins label themselves
     e.select(col("u").as("id"), col("v").as("component"))

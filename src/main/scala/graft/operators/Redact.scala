@@ -30,9 +30,13 @@ object Redact {
   def redact(text: Column): Column =
     Rules.foldLeft(text) { case (c, (pat, repl)) => regexp_replace(c, pat, repl) }
 
-  /** Count of PII hits across all rules (on the ORIGINAL text; the rule
-    * patterns are mutually non-overlapping, so the sum is exact). */
+  /** Count of PII hits across all rules. Each rule counts on the text with
+    * all PRIOR rules already applied — exactly the matches [[redact]]
+    * replaces — so a span consumed by an earlier rule (e.g. a phone-shaped
+    * string inside an email local part) is never double-counted. */
   def piiCount(text: Column): Column =
-    Rules.map { case (pat, _) => size(regexp_extract_all(text, lit(pat), lit(0))) }
-      .reduce(_ + _).cast("long")
+    Rules.foldLeft((text, lit(0))) { case ((t, acc), (pat, repl)) =>
+      (regexp_replace(t, pat, repl),
+        acc + size(regexp_extract_all(t, lit(pat), lit(0))))
+    }._2.cast("long")
 }

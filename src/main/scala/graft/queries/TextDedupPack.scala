@@ -42,9 +42,9 @@ object TextDedupPack {
   private val SIMHASH_TWIN_OFFSET = 1000000L
 
   /** Shared SQL for distinct word-3-gram extraction with the df cap
-    * (DuckDB dialect). */
-  private val GRAMS_SQL =
-    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    * (DuckDB dialect), over any docs relation `src` with (doc_id, text). */
+  private[queries] def gramsSql(src: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src
        |          WHERE len(string_split(text, ' ')) >= 3),
        |grams_all AS (SELECT DISTINCT doc_id,
        |            unnest(list_transform(range(1, len(t) - 1),
@@ -55,11 +55,14 @@ object TextDedupPack {
        |            FROM grams_all)
        |          WHERE df <= $MAX_GRAM_DF)""".stripMargin
 
+  private val GRAMS_SQL = gramsSql("documents")
+
   /** Shared SQL for the q27 near-dup pair pipeline (DuckDB dialect):
     * capped grams → co-occurrence counts → Jaccard ≥ 0.5 pairs as `jpairs`.
-    * q67 builds its connected-components oracle on top of it. */
-  private val PAIRS_SQL =
-    s"""$GRAMS_SQL,
+    * q67 builds its connected-components oracle on top of it; q73 replays
+    * it over the quality-filtered docs relation. */
+  private[queries] def pairsSql(src: String): String =
+    s"""${gramsSql(src)},
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
        |co AS (SELECT g1.doc_id AS doc_a, g2.doc_id AS doc_b, COUNT(*) AS common
        |       FROM grams g1 JOIN grams g2
@@ -72,15 +75,17 @@ object TextDedupPack {
        |  JOIN sizes sb ON sb.doc_id = doc_b
        |  WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5)""".stripMargin
 
+  private val PAIRS_SQL = pairsSql("documents")
+
   /** Spark-side distinct word-3-gram extraction with the df cap:
     * (doc_id, gram string). Tokenizes via an explicit projection so the
     * split runs once per row, not once per element_at. Persisted — q27/q28
     * reuse the gram set 3-4× (sizes, both join sides); Bench/Verify clear
     * the cache between queries.
     */
-  private def sparkGrams(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private[queries] def sparkGramsOf(docs: org.apache.spark.sql.DataFrame) = {
     val t = col("t")
-    val grams = Tables.documents(s, d)
+    val grams = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(t) >= 3)
       .select(col("doc_id"),
@@ -91,11 +96,15 @@ object TextDedupPack {
     graft.operators.Occupancy.cap(grams, Seq("gram"), MAX_GRAM_DF, persistResult = true)
   }
 
-  /** Spark side of [[PAIRS_SQL]]: exact n-gram Jaccard near-dup pairs
-    * (doc_a, doc_b, jaccard ≥ 0.5), unordered. Shared by q27 (pair listing)
-    * and q67 (connected-components clustering of the same pairs). */
-  private def jaccardPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val grams = sparkGrams(s, d)
+  private def sparkGrams(s: org.apache.spark.sql.SparkSession, d: String) =
+    sparkGramsOf(Tables.documents(s, d))
+
+  /** Spark side of [[pairsSql]]: exact n-gram Jaccard near-dup pairs
+    * (doc_a, doc_b, jaccard ≥ 0.5), unordered. Shared by q27 (pair listing),
+    * q67 (connected-components clustering of the same pairs) and q73 (the
+    * corpus-build composition over quality-filtered docs). */
+  private[queries] def jaccardPairsOf(docs: org.apache.spark.sql.DataFrame) = {
+    val grams = sparkGramsOf(docs)
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = grams.as("g1")
       .join(grams.as("g2"),
@@ -109,6 +118,9 @@ object TextDedupPack {
       .select(col("doc_a"), col("doc_b"), jc.as("jaccard"))
       .filter(jc >= 0.5)
   }
+
+  private def jaccardPairs(s: org.apache.spark.sql.SparkSession, d: String) =
+    jaccardPairsOf(Tables.documents(s, d))
 
   def all: Seq[QueryDef] = Seq(
 
@@ -518,6 +530,21 @@ object TextDedupPack {
     QueryDef.rowsOnly("q52_dedup_simhash_native") { (s, d) =>
       val sim = Dedup.simHash64(Tables.documents(s, d), "doc_id", "text")
       Dedup.simHashNearDup(sim, "doc_id", maxDist = 8).orderBy("id_a", "id_b")
+    },
+    // q67's clustered endpoint for the 100 TB path: connected components
+    // over the NATIVE xxhash64 MinHash-LSH pairs (q51) instead of the
+    // portable md5 pairs — the full scale pipeline shingle → sign → band →
+    // verify → cluster with numeric signatures end to end. Rows-only (the
+    // signatures have no DuckDB twin); the clustering operator itself is
+    // hash-checked via q67 and ComponentsSpec, and q51 ⊇ q27 pair recall is
+    // asserted in DedupSpec.
+    QueryDef.rowsOnly("q74_dedup_clusters_native") { (s, d) =>
+      val pairs = Dedup.nearDuplicates(Tables.documents(s, d), "doc_id", "text")
+      graft.operators.Components
+        .connectedComponents(pairs.select("id_a", "id_b"), "id_a", "id_b")
+        .select(col("component").as("cluster_id"), col("id").as("doc_id"),
+          when(col("id") === col("component"), 1L).otherwise(0L).as("is_canonical"))
+        .orderBy("cluster_id", "doc_id")
     },
     // ---- q65: simhash blocking with PLANTED hamming-distance ground truth --
     // q52's xxhash64 signatures have no DuckDB twin, so the blocking

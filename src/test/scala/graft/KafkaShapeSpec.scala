@@ -44,11 +44,16 @@ class KafkaShapeSpec extends AnyFunSuite {
       val e = intercept[Throwable](body)
       val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
         .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
-      // pin the *lookup* as the failing step: Spark raises DATA_SOURCE_NOT_FOUND
-      // ("Failed to find the data source: kafka"). A mere "kafka" substring would
-      // also match a broker connection error if a connector jar ever landed on
-      // the test classpath — which should fail this test, not pass it.
+      // pin the *lookup* as the failing step. Spark 4 has TWO wordings: the
+      // batch path raises DATA_SOURCE_NOT_FOUND ("Failed to find the data
+      // source: kafka") while the streaming path's kafka-specific hint says
+      // "Failed to find data source: kafka. Please deploy the application as
+      // per the deployment section of Structured Streaming + Kafka
+      // Integration Guide." — match both. A mere "kafka" substring would
+      // also match a broker connection error if a connector jar ever landed
+      // on the test classpath — which should fail this test, not pass it.
       val lookupFailure = msgs.contains("DATA_SOURCE_NOT_FOUND") ||
+        msgs.toLowerCase.contains("failed to find the data source: kafka") ||
         msgs.toLowerCase.contains("failed to find data source: kafka")
       assert(lookupFailure,
         s"expected the kafka data-source lookup to be the failing step, got: $msgs")

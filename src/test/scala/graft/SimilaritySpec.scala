@@ -81,6 +81,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hits >= (n * 0.95).toInt, s"IVF twin recall $hits/$n")
   }
 
+  test("partitioned IVF probe returns exactly the ad-hoc variant's rows") {
+    val corpus = Similarity.plantTwins(emb, "vec_id", "embedding", offset)
+    val queries = emb.filter(col("vec_id") < 10)
+    val adhoc = graft.operators.Ivf.ivfTopK(
+      corpus, queries, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+      .select("qid", "nid", "rk").as[(Long, Long, Long)].collect().toSet
+    val centroids = graft.operators.Ivf.kmeansCentroids(
+      corpus, "vec_id", "embedding", nlist = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-eq-").toString
+    graft.operators.Ivf.writeCellPartitioned(
+      corpus, "vec_id", "embedding", centroids, dir)
+    val part = graft.operators.Ivf.ivfTopKPartitioned(
+      spark, dir, queries, "vec_id", "embedding", k = 5, centroids, nprobe = 4)
+      .select("qid", "nid", "rk").as[(Long, Long, Long)].collect().toSet
+    assert(part == adhoc)
+    assert(part.nonEmpty)
+  }
+
   test("kmeans cell assignment covers all cells and is deterministic") {
     val cents = graft.operators.Ivf.kmeansCentroids(emb, "vec_id", "embedding", nlist = 8, iters = 2)
     val cents2 = graft.operators.Ivf.kmeansCentroids(emb, "vec_id", "embedding", nlist = 8, iters = 2)
