@@ -134,6 +134,48 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Per-row MinHash-LSH band buckets (portable md5 construction, cf. the
+    * q28 oracle): (id, band, bh) with 16 minhashes from 4 salted md5s and 4
+    * band hashes — computed entirely WITHIN each row via array functions,
+    * no groupBy. That makes it legal on a STREAMING DataFrame (stateless
+    * map-side work), so a stream can flag near-dup candidates against a
+    * static signature table by a plain (band, bh) equi-join: the streaming
+    * face of the LSH family. Token and gram arrays are materialized in
+    * their own projections (HOFs re-evaluate inline children per element —
+    * the O(n²) pitfall shingles documents).
+    */
+  def portableBandBuckets(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 3): DataFrame = {
+    val t = col("__t")
+    val g = col("__g")
+    val withGrams = df
+      .select(col(idCol), split(col(textCol), " ").as("__t"))
+      .filter(size(t) >= n)
+      .select(col(idCol),
+        array_distinct(transform(
+          sequence(lit(1), size(t) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*)
+        )).as("__g"))
+    // materialize the 4 salted md5 arrays once — the 16 minhashes are 8-char
+    // SLICES of these (min-of-slice ≠ slice-of-min, so the mins must run on
+    // the slices, but the md5s themselves need computing only 4×, not 16×)
+    val withMd5 = withGrams.select(col(idCol) +:
+      (0 until 4).map(s =>
+        transform(g, gr => md5(concat(lit(s"$s:"), gr))).as(s"__h$s")): _*)
+    val mhCols = (0 until 16).map { i =>
+      array_min(transform(col(s"__h${i / 4}"), h =>
+        substring(h, (i % 4) * 8 + 1, 8)))
+        .as(s"mh$i")
+    }
+    val sigs = withMd5.select(col(idCol) +: mhCols: _*)
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat((b * 4 until b * 4 + 4).map(i => col(s"mh$i")): _*)).as("bh"))
+    }
+    sigs.select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
   /** 64-bit SimHash over whitespace tokens (with multiplicity), built from
     * xxhash64 token hashes — entirely numeric, codegen-friendly. Output:
     * (id, simhash). Near-dup = small hamming distance between simhashes.

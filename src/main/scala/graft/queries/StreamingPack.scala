@@ -124,6 +124,70 @@ object StreamingPack {
         .orderBy("mktsegment")
     },
 
+    // ---- q75: streaming near-dup flagging against a static signature table -
+    // The streaming face of the MinHash-LSH dedup family: each arriving doc
+    // computes its 16 portable minhashes + 4 band hashes entirely map-side
+    // (per-row array functions — legal in a stream, no stateful agg), and a
+    // (band, bh) equi-join against the broadcast static band-bucket index
+    // flags candidate near-dups of earlier corpus docs. Stateless append
+    // query; the pair-dedup happens in batch on the drained memory table.
+    // The static (indexed) side carries the occupancy cap — a hot bucket
+    // bounds every stream row's fan-out at maxBucket; the oracle replays
+    // the cap on the same side only.
+    QueryDef(
+      "q75_stream_neardup", {
+        val mhCols = (0 until 16).map(i =>
+          s"MIN(substring(md5('${i / 4}:' || gram), ${(i % 4) * 8 + 1}, 8)) AS mh$i")
+          .mkString(",\n    ")
+        val bandSelects = (0 until 4).map { b =>
+          val cat = (b * 4 until b * 4 + 4).map(i => s"mh$i").mkString(" || ")
+          s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM mh"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+           |          WHERE len(string_split(text, ' ')) >= 3),
+           |grams AS (SELECT DISTINCT doc_id,
+           |    unnest(list_transform(range(1, len(t) - 1),
+           |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+           |  FROM toks),
+           |mh AS (SELECT doc_id,
+           |    $mhCols
+           |  FROM grams GROUP BY doc_id),
+           |bands AS (
+           |  $bandSelects),
+           |statc AS (SELECT doc_id, band, bh FROM (
+           |            SELECT doc_id, band, bh,
+           |              COUNT(*) OVER (PARTITION BY band, bh) AS n
+           |            FROM bands)
+           |          WHERE n <= 100)
+           |SELECT DISTINCT st.doc_id AS doc_id, sc.doc_id AS match_id
+           |FROM bands st JOIN statc sc
+           |  ON sc.band = st.band AND sc.bh = st.bh AND sc.doc_id < st.doc_id
+           |ORDER BY doc_id, match_id""".stripMargin
+      }) { (s, d) =>
+      // repartition (EXPLICIT count — an unpinned repartition gets AQE-
+      // coalesced back to one task at fixture volume) BEFORE the signature
+      // map: the fixture is one parquet split, which would serialize the
+      // per-row md5 work on a single core. At deploy scale the source has
+      // many splits and the repartitions are no-ops to drop.
+      val par = s.sparkContext.defaultParallelism
+      val static = graft.operators.Occupancy.cap(
+        graft.operators.Dedup.portableBandBuckets(
+          Tables.documents(s, d).repartition(par, col("doc_id")),
+          "doc_id", "text"),
+        Seq("band", "bh"), 100)
+        .select(col("doc_id").as("match_id"), col("band"), col("bh"))
+      val streamBands = graft.operators.Dedup.portableBandBuckets(
+        Streams.documentsStream(s, d).repartition(par, col("doc_id")),
+        "doc_id", "text")
+      val matches = streamBands
+        .join(broadcast(static), Seq("band", "bh"))
+        .filter(col("match_id") < col("doc_id"))
+        .select("doc_id", "match_id")
+      Streams.runToMemory(s, matches, "mq75", mode = "append")
+        .distinct()
+        .orderBy("doc_id", "match_id")
+    },
+
     // ---- q42: streaming sessionization via flatMapGroupsWithState ----------
     // Custom keyed state (unaligned, data-driven session boundaries). The
     // oracle replays the exact emission rule: every session closed by a

@@ -133,6 +133,54 @@ object VectorPack {
         .orderBy("qid", "rk")
     },
 
+    // ---- q76/q77: planted-recall audits for the two ANN paths --------------
+    // EVERY base vector queries the planted corpus; its twin (cos ≈ 0.998,
+    // nothing else above ≈ 0.5) must come back at rank 1. That expected
+    // answer is a constant-true row per query, so the sketch-based paths get
+    // a full hash-checked oracle: the LSH/IVF stage only affects recall, and
+    // recall is exactly what these audit. Deterministic — hyperplanes and
+    // k-means init are seeded, the corpus is fixed parquet (verified at all
+    // three test SFs, not just the driver's).
+    QueryDef(
+      "q76_ann_planted_recall",
+      """SELECT vec_id AS qid,
+        |  CAST(1 AS BIGINT) AS twin_found,
+        |  CAST(1 AS BIGINT) AS twin_rank
+        |FROM embeddings
+        |ORDER BY qid""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val corpus = Similarity.plantTwins(emb, "vec_id", "embedding", TWIN_OFFSET)
+      Similarity.annTopK(corpus, emb, "vec_id", "embedding",
+        k = 5, bits = 12, tables = 8)
+        .groupBy("qid")
+        .agg(
+          max(when(col("nid") === col("qid") + TWIN_OFFSET, 1L).otherwise(0L))
+            .as("twin_found"),
+          min(when(col("nid") === col("qid") + TWIN_OFFSET, col("rk")))
+            .as("twin_rank"))
+        .orderBy("qid")
+    },
+
+    QueryDef(
+      "q77_ivf_planted_recall",
+      """SELECT vec_id AS qid,
+        |  CAST(1 AS BIGINT) AS twin_found,
+        |  CAST(1 AS BIGINT) AS twin_rank
+        |FROM embeddings
+        |ORDER BY qid""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val corpus = Similarity.plantTwins(emb, "vec_id", "embedding", TWIN_OFFSET)
+      graft.operators.Ivf.ivfTopK(corpus, emb, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4)
+        .groupBy("qid")
+        .agg(
+          max(when(col("nid") === col("qid") + TWIN_OFFSET, 1L).otherwise(0L))
+            .as("twin_found"),
+          min(when(col("nid") === col("qid") + TWIN_OFFSET, col("rk")))
+            .as("twin_rank"))
+        .orderBy("qid")
+    },
+
     // ---- q56: embedding near-dup over the planted corpus (oracle-checked) --
     QueryDef(
       "q56_embedding_near_dup",

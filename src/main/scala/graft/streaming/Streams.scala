@@ -45,6 +45,18 @@ object Streams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Streaming scan over the driver's documents parquet — the document-
+    * ingest surrogate (a Kafka topic of docs replayed through the file
+    * source). No timestamp munging: documents carry no nano columns.
+    */
+  def documentsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    spark.readStream
+      .schema(schema)
+      .parquet(s"$sfDir/documents.parque[t]")
+  }
+
   /** A3: streaming global COUNT(*) (`spark_kafka_direct.py:35-40`). */
   def globalCount(stream: DataFrame): DataFrame =
     stream.groupBy().count()

@@ -76,6 +76,32 @@ class ComponentsSpec extends AnyFunSuite {
     assert(dup == 0, "a node was labeled twice")
   }
 
+  test("high-degree hub (celebrity-node skew) converges in few rounds") {
+    // one hub with 10⁵ spokes — the skew a celebrity document produces in a
+    // near-dup pair list. Hub-centered stars are the algorithm's fixpoint
+    // shape, so this must converge almost immediately (the skew lands in
+    // the groupBy(u).min aggregation, which partial-aggregates map-side) —
+    // maxRounds = 2 productive rounds pins that, vs the default 25.
+    val n = 100000L
+    val hub = spark.range(1, n)
+      .select(lit(0L).as("a"), col("id").as("b"))
+    val labels = Components.connectedComponents(hub, "a", "b", maxRounds = 2)
+    assert(labels.count() == n)
+    assert(labels.select("component").distinct().as[Long].collect().toSeq == Seq(0L))
+  }
+
+  test("hub reached through a chain still converges under skew") {
+    // same hub, but the hub itself is NOT the component min: a short chain
+    // of smaller ids hangs off it, so large-star must move 10⁵ spokes to a
+    // new center — the worst single-round data movement under skew.
+    val n = 100000L
+    val hub = spark.range(1, n).select(lit(100L).as("a"), (col("id") + 100L).as("b"))
+    val chain = Seq((100L, 7L), (7L, 3L)).toDF("a", "b")
+    val labels = Components.connectedComponents(hub.unionByName(chain), "a", "b")
+    assert(labels.count() == n + 2)
+    assert(labels.select("component").distinct().as[Long].collect().toSeq == Seq(3L))
+  }
+
   test("empty edge set yields empty labels") {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Components.connectedComponents(empty, "a", "b").count() == 0)
