@@ -35,4 +35,18 @@ object Tables {
         org.apache.spark.sql.functions.expr("ts div 1000")))
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** `documents`, fanned out to one partition per core BEFORE heavy per-row
+    * text work (shingling, per-row signatures). The fixture is a single
+    * parquet split, so without this every pre-shuffle map stage runs on one
+    * core; the explicit partition count matters — an unpinned repartition
+    * is AQE-coalesced back to ~one task at fixture volume. At deploy scale
+    * the source has many splits and this helper is a no-op to drop (it
+    * exists so the fixture-shape workaround lives in ONE place, not
+    * sprinkled through operators).
+    */
+  def documentsSpread(s: SparkSession, d: String): DataFrame =
+    documents(s, d).repartition(
+      s.sparkContext.defaultParallelism,
+      org.apache.spark.sql.functions.col("doc_id"))
 }

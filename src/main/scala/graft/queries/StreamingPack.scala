@@ -164,20 +164,18 @@ object StreamingPack {
            |  ON sc.band = st.band AND sc.bh = st.bh AND sc.doc_id < st.doc_id
            |ORDER BY doc_id, match_id""".stripMargin
       }) { (s, d) =>
-      // repartition (EXPLICIT count — an unpinned repartition gets AQE-
-      // coalesced back to one task at fixture volume) BEFORE the signature
-      // map: the fixture is one parquet split, which would serialize the
-      // per-row md5 work on a single core. At deploy scale the source has
-      // many splits and the repartitions are no-ops to drop.
-      val par = s.sparkContext.defaultParallelism
+      // spread BEFORE the signature map (Tables.documentsSpread rationale:
+      // the fixture is one parquet split; unpinned repartitions get AQE-
+      // coalesced back to one task at fixture volume); the stream side gets
+      // the same explicit fan-out inline.
       val static = graft.operators.Occupancy.cap(
         graft.operators.Dedup.portableBandBuckets(
-          Tables.documents(s, d).repartition(par, col("doc_id")),
-          "doc_id", "text"),
+          Tables.documentsSpread(s, d), "doc_id", "text"),
         Seq("band", "bh"), 100)
         .select(col("doc_id").as("match_id"), col("band"), col("bh"))
       val streamBands = graft.operators.Dedup.portableBandBuckets(
-        Streams.documentsStream(s, d).repartition(par, col("doc_id")),
+        Streams.documentsStream(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
         "doc_id", "text")
       val matches = streamBands
         .join(broadcast(static), Seq("band", "bh"))

@@ -97,7 +97,7 @@ object TextDedupPack {
   }
 
   private def sparkGrams(s: org.apache.spark.sql.SparkSession, d: String) =
-    sparkGramsOf(Tables.documents(s, d))
+    sparkGramsOf(Tables.documentsSpread(s, d))
 
   /** Spark side of [[pairsSql]]: exact n-gram Jaccard near-dup pairs
     * (doc_a, doc_b, jaccard ≥ 0.5), unordered. Shared by q27 (pair listing),
@@ -120,7 +120,7 @@ object TextDedupPack {
   }
 
   private def jaccardPairs(s: org.apache.spark.sql.SparkSession, d: String) =
-    jaccardPairsOf(Tables.documents(s, d))
+    jaccardPairsOf(Tables.documentsSpread(s, d))
 
   def all: Seq[QueryDef] = Seq(
 
@@ -396,6 +396,60 @@ object TextDedupPack {
         .orderBy("doc_id")
     },
 
+    // ---- q78: repetition scoring (Gopher repetition-rule family) -----------
+    // Degenerate/templated text shows up as token repetition long before a
+    // human reads it: per doc, the fraction of tokens taken by the single
+    // most frequent token, and the distinct-token ratio. Shape: explode →
+    // (doc, token) count → per-doc max/count — two keyed aggregations, both
+    // partial-agg friendly (the token universe is never collected). Report
+    // per source with the decimal-sum average trick.
+    QueryDef(
+      "q78_repetition",
+      """WITH tok AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS ntok,
+        |    unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |pertok AS (
+        |  SELECT doc_id, source, ntok, t, COUNT(*) AS c
+        |  FROM tok GROUP BY doc_id, source, ntok, t),
+        |perdoc AS (
+        |  SELECT doc_id, source, ntok, MAX(c) AS cmax, COUNT(*) AS ndistinct
+        |  FROM pertok GROUP BY doc_id, source, ntok),
+        |scored AS (
+        |  SELECT source, cmax * 1.0 / ntok AS top_frac,
+        |    ndistinct * 1.0 / ntok AS distinct_ratio
+        |  FROM perdoc)
+        |SELECT source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN top_frac > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+        |  CAST(SUM(CAST(top_frac AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS avg_top_frac,
+        |  CAST(SUM(CAST(distinct_ratio AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS avg_distinct_ratio
+        |FROM scored
+        |GROUP BY source
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      val tok = Tables.documentsSpread(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).as("ntok"),
+          explode(split(col("text"), " ")).as("t"))
+      val perDoc = tok
+        .groupBy("doc_id", "source", "ntok", "t").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "source", "ntok")
+        .agg(max(col("c")).as("cmax"), count(lit(1)).as("ndistinct"))
+      perDoc
+        .select(col("source"),
+          (col("cmax") * lit(1.0) / col("ntok")).as("top_frac"),
+          (col("ndistinct") * lit(1.0) / col("ntok")).as("distinct_ratio"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("top_frac") > 0.2, 1).otherwise(0)).as("n_repetitive"),
+          (sum(col("top_frac").cast(DecimalType(18, 8))).cast("double") /
+            count(lit(1))).as("avg_top_frac"),
+          (sum(col("distinct_ratio").cast(DecimalType(18, 8))).cast("double") /
+            count(lit(1))).as("avg_distinct_ratio"))
+        .orderBy("source")
+    },
+
     // ---- q40: BPE-ish tokenization — regex tokens + 4-char subword chunks --
     // Whitespace counting is q24; this is the subword path a training-data
     // pipeline budgets with: regexp tokenizer (letters|digits|punct) and a
@@ -525,10 +579,10 @@ object TextDedupPack {
 
     // ---- native xxhash64 scale-path variants (rows-only checks) ------------
     QueryDef.rowsOnly("q51_dedup_minhash_native") { (s, d) =>
-      Dedup.nearDuplicates(Tables.documents(s, d), "doc_id", "text")
+      Dedup.nearDuplicates(Tables.documentsSpread(s, d), "doc_id", "text")
     },
     QueryDef.rowsOnly("q52_dedup_simhash_native") { (s, d) =>
-      val sim = Dedup.simHash64(Tables.documents(s, d), "doc_id", "text")
+      val sim = Dedup.simHash64(Tables.documentsSpread(s, d), "doc_id", "text")
       Dedup.simHashNearDup(sim, "doc_id", maxDist = 8).orderBy("id_a", "id_b")
     },
     // q67's clustered endpoint for the 100 TB path: connected components
@@ -539,7 +593,7 @@ object TextDedupPack {
     // hash-checked via q67 and ComponentsSpec, and q51 ⊇ q27 pair recall is
     // asserted in DedupSpec.
     QueryDef.rowsOnly("q74_dedup_clusters_native") { (s, d) =>
-      val pairs = Dedup.nearDuplicates(Tables.documents(s, d), "doc_id", "text")
+      val pairs = Dedup.nearDuplicates(Tables.documentsSpread(s, d), "doc_id", "text")
       graft.operators.Components
         .connectedComponents(pairs.select("id_a", "id_b"), "id_a", "id_b")
         .select(col("component").as("cluster_id"), col("id").as("doc_id"),

@@ -35,6 +35,9 @@ object TrainingPack {
     * same guard, same bound as TextDedupPack's near-dup grams. */
   private val DECON_MAX_DF = 100
 
+  /** Per-language sample quota for q79. */
+  private val SAMPLE_QUOTA = 100
+
   def all: Seq[QueryDef] = Seq(
 
     // ---- q68: deterministic stratified train/val/test split ----------------
@@ -264,8 +267,9 @@ object TrainingPack {
         lit(1.0) / col("n_chars")
       val nstop = size(filter(toks, x => x.isin(ALL_STOPS: _*)))
       // stage 1: quality funnel (q70's pass_all predicate). Persisted: the
-      // gram pipeline and the final doc set both scan it.
-      val survivors = Tables.documents(s, d)
+      // gram pipeline and the final doc set both scan it. Spread input: the
+      // funnel rules + gram explode are per-row work ahead of any shuffle.
+      val survivors = Tables.documentsSpread(s, d)
         .filter(ntok.between(5, 1000) && awl >= 2.0 && awl <= 12.0 &&
           symratio < 0.1 && nstop >= 1)
         .persist()
@@ -333,7 +337,7 @@ object TrainingPack {
       val assigned = Sampling.splitColumn(col("doc_id"), "split",
         Seq("train" -> 80, "val" -> 10, "test" -> 10))
       val t = col("t")
-      val base = Tables.documents(s, d)
+      val base = Tables.documentsSpread(s, d)
         .select(col("doc_id"), assigned.as("split"), split(col("text"), " ").as("t"))
         .filter(size(t) >= DECON_N)
       val gramsAll = base.select(col("doc_id"), col("split"),
@@ -355,6 +359,37 @@ object TrainingPack {
           countDistinct(col("train_doc_id")).as("n_train_docs"),
           min(col("train_doc_id")).as("min_train_doc"))
         .orderBy("test_doc_id")
+    },
+
+    // ---- q79: deterministic stratified sampling — exact per-lang quotas ----
+    // Rebalancing a corpus toward a target language mixture needs exact
+    // per-stratum quotas, drawn uniformly but REPRODUCIBLY (a re-run must
+    // pick the same docs; a fresh salt must re-draw). Order each stratum by
+    // a salted md5 of the id — a deterministic random permutation both
+    // engines compute identically — and keep the first `quota` rows via a
+    // rank window. One shuffle on the stratum key; quota rows per stratum
+    // out. doc_id breaks (astronomically unlikely) hash ties so the rank
+    // is total.
+    QueryDef(
+      "q79_stratified_sample",
+      s"""SELECT lang, doc_id
+         |FROM (
+         |  SELECT lang, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY md5('sample:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= $SAMPLE_QUOTA
+         |ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang")
+        .orderBy(md5(concat(lit("sample:"), col("doc_id").cast("string"))),
+          col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= SAMPLE_QUOTA)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
     }
   )
 }
