@@ -38,6 +38,11 @@ object TrainingPack {
   /** Per-language sample quota for q79. */
   private val SAMPLE_QUOTA = 100
 
+  /** q80 chunking geometry: 64-token windows advancing by 48 (16-token
+    * overlap) — the retrieval-side complement of q71's packing. */
+  private val CHUNK_SIZE = 64
+  private val CHUNK_STRIDE = 48
+
   def all: Seq[QueryDef] = Seq(
 
     // ---- q68: deterministic stratified train/val/test split ----------------
@@ -390,6 +395,89 @@ object TrainingPack {
         .filter(col("rk") <= SAMPLE_QUOTA)
         .select("lang", "doc_id")
         .orderBy("lang", "doc_id")
+    },
+
+    // ---- q80: overlapping document chunking (retrieval/window prep) --------
+    // Long documents become fixed-size token windows with overlap — the
+    // embedding/RAG counterpart of q71's packing (q71 concatenates docs
+    // into windows; q80 splits docs into them). Pure map-side: chunk count
+    // and slices are per-row array math, the explode is the only row
+    // inflation and it is bounded by ntok/stride. Chunk identity is pinned
+    // by md5 of the re-joined tokens, so the oracle checks exact content.
+    QueryDef(
+      "q80_doc_chunking",
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |base AS (
+         |  SELECT doc_id, t,
+         |    CASE WHEN len(t) <= $CHUNK_SIZE THEN 1
+         |         ELSE 1 + CAST(CEIL((len(t) - $CHUNK_SIZE) / $CHUNK_STRIDE.0) AS INT)
+         |    END AS nch
+         |  FROM toks),
+         |ch AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(0, nch), i ->
+         |      {cid: i, chunk: t[CAST(i*$CHUNK_STRIDE+1 AS INT) : CAST(i*$CHUNK_STRIDE+$CHUNK_SIZE AS INT)]})) AS u
+         |  FROM base)
+         |SELECT doc_id, CAST(u.cid AS BIGINT) AS chunk_id,
+         |  CAST(len(u.chunk) AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(u.chunk, ' ')) AS chunk_md5
+         |FROM ch
+         |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      val t = col("__t")
+      val nch = when(size(t) <= CHUNK_SIZE, 1)
+        .otherwise(lit(1) +
+          ceil((size(t) - CHUNK_SIZE) / lit(CHUNK_STRIDE.toDouble)).cast("int"))
+      Tables.documentsSpread(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("__t"))
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), nch - 1),
+            i => slice(t, i * CHUNK_STRIDE + 1, lit(CHUNK_SIZE)))))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+          size(col("col")).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", col("col"))).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // ---- q81: vocab coverage budget — tokens needed for 95% of the mass ----
+    // Vocab induction planning: per language, how many distinct tokens
+    // cover 95% of all token occurrences. Counts + one ranked cumulative
+    // window per language; the 95% cut uses integer arithmetic only
+    // (20·cum vs 19·total) so both engines agree exactly. Ties rank by
+    // token string so the cumulative order is total and deterministic.
+    QueryDef(
+      "q81_vocab_coverage",
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents),
+        |cnt AS (SELECT lang, t, COUNT(*) AS c FROM tok GROUP BY lang, t),
+        |cum AS (
+        |  SELECT lang, c,
+        |    SUM(c) OVER (PARTITION BY lang ORDER BY c DESC, t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+        |    SUM(c) OVER (PARTITION BY lang) AS tot
+        |  FROM cnt)
+        |SELECT lang,
+        |  CAST(MAX(tot) AS BIGINT) AS total_tokens,
+        |  COUNT(*) AS n_distinct,
+        |  CAST(SUM(CASE WHEN 20 * (cm - c) < 19 * tot THEN 1 ELSE 0 END) AS BIGINT) AS vocab95
+        |FROM cum
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (s, d) =>
+      val cnt = Tables.documentsSpread(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+        .groupBy("lang", "t").agg(count(lit(1)).as("c"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("c").desc, col("t"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      cnt
+        .withColumn("cm", sum(col("c")).over(wCum))
+        .withColumn("tot", sum(col("c")).over(wAll))
+        .groupBy("lang")
+        .agg(
+          max(col("tot")).as("total_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(when(lit(20) * (col("cm") - col("c")) < lit(19) * col("tot"), 1)
+            .otherwise(0)).as("vocab95"))
+        .orderBy("lang")
     }
   )
 }

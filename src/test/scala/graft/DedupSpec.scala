@@ -81,6 +81,33 @@ class DedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("per-row band buckets equal the aggregate-built q28 construction") {
+    // portableBandBuckets computes the 16 salted-md5 minhashes WITHIN each
+    // row (array functions — the streaming-legal form); the q28 pipeline
+    // builds the same signatures by explode + groupBy-min. Same corpus ⇒
+    // identical (id, band, bh) sets, or the stream-vs-static join would
+    // silently miss true duplicates.
+    val perRow = Dedup.portableBandBuckets(docs, "doc_id", "text")
+      .select("doc_id", "band", "bh").as[(Long, Int, String)].collect().toSet
+    val grams = docs
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(1), size(split(col("text"), " ")) - 2),
+        i => concat_ws(" ",
+          element_at(split(col("text"), " "), i),
+          element_at(split(col("text"), " "), i + 1),
+          element_at(split(col("text"), " "), i + 2))))).as("gram"))
+    val mhAggs = (0 until 16).map(i =>
+      min(substring(md5(concat(lit(s"${i / 4}:"), col("gram"))), (i % 4) * 8 + 1, 8)).as(s"mh$i"))
+    val mh = grams.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+    val agg = (0 until 4).map { b =>
+      mh.select(col("doc_id"), lit(b).as("band"),
+        md5(concat((b * 4 until b * 4 + 4).map(i => col(s"mh$i")): _*)).as("bh"))
+    }.reduce(_ unionByName _)
+      .select("doc_id", "band", "bh").as[(Long, Int, String)].collect().toSet
+    assert(perRow == agg)
+    assert(perRow.nonEmpty)
+  }
+
   test("q43 approx distinct tracks the exact distinct within the HLL error bound") {
     val rows = SparkEntry.byName("q43_approx_distinct").run(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
