@@ -136,24 +136,13 @@ object StreamingPack {
     // the cap on the same side only.
     QueryDef(
       "q75_stream_neardup", {
-        val mhCols = (0 until 16).map(i =>
-          s"MIN(substring(md5('${i / 4}:' || gram), ${(i % 4) * 8 + 1}, 8)) AS mh$i")
-          .mkString(",\n    ")
-        val bandSelects = (0 until 4).map { b =>
-          val cat = (b * 4 until b * 4 + 4).map(i => s"mh$i").mkString(" || ")
-          s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM mh"
-        }.mkString("\n  UNION ALL\n  ")
         s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
            |          WHERE len(string_split(text, ' ')) >= 3),
            |grams AS (SELECT DISTINCT doc_id,
            |    unnest(list_transform(range(1, len(t) - 1),
            |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
            |  FROM toks),
-           |mh AS (SELECT doc_id,
-           |    $mhCols
-           |  FROM grams GROUP BY doc_id),
-           |bands AS (
-           |  $bandSelects),
+           |${TextDedupPack.minhashBandsSql},
            |statc AS (SELECT doc_id, band, bh FROM (
            |            SELECT doc_id, band, bh,
            |              COUNT(*) OVER (PARTITION BY band, bh) AS n

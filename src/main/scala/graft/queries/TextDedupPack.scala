@@ -77,6 +77,27 @@ object TextDedupPack {
 
   private val PAIRS_SQL = pairsSql("documents")
 
+  /** DuckDB SQL for the portable 16-minhash / 4-band construction over a
+    * CTE named `grams` with (doc_id, gram): yields the `mh` and `bands`
+    * CTEs. Shared by the q28 and q75 oracles so the salt format, slice
+    * width and band grouping can never drift between them (the Spark
+    * mirror is q28's aggregate build and Dedup.portableBandBuckets —
+    * their equivalence is pinned in DedupSpec). */
+  private[queries] def minhashBandsSql: String = {
+    val mhCols = (0 until 16).map(i =>
+      s"MIN(substring(md5('${i / 4}:' || gram), ${(i % 4) * 8 + 1}, 8)) AS mh$i")
+      .mkString(",\n    ")
+    val bandSelects = (0 until 4).map { b =>
+      val cat = (b * 4 until b * 4 + 4).map(i => s"mh$i").mkString(" || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM mh"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""mh AS (SELECT doc_id,
+       |    $mhCols
+       |  FROM grams GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects)""".stripMargin
+  }
+
   /** Spark-side distinct word-3-gram extraction with the df cap:
     * (doc_id, gram string). Tokenizes via an explicit projection so the
     * split runs once per row, not once per element_at. Persisted — q27/q28
@@ -298,19 +319,8 @@ object TextDedupPack {
     // exact-Jaccard-verified regardless, so hash quality only moves recall.
     QueryDef(
       "q28_minhash_lsh", {
-        val mhCols = (0 until 16).map(i =>
-          s"MIN(substring(md5('${i / 4}:' || gram), ${(i % 4) * 8 + 1}, 8)) AS mh$i")
-          .mkString(",\n    ")
-        val bandSelects = (0 until 4).map { b =>
-          val cat = (b * 4 until b * 4 + 4).map(i => s"mh$i").mkString(" || ")
-          s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM mh"
-        }.mkString("\n  UNION ALL\n  ")
         s"""WITH $GRAMS_SQL,
-           |mh AS (SELECT doc_id,
-           |    $mhCols
-           |  FROM grams GROUP BY doc_id),
-           |bands AS (
-           |  $bandSelects),
+           |$minhashBandsSql,
            |bandsc AS (SELECT doc_id, band, bh FROM (
            |             SELECT doc_id, band, bh,
            |               COUNT(*) OVER (PARTITION BY band, bh) AS n

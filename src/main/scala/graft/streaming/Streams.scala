@@ -252,7 +252,7 @@ object Streams {
       spark: SparkSession, agg: DataFrame, name: String): DataFrame =
     runToMemory(spark, agg, name, "complete")
 
-  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+  private[graft] def deleteRecursively(root: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     val paths = Files.walk(root).iterator().asScala.toSeq.reverse
     paths.foreach(p => Files.deleteIfExists(p))

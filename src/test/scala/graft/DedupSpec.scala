@@ -90,6 +90,7 @@ class DedupSpec extends AnyFunSuite {
     val perRow = Dedup.portableBandBuckets(docs, "doc_id", "text")
       .select("doc_id", "band", "bh").as[(Long, Int, String)].collect().toSet
     val grams = docs
+      .filter(size(split(col("text"), " ")) >= 3) // same guard as the operator
       .select(col("doc_id"), explode(array_distinct(transform(
         sequence(lit(1), size(split(col("text"), " ")) - 2),
         i => concat_ws(" ",

@@ -89,14 +89,16 @@ class SimilaritySpec extends AnyFunSuite {
       .select("qid", "nid", "rk").as[(Long, Long, Long)].collect().toSet
     val centroids = graft.operators.Ivf.kmeansCentroids(
       corpus, "vec_id", "embedding", nlist = 16)
-    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-eq-").toString
-    graft.operators.Ivf.writeCellPartitioned(
-      corpus, "vec_id", "embedding", centroids, dir)
-    val part = graft.operators.Ivf.ivfTopKPartitioned(
-      spark, dir, queries, "vec_id", "embedding", k = 5, centroids, nprobe = 4)
-      .select("qid", "nid", "rk").as[(Long, Long, Long)].collect().toSet
-    assert(part == adhoc)
-    assert(part.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-eq-")
+    try {
+      graft.operators.Ivf.writeCellPartitioned(
+        corpus, "vec_id", "embedding", centroids, dir.toString)
+      val part = graft.operators.Ivf.ivfTopKPartitioned(
+        spark, dir.toString, queries, "vec_id", "embedding", k = 5, centroids, nprobe = 4)
+        .select("qid", "nid", "rk").as[(Long, Long, Long)].collect().toSet
+      assert(part == adhoc)
+      assert(part.nonEmpty)
+    } finally graft.streaming.Streams.deleteRecursively(dir)
   }
 
   test("kmeans cell assignment covers all cells and is deterministic") {

@@ -91,6 +91,16 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out == "call <PHONE> now")
   }
 
+  test("a phone-shaped span inside an email is counted once, not twice") {
+    // the email rule consumes "555-123-4567@x.co" whole; the phone rule
+    // counts on the already-redacted text, so the span can't double-count
+    val (r, n) = Seq.tabulate(1)(_ => "ping 555-123-4567@x.co ok").toDF("t")
+      .select(Redact.redact(col("t")), Redact.piiCount(col("t")))
+      .as[(String, Long)].head()
+    assert(r == "ping <EMAIL> ok")
+    assert(n == 1L)
+  }
+
   // ---- Packing -----------------------------------------------------------
 
   test("concat-and-chunk assigns docs to the window of their first token") {
