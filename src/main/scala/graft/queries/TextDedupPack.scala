@@ -406,6 +406,42 @@ object TextDedupPack {
         .orderBy("doc_id")
     },
 
+    // ---- q83: distinctive-term extraction (tf/df keyword scoring) ----------
+    // Per doc, the 3 terms most distinctive of it: high in-doc frequency,
+    // rare across the corpus — scored tf/df (monotone in tf·idf for any
+    // fixed idf shape, but with NO transcendental in the sort key: ln()
+    // implementations differ across engines at the ulp, an IEEE division
+    // does not). Shuffles: (doc, token) tf agg, token df agg, one keyed
+    // join, one per-doc rank window — every stage partial-agg friendly or
+    // keyed; the token universe is never collected.
+    QueryDef(
+      "q83_distinctive_terms",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+        |df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+        |scored AS (
+        |  SELECT doc_id, tf.t AS token,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY tf * 1.0 / df DESC, tf.t) AS rk
+        |  FROM tf JOIN df ON df.t = tf.t)
+        |SELECT doc_id, token, CAST(rk AS BIGINT) AS rk
+        |FROM scored
+        |WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
+      val tf = Tables.documentsSpread(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+        .orderBy((col("tf") * lit(1.0) / col("df")).desc, col("t"))
+      tf.join(df, "t")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("t").as("token"), col("rk"))
+        .orderBy("doc_id", "rk")
+    },
+
     // ---- q78: repetition scoring (Gopher repetition-rule family) -----------
     // Degenerate/templated text shows up as token repetition long before a
     // human reads it: per doc, the fraction of tokens taken by the single

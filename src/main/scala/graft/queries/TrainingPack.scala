@@ -438,6 +438,59 @@ object TrainingPack {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // ---- q82: HTML boilerplate removal with planted ground truth -----------
+    // Web-scraped corpora arrive wrapped in markup; the cleaning operator
+    // must drop structural blocks (head, nav, footer) wholly — tag-stripping
+    // alone leaks their inner text into training data. Each doc is wrapped
+    // in a deterministic HTML shell, then cleaned: block-drop regexes
+    // (non-greedy, RE2 ∩ Java subset), tag strip, whitespace collapse. The
+    // planted ground truth makes this self-verifying: recovered=1 iff the
+    // cleaned text equals the original document exactly. Pure map-side
+    // regexp work, linear scans, no shuffle before the final sort.
+    QueryDef(
+      "q82_html_strip",
+      """WITH wrapped AS (
+        |  SELECT doc_id, text,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title></head><body><div class="nav">home about contact</div><p>' ||
+        |    text || '</p><footer>copyright site ' || CAST(doc_id % 100 AS VARCHAR) ||
+        |    '</footer></body></html>' AS html
+        |  FROM documents),
+        |cleaned AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |      '<head>.*?</head>', ' ', 'g'),
+        |      '<div class="nav">.*?</div>', ' ', 'g'),
+        |      '<footer>.*?</footer>', ' ', 'g'),
+        |      '<[^>]*>', ' ', 'g'),
+        |      '  *', ' ', 'g')) AS clean
+        |  FROM wrapped)
+        |SELECT doc_id, n_tags, md5(clean) AS clean_md5,
+        |  CAST(CASE WHEN clean = text THEN 1 ELSE 0 END AS BIGINT) AS recovered
+        |FROM cleaned
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title></head><body><div class=\"nav\">home about contact</div><p>"),
+        col("text"),
+        lit("</p><footer>copyright site "), (col("doc_id") % 100).cast("string"),
+        lit("</footer></body></html>"))
+      val clean = trim(
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+          "<head>.*?</head>", " "),
+          "<div class=\"nav\">.*?</div>", " "),
+          "<footer>.*?</footer>", " "),
+          "<[^>]*>", " "),
+          "  *", " "))
+      Tables.documentsSpread(s, d)
+        .select(col("doc_id"),
+          size(regexp_extract_all(html, lit("<[^>]*>"), lit(0))).cast("long").as("n_tags"),
+          md5(clean).as("clean_md5"),
+          when(clean === col("text"), 1L).otherwise(0L).as("recovered"))
+        .orderBy("doc_id")
+    },
+
     // ---- q81: vocab coverage budget — tokens needed for 95% of the mass ----
     // Vocab induction planning: per language, how many distinct tokens
     // cover 95% of all token occurrences. Counts + one ranked cumulative
