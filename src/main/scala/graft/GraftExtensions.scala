@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftbridge.{ColumnBridge, FloatDot}
+import org.apache.spark.sql.graftbridge.{ColumnBridge, FloatDot, JpegDims}
 
 /** Session extension registering graft's native SQL functions, so pure-SQL
   * users get the codegen'd expressions too:
@@ -13,13 +13,20 @@ import org.apache.spark.sql.graftbridge.{ColumnBridge, FloatDot}
   *
   * Functions:
   *   graft_dot(array<float|double>, array<float|double>) → double
+  *   graft_jpeg_dims(binary) → bigint ((height << 16) | width, -1 if not
+  *     a parseable JPEG — unpack with shiftright/bitwiseAND)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "graft_dot"),
       GraftExtensions.dotBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jpeg_dims"),
+      new ExpressionInfo(classOf[JpegDims].getName, "graft_jpeg_dims"),
+      GraftExtensions.jpegDimsBuilder))
+  }
 }
 
 object GraftExtensions {
@@ -29,7 +36,15 @@ object GraftExtensions {
     FloatDot(children(0), children(1))
   }
 
+  private[graft] val jpegDimsBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 1,
+      s"graft_jpeg_dims requires exactly 1 argument, got ${children.length}")
+    JpegDims(children.head)
+  }
+
   /** Register the same functions on an already-built session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     ColumnBridge.registerTempFunction(spark, "graft_dot", dotBuilder)
+    ColumnBridge.registerTempFunction(spark, "graft_jpeg_dims", jpegDimsBuilder)
+  }
 }

@@ -175,6 +175,34 @@ object StreamingPack {
         .orderBy("doc_id", "match_id")
     },
 
+    // ---- q84: streaming quality gate — the q70 funnel on a live stream -----
+    // Batch/stream duality for the training ops: the quality rules are pure
+    // per-row DataFrame expressions (TrainingPack.qualityPassAll — the SAME
+    // Column q73 filters with in batch), so pointing them at readStream
+    // just works; the per-source pass/total counts aggregate in complete
+    // mode through the real StateStore path. This is the live ingest-gate a
+    // corpus pipeline runs ahead of its batch rebuild.
+    QueryDef(
+      "q84_stream_quality_gate",
+      s"""WITH scored AS (
+         |  SELECT source,
+         |    ${TrainingPack.qualityExprsSql}
+         |  FROM documents)
+         |SELECT source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN ${TrainingPack.QualityCondSql} THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+         |FROM scored
+         |GROUP BY source
+         |ORDER BY source""".stripMargin) { (s, d) =>
+      val agg = Streams.documentsStream(s, d)
+        .select(col("source"), TrainingPack.qualityPassAll.as("ok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_pass"))
+      Streams.runCompleteToMemory(s, agg, "mq84")
+        .orderBy("source")
+    },
+
     // ---- q42: streaming sessionization via flatMapGroupsWithState ----------
     // Custom keyed state (unaligned, data-driven session boundaries). The
     // oracle replays the exact emission rule: every session closed by a

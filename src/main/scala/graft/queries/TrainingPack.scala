@@ -38,6 +38,39 @@ object TrainingPack {
   /** Per-language sample quota for q79. */
   private val SAMPLE_QUOTA = 100
 
+  /** DuckDB SQL for the four per-doc quality metrics (ntok/awl/symratio/
+    * nstop) — the SELECT-list fragment every quality oracle shares. */
+  private[queries] def qualityExprsSql: String = {
+    val stops = ALL_STOPS.map("'" + _ + "'").mkString(",")
+    s"""len(string_split(text, ' ')) AS ntok,
+       |    list_sum(list_transform(string_split(text, ' '), x -> length(x)))
+       |      * 1.0 / len(string_split(text, ' ')) AS awl,
+       |    len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0 / n_chars AS symratio,
+       |    len(list_filter(string_split(text, ' '), x -> x IN ($stops))) AS nstop""".stripMargin
+  }
+
+  /** DuckDB SQL for the combined pass-all gate over [[qualityExprsSql]]'s
+    * columns. */
+  private[queries] val QualityCondSql =
+    "ntok BETWEEN 5 AND 1000 AND awl >= 2.0 AND awl <= 12.0 " +
+      "AND symratio < 0.1 AND nstop >= 1"
+
+  /** q70's combined quality gate as one per-doc predicate over the raw
+    * documents columns — shared by q73 (corpus build) and q84 (streaming
+    * gate); q70 itself keeps the per-rule breakdown for the funnel report.
+    */
+  private[queries] def qualityPassAll: org.apache.spark.sql.Column = {
+    val toks = split(col("text"), " ")
+    val ntok = size(toks)
+    val awl = aggregate(transform(toks, x => length(x)), lit(0), (a, x) => a + x) *
+      lit(1.0) / ntok
+    val symratio = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 ]"), lit(0))) *
+      lit(1.0) / col("n_chars")
+    val nstop = size(filter(toks, x => x.isin(ALL_STOPS: _*)))
+    ntok.between(5, 1000) && awl >= 2.0 && awl <= 12.0 &&
+      symratio < 0.1 && nstop >= 1
+  }
+
   /** q80 chunking geometry: 64-token windows advancing by 48 (16-token
     * overlap) — the retrieval-side complement of q71's packing. */
   private val CHUNK_SIZE = 64
@@ -126,14 +159,9 @@ object TrainingPack {
     // per-row integer/IEEE-double arithmetic.
     QueryDef(
       "q70_quality_funnel", {
-        val stops = ALL_STOPS.map("'" + _ + "'").mkString(",")
         s"""WITH scored AS (
            |  SELECT source,
-           |    len(string_split(text, ' ')) AS ntok,
-           |    list_sum(list_transform(string_split(text, ' '), x -> length(x)))
-           |      * 1.0 / len(string_split(text, ' ')) AS awl,
-           |    len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0 / n_chars AS symratio,
-           |    len(list_filter(string_split(text, ' '), x -> x IN ($stops))) AS nstop
+           |    $qualityExprsSql
            |  FROM documents)
            |SELECT source,
            |  COUNT(*) AS n_docs,
@@ -216,19 +244,13 @@ object TrainingPack {
     // (e.g. clustering feeding ids the split stage re-hashes differently).
     QueryDef(
       "q73_corpus_build", {
-        val stops = ALL_STOPS.map("'" + _ + "'").mkString(",")
         s"""WITH RECURSIVE scored AS (
            |  SELECT doc_id, lang, text,
-           |    len(string_split(text, ' ')) AS ntok,
-           |    list_sum(list_transform(string_split(text, ' '), x -> length(x)))
-           |      * 1.0 / len(string_split(text, ' ')) AS awl,
-           |    len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0 / n_chars AS symratio,
-           |    len(list_filter(string_split(text, ' '), x -> x IN ($stops))) AS nstop
+           |    $qualityExprsSql
            |  FROM documents),
            |survivors AS (
            |  SELECT doc_id, lang, text, ntok FROM scored
-           |  WHERE ntok BETWEEN 5 AND 1000 AND awl >= 2.0 AND awl <= 12.0
-           |    AND symratio < 0.1 AND nstop >= 1),
+           |  WHERE $QualityCondSql),
            |${TextDedupPack.pairsSql("survivors")},
            |und AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
            |        UNION ALL
@@ -264,19 +286,11 @@ object TrainingPack {
            |GROUP BY 1, 2
            |ORDER BY split, lang""".stripMargin
       }) { (s, d) =>
-      val toks = split(col("text"), " ")
-      val ntok = size(toks)
-      val awl = aggregate(transform(toks, x => length(x)), lit(0), (a, x) => a + x) *
-        lit(1.0) / ntok
-      val symratio = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 ]"), lit(0))) *
-        lit(1.0) / col("n_chars")
-      val nstop = size(filter(toks, x => x.isin(ALL_STOPS: _*)))
       // stage 1: quality funnel (q70's pass_all predicate). Persisted: the
       // gram pipeline and the final doc set both scan it. Spread input: the
       // funnel rules + gram explode are per-row work ahead of any shuffle.
       val survivors = Tables.documentsSpread(s, d)
-        .filter(ntok.between(5, 1000) && awl >= 2.0 && awl <= 12.0 &&
-          symratio < 0.1 && nstop >= 1)
+        .filter(qualityPassAll)
         .persist()
       // stage 2: near-dup clusters over survivors; drop non-canonical members
       val comp = graft.operators.Components.connectedComponents(

@@ -90,6 +90,18 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(r == 11.0)
   }
 
+  test("graft_jpeg_dims is callable from SQL after extension registration") {
+    GraftExtensions.register(spark)
+    // SOI ++ SOF0(len 11, precision 8, height 2, width 3, 1 component)
+    val r = spark.sql(
+      """SELECT graft_jpeg_dims(unhex('FFD8FFC0000B080002000301011100')) AS hw""")
+      .as[java.lang.Long].collect()(0)
+    assert(r == ((2L << 16) | 3L))
+    val bad = spark.sql("SELECT graft_jpeg_dims(unhex('00')) AS hw")
+      .as[java.lang.Long].collect()(0)
+    assert(bad == -1L)
+  }
+
   test("FloatDot interpreted path (eval without codegen) matches") {
     // force interpreted eval by constant-folding context: literal arrays
     val e = org.apache.spark.sql.graftbridge.FloatDot(
