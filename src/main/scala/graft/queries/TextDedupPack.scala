@@ -584,6 +584,32 @@ object TextDedupPack {
         .orderBy("source")
     },
 
+    // ---- q85: incremental cardinality — per-batch HLL sketches, merged -----
+    // The cross-batch story q43's one-pass HLL doesn't cover: each ingest
+    // batch aggregates a FIXED-SIZE mergeable Datasketches HLL of its
+    // normalized fingerprints (here: doc_id parity stands in for two ingest
+    // days), and the corpus-wide distinct count comes from UNIONING the
+    // stored sketches — old batches are never rescanned. That is the 100 TB
+    // incremental-dedup accounting loop: sketch bytes persist next to each
+    // batch, the union is O(sketch size), and the estimate is within HLL
+    // error of the exact rescan answer (asserted in DedupSpec; the exact
+    // column here is the in-query verifier). Rows-only: sketch binaries are
+    // engine-specific.
+    QueryDef.rowsOnly("q85_incremental_distinct") { (s, d) =>
+      val norm = md5(trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z ]", ""), " +", " ")))
+      val fps = Tables.documents(s, d)
+        .select(col("source"), pmod(col("doc_id"), lit(2)).as("batch"), norm.as("fp"))
+        .persist()
+      val perBatch = fps.groupBy("source", "batch")
+        .agg(hll_sketch_agg(col("fp")).as("sk"))
+      val merged = perBatch.groupBy("source")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_approx"))
+      val exact = fps.groupBy("source").agg(countDistinct(col("fp")).as("n_exact"))
+      merged.join(exact, "source")
+        .select("source", "n_exact", "n_approx")
+        .orderBy("source")
+    },
+
     // ---- q47: heavy-hitter tokens — MG sketch prune, then exact verify -----
     // The 100 TB shape for "which tokens exceed 1/(k+1) of a language's
     // volume": pass 1 builds a Misra-Gries sketch per lang (fixed k-counter

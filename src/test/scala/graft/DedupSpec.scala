@@ -119,6 +119,17 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("merged per-batch HLL sketches track the exact distinct (q85)") {
+    val out = SparkEntry.queries("q85_incremental_distinct")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (exact, approx) =>
+      // Datasketches HLL at the default lgK: rsd well under 3%; allow 3σ-ish
+      val tol = math.max(3.0, exact * 0.09)
+      assert(math.abs(approx - exact) <= tol, s"exact=$exact approx=$approx")
+    }
+  }
+
   test("Occupancy.cap keeps exactly the rows of groups within the cap") {
     val df = Seq.tabulate(100)(i => (s"k${i % 7}", i.toLong)).toDF("k", "v")
     // group sizes: k0..k1 → 15, k2..k6 → 14
