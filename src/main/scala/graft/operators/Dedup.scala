@@ -32,6 +32,29 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Sub-document exact dedup, step 2 of the C4/RefinedWeb-style
+    * paragraph/line dedup: given one row per (doc, position, unit-text),
+    * mark each row `kept` = true iff it is the corpus-wide FIRST occurrence
+    * of its exact unit (first = lowest (idCol, posCol)). The caller splits
+    * docs into units (lines, paragraphs, fixed token segments) and
+    * re-assembles the kept ones — so the full operator removes duplicated
+    * boilerplate ACROSS documents while whole-doc dedup (q22/q53) only
+    * catches identical documents.
+    *
+    * One keyed shuffle, partitioned on the unit text (Spark hash-partitions
+    * the string; the window never materializes a group larger than that
+    * unit's duplication count). The unit text must ship through the shuffle
+    * anyway — the survivor's text is re-emitted — so there is nothing to
+    * save by pre-hashing; a hash-only variant (group on xxhash64(unit))
+    * would halve shuffle bytes for count-style outputs but risks collision
+    * false-drops, the wrong trade for a lossy-by-accident dedup.
+    */
+  def markFirstUnits(units: DataFrame, idCol: String, posCol: String,
+                     unitCol: String): DataFrame = {
+    val w = Window.partitionBy(col(unitCol)).orderBy(col(idCol), col(posCol))
+    units.withColumn("kept", row_number().over(w) === 1)
+  }
+
   /** Word n-gram shingles (distinct) per document: (id, shingle_hash).
     *
     * The token array is materialized by its own projection first:

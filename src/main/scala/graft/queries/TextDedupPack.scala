@@ -41,6 +41,15 @@ object TextDedupPack {
   /** doc_id offset distinguishing q65's planted simhash twins. */
   private val SIMHASH_TWIN_OFFSET = 1000000L
 
+  /** doc_id offset distinguishing q88/q89's planted exact-copy twins. */
+  private val NATIVE_TWIN_OFFSET = 1000000L
+
+  /** Token width of q86's sub-document units. The fixture corpus is flat
+    * word streams (no newlines), so fixed 16-token segments stand in for
+    * the paragraph/line splitter a web corpus would use — the dedup
+    * machinery downstream of the split is identical. */
+  private val SEG_TOKENS = 16
+
   /** Shared SQL for distinct word-3-gram extraction with the df cap
     * (DuckDB dialect), over any docs relation `src` with (doc_id, text). */
   private[queries] def gramsSql(src: String): String =
@@ -119,6 +128,22 @@ object TextDedupPack {
 
   private def sparkGrams(s: org.apache.spark.sql.SparkSession, d: String) =
     sparkGramsOf(Tables.documentsSpread(s, d))
+
+  /** One staged multi-split copy of `documents` per sf dir (4 parquet
+    * files), built on first use and reused for the JVM's lifetime — the
+    * replayable "4 ingest days" source q85 streams with
+    * maxFilesPerTrigger=1. Deleted at JVM exit (cf. VectorPack.ivfLayout).
+    */
+  private val docBatchStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedDocBatches(s: org.apache.spark.sql.SparkSession, d: String): String =
+    docBatchStages.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q85-src-")
+      sys.addShutdownHook(graft.streaming.Streams.deleteRecursively(dir))
+      Tables.documents(s, d).repartition(4)
+        .write.mode("overwrite").parquet(dir.toString)
+      dir.toString
+    })
 
   /** Spark side of [[pairsSql]]: exact n-gram Jaccard near-dup pairs
     * (doc_a, doc_b, jaccard ≥ 0.5), unordered. Shared by q27 (pair listing),
@@ -585,26 +610,41 @@ object TextDedupPack {
     },
 
     // ---- q85: incremental cardinality — per-batch HLL sketches, merged -----
-    // The cross-batch story q43's one-pass HLL doesn't cover: each ingest
-    // batch aggregates a FIXED-SIZE mergeable Datasketches HLL of its
-    // normalized fingerprints (here: doc_id parity stands in for two ingest
-    // days), and the corpus-wide distinct count comes from UNIONING the
-    // stored sketches — old batches are never rescanned. That is the 100 TB
-    // incremental-dedup accounting loop: sketch bytes persist next to each
-    // batch, the union is O(sketch size), and the estimate is within HLL
-    // error of the exact rescan answer (asserted in DedupSpec; the exact
-    // column here is the in-query verifier). Rows-only: sketch binaries are
-    // engine-specific.
+    // The cross-batch story q43's one-pass HLL doesn't cover, run through the
+    // REAL streaming engine: the corpus is staged as 4 parquet splits and
+    // replayed via readStream with maxFilesPerTrigger=1, so each micro-batch
+    // is a genuine ingest day. foreachBatch aggregates a FIXED-SIZE mergeable
+    // Datasketches HLL of each batch's normalized fingerprints per source and
+    // PERSISTS the sketch bytes next to the batch (a parquet sketch store);
+    // the corpus-wide distinct count comes from UNIONING the stored sketches
+    // — old batches are never rescanned. That is the 100 TB incremental-
+    // dedup accounting loop: state is O(sketch), not O(keys), and the HLL
+    // union is register-wise max, so the merged estimate is independent of
+    // how ingest happened to be batched (asserted against the exact rescan
+    // in DedupSpec; the exact column here is the in-query verifier).
+    // Rows-only: sketch binaries are engine-specific.
     QueryDef.rowsOnly("q85_incremental_distinct") { (s, d) =>
       val norm = md5(trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z ]", ""), " +", " ")))
-      val fps = Tables.documents(s, d)
-        .select(col("source"), pmod(col("doc_id"), lit(2)).as("batch"), norm.as("fp"))
-        .persist()
-      val perBatch = fps.groupBy("source", "batch")
-        .agg(hll_sketch_agg(col("fp")).as("sk"))
-      val merged = perBatch.groupBy("source")
+      val srcDir = stagedDocBatches(s, d)
+      val store = java.nio.file.Files.createTempDirectory("graft-q85-sketches-")
+      // deleted at JVM exit, not eagerly: the returned plan lazily reads it
+      sys.addShutdownHook(graft.streaming.Streams.deleteRecursively(store))
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) =>
+        batch.select(col("source"), norm.as("fp"))
+          .groupBy("source")
+          .agg(hll_sketch_agg(col("fp")).as("sk"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(store.toString))
+      val merged = s.read.parquet(store.toString)
+        .groupBy("source")
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_approx"))
-      val exact = fps.groupBy("source").agg(countDistinct(col("fp")).as("n_exact"))
+      val exact = Tables.documents(s, d)
+        .select(col("source"), norm.as("fp"))
+        .groupBy("source").agg(countDistinct(col("fp")).as("n_exact"))
       merged.join(exact, "source")
         .select("source", "n_exact", "n_approx")
         .orderBy("source")
@@ -710,6 +750,108 @@ object TextDedupPack {
       Dedup.simHashNearDup(sims, "doc_id", maxDist = 8)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
         .orderBy("id_a", "id_b")
+    },
+
+    // ---- q86: paragraph-level exact dedup (C4/RefinedWeb sub-doc dedup) ----
+    // The sub-document complement of q22/q53's whole-doc dedup: docs split
+    // into fixed 16-token segments, and only the corpus-wide FIRST occurrence
+    // of each exact segment survives (first = lowest (doc_id, seg_id) —
+    // deterministic across runs and cluster sizes). Removes boilerplate
+    // repeated ACROSS documents that whole-doc hashing cannot see. Shape:
+    // per-row split/explode (map-side), ONE keyed shuffle on the segment
+    // text (Dedup.markFirstUnits), one keyed re-assembly agg — the kept_md5
+    // pins the exact surviving text, not just counts.
+    QueryDef(
+      "q86_paragraph_dedup",
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |segs AS (
+         |  SELECT doc_id, CAST(u.sid AS BIGINT) AS seg_id, u.seg AS seg FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(range(0, CAST(CEIL(len(t) / $SEG_TOKENS.0) AS INT)), i ->
+         |        {sid: i, seg: array_to_string(t[CAST(i*$SEG_TOKENS + 1 AS INT):CAST(i*$SEG_TOKENS + $SEG_TOKENS AS INT)], ' ')})) AS u
+         |    FROM toks)),
+         |ranked AS (
+         |  SELECT doc_id, seg_id, seg,
+         |    ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_id) AS rn
+         |  FROM segs)
+         |SELECT doc_id,
+         |  COUNT(*) AS n_segs,
+         |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(COUNT(*) - SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_id), '')) AS kept_md5
+         |FROM ranked
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t = col("__t")
+      val nseg = ceil(size(t) / lit(SEG_TOKENS.toDouble)).cast("int")
+      val segs = Tables.documentsSpread(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("__t"))
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), nseg - 1),
+            i => concat_ws(" ", slice(t, i * SEG_TOKENS + 1, lit(SEG_TOKENS))))))
+        .select(col("doc_id"), col("pos").cast("long").as("seg_id"), col("col").as("seg"))
+      Dedup.markFirstUnits(segs, "doc_id", "seg_id", "seg")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_segs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          // kept segments re-assembled in seg_id order: collect_list skips
+          // the nulls of non-kept rows, array_sort orders the (seg_id, seg)
+          // structs lexicographically = by position
+          md5(concat_ws(" ",
+            transform(
+              array_sort(collect_list(when(col("kept"), struct(col("seg_id"), col("seg"))))),
+              x => x.getField("seg")))).as("kept_md5"))
+        .select(col("doc_id"), col("n_segs"), col("n_kept"),
+          (col("n_segs") - col("n_kept")).as("n_dropped"), col("kept_md5"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q88/q89: planted-recall audits for the native xxhash64 paths ------
+    // The q76/q77 trick applied to text dedup: q51/q52's signatures are
+    // engine-specific (no DuckDB twin), but their RECALL is an oracle-
+    // expressible constant. Plant one exact-copy twin per doc_id < 50; an
+    // exact copy has identical shingle sets → identical MinHash signatures →
+    // every band collides (q88), and an identical token stream → identical
+    // simhash → hamming 0, surfaced by every chunk block (q89). Both are
+    // certainties, not probabilistic LSH events, so the expected answer is a
+    // constant-true row per twin. INTENTIONALLY strict (cf. q76): a missing
+    // twin yields twin_found=0 and a null score → hash-red.
+    QueryDef(
+      "q88_minhash_planted_recall",
+      """SELECT doc_id, CAST(1 AS BIGINT) AS twin_found, CAST(1.0 AS DOUBLE) AS jaccard
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val base = Tables.documentsSpread(s, d).select(col("doc_id"), col("text"))
+      val corpus = base.unionByName(
+        base.filter(col("doc_id") < 50)
+          .select((col("doc_id") + NATIVE_TWIN_OFFSET).as("doc_id"), col("text")))
+      val twinPairs = Dedup.nearDuplicates(corpus, "doc_id", "text")
+        .filter(col("id_b") === col("id_a") + NATIVE_TWIN_OFFSET && col("id_a") < 50)
+      base.filter(col("doc_id") < 50).select(col("doc_id"))
+        .join(twinPairs, col("doc_id") === col("id_a"), "left")
+        .select(col("doc_id"),
+          when(col("id_b").isNotNull, 1L).otherwise(0L).as("twin_found"),
+          col("jaccard"))
+        .orderBy("doc_id")
+    },
+
+    QueryDef(
+      "q89_simhash_planted_recall",
+      """SELECT doc_id, CAST(1 AS BIGINT) AS twin_found, CAST(0 AS BIGINT) AS hamming
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val base = Tables.documentsSpread(s, d).select(col("doc_id"), col("text"))
+      val corpus = base.unionByName(
+        base.filter(col("doc_id") < 50)
+          .select((col("doc_id") + NATIVE_TWIN_OFFSET).as("doc_id"), col("text")))
+      val sim = Dedup.simHash64(corpus, "doc_id", "text")
+      val twinPairs = Dedup.simHashNearDup(sim, "doc_id", maxDist = 8)
+        .filter(col("id_b") === col("id_a") + NATIVE_TWIN_OFFSET && col("id_a") < 50)
+      base.filter(col("doc_id") < 50).select(col("doc_id"))
+        .join(twinPairs, col("doc_id") === col("id_a"), "left")
+        .select(col("doc_id"),
+          when(col("id_b").isNotNull, 1L).otherwise(0L).as("twin_found"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("doc_id")
     },
 
     QueryDef(

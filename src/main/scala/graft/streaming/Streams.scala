@@ -252,6 +252,28 @@ object Streams {
       spark: SparkSession, agg: DataFrame, name: String): DataFrame =
     runToMemory(spark, agg, name, "complete")
 
+  /** Run a (stateless) stream through `foreachBatch` with
+    * Trigger.AvailableNow and an explicit checkpoint, blocking until every
+    * available micro-batch has been processed. The per-batch function runs
+    * BATCH Spark jobs — this is the incremental-ingest shape where each
+    * micro-batch derives and persists its own compact artifact (a sketch,
+    * a signature table, a partial index) next to the data, instead of the
+    * engine holding it as StateStore state. No session clone needed: with
+    * no stateful operator in the stream there is no state store to size,
+    * and the batch jobs inside `f` should see the caller's normal conf.
+    */
+  def runForeachBatch(spark: SparkSession, stream: DataFrame,
+                      f: (DataFrame, Long) => Unit): Unit = {
+    val ckpt = Files.createTempDirectory("graft-ckpt-feb-")
+    val q = stream.writeStream
+      .foreachBatch(f)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally deleteRecursively(ckpt)
+  }
+
   private[graft] def deleteRecursively(root: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     val paths = Files.walk(root).iterator().asScala.toSeq.reverse
