@@ -83,12 +83,14 @@ object Bench {
       }
       val first = once()
       val runs = if (first._1 && first._2 >= 0.3) Seq(first, once()) else Seq(first)
-      if (runs.exists(!_._1)) failed ::= name
-      val best = runs.filter(_._1).map(_._2) match {
-        case Nil => -runs.map(_._2).max // all failed: negative wall time
-        case ok  => ok.min
-      }
-      (name, best, runs.map(_._2))
+      val anyFailed = runs.exists(!_._1)
+      if (anyFailed) failed ::= name
+      // ANY failed attempt marks the query failed: best goes negative (so it
+      // can't be summed into total as a success), and failed attempts are
+      // negated inside "runs" too — a failure is never readable as a fast
+      // success from the JSON alone.
+      val best = if (anyFailed) -runs.map(_._2).max else runs.map(_._2).min
+      (name, best, runs.map(r => if (r._1) r._2 else -r._2))
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

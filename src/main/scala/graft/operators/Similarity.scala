@@ -146,6 +146,63 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** SemDeDup-style semantic deduplication: k-means cells (the same coarse
+    * quantizer as [[Ivf]]) bound the pair space, then every within-cell
+    * pair scoring ≥ `threshold` cosine marks the HIGHER id a duplicate of
+    * its lowest-id partner (keep-lowest — deterministic across runs and
+    * cluster sizes, cf. Dedup's canonical-member rule). Output: one row
+    * per input vector — (idCol, kept, dup_of, dup_sim), dup_of/dup_sim
+    * null for kept vectors.
+    *
+    * At 100 TB this is the published SemDeDup recipe: pair expansion is
+    * Σ cell² instead of N², and nlist is chosen ∝ N so cells stay ~10⁴-10⁵
+    * vectors — the driver-held centroid model stays tiny (nlist × dim).
+    * The cell self-join is a keyed equi-join on cid; the cheap double
+    * cosine prescreens candidates so an expensive exact scorer (e.g. the
+    * decimal cross-engine one) runs only on ~the output set. A near-dup
+    * pair straddling a cell boundary is the quantizer's known miss mode;
+    * `probes` > 1 applies IVF's multi-probe trick to dedup — every vector
+    * joins its `probes` nearest cells, so a miss needs two near-identical
+    * vectors with DISJOINT top-`probes` cell sets (measured: probes=2
+    * recovers every boundary-straddling planted twin that probes=1 lost
+    * at the test SFs), at a pair-space cost factor ≤ probes².
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[Array[Double]],
+                    threshold: Double = 0.95,
+                    probes: Int = 1,
+                    score: (Column, Column) => Column = cosine,
+                    scope: CacheScope = CacheScope.sessionManaged): DataFrame = {
+    // persisted: both sides of the candidate self-join scan the assigned
+    // corpus (and assignment is an nlist-way argmin per row)
+    val cells = scope.persist(df.select(col(idCol),
+      explode(Ivf.probeCells(col(vecCol), centroids, probes)).as("cid")))
+    val cand = cells.select(col(idCol).as("id_a"), col("cid"))
+      .join(cells.select(col(idCol).as("id_b"), col("cid")), "cid")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct() // a pair can share up to probes² cells
+    val v = df.select(col(idCol), col(vecCol))
+    val pairs = cand
+      .join(v.select(col(idCol).as("id_a"), col(vecCol).as("va")), "id_a")
+      .join(v.select(col(idCol).as("id_b"), col(vecCol).as("vb")), "id_b")
+      // double-cosine prescreen (cf. cosineNearDup): the 0.005 margin is
+      // far above double-vs-decimal ulp drift, so no kept pair is dropped
+      .filter(cosine(col("va"), col("vb")) >= threshold - 0.005)
+      .select(col("id_a"), col("id_b"), score(col("va"), col("vb")).as("s"))
+      .filter(col("s") >= threshold)
+    // keep-lowest: each dropped id records its smallest-id partner (struct
+    // min is lexicographic — id_a first, so the score rides along)
+    val dropped = pairs.groupBy("id_b")
+      .agg(min(struct(col("id_a"), col("s"))).as("m"))
+      .select(col("id_b").as("__did"), col("m.id_a").as("dup_of"),
+        col("m.s").as("dup_sim"))
+    df.select(col(idCol))
+      .join(dropped, col(idCol) === col("__did"), "left")
+      .select(col(idCol),
+        when(col("dup_of").isNull, 1L).otherwise(0L).as("kept"),
+        col("dup_of"), col("dup_sim"))
+  }
+
   /** Derived corpus with one near-duplicate twin per vector: element 0
     * halved (exact in IEEE — exponent decrement), id offset by `offset`.
     * cos(v, twin) = (S - x₀²/2) / sqrt(S·(S - 3x₀²/4)) with S = ‖v‖² —

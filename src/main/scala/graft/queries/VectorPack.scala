@@ -222,6 +222,64 @@ object VectorPack {
         corpus, "vec_id", "embedding", threshold = 0.99,
         bits = 16, tables = 12, score = cosineDec)
         .orderBy("id_a", "id_b")
+    },
+
+    // ---- q87: semantic dedup (SemDeDup) over the planted corpus ------------
+    // The embedding-space answer to q22/q53's text dedup: k-means cells
+    // bound the pair space (Σ cell² not N²), within-cell pairs ≥ 0.99
+    // cosine mark the higher id dropped (keep-lowest). On the planted
+    // corpus the expected outcome is a constant-expressible fact — every
+    // base vector kept, every twin whose planted cosine clears 0.99
+    // dropped as a duplicate of its base — PROVIDED each such twin shares
+    // a probed cell with its base. Single-assignment misses twins that
+    // straddle a cell boundary (observed at every test SF); probes=2
+    // multi-probe closes exactly that gap — a miss now needs disjoint
+    // top-2 cell sets for two vectors at cos ≈ 0.998. The oracle is
+    // INTENTIONALLY strict the same way q76/q77 are: k-means init, corpus
+    // and seed are fixed, assignment is deterministic, and the shared-cell
+    // fact is verified at all three test SFs — a params/fixture change
+    // that splits even one twin from its base should turn the board red,
+    // because boundary recall is exactly what multi-probe buys.
+    QueryDef(
+      "q87_semantic_dedup",
+      // like q56's oracle, a twin is expected dropped only when its decimal
+      // cosine clears the 0.99 threshold (plantTwins guarantees ≈0.994-0.999,
+      // not ≥0.99 for every vector) — both engines compare the identically
+      // rounded DECIMAL(18,8) score, so the boundary cannot disagree
+      s"""WITH twins AS (
+         |  SELECT vec_id, embedding,
+         |    list_concat([CAST(CAST(embedding[1] AS DOUBLE)/2 AS FLOAT)],
+         |                embedding[2:]) AS twin
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT vec_id,
+         |    CAST(CAST(CAST(
+         |      list_sum(list_transform(range(1,65), i ->
+         |        CAST(CAST(embedding[i] AS DOUBLE)*CAST(twin[i] AS DOUBLE) AS DECIMAL(38,20)))) AS DOUBLE)
+         |      / sqrt(
+         |        CAST(list_sum(list_transform(embedding, x ->
+         |          CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,20)))) AS DOUBLE)
+         |        * CAST(list_sum(list_transform(twin, x ->
+         |          CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,20)))) AS DOUBLE))
+         |      AS DECIMAL(18,8)) AS DOUBLE) AS sim
+         |  FROM twins)
+         |SELECT vec_id, CAST(1 AS BIGINT) AS kept,
+         |  CAST(NULL AS BIGINT) AS dup_of, CAST(NULL AS DOUBLE) AS dup_sim
+         |FROM embeddings
+         |UNION ALL
+         |SELECT vec_id + $TWIN_OFFSET AS vec_id,
+         |  CAST(CASE WHEN sim >= 0.99 THEN 0 ELSE 1 END AS BIGINT) AS kept,
+         |  CASE WHEN sim >= 0.99 THEN vec_id END AS dup_of,
+         |  CASE WHEN sim >= 0.99 THEN sim END AS dup_sim
+         |FROM scored
+         |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val corpus = Similarity.plantTwins(
+        Tables.embeddings(s, d), "vec_id", "embedding", TWIN_OFFSET)
+      val centroids = graft.operators.Ivf.kmeansCentroids(
+        corpus, "vec_id", "embedding", nlist = 16)
+      Similarity.semanticDedup(corpus, "vec_id", "embedding", centroids,
+        threshold = 0.99, probes = 2, score = cosineDec)
+        .orderBy("vec_id")
     }
   )
 }

@@ -232,20 +232,23 @@ object Streams {
       spark: SparkSession, agg: DataFrame, name: String,
       mode: String = "complete", statePartitions: Option[Int] = Some(8)): DataFrame = {
     val ckpt = Files.createTempDirectory(s"graft-ckpt-$name-")
-    val scoped = org.apache.spark.sql.graftbridge.SessionBridge.cloneSession(spark)
-    statePartitions.foreach(n =>
-      scoped.conf.set("spark.sql.shuffle.partitions", n.toString))
-    val q = org.apache.spark.sql.graftbridge.SessionBridge.rebind(agg, scoped)
-      .writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally deleteRecursively(ckpt)
-    scoped.table(name)
+    // try/finally spans start() too: a bad source/checkpoint config throws
+    // from start(), and the fresh checkpoint dir must not outlive it
+    try {
+      val scoped = org.apache.spark.sql.graftbridge.SessionBridge.cloneSession(spark)
+      statePartitions.foreach(n =>
+        scoped.conf.set("spark.sql.shuffle.partitions", n.toString))
+      val q = org.apache.spark.sql.graftbridge.SessionBridge.rebind(agg, scoped)
+        .writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      scoped.table(name)
+    } finally deleteRecursively(ckpt)
   }
 
   def runCompleteToMemory(
@@ -265,13 +268,16 @@ object Streams {
   def runForeachBatch(spark: SparkSession, stream: DataFrame,
                       f: (DataFrame, Long) => Unit): Unit = {
     val ckpt = Files.createTempDirectory("graft-ckpt-feb-")
-    val q = stream.writeStream
-      .foreachBatch(f)
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally deleteRecursively(ckpt)
+    // try/finally spans start() too (cf. runToMemory): a config error that
+    // throws from start() must still clean up the fresh checkpoint dir
+    try {
+      val q = stream.writeStream
+        .foreachBatch(f)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally deleteRecursively(ckpt)
   }
 
   private[graft] def deleteRecursively(root: java.nio.file.Path): Unit = {

@@ -122,4 +122,29 @@ class SimilaritySpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("semanticDedup keeps every base and drops exactly the above-threshold twins") {
+    val corpus = Similarity.plantTwins(emb, "vec_id", "embedding", offset)
+    val centroids = graft.operators.Ivf.kmeansCentroids(
+      corpus, "vec_id", "embedding", nlist = 16)
+    val got = Similarity.semanticDedup(corpus, "vec_id", "embedding", centroids,
+        threshold = 0.99, probes = 2, score = VectorPack.cosineDec)
+      .select("vec_id", "kept", "dup_of")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    // ground truth: a twin is dropped (dup_of = its base) iff its
+    // decimal-exact planted cosine clears the threshold; bases always keep
+    val planted = emb.select(col("vec_id"),
+        VectorPack.cosineDec(col("embedding"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, (x.cast("double") / 2.0d).cast("float")).otherwise(x)))
+          .as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    planted.foreach { case (id, sim) =>
+      assert(got(id) == (1L, -1L), s"base $id not kept")
+      val expected = if (sim >= 0.99) (0L, id) else (1L, -1L)
+      assert(got(id + offset) == expected, s"twin of $id: got ${got(id + offset)}, sim $sim")
+    }
+    assert(planted.values.count(_ >= 0.99) > 0, "no above-threshold twins in fixture")
+  }
 }
