@@ -76,6 +76,34 @@ object TrainingPack {
   private val CHUNK_SIZE = 64
   private val CHUNK_STRIDE = 48
 
+  /** Decontamination candidates for a corpus build: train-split docs
+    * sharing at least one df-capped [[DECON_N]]-gram with any test-split
+    * doc (q72's overlap machinery, pointed the corpus-build direction —
+    * the eval set is fixed, the training set yields). `lab` needs
+    * (doc_id, split, t: array&lt;string&gt; tokens); returns distinct
+    * contaminated doc_ids. The gram join is keyed and df-capped, so
+    * fan-out per gram is bounded. q73 runs this end-to-end — where, on
+    * the synthetic fixture, the result is provably empty (every 8-gram
+    * leak there is a jaccard ≥ 0.9 clone the dedup stage collapses
+    * first); the positive path — a PARTIAL copy that dedup cannot see —
+    * is pinned by TrainingOpsSpec's planted 8-token quote. */
+  private[graft] def contaminatedTrainDocs(
+      lab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tcol = col("t")
+    val gramsAll = lab.filter(size(tcol) >= DECON_N)
+      .select(col("doc_id"), col("split"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(tcol) - (DECON_N - 1)),
+          i => concat_ws(" ", (0 until DECON_N).map(k => element_at(tcol, i + k)): _*)
+        ))).as("gram"))
+    val grams = Occupancy.cap(gramsAll, Seq("gram"), DECON_MAX_DF,
+      persistResult = true)
+    grams.filter(col("split") === "train")
+      .select(col("doc_id"), col("gram"))
+      .join(grams.filter(col("split") === "test").select(col("gram")), "gram")
+      .select("doc_id").distinct()
+  }
+
   def all: Seq[QueryDef] = Seq(
 
     // ---- q68: deterministic stratified train/val/test split ----------------
@@ -231,19 +259,28 @@ object TrainingPack {
         .orderBy("lang", "bin")
     },
 
-    // ---- q73: end-to-end corpus build — funnel → cluster → split → pack ----
+    // ---- q73: corpus build — funnel → cluster → split → decon → pack -------
     // The pipeline a real corpus run composes from the stages above, each
     // individually hash-checked: q70's quality rules filter the raw docs,
     // q27's jaccard pairs + q67's connected components collapse near-dup
     // groups to one canonical doc (min doc_id), q68's salted split assigns
     // train/val/test (fresh salt "corpus" — a new experiment re-draws
-    // without touching data), and q71's concat-and-chunk packs each
+    // without touching data), q72's 8-gram overlap then DROPS contaminated
+    // TRAIN docs (the corpus-build direction: the eval set is fixed, the
+    // training set yields), and q71's concat-and-chunk packs each
     // (split, lang) stream into 2048-token windows. The report is the
-    // corpus card: docs, tokens and context-window count per (split, lang).
-    // Catches inter-stage contract drift that the per-stage oracles cannot
-    // (e.g. clustering feeding ids the split stage re-hashes differently).
+    // corpus card WITH PROVENANCE: docs/tokens/windows per (split, lang)
+    // plus the per-stage drop counts — failed_quality and clustered_away
+    // are per-lang facts (those docs die before split assignment, so every
+    // split row of a lang repeats them), decontaminated is per (split,
+    // lang) and nonzero only on train rows by construction. Catches
+    // inter-stage contract drift that the per-stage oracles cannot, and
+    // makes the funnel auditable end-to-end (docs in = kept + dropped at
+    // each stage).
     QueryDef(
       "q73_corpus_build", {
+        val cat = (1 until DECON_N)
+          .map(k => s"t[i+$k]").mkString("t[i] || ' ' || ", " || ' ' || ", "")
         s"""WITH RECURSIVE scored AS (
            |  SELECT doc_id, lang, text,
            |    $qualityExprsSql
@@ -251,6 +288,9 @@ object TrainingPack {
            |survivors AS (
            |  SELECT doc_id, lang, text, ntok FROM scored
            |  WHERE $QualityCondSql),
+           |fq AS (
+           |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS failed_quality FROM scored
+           |  WHERE NOT ($QualityCondSql) GROUP BY lang),
            |${TextDedupPack.pairsSql("survivors")},
            |und AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
            |        UNION ALL
@@ -261,53 +301,112 @@ object TrainingPack {
            |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
            |comp AS (SELECT u AS doc_id, least(u, MIN(v)) AS cluster_id
            |         FROM reach GROUP BY u),
+           |dupes AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id),
+           |ca AS (
+           |  SELECT s.lang, CAST(COUNT(*) AS BIGINT) AS clustered_away
+           |  FROM survivors s JOIN dupes USING (doc_id) GROUP BY s.lang),
            |canon AS (
-           |  SELECT doc_id, lang, CAST(ntok AS BIGINT) AS ntok FROM survivors
-           |  WHERE doc_id NOT IN
-           |    (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)),
+           |  SELECT doc_id, lang, text, CAST(ntok AS BIGINT) AS ntok FROM survivors
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM dupes)),
            |lab AS (
-           |  SELECT doc_id, lang, ntok,
+           |  SELECT doc_id, lang, ntok, text,
            |    CASE WHEN bucket < 80 THEN 'train'
            |         WHEN bucket < 90 THEN 'val'
            |         ELSE 'test' END AS split
            |  FROM (SELECT canon.*,
            |      ('0x' || substring(md5('corpus:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
            |    FROM canon)),
+           |dt AS (SELECT doc_id, split, string_split(text, ' ') AS t FROM lab),
+           |dgrams_all AS (
+           |  SELECT DISTINCT doc_id, split,
+           |    unnest(list_transform(range(1, len(t) - ${DECON_N - 2}), i -> $cat)) AS gram
+           |  FROM dt WHERE len(t) >= $DECON_N),
+           |dgrams AS (SELECT doc_id, split, gram FROM (
+           |    SELECT doc_id, split, gram, COUNT(*) OVER (PARTITION BY gram) AS df
+           |    FROM dgrams_all)
+           |  WHERE df <= $DECON_MAX_DF),
+           |contam AS (
+           |  SELECT DISTINCT tr.doc_id FROM dgrams tr JOIN dgrams te
+           |  ON tr.gram = te.gram AND tr.split = 'train' AND te.split = 'test'),
+           |dc AS (
+           |  SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS decontaminated
+           |  FROM lab JOIN contam USING (doc_id) GROUP BY split, lang),
+           |clean AS (
+           |  SELECT doc_id, lang, ntok, split FROM lab
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
            |c AS (
            |  SELECT split, lang, ntok,
            |    CAST(COALESCE(SUM(ntok) OVER (PARTITION BY split, lang ORDER BY doc_id
            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
-           |  FROM lab)
-           |SELECT split, lang,
-           |  COUNT(*) AS n_docs,
-           |  CAST(SUM(ntok) AS BIGINT) AS total_tokens,
-           |  CAST(COUNT(DISTINCT FLOOR(start_offset / $PACK_CAPACITY.0)) AS BIGINT) AS n_bins
-           |FROM c
-           |GROUP BY 1, 2
+           |  FROM clean),
+           |agg AS (
+           |  SELECT split, lang,
+           |    COUNT(*) AS n_docs,
+           |    CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+           |    CAST(COUNT(DISTINCT FLOOR(start_offset / $PACK_CAPACITY.0)) AS BIGINT) AS n_bins
+           |  FROM c
+           |  GROUP BY 1, 2)
+           |SELECT agg.split AS split, agg.lang AS lang, n_docs, total_tokens, n_bins,
+           |  COALESCE(fq.failed_quality, 0) AS failed_quality,
+           |  COALESCE(ca.clustered_away, 0) AS clustered_away,
+           |  COALESCE(dc.decontaminated, 0) AS decontaminated
+           |FROM agg
+           |LEFT JOIN fq ON agg.lang = fq.lang
+           |LEFT JOIN ca ON agg.lang = ca.lang
+           |LEFT JOIN dc ON agg.split = dc.split AND agg.lang = dc.lang
            |ORDER BY split, lang""".stripMargin
       }) { (s, d) =>
       // stage 1: quality funnel (q70's pass_all predicate). Persisted: the
       // gram pipeline and the final doc set both scan it. Spread input: the
       // funnel rules + gram explode are per-row work ahead of any shuffle.
-      val survivors = Tables.documentsSpread(s, d)
-        .filter(qualityPassAll)
-        .persist()
+      // The failed count re-filters the raw scan (one extra map-side pass)
+      // instead of materializing the raw table for a subtract.
+      val docs = Tables.documentsSpread(s, d)
+      val survivors = docs.filter(qualityPassAll).persist()
+      val fq = docs.filter(!qualityPassAll).groupBy("lang")
+        .agg(count(lit(1)).as("failed_quality"))
       // stage 2: near-dup clusters over survivors; drop non-canonical members
       val comp = graft.operators.Components.connectedComponents(
         TextDedupPack.jaccardPairsOf(survivors).select("doc_a", "doc_b"),
         "doc_a", "doc_b")
       val dupes = comp.filter(col("id") =!= col("component"))
         .select(col("id").as("doc_id"))
+      val ca = survivors.join(dupes, "doc_id").groupBy("lang")
+        .agg(count(lit(1)).as("clustered_away"))
       val canon = survivors.join(dupes, Seq("doc_id"), "left_anti")
-      // stages 3+4: salted split, then pack each (split, lang) stream
+      // stage 3: salted split. Persisted: the gram stage, the decon counts
+      // and the clean set all scan the labeled table.
       val assigned = Sampling.splitColumn(col("doc_id"), "corpus",
         Seq("train" -> 80, "val" -> 10, "test" -> 10))
-      val t = canon.select(col("doc_id"), col("lang"), assigned.as("split"),
-        size(split(col("text"), " ")).cast("long").as("ntok"))
-      Packing.concatAndChunk(t, Seq("split", "lang"), "doc_id", "ntok", PACK_CAPACITY)
+      val lab = canon.select(col("doc_id"), col("lang"), assigned.as("split"),
+        split(col("text"), " ").as("t")).persist()
+      // stage 4: decontamination — drop train docs sharing a df-capped
+      // 8-gram with any test doc ([[contaminatedTrainDocs]]; empty on this
+      // fixture because dedup catches every clone first — see its scaladoc)
+      val tcol = col("t")
+      val contam = contaminatedTrainDocs(lab)
+      val dc = lab.join(contam, "doc_id").groupBy("split", "lang")
+        .agg(count(lit(1)).as("decontaminated"))
+      val clean = lab.join(contam, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("split"),
+          size(tcol).cast("long").as("ntok"))
+      // stage 5: pack each (split, lang) stream; join the tiny per-stage
+      // drop-count aggregates (≤ |splits|×|langs| rows — broadcast) onto
+      // the corpus card
+      val card = Packing.concatAndChunk(clean, Seq("split", "lang"),
+          "doc_id", "ntok", PACK_CAPACITY)
         .groupBy("split", "lang")
         .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("total_tokens"),
           countDistinct(col("bin")).as("n_bins"))
+      card
+        .join(broadcast(fq), Seq("lang"), "left")
+        .join(broadcast(ca), Seq("lang"), "left")
+        .join(broadcast(dc), Seq("split", "lang"), "left")
+        .select(col("split"), col("lang"), col("n_docs"), col("total_tokens"),
+          col("n_bins"),
+          coalesce(col("failed_quality"), lit(0L)).as("failed_quality"),
+          coalesce(col("clustered_away"), lit(0L)).as("clustered_away"),
+          coalesce(col("decontaminated"), lit(0L)).as("decontaminated"))
         .orderBy("split", "lang")
     },
 

@@ -135,4 +135,28 @@ class TrainingOpsSpec extends AnyFunSuite {
       assert(bad.count() == 0, "a bin's first doc starts outside its window")
     } finally packed.unpersist()
   }
+
+  // ---- Decontamination ---------------------------------------------------
+
+  test("contaminatedTrainDocs flags a partial 8-token quote, nothing else") {
+    // q73's fixture never exercises the positive path (clones die in dedup
+    // first), so pin it here: doc 2 quotes 8 consecutive tokens of test
+    // doc 1 inside otherwise-different text (jaccard far below the dedup
+    // threshold — exactly the leak only decontamination can see); doc 3
+    // shares nothing; doc 4 is a val doc (never flagged); doc 5 is a test
+    // doc quoting another test doc (train-side only).
+    val quote = (1 to 8).map(i => s"q$i")
+    val doc1 = (1 to 20).map(i => s"a$i")                       // test
+    val doc2 = (1 to 12).map(i => s"b$i") ++ quote              // train
+    val doc1q = doc1.take(6) ++ quote ++ doc1.drop(6)           // test, has quote
+    val doc3 = (1 to 20).map(i => s"c$i")                       // train, clean
+    val doc4 = doc1q                                            // val, has quote
+    val lab = Seq(
+      (1L, "test", doc1q), (2L, "train", doc2), (3L, "train", doc3),
+      (4L, "val", doc4), (5L, "test", doc2)
+    ).toDF("doc_id", "split", "t")
+    val flagged = graft.queries.TrainingPack.contaminatedTrainDocs(lab)
+      .as[Long].collect().toSet
+    assert(flagged == Set(2L), s"expected only the quoting train doc: $flagged")
+  }
 }
