@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.operators.Dedup
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -888,6 +889,58 @@ object TextDedupPack {
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       Dedup.exact(Tables.documents(s, d), Seq("text"), "doc_id")
         .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+    },
+
+    // ---- q90: token-rarity quality profile ---------------------------------
+    // The corpus-statistics quality signal q70's per-doc rules can't see:
+    // how much of each doc is made of corpus-RARE tokens (gibberish, OOV,
+    // mangled encodings score rare-heavy). A unigram-LM log-prob score
+    // would need ln(), whose last ulp differs across engines — so rarity
+    // is INTEGER arithmetic only: a token is rare when its collection
+    // frequency is below half the corpus mean (c·2·vocab ≤ N — corpus-
+    // relative, so the definition survives any vocabulary size), and the
+    // per-doc argmin (rarest token, ties broken lexicographically) is a
+    // rank-1 window row. Every output is a count or a token: exact in
+    // both engines by construction, no float anywhere.
+    // Shape at 100 TB: one partial-agg'd (token → cf) count, the 1-row
+    // (total, vocab) broadcast, one keyed join token-stream × cf (the
+    // only big shuffle — same shape as q83's df join), then a per-doc
+    // window + groupBy (doc-sized sorts).
+    QueryDef(
+      "q90_token_rarity",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cf AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS vocab FROM cf),
+        |r AS (
+        |  SELECT doc_id, tok, c, total, vocab,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c, tok) AS rn
+        |  FROM toks JOIN cf USING (tok) CROSS JOIN n)
+        |SELECT doc_id,
+        |  COUNT(*) AS n_tok,
+        |  CAST(SUM(CASE WHEN c * 2 * vocab <= total THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |  MIN(c) AS min_cf,
+        |  MAX(CASE WHEN rn = 1 THEN tok END) AS rarest_tok
+        |FROM r
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // token stream scanned twice (cf pass + rarity pass) — persisted
+      val toks = Tables.documentsSpread(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .persist()
+      val cf = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val n = cf.agg(sum(col("c")).as("total"), count(lit(1)).as("vocab"))
+      val w = Window.partitionBy("doc_id").orderBy(col("c"), col("tok"))
+      toks.join(cf, "tok").crossJoin(broadcast(n))
+        .withColumn("rn", row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tok"),
+          sum(when(col("c") * 2 * col("vocab") <= col("total"), 1L)
+            .otherwise(0L)).as("n_rare"),
+          min(col("c")).as("min_cf"),
+          max(when(col("rn") === 1, col("tok"))).as("rarest_tok"))
+        .orderBy("doc_id")
     }
   )
 

@@ -95,6 +95,31 @@ object VectorPack {
       sqrt(dotDec(a, a).cast("double") * dotDec(b, b).cast("double")))
       .cast(DecimalType(18, 8)).cast("double")
 
+  /** q35's decimal-exact brute-force top-k (queries = vec_id < maxQid),
+    * shared with q91's neighborhood-purity audit so the two cannot drift
+    * on scoring or tie-break: corpus never shuffles, query side and norms
+    * broadcast, every score rounded to DECIMAL(18,8) before ranking. */
+  private def exactTopKDec(s: SparkSession, d: String,
+                           maxQid: Long, k: Int) = {
+    val emb = Tables.embeddings(s, d)
+    val norms = emb.select(col("vec_id"), dotDec(col("embedding"), col("embedding")).as("nrm"))
+    val q = emb.filter(col("vec_id") < maxQid)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val pairs = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+      .crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), dotDec(col("qe"), col("ne")).as("dot"))
+    val scored = pairs
+      .join(broadcast(norms.select(col("vec_id").as("qid"), col("nrm").as("nq"))), "qid")
+      .join(norms.select(col("vec_id").as("nid"), col("nrm").as("nn")), "nid")
+      .select(col("qid"), col("nid"),
+        (col("dot").cast("double") / sqrt(col("nq").cast("double") * col("nn").cast("double")))
+          .cast(DecimalType(18, 8)).cast("double").as("cos_sim"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   def all: Seq[QueryDef] = Seq(
 
     // ---- q35: exact cosine top-5 neighbors for query vectors ---------------
@@ -118,23 +143,7 @@ object VectorPack {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS BIGINT) AS rk
         |FROM scored QUALIFY rk <= 5
         |ORDER BY qid, rk""".stripMargin) { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      val norms = emb.select(col("vec_id"), dotDec(col("embedding"), col("embedding")).as("nrm"))
-      val q = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val pairs = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
-        .crossJoin(broadcast(q))
-        .filter(col("nid") =!= col("qid"))
-        .select(col("qid"), col("nid"), dotDec(col("qe"), col("ne")).as("dot"))
-      val scored = pairs
-        .join(broadcast(norms.select(col("vec_id").as("qid"), col("nrm").as("nq"))), "qid")
-        .join(norms.select(col("vec_id").as("nid"), col("nrm").as("nn")), "nid")
-        .select(col("qid"), col("nid"),
-          (col("dot").cast("double") / sqrt(col("nq").cast("double") * col("nn").cast("double")))
-            .cast(DecimalType(18, 8)).cast("double").as("cos_sim"))
-      val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
-      scored.withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= 5)
+      exactTopKDec(s, d, maxQid = 10, k = 5)
         .select("qid", "nid", "cos_sim", "rk")
         .orderBy("qid", "rk")
     },
@@ -280,6 +289,56 @@ object VectorPack {
       Similarity.semanticDedup(corpus, "vec_id", "embedding", centroids,
         threshold = 0.99, probes = 2, score = cosineDec)
         .orderBy("vec_id")
+    },
+
+    // ---- q91: k-NN label purity — embedding-space consistency audit --------
+    // The standard neighborhood-consistency diagnostic for an embedding
+    // table that carries labels: for each audited vector, how many of its
+    // k=5 exact-cosine neighbors share its label. Scoring and tie-break
+    // are q35's decimal-exact path (shared helper, so the two queries
+    // cannot drift); the outputs are pure integer counts — no new float
+    // surface. At 100 TB the audit set stays a broadcast sample (here
+    // vec_id < 20) against the full corpus, the same verifier shape as
+    // q35; the label joins are keyed on vector id.
+    QueryDef(
+      "q91_knn_label_purity",
+      """WITH norms AS (
+        |  SELECT vec_id, list_sum(list_transform(embedding, x ->
+        |    CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,20)))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+        |pairs AS (
+        |  SELECT qid, e.vec_id AS nid,
+        |    list_sum(list_transform(range(1,65), i ->
+        |      CAST(CAST(qe[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(38,20)))) AS dot
+        |  FROM q JOIN embeddings e ON e.vec_id <> qid),
+        |scored AS (
+        |  SELECT qid, nid,
+        |    CAST(CAST(CAST(dot AS DOUBLE)/sqrt(CAST(nq.nrm AS DOUBLE)*CAST(nn.nrm AS DOUBLE)) AS DECIMAL(18,8)) AS DOUBLE) AS cos_sim
+        |  FROM pairs JOIN norms nq ON nq.vec_id = qid JOIN norms nn ON nn.vec_id = nid),
+        |top AS (
+        |  SELECT qid, nid,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rk
+        |  FROM scored QUALIFY rk <= 5)
+        |SELECT t.qid AS qid,
+        |  CAST(eq.label AS BIGINT) AS q_label,
+        |  CAST(SUM(CASE WHEN en.label = eq.label THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+        |FROM top t
+        |JOIN embeddings eq ON eq.vec_id = t.qid
+        |JOIN embeddings en ON en.vec_id = t.nid
+        |GROUP BY t.qid, eq.label
+        |ORDER BY qid""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val top = exactTopKDec(s, d, maxQid = 20, k = 5)
+      top
+        .join(broadcast(emb.select(col("vec_id").as("qid"),
+          col("label").cast("long").as("q_label"))), "qid")
+        .join(emb.select(col("vec_id").as("nid"),
+          col("label").cast("long").as("n_label")), "nid")
+        .groupBy("qid", "q_label")
+        .agg(sum(when(col("n_label") === col("q_label"), 1L).otherwise(0L))
+          .as("n_same"))
+        .orderBy("qid")
     }
   )
 }
