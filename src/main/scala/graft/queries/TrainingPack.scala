@@ -38,6 +38,11 @@ object TrainingPack {
   /** Per-language sample quota for q79. */
   private val SAMPLE_QUOTA = 100
 
+  /** q93's vocab floor: tokens seen fewer times than this score as OOV
+    * under the smoothed unigram LM (caps the vocab table the scoring join
+    * carries — Zipf puts most distinct tokens under any such floor). */
+  private val LM_MIN_COUNT = 5
+
   /** DuckDB SQL for the four per-doc quality metrics (ntok/awl/symratio/
     * nstop) — the SELECT-list fragment every quality oracle shares. */
   private[queries] def qualityExprsSql: String = {
@@ -644,6 +649,206 @@ object TrainingPack {
           sum(when(lit(20) * (col("cm") - col("c")) < lit(19) * col("tot"), 1)
             .otherwise(0)).as("vocab95"))
         .orderBy("lang")
+    },
+
+    // ---- q92: bloom-prefiltered decontamination (train side yields) --------
+    // q72's train↔test 8-gram overlap, pointed the corpus-build direction
+    // (per TRAIN doc) and executed the way a 1000-executor cluster should:
+    // the eval side's grams are folded into ONE fixed-size bloom sketch
+    // ([[graft.functions.BloomFuncs]]), re-broadcast as a literal into a
+    // map-side `might_contain` predicate that prefilters the (enormous)
+    // train side BEFORE its only shuffle. A bloom has no false negatives,
+    // so prefilter → exact-confirm join is byte-identical to the plain
+    // join — the oracle is exactly q72's SQL with the roles swapped, no
+    // bloom in sight. False positives (~1%) only cost confirm-join input.
+    QueryDef(
+      "q92_bloom_decontamination", {
+        val cat = (1 until DECON_N)
+          .map(k => s"t[i+$k]").mkString("t[i] || ' ' || ", " || ' ' || ", "")
+        s"""WITH b AS (
+           |  SELECT doc_id, string_split(text, ' ') AS t,
+           |    ('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+           |  FROM documents),
+           |lab AS (
+           |  SELECT doc_id,
+           |    CASE WHEN bucket < 80 THEN 'train'
+           |         WHEN bucket < 90 THEN 'val'
+           |         ELSE 'test' END AS split, t
+           |  FROM b WHERE len(t) >= $DECON_N),
+           |grams_all AS (
+           |  SELECT DISTINCT doc_id, split,
+           |    unnest(list_transform(range(1, len(t) - ${DECON_N - 2}),
+           |      i -> $cat)) AS gram
+           |  FROM lab),
+           |grams AS (SELECT doc_id, split, gram FROM (
+           |    SELECT doc_id, split, gram, COUNT(*) OVER (PARTITION BY gram) AS df
+           |    FROM grams_all)
+           |  WHERE df <= $DECON_MAX_DF)
+           |SELECT tr.doc_id AS train_doc_id,
+           |  CAST(COUNT(DISTINCT tr.gram) AS BIGINT) AS n_shared_grams,
+           |  CAST(COUNT(DISTINCT te.doc_id) AS BIGINT) AS n_test_docs,
+           |  MIN(te.doc_id) AS min_test_doc
+           |FROM grams tr
+           |JOIN grams te ON te.gram = tr.gram
+           | AND tr.split = 'train' AND te.split = 'test'
+           |GROUP BY tr.doc_id
+           |ORDER BY train_doc_id""".stripMargin
+      }) { (s, d) =>
+      val assigned = Sampling.splitColumn(col("doc_id"), "split",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      val t = col("t")
+      val base = Tables.documentsSpread(s, d)
+        .select(col("doc_id"), assigned.as("split"), split(col("text"), " ").as("t"))
+        .filter(size(t) >= DECON_N)
+      val gramsAll = base.select(col("doc_id"), col("split"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(t) - (DECON_N - 1)),
+          i => concat_ws(" ", (0 until DECON_N).map(k => element_at(t, i + k)): _*)
+        ))).as("gram"))
+      // persisted: the test slice is scanned twice (bloom build + confirm
+      // join) and the train slice once
+      val grams = Occupancy.cap(gramsAll, Seq("gram"), DECON_MAX_DF,
+        persistResult = true)
+      val te = grams.filter(col("split") === "test")
+        .select(col("doc_id").as("test_doc_id"), col("gram"))
+      // ONE fixed-size sketch of the eval side's grams, collected like the
+      // IVF centroid model and pushed back out as a map-side literal
+      val bloom = graft.functions.BloomFuncs.build(
+        te, col("gram"), expectedItems = 1000000L)
+      grams.filter(col("split") === "train")
+        .select(col("doc_id").as("train_doc_id"), col("gram"))
+        .filter(graft.functions.BloomFuncs.mightContain(bloom, col("gram")))
+        .join(te, "gram") // exact confirm: removes the bloom's false positives
+        .groupBy("train_doc_id")
+        .agg(
+          countDistinct(col("gram")).as("n_shared_grams"),
+          countDistinct(col("test_doc_id")).as("n_test_docs"),
+          min(col("test_doc_id")).as("min_test_doc"))
+        .orderBy("train_doc_id")
+    },
+
+    // ---- q93: unigram-LM log-prob scoring (perplexity-proxy quality) -------
+    // The importance-filtering complement of q70's rule funnel: score each
+    // doc by its average negative log-likelihood under an add-one-smoothed
+    // unigram LM fit on the corpus itself — high avg NLL = improbable token
+    // stream (noise, gibberish, OOV-dense), the cheap stand-in for the
+    // KenLM/perplexity filters in published web-corpus pipelines. Token
+    // counts are one keyed agg; the two model scalars (T, V) broadcast; the
+    // scoring join is keyed on token (AQE broadcasts it when the min-count
+    // cap keeps the vocab small). Cross-engine: both engines evaluate
+    // -ln((c+1)/(T+V+1)) on identical doubles, per-token values are summed
+    // exactly as DECIMAL(38,20), and the average is rounded to
+    // DECIMAL(18,8) before output — last-ulp ln() divergence cannot flip
+    // the hash.
+    QueryDef(
+      "q93_unigram_logprob",
+      s"""WITH norm AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^a-z ]', '', 'g'), '  *', ' ', 'g')), ' '), x -> x <> '') AS t
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(t) AS tok FROM norm),
+         |cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+         |vocab AS (SELECT tok, c FROM cnt WHERE c >= $LM_MIN_COUNT),
+         |scal AS (
+         |  SELECT (SELECT SUM(c) FROM cnt) AS T, (SELECT COUNT(*) FROM vocab) AS V),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CASE WHEN v.c IS NULL THEN 1 ELSE 0 END AS oov,
+         |    CAST(-ln((COALESCE(v.c, 0) + 1.0) / (T + V + 1.0)) AS DECIMAL(38,20)) AS nll
+         |  FROM tok LEFT JOIN vocab v USING (tok) CROSS JOIN scal)
+         |SELECT doc_id,
+         |  COUNT(*) AS n_tok,
+         |  CAST(SUM(oov) AS BIGINT) AS n_oov,
+         |  CAST(CAST(CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS DECIMAL(18,8)) AS DOUBLE) AS avg_nll
+         |FROM scored
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z ]", ""), "  *", " "))
+      val tok = Tables.documentsSpread(s, d)
+        .select(col("doc_id"), explode(filter(split(norm, " "), x => x =!= "")).as("tok"))
+      val cnt = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+      val vocab = cnt.filter(col("c") >= LM_MIN_COUNT)
+      val scal = cnt.agg(sum(col("c")).as("T"))
+        .crossJoin(vocab.agg(count(lit(1)).as("V")))
+      val scored = tok
+        .join(vocab, Seq("tok"), "left")
+        .crossJoin(broadcast(scal))
+        .select(col("doc_id"),
+          when(col("c").isNull, 1L).otherwise(0L).as("oov"),
+          (-log((coalesce(col("c"), lit(0L)) + lit(1.0)) /
+            (col("T") + col("V") + lit(1.0)))).cast(DecimalType(38, 20)).as("nll"))
+      scored.groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tok"),
+          sum(col("oov")).as("n_oov"),
+          (sum(col("nll")).cast("double") / count(lit(1)))
+            .cast(DecimalType(18, 8)).cast("double").as("avg_nll"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q97: domain-mixture token-budget resampling -----------------------
+    // Corpus mixing: rebalance per-source token mass toward a uniform
+    // share by downsampling over-represented sources. The plan is pure
+    // integer arithmetic — target = total DIV n_sources, acceptance rate in
+    // basis points = min(10000, target·10000 DIV actual) — and the draw is
+    // the deterministic salted md5 bucket (Sampling.hashBucket mod 10000),
+    // so the sample is reproducible across runs, engines and cluster sizes
+    // and the whole query is exact (no doubles anywhere). Two keyed
+    // aggregations over the corpus; the 5-row rate table broadcasts back.
+    QueryDef(
+      "q97_domain_mixture",
+      """WITH docs AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS ntok,
+        |    ('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bucket
+        |  FROM documents),
+        |per AS (
+        |  SELECT source, COUNT(*) AS n_docs, SUM(ntok) AS actual_tokens
+        |  FROM docs GROUP BY source),
+        |tot AS (SELECT SUM(actual_tokens) AS total, COUNT(*) AS nsrc FROM per),
+        |rates AS (
+        |  SELECT source, n_docs, actual_tokens,
+        |    total // nsrc AS target_tokens,
+        |    LEAST(10000, (total // nsrc) * 10000 // actual_tokens) AS rate_bp
+        |  FROM per CROSS JOIN tot),
+        |sampled AS (
+        |  SELECT d.source, COUNT(*) AS sampled_docs, SUM(d.ntok) AS sampled_tokens
+        |  FROM docs d JOIN rates r ON d.source = r.source
+        |  WHERE d.bucket < r.rate_bp
+        |  GROUP BY d.source)
+        |SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs,
+        |  CAST(r.actual_tokens AS BIGINT) AS actual_tokens,
+        |  CAST(r.target_tokens AS BIGINT) AS target_tokens,
+        |  CAST(r.rate_bp AS BIGINT) AS rate_bp,
+        |  CAST(COALESCE(s.sampled_docs, 0) AS BIGINT) AS sampled_docs,
+        |  CAST(COALESCE(s.sampled_tokens, 0) AS BIGINT) AS sampled_tokens
+        |FROM rates r LEFT JOIN sampled s ON s.source = r.source
+        |ORDER BY r.source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ntok"),
+          Sampling.hashBucket(col("doc_id"), "mix", 10000).as("bucket"))
+      val per = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("actual_tokens"))
+      val tot = per.agg(sum(col("actual_tokens")).as("total"), count(lit(1)).as("nsrc"))
+      val rates = per.crossJoin(broadcast(tot))
+        .withColumn("target_tokens", expr("total DIV nsrc"))
+        .withColumn("rate_bp",
+          least(lit(10000L), expr("(total DIV nsrc) * 10000 DIV actual_tokens")))
+        .select("source", "n_docs", "actual_tokens", "target_tokens", "rate_bp")
+      val sampled = docs
+        .join(broadcast(rates.select(col("source"), col("rate_bp"))), "source")
+        .filter(col("bucket") < col("rate_bp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("sampled_docs"), sum(col("ntok")).as("sampled_tokens"))
+      rates.join(sampled, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("actual_tokens"),
+          col("target_tokens"), col("rate_bp"),
+          coalesce(col("sampled_docs"), lit(0L)).as("sampled_docs"),
+          coalesce(col("sampled_tokens"), lit(0L)).as("sampled_tokens"))
+        .orderBy("source")
     }
   )
 }

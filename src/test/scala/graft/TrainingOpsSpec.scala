@@ -159,4 +159,83 @@ class TrainingOpsSpec extends AnyFunSuite {
       .as[Long].collect().toSet
     assert(flagged == Set(2L), s"expected only the quoting train doc: $flagged")
   }
+
+  // ---- BloomFuncs --------------------------------------------------------
+
+  test("bloom has no false negatives and a plausible false-positive rate") {
+    import graft.functions.BloomFuncs
+    val keys = (1 to 2000).map(i => s"key-$i").toDF("k")
+    val bloom = BloomFuncs.build(keys, col("k"), expectedItems = 2000L)
+    // every inserted key must probe true
+    assert(keys.filter(!BloomFuncs.mightContain(bloom, col("k"))).count() == 0)
+    // non-members probe true at ~fpp (1%) — allow a wide margin
+    val others = (1 to 2000).map(i => s"other-$i").toDF("k")
+    val fp = others.filter(BloomFuncs.mightContain(bloom, col("k"))).count()
+    assert(fp < 200, s"false-positive count $fp way above sized fpp")
+  }
+
+  test("an empty build side yields a filter that rejects everything") {
+    import graft.functions.BloomFuncs
+    val empty = Seq.empty[String].toDF("k")
+    val bloom = BloomFuncs.build(empty, col("k"), expectedItems = 100L)
+    val probe = (1 to 50).map(i => s"x$i").toDF("k")
+    assert(probe.filter(BloomFuncs.mightContain(bloom, col("k"))).count() == 0)
+  }
+
+  test("bloom prefilter + exact confirm equals the plain join") {
+    import graft.functions.BloomFuncs
+    val big = (1L to 3000L).map(i => (i, s"g${i % 700}")).toDF("id", "gram")
+    val small = (0L to 99L).map(i => (i, s"g${i * 7}")).toDF("sid", "gram")
+    val bloom = BloomFuncs.build(small, col("gram"), expectedItems = 1000L)
+    val viaBloom = big.filter(BloomFuncs.mightContain(bloom, col("gram")))
+      .join(small, "gram").select("id", "sid")
+    val plain = big.join(small, "gram").select("id", "sid")
+    assert(viaBloom.exceptAll(plain).isEmpty && plain.exceptAll(viaBloom).isEmpty)
+    assert(plain.count() > 0, "fixture must actually join")
+  }
+
+  // ---- q93 unigram LM ----------------------------------------------------
+
+  test("unigram NLL scores a known corpus exactly") {
+    // corpus: "a a a a a b" + "a b c" — counts a=6 b=2 c=1; min-count 5
+    // keeps only 'a' in vocab, so V=1, T=9; p(a)=(6+1)/11, p(oov)=1/11
+    val in = Seq((1L, "a a a a a b"), (2L, "a b c")).toDF("doc_id", "text")
+      .withColumn("source", lit("s")).withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-q93-").toString
+    in.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val out = SparkEntry.byName("q93_unigram_logprob").run(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toList
+      val pA = 7.0 / 11.0
+      val pOov = 1.0 / 11.0
+      def r8(x: Double) = BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val d1 = r8((5 * -math.log(pA) + -math.log(pOov)) / 6)
+      val d2 = r8((-math.log(pA) + 2 * -math.log(pOov)) / 3)
+      assert(out.map(t => (t._1, t._2, t._3)) == List((1L, 6L, 1L), (2L, 3L, 2L)))
+      assert(math.abs(out(0)._4 - d1) < 1e-7 && math.abs(out(1)._4 - d2) < 1e-7,
+        s"$out vs ($d1, $d2)")
+    } finally graft.streaming.Streams.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  // ---- q97 domain mixture ------------------------------------------------
+
+  test("mixture rates are exact integer math and sampling respects them") {
+    val out = SparkEntry.byName("q97_domain_mixture").run(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val total = out.map(_._3).sum
+    val nsrc = out.length
+    out.foreach { case (src, nDocs, actual, target, rateBp, sDocs, sToks) =>
+      assert(target == total / nsrc, s"$src target")
+      assert(rateBp == math.min(10000L, target * 10000 / actual), s"$src rate")
+      assert(sDocs <= nDocs && sToks <= actual, s"$src sample bounds")
+      // the md5 bucket is uniform: sampled token mass ≈ rate × actual
+      val expected = actual * rateBp / 10000.0
+      assert(rateBp == 10000L || math.abs(sToks - expected) < 0.25 * actual + 1000,
+        s"$src sampled $sToks vs expected ~$expected")
+    }
+    // at least one over-represented source must be downsampled
+    assert(out.exists(_._5 < 10000L), "fixture should force downsampling")
+  }
 }
