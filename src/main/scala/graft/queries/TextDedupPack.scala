@@ -51,6 +51,12 @@ object TextDedupPack {
     * machinery downstream of the split is identical. */
   private val SEG_TOKENS = 16
 
+  /** q96's duplicated-window width (tokens). Sub-segment spans: q86 removes
+    * whole duplicated 16-token segments aligned to a fixed grid; q96 slides
+    * a 5-token window at every offset, so copied spans are caught wherever
+    * they start and only the covered tokens are dropped. */
+  private val SPAN_W = 5
+
   /** Shared SQL for distinct word-3-gram extraction with the df cap
     * (DuckDB dialect), over any docs relation `src` with (doc_id, text). */
   private[queries] def gramsSql(src: String): String =
@@ -940,6 +946,71 @@ object TextDedupPack {
             .otherwise(0L)).as("n_rare"),
           min(col("c")).as("min_cf"),
           max(when(col("rn") === 1, col("tok"))).as("rarest_tok"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q96: cross-doc duplicate-span removal (substring-level dedup) -----
+    // The sliding-window approximation of suffix-array substring dedup
+    // (Lee et al., "Deduplicating Training Data Makes Language Models
+    // Better"): a token is removed iff it is covered by any 5-token window
+    // whose text also occurs in a LOWER-id document — the span keeps its
+    // first occurrence corpus-wide and disappears everywhere else,
+    // wherever in the doc the copy starts (q86's fixed segments only catch
+    // grid-aligned copies). Shape: window hashing is per-row map work; the
+    // first-occurrence pass is ONE keyed agg on the window hash; flagged
+    // starts come back via a keyed join + per-doc collect; coverage and
+    // re-assembly are per-row array math (O(ntok · dup_spans), no shuffle).
+    // kept_md5 pins the exact surviving text on both engines.
+    QueryDef(
+      "q96_duplicate_span_removal",
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |w AS (
+         |  SELECT doc_id, CAST(u.st AS BIGINT) AS st, u.wh AS wh FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(t) - ${SPAN_W - 2}), i ->
+         |      {st: i, wh: md5(array_to_string(t[CAST(i AS INT):CAST(i + ${SPAN_W - 1} AS INT)], ' '))})) AS u
+         |    FROM d WHERE len(t) >= $SPAN_W)),
+         |f AS (SELECT wh, MIN(doc_id) AS fd FROM w GROUP BY wh),
+         |dl AS (
+         |  SELECT w.doc_id, list(w.st) AS ds FROM w JOIN f USING (wh)
+         |  WHERE f.fd < w.doc_id GROUP BY w.doc_id),
+         |cov AS (
+         |  SELECT d.doc_id, d.t, COALESCE(dl.ds, []::BIGINT[]) AS ds
+         |  FROM d LEFT JOIN dl USING (doc_id)),
+         |k AS (
+         |  SELECT doc_id, t, list_filter(range(1, len(t) + 1),
+         |    p -> len(list_filter(ds, s -> s <= p AND p < s + $SPAN_W)) = 0) AS kp
+         |  FROM cov)
+         |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+         |  CAST(len(t) - len(kp) AS BIGINT) AS n_removed,
+         |  md5(COALESCE(array_to_string(list_transform(kp, p -> t[CAST(p AS INT)]), ' '), '')) AS kept_md5
+         |FROM k
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t = col("__t")
+      val docs = Tables.documentsSpread(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("__t"))
+      // window table scanned twice (first-occurrence agg + flag join)
+      val wins = docs.filter(size(t) >= SPAN_W)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(1), size(t) - (SPAN_W - 1)),
+            i => md5(concat_ws(" ",
+              (0 until SPAN_W).map(k => element_at(t, i + k)): _*)))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("st"),
+          col("col").as("wh"))
+        .persist()
+      val first = wins.groupBy("wh").agg(min(col("doc_id")).as("fd"))
+      val dupStarts = wins.join(first, "wh")
+        .filter(col("fd") < col("doc_id"))
+        .groupBy("doc_id").agg(collect_list(col("st")).as("ds"))
+      val ds = coalesce(col("ds"), array().cast("array<bigint>"))
+      val keptPos = filter(sequence(lit(1L), size(t).cast("long")),
+        p => !exists(ds, st => st <= p && p < st + SPAN_W))
+      docs.join(dupStarts, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          size(t).cast("long").as("n_tok"),
+          (size(t) - size(keptPos)).cast("long").as("n_removed"),
+          md5(concat_ws(" ",
+            transform(keptPos, p => element_at(t, p.cast("int"))))).as("kept_md5"))
         .orderBy("doc_id")
     }
   )

@@ -175,4 +175,35 @@ class DedupSpec extends AnyFunSuite {
     assert(got((1L, 2L)) == 0.5)
     assert(got.get((1L, 3L)).isEmpty) // no common shingles → no row
   }
+
+  test("duplicate-span removal (q96) drops exactly the covered copied span") {
+    // doc 2 copies a 7-token span of doc 1 mid-document: the three 5-token
+    // windows fully inside the span are duplicated, covering positions
+    // 11..17 of doc 2 — exactly the copied tokens, nothing else. Doc 1
+    // (first occurrence) and the clean doc 3 stay intact.
+    val span = (1 to 7).map(i => s"s$i")
+    val doc1 = (1 to 20).map(i => s"a$i")
+    val doc1s = doc1.take(5) ++ span ++ doc1.drop(5)
+    val doc2 = (1 to 10).map(i => s"b$i") ++ span ++ (1 to 8).map(i => s"c$i")
+    val doc3 = (1 to 15).map(i => s"d$i")
+    val in = Seq((1L, doc1s), (2L, doc2), (3L, doc3))
+      .map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text")
+      .withColumn("source", lit("s")).withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-q96-").toString
+    in.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val out = SparkEntry.byName("q96_duplicate_span_removal").run(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      def m(t: Seq[String]) = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(t.mkString(" ").getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+      val kept2 = doc2.take(10) ++ doc2.drop(17) // positions 11..17 removed
+      assert(out.toList == List(
+        (1L, 27L, 0L, m(doc1s)),
+        (2L, 25L, 7L, m(kept2)),
+        (3L, 15L, 0L, m(doc3))), out.mkString(", "))
+    } finally graft.streaming.Streams.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
 }
