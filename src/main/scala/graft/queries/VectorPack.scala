@@ -339,6 +339,38 @@ object VectorPack {
         .agg(sum(when(col("n_label") === col("q_label"), 1L).otherwise(0L))
           .as("n_same"))
         .orderBy("qid")
+    },
+
+    // ---- q94: product-quantization ANN (rows-only scale path) --------------
+    // The compressed-domain third ANN path next to SRP-LSH (q55) and IVF
+    // (q58): 8 subspace codebooks of 16 centroids quantize each 64-d vector
+    // to 8 codes; the scan reads ONLY the code table with per-query ADC
+    // lookup tables, and full vectors are fetched just for the top-32 ADC
+    // survivors, which an exact cosine pass re-ranks. Sketch-valued
+    // intermediate (codes/ADC are engine-specific) → rows-only; recall vs
+    // the exact scorer asserted in SimilaritySpec, and hash-audited by q95.
+    QueryDef.rowsOnly("q94_pq_topk") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      graft.operators.Pq.pqTopK(
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, dim = 64)
+        .orderBy("qid", "rk")
+    },
+
+    // ---- q95: PQ planted-recall audit (hash-green) -------------------------
+    // q76/q77's trick for the PQ path, with EXACT-copy twins (cf. q88): an
+    // identical vector has identical codes, so its ADC distance equals
+    // Σ_j min_c ‖q_j − C_j[c]‖² — the global minimum over the whole code
+    // space, unbeatable by construction — and the exact re-rank then pins
+    // it at rank 1 with cosine exactly 1.0. A constant-true row per query;
+    // INTENTIONALLY strict, because ADC candidate recall is exactly what
+    // this audits. Verified at all three test SFs.
+    QueryDef("q95_pq_planted_recall", RECALL_ORACLE) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(
+        emb.select((col("vec_id") + TWIN_OFFSET).as("vec_id"), col("embedding")))
+      recallAudit(graft.operators.Pq.pqTopK(
+        corpus, emb, "vec_id", "embedding", k = 5, dim = 64))
     }
   )
 }

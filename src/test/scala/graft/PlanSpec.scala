@@ -121,6 +121,29 @@ class PlanSpec extends AnyFunSuite {
     assert(probe.count() > 0)
   }
 
+  test("q92's bloom probe filters the train side BEFORE the confirm-join exchange") {
+    // the point of the bloom prefilter is that might_contain runs map-side,
+    // under the shuffle that feeds the exact-confirm join — if it floated
+    // above the exchange (or vanished), the full train gram table would
+    // ship through the network and the operator would be a no-op at scale
+    val p = plan(q("q92_bloom_decontamination"))
+    val shufflesWithBloomBelow = collectAll(p) {
+      case s: ShuffleExchangeExec
+        if s.child.toString.contains("might_contain") => s
+    }
+    assert(shufflesWithBloomBelow.nonEmpty,
+      s"no shuffle has the bloom probe below it:\n$p")
+  }
+
+  test("q94 PQ re-rank broadcasts the query side; the ADC scan never sorts the corpus globally") {
+    val p = plan(q("q94_pq_topk"))
+    // both query-side joins (LUT scan + re-rank) must be broadcast
+    val bhj = collectAll(p) { case j: BroadcastHashJoinExec => j }
+    val cart = collectAll(p) { case c: CartesianProductExec => c }
+    assert(cart.isEmpty, s"PQ planned an unbroadcast cartesian:\n$p")
+    assert(bhj.nonEmpty, s"PQ re-rank lost its broadcast joins:\n$p")
+  }
+
   test("partitioned parquet write + filtered read prunes partitions at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part-").toString + "/docs"
     Tables.documents(spark, sf).write.partitionBy("lang").mode("overwrite").parquet(dir)

@@ -147,4 +147,55 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(planted.values.count(_ >= 0.99) > 0, "no above-threshold twins in fixture")
   }
+
+  test("PQ codes are m per-subspace argmins in range, deterministic") {
+    import graft.operators.Pq
+    val books = Pq.codebooks(emb, "vec_id", "embedding", dim = 64)
+    assert(books.length == 8 && books.forall(_.length == 16) &&
+      books.forall(_.forall(_.length == 8)))
+    val codes = emb.select(col("vec_id"), Pq.encode(col("embedding"), books).as("c"))
+    val bad = codes.filter(
+      size(col("c")) =!= 8 ||
+        exists(col("c"), x => x < 0 || x >= 16))
+    assert(bad.count() == 0)
+    // re-training with the same seed reproduces the codebooks exactly
+    val books2 = Pq.codebooks(emb, "vec_id", "embedding", dim = 64)
+    assert(books.flatten.flatten.toSeq == books2.flatten.flatten.toSeq)
+  }
+
+  test("PQ top-k with exact re-rank finds the exact-copy twin at rank 1") {
+    import graft.operators.Pq
+    val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(
+      emb.select((col("vec_id") + offset).as("vec_id"), col("embedding")))
+    val queries = emb.filter(col("vec_id") < 50)
+    val rank1 = Pq.pqTopK(corpus, queries, "vec_id", "embedding", k = 5, dim = 64)
+      .filter(col("rk") === 1)
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    assert(rank1.size == 50)
+    val wrong = rank1.filter { case (q, n) => n != q + offset }
+    assert(wrong.isEmpty, s"twin not at rank 1 for: $wrong")
+  }
+
+  test("PQ candidate recall vs exact top-5 grows with the ADC budget") {
+    import graft.operators.Pq
+    // the raw gaussian corpus has no true neighbors (near-tied cos ≈ 0.5,
+    // see class scaladoc), so absolute recall is inherently soft here —
+    // the PLANTED test above is the hard recall gate. What ADC must still
+    // show on random data: a usable overlap at the default budget, and
+    // monotone improvement as `cand` grows toward the full scan.
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    def recallAt(cand: Int): Double = {
+      val pq = Pq.pqTopK(emb, queries, "vec_id", "embedding", k = 5, dim = 64,
+          cand = cand)
+        .select("qid", "nid").as[(Long, Long)].collect().toSet
+      (pq & exact).size.toDouble / exact.size
+    }
+    val r32 = recallAt(32)
+    val r200 = recallAt(200)
+    assert(r32 >= 0.25, s"PQ recall@5 with cand=32 only $r32")
+    assert(r200 >= r32, s"recall must not degrade with budget: $r32 -> $r200")
+    assert(r200 >= 0.6, s"PQ recall@5 with cand=200 only $r200")
+  }
 }
