@@ -112,12 +112,16 @@ object Ivf {
     * side, so dynamic partition pruning restricts the scan to the probed
     * cells' directories — the corpus is neither fully scanned nor shuffled
     * (PlanSpec asserts the pruning expression in the scan's partition
-    * filters). Cell assignment happens once, at write time. */
+    * filters). Cell assignment happens once, at write time; `Append` mode
+    * is the incremental-ingest path — new vectors land in their cells'
+    * directories without touching existing files (q98 drives it from a
+    * real streaming query). */
   def writeCellPartitioned(corpus: DataFrame, idCol: String, vecCol: String,
-                           centroids: Array[Array[Double]], path: String): Unit =
+                           centroids: Array[Array[Double]], path: String,
+                           mode: SaveMode = SaveMode.Overwrite): Unit =
     corpus
       .select(col(idCol), col(vecCol), assignCell(col(vecCol), centroids).as("cid"))
-      .write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(path)
+      .write.mode(mode).partitionBy("cid").parquet(path)
 
   /** IVF top-k against a [[writeCellPartitioned]] layout: same probe shape
     * as [[ivfTopK]], but cell assignment is pre-materialized in the

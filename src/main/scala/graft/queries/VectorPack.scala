@@ -79,6 +79,40 @@ object VectorPack {
       (dir.toString, centroids)
     })
 
+  /** One STREAMING-BUILT IVF layout (+ its frozen centroids) per sf dir:
+    * the planted corpus is staged as 4 parquet splits and replayed through
+    * the REAL streaming engine (readStream, maxFilesPerTrigger=1,
+    * AvailableNow), each micro-batch cell-assigned with the pre-trained
+    * centroid model and APPENDED to the cell-partitioned layout — the
+    * incremental-index-maintenance shape: ingest never rewrites or rescans
+    * existing cells, it only adds files to their directories. Built on
+    * first use, reused for the JVM's lifetime (cf. ivfLayouts); dirs are
+    * deleted at JVM exit. */
+  private val streamIvfLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Array[Array[Double]])]()
+  private def streamIvfLayout(s: SparkSession, d: String): (String, Array[Array[Double]]) =
+    streamIvfLayouts.computeIfAbsent(d, _ => {
+      val corpus = Similarity.plantTwins(
+        Tables.embeddings(s, d), "vec_id", "embedding", TWIN_OFFSET)
+      // the frozen quantizer model — trained once, before ingest starts
+      val centroids = graft.operators.Ivf.kmeansCentroids(
+        corpus, "vec_id", "embedding", nlist = 16)
+      val src = java.nio.file.Files.createTempDirectory("graft-q98-src-")
+      val layout = java.nio.file.Files.createTempDirectory("graft-q98-ivf-")
+      sys.addShutdownHook {
+        graft.streaming.Streams.deleteRecursively(src)
+        graft.streaming.Streams.deleteRecursively(layout)
+      }
+      corpus.repartition(4).write.mode("overwrite").parquet(src.toString)
+      val stream = s.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src.toString)
+      graft.streaming.Streams.runForeachBatch(s, stream, (batch, _) =>
+        graft.operators.Ivf.writeCellPartitioned(
+          batch, "vec_id", "embedding", centroids, layout.toString,
+          org.apache.spark.sql.SaveMode.Append))
+      (layout.toString, centroids)
+    })
+
   /** Exact decimal dot product of two float-array columns. */
   private def dotDec(a: Column, b: Column): Column =
     aggregate(
@@ -371,6 +405,24 @@ object VectorPack {
         emb.select((col("vec_id") + TWIN_OFFSET).as("vec_id"), col("embedding")))
       recallAudit(graft.operators.Pq.pqTopK(
         corpus, emb, "vec_id", "embedding", k = 5, dim = 64))
+    },
+
+    // ---- q98: streaming incremental IVF index ingest (hash-green) ----------
+    // The index-maintenance loop a production vector store runs: the
+    // quantizer model is FROZEN, and new vectors arrive as micro-batches
+    // through the real streaming engine, each batch cell-assigned and
+    // APPENDED into the cell-partitioned layout (new files in existing
+    // cell directories — no rewrite, no rescan of prior ingest). The probe
+    // then runs q58's pruned-scan path over the accumulated layout. Same
+    // centroids, corpus and probe parameters as q77, so the planted-twin
+    // recall oracle carries over verbatim: every query must find its twin
+    // at rank 1 through the streaming-built index — batching must not
+    // change the answer, which is exactly what this audits.
+    QueryDef("q98_stream_ivf_ingest", RECALL_ORACLE) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val (layout, centroids) = streamIvfLayout(s, d)
+      recallAudit(graft.operators.Ivf.ivfTopKPartitioned(
+        s, layout, emb, "vec_id", "embedding", k = 5, centroids, nprobe = 4))
     }
   )
 }

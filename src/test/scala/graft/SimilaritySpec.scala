@@ -176,6 +176,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(wrong.isEmpty, s"twin not at rank 1 for: $wrong")
   }
 
+  test("streaming-ingested IVF layout equals the batch-written layout") {
+    import graft.operators.Ivf
+    import org.apache.spark.sql.SaveMode
+    val centroids = Ivf.kmeansCentroids(emb, "vec_id", "embedding", nlist = 8, iters = 1)
+    val root = java.nio.file.Files.createTempDirectory("graft-q98-spec-")
+    try {
+      val batchDir = s"$root/batch"
+      val streamDir = s"$root/stream"
+      val srcDir = s"$root/src"
+      Ivf.writeCellPartitioned(emb, "vec_id", "embedding", centroids, batchDir)
+      emb.repartition(3).write.mode("overwrite").parquet(srcDir)
+      val stream = spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      graft.streaming.Streams.runForeachBatch(spark, stream, (b, _) =>
+        Ivf.writeCellPartitioned(b, "vec_id", "embedding", centroids, streamDir,
+          SaveMode.Append))
+      def cells(dir: String) = spark.read.parquet(dir)
+        .select("vec_id", "cid").as[(Long, Int)].collect().toSet
+      assert(cells(streamDir) == cells(batchDir),
+        "micro-batched ingest must produce the same cell assignments")
+    } finally graft.streaming.Streams.deleteRecursively(root)
+  }
+
   test("PQ candidate recall vs exact top-5 grows with the ADC budget") {
     import graft.operators.Pq
     // the raw gaussian corpus has no true neighbors (near-tied cos ≈ 0.5,
