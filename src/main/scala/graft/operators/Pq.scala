@@ -86,8 +86,13 @@ object Pq {
   def pqTopK(corpus: DataFrame, queries: DataFrame,
              idCol: String, vecCol: String, k: Int, dim: Int,
              m: Int = 8, ks: Int = 16, cand: Int = 32,
-             iters: Int = 2, seed: Long = 42L): DataFrame = {
-    val books = codebooks(corpus, idCol, vecCol, dim, m, ks, iters, seed)
+             iters: Int = 2, seed: Long = 42L,
+             precomputed: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    // the codebook model is reusable across queries over the same corpus
+    // (cf. VectorPack's per-sf cache) — training is the only driver-side
+    // iteration in the pipeline, everything after is one declarative plan
+    val books = precomputed.getOrElse(
+      codebooks(corpus, idCol, vecCol, dim, m, ks, iters, seed))
     // the hot scan: codes only — no vectors
     val codes = corpus.select(col(idCol).as("nid"), encode(col(vecCol), books).as("codes"))
     val q = queries.select(col(idCol).as("qid"), adcLut(col(vecCol), books).as("lut"))

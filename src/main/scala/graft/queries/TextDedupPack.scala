@@ -51,6 +51,10 @@ object TextDedupPack {
     * machinery downstream of the split is identical. */
   private val SEG_TOKENS = 16
 
+  /** q99's bigram count floor: a collocation needs this much support
+    * before its PMI is meaningful (and the floor caps the scored table). */
+  private val PMI_MIN_COUNT = 5
+
   /** q96's duplicated-window width (tokens). Sub-segment spans: q86 removes
     * whole duplicated 16-token segments aligned to a fixed grid; q96 slides
     * a 5-token window at every offset, so copied spans are caught wherever
@@ -1012,6 +1016,69 @@ object TextDedupPack {
           md5(concat_ws(" ",
             transform(keptPos, p => element_at(t, p.cast("int"))))).as("kept_md5"))
         .orderBy("doc_id")
+    },
+
+    // ---- q99: PMI collocation mining — top adjacent-bigram associations ----
+    // Corpus analysis for tokenizer/vocab design: which adjacent token
+    // pairs co-occur far above chance. PMI = ln(P(ab) / (P(a)·P(b))) over
+    // ADJACENT bigrams only — the pair stream is linear in the token
+    // stream (never all-pairs), partial-agg'd into (a, b) counts, then two
+    // keyed joins attach the unigram counts. Cross-engine: the PMI
+    // argument c_ab·T_uni²/(c_a·c_b·T_bi) is evaluated as the identical
+    // double expression on both sides, the single ln() is rounded to
+    // DECIMAL(18,8), and the global top-50 orders by the ROUNDED score
+    // with a lexicographic (a, b) tiebreak — so the cut is deterministic.
+    QueryDef(
+      "q99_pmi_bigrams",
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |uni AS (
+         |  SELECT unnest(t) AS w FROM toks),
+         |ucnt AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+         |bi AS (
+         |  SELECT unnest(list_transform(range(1, len(t)), i ->
+         |    {a: t[CAST(i AS INT)], b: t[CAST(i+1 AS INT)]})) AS u
+         |  FROM toks WHERE len(t) >= 2),
+         |bcnt AS (SELECT u.a AS a, u.b AS b, COUNT(*) AS c_ab FROM bi GROUP BY u.a, u.b),
+         |tot AS (
+         |  SELECT (SELECT SUM(c) FROM ucnt) AS t_uni,
+         |         (SELECT SUM(c_ab) FROM bcnt) AS t_bi),
+         |scored AS (
+         |  SELECT a, b, c_ab,
+         |    CAST(CAST(ln(CAST(c_ab AS DOUBLE) * t_uni * t_uni
+         |      / (ca.c * cb.c * t_bi)) AS DECIMAL(18,8)) AS DOUBLE) AS pmi
+         |  FROM bcnt JOIN ucnt ca ON ca.w = a JOIN ucnt cb ON cb.w = b
+         |  CROSS JOIN tot
+         |  WHERE c_ab >= $PMI_MIN_COUNT)
+         |SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab, pmi,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, a, b) AS BIGINT) AS rk
+         |FROM scored QUALIFY rk <= 50
+         |ORDER BY rk""".stripMargin) { (s, d) =>
+      val t = col("__t")
+      val toks = Tables.documentsSpread(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("__t"))
+        .persist() // unigram + bigram passes share the token arrays
+      val ucnt = toks.select(explode(t).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val bcnt = toks.filter(size(t) >= 2)
+        .select(explode(transform(sequence(lit(1), size(t) - 1),
+          i => struct(element_at(t, i).as("a"), element_at(t, i + 1).as("b")))).as("u"))
+        .select(col("u.a").as("a"), col("u.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      val tot = ucnt.agg(sum(col("c")).as("t_uni"))
+        .crossJoin(bcnt.agg(sum(col("c_ab")).as("t_bi")))
+      val scored = bcnt.filter(col("c_ab") >= PMI_MIN_COUNT)
+        .join(ucnt.select(col("w").as("a"), col("c").as("ca")), "a")
+        .join(ucnt.select(col("w").as("b"), col("c").as("cb")), "b")
+        .crossJoin(broadcast(tot))
+        .select(col("a"), col("b"), col("c_ab"),
+          log(col("c_ab").cast("double") * col("t_uni") * col("t_uni") /
+            (col("ca") * col("cb") * col("t_bi")))
+            .cast(DecimalType(18, 8)).cast("double").as("pmi"))
+      val w = Window.orderBy(col("pmi").desc, col("a"), col("b"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 50)
+        .orderBy("rk")
     }
   )
 
