@@ -767,8 +767,11 @@ object TrainingPack {
       import org.apache.spark.sql.types.DecimalType
       val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
         "[^a-z ]", ""), "  *", " "))
+      // token stream scanned twice (count-model pass + scoring pass) —
+      // persisted, cf. q90's identical two-pass shape
       val tok = Tables.documentsSpread(s, d)
         .select(col("doc_id"), explode(filter(split(norm, " "), x => x =!= "")).as("tok"))
+        .persist()
       val cnt = tok.groupBy("tok").agg(count(lit(1)).as("c"))
       val vocab = cnt.filter(col("c") >= LM_MIN_COUNT)
       val scal = cnt.agg(sum(col("c")).as("T"))
