@@ -55,6 +55,11 @@ object TextDedupPack {
     * before its PMI is meaningful (and the floor caps the scored table). */
   private val PMI_MIN_COUNT = 5
 
+  /** q100's winnowing window (consecutive 3-gram hashes per window). The
+    * guarantee: any shared run of ≥ WINNOW_W + 2 tokens between two docs
+    * shares at least one selected fingerprint. */
+  private val WINNOW_W = 4
+
   /** q96's duplicated-window width (tokens). Sub-segment spans: q86 removes
     * whole duplicated 16-token segments aligned to a fixed grid; q96 slides
     * a 5-token window at every offset, so copied spans are caught wherever
@@ -1079,6 +1084,71 @@ object TextDedupPack {
       scored.withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 50)
         .orderBy("rk")
+    },
+
+    // ---- q100: winnowing fingerprints (MOSS-style robust selection) --------
+    // The guaranteed-recall fingerprinting scheme (Schleimer/Wilkerson/
+    // Aiken): hash every 3-gram, slide a window of 4 consecutive hashes,
+    // select each window's MINIMUM (rightmost on ties), dedupe positions.
+    // Any shared token run of ≥ w+2 tokens between two documents then
+    // shares at least one selected fingerprint — the density/recall
+    // trade-off q41's every-position rolling hash can't make. Entirely
+    // per-row array math (no shuffle before the final sort); the 60-bit
+    // md5-prefix hash is the portable construction, xxhash64 being the
+    // drop-in at deploy. Docs shorter than one full window winnow their
+    // single truncated window — the slice-length term keeps the rightmost
+    // arithmetic exact there too, on both engines.
+    QueryDef(
+      "q100_winnowing", {
+        val W = WINNOW_W
+        s"""WITH toks AS (
+           |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+           |  WHERE len(string_split(text, ' ')) >= 3),
+           |g AS (
+           |  SELECT doc_id, list_transform(range(1, len(t) - 1), i ->
+           |    ('0x' || substring(md5(t[CAST(i AS INT)] || ' ' || t[CAST(i+1 AS INT)] || ' ' ||
+           |      t[CAST(i+2 AS INT)]), 1, 15))::BIGINT) AS h
+           |  FROM toks),
+           |sel AS (
+           |  SELECT doc_id, h,
+           |    list_sort(list_distinct(list_transform(
+           |      range(1, greatest(len(h) - $W + 1, 1) + 1), i ->
+           |        i + len(h[CAST(i AS INT):CAST(i + $W - 1 AS INT)])
+           |          - list_position(list_reverse(h[CAST(i AS INT):CAST(i + $W - 1 AS INT)]),
+           |                          list_min(h[CAST(i AS INT):CAST(i + $W - 1 AS INT)]))))) AS sp
+           |  FROM g)
+           |SELECT doc_id,
+           |  CAST(len(h) AS BIGINT) AS n_grams,
+           |  CAST(len(sp) AS BIGINT) AS n_fp,
+           |  md5(array_to_string(list_transform(sp, p ->
+           |    CAST(p AS VARCHAR) || ':' || CAST(h[CAST(p AS INT)] AS VARCHAR)), ',')) AS fp_md5
+           |FROM sel
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      val W = WINNOW_W
+      val t = col("__t")
+      val g = col("__g")
+      val grams = Tables.documentsSpread(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("__t"))
+        .filter(size(t) >= 3)
+        .select(col("doc_id"),
+          transform(sequence(lit(1), size(t) - 2), i =>
+            conv(substring(md5(concat_ws(" ",
+              element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))), 1, 15),
+              16, 10).cast("long")).as("__g"))
+      val selPos = array_sort(array_distinct(transform(
+        sequence(lit(1), greatest(size(g) - (W - 1), lit(1))), { i =>
+          val sl = slice(g, i, lit(W))
+          i + size(sl) - array_position(reverse(sl), array_min(sl)).cast("int")
+        })))
+      grams.select(
+          col("doc_id"),
+          size(g).cast("long").as("n_grams"),
+          size(selPos).cast("long").as("n_fp"),
+          md5(concat_ws(",", transform(selPos, p =>
+            concat(p.cast("string"), lit(":"),
+              element_at(g, p.cast("int")).cast("string"))))).as("fp_md5"))
+        .orderBy("doc_id")
     }
   )
 

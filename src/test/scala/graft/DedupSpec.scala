@@ -176,6 +176,52 @@ class DedupSpec extends AnyFunSuite {
     assert(got.get((1L, 3L)).isEmpty) // no common shingles → no row
   }
 
+  test("winnowing (q100) matches brute-force selection and guarantees shared-run recall") {
+    val W = 4
+    def md5hex(s: String) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def winnow(tokens: Seq[String]): Seq[(Int, Long)] = {
+      val h = tokens.sliding(3).map(g =>
+        java.lang.Long.parseLong(md5hex(g.mkString(" ")).take(15), 16)).toVector
+      val nW = math.max(h.size - W + 1, 1)
+      (1 to nW).map { i =>
+        val sl = h.slice(i - 1, i - 1 + W)
+        val m = sl.min
+        val j = i + sl.lastIndexOf(m) // rightmost tie, 1-based gram index
+        (j, h(j - 1))
+      }.distinct.sortBy(_._1)
+    }
+    // fixture: doc 2 shares an 8-token run with doc 1 (recall guarantee:
+    // ≥ W+2 = 6 shared tokens ⇒ ≥ 1 shared fingerprint); doc 3 is tiny
+    // (single truncated window); doc 4 is disjoint
+    val run = (1 to 8).map(i => s"r$i")
+    val d1 = (1 to 10).map(i => s"a$i") ++ run
+    val d2 = run ++ (1 to 10).map(i => s"b$i")
+    val d3 = Seq("x1", "x2", "x3", "x4")
+    val d4 = (1 to 12).map(i => s"c$i")
+    val in = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4))
+      .map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text")
+      .withColumn("source", lit("s")).withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-q100-").toString
+    in.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val out = SparkEntry.byName("q100_winnowing").run(spark, dir)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      val expected = Map(1L -> d1, 2L -> d2, 3L -> d3, 4L -> d4).map { case (id, t) =>
+        val fp = winnow(t)
+        id -> (t.size - 2L, fp.size.toLong,
+          md5hex(fp.map { case (p, h) => s"$p:$h" }.mkString(",")))
+      }
+      assert(out == expected, s"\n$out\nvs\n$expected")
+      // the recall guarantee: docs 1 and 2 share a fingerprint HASH
+      val shared = winnow(d1).map(_._2).toSet & winnow(d2).map(_._2).toSet
+      assert(shared.nonEmpty, "shared 8-token run produced no shared fingerprint")
+    } finally graft.streaming.Streams.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("duplicate-span removal (q96) drops exactly the covered copied span") {
     // doc 2 copies a 7-token span of doc 1 mid-document: the three 5-token
     // windows fully inside the span are duplicated, covering positions
