@@ -92,14 +92,27 @@ object Bench {
       val best = if (anyFailed) -runs.map(_._2).max else runs.map(_._2).min
       (name, best, runs.map(r => if (r._1) r._2 else -r._2))
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // The harness that reads this output keeps only the LAST ~2000 chars
+    // and parses the final JSON line out of them — r06-r08 came back
+    // "parsed": null because full query names + raw nanosecond doubles +
+    // the per-run detail pushed the line past 8 KB. So: the per-query
+    // detail (full names, both raw min-of-2 runs) prints FIRST on its own
+    // line (available in any full log, harmlessly cut from a tail), and
+    // the final summary line uses the short qNN id + 3-decimal seconds,
+    // keeping it ~1.5 KB so it always survives the tail intact.
+    def r3(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val detail = results
+      .map { case (k, _, rs) => "\"" + k + "\":" + rs.map(r3).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val runsJson = results
-      .map { case (k, _, rs) => s"\"" + k + "\":" + rs.mkString("[", ",", "]") }
+    println(s"""{"bench_detail":$detail,"sf":"$sfDir"}""")
+    def shortId(n: String): String = n.takeWhile(_ != '_')
+    val qs = results.map { case (k, v, _) => "\"" + shortId(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map { case (_, v, _) => math.abs(v) }.sum
-    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"failed":$failedJson,"sf":"$sfDir"}""")
+    val failedJson = failed.sorted.map(n => "\"" + shortId(n) + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

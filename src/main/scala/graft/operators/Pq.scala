@@ -79,10 +79,33 @@ object Pq {
       (acc, j) => acc +
         element_at(lut, (j * ks + element_at(codes, j + 1) + 1).cast("int")))
 
-  /** PQ top-k: train codebooks, encode the corpus, ADC-scan codes against
-    * broadcast query LUTs, exact-cosine re-rank the top `cand` ADC
-    * candidates per query. Output (qid, nid, cos_sim, rk), rk ≤ k by
-    * descending exact cosine (ties by nid). */
+  /** Shared tail: keep the top `cand` ADC candidates per query, fetch full
+    * vectors for the survivors only (keyed joins; query side broadcast),
+    * exact-cosine re-rank to top k. One implementation so the flat-scan
+    * and IVFADC variants cannot drift on tie-break semantics. */
+  private def rerankTail(adcScored: DataFrame, corpus: DataFrame, queries: DataFrame,
+                         idCol: String, vecCol: String, k: Int, cand: Int): DataFrame = {
+    val wAdc = Window.partitionBy("qid").orderBy(col("adc"), col("nid"))
+    val candidates = adcScored
+      .withColumn("ar", row_number().over(wAdc))
+      .filter(col("ar") <= cand)
+      .select("qid", "nid")
+    val scored = candidates
+      .join(corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec")), "nid")
+      .join(broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))), "qid")
+      .select(col("qid"), col("nid"),
+        Similarity.cosine(col("qvec"), col("nvec")).as("cos_sim"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** PQ top-k, flat ADC scan: train codebooks, encode the corpus, ADC-scan
+    * codes against broadcast query LUTs, exact-cosine re-rank the top
+    * `cand` ADC candidates per query. Output (qid, nid, cos_sim, rk),
+    * rk ≤ k by descending exact cosine (ties by nid). The scan is
+    * O(N·|Q|) pairs (at m lookups each) — right for small query sets;
+    * [[ivfAdcTopK]] is the composition that scales the query side. */
   def pqTopK(corpus: DataFrame, queries: DataFrame,
              idCol: String, vecCol: String, k: Int, dim: Int,
              m: Int = 8, ks: Int = 16, cand: Int = 32,
@@ -96,21 +119,40 @@ object Pq {
     // the hot scan: codes only — no vectors
     val codes = corpus.select(col(idCol).as("nid"), encode(col(vecCol), books).as("codes"))
     val q = queries.select(col(idCol).as("qid"), adcLut(col(vecCol), books).as("lut"))
-    val wAdc = Window.partitionBy("qid").orderBy(col("adc"), col("nid"))
-    val candidates = codes.crossJoin(broadcast(q))
+    val adc = codes.crossJoin(broadcast(q))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"), adcDistance(col("codes"), col("lut"), m, ks).as("adc"))
-      .withColumn("ar", row_number().over(wAdc))
-      .filter(col("ar") <= cand)
-      .select("qid", "nid")
-    // fetch full vectors for the survivors only (keyed joins; query side broadcast)
-    val scored = candidates
-      .join(corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec")), "nid")
-      .join(broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))), "qid")
-      .select(col("qid"), col("nid"),
-        Similarity.cosine(col("qvec"), col("nvec")).as("cos_sim"))
-    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+    rerankTail(adc, corpus, queries, idCol, vecCol, k, cand)
+  }
+
+  /** IVFADC — the published IVF+PQ composition (Jégou et al.): the coarse
+    * quantizer assigns each corpus vector to a cell, a query ADC-scans
+    * only its `nprobe` nearest cells, so per-query work drops from O(N) to
+    * O(N·nprobe/nlist) and the scan becomes a KEYED equi-join on cell id
+    * (broadcast query side) instead of a cross join — the shape that
+    * scales the query side to millions. Any centroid model works
+    * correctness-wise (the coarse stage only gates recall); an exact-copy
+    * twin always shares its query's FIRST probed cell, so planted-recall
+    * certainty survives the composition (q95 hash-audits it). */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String, k: Int, dim: Int,
+                 centroids: Array[Array[Double]], nprobe: Int = 2,
+                 m: Int = 8, ks: Int = 16, cand: Int = 32,
+                 iters: Int = 2, seed: Long = 42L,
+                 precomputed: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val books = precomputed.getOrElse(
+      codebooks(corpus, idCol, vecCol, dim, m, ks, iters, seed))
+    // hot scan inputs: codes + cell id only (a vector lives in ONE cell,
+    // so no candidate pair can duplicate across the probe explosion)
+    val codes = corpus.select(col(idCol).as("nid"),
+      Ivf.assignCell(col(vecCol), centroids).as("cid"),
+      encode(col(vecCol), books).as("codes"))
+    val q = queries.select(col(idCol).as("qid"),
+      explode(Ivf.probeCells(col(vecCol), centroids, nprobe)).as("cid"),
+      adcLut(col(vecCol), books).as("lut"))
+    val adc = codes.join(broadcast(q), "cid")
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), adcDistance(col("codes"), col("lut"), m, ks).as("adc"))
+    rerankTail(adc, corpus, queries, idCol, vecCol, k, cand)
   }
 }

@@ -91,6 +91,16 @@ object VectorPack {
     pqBooks.computeIfAbsent((d, tag), _ =>
       graft.operators.Pq.codebooks(corpus, "vec_id", "embedding", dim = 64))
 
+  /** q95's coarse-quantizer model (IVFADC): trained once per sf dir on the
+    * BASE embeddings — the exact-copy twins need no say in the model, any
+    * centroids route a twin into its query's first probed cell. */
+  private val coarseCentroids =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+  private def coarseCentroidsFor(s: SparkSession, d: String): Array[Array[Double]] =
+    coarseCentroids.computeIfAbsent(d, _ =>
+      graft.operators.Ivf.kmeansCentroids(
+        Tables.embeddings(s, d), "vec_id", "embedding", nlist = 16, iters = 2))
+
   /** One STREAMING-BUILT IVF layout (+ its frozen centroids) per sf dir:
     * the planted corpus is staged as 4 parquet splits and replayed through
     * the REAL streaming engine (readStream, maxFilesPerTrigger=1,
@@ -403,20 +413,24 @@ object VectorPack {
         .orderBy("qid", "rk")
     },
 
-    // ---- q95: PQ planted-recall audit (hash-green) -------------------------
-    // q76/q77's trick for the PQ path, with EXACT-copy twins (cf. q88): an
-    // identical vector has identical codes, so its ADC distance equals
-    // Σ_j min_c ‖q_j − C_j[c]‖² — the global minimum over the whole code
-    // space, unbeatable by construction — and the exact re-rank then pins
-    // it at rank 1 with cosine exactly 1.0. A constant-true row per query;
-    // INTENTIONALLY strict, because ADC candidate recall is exactly what
-    // this audits. Verified at all three test SFs.
+    // ---- q95: IVFADC planted-recall audit (hash-green) ---------------------
+    // q76/q77's trick for the PQ path, run through the FULL IVFADC
+    // composition (coarse quantizer gates the ADC scan — the shape that
+    // lets every corpus vector be a query without an O(N·|Q|) cross join).
+    // EXACT-copy twins (cf. q88) keep recall a certainty end-to-end: an
+    // identical vector probes the same first cell its twin was assigned
+    // to, has identical codes, so its ADC distance is the minimum over
+    // the candidate set — and the exact re-rank pins it at rank 1 with
+    // cosine exactly 1.0. A constant-true row per query; INTENTIONALLY
+    // strict, because candidate recall is exactly what this audits.
+    // Verified at all three test SFs.
     QueryDef("q95_pq_planted_recall", RECALL_ORACLE) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(
         emb.select((col("vec_id") + TWIN_OFFSET).as("vec_id"), col("embedding")))
-      recallAudit(graft.operators.Pq.pqTopK(
+      recallAudit(graft.operators.Pq.ivfAdcTopK(
         corpus, emb, "vec_id", "embedding", k = 5, dim = 64,
+        centroids = coarseCentroidsFor(s, d), nprobe = 2,
         precomputed = Some(pqBooksFor(d, "twinned", corpus))))
     },
 

@@ -199,6 +199,22 @@ class SimilaritySpec extends AnyFunSuite {
     } finally graft.streaming.Streams.deleteRecursively(root)
   }
 
+  test("IVFADC finds the exact-copy twin at rank 1 for every query") {
+    import graft.operators.{Ivf, Pq}
+    val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(
+      emb.select((col("vec_id") + offset).as("vec_id"), col("embedding")))
+    // centroids from the BASE corpus only — the coarse stage may be
+    // arbitrarily mismatched to the twins without costing recall
+    val centroids = Ivf.kmeansCentroids(emb, "vec_id", "embedding", nlist = 8, iters = 1)
+    val rank1 = Pq.ivfAdcTopK(corpus, emb.filter(col("vec_id") < 50),
+        "vec_id", "embedding", k = 5, dim = 64, centroids, nprobe = 2)
+      .filter(col("rk") === 1)
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    assert(rank1.size == 50)
+    val wrong = rank1.filter { case (q, n) => n != q + offset }
+    assert(wrong.isEmpty, s"twin not at rank 1 for: $wrong")
+  }
+
   test("PQ candidate recall vs exact top-5 grows with the ADC budget") {
     import graft.operators.Pq
     // the raw gaussian corpus has no true neighbors (near-tied cos ≈ 0.5,
