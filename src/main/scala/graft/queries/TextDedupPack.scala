@@ -1149,6 +1149,54 @@ object TextDedupPack {
             concat(p.cast("string"), lit(":"),
               element_at(g, p.cast("int")).cast("string"))))).as("fp_md5"))
         .orderBy("doc_id")
+    },
+
+    // ---- q101: character-entropy quality scoring (pure map-side) -----------
+    // The Shannon-entropy filter web pipelines run next to the q70 rules:
+    // very low character entropy = repeated filler/padding, very high =
+    // random bytes/encoded blobs — both useless as training text. Computed
+    // ENTIRELY within each row: distinct chars via array_distinct of the
+    // char split, per-char counts via length-minus-replace (no explode, no
+    // shuffle, codegen'd string ops), H = Σ (c/n)·ln(n/c) summed exactly
+    // as DECIMAL(38,20) inside the row and rounded to DECIMAL(18,8) — the
+    // distinct-order difference between engines cannot move the exact
+    // decimal sum, and ulp-level ln() drift dies in the rounding.
+    QueryDef(
+      "q101_char_entropy",
+      """WITH base AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    list_distinct(string_split(text, '')) AS cs
+        |  FROM documents WHERE length(text) > 0),
+        |scored AS (
+        |  SELECT doc_id, n, len(cs) AS n_distinct_chars,
+        |    list_sum(list_transform(cs, ch ->
+        |      CAST((CAST(n - length(replace(text, ch, '')) AS DOUBLE) / n)
+        |        * ln(CAST(n AS DOUBLE) / (n - length(replace(text, ch, ''))))
+        |        AS DECIMAL(38,20)))) AS hsum
+        |  FROM base)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_chars_text,
+        |  CAST(n_distinct_chars AS BIGINT) AS n_distinct_chars,
+        |  CAST(CAST(CAST(hsum AS DOUBLE) AS DECIMAL(18,8)) AS DOUBLE) AS entropy
+        |FROM scored
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val n = col("__n")
+      val cnt = (ch: org.apache.spark.sql.Column) =>
+        n - length(call_function("replace", col("text"), ch, lit("")))
+      Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"), length(col("text")).as("__n"),
+          array_distinct(split(col("text"), "")).as("__cs"))
+        .select(col("doc_id"),
+          n.cast("long").as("n_chars_text"),
+          size(col("__cs")).cast("long").as("n_distinct_chars"),
+          aggregate(
+            transform(col("__cs"), ch =>
+              ((cnt(ch).cast("double") / n) * log(n.cast("double") / cnt(ch)))
+                .cast(DecimalType(38, 20))),
+            lit(0).cast(DecimalType(38, 20)),
+            (acc, x) => (acc + x).cast(DecimalType(38, 20)))
+            .cast("double").cast(DecimalType(18, 8)).cast("double").as("entropy"))
+        .orderBy("doc_id")
     }
   )
 

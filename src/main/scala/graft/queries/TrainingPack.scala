@@ -852,6 +852,68 @@ object TrainingPack {
           coalesce(col("sampled_docs"), lit(0L)).as("sampled_docs"),
           coalesce(col("sampled_tokens"), lit(0L)).as("sampled_tokens"))
         .orderBy("source")
+    },
+
+    // ---- q102: per-source distribution divergence (corpus-drift audit) -----
+    // The data-card metric behind mixture monitoring: how far each
+    // source's unigram distribution sits from the corpus-wide one, as
+    // Jensen-Shannon divergence. Only tokens PRESENT in the source carry a
+    // data-dependent term — the mass of corpus tokens absent from the
+    // source contributes ln(2)/2·(1 − Σ_present Q) in closed form — so the
+    // whole query is two keyed count aggs + one keyed join + per-source
+    // decimal sums; nothing ever materializes the |sources|×|vocab| dense
+    // matrix. Cross-engine: identical double expressions inside, exact
+    // DECIMAL(38,20) summation, one DECIMAL(18,8) rounding at the end.
+    QueryDef(
+      "q102_source_divergence",
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |sc AS (SELECT source, w, COUNT(*) AS cs FROM tok GROUP BY source, w),
+        |cc AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+        |tots AS (SELECT source, SUM(cs) AS ts FROM sc GROUP BY source),
+        |tot AS (SELECT COUNT(*) AS t FROM tok),
+        |terms AS (
+        |  SELECT sc.source,
+        |    CAST(0.5 * ((CAST(cs AS DOUBLE)/ts) * ln(2*(CAST(cs AS DOUBLE)/ts) / (CAST(cs AS DOUBLE)/ts + CAST(c AS DOUBLE)/t))
+        |              + (CAST(c AS DOUBLE)/t) * ln(2*(CAST(c AS DOUBLE)/t) / (CAST(cs AS DOUBLE)/ts + CAST(c AS DOUBLE)/t)))
+        |      AS DECIMAL(38,20)) AS term,
+        |    CAST(CAST(c AS DOUBLE)/t AS DECIMAL(38,20)) AS q
+        |  FROM sc JOIN cc USING (w) JOIN tots USING (source) CROSS JOIN tot),
+        |agg AS (
+        |  SELECT source, COUNT(*) AS n_distinct,
+        |    CAST(SUM(term) AS DOUBLE) AS tsum, CAST(SUM(q) AS DOUBLE) AS qsum
+        |  FROM terms GROUP BY source)
+        |SELECT a.source, CAST(t.ts AS BIGINT) AS n_tokens,
+        |  CAST(a.n_distinct AS BIGINT) AS n_distinct,
+        |  CAST(CAST(a.tsum + ln(2)/2 * (1 - a.qsum) AS DECIMAL(18,8)) AS DOUBLE) AS js_div
+        |FROM agg a JOIN tots t ON t.source = a.source
+        |ORDER BY a.source""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val tok = Tables.documentsSpread(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .persist() // per-(source, token) and corpus-wide count passes share it
+      val sc = tok.groupBy("source", "w").agg(count(lit(1)).as("cs"))
+      val cc = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      val tots = sc.groupBy("source").agg(sum(col("cs")).as("ts"))
+      val tot = tok.agg(count(lit(1)).as("t"))
+      val p = col("cs").cast("double") / col("ts")
+      val q = col("c").cast("double") / col("t")
+      val terms = sc.join(cc, "w")
+        .join(broadcast(tots), "source")
+        .crossJoin(broadcast(tot))
+        .select(col("source"),
+          (lit(0.5) * (p * log(lit(2) * p / (p + q)) + q * log(lit(2) * q / (p + q))))
+            .cast(DecimalType(38, 20)).as("term"),
+          q.cast(DecimalType(38, 20)).as("q"))
+      val agg = terms.groupBy("source")
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(col("term")).cast("double").as("tsum"),
+          sum(col("q")).cast("double").as("qsum"))
+      agg.join(broadcast(tots), "source")
+        .select(col("source"), col("ts").as("n_tokens"), col("n_distinct"),
+          (col("tsum") + log(lit(2.0)) / 2 * (lit(1) - col("qsum")))
+            .cast(DecimalType(18, 8)).cast("double").as("js_div"))
+        .orderBy("source")
     }
   )
 }

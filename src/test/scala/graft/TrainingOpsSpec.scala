@@ -218,6 +218,46 @@ class TrainingOpsSpec extends AnyFunSuite {
     } finally graft.streaming.Streams.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  // ---- q101 char entropy / q102 source divergence ------------------------
+
+  test("char entropy matches hand-computed values on known strings") {
+    val in = Seq((1L, "aaab"), (2L, "abcd"), (3L, "zzzz")).toDF("doc_id", "text")
+      .withColumn("source", lit("s")).withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-q101-").toString
+    in.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val out = SparkEntry.byName("q101_char_entropy").run(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toList
+      def r8(x: Double) = BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val h1 = r8(0.75 * math.log(4.0 / 3) + 0.25 * math.log(4.0))
+      val h2 = r8(math.log(4.0)) // uniform over 4 chars
+      assert(out.map(t => (t._1, t._2, t._3)) == List((1L, 4L, 2L), (2L, 4L, 4L), (3L, 4L, 1L)))
+      assert(math.abs(out(0)._4 - h1) < 1e-7 && math.abs(out(1)._4 - h2) < 1e-7 &&
+        out(2)._4 == 0.0, out.toString)
+    } finally graft.streaming.Streams.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("JS divergence is zero for a single source and bounded by ln 2") {
+    val real = SparkEntry.byName("q102_source_divergence").run(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(3)))
+    assert(real.nonEmpty)
+    real.foreach { case (src, js) =>
+      assert(js >= 0.0 && js <= math.log(2.0) + 1e-9, s"$src js=$js out of [0, ln2]")
+    }
+    // single-source corpus: source dist == corpus dist → divergence exactly 0
+    val one = Seq((1L, "x y z"), (2L, "x y")).toDF("doc_id", "text")
+      .withColumn("source", lit("only")).withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-q102-").toString
+    one.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val js = SparkEntry.byName("q102_source_divergence").run(spark, dir)
+        .collect().map(r => r.getDouble(3)).toList
+      assert(js == List(0.0), js.toString)
+    } finally graft.streaming.Streams.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   // ---- q97 domain mixture ------------------------------------------------
 
   test("mixture rates are exact integer math and sampling respects them") {
