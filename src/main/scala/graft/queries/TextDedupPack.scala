@@ -60,6 +60,62 @@ object TextDedupPack {
     * shares at least one selected fingerprint. */
   private val WINNOW_W = 4
 
+  /** Shared winnowing CTEs (DuckDB dialect, cf. q100's scaladoc): `toks`
+    * (docs with ≥3 tokens), `g` (60-bit 3-gram hash array), `sel` (sorted
+    * distinct selected positions `sp` per winnowing window). Shared by
+    * q100 (fingerprint emission) and q103 (fingerprint matching) so the
+    * selection rule cannot drift between the two. */
+  private lazy val WinnowSqlCtes: String = {
+    val W = WINNOW_W
+    s"""toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |g AS (
+       |  SELECT doc_id, list_transform(range(1, len(t) - 1), i ->
+       |    ('0x' || substring(md5(t[CAST(i AS INT)] || ' ' || t[CAST(i+1 AS INT)] || ' ' ||
+       |      t[CAST(i+2 AS INT)]), 1, 15))::BIGINT) AS h
+       |  FROM toks),
+       |sel AS (
+       |  SELECT doc_id, h,
+       |    list_sort(list_distinct(list_transform(
+       |      range(1, greatest(len(h) - $W + 1, 1) + 1), i ->
+       |        i + len(h[CAST(i AS INT):CAST(i + $W - 1 AS INT)])
+       |          - list_position(list_reverse(h[CAST(i AS INT):CAST(i + $W - 1 AS INT)]),
+       |                          list_min(h[CAST(i AS INT):CAST(i + $W - 1 AS INT)]))))) AS sp
+       |  FROM g)""".stripMargin
+  }
+
+  /** Spark side of [[WinnowSqlCtes]]: (doc_id, __g gram-hash array, __sp
+    * sorted distinct selected positions). Pure per-row array math. */
+  private def winnowSelected(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val W = WINNOW_W
+    val t = col("__t")
+    val g = col("__g")
+    val grams = Tables.documentsSpread(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("__t"))
+      .filter(size(t) >= 3)
+      .select(col("doc_id"),
+        transform(sequence(lit(1), size(t) - 2), i =>
+          conv(substring(md5(concat_ws(" ",
+            element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))), 1, 15),
+            16, 10).cast("long")).as("__g"))
+    val selPos = array_sort(array_distinct(transform(
+      sequence(lit(1), greatest(size(g) - (W - 1), lit(1))), { i =>
+        val sl = slice(g, i, lit(W))
+        i + size(sl) - array_position(reverse(sl), array_min(sl)).cast("int")
+      })))
+    grams.select(col("doc_id"), g, selPos.as("__sp"))
+  }
+
+  /** q103's fingerprint-df cap (boilerplate guard, cf. MAX_GRAM_DF) and
+    * minimum shared-fingerprint support for a match pair. */
+  private val FP_MAX_DF = 100
+  private val FP_MIN_SHARED = 2
+
+  /** q104's fixed retrieval query (BM25). Deterministic constant — tokens
+    * absent from the corpus simply contribute no term (tf = 0). */
+  private val BM25_QUERY = Seq("the", "of", "la", "der", "el")
+
   /** q96's duplicated-window width (tokens). Sub-segment spans: q86 removes
     * whole duplicated 16-token segments aligned to a fixed grid; q96 slides
     * a 5-token window at every offset, so copied spans are caught wherever
@@ -1099,56 +1155,65 @@ object TextDedupPack {
     // single truncated window — the slice-length term keeps the rightmost
     // arithmetic exact there too, on both engines.
     QueryDef(
-      "q100_winnowing", {
-        val W = WINNOW_W
-        s"""WITH toks AS (
-           |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-           |  WHERE len(string_split(text, ' ')) >= 3),
-           |g AS (
-           |  SELECT doc_id, list_transform(range(1, len(t) - 1), i ->
-           |    ('0x' || substring(md5(t[CAST(i AS INT)] || ' ' || t[CAST(i+1 AS INT)] || ' ' ||
-           |      t[CAST(i+2 AS INT)]), 1, 15))::BIGINT) AS h
-           |  FROM toks),
-           |sel AS (
-           |  SELECT doc_id, h,
-           |    list_sort(list_distinct(list_transform(
-           |      range(1, greatest(len(h) - $W + 1, 1) + 1), i ->
-           |        i + len(h[CAST(i AS INT):CAST(i + $W - 1 AS INT)])
-           |          - list_position(list_reverse(h[CAST(i AS INT):CAST(i + $W - 1 AS INT)]),
-           |                          list_min(h[CAST(i AS INT):CAST(i + $W - 1 AS INT)]))))) AS sp
-           |  FROM g)
-           |SELECT doc_id,
-           |  CAST(len(h) AS BIGINT) AS n_grams,
-           |  CAST(len(sp) AS BIGINT) AS n_fp,
-           |  md5(array_to_string(list_transform(sp, p ->
-           |    CAST(p AS VARCHAR) || ':' || CAST(h[CAST(p AS INT)] AS VARCHAR)), ',')) AS fp_md5
-           |FROM sel
-           |ORDER BY doc_id""".stripMargin
-      }) { (s, d) =>
-      val W = WINNOW_W
-      val t = col("__t")
+      "q100_winnowing",
+      s"""WITH $WinnowSqlCtes
+         |SELECT doc_id,
+         |  CAST(len(h) AS BIGINT) AS n_grams,
+         |  CAST(len(sp) AS BIGINT) AS n_fp,
+         |  md5(array_to_string(list_transform(sp, p ->
+         |    CAST(p AS VARCHAR) || ':' || CAST(h[CAST(p AS INT)] AS VARCHAR)), ',')) AS fp_md5
+         |FROM sel
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val g = col("__g")
-      val grams = Tables.documentsSpread(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("__t"))
-        .filter(size(t) >= 3)
-        .select(col("doc_id"),
-          transform(sequence(lit(1), size(t) - 2), i =>
-            conv(substring(md5(concat_ws(" ",
-              element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))), 1, 15),
-              16, 10).cast("long")).as("__g"))
-      val selPos = array_sort(array_distinct(transform(
-        sequence(lit(1), greatest(size(g) - (W - 1), lit(1))), { i =>
-          val sl = slice(g, i, lit(W))
-          i + size(sl) - array_position(reverse(sl), array_min(sl)).cast("int")
-        })))
-      grams.select(
+      val sp = col("__sp")
+      winnowSelected(s, d).select(
           col("doc_id"),
           size(g).cast("long").as("n_grams"),
-          size(selPos).cast("long").as("n_fp"),
-          md5(concat_ws(",", transform(selPos, p =>
+          size(sp).cast("long").as("n_fp"),
+          md5(concat_ws(",", transform(sp, p =>
             concat(p.cast("string"), lit(":"),
               element_at(g, p.cast("int")).cast("string"))))).as("fp_md5"))
         .orderBy("doc_id")
+    },
+
+    // ---- q103: winnowing fingerprint matching (the MOSS match step) --------
+    // Closing the fingerprinting loop: docs sharing ≥2 winnowing-selected
+    // hashes are overlap candidates — the match MOSS runs on the q100
+    // selection, with the guarantee that any ≥6-token shared run surfaces.
+    // Same bounded shape as every match stage here: fingerprints with df
+    // over the cap are boilerplate and dropped BEFORE the self-join
+    // (identical filter in the oracle), so fan-out per fingerprint is
+    // capped; the join is keyed on the hash; support counts are exact.
+    QueryDef(
+      "q103_winnow_matches",
+      s"""WITH $WinnowSqlCtes,
+         |fp AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(sp, p ->
+         |    h[CAST(p AS INT)])) AS fph
+         |  FROM sel),
+         |capped AS (SELECT doc_id, fph FROM (
+         |    SELECT doc_id, fph, COUNT(*) OVER (PARTITION BY fph) AS df FROM fp)
+         |  WHERE df <= $FP_MAX_DF)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM capped a JOIN capped b ON b.fph = a.fph AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id
+         |HAVING COUNT(*) >= $FP_MIN_SHARED
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val fp = winnowSelected(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(transform(col("__sp"), p =>
+            element_at(col("__g"), p.cast("int"))))).as("fph"))
+      // persisted: both sides of the match self-join scan the capped set
+      val capped = graft.operators.Occupancy.cap(fp, Seq("fph"), FP_MAX_DF,
+        persistResult = true)
+      capped.select(col("doc_id").as("id_a"), col("fph"))
+        .join(capped.select(col("doc_id").as("id_b"), col("fph")), "fph")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= FP_MIN_SHARED)
+        .orderBy("id_a", "id_b")
     },
 
     // ---- q101: character-entropy quality scoring (pure map-side) -----------
@@ -1197,6 +1262,82 @@ object TextDedupPack {
             (acc, x) => (acc + x).cast(DecimalType(38, 20)))
             .cast("double").cast(DecimalType(18, 8)).cast("double").as("entropy"))
         .orderBy("doc_id")
+    },
+
+    // ---- q104: BM25 retrieval scoring over the corpus ----------------------
+    // The retrieval face of the quality stack: rank documents against a
+    // fixed query by BM25 (k1=1.2, b=0.75, the Robertson positive-idf
+    // form). Per-doc term frequencies are pure map-side array filters (no
+    // token explode — only |query| rows emitted per doc); document
+    // frequencies are one tiny agg broadcast back; the scored table holds
+    // only docs containing ≥1 query token. Cross-engine: every constant
+    // is written as the same literal on both sides (2.2, 0.25, never
+    // k1+1), avgdl is one exact-integer division, the ln() rides the
+    // decimal-sum + DECIMAL(18,8) rounding discipline, and the top-50 cut
+    // orders by the ROUNDED score with doc_id tiebreak.
+    QueryDef(
+      "q104_bm25", {
+        val qlist = BM25_QUERY.map(q =>
+          s"{tok: '$q', tf: len(list_filter(t, x -> x = '$q'))}").mkString(", ")
+        s"""WITH base AS (
+           |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+           |    string_split(text, ' ') AS t
+           |  FROM documents),
+           |n AS (
+           |  SELECT COUNT(*) AS nd,
+           |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+           |  FROM base),
+           |tf AS (
+           |  SELECT doc_id, dl, u.tok AS tok, u.tf AS tf FROM (
+           |    SELECT doc_id, dl, unnest([$qlist]) AS u FROM base)),
+           |dfc AS (
+           |  SELECT tok, CAST(SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT) AS dfc
+           |  FROM tf GROUP BY tok),
+           |terms AS (
+           |  SELECT doc_id,
+           |    CAST(ln(1 + (nd - dfc + 0.5) / (dfc + 0.5))
+           |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           |      AS DECIMAL(38,20)) AS term
+           |  FROM tf JOIN dfc USING (tok) CROSS JOIN n
+           |  WHERE tf > 0),
+           |scored AS (
+           |  SELECT doc_id,
+           |    CAST(CAST(CAST(SUM(term) AS DOUBLE) AS DECIMAL(18,8)) AS DOUBLE) AS bm25
+           |  FROM terms GROUP BY doc_id)
+           |SELECT doc_id, bm25,
+           |  CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rk
+           |FROM scored QUALIFY rk <= 50
+           |ORDER BY rk""".stripMargin
+      }) { (s, d) =>
+      val t = col("__t")
+      val base = Tables.documentsSpread(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("__t"))
+        .select(col("doc_id"), size(t).cast("long").as("dl"), t)
+      val n = base.agg(count(lit(1)).as("nd"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val tfRows = base.select(col("doc_id"), col("dl"),
+          explode(array(BM25_QUERY.map(q =>
+            struct(lit(q).as("tok"),
+              size(filter(t, x => x === q)).cast("long").as("tf"))): _*)).as("u"))
+        .select(col("doc_id"), col("dl"), col("u.tok").as("tok"), col("u.tf").as("tf"))
+        .persist() // df agg + term scoring share it
+      val dfc = tfRows.groupBy("tok")
+        .agg(sum(when(col("tf") > 0, 1L).otherwise(0L)).as("dfc"))
+      val terms = tfRows.filter(col("tf") > 0)
+        .join(broadcast(dfc), "tok")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"),
+          (log(lit(1) + (col("nd") - col("dfc") + lit(0.5)) / (col("dfc") + lit(0.5)))
+            * (col("tf") * lit(2.2))
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+            .cast(DecimalType(38, 20)).as("term"))
+      val scored = terms.groupBy("doc_id")
+        .agg(sum(col("term")).cast("double")
+          .cast(DecimalType(18, 8)).cast("double").as("bm25"))
+      val w = Window.orderBy(col("bm25").desc, col("doc_id"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 50)
+        .orderBy("rk")
     }
   )
 

@@ -222,6 +222,33 @@ class DedupSpec extends AnyFunSuite {
     } finally graft.streaming.Streams.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("winnow matching (q103) pairs the shared-run docs, BM25 (q104) ranks the stuffed doc first") {
+    val run = (1 to 12).map(i => s"r$i")
+    val d1 = (1 to 10).map(i => s"a$i") ++ run
+    val d2 = run ++ (1 to 10).map(i => s"b$i")
+    val d3 = (1 to 15).map(i => s"c$i")                      // disjoint
+    val d4 = Seq("the", "the", "the", "of", "la", "w1", "w2") // query-stuffed
+    val d5 = Seq("the", "x1", "x2", "x3", "x4", "x5", "x6")   // one query token
+    val in = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4), (5L, d5))
+      .map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text")
+      .withColumn("source", lit("s")).withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-q103-").toString
+    in.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val pairs = SparkEntry.byName("q103_winnow_matches").run(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(pairs.keySet == Set((1L, 2L)), s"unexpected match set: $pairs")
+      assert(pairs((1L, 2L)) >= 2, "12-token shared run must share ≥2 fingerprints")
+      val ranked = SparkEntry.byName("q104_bm25").run(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      // only docs containing ≥1 query token score; the stuffed doc wins
+      assert(ranked.map(_._1).toSet == Set(4L, 5L), ranked.mkString(", "))
+      assert(ranked.head._1 == 4L && ranked.head._3 == 1L)
+      assert(ranked.forall(_._2 > 0))
+    } finally graft.streaming.Streams.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("duplicate-span removal (q96) drops exactly the covered copied span") {
     // doc 2 copies a 7-token span of doc 1 mid-document: the three 5-token
     // windows fully inside the span are duplicated, covering positions
