@@ -18,7 +18,8 @@ object SparkEntry {
       _root_.graft.queries.VectorPack.all ++
       _root_.graft.queries.MultimodalPack.all ++
       _root_.graft.queries.TemporalPack.all ++
-      _root_.graft.queries.TrainingPack.all
+      _root_.graft.queries.TrainingPack.all ++
+      _root_.graft.queries.ChangeDataPack.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The 6-way broadcast-heavy revenue-by-nation join (TPC-H Q5-style).

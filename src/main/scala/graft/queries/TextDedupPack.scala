@@ -1338,6 +1338,88 @@ object TextDedupPack {
       scored.withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 50)
         .orderBy("rk")
+    },
+
+    // ---- q107: fuzzy dedup via deletion-neighborhood blocking --------------
+    // Edit-distance-1 entity resolution at scale: each string emits itself
+    // plus every 1-deletion variant as blocking keys; two strings within
+    // Levenshtein distance 1 ALWAYS share a key (substitution at i → both
+    // sides' delete-at-i variants collide; insert/delete → the longer
+    // side's deletion equals the shorter side itself), so the keyed join
+    // has 100% recall — no O(n²) pair scan. Bucket width is naturally
+    // bounded by |alphabet|·len (every member of a bucket re-inserts one
+    // char into the same base string), so the self-join cannot fan out.
+    // The oracle is the honest brute-force O(n²) Levenshtein join — two
+    // completely different algorithms must produce identical twin sets
+    // (driver gate runs sf0.01: 1500² candidate pairs, fine for DuckDB;
+    // the Spark side stays the blocked shape that survives 100 TB).
+    QueryDef(
+      "q107_fuzzy_name_dedup",
+      """WITH p AS (
+        |  SELECT a.c_custkey AS ida, b.c_custkey AS idb
+        |  FROM customer a JOIN customer b
+        |    ON a.c_custkey < b.c_custkey
+        |   AND abs(length(a.c_name) - length(b.c_name)) <= 1
+        |   AND levenshtein(a.c_name, b.c_name) <= 1),
+        |u AS (SELECT ida AS id, idb AS twin FROM p
+        |      UNION ALL SELECT idb, ida FROM p)
+        |SELECT id AS c_custkey, CAST(COUNT(*) AS BIGINT) AS n_fuzzy_twins,
+        |  MIN(twin) AS min_twin
+        |FROM u GROUP BY id
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val name = col("c_name")
+      // self + all 1-deletion variants (array_distinct: deleting either of
+      // two equal adjacent chars yields the same variant)
+      val delKeys = array_distinct(concat(
+        array(name),
+        transform(sequence(lit(1), length(name)), i =>
+          concat(name.substr(lit(1), i - 1),
+            name.substr(i + 1, length(name) - i)))))
+      val keyed = Tables.customer(s, d)
+        .select(col("c_custkey"), name, explode(delKeys).as("k"))
+      val pairs = keyed.select(col("c_custkey").as("ida"), name.as("na"), col("k"))
+        .join(keyed.select(col("c_custkey").as("idb"), name.as("nb"), col("k")), "k")
+        .filter(col("ida") < col("idb"))
+        .select("ida", "idb", "na", "nb").distinct()
+        .filter(levenshtein(col("na"), col("nb")) <= 1)
+      val u = pairs.select(col("ida").as("id"), col("idb").as("twin"))
+        .unionAll(pairs.select(col("idb").as("id"), col("ida").as("twin")))
+      u.groupBy(col("id").as("c_custkey"))
+        .agg(count(lit(1)).as("n_fuzzy_twins"), min(col("twin")).as("min_twin"))
+        .orderBy("c_custkey")
+    },
+
+    // ---- q108: inverted-index construction (df-capped posting lists) -------
+    // The index-build behind q104's BM25 scoring: term → sorted posting
+    // list. Scale discipline: the df pass runs FIRST (count is partial-agg
+    // friendly — the shuffle carries one (term, count) per partition, not
+    // the postings), the df band [2, 100] drops singleton noise and
+    // stopword terms, and only then are postings collected — so no
+    // collect_list ever materializes an uncapped stopword list (the
+    // classic index-build OOM at 100 TB). The kept-term set is broadcast
+    // back against the token stream.
+    QueryDef(
+      "q108_inverted_index",
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents)
+        |SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |FROM toks GROUP BY term
+        |HAVING COUNT(*) BETWEEN 2 AND 100
+        |ORDER BY term""".stripMargin) { (s, d) =>
+      val toks = Tables.documentsSpread(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("term"))
+      val kept = toks.groupBy("term")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 100))
+      toks.join(broadcast(kept), "term")
+        .groupBy("term", "df")
+        .agg(array_sort(collect_list(col("doc_id"))).as("__ids"))
+        .select(col("term"), col("df"),
+          concat_ws(",", transform(col("__ids"), _.cast("string"))).as("postings"))
+        .orderBy("term")
     }
   )
 
