@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics beyond [[Components]]: fixed-point PageRank.
+  *
+  * Ranks are scaled BIGINTs (1.0 → 1e6) and every step uses integral
+  * `div` — integer addition is associative and engine-independent, so the
+  * result is bit-identical regardless of partitioning, aggregation order,
+  * or engine (the property that lets an iterative "float" algorithm be
+  * oracle-hash-checked; a double-summed PageRank differs in ulps between
+  * any two shuffle layouts).
+  *
+  * Scale: each iteration is one keyed join of the persisted degree-
+  * annotated edge list against the current rank table and one keyed
+  * aggregation — the standard Pregel-as-join shape. At a fixed small
+  * iteration count the lineage stays flat; an until-convergence variant
+  * would add per-round `localCheckpoint` + an `observe` metric exactly
+  * like [[Components.connectedComponents]].
+  */
+object Graph {
+
+  /** `iters` rounds of damping-0.85 PageRank over `edges` (directed
+    * (src, dst) pairs; pass both directions for an undirected graph).
+    * Returns (id, rank) for every node with at least one OUT-edge, rank
+    * scaled by 1e6: rank'(v) = 0.15 + 0.85 · Σ_{u→v} rank(u)/outdeg(u)
+    * in fixed-point (`div`) arithmetic.
+    */
+  def fixedPointPageRank(edges: DataFrame, src: String, dst: String,
+                         iters: Int): DataFrame = {
+    val e = edges.select(col(src).as("u"), col(dst).as("v"))
+    val deg = e.groupBy("u").agg(count(lit(1)).as("od"))
+    // (u, v, od): scanned once per iteration — persisted, not recomputed
+    val ed = e.join(deg, "u").persist()
+    var ranks = deg.select(col("u").as("id"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = ed.join(ranks, col("u") === col("id"))
+        .select(col("v"), expr("r div od").as("c"))
+        .groupBy("v")
+        .agg(expr("CAST(150000 + (85 * sum(c)) div 100 AS BIGINT)").as("r"))
+        .select(col("v").as("id"), col("r"))
+    }
+    ranks
+  }
+}

@@ -104,6 +104,52 @@ object StreamingPack {
         .orderBy("purchase_id", "click_id")
     },
 
+    // ---- q110: stream-stream LEFT OUTER join — nulls on watermark expiry ---
+    // The outer variant of q59 exercises a genuinely different state
+    // machine: a purchase with no click in its window is NOT emitted when
+    // seen — it sits in the join state until the global watermark (min of
+    // both sides' per-stream watermarks) passes its event time, and only
+    // then is it emitted null-extended. Bounded-input determinism: under
+    // AvailableNow the final watermark is min(max(p.ts), max(c.ts)) − the
+    // 1 h delay, so exactly the unmatched purchases OLDER than that flush;
+    // younger unmatched purchases are still "awaiting a possible match"
+    // when the stream drains and are correctly withheld. The oracle states
+    // that rule in SQL — engine state semantics checked against a closed-
+    // form predicate.
+    QueryDef(
+      "q110_stream_outer_join",
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click'),
+        |wm AS (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
+        |         - INTERVAL 1 HOUR AS w)
+        |SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+        |FROM p JOIN c ON c.user_id = p.user_id
+        |  AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+        |UNION ALL
+        |SELECT p.event_id, CAST(NULL AS BIGINT), p.user_id
+        |FROM p, wm
+        |WHERE p.ts < wm.w
+        |  AND NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+        |    AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts)
+        |ORDER BY purchase_id, click_id""".stripMargin) { (s, d) =>
+      def side(t: String, prefix: String) =
+        Streams.eventsStream(s, d).filter(col("event_type") === t)
+          .select(col("event_id").as(s"${prefix}_event_id"),
+            col("user_id").as(s"${prefix}_user_id"), col("ts").as(s"${prefix}_ts"))
+      Streams.runToMemory(
+        s, Streams.streamStreamJoin(
+          side("purchase", "p"), side("click", "c"),
+          "p_user_id", "c_user_id", "p_ts", "c_ts", windowSec = 1800,
+          joinType = "left_outer"),
+        "mq110", mode = "append")
+        .select(col("p_event_id").as("purchase_id"),
+          col("c_event_id").as("click_id"),
+          col("p_user_id").as("user_id"))
+        .orderBy("purchase_id", "click_id")
+    },
+
     // ---- q60: stream-static join — enrich the stream from a dimension ------
     // The static side needs no watermark/state: it is (re)read per
     // micro-batch and broadcast when small — the standard streaming

@@ -112,6 +112,46 @@ object TextDedupPack {
   private val FP_MAX_DF = 100
   private val FP_MIN_SHARED = 2
 
+  /** Shared winnowing-match CTE chain (DuckDB dialect): [[WinnowSqlCtes]]
+    * extended with `fp` (distinct selected fingerprints), `capped` (df ≤
+    * [[FP_MAX_DF]]) and `mpairs` (doc pairs sharing ≥ [[FP_MIN_SHARED]]
+    * fingerprints). Shared by q103 (emits the pairs) and q109 (runs
+    * PageRank over them) so the match graph cannot drift between the two.
+    */
+  private lazy val WinnowPairsSqlCtes: String =
+    s"""$WinnowSqlCtes,
+       |fp AS (
+       |  SELECT DISTINCT doc_id, unnest(list_transform(sp, p ->
+       |    h[CAST(p AS INT)])) AS fph
+       |  FROM sel),
+       |capped AS (SELECT doc_id, fph FROM (
+       |    SELECT doc_id, fph, COUNT(*) OVER (PARTITION BY fph) AS df FROM fp)
+       |  WHERE df <= $FP_MAX_DF),
+       |mpairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(COUNT(*) AS BIGINT) AS n_shared
+       |  FROM capped a JOIN capped b ON b.fph = a.fph AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |  HAVING COUNT(*) >= $FP_MIN_SHARED)""".stripMargin
+
+  /** Spark side of [[WinnowPairsSqlCtes]]: (id_a, id_b, n_shared) winnowing
+    * match pairs, id_a < id_b. Both sides of the self-join scan the same
+    * persisted capped fingerprint set. */
+  private def winnowMatchPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val fp = winnowSelected(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(col("__sp"), p =>
+          element_at(col("__g"), p.cast("int"))))).as("fph"))
+    val capped = graft.operators.Occupancy.cap(fp, Seq("fph"), FP_MAX_DF,
+      persistResult = true)
+    capped.select(col("doc_id").as("id_a"), col("fph"))
+      .join(capped.select(col("doc_id").as("id_b"), col("fph")), "fph")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= FP_MIN_SHARED)
+  }
+
   /** q104's fixed retrieval query (BM25). Deterministic constant — tokens
     * absent from the corpus simply contribute no term (tf = 0). */
   private val BM25_QUERY = Seq("the", "of", "la", "der", "el")
@@ -1186,34 +1226,10 @@ object TextDedupPack {
     // capped; the join is keyed on the hash; support counts are exact.
     QueryDef(
       "q103_winnow_matches",
-      s"""WITH $WinnowSqlCtes,
-         |fp AS (
-         |  SELECT DISTINCT doc_id, unnest(list_transform(sp, p ->
-         |    h[CAST(p AS INT)])) AS fph
-         |  FROM sel),
-         |capped AS (SELECT doc_id, fph FROM (
-         |    SELECT doc_id, fph, COUNT(*) OVER (PARTITION BY fph) AS df FROM fp)
-         |  WHERE df <= $FP_MAX_DF)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  CAST(COUNT(*) AS BIGINT) AS n_shared
-         |FROM capped a JOIN capped b ON b.fph = a.fph AND a.doc_id < b.doc_id
-         |GROUP BY a.doc_id, b.doc_id
-         |HAVING COUNT(*) >= $FP_MIN_SHARED
+      s"""WITH $WinnowPairsSqlCtes
+         |SELECT id_a, id_b, n_shared FROM mpairs
          |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-      val fp = winnowSelected(s, d)
-        .select(col("doc_id"),
-          explode(array_distinct(transform(col("__sp"), p =>
-            element_at(col("__g"), p.cast("int"))))).as("fph"))
-      // persisted: both sides of the match self-join scan the capped set
-      val capped = graft.operators.Occupancy.cap(fp, Seq("fph"), FP_MAX_DF,
-        persistResult = true)
-      capped.select(col("doc_id").as("id_a"), col("fph"))
-        .join(capped.select(col("doc_id").as("id_b"), col("fph")), "fph")
-        .filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= FP_MIN_SHARED)
-        .orderBy("id_a", "id_b")
+      winnowMatchPairs(s, d).orderBy("id_a", "id_b")
     },
 
     // ---- q101: character-entropy quality scoring (pure map-side) -----------
@@ -1420,6 +1436,45 @@ object TextDedupPack {
         .select(col("term"), col("df"),
           concat_ws(",", transform(col("__ids"), _.cast("string"))).as("postings"))
         .orderBy("term")
+    },
+
+    // ---- q109: graph centrality over the match graph (fixed-point PR) -----
+    // Canonical-document selection for dedup clusters by link analysis:
+    // 5 PageRank iterations (d = 0.85) over the symmetric q103 winnowing
+    // match graph. Arithmetic is FIXED-POINT BIGINT (ranks scaled by 1e6,
+    // `div` for contributions) — integer addition is associative, so the
+    // result is bit-identical regardless of aggregation order or engine,
+    // which is what makes an iterative float algorithm hash-checkable at
+    // all. Each iteration is one keyed join + aggregation against the
+    // persisted degree-annotated edge list; at unbounded iteration count
+    // the lineage would need per-round localCheckpoint (cf. Components),
+    // at a fixed 5 rounds the plan stays flat.
+    QueryDef(
+      "q109_match_pagerank", {
+        val iters = (1 to 5).map { k =>
+          val prev = if (k == 1) "r0" else s"i${k - 1}"
+          s"""i$k AS (
+             |  SELECT ed.v AS id,
+             |    CAST(150000 + (85 * SUM(pr.r // ed.od)) // 100 AS BIGINT) AS r
+             |  FROM ed JOIN $prev pr ON pr.id = ed.u GROUP BY ed.v)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $WinnowPairsSqlCtes,
+           |edges AS (SELECT id_a AS u, id_b AS v FROM mpairs
+           |          UNION ALL SELECT id_b, id_a FROM mpairs),
+           |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS od
+           |        FROM edges GROUP BY u),
+           |ed AS (SELECT e.u, e.v, d.od FROM edges e JOIN deg d ON d.u = e.u),
+           |r0 AS (SELECT u AS id, CAST(1000000 AS BIGINT) AS r FROM deg),
+           |$iters
+           |SELECT id AS doc_id, r AS pr_rank FROM i5
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      val mp = winnowMatchPairs(s, d)
+      val edges = mp.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionAll(mp.select(col("id_b").as("u"), col("id_a").as("v")))
+      graft.operators.Graph.fixedPointPageRank(edges, "u", "v", iters = 5)
+        .select(col("id").as("doc_id"), col("r").as("pr_rank"))
+        .orderBy("doc_id")
     }
   )
 

@@ -103,13 +103,15 @@ object Streams {
     */
   def streamStreamJoin(left: DataFrame, right: DataFrame,
                        lKey: String, rKey: String, lTs: String, rTs: String,
-                       windowSec: Long, delay: String = "1 hour"): DataFrame = {
+                       windowSec: Long, delay: String = "1 hour",
+                       joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(lTs, delay)
     val r = right.withWatermark(rTs, delay)
     l.join(r,
       col(lKey) === col(rKey) &&
         col(rTs) >= col(lTs) - expr(s"INTERVAL $windowSec SECONDS") &&
-        col(rTs) <= col(lTs))
+        col(rTs) <= col(lTs),
+      joinType)
   }
 
   /** One event of the sessionization input (subset of the events table). */

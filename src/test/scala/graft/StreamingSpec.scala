@@ -130,4 +130,43 @@ class StreamingSpec extends AnyFunSuite {
     val all = sess.count()
     assert(streamed.size < all)
   }
+
+  test("left-outer stream-stream join: null-extends exactly the watermark-expired unmatched lefts") {
+    def side(t: String, prefix: String) =
+      Streams.eventsStream(spark, sf).filter(col("event_type") === t)
+        .select(col("event_id").as(s"${prefix}_event_id"),
+          col("user_id").as(s"${prefix}_user_id"), col("ts").as(s"${prefix}_ts"))
+    val streamed = Streams.runToMemory(
+      spark, Streams.streamStreamJoin(
+        side("purchase", "p"), side("click", "c"),
+        "p_user_id", "c_user_id", "p_ts", "c_ts", windowSec = 1800,
+        joinType = "left_outer"),
+      "t_outer", mode = "append")
+      .select("p_event_id", "c_event_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+
+    // batch replay of the rule: matched pairs always emit; an unmatched
+    // purchase emits null-extended iff the final global watermark
+    // (min of both sides' max ts − delay) passed its event time
+    val p = batchEvents.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts").as("pts"))
+    val c = batchEvents.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id").as("cu"), col("ts").as("cts"))
+    val cond = col("cu") === col("pu") &&
+      col("cts") >= col("pts") - expr("INTERVAL 1800 SECONDS") && col("cts") <= col("pts")
+    val matched = p.join(c, cond)
+      .select(col("pid"), col("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wm = math.min(
+      p.agg(max(expr("unix_micros(pts)"))).collect()(0).getLong(0),
+      c.agg(max(expr("unix_micros(cts)"))).collect()(0).getLong(0)) - 3600000000L
+    val expired = p.join(c, cond, "left_anti")
+      .filter(expr("unix_micros(pts)") < wm)
+      .select("pid").collect().map(r => (r.getLong(0), -1L)).toSet
+    assert(streamed == matched ++ expired)
+    // the withholding is real: some unmatched purchase is younger than the
+    // watermark and therefore absent
+    val allUnmatched = p.join(c, cond, "left_anti").count()
+    assert(expired.size < allUnmatched)
+  }
 }
