@@ -589,6 +589,81 @@ object RelationalPack {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"), sum(col("new_sess")).as("n_sessions"))
         .orderBy("user_id")
+    },
+
+    // ---- q111: skew-safe salted join ---------------------------------------
+    // The straggler-killer for hot-key shuffled joins: the fact side is
+    // salted `S` ways map-side, the dim side replicated ×S, so a key that
+    // holds 30% of 100 TB lands on S reducers instead of one. The salt
+    // routes rows but cannot change the result (each fact row meets each
+    // matching dim row exactly once), which is precisely what the oracle
+    // checks: DuckDB runs the PLAIN join + aggregation, Spark the salted
+    // shuffle_hash plan. See operators/Skew.scala for when this beats
+    // AQE's runtime skew split.
+    QueryDef(
+      "q111_salted_join",
+      """SELECT c.c_mktsegment AS mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        |GROUP BY c.c_mktsegment
+        |ORDER BY mktsegment""".stripMargin) { (s, d) =>
+      graft.operators.Skew.saltedEquiJoin(
+        Tables.events(s, d).select("event_id", "user_id", "value"),
+        Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+        factKey = "user_id", dimKey = "c_custkey", saltSrc = "event_id",
+        salts = 8)
+        .groupBy(col("c_mktsegment").as("mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total_value"))
+        .orderBy("mktsegment")
+    },
+
+    // ---- q112: time-series gap fill + forward fill (resampling) ------------
+    // Regularize an event stream onto an hourly grid per user: the grid is
+    // exploded map-side from per-user bounds (one row per user feeds the
+    // explode — no shuffle amplification), observed hours left-join in,
+    // and missing hours forward-fill the last observed value with ONE
+    // keyed window pass (per-user sort bounded by the series span). Sums
+    // ride DECIMAL so fill values are bit-stable cross-engine; the first
+    // grid row of every user is its min observed hour, so no leading null.
+    QueryDef(
+      "q112_gap_fill",
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hr,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS vdec,
+        |    CAST(COUNT(*) AS BIGINT) AS n_obs
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1
+        |           FROM hourly GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |           unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+        |         FROM bounds),
+        |j AS (SELECT g.user_id, g.hr, h.vdec, h.n_obs FROM grid g
+        |      LEFT JOIN hourly h ON h.user_id = g.user_id AND h.hr = g.hr)
+        |SELECT user_id, hr,
+        |  CAST(last_value(vdec IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS hour_value,
+        |  COALESCE(n_obs, 0) AS n_obs
+        |FROM j ORDER BY user_id, hr""".stripMargin) { (s, d) =>
+      val hourly = Tables.events(s, d)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(sum(col("value").cast(DecimalType(18, 4))).as("vdec"),
+          count(lit(1)).as("n_obs"))
+      val grid = hourly.groupBy("user_id")
+        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hr"))
+      val w = Window.partitionBy("user_id").orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "hr"), "left")
+        .select(col("user_id"), col("hr"),
+          last(col("vdec"), ignoreNulls = true).over(w)
+            .cast("double").as("hour_value"),
+          coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+        .orderBy("user_id", "hr")
     }
   )
 }
