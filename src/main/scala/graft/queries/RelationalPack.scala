@@ -664,6 +664,44 @@ object RelationalPack {
             .cast("double").as("hour_value"),
           coalesce(col("n_obs"), lit(0L)).as("n_obs"))
         .orderBy("user_id", "hr")
+    },
+
+    // ---- q113: Z-order values for multi-dimensional data clustering --------
+    // The layout key behind Delta/Iceberg OPTIMIZE ZORDER BY: interleave
+    // (user_id, hour-index) bits so a table written in z order has
+    // row-groups narrow in BOTH dimensions — min/max pruning then works
+    // for predicates on either column, where a lexicographic sort only
+    // prunes its leading column (ZOrderSpec measures exactly that
+    // locality gap). Spark computes z via the native codegen'd
+    // [[graft.functions.LayoutExprs.zvalue]] expression (straight-line
+    // long arithmetic inside whole-stage codegen); the oracle restates
+    // the identical magic-mask spread as SQL bit arithmetic.
+    QueryDef(
+      "q113_zorder_values", {
+        def spread(v: String): String = {
+          var e = s"(($v) & 4294967295)"
+          for ((sh, m) <- Seq(
+            (16, "281470681808895"), (8, "71777214294589695"),
+            (4, "1085102592571150095"), (2, "3689348814741910323"),
+            (1, "6148914691236517205")))
+            e = s"((($e | ($e << $sh)) & $m))"
+          e
+        }
+        s"""WITH base AS (
+           |  SELECT event_id, user_id,
+           |    CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600 AS hidx
+           |  FROM events)
+           |SELECT event_id, user_id, hidx,
+           |  (${spread("user_id")} | (${spread("hidx")} << 1)) AS z
+           |FROM base
+           |ORDER BY z, event_id""".stripMargin
+      }) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("CAST(ts AS LONG) div 3600").as("hidx"))
+        .select(col("event_id"), col("user_id"), col("hidx"),
+          graft.functions.LayoutExprs.zvalue(col("user_id"), col("hidx")).as("z"))
+        .orderBy("z", "event_id")
     }
   )
 }
