@@ -150,6 +150,46 @@ object StreamingPack {
         .orderBy("purchase_id", "click_id")
     },
 
+    // ---- q114: native session-window streaming aggregation -----------------
+    // The engine's own data-driven windows (q42 builds the same sessions
+    // with hand-rolled flatMapGroupsWithState): session_window merges
+    // per-event [ts, ts+gap) windows in the StateStore, closing a session
+    // when the watermark passes its end (last event + gap). Same
+    // withholding rule as q42 stated closed-form in the oracle — a
+    // session flushes iff last_ms + gap ≤ final watermark (max ts − the
+    // 30 min delay); note session_window splits on gaps ≥ gap where the
+    // q42 rule splits on > — indistinguishable on microsecond data.
+    QueryDef(
+      "q114_stream_session_native",
+      """WITH ord AS (
+        |  SELECT user_id, ts, event_id, epoch_ms(ts) AS ms,
+        |    CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts))
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000
+        |         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |numbered AS (
+        |  SELECT user_id, ts, ms,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+        |  FROM ord),
+        |wm AS (SELECT epoch_ms(max(ts)) - 1800000 AS w FROM events)
+        |SELECT user_id, sess_start, n_events
+        |FROM (
+        |  SELECT user_id, MIN(ts) AS sess_start, MAX(ms) AS last_ms,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM numbered GROUP BY user_id, sess_no), wm
+        |WHERE last_ms + 1800000 <= w
+        |ORDER BY user_id, sess_start""".stripMargin) { (s, d) =>
+      val sessions = Streams.eventsStream(s, d)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+      Streams.runToMemory(s, sessions, "mq114", mode = "append")
+        .select(col("user_id"), col("sw.start").as("sess_start"), col("n_events"))
+        .orderBy("user_id", "sess_start")
+    },
+
     // ---- q60: stream-static join — enrich the stream from a dimension ------
     // The static side needs no watermark/state: it is (re)read per
     // micro-batch and broadcast when small — the standard streaming

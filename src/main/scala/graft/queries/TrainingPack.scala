@@ -914,6 +914,58 @@ object TrainingPack {
           (col("tsum") + log(lit(2.0)) / 2 * (lit(1) - col("qsum")))
             .cast(DecimalType(18, 8)).cast("double").as("js_div"))
         .orderBy("source")
+    },
+
+    // ---- q115: vocabulary encoding — tokens to ids with an unk bucket ------
+    // The tokenize-to-ids step that feeds every training run: a 512-term
+    // vocabulary (global count desc, term asc — fully deterministic ids
+    // from a dense row_number), broadcast against the token stream;
+    // out-of-vocabulary tokens map to id 0. Per-doc output keeps the
+    // aggregate contract hash-friendly while still pinning SEQUENCE
+    // order: ids_checksum = Σ position·id is order-sensitive, so a
+    // correct id sequence in the wrong order cannot pass. The vocab
+    // build is two partial-agg-friendly passes; the encode is one
+    // broadcast join — nothing shuffles the corpus.
+    QueryDef(
+      "q115_vocab_encode",
+      """WITH counts AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents)
+        |  GROUP BY term),
+        |vocab AS (
+        |  SELECT term, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term)
+        |    AS BIGINT) AS id
+        |  FROM counts QUALIFY id <= 512),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents)
+        |SELECT t.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unk,
+        |  CAST(SUM(t.pos * COALESCE(v.id, 0)) AS BIGINT) AS ids_checksum
+        |FROM toks t LEFT JOIN vocab v ON v.term = t.term
+        |GROUP BY t.doc_id
+        |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      val toks = Tables.documentsSpread(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos0", "term")))
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("term"))
+      // top-512 via TakeOrderedAndProject FIRST (scalable), then the dense
+      // row_number window runs over only the 512 survivors
+      val vocab = toks.groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term")).limit(512)
+        .select(col("term"), row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n").desc, col("term"))).cast("long").as("id"))
+      toks.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("id").isNull, 1L).otherwise(0L)).as("n_unk"),
+          sum(col("pos") * coalesce(col("id"), lit(0L))).as("ids_checksum"))
+        .orderBy("doc_id")
     }
   )
 }
