@@ -153,4 +153,41 @@ class PlanSpec extends AnyFunSuite {
     // data filters on the partition column never reach the row scan
     assert(!s.contains("PushedFilters: [IsNotNull(lang)"), s)
   }
+
+  test("q111 salted join runs the shuffled plan — a broadcast would bypass the salt") {
+    val p = plan(q("q111_salted_join"))
+    val bhj = collectAll(p) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.isEmpty, s"salted join was broadcast — the salt is dead weight:\n$p")
+    val shj = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(shj.nonEmpty, s"expected a shuffled join:\n$p")
+  }
+
+  test("q108/q115 run their dictionary joins as broadcasts — the corpus never shuffles for them") {
+    for (name <- Seq("q108_inverted_index", "q115_vocab_encode")) {
+      val p = plan(q(name))
+      val bhj = collectAll(p) { case j: BroadcastHashJoinExec => j }
+      assert(bhj.nonEmpty, s"$name lost its broadcast dictionary join:\n$p")
+    }
+  }
+
+  test("q113's z-value projection stays inside whole-stage codegen") {
+    val df = q("q113_zorder_values")
+    assert(plan(df).toString.contains("zvalue"))
+    // the native expression's generated code lands inside a
+    // WholeStageCodegen stage (not an interpreted-fallback Project):
+    // debugCodegen materializes the generated sources, which must carry
+    // the spreadJava call the expression emits
+    df.collect() // collect() drives df's OWN QueryExecution (count() would
+    // plan a different query), so AQE finalizes + codegen-wraps this plan
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val gen = org.apache.spark.sql.execution.debug.codegenString(finalPlan)
+    assert(gen.contains("WholeStageCodegen"), gen.take(500))
+    assert(gen.contains("spreadJava"), gen.take(2000))
+  }
 }
