@@ -4,6 +4,8 @@ import graft.{QueryDef, Tables}
 import graft.operators.Changes
 import org.apache.spark.sql.functions._
 
+import java.util.concurrent.ConcurrentHashMap
+
 /** Change-data pack: changelog compaction and SCD2 history over the events
   * table — the maintenance operators behind the reference's
   * write-the-whole-table-per-run JDBC step
@@ -12,6 +14,34 @@ import org.apache.spark.sql.functions._
   * aggregation, keep attribute history as validity intervals.
   */
 object ChangeDataPack {
+
+  /** Staged 3-file copy of events per sf dir (cached for the JVM) — the
+    * micro-batch replay source for q116, one file per AvailableNow batch. */
+  private val eventStages = new ConcurrentHashMap[String, String]()
+  private def stagedEventBatches(s: org.apache.spark.sql.SparkSession, d: String): String =
+    eventStages.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q116-src-")
+      sys.addShutdownHook(graft.streaming.Streams.deleteRecursively(dir))
+      Tables.load(s, d, "events").repartition(3)
+        .write.mode("overwrite").parquet(dir.toString)
+      dir.toString
+    })
+
+  /** One reusable state-table store per sf dir, cleared per invocation and
+    * deleted at JVM exit (the returned plan lazily reads the final
+    * version, so no eager delete). */
+  private val stateStores = new ConcurrentHashMap[String, java.nio.file.Path]()
+  private def q116StateStore(d: String): java.nio.file.Path = {
+    val p = stateStores.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q116-state-")
+      sys.addShutdownHook(graft.streaming.Streams.deleteRecursively(dir))
+      dir
+    })
+    import scala.jdk.CollectionConverters._
+    val children = java.nio.file.Files.list(p).iterator().asScala.toSeq
+    children.foreach(graft.streaming.Streams.deleteRecursively)
+    p
+  }
 
   def all: Seq[QueryDef] = Seq(
 
@@ -70,6 +100,66 @@ object ChangeDataPack {
         key = "user_id", attr = "event_type", tsCol = "ts",
         ord = Seq("ts", "event_id"))
         .orderBy("user_id", "version_no")
+    },
+
+    // ---- q116: streaming incremental CDC compaction (foreachBatch MERGE) ---
+    // The deploy shape of q105: the changelog arrives as micro-batches and
+    // each batch MERGEs into a persistent compacted state table — compact
+    // the batch (one partial agg), union with current state, re-compact,
+    // write the next state version (ping-pong versions; a lakehouse MERGE
+    // in parquet terms). Compaction is associative-commutative (a max
+    // over (ts, event_id) plus a version-count sum), so ANY batch split
+    // yields the same final table — which is exactly what the oracle
+    // pins: the same window-form SQL as batch q105, hash-exact. State is
+    // O(|keys|) regardless of changelog length; each merge touches state
+    // + one batch, never the history.
+    QueryDef(
+      "q116_stream_cdc_merge",
+      """SELECT user_id, event_type, ts AS last_ts, value AS last_value,
+        |  n_versions
+        |FROM (
+        |  SELECT user_id, event_type, ts, value,
+        |    CAST(COUNT(*) OVER (PARTITION BY user_id, event_type) AS BIGINT)
+        |      AS n_versions,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      val srcDir = stagedEventBatches(s, d)
+      val store = q116StateStore(d)
+      val latest = new java.util.concurrent.atomic.AtomicReference[String](null)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      def recompact(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy("user_id", "event_type")
+        .agg(max_by(struct(col("ts"), col("event_id"), col("value")),
+          struct(col("ts"), col("event_id"))).as("__last"),
+          sum(col("n_versions")).as("n_versions"))
+        .select(col("user_id"), col("event_type"),
+          col("__last.ts").as("ts"), col("__last.event_id").as("event_id"),
+          col("__last.value").as("value"), col("n_versions"))
+      graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) => {
+        val compactBatch = Changes.latestByKey(
+          batch.select("user_id", "event_type", "ts", "event_id", "value"),
+          keys = Seq("user_id", "event_type"), ord = Seq("ts", "event_id"))
+        val merged = Option(latest.get()) match {
+          case Some(prev) =>
+            recompact(batch.sparkSession.read.parquet(prev).unionByName(compactBatch))
+          case None => compactBatch
+        }
+        val next = s"$store/v$batchId"
+        merged.write.mode("overwrite").parquet(next)
+        latest.set(next)
+      })
+      s.read.parquet(latest.get())
+        .select(col("user_id"), col("event_type"),
+          col("ts").as("last_ts"), col("value").as("last_value"),
+          col("n_versions"))
+        .orderBy("user_id", "event_type")
     }
   )
 }
