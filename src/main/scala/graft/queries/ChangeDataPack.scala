@@ -160,6 +160,58 @@ object ChangeDataPack {
           col("ts").as("last_ts"), col("value").as("last_value"),
           col("n_versions"))
         .orderBy("user_id", "event_type")
+    },
+
+    // ---- q117: snapshot diff — reconcile two compaction points -------------
+    // Time-travel reconciliation over the changelog: compact the state as
+    // of a cutoff (T1) and at the end (T2), then classify every T2 key as
+    // added (absent at T1), updated (a newer version arrived), or
+    // unchanged — the audit every incremental pipeline needs to prove a
+    // merge did what it claims. Both snapshots are single partial-agg
+    // compactions; the diff is one keyed left join of two |keys|-sized
+    // tables, never the changelog.
+    QueryDef(
+      "q117_snapshot_diff",
+      """WITH s1 AS (
+        |  SELECT user_id, event_type, ts, event_id FROM (
+        |    SELECT user_id, event_type, ts, event_id,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                         ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00')
+        |  WHERE rn = 1),
+        |s2 AS (
+        |  SELECT user_id, event_type, ts, event_id FROM (
+        |    SELECT user_id, event_type, ts, event_id,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                         ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events)
+        |  WHERE rn = 1)
+        |SELECT s2.event_type,
+        |  CASE WHEN s1.user_id IS NULL THEN 'added'
+        |       WHEN s1.event_id <> s2.event_id THEN 'updated'
+        |       ELSE 'unchanged' END AS status,
+        |  CAST(COUNT(*) AS BIGINT) AS n_keys
+        |FROM s2 LEFT JOIN s1
+        |  ON s1.user_id = s2.user_id AND s1.event_type = s2.event_type
+        |GROUP BY 1, 2
+        |ORDER BY s2.event_type, status""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select("user_id", "event_type", "ts", "event_id")
+      def snap(df: org.apache.spark.sql.DataFrame) =
+        Changes.latestByKey(df, keys = Seq("user_id", "event_type"),
+          ord = Seq("ts", "event_id"))
+      val s1 = snap(e.filter(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp")))
+        .select(col("user_id").as("u1"), col("event_type").as("t1"),
+          col("event_id").as("e1"))
+      val s2 = snap(e)
+      s2.join(s1, col("user_id") === col("u1") && col("event_type") === col("t1"),
+        "left")
+        .select(col("event_type"),
+          when(col("u1").isNull, "added")
+            .when(col("e1") =!= col("event_id"), "updated")
+            .otherwise("unchanged").as("status"))
+        .groupBy("event_type", "status")
+        .agg(count(lit(1)).as("n_keys"))
+        .orderBy("event_type", "status")
     }
   )
 }

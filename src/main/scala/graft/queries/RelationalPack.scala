@@ -702,6 +702,40 @@ object RelationalPack {
         .select(col("event_id"), col("user_id"), col("hidx"),
           graft.functions.LayoutExprs.zvalue(col("user_id"), col("hidx")).as("z"))
         .orderBy("z", "event_id")
+    },
+
+    // ---- q118: schema-generic table profiling ------------------------------
+    // The data-profiling pass every ingest runs first: per column, row
+    // count, null count, exact distinct count — built programmatically
+    // from the schema (the Spark side folds over df.columns; the oracle
+    // is generated from the same list), one scan, one aggregation row,
+    // unpivoted via stack. Exact multi-column DISTINCT plans an Expand
+    // (×cols row multiplier) — fine for a profiling pass; at 100 TB the
+    // same fold swaps countDistinct for approx_count_distinct and the
+    // Expand disappears (documented trade, cf. q43/q64).
+    QueryDef(
+      "q118_table_profile", {
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_returnflag", "l_linestatus", "l_shipdate")
+        cols.map { c =>
+          s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+             |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct
+             |FROM lineitem""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+      }) { (s, d) =>
+      val df = Tables.lineitem(s, d)
+      val cols = df.columns.toSeq
+      val aggs = count(lit(1)).as("__n") +:
+        cols.flatMap(c => Seq(count(col(c)).as(s"__cnt_$c"),
+          countDistinct(col(c)).as(s"__dst_$c")))
+      val wide = df.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols.map(c =>
+        s"'$c', __n, __n - `__cnt_$c`, `__dst_$c`").mkString(", ")
+      wide.select(expr(
+        s"stack(${cols.size}, $stackArgs) AS (column_name, n, n_null, n_distinct)"))
+        .orderBy("column_name")
     }
   )
 }
