@@ -736,6 +736,104 @@ object RelationalPack {
       wide.select(expr(
         s"stack(${cols.size}, $stackArgs) AS (column_name, n, n_null, n_distinct)"))
         .orderBy("column_name")
+    },
+
+    // ---- q119: decile binning (ntile) + per-bin stats ----------------------
+    // Equal-frequency feature binning: NTILE(10) over a fully-ordered key
+    // (price + unique tiebreaker so both engines cut identically), then
+    // per-bin count/lo/hi/decimal-sum. The global ntile is an inherently
+    // total-order operator — the honest exact form is a single range
+    // sort; the 100 TB swap is approx_percentile cut points (q64 family)
+    // + a map-side bucket join, trading exact equal counts for fixed-size
+    // sketch state. This query pins the exact semantics those cut points
+    // approximate.
+    QueryDef(
+      "q119_quantile_bins",
+      """WITH b AS (
+        |  SELECT l_extendedprice AS x,
+        |    NTILE(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+        |                    l_linenumber) AS bin
+        |  FROM lineitem)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(x) AS lo, MAX(x) AS hi,
+        |  CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM b GROUP BY bin
+        |ORDER BY bin""".stripMargin) { (s, d) =>
+      val w = Window.orderBy(col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .select(col("l_extendedprice").as("x"), ntile(10).over(w).as("bin"))
+        .groupBy(col("bin").cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"), min(col("x")).as("lo"),
+          max(col("x")).as("hi"),
+          sum(col("x").cast(DecimalType(18, 4))).cast("double").as("total"))
+        .orderBy("bin")
+    },
+
+    // ---- q120: correlation matrix from exact sums --------------------------
+    // Pearson correlation across (quantity, price, discount) in ONE scan:
+    // every moment (Σx, Σx², Σxy) accumulates as DECIMAL — exact and
+    // associative, so partial aggregation is safe and the cross-engine
+    // hash cannot drift with shuffle order. The final corr arithmetic is
+    // a fixed double expression tree over identical decimal-cast inputs
+    // (bit-identical IEEE ops on both engines), rounded to 8 decimals
+    // like every float output here. Spark's built-in corr() aggregates
+    // doubles incrementally — order-dependent ulps — which is exactly
+    // what this formulation avoids.
+    QueryDef(
+      "q120_correlation", {
+        def corrSql(sx: String, sy: String, sxy: String,
+                    sxx: String, syy: String) =
+          s"""CAST(CAST((n * $sxy - $sx * $sy) /
+             |  (sqrt(n * $sxx - $sx * $sx) * sqrt(n * $syy - $sy * $sy))
+             |  AS DECIMAL(18,8)) AS DOUBLE)""".stripMargin.replace("\n", " ")
+        """WITH m AS (
+          |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+          |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sq,
+          |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sp,
+          |    CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sd,
+          |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sqq,
+          |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS spp,
+          |    CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,8))) AS DOUBLE) AS sdd,
+          |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sqp,
+          |    CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,8))) AS DOUBLE) AS sqd,
+          |    CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,8))) AS DOUBLE) AS spd
+          |  FROM lineitem)
+          |SELECT 'quantity_price' AS pair, """.stripMargin +
+          corrSql("sq", "sp", "sqp", "sqq", "spp") + " AS corr FROM m\n" +
+          "UNION ALL SELECT 'quantity_discount', " +
+          corrSql("sq", "sd", "sqd", "sqq", "sdd") + " FROM m\n" +
+          "UNION ALL SELECT 'price_discount', " +
+          corrSql("sp", "sd", "spd", "spp", "sdd") + " FROM m\n" +
+          "ORDER BY pair"
+      }) { (s, d) =>
+      val dec8 = DecimalType(38, 8)
+      val m = Tables.lineitem(s, d).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double").as("sq"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 4))).cast("double").as("sp"),
+        sum(col("l_discount").cast(DecimalType(18, 4))).cast("double").as("sd"),
+        sum((col("l_quantity") * col("l_quantity")).cast(dec8)).cast("double").as("sqq"),
+        sum((col("l_extendedprice") * col("l_extendedprice")).cast(dec8)).cast("double").as("spp"),
+        sum((col("l_discount") * col("l_discount")).cast(dec8)).cast("double").as("sdd"),
+        sum((col("l_quantity") * col("l_extendedprice")).cast(dec8)).cast("double").as("sqp"),
+        sum((col("l_quantity") * col("l_discount")).cast(dec8)).cast("double").as("sqd"),
+        sum((col("l_extendedprice") * col("l_discount")).cast(dec8)).cast("double").as("spd"))
+      def corrCol(sx: String, sy: String, sxy: String, sxx: String, syy: String) =
+        ((col("n") * col(sxy) - col(sx) * col(sy)) /
+          (sqrt(col("n") * col(sxx) - col(sx) * col(sx)) *
+            sqrt(col("n") * col(syy) - col(sy) * col(sy))))
+          .cast(DecimalType(18, 8)).cast("double")
+      m.select(
+        expr("stack(3, 'quantity_price', 0, 'quantity_discount', 1, 'price_discount', 2) AS (pair, __i)"),
+        corrCol("sq", "sp", "sqp", "sqq", "spp").as("__c0"),
+        corrCol("sq", "sd", "sqd", "sqq", "sdd").as("__c1"),
+        corrCol("sp", "sd", "spd", "spp", "sdd").as("__c2"))
+        .select(col("pair"),
+          when(col("__i") === 0, col("__c0"))
+            .when(col("__i") === 1, col("__c1"))
+            .otherwise(col("__c2")).as("corr"))
+        .orderBy("pair")
     }
   )
 }
