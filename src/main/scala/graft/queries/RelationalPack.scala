@@ -834,6 +834,132 @@ object RelationalPack {
             .when(col("__i") === 1, col("__c1"))
             .otherwise(col("__c2")).as("corr"))
         .orderBy("pair")
+    },
+
+    // ---- q121: 24 h moving average per user (RANGE frame) ------------------
+    // The time-series smoothing primitive: an event-time RANGE frame (all
+    // rows within the trailing 24 h, ties included by value — frame
+    // membership is defined by the data, not row position, so it is
+    // deterministic even with equal timestamps). One keyed window sort;
+    // the decimal numerator keeps the running sums exact so the average
+    // is a fixed double division on both engines.
+    QueryDef(
+      "q121_moving_avg",
+      """WITH e AS (
+        |  SELECT event_id, user_id, value,
+        |    CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_24h,
+        |  CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |       / (COUNT(*) OVER w) AS DECIMAL(18,8)) AS DOUBLE) AS avg_24h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |             RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("sec")
+        .rangeBetween(-86399L, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("ts").cast("long").as("sec"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_24h"),
+          (sum(col("value").cast(DecimalType(18, 4))).over(w).cast("double")
+            / count(lit(1)).over(w))
+            .cast(DecimalType(18, 8)).cast("double").as("avg_24h"))
+        .orderBy("event_id")
+    },
+
+    // ---- q122: funnel conversion (view → click → purchase) -----------------
+    // Product-analytics funnel: for each view, the earliest same-user
+    // click within 1 h; for each converted view, the earliest purchase
+    // within 1 h of that click. Each stage is a bounded event-time range
+    // join (same shape as q46 — keyed equi-join plus a time-window
+    // predicate, never a free inequality join) followed by a min-
+    // aggregation, so stage fan-out is capped by per-user activity in
+    // the window. Output is the stage table every funnel chart reads.
+    QueryDef(
+      "q122_funnel",
+      """WITH v AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'view'),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |vc AS (
+        |  SELECT v.event_id, v.user_id, MIN(c.ts) AS click_ts
+        |  FROM v JOIN c ON c.user_id = v.user_id
+        |    AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+        |  GROUP BY v.event_id, v.user_id),
+        |vcp AS (
+        |  SELECT vc.event_id, vc.user_id
+        |  FROM vc JOIN p ON p.user_id = vc.user_id
+        |    AND p.ts > vc.click_ts AND p.ts <= vc.click_ts + INTERVAL 1 HOUR
+        |  GROUP BY vc.event_id, vc.user_id)
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_views,
+        |  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM v) AS u_views,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM vc) AS n_clicked,
+        |  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM vc) AS u_clicked,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM vcp) AS n_purchased,
+        |  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM vcp) AS u_purchased""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      def typed(t: String) = e.filter(col("event_type") === t)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val v = typed("view")
+      val c = typed("click").select(col("user_id").as("cu"), col("ts").as("cts"))
+      val p = typed("purchase").select(col("user_id").as("pu"), col("ts").as("pts"))
+      val vc = v.join(c, col("cu") === col("user_id") &&
+        col("cts") > col("ts") &&
+        col("cts") <= col("ts") + expr("INTERVAL 1 HOUR"))
+        .groupBy("event_id", "user_id").agg(min(col("cts")).as("click_ts"))
+      val vcp = vc.join(p, col("pu") === col("user_id") &&
+        col("pts") > col("click_ts") &&
+        col("pts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+        .groupBy("event_id", "user_id").agg(count(lit(1)).as("__x"))
+      // one lazy plan: three 1-row stage aggregates cross-joined — no
+      // driver-side counts
+      def stage(df: org.apache.spark.sql.DataFrame, n: String, u: String) =
+        df.agg(count(lit(1)).as(n), countDistinct(col("user_id")).as(u))
+      stage(v, "n_views", "u_views")
+        .crossJoin(stage(vc, "n_clicked", "u_clicked"))
+        .crossJoin(stage(vcp, "n_purchased", "u_purchased"))
+    },
+
+    // ---- q123: cohort retention (first-seen week × activity offset) --------
+    // Retention grid: cohort = the user's first-event ISO week, offset =
+    // whole weeks between cohort and activity week, cell = distinct
+    // active users. Two keyed aggregations (first-seen per user — a
+    // partial-agg min — then the cohort×offset distinct count); the
+    // cohort table is |users|-sized and broadcast back onto events.
+    QueryDef(
+      "q123_cohort_retention",
+      """WITH first_seen AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |activity AS (
+        |  SELECT DISTINCT e.user_id, f.cohort_week,
+        |    CAST((CAST(FLOOR(EPOCH(date_trunc('week', e.ts))) AS BIGINT)
+        |      - CAST(FLOOR(EPOCH(f.cohort_week)) AS BIGINT)) // 604800
+        |      AS BIGINT) AS week_offset
+        |  FROM events e JOIN first_seen f ON f.user_id = e.user_id)
+        |SELECT cohort_week, week_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM activity
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val firstSeen = e.groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      e.join(broadcast(firstSeen), "user_id")
+        .select(col("user_id"), col("cohort_week"),
+          (date_trunc("week", col("ts")).cast("long")
+            - col("cohort_week").cast("long")).as("__d"))
+        .select(col("user_id"), col("cohort_week"),
+          expr("__d div 604800").as("week_offset"))
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
     }
   )
 }
