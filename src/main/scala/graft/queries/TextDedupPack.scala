@@ -1391,8 +1391,11 @@ object TextDedupPack {
         transform(sequence(lit(1), length(name)), i =>
           concat(name.substr(lit(1), i - 1),
             name.substr(i + 1, length(name) - i)))))
+      // persisted: both sides of the blocking self-join scan the same
+      // exploded variant table (len+1 rows per customer)
       val keyed = Tables.customer(s, d)
         .select(col("c_custkey"), name, explode(delKeys).as("k"))
+        .persist()
       val pairs = keyed.select(col("c_custkey").as("ida"), name.as("na"), col("k"))
         .join(keyed.select(col("c_custkey").as("idb"), name.as("nb"), col("k")), "k")
         .filter(col("ida") < col("idb"))
@@ -1469,9 +1472,12 @@ object TextDedupPack {
            |SELECT id AS doc_id, r AS pr_rank FROM i5
            |ORDER BY doc_id""".stripMargin
       }) { (s, d) =>
+      // persisted: deg and the degree-annotated edge list both scan the
+      // symmetric edge set, and mp itself is a match-pair self-join
       val mp = winnowMatchPairs(s, d)
       val edges = mp.select(col("id_a").as("u"), col("id_b").as("v"))
         .unionAll(mp.select(col("id_b").as("u"), col("id_a").as("v")))
+        .persist()
       graft.operators.Graph.fixedPointPageRank(edges, "u", "v", iters = 5)
         .select(col("id").as("doc_id"), col("r").as("pr_rank"))
         .orderBy("doc_id")
