@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftbridge.{ColumnBridge, FloatDot, JpegDims}
+import org.apache.spark.sql.graftbridge.{ColumnBridge, FloatDot, JpegDims, ZValue}
 
 /** Session extension registering graft's native SQL functions, so pure-SQL
   * users get the codegen'd expressions too:
@@ -15,6 +15,8 @@ import org.apache.spark.sql.graftbridge.{ColumnBridge, FloatDot, JpegDims}
   *   graft_dot(array<float|double>, array<float|double>) → double
   *   graft_jpeg_dims(binary) → bigint ((height << 16) | width, -1 if not
   *     a parseable JPEG — unpack with shiftright/bitwiseAND)
+  *   graft_zvalue(bigint, bigint) → bigint (Z-order/Morton interleave of
+  *     the low 32 bits of each input — the multi-dimensional layout key)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -26,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_jpeg_dims"),
       new ExpressionInfo(classOf[JpegDims].getName, "graft_jpeg_dims"),
       GraftExtensions.jpegDimsBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_zvalue"),
+      new ExpressionInfo(classOf[ZValue].getName, "graft_zvalue"),
+      GraftExtensions.zvalueBuilder))
   }
 }
 
@@ -42,9 +48,16 @@ object GraftExtensions {
     JpegDims(children.head)
   }
 
+  private[graft] val zvalueBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2,
+      s"graft_zvalue requires exactly 2 arguments, got ${children.length}")
+    ZValue(children(0), children(1))
+  }
+
   /** Register the same functions on an already-built session. */
   def register(spark: SparkSession): Unit = {
     ColumnBridge.registerTempFunction(spark, "graft_dot", dotBuilder)
     ColumnBridge.registerTempFunction(spark, "graft_jpeg_dims", jpegDimsBuilder)
+    ColumnBridge.registerTempFunction(spark, "graft_zvalue", zvalueBuilder)
   }
 }

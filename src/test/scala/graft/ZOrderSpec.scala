@@ -65,4 +65,11 @@ class ZOrderSpec extends AnyFunSuite {
     // worst-dimension extent: z order is 17x better than lexicographic
     assert(math.max(zX, zY) * 16 < math.max(lexX, lexY))
   }
+
+  test("graft_zvalue is callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT graft_zvalue(3L, 5L) AS z").head().getLong(0)
+    assert(r == naiveInterleave(3L, 5L)) // 0b100111 = 39
+    assert(r == 39L)
+  }
 }
