@@ -43,6 +43,23 @@ object Changes {
       keys.map(col) ++ payload.map(c => col(s"__last.`$c`").as(c)) :+ col("n_versions"): _*)
   }
 
+  /** Merge two-or-more already-compacted states (each row carrying an
+    * `n_versions` count): keep the payload of the greatest `ord` tuple,
+    * SUM the version counts. This is the per-micro-batch MERGE step of
+    * the streaming CDC path (q116) — associative and commutative, so any
+    * batch split of the changelog folds to the same state (asserted in
+    * ChangesSpec, pinned cross-engine by q116's oracle).
+    */
+  def mergeCompacted(df: DataFrame, keys: Seq[String], ord: Seq[String]): DataFrame = {
+    val payload = df.columns.filterNot(c => keys.contains(c) || c == "n_versions").toSeq
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        max_by(struct(payload.map(col): _*), struct(ord.map(col): _*)).as("__last"),
+        sum(col("n_versions")).as("n_versions"))
+      .select(
+        keys.map(col) ++ payload.map(c => col(s"__last.`$c`").as(c)) :+ col("n_versions"): _*)
+  }
+
   /** SCD type-2 history of one attribute: per `key`, order by `ord`,
     * compress consecutive runs of equal `attr`, and emit one row per run
     * with `valid_from` (first `tsCol` of the run), `valid_to` (start of

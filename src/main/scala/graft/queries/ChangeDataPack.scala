@@ -134,21 +134,15 @@ object ChangeDataPack {
         .option("maxFilesPerTrigger", 1)
         .parquet(srcDir)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      def recompact(df: org.apache.spark.sql.DataFrame) = df
-        .groupBy("user_id", "event_type")
-        .agg(max_by(struct(col("ts"), col("event_id"), col("value")),
-          struct(col("ts"), col("event_id"))).as("__last"),
-          sum(col("n_versions")).as("n_versions"))
-        .select(col("user_id"), col("event_type"),
-          col("__last.ts").as("ts"), col("__last.event_id").as("event_id"),
-          col("__last.value").as("value"), col("n_versions"))
       graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) => {
         val compactBatch = Changes.latestByKey(
           batch.select("user_id", "event_type", "ts", "event_id", "value"),
           keys = Seq("user_id", "event_type"), ord = Seq("ts", "event_id"))
         val merged = Option(latest.get()) match {
           case Some(prev) =>
-            recompact(batch.sparkSession.read.parquet(prev).unionByName(compactBatch))
+            Changes.mergeCompacted(
+              batch.sparkSession.read.parquet(prev).unionByName(compactBatch),
+              keys = Seq("user_id", "event_type"), ord = Seq("ts", "event_id"))
           case None => compactBatch
         }
         val next = s"$store/v$batchId"

@@ -67,6 +67,23 @@ class ChangesSpec extends AnyFunSuite {
     assert(u2.length == 1 && u2(0).isNullAt(3) && u2(0).getLong(4) == 1L)
   }
 
+  test("mergeCompacted folds any batch split to the batch-compaction answer") {
+    val e = Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts", "event_id", "value")
+    val keys = Seq("user_id", "event_type")
+    val ord = Seq("ts", "event_id")
+    val direct = Changes.latestByKey(e, keys, ord)
+    // two different splits, folded incrementally like q116's foreachBatch
+    for (nBatches <- Seq(2, 5)) {
+      val folded = (0 until nBatches)
+        .map(i => Changes.latestByKey(
+          e.filter(pmod(col("event_id"), lit(nBatches)) === i), keys, ord))
+        .reduce((a, b) => Changes.mergeCompacted(a.unionByName(b), keys, ord))
+      assert(folded.exceptAll(direct).isEmpty && direct.exceptAll(folded).isEmpty,
+        s"nBatches=$nBatches")
+    }
+  }
+
   test("scd2 tie on ts is broken deterministically by the ord tiebreaker") {
     val t0 = ts("2024-01-01 00:00:00")
     val rows = Seq(
