@@ -1481,6 +1481,71 @@ object TextDedupPack {
       graft.operators.Graph.fixedPointPageRank(edges, "u", "v", iters = 5)
         .select(col("id").as("doc_id"), col("r").as("pr_rank"))
         .orderBy("doc_id")
+    },
+
+    // ---- q124: canonical-doc selection — components × centrality -----------
+    // The step dedup pipelines actually ship: group near-dup docs into
+    // clusters (connected components over the q103 match graph) and pick
+    // each cluster's canonical representative by CENTRALITY (the q109
+    // fixed-point rank — most-connected version wins) instead of the
+    // naive min-id. Composition of two individually-green iterative
+    // operators; the oracle replays both (recursive-CTE closure + the 5
+    // unrolled PageRank rounds) and must agree on every cluster's
+    // canonical pick — ties broken by lowest doc_id on both sides.
+    QueryDef(
+      "q124_canonical_selection", {
+        val iters = (1 to 5).map { k =>
+          val prev = if (k == 1) "r0" else s"i${k - 1}"
+          s"""i$k AS (
+             |  SELECT ed.v AS id,
+             |    CAST(150000 + (85 * SUM(pr.r // ed.od)) // 100 AS BIGINT) AS r
+             |  FROM ed JOIN $prev pr ON pr.id = ed.u GROUP BY ed.v)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH RECURSIVE $WinnowPairsSqlCtes,
+           |und AS (SELECT id_a AS u, id_b AS v FROM mpairs
+           |        UNION ALL SELECT id_b, id_a FROM mpairs),
+           |reach(u, v) AS (
+           |  SELECT u, v FROM und
+           |  UNION
+           |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+           |comp AS (SELECT u AS doc_id, least(u, MIN(v)) AS cluster_id
+           |         FROM reach GROUP BY u),
+           |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS od
+           |        FROM und GROUP BY u),
+           |ed AS (SELECT e.u, e.v, d.od FROM und e JOIN deg d ON d.u = e.u),
+           |r0 AS (SELECT u AS id, CAST(1000000 AS BIGINT) AS r FROM deg),
+           |$iters,
+           |ranked AS (
+           |  SELECT c.cluster_id, c.doc_id, i5.r,
+           |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+           |                       ORDER BY i5.r DESC, c.doc_id) AS rn
+           |  FROM comp c JOIN i5 ON i5.id = c.doc_id)
+           |SELECT cluster_id,
+           |  MIN(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc,
+           |  MIN(CASE WHEN rn = 1 THEN r END) AS canonical_rank,
+           |  CAST(COUNT(*) AS BIGINT) AS cluster_size
+           |FROM ranked
+           |GROUP BY cluster_id
+           |ORDER BY cluster_id""".stripMargin
+      }) { (s, d) =>
+      val mp = winnowMatchPairs(s, d).persist()
+      val edges = mp.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionAll(mp.select(col("id_b").as("u"), col("id_a").as("v")))
+        .persist()
+      val comp = graft.operators.Components
+        .connectedComponents(mp.select("id_a", "id_b"), "id_a", "id_b")
+        .select(col("component").as("cluster_id"), col("id").as("doc_id"))
+      val ranks = graft.operators.Graph.fixedPointPageRank(edges, "u", "v", iters = 5)
+        .select(col("id").as("__rid"), col("r"))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("r").desc, col("doc_id"))
+      comp.join(ranks, col("doc_id") === col("__rid"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(min(when(col("rn") === 1, col("doc_id"))).as("canonical_doc"),
+          min(when(col("rn") === 1, col("r"))).as("canonical_rank"),
+          count(lit(1)).as("cluster_size"))
+        .orderBy("cluster_id")
     }
   )
 
