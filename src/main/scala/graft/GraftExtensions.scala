@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftbridge.{ColumnBridge, FloatDot, JpegDims, ZValue}
+import org.apache.spark.sql.graftbridge.{ColumnBridge, FloatDot, JpegDims, NfcNormalize, ZValue}
 
 /** Session extension registering graft's native SQL functions, so pure-SQL
   * users get the codegen'd expressions too:
@@ -17,6 +17,8 @@ import org.apache.spark.sql.graftbridge.{ColumnBridge, FloatDot, JpegDims, ZValu
   *     a parseable JPEG — unpack with shiftright/bitwiseAND)
   *   graft_zvalue(bigint, bigint) → bigint (Z-order/Morton interleave of
   *     the low 32 bits of each input — the multi-dimensional layout key)
+  *   graft_nfc(string) → string (Unicode NFC canonical composition — the
+  *     canonicalization hash-keyed text operators need first)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -32,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_zvalue"),
       new ExpressionInfo(classOf[ZValue].getName, "graft_zvalue"),
       GraftExtensions.zvalueBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      GraftExtensions.nfcBuilder))
   }
 }
 
@@ -54,10 +60,17 @@ object GraftExtensions {
     ZValue(children(0), children(1))
   }
 
+  private[graft] val nfcBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 1,
+      s"graft_nfc requires exactly 1 argument, got ${children.length}")
+    NfcNormalize(children.head)
+  }
+
   /** Register the same functions on an already-built session. */
   def register(spark: SparkSession): Unit = {
     ColumnBridge.registerTempFunction(spark, "graft_dot", dotBuilder)
     ColumnBridge.registerTempFunction(spark, "graft_jpeg_dims", jpegDimsBuilder)
     ColumnBridge.registerTempFunction(spark, "graft_zvalue", zvalueBuilder)
+    ColumnBridge.registerTempFunction(spark, "graft_nfc", nfcBuilder)
   }
 }

@@ -37,6 +37,36 @@ object RelationalPack {
   private val DSUM = "CAST(SUM(CAST(%s AS DECIMAL(18,4))) AS DOUBLE)"
   private def dsumSql(expr: String): String = DSUM.format(expr)
 
+  /** DuckDB SQL for the Z-order bit spread (bit k of the low-32-bit input
+    * lands at bit 2k) — the same magic-mask sequence as the native
+    * [[org.apache.spark.sql.graftbridge.ZValue]] expression, with decimal
+    * mask literals. Shared by the q113 and q127 oracles so the layout key
+    * cannot drift between them. */
+  private def zSpreadSql(v: String): String = {
+    var e = s"(($v) & 4294967295)"
+    for ((sh, m) <- Seq(
+      (16, "281470681808895"), (8, "71777214294589695"),
+      (4, "1085102592571150095"), (2, "3689348814741910323"),
+      (1, "6148914691236517205")))
+      e = s"((($e | ($e << $sh)) & $m))"
+    e
+  }
+
+  /** q127's zone-map block size (rows per block) and its test predicate
+    * ranges — chosen to hit every test SF (user_id 0..14 at sf0.001,
+    * 0..149 at sf0.1; hidx spans ~[473352, 474072] in the fixture's
+    * 30-day event window). */
+  private val ZM_BLOCK = 128
+  private val ZM_USER_LO = 3L
+  private val ZM_USER_HI = 7L
+  private val ZM_HIDX_LO = 473400L
+  private val ZM_HIDX_HI = 473450L
+
+  /** q128's target compacted size (characters stand in for bytes — the
+    * fixture's `length(text)` is the only cross-engine-identical size
+    * measure available). */
+  private val COMPACT_TARGET = 2000L
+
   def all: Seq[QueryDef] = Seq(
 
     // ---- q01: TPC-H Q1-style pricing summary -------------------------------
@@ -678,21 +708,12 @@ object RelationalPack {
     // the identical magic-mask spread as SQL bit arithmetic.
     QueryDef(
       "q113_zorder_values", {
-        def spread(v: String): String = {
-          var e = s"(($v) & 4294967295)"
-          for ((sh, m) <- Seq(
-            (16, "281470681808895"), (8, "71777214294589695"),
-            (4, "1085102592571150095"), (2, "3689348814741910323"),
-            (1, "6148914691236517205")))
-            e = s"((($e | ($e << $sh)) & $m))"
-          e
-        }
         s"""WITH base AS (
            |  SELECT event_id, user_id,
            |    CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600 AS hidx
            |  FROM events)
            |SELECT event_id, user_id, hidx,
-           |  (${spread("user_id")} | (${spread("hidx")} << 1)) AS z
+           |  (${zSpreadSql("user_id")} | (${zSpreadSql("hidx")} << 1)) AS z
            |FROM base
            |ORDER BY z, event_id""".stripMargin
       }) { (s, d) =>
@@ -960,6 +981,123 @@ object RelationalPack {
         .groupBy("cohort_week", "week_offset")
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_week", "week_offset")
+    },
+
+    // ---- q127: zone-map pruning effectiveness by data layout ---------------
+    // Quantifies WHY q113's z-order layout exists: partition events into
+    // fixed blocks under three write orders (insertion, lexicographic,
+    // z-order), compute each block's (user_id, hidx) zone map — the
+    // min/max parquet keeps per row group — and count how many blocks a
+    // conjunctive range predicate must scan under each layout. Lex prunes
+    // its leading column only; z-order prunes BOTH dimensions. The global
+    // row_number is layout ANALYSIS (cf. q119's scaladoc on exact total-
+    // order ops); at deploy scale zone maps fall out of the write path
+    // per-file with no sort at read time — this query is the planner's
+    // evidence for choosing the layout, not a per-query cost.
+    QueryDef(
+      "q127_zonemap_prune", {
+        val layouts = Seq(
+          ("insertion", "event_id"),
+          ("lex", "user_id, hidx, event_id"),
+          ("zorder", "zv, event_id"))
+        val branches = layouts.map { case (name, key) =>
+          s"""SELECT '$name' AS layout, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             |  CAST(SUM(CASE WHEN uhi >= $ZM_USER_LO AND ulo <= $ZM_USER_HI
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS scan_user,
+             |  CAST(SUM(CASE WHEN hhi >= $ZM_HIDX_LO AND hlo <= $ZM_HIDX_HI
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS scan_hidx,
+             |  CAST(SUM(CASE WHEN uhi >= $ZM_USER_LO AND ulo <= $ZM_USER_HI
+             |      AND hhi >= $ZM_HIDX_LO AND hlo <= $ZM_HIDX_HI
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS scan_both
+             |FROM (
+             |  SELECT blk, MIN(user_id) AS ulo, MAX(user_id) AS uhi,
+             |    MIN(hidx) AS hlo, MAX(hidx) AS hhi
+             |  FROM (
+             |    SELECT ((ROW_NUMBER() OVER (ORDER BY $key) - 1) // $ZM_BLOCK) AS blk,
+             |      user_id, hidx
+             |    FROM z)
+             |  GROUP BY blk)""".stripMargin
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH base AS (
+           |  SELECT event_id, user_id,
+           |    CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600 AS hidx
+           |  FROM events),
+           |z AS (
+           |  SELECT event_id, user_id, hidx,
+           |    (${zSpreadSql("user_id")} | (${zSpreadSql("hidx")} << 1)) AS zv
+           |  FROM base)
+           |SELECT * FROM (
+           |  $branches)
+           |ORDER BY layout""".stripMargin
+      }) { (s, d) =>
+      val base = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("CAST(ts AS LONG) div 3600").as("hidx"))
+        .withColumn("zv",
+          graft.functions.LayoutExprs.zvalue(col("user_id"), col("hidx")))
+      val layouts = Seq(
+        ("insertion", Seq(col("event_id"))),
+        ("lex", Seq(col("user_id"), col("hidx"), col("event_id"))),
+        ("zorder", Seq(col("zv"), col("event_id"))))
+      layouts.map { case (name, key) =>
+        val userHit = col("uhi") >= ZM_USER_LO && col("ulo") <= ZM_USER_HI
+        val hidxHit = col("hhi") >= ZM_HIDX_LO && col("hlo") <= ZM_HIDX_HI
+        base
+          .select(col("user_id"), col("hidx"),
+            row_number().over(Window.orderBy(key: _*)).as("__rn"))
+          .select(col("user_id"), col("hidx"),
+            expr(s"CAST((__rn - 1) div $ZM_BLOCK AS BIGINT)").as("blk"))
+          .groupBy("blk")
+          .agg(min("user_id").as("ulo"), max("user_id").as("uhi"),
+            min("hidx").as("hlo"), max("hidx").as("hhi"))
+          .agg(count(lit(1)).as("n_blocks"),
+            sum(when(userHit, 1L).otherwise(0L)).as("scan_user"),
+            sum(when(hidxHit, 1L).otherwise(0L)).as("scan_hidx"),
+            sum(when(userHit && hidxHit, 1L).otherwise(0L)).as("scan_both"))
+          .select(lit(name).as("layout"), col("n_blocks"),
+            col("scan_user"), col("scan_hidx"), col("scan_both"))
+      }.reduce(_ unionAll _).orderBy("layout")
+    },
+
+    // ---- q128: small-file compaction planning (lakehouse OPTIMIZE) ---------
+    // The maintenance pass behind Delta/Iceberg OPTIMIZE: given a file
+    // listing (the fixture's documents stand in, one "file" per doc with
+    // length(text) as its size), pack consecutive files per partition
+    // into ~target-size compaction groups via a running-total prefix sum
+    // — bin = cumulative-bytes-before ÷ target, so every group except the
+    // last per source lands at ≥ target. One window + one keyed agg, both
+    // partitioned by source — embarrassingly parallel across partitions,
+    // which is exactly how table services shard compaction planning.
+    QueryDef(
+      "q128_compaction_plan",
+      s"""WITH files AS (
+         |  SELECT source, doc_id, CAST(length(text) AS BIGINT) AS bytes
+         |  FROM documents),
+         |binned AS (
+         |  SELECT source, doc_id, bytes,
+         |    (SUM(bytes) OVER (PARTITION BY source ORDER BY doc_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes)
+         |      // $COMPACT_TARGET AS bin
+         |  FROM files)
+         |SELECT source, CAST(bin AS BIGINT) AS bin,
+         |  CAST(COUNT(*) AS BIGINT) AS n_files,
+         |  CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM binned
+         |GROUP BY source, bin
+         |ORDER BY source, bin""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          length(col("text")).cast("long").as("bytes"))
+        .withColumn("__cum", sum(col("bytes")).over(w) - col("bytes"))
+        .select(col("source"), col("doc_id"), col("bytes"),
+          expr(s"CAST(__cum div $COMPACT_TARGET AS BIGINT)").as("bin"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_files"), sum("bytes").as("total_bytes"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("source", "bin")
     }
   )
 }

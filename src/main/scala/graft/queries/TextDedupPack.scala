@@ -55,6 +55,20 @@ object TextDedupPack {
     * before its PMI is meaningful (and the floor caps the scored table). */
   private val PMI_MIN_COUNT = 5
 
+  /** q125's Count-Min grid: depth (independent hash rows) and width
+    * (counters per row). ε = e/width ≈ 0.5% of the token stream, failure
+    * probability e^-depth ≈ 2%. 4×512 longs = 16 KiB of mergeable state
+    * regardless of vocabulary size. */
+  private val CM_DEPTH = 4
+  private val CM_WIDTH = 512
+
+  /** q125's fixed probe set: high- and mid-frequency tokens from the
+    * fixture vocabulary, plus a token absent from the corpus (its estimate
+    * is pure collision mass — the sketch's documented overestimate, never
+    * an undercount). */
+  private val CM_PROBES = Seq("join", "scan", "row", "data", "the",
+    "order", "vector", "zzz_absent_token")
+
   /** q100's winnowing window (consecutive 3-gram hashes per window). The
     * guarantee: any shared run of ≥ WINNOW_W + 2 tokens between two docs
     * shares at least one selected fingerprint. */
@@ -1546,6 +1560,115 @@ object TextDedupPack {
           min(when(col("rn") === 1, col("r"))).as("canonical_rank"),
           count(lit(1)).as("cluster_size"))
         .orderBy("cluster_id")
+    },
+
+    // ---- q125: Count-Min sketch frequency estimation -----------------------
+    // The third mergeable frequency sketch alongside Misra-Gries (q47) and
+    // HLL (q43): a fixed D×W counter grid where token t increments cell
+    // (r, md5(r:t) mod W) per row r, and estimate(t) = min over rows —
+    // always ≥ the true count, over by at most the collision mass. State
+    // is O(D·W) regardless of vocabulary, every cell update is a keyed
+    // count (partial-agg friendly), and grids merge by cell-wise addition
+    // — the streaming/shard-merge shape. Hashing is the portable md5 idiom
+    // (cf. q28), so the FULL sketch — grid, probe cells, estimates, and
+    // the exact-count verifier — replays bit-for-bit in the oracle: the
+    // over_err column pins the ≥-exact invariant as hashed fact.
+    QueryDef(
+      "q125_countmin_sketch", {
+        def cellSql(src: String, out: String): String =
+          (0 until CM_DEPTH).map(r =>
+            s"SELECT $out, $r AS r, ('0x' || substring(md5('$r:' || $out), 1, 8))::BIGINT % $CM_WIDTH AS c FROM $src")
+            .mkString("\n  UNION ALL\n  ")
+        s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+           |probes AS (SELECT unnest([${CM_PROBES.map("'" + _ + "'").mkString(",")}]) AS token),
+           |cells AS (
+           |  ${cellSql("tok", "t")}),
+           |counters AS (
+           |  SELECT r, c, CAST(COUNT(*) AS BIGINT) AS cnt FROM cells GROUP BY r, c),
+           |pcells AS (
+           |  ${cellSql("probes", "token")}),
+           |est AS (
+           |  SELECT token, MIN(COALESCE(cnt, 0)) AS cm_est
+           |  FROM pcells LEFT JOIN counters USING (r, c)
+           |  GROUP BY token),
+           |exact AS (
+           |  SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS exact_count
+           |  FROM tok GROUP BY t)
+           |SELECT p.token, COALESCE(e.exact_count, 0) AS exact_count,
+           |  est.cm_est, est.cm_est - COALESCE(e.exact_count, 0) AS over_err
+           |FROM probes p
+           |JOIN est ON est.token = p.token
+           |LEFT JOIN exact e ON e.token = p.token
+           |ORDER BY p.token""".stripMargin
+      }) { (s, d) =>
+      import s.implicits._
+      def cmCells(df: org.apache.spark.sql.DataFrame, tc: String) = df.select(
+        col(tc),
+        explode(array((0 until CM_DEPTH).map { r =>
+          struct(lit(r).as("r"),
+            (conv(substring(md5(concat(lit(s"$r:"), col(tc))), 1, 8), 16, 10)
+              .cast("long") % CM_WIDTH).as("c"))
+        }: _*)).as("rc"))
+        .select(col(tc), col("rc.r").as("r"), col("rc.c").as("c"))
+      val toks = Tables.documentsSpread(s, d)
+        .select(explode(split(col("text"), " ")).as("t"))
+      val counters = cmCells(toks, "t")
+        .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
+      val probes = CM_PROBES.toDF("token")
+      val est = cmCells(probes, "token")
+        .join(broadcast(counters), Seq("r", "c"), "left")
+        .groupBy("token")
+        .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+      val exact = toks.filter(col("t").isin(CM_PROBES: _*))
+        .groupBy(col("t").as("token")).agg(count(lit(1)).as("exact_count"))
+      probes
+        .join(est, "token")
+        .join(exact, Seq("token"), "left")
+        .select(col("token"),
+          coalesce(col("exact_count"), lit(0L)).as("exact_count"),
+          col("cm_est"),
+          (col("cm_est") - coalesce(col("exact_count"), lit(0L))).as("over_err"))
+        .orderBy("token")
+    },
+
+    // ---- q126: Unicode NFC canonicalization (native expression) ------------
+    // Hash-keyed text operators silently under-deduplicate on corpora that
+    // mix precomposed and decomposed Unicode — "é" (U+00E9) and "é"
+    // (U+0065 U+0301) are different bytes to md5/xxhash64. This query runs
+    // the codegen'd [[graft.functions.TextExprs.nfc]] expression (Spark has
+    // no NFC builtin; pure-ASCII rows take an allocation-free identity
+    // path) over the corpus with planted decomposed sequences appended,
+    // and reports per-doc character counts before/after composition plus
+    // the normalized tail — DuckDB's `nfc_normalize` implements the same
+    // canonical composition, so the result is hash-checked cross-engine.
+    QueryDef(
+      "q126_nfc_normalize",
+      // chr(101)||chr(769) = e + COMBINING ACUTE, chr(776) = COMBINING
+      // DIAERESIS — NFC composes both pairs, shrinking the text by 2 chars
+      """WITH raws AS (
+        |  SELECT doc_id,
+        |    text || ' caf' || chr(101) || chr(769) || ' u' || chr(776) || 'ber' AS raw
+        |  FROM documents),
+        |n AS (SELECT doc_id, raw, nfc_normalize(raw) AS nfc FROM raws)
+        |SELECT doc_id,
+        |  CAST(length(raw) AS BIGINT) AS len_raw,
+        |  CAST(length(nfc) AS BIGINT) AS len_nfc,
+        |  substring(nfc, length(nfc) - 9, 10) AS norm_tail
+        |FROM n
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // decomposed on purpose (explicit escapes so no editor can silently
+      // NFC-compose the source): e+U+0301, u+U+0308 -> NFC composes both,
+      // so len_nfc = len_raw - 2 on every row
+      val raw = concat(col("text"), lit(" caf" + "e\u0301" + " u\u0308" + "ber"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"), col("raw"),
+          graft.functions.TextExprs.nfc(col("raw")).as("nfc"))
+        .select(col("doc_id"),
+          length(col("raw")).cast("long").as("len_raw"),
+          length(col("nfc")).cast("long").as("len_nfc"),
+          substring(col("nfc"), -10, 10).as("norm_tail"))
+        .orderBy("doc_id")
     }
   )
 

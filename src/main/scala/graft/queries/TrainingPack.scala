@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.operators.{Occupancy, Packing, Redact, Sampling}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Training-data preparation pack: the corpus-level operations between a
   * deduplicated document set and a token stream — deterministic train/val/
@@ -28,6 +29,13 @@ object TrainingPack {
     * standard contamination unit: long enough that a shared gram implies
     * copied text, short enough to survive light edits around the copy. */
   private val DECON_N = 8
+
+  /** q129's weight scale (docs with ≥ this many tokens are always kept;
+    * shorter docs kept with probability ntok/scale) and its md5 salt —
+    * a DIFFERENT salt than q68's split so the sample is independent of
+    * the split assignment. */
+  private val WS_NTOK_SCALE = 100
+  private val WS_SALT = "wsample"
 
   /** Document-frequency cap for q72's 8-grams: a gram shared by more docs
     * than this is boilerplate (no contamination signal) and would otherwise
@@ -965,6 +973,43 @@ object TrainingPack {
         .agg(count(lit(1)).as("n_tokens"),
           sum(when(col("id").isNull, 1L).otherwise(0L)).as("n_unk"),
           sum(col("pos") * coalesce(col("id"), lit(0L))).as("ids_checksum"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q129: weighted (importance) sampling ------------------------------
+    // The quality-weighted downsampling step between scoring and training:
+    // keep each document with probability proportional to a per-doc weight
+    // (here length-derived, capped at 1 — any score column plugs in), via
+    // the salted-md5 uniform already powering q68's split: u(doc) is 52
+    // md5 bits scaled to [0,1), keep iff u < weight. Deterministic and
+    // seed-stable across engines AND across runs — re-running the pipeline
+    // reproduces the exact sample, which is what makes training corpora
+    // auditable. Pure map-side: no shuffle, no state; at 100 TB this is a
+    // free rider on the first scan (cf. Sampling.scala's salted buckets).
+    QueryDef(
+      "q129_weighted_sample",
+      s"""WITH w AS (
+         |  SELECT doc_id, source, len(string_split(text, ' ')) AS ntok,
+         |    LEAST(1.0, len(string_split(text, ' ')) / $WS_NTOK_SCALE.0) AS keep_w,
+         |    ('0x' || substring(md5('$WS_SALT:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+         |      / 4503599627370496.0 AS u
+         |  FROM documents)
+         |SELECT doc_id, source, CAST(ntok AS BIGINT) AS ntok,
+         |  CAST(CAST(keep_w AS DECIMAL(18,8)) AS DOUBLE) AS keep_w
+         |FROM w
+         |WHERE u < keep_w
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val ntok = size(split(col("text"), " "))
+      val keepW = least(lit(1.0), ntok / lit(WS_NTOK_SCALE.toDouble))
+      val u = conv(substring(md5(concat(lit(s"$WS_SALT:"),
+        col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long") /
+        lit(4503599627370496.0) // 2^52: 13 hex chars → uniform [0,1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), ntok.as("ntok"),
+          keepW.as("keep_w"), u.as("__u"))
+        .filter(col("__u") < col("keep_w"))
+        .select(col("doc_id"), col("source"), col("ntok").cast("long").as("ntok"),
+          col("keep_w").cast(DecimalType(18, 8)).cast("double").as("keep_w"))
         .orderBy("doc_id")
     }
   )

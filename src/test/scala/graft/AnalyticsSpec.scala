@@ -51,4 +51,57 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(pdist == li.select(c).distinct().count())
     }
   }
+
+  test("q127 zone maps: same block count per layout, sound scan sets") {
+    val rows = SparkEntry.byName("q127_zonemap_prune").run(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet == Set("insertion", "lex", "zorder"))
+    val blockCounts = rows.values.map(_._1).toSet
+    assert(blockCounts.size == 1, s"layouts disagree on block count: $rows")
+    rows.foreach { case (layout, (n, u, h, both)) =>
+      assert(u <= n && h <= n, s"$layout scans more blocks than exist")
+      // a conjunctive predicate prunes when EITHER dimension is disjoint
+      assert(both <= math.min(u, h), s"$layout: both-scan exceeds a dimension")
+      assert(both >= 1, s"$layout: predicate misses all data — vacuous fixture")
+    }
+    // lexicographic order must prune its leading column at least as well
+    // as arrival order does
+    assert(rows("lex")._2 <= rows("insertion")._2)
+  }
+
+  test("q128 compaction plan conserves files/bytes with contiguous bins") {
+    val rows = SparkEntry.byName("q128_compaction_plan").run(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(rows.map(_.getLong(2)).sum == docs.count())
+    val totalBytes = docs.select(sum(length(col("text")).cast("long"))).head.getLong(0)
+    assert(rows.map(_.getLong(3)).sum == totalBytes)
+    rows.groupBy(_.getString(0)).foreach { case (src, bins) =>
+      val ids = bins.map(_.getLong(1)).sorted
+      assert(ids.toList == (0L until ids.length).toList,
+        s"$src: bins not contiguous from 0: ${ids.toSeq}")
+      // doc ranges are disjoint and increasing with bin id
+      bins.sortBy(_.getLong(1)).sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(5) < b.getLong(4),
+          s"$src: bin ranges overlap")
+        case _ =>
+      }
+    }
+  }
+
+  test("q129 weighted sample keeps every full-weight doc, none twice") {
+    val sample = SparkEntry.byName("q129_weighted_sample").run(spark, sf).collect()
+    val ids = sample.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length)
+    // weight caps at 1 for ntok >= 100: those docs are kept with certainty
+    val fullWeight = Tables.documents(spark, sf)
+      .filter(size(split(col("text"), " ")) >= 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fullWeight.subsetOf(ids.toSet),
+      s"missing ${fullWeight.diff(ids.toSet).size} certain-keep docs")
+    // determinism: a second run reproduces the exact sample
+    val again = SparkEntry.byName("q129_weighted_sample").run(spark, sf)
+      .collect().map(_.getLong(0))
+    assert(again.toSeq == ids.toSeq)
+  }
 }

@@ -57,4 +57,22 @@ class HeavyHittersSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q125 count-min estimates never undercount and stay within eps*N") {
+    val rows = SparkEntry.byName("q125_countmin_sketch").run(spark, sf).collect()
+    assert(rows.length == 8)
+    val n = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t")).count()
+    // CM guarantee: exact <= est <= exact + eps*N with eps = e/width (the
+    // probabilistic bound holds per-row; min-of-4 makes a miss ~e^-4)
+    val eps = math.E / 512
+    rows.foreach { r =>
+      val (token, exact, est) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"'$token' undercounted: $est < $exact")
+      assert(est <= exact + (eps * n).ceil.toLong,
+        s"'$token' over the CM bound: $est > $exact + ${(eps * n).ceil}")
+    }
+    val absent = rows.find(_.getString(0) == "zzz_absent_token").get
+    assert(absent.getLong(1) == 0L)
+  }
 }
