@@ -69,6 +69,77 @@ object TextDedupPack {
   private val CM_PROBES = Seq("join", "scan", "row", "data", "the",
     "order", "vector", "zzz_absent_token")
 
+  /** Count-Min cell assignment for every row of `df`: (tc, r, c) for each
+    * of the [[CM_DEPTH]] hash rows, c = md5('r:'||token) low-32 mod
+    * [[CM_WIDTH]] — the portable md5 idiom (cf. q28). Shared by the q125
+    * batch grid and q130's per-micro-batch grids. */
+  private def cmCells(df: org.apache.spark.sql.DataFrame, tc: String) = df.select(
+    col(tc),
+    explode(array((0 until CM_DEPTH).map { r =>
+      struct(lit(r).as("r"),
+        (conv(substring(md5(concat(lit(s"$r:"), col(tc))), 1, 8), 16, 10)
+          .cast("long") % CM_WIDTH).as("c"))
+    }: _*)).as("rc"))
+    .select(col(tc), col("rc.r").as("r"), col("rc.c").as("c"))
+
+  /** The probe/estimate/exact-verify tail over a finished counter grid
+    * (r, c, cnt): estimate = min over hash rows of the probed cells,
+    * joined with the exact corpus counts of the same probes. Shared by
+    * q125 and q130 — their counter grids differ only in HOW they were
+    * accumulated (one pass vs per-micro-batch merge). */
+  private def cmAnswer(s: org.apache.spark.sql.SparkSession,
+                       counters: org.apache.spark.sql.DataFrame,
+                       toks: org.apache.spark.sql.DataFrame) = {
+    import s.implicits._
+    val probes = CM_PROBES.toDF("token")
+    val est = cmCells(probes, "token")
+      .join(broadcast(counters), Seq("r", "c"), "left")
+      .groupBy("token")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+    val exact = toks.filter(col("t").isin(CM_PROBES: _*))
+      .groupBy(col("t").as("token")).agg(count(lit(1)).as("exact_count"))
+    probes
+      .join(est, "token")
+      .join(exact, Seq("token"), "left")
+      .select(col("token"),
+        coalesce(col("exact_count"), lit(0L)).as("exact_count"),
+        col("cm_est"),
+        (col("cm_est") - coalesce(col("exact_count"), lit(0L))).as("over_err"))
+      .orderBy("token")
+  }
+
+  /** The q125 oracle — and, verbatim, the q130 oracle: Count-Min grids
+    * merge by cell-wise addition, so the per-micro-batch accumulation is
+    * algebraically the one-pass grid and both paths must hash-match the
+    * same SQL (the q105/q116 shared-oracle trick, applied to sketches). */
+  private lazy val CM_ORACLE: String = {
+    def cellSql(src: String, out: String): String =
+      (0 until CM_DEPTH).map(r =>
+        s"SELECT $out, $r AS r, ('0x' || substring(md5('$r:' || $out), 1, 8))::BIGINT % $CM_WIDTH AS c FROM $src")
+        .mkString("\n  UNION ALL\n  ")
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+       |probes AS (SELECT unnest([${CM_PROBES.map("'" + _ + "'").mkString(",")}]) AS token),
+       |cells AS (
+       |  ${cellSql("tok", "t")}),
+       |counters AS (
+       |  SELECT r, c, CAST(COUNT(*) AS BIGINT) AS cnt FROM cells GROUP BY r, c),
+       |pcells AS (
+       |  ${cellSql("probes", "token")}),
+       |est AS (
+       |  SELECT token, MIN(COALESCE(cnt, 0)) AS cm_est
+       |  FROM pcells LEFT JOIN counters USING (r, c)
+       |  GROUP BY token),
+       |exact AS (
+       |  SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS exact_count
+       |  FROM tok GROUP BY t)
+       |SELECT p.token, COALESCE(e.exact_count, 0) AS exact_count,
+       |  est.cm_est, est.cm_est - COALESCE(e.exact_count, 0) AS over_err
+       |FROM probes p
+       |JOIN est ON est.token = p.token
+       |LEFT JOIN exact e ON e.token = p.token
+       |ORDER BY p.token""".stripMargin
+  }
+
   /** q100's winnowing window (consecutive 3-gram hashes per window). The
     * guarantee: any shared run of ≥ WINNOW_W + 2 tokens between two docs
     * shares at least one selected fingerprint. */
@@ -263,15 +334,16 @@ object TextDedupPack {
   private val docBatchStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** One reusable q85 sketch-store dir per sf dir (cf. docBatchStages): the
-    * dir and its JVM-exit cleanup hook are created once; each invocation
-    * clears the previous run's contents so min-of-2 bench plus correctness
-    * runs in one JVM don't accumulate dirs or shutdown hooks. */
+  /** One reusable per-batch-artifact store dir per (prefix, sf dir) —
+    * cf. docBatchStages: the dir and its JVM-exit cleanup hook are created
+    * once; each invocation clears the previous run's contents so min-of-2
+    * bench plus correctness runs in one JVM don't accumulate dirs or
+    * shutdown hooks. q85 stores HLL sketches here, q130 Count-Min grids. */
   private val sketchStores =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
-  private def q85SketchStore(d: String): java.nio.file.Path = {
-    val p = sketchStores.computeIfAbsent(d, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-q85-sketches-")
+  private def clearedStore(d: String, prefix: String): java.nio.file.Path = {
+    val p = sketchStores.computeIfAbsent(s"$prefix:$d", _ => {
+      val dir = java.nio.file.Files.createTempDirectory(prefix)
       sys.addShutdownHook(graft.streaming.Streams.deleteRecursively(dir))
       dir
     })
@@ -772,7 +844,7 @@ object TextDedupPack {
       val srcDir = stagedDocBatches(s, d)
       // one reusable store per sf dir, cleared per invocation; deleted at
       // JVM exit, not eagerly — the returned plan lazily reads it
-      val store = q85SketchStore(d)
+      val store = clearedStore(d, "graft-q85-sketches-")
       val schema = s.read.parquet(srcDir).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -1573,62 +1645,41 @@ object TextDedupPack {
     // (cf. q28), so the FULL sketch — grid, probe cells, estimates, and
     // the exact-count verifier — replays bit-for-bit in the oracle: the
     // over_err column pins the ≥-exact invariant as hashed fact.
-    QueryDef(
-      "q125_countmin_sketch", {
-        def cellSql(src: String, out: String): String =
-          (0 until CM_DEPTH).map(r =>
-            s"SELECT $out, $r AS r, ('0x' || substring(md5('$r:' || $out), 1, 8))::BIGINT % $CM_WIDTH AS c FROM $src")
-            .mkString("\n  UNION ALL\n  ")
-        s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
-           |probes AS (SELECT unnest([${CM_PROBES.map("'" + _ + "'").mkString(",")}]) AS token),
-           |cells AS (
-           |  ${cellSql("tok", "t")}),
-           |counters AS (
-           |  SELECT r, c, CAST(COUNT(*) AS BIGINT) AS cnt FROM cells GROUP BY r, c),
-           |pcells AS (
-           |  ${cellSql("probes", "token")}),
-           |est AS (
-           |  SELECT token, MIN(COALESCE(cnt, 0)) AS cm_est
-           |  FROM pcells LEFT JOIN counters USING (r, c)
-           |  GROUP BY token),
-           |exact AS (
-           |  SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS exact_count
-           |  FROM tok GROUP BY t)
-           |SELECT p.token, COALESCE(e.exact_count, 0) AS exact_count,
-           |  est.cm_est, est.cm_est - COALESCE(e.exact_count, 0) AS over_err
-           |FROM probes p
-           |JOIN est ON est.token = p.token
-           |LEFT JOIN exact e ON e.token = p.token
-           |ORDER BY p.token""".stripMargin
-      }) { (s, d) =>
-      import s.implicits._
-      def cmCells(df: org.apache.spark.sql.DataFrame, tc: String) = df.select(
-        col(tc),
-        explode(array((0 until CM_DEPTH).map { r =>
-          struct(lit(r).as("r"),
-            (conv(substring(md5(concat(lit(s"$r:"), col(tc))), 1, 8), 16, 10)
-              .cast("long") % CM_WIDTH).as("c"))
-        }: _*)).as("rc"))
-        .select(col(tc), col("rc.r").as("r"), col("rc.c").as("c"))
+    QueryDef("q125_countmin_sketch", CM_ORACLE) { (s, d) =>
       val toks = Tables.documentsSpread(s, d)
         .select(explode(split(col("text"), " ")).as("t"))
       val counters = cmCells(toks, "t")
         .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
-      val probes = CM_PROBES.toDF("token")
-      val est = cmCells(probes, "token")
-        .join(broadcast(counters), Seq("r", "c"), "left")
-        .groupBy("token")
-        .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
-      val exact = toks.filter(col("t").isin(CM_PROBES: _*))
-        .groupBy(col("t").as("token")).agg(count(lit(1)).as("exact_count"))
-      probes
-        .join(est, "token")
-        .join(exact, Seq("token"), "left")
-        .select(col("token"),
-          coalesce(col("exact_count"), lit(0L)).as("exact_count"),
-          col("cm_est"),
-          (col("cm_est") - coalesce(col("exact_count"), lit(0L))).as("over_err"))
-        .orderBy("token")
+      cmAnswer(s, counters, toks)
+    },
+
+    // ---- q130: streaming incremental Count-Min merge -----------------------
+    // q125's deploy shape for continuous ingest (what q116 is to q105, for
+    // sketches): each micro-batch computes ITS OWN D×W grid (≤ D·W rows,
+    // ~16 KiB) and appends it to a grid store; the corpus-wide sketch is
+    // the cell-wise SUM of the per-batch grids — Count-Min's merge is
+    // exact addition, so the merged grid is bit-identical to the one-pass
+    // grid and this query hash-checks against the SAME oracle as q125
+    // through the real streaming engine. New data never rescans old
+    // batches: per batch work is O(batch + D·W), state is O(batches·D·W)
+    // compactable to O(D·W) by re-summing.
+    QueryDef("q130_stream_countmin", CM_ORACLE) { (s, d) =>
+      val srcDir = stagedDocBatches(s, d)
+      val store = clearedStore(d, "graft-q130-grid-")
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) =>
+        cmCells(batch.select(explode(split(col("text"), " ")).as("t")), "t")
+          .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(store.toString))
+      val counters = s.read.parquet(store.toString)
+        .groupBy("r", "c").agg(sum(col("cnt")).as("cnt"))
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("t"))
+      cmAnswer(s, counters, toks)
     },
 
     // ---- q126: Unicode NFC canonicalization (native expression) ------------

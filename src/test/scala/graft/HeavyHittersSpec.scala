@@ -75,4 +75,12 @@ class HeavyHittersSpec extends AnyFunSuite {
     val absent = rows.find(_.getString(0) == "zzz_absent_token").get
     assert(absent.getLong(1) == 0L)
   }
+
+  test("q130 streaming per-batch grid merge equals the one-pass q125 sketch") {
+    val batch = SparkEntry.byName("q125_countmin_sketch").run(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val streamed = SparkEntry.byName("q130_stream_countmin").run(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch, "cell-wise merged grids must be exact")
+  }
 }
