@@ -384,6 +384,65 @@ object TextDedupPack {
   private def jaccardPairs(s: org.apache.spark.sql.SparkSession, d: String) =
     jaccardPairsOf(Tables.documentsSpread(s, d))
 
+  /** q131's Jaccard threshold. */
+  private val PREFIX_THETA = 0.5
+
+  /** UNCAPPED distinct word-3-grams (doc_id, gram) — q131 needs the full
+    * gram sets (its pruning is the lossless prefix filter, not the df
+    * cap). Persisted: prefix build + both verify sides + sizes scan it. */
+  private def uncappedGrams(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val t = col("t")
+    Tables.documentsSpread(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(t) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(t) - 2),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))
+        ))).as("gram"))
+      .persist()
+  }
+
+  /** Candidate pairs from the prefix filter: per doc, keep the
+    * n - ceil(θ·n) + 1 grams smallest in the GLOBAL (df, gram) order and
+    * self-join on those. Lossless for J ≥ θ: the guaranteed overlap
+    * (≥ ceil(θ·|a|) and ≥ ceil(θ·|b|)) cannot fit entirely in either
+    * doc's dropped suffix, so the prefixes intersect. Buckets are small
+    * by construction — prefixes are each doc's RAREST grams. */
+  private[graft] def prefixJoinCandidates(
+      grams: org.apache.spark.sql.DataFrame) = {
+    val dfCounts = grams.groupBy("gram").agg(count(lit(1)).as("__df"))
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("__n"))
+    // ceil(θ·n) with θ = 0.5 in exact integer arithmetic: (n + 1) div 2
+    val prefix = grams.join(dfCounts, "gram").join(sizes, "doc_id")
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("__df"), col("gram"))))
+      .filter(col("__rk") <= col("__n") - expr("(__n + 1) div 2") + 1)
+      .select(col("doc_id"), col("gram"))
+    prefix.select(col("doc_id").as("doc_a"), col("gram"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("gram")), "gram")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** q131: exact gram-Jaccard ≥ θ pairs via prefix filtering — only
+    * candidate pairs pay the intersect-count, and the candidate set
+    * provably contains every qualifying pair. */
+  private[graft] def prefixJoinPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val grams = uncappedGrams(s, d)
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = prefixJoinCandidates(grams)
+      .join(grams.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .join(grams.select(col("doc_id").as("doc_b"), col("gram")), Seq("doc_b", "gram"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    val jc = col("common") * lit(1.0) / (col("na") + col("nb") - col("common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), jc.as("jaccard"))
+      .filter(col("jaccard") >= PREFIX_THETA)
+  }
+
   def all: Seq[QueryDef] = Seq(
 
     // ---- q22: exact dedup by content hash ----------------------------------
@@ -1680,6 +1739,41 @@ object TextDedupPack {
       val toks = Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("t"))
       cmAnswer(s, counters, toks)
+    },
+
+    // ---- q131: prefix-filtered set-similarity join (PPJoin family) ---------
+    // The PRINCIPLED scale path for q27's gram-Jaccard pairs: order each
+    // doc's grams by global rarity (df, gram) and index only the first
+    // n - ceil(θ·n) + 1 of them — if J(a,b) ≥ θ then common ≥ ceil(θ·|a|)
+    // and ≥ ceil(θ·|b|), so the two prefixes MUST share a gram (Vernica et
+    // al.'s prefix principle). Candidates come from a self-join on the
+    // RAREST grams only (small buckets by construction — no df cap, no
+    // recall loss), then only candidates pay the exact intersect-count.
+    // Same answer as the brute-force oracle, guaranteed — where q27's
+    // MAX_GRAM_DF cap trades completeness for the bound, the prefix
+    // filter gets both. DedupSpec pins candidates < brute-force pairs.
+    QueryDef(
+      "q131_prefix_join",
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |          WHERE len(string_split(text, ' ')) >= 3),
+         |grams AS (SELECT DISTINCT doc_id,
+         |            unnest(list_transform(range(1, len(t) - 1),
+         |                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+         |          FROM toks),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+         |co AS (SELECT g1.doc_id AS doc_a, g2.doc_id AS doc_b, COUNT(*) AS common
+         |       FROM grams g1 JOIN grams g2
+         |         ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+         |       GROUP BY g1.doc_id, g2.doc_id)
+         |SELECT doc_a, doc_b, common * 1.0 / (sa.n + sb.n - common) AS jaccard
+         |FROM co
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      prefixJoinPairs(s, d)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy("doc_a", "doc_b")
     },
 
     // ---- q126: Unicode NFC canonicalization (native expression) ------------

@@ -279,4 +279,36 @@ class DedupSpec extends AnyFunSuite {
         (3L, 15L, 0L, m(doc3))), out.mkString(", "))
     } finally graft.streaming.Streams.deleteRecursively(java.nio.file.Paths.get(dir))
   }
+
+  test("prefix join (q131) = q27 pairs exactly, with a pruned candidate set") {
+    import org.apache.spark.sql.functions._
+    // at fixture df levels q27's MAX_GRAM_DF cap is inactive, so the
+    // capped-heuristic and lossless-prefix answers must coincide
+    val viaPrefix = SparkEntry.byName("q131_prefix_join").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaCap = SparkEntry.byName("q27_ngram_jaccard").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaPrefix == viaCap)
+
+    // the filter actually prunes: candidate pairs < all-pairs-sharing-a-gram
+    val t = col("t")
+    val grams = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(t) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(t) - 2),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))
+        ))).as("gram")).persist()
+    try {
+      val candidates = graft.queries.TextDedupPack.prefixJoinCandidates(grams).count()
+      val bruteForce = grams.as("g1")
+        .join(grams.as("g2"),
+          col("g1.gram") === col("g2.gram") && col("g1.doc_id") < col("g2.doc_id"))
+        .select("g1.doc_id", "g2.doc_id").distinct().count()
+      assert(candidates < bruteForce,
+        s"prefix filter pruned nothing: $candidates vs $bruteForce")
+      assert(viaPrefix.size <= candidates)
+    } finally grams.unpersist()
+  }
 }
