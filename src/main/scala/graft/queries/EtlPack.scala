@@ -167,6 +167,51 @@ object EtlPack {
         Etl.splitItems(pages, "body").filter(col("icao").isNotNull),
         "id", Seq("id", "icao", "name", "lat", "lon"))
         .orderBy("key")
+    },
+
+    // ---- q132: JSONL source ingest parity ----------------------------------
+    // Training corpora ship as newline-delimited JSON; this pins the jsonl
+    // ingest path end-to-end: stage `documents` as multi-file jsonl (the
+    // engine's own to_json write — once per JVM), read it back through
+    // `spark.read.schema(...).json` (explicit schema: no inference scan,
+    // no type drift — the 100 TB discipline), and aggregate per source
+    // with a 52-bit-md5 content checksum. The oracle computes the SAME
+    // aggregate from the parquet table, so any loss in the JSON round
+    // trip — escaping, unicode, nulls, integer widths — breaks the hash.
+    QueryDef(
+      "q132_jsonl_source",
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok_sum,
+        |  CAST(SUM(('0x' || substring(md5(text), 1, 13))::BIGINT) AS BIGINT)
+        |    AS text_checksum
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = s.read.schema(
+          "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .json(stagedJsonl(s, d))
+      docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_sum"),
+          sum(size(split(col("text"), " ")).cast("long")).as("tok_sum"),
+          sum(conv(substring(md5(col("text")), 1, 13), 16, 10).cast("long"))
+            .as("text_checksum"))
+        .orderBy("source")
     }
   )
+
+  /** One staged multi-file jsonl copy of `documents` per sf dir, written
+    * once per JVM by the engine's own json writer and deleted at exit
+    * (cf. TextDedupPack.stagedDocBatches). */
+  private val jsonlStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedJsonl(s: org.apache.spark.sql.SparkSession, d: String): String =
+    jsonlStages.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q132-jsonl-")
+      sys.addShutdownHook(graft.streaming.Streams.deleteRecursively(dir))
+      Tables.documents(s, d).repartition(4)
+        .write.mode("overwrite").json(dir.toString)
+      dir.toString
+    })
 }

@@ -37,6 +37,10 @@ object TrainingPack {
   private val WS_NTOK_SCALE = 100
   private val WS_SALT = "wsample"
 
+  /** q133's shrinkage strength: pseudo-count of corpus-mean evidence a
+    * source must outweigh before its own mean dominates the prior. */
+  private val PRIOR_K = 10
+
   /** Document-frequency cap for q72's 8-grams: a gram shared by more docs
     * than this is boilerplate (no contamination signal) and would otherwise
     * fan the train×test join out quadratically in the duplicated content —
@@ -1011,6 +1015,58 @@ object TrainingPack {
         .select(col("doc_id"), col("source"), col("ntok").cast("long").as("ntok"),
           col("keep_w").cast(DecimalType(18, 8)).cast("double").as("keep_w"))
         .orderBy("doc_id")
+    },
+
+    // ---- q133: per-source quality prior with shrinkage ---------------------
+    // Domain-level filtering needs a per-source quality estimate, but raw
+    // per-source means are noise for small sources — the standard fix is
+    // empirical-Bayes shrinkage toward the corpus mean: shrunk =
+    // (n·m + K·g) / (n + K), weight following the evidence. Per-doc score
+    // here is the distinct-token ratio (any q70-family score plugs in).
+    // Two partial-agg-friendly aggregations + a 1-row broadcast; every
+    // mean rides the decimal-sum trick and the final arithmetic is a
+    // fixed IEEE expression tree over identical inputs, so the priors are
+    // hash-comparable cross-engine.
+    QueryDef(
+      "q133_domain_prior",
+      s"""WITH perdoc AS (
+         |  SELECT source,
+         |    len(list_distinct(string_split(text, ' '))) * 1.0
+         |      / len(string_split(text, ' ')) AS r
+         |  FROM documents),
+         |per_source AS (
+         |  SELECT source, COUNT(*) AS n,
+         |    CAST(SUM(CAST(r AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS m
+         |  FROM perdoc GROUP BY source),
+         |corpus AS (
+         |  SELECT CAST(SUM(CAST(r AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS g
+         |  FROM perdoc)
+         |SELECT source, CAST(n AS BIGINT) AS n_docs,
+         |  m AS raw_mean,
+         |  (n * m + $PRIOR_K * corpus.g) / (n + $PRIOR_K) AS shrunk_mean
+         |FROM per_source, corpus
+         |ORDER BY source""".stripMargin) { (s, d) =>
+      val toks = split(col("text"), " ")
+      val perdoc = Tables.documents(s, d)
+        .select(col("source"),
+          (size(array_distinct(toks)) * lit(1.0) / size(toks)).as("r"))
+      val perSource = perdoc.groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("r").cast(DecimalType(18, 8))).cast("double") /
+            count(lit(1))).as("m"))
+      val global = perdoc
+        .agg((sum(col("r").cast(DecimalType(18, 8))).cast("double") /
+          count(lit(1))).as("g"))
+      perSource.crossJoin(broadcast(global))
+        .select(col("source"), col("n").as("n_docs"),
+          // NO decimal re-round of the quotients: IEEE division of
+          // identical decimal-sum inputs is already bit-identical, while
+          // double->DECIMAL(18,8) rounding hits half-boundaries where
+          // Spark (HALF_UP) and DuckDB (half-even) disagree (bit at sf0.1)
+          col("m").as("raw_mean"),
+          ((col("n") * col("m") + lit(PRIOR_K) * col("g")) / (col("n") + lit(PRIOR_K)))
+            .as("shrunk_mean"))
+        .orderBy("source")
     }
   )
 }

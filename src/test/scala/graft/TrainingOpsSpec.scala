@@ -278,4 +278,19 @@ class TrainingOpsSpec extends AnyFunSuite {
     // at least one over-represented source must be downsampled
     assert(out.exists(_._5 < 10000L), "fixture should force downsampling")
   }
+
+  test("q133 priors shrink every source mean strictly toward the corpus mean") {
+    val rows = SparkEntry.byName("q133_domain_prior").run(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // recover the corpus mean as the doc-weighted average of raw means
+    val g = rows.map { case (_, n, m, _) => n * m }.sum / rows.map(_._2).sum
+    rows.foreach { case (src, n, raw, shrunk) =>
+      val lo = math.min(raw, g) - 1e-7
+      val hi = math.max(raw, g) + 1e-7
+      assert(shrunk >= lo && shrunk <= hi, s"$src: $shrunk outside [$lo, $hi]")
+      // more evidence → less shrinkage: |shrunk-raw| ≤ K/(n+K)·|g-raw| + ulp
+      val bound = 10.0 / (n + 10.0) * math.abs(g - raw) + 1e-7
+      assert(math.abs(shrunk - raw) <= bound, s"$src shrank too far")
+    }
+  }
 }
