@@ -82,7 +82,16 @@ object Bench {
         (ok, (System.nanoTime() - t0) / 1e9)
       }
       val first = once()
-      val runs = if (first._1 && first._2 >= 0.3) Seq(first, once()) else Seq(first)
+      val two = if (first._1 && first._2 >= 0.3) Seq(first, once()) else Seq(first)
+      // adaptive third attempt: when the two timings disagree by >30% the
+      // slower one was a GC/contention artifact — one more sample makes
+      // the min a real lower bound (measured r9: 12 of 48 heavy queries
+      // drifted >20% across consecutive min-of-2 invocations)
+      val runs = two match {
+        case Seq((true, t1), (true, t2))
+          if math.max(t1, t2) / math.min(t1, t2) > 1.3 => two :+ once()
+        case _ => two
+      }
       val anyFailed = runs.exists(!_._1)
       if (anyFailed) failed ::= name
       // ANY failed attempt marks the query failed: best goes negative (so it
