@@ -108,6 +108,29 @@ object TextDedupPack {
       .orderBy("token")
   }
 
+  /** q134's merge-round count (learned merge-table size). */
+  private val BPE_ROUNDS = 3
+
+  /** q134 SQL fragments, generated from one place so the Spark loop and
+    * the unrolled oracle CTEs cannot drift. Symbol sequences live as
+    * '||'-delimited strings ('||sym||sym||'): symbols never contain '|',
+    * so the merge of pair (x, y) is replace('|x||y|' → '|xy|') — anchored
+    * on the inner separator, it matches ONLY symbol-boundary-aligned
+    * occurrences and scans left-to-right non-overlapping, which is
+    * exactly greedy BPE application (verified cross-engine: Spark and
+    * DuckDB `replace` agree on the [a,a,a,a] overlap case). */
+  private object BpeSql {
+    /** (freq, a: symbol array) from a '||'-string column `s`. */
+    val symsFromS = "list_filter(string_split(s, '||'), x -> x <> '')"
+    /** adjacent-pair keys 'x|y' from symbol array `a` (safe: no '|'
+      * inside symbols). */
+    val pairKeys = "list_transform(range(1, len(a)), i -> a[i] || '|' || a[i+1])"
+    /** symbols in `s` = number of '||' separators − 1, pure length math. */
+    val nSyms = "((length(s) - length(replace(s, '||', ''))) // 2 - 1)"
+    def mergePattern(pkExpr: String) = s"'|' || replace($pkExpr, '|', '||') || '|'"
+    def mergeRepl(pkExpr: String) = s"'|' || replace($pkExpr, '|', '') || '|'"
+  }
+
   /** The q125 oracle — and, verbatim, the q130 oracle: Count-Min grids
     * merge by cell-wise addition, so the per-micro-batch accumulation is
     * algebraically the one-pass grid and both paths must hash-match the
@@ -1774,6 +1797,81 @@ object TextDedupPack {
       prefixJoinPairs(s, d)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
         .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- q134: BPE merge-pair learning -------------------------------------
+    // Completes q40's honest gap ("real BPE needs a learned merge table"):
+    // learn the table. Classic shape: aggregate the corpus ONCE into the
+    // Zipf-bounded (type, freq) vocabulary, then iterate on types — each
+    // round counts adjacent symbol pairs weighted by freq (one keyed agg),
+    // picks the most frequent pair (deterministic tiebreak), and applies
+    // the merge greedily left-to-right via the anchored '|x||y|' replace
+    // (see BpeSql — Spark and DuckDB replace() agree bit-for-bit,
+    // including overlap cases). The learned merge list is the driver-held
+    // model (BPE_ROUNDS 1-row lookups, like Ivf's centroids); per-round
+    // work is O(|vocab| · avg_len) regardless of corpus size. The oracle
+    // unrolls the identical rounds as CTEs, so pair choice, tie-breaks,
+    // greedy application and the symbol-count ledger are all hash-checked.
+    QueryDef(
+      "q134_bpe_learn", {
+        val rounds = (0 until BPE_ROUNDS).map { r =>
+          s"""p$r AS (SELECT pk, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+             |    SELECT freq, unnest(${BpeSql.pairKeys}) AS pk FROM (
+             |      SELECT freq, ${BpeSql.symsFromS} AS a FROM v$r)) GROUP BY pk),
+             |b$r AS (SELECT pk, cnt FROM p$r ORDER BY cnt DESC, pk LIMIT 1),
+             |v${r + 1} AS (SELECT freq,
+             |    replace(s, ${BpeSql.mergePattern(s"b$r.pk")},
+             |      ${BpeSql.mergeRepl(s"b$r.pk")}) AS s
+             |  FROM v$r, b$r),
+             |s$r AS (SELECT CAST($r AS BIGINT) AS round, b$r.pk AS pair,
+             |    b$r.cnt AS pair_count,
+             |    CAST(SUM(freq * ${BpeSql.nSyms}) AS BIGINT) AS total_symbols_after
+             |  FROM v${r + 1}, b$r GROUP BY b$r.pk, b$r.cnt)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH tok AS (
+           |  SELECT t, COUNT(*) AS freq FROM (
+           |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+           |  WHERE regexp_matches(t, '^[A-Za-z0-9]+$$') GROUP BY t),
+           |v0 AS (SELECT freq,
+           |  '||' || array_to_string(regexp_extract_all(t, '.'), '||') || '||' AS s
+           |  FROM tok),
+           |$rounds
+           |SELECT round, pair, pair_count, total_symbols_after
+           |FROM (${(0 until BPE_ROUNDS).map("SELECT * FROM s" + _).mkString(" UNION ALL ")})
+           |ORDER BY round""".stripMargin
+      }) { (s, d) =>
+      val nSymsExpr = expr("(length(s) - length(replace(s, '||', ''))) div 2 - 1")
+      val tok = Tables.documentsSpread(s, d)
+        .select(explode(split(col("text"), " ")).as("t"))
+        .filter(col("t").rlike("^[A-Za-z0-9]+$"))
+        .groupBy("t").agg(count(lit(1)).as("freq"))
+      var vocab = tok.select(col("freq"),
+        concat(lit("||"),
+          concat_ws("||", regexp_extract_all(col("t"), lit("."), lit(0))),
+          lit("||")).as("s"))
+      val summaries = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+      for (r <- 0 until BPE_ROUNDS) {
+        val a = filter(split(col("s"), "\\|\\|"), x => x =!= "")
+        val pairKeys = when(size(a) > 1,
+          transform(sequence(lit(1), size(a) - 1),
+            i => concat(element_at(a, i), lit("|"), element_at(a, i + 1))))
+          .otherwise(array().cast("array<string>"))
+        val pairs = vocab.select(col("freq"), explode(pairKeys).as("pk"))
+          .groupBy("pk").agg(sum(col("freq")).as("cnt"))
+        // the merge table is the driver-held model: one (pair, count) row
+        // per round, like Ivf's nlist×dim centroid means
+        val best = pairs.orderBy(col("cnt").desc, col("pk")).limit(1).collect()(0)
+        val (pk, cnt) = (best.getString(0), best.getLong(1))
+        val pat = "|" + pk.replace("|", "||") + "|"
+        val rep = "|" + pk.replace("|", "") + "|"
+        vocab = vocab.select(col("freq"),
+          expr(s"replace(s, '$pat', '$rep')").as("s"))
+        summaries += vocab
+          .agg(sum(col("freq") * nSymsExpr).as("tsa"))
+          .select(lit(r.toLong).as("round"), lit(pk).as("pair"),
+            lit(cnt).as("pair_count"), col("tsa").cast("long").as("total_symbols_after"))
+      }
+      summaries.result().reduce(_ unionAll _).orderBy("round")
     },
 
     // ---- q126: Unicode NFC canonicalization (native expression) ------------

@@ -279,6 +279,45 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out.exists(_._5 < 10000L), "fixture should force downsampling")
   }
 
+  test("q134 BPE learning matches an independent Scala replay") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.byName("q134_bpe_learn").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+
+    // plain-Scala replay: greedy left-to-right merge, (count desc, pair asc)
+    // tie-break — independent of the delimited-string replace construction
+    val freq = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t").rlike("^[A-Za-z0-9]+$"))
+      .groupBy("t").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    var vocab: Seq[(List[String], Long)] =
+      freq.map { case (t, f) => t.map(_.toString).toList -> f }.toSeq
+    val expected = (0 until 3).map { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.zip(syms.drop(1)).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + f
+        }
+      }
+      val ((a, b), cnt) = counts.toSeq.minBy { case ((x, y), c) => (-c, x + "|" + y) }
+      def merge(syms: List[String]): List[String] = {
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.toList
+      }
+      vocab = vocab.map { case (syms, f) => merge(syms) -> f }
+      val total = vocab.map { case (syms, f) => syms.length * f }.sum
+      (r.toLong, a + "|" + b, cnt, total)
+    }
+    assert(got.toList == expected.toList)
+  }
+
   test("q133 priors shrink every source mean strictly toward the corpus mean") {
     val rows = SparkEntry.byName("q133_domain_prior").run(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
