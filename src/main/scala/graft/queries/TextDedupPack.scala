@@ -129,6 +129,78 @@ object TextDedupPack {
     val nSyms = "((length(s) - length(replace(s, '||', ''))) // 2 - 1)"
     def mergePattern(pkExpr: String) = s"'|' || replace($pkExpr, '|', '||') || '|'"
     def mergeRepl(pkExpr: String) = s"'|' || replace($pkExpr, '|', '') || '|'"
+
+    /** The full learn-round CTE chain (tok, v0, then p/b/v/s per round,
+      * vocab states carrying (t, freq, s)) — shared verbatim by the q134
+      * and q135 oracles so the learned table cannot drift between the
+      * learn report and the encode that applies it. */
+    lazy val learnCtes: String = {
+      val rounds = (0 until BPE_ROUNDS).map { r =>
+        s"""p$r AS (SELECT pk, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT freq, unnest($pairKeys) AS pk FROM (
+           |      SELECT freq, $symsFromS AS a FROM v$r)) GROUP BY pk),
+           |b$r AS (SELECT pk, cnt FROM p$r ORDER BY cnt DESC, pk LIMIT 1),
+           |v${r + 1} AS (SELECT t, freq,
+           |    replace(s, ${mergePattern(s"b$r.pk")},
+           |      ${mergeRepl(s"b$r.pk")}) AS s
+           |  FROM v$r, b$r),
+           |s$r AS (SELECT CAST($r AS BIGINT) AS round, b$r.pk AS pair,
+           |    b$r.cnt AS pair_count,
+           |    CAST(SUM(freq * $nSyms) AS BIGINT) AS total_symbols_after
+           |  FROM v${r + 1}, b$r GROUP BY b$r.pk, b$r.cnt)""".stripMargin
+      }.mkString(",\n")
+      s"""tok AS (
+         |  SELECT t, COUNT(*) AS freq FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+         |  WHERE regexp_matches(t, '^[A-Za-z0-9]+$$') GROUP BY t),
+         |v0 AS (SELECT t, freq,
+         |  '||' || array_to_string(regexp_extract_all(t, '.'), '||') || '||' AS s
+         |  FROM tok),
+         |$rounds""".stripMargin
+    }
+  }
+
+  /** Spark mirror of [[BpeSql.nSyms]]. */
+  private val BpeNSymsExpr =
+    expr("(length(s) - length(replace(s, '||', ''))) div 2 - 1")
+
+  /** Run the BPE learn loop: returns the per-round vocab states
+    * (index 0 = char-split init, index r+1 = after merge r; each carries
+    * (t, freq, s)) and the learned merge table as driver-held
+    * (pair, weighted-count) values — [[BPE_ROUNDS]] one-row lookups, the
+    * Ivf-centroid pattern. Shared by q134 (reports the rounds) and q135
+    * (applies the learned table to encode the corpus). */
+  private def bpeLearn(s: org.apache.spark.sql.SparkSession, d: String)
+      : (IndexedSeq[org.apache.spark.sql.DataFrame], Seq[(String, Long)]) = {
+    val tok = Tables.documentsSpread(s, d)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t").rlike("^[A-Za-z0-9]+$"))
+      .groupBy("t").agg(count(lit(1)).as("freq"))
+    var vocab = tok.select(col("t"), col("freq"),
+      concat(lit("||"),
+        concat_ws("||", regexp_extract_all(col("t"), lit("."), lit(0))),
+        lit("||")).as("s"))
+    val states = IndexedSeq.newBuilder[org.apache.spark.sql.DataFrame]
+    val merges = Seq.newBuilder[(String, Long)]
+    states += vocab
+    for (_ <- 0 until BPE_ROUNDS) {
+      val a = filter(split(col("s"), "\\|\\|"), x => x =!= "")
+      val pairKeys = when(size(a) > 1,
+        transform(sequence(lit(1), size(a) - 1),
+          i => concat(element_at(a, i), lit("|"), element_at(a, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val pairs = vocab.select(col("freq"), explode(pairKeys).as("pk"))
+        .groupBy("pk").agg(sum(col("freq")).as("cnt"))
+      val best = pairs.orderBy(col("cnt").desc, col("pk")).limit(1).collect()(0)
+      val (pk, cnt) = (best.getString(0), best.getLong(1))
+      val pat = "|" + pk.replace("|", "||") + "|"
+      val rep = "|" + pk.replace("|", "") + "|"
+      vocab = vocab.select(col("t"), col("freq"),
+        expr(s"replace(s, '$pat', '$rep')").as("s"))
+      states += vocab
+      merges += (pk -> cnt)
+    }
+    (states.result(), merges.result())
   }
 
   /** The q125 oracle — and, verbatim, the q130 oracle: Count-Min grids
@@ -1814,64 +1886,53 @@ object TextDedupPack {
     // greedy application and the symbol-count ledger are all hash-checked.
     QueryDef(
       "q134_bpe_learn", {
-        val rounds = (0 until BPE_ROUNDS).map { r =>
-          s"""p$r AS (SELECT pk, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
-             |    SELECT freq, unnest(${BpeSql.pairKeys}) AS pk FROM (
-             |      SELECT freq, ${BpeSql.symsFromS} AS a FROM v$r)) GROUP BY pk),
-             |b$r AS (SELECT pk, cnt FROM p$r ORDER BY cnt DESC, pk LIMIT 1),
-             |v${r + 1} AS (SELECT freq,
-             |    replace(s, ${BpeSql.mergePattern(s"b$r.pk")},
-             |      ${BpeSql.mergeRepl(s"b$r.pk")}) AS s
-             |  FROM v$r, b$r),
-             |s$r AS (SELECT CAST($r AS BIGINT) AS round, b$r.pk AS pair,
-             |    b$r.cnt AS pair_count,
-             |    CAST(SUM(freq * ${BpeSql.nSyms}) AS BIGINT) AS total_symbols_after
-             |  FROM v${r + 1}, b$r GROUP BY b$r.pk, b$r.cnt)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH tok AS (
-           |  SELECT t, COUNT(*) AS freq FROM (
-           |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
-           |  WHERE regexp_matches(t, '^[A-Za-z0-9]+$$') GROUP BY t),
-           |v0 AS (SELECT freq,
-           |  '||' || array_to_string(regexp_extract_all(t, '.'), '||') || '||' AS s
-           |  FROM tok),
-           |$rounds
+        s"""WITH ${BpeSql.learnCtes}
            |SELECT round, pair, pair_count, total_symbols_after
            |FROM (${(0 until BPE_ROUNDS).map("SELECT * FROM s" + _).mkString(" UNION ALL ")})
            |ORDER BY round""".stripMargin
       }) { (s, d) =>
-      val nSymsExpr = expr("(length(s) - length(replace(s, '||', ''))) div 2 - 1")
-      val tok = Tables.documentsSpread(s, d)
-        .select(explode(split(col("text"), " ")).as("t"))
-        .filter(col("t").rlike("^[A-Za-z0-9]+$"))
-        .groupBy("t").agg(count(lit(1)).as("freq"))
-      var vocab = tok.select(col("freq"),
-        concat(lit("||"),
-          concat_ws("||", regexp_extract_all(col("t"), lit("."), lit(0))),
-          lit("||")).as("s"))
-      val summaries = Seq.newBuilder[org.apache.spark.sql.DataFrame]
-      for (r <- 0 until BPE_ROUNDS) {
-        val a = filter(split(col("s"), "\\|\\|"), x => x =!= "")
-        val pairKeys = when(size(a) > 1,
-          transform(sequence(lit(1), size(a) - 1),
-            i => concat(element_at(a, i), lit("|"), element_at(a, i + 1))))
-          .otherwise(array().cast("array<string>"))
-        val pairs = vocab.select(col("freq"), explode(pairKeys).as("pk"))
-          .groupBy("pk").agg(sum(col("freq")).as("cnt"))
-        // the merge table is the driver-held model: one (pair, count) row
-        // per round, like Ivf's nlist×dim centroid means
-        val best = pairs.orderBy(col("cnt").desc, col("pk")).limit(1).collect()(0)
-        val (pk, cnt) = (best.getString(0), best.getLong(1))
-        val pat = "|" + pk.replace("|", "||") + "|"
-        val rep = "|" + pk.replace("|", "") + "|"
-        vocab = vocab.select(col("freq"),
-          expr(s"replace(s, '$pat', '$rep')").as("s"))
-        summaries += vocab
-          .agg(sum(col("freq") * nSymsExpr).as("tsa"))
+      val (vocabRounds, merges) = bpeLearn(s, d)
+      val summaries = merges.zipWithIndex.map { case ((pk, cnt), r) =>
+        vocabRounds(r + 1)
+          .agg(sum(col("freq") * BpeNSymsExpr).as("tsa"))
           .select(lit(r.toLong).as("round"), lit(pk).as("pair"),
             lit(cnt).as("pair_count"), col("tsa").cast("long").as("total_symbols_after"))
       }
-      summaries.result().reduce(_ unionAll _).orderBy("round")
+      summaries.reduce(_ unionAll _).orderBy("round")
+    },
+
+    // ---- q135: encode the corpus with the learned BPE merges ---------------
+    // The apply side of q134: every alphanumeric token encodes through the
+    // final vocab state (token → its post-merge symbol count), and the
+    // per-language ledger reports chars vs subwords — the compression the
+    // learned table buys. The encode join is token-stream ⋈ broadcast
+    // vocab (the vocabulary is Zipf-bounded; its symbol strings are the
+    // whole model). The oracle replays the SAME learn chain (BpeSql
+    // .learnCtes, shared verbatim with q134) and then the same join, so
+    // learn and apply cannot drift.
+    QueryDef(
+      "q135_bpe_encode", {
+        s"""WITH ${BpeSql.learnCtes},
+           |enc AS (SELECT t, ${BpeSql.nSyms} AS nsub FROM v$BPE_ROUNDS),
+           |tokl AS (
+           |  SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents)
+           |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(length(tokl.t)) AS BIGINT) AS n_chars,
+           |  CAST(SUM(enc.nsub) AS BIGINT) AS n_subwords
+           |FROM tokl JOIN enc ON enc.t = tokl.t
+           |GROUP BY lang
+           |ORDER BY lang""".stripMargin
+      }) { (s, d) =>
+      val (states, _) = bpeLearn(s, d)
+      val enc = states(BPE_ROUNDS).select(col("t"), BpeNSymsExpr.as("nsub"))
+      Tables.documentsSpread(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+        .join(broadcast(enc), "t")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(length(col("t")).cast("long")).as("n_chars"),
+          sum(col("nsub").cast("long")).as("n_subwords"))
+        .orderBy("lang")
     },
 
     // ---- q126: Unicode NFC canonicalization (native expression) ------------
