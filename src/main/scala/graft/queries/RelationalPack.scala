@@ -1098,6 +1098,38 @@ object RelationalPack {
         .agg(count(lit(1)).as("n_files"), sum("bytes").as("total_bytes"),
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
         .orderBy("source", "bin")
+    },
+
+    // ---- q136: top-k per group via mergeable fixed-k state -----------------
+    // The scale path for q10's window top-k: `TopKRows` keeps ≤ k rows of
+    // aggregation state per (group, map partition) and merges exactly —
+    // the global top-k IS the top-k of unioned partial top-k's — so the
+    // shuffle carries k rows per group per partition where the window
+    // formulation shuffles and sorts every row (one skewed group = one
+    // hot reducer sorting it). Exactness (unlike a sketch) means the
+    // result hash-matches the window oracle; AnalyticsSpec additionally
+    // pins partitioning-independence.
+    QueryDef(
+      "q136_topk_mergeable",
+      """SELECT l_returnflag, rk, price, okey, lineno FROM (
+        |  SELECT l_returnflag, l_extendedprice AS price, l_orderkey AS okey,
+        |    CAST(l_linenumber AS BIGINT) AS lineno,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+        |      AS BIGINT) AS rk
+        |  FROM lineitem)
+        |WHERE rk <= 5
+        |ORDER BY l_returnflag, rk""".stripMargin) { (s, d) =>
+      val topk = udaf(new graft.functions.TopKRows(5))
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(topk(col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber").cast("long")).as("tk"))
+        .select(col("l_returnflag"), posexplode(col("tk")).as(Seq("pos", "row")))
+        .select(col("l_returnflag"), (col("pos") + 1).cast("long").as("rk"),
+          col("row._1").as("price"), col("row._2").as("okey"),
+          col("row._3").as("lineno"))
+        .orderBy("l_returnflag", "rk")
     }
   )
 }

@@ -89,6 +89,34 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q136 mergeable top-k is independent of input partitioning") {
+    val topk = udaf(new graft.functions.TopKRows(5))
+    def run(parts: Int) = Tables.lineitem(spark, sf)
+      .repartition(parts)
+      .groupBy("l_returnflag")
+      .agg(topk(col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber").cast("long")).as("tk"))
+      .select(col("l_returnflag"), posexplode(col("tk")).as(Seq("pos", "row")))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getStruct(2).toString))
+      .sortBy(t => (t._1, t._2))
+    assert(run(1).toSeq == run(13).toSeq)
+    // and it agrees with the window formulation the oracle states
+    val viaAgg = SparkEntry.byName("q136_topk_mergeable").run(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val viaWindow = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice").as("price"),
+        col("l_orderkey").as("okey"), col("l_linenumber").cast("long").as("lineno"),
+        row_number().over(w).cast("long").as("rk"))
+      .filter(col("rk") <= 5)
+      .select("l_returnflag", "rk", "price", "okey", "lineno")
+      .orderBy("l_returnflag", "rk")
+      .collect().map(_.toSeq).toSeq
+    assert(viaAgg == viaWindow)
+  }
+
   test("q129 weighted sample keeps every full-weight doc, none twice") {
     val sample = SparkEntry.byName("q129_weighted_sample").run(spark, sf).collect()
     val ids = sample.map(_.getLong(0))
