@@ -178,40 +178,93 @@ object EtlPack {
     // with a 52-bit-md5 content checksum. The oracle computes the SAME
     // aggregate from the parquet table, so any loss in the JSON round
     // trip — escaping, unicode, nulls, integer widths — breaks the hash.
+    QueryDef("q132_jsonl_source", FidelityOracle) { (s, d) =>
+      fidelityAgg(s.read.schema(DocsSchema).json(stagedDocs(s, d, "json")))
+    },
+
+    // ---- q137: CSV source ingest parity ------------------------------------
+    // Same fidelity contract for the messiest wire format. The fixture
+    // text is clean, so the staged CSV plants a per-row `probe` column
+    // holding a comma, escaped quotes AND an embedded newline (keyed by
+    // doc_id so no two rows collide); the read-back must reassemble every
+    // multi-line quoted field exactly — n_probe_bad counts reconstruction
+    // mismatches and the oracle pins it at constant 0. CSV's failure
+    // modes (mis-split rows, stripped quotes, type coercion) land either
+    // there or in the per-source checksum.
     QueryDef(
-      "q132_jsonl_source",
-      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
-        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok_sum,
-        |  CAST(SUM(('0x' || substring(md5(text), 1, 13))::BIGINT) AS BIGINT)
-        |    AS text_checksum
-        |FROM documents
-        |GROUP BY source
-        |ORDER BY source""".stripMargin) { (s, d) =>
-      val docs = s.read.schema(
-          "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
-        .json(stagedJsonl(s, d))
-      docs.groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("chars_sum"),
-          sum(size(split(col("text"), " ")).cast("long")).as("tok_sum"),
-          sum(conv(substring(md5(col("text")), 1, 13), 16, 10).cast("long"))
-            .as("text_checksum"))
-        .orderBy("source")
+      "q137_csv_source",
+      FidelityOracle.replace(
+        "AS text_checksum",
+        "AS text_checksum,\n  CAST(0 AS BIGINT) AS n_probe_bad")) { (s, d) =>
+      val docs = s.read.schema(DocsSchema + ", probe STRING")
+        .option("header", "true").option("multiLine", "true")
+        .csv(stagedDocs(s, d, "csv"))
+      fidelityAgg(docs,
+        sum(when(col("probe") =!= CsvProbe, 1L).otherwise(0L)).as("n_probe_bad"))
+    },
+
+    // ---- q138: ORC source ingest parity ------------------------------------
+    // Spark's second native columnar format: the same contract proves the
+    // reader/writer pair preserves types and content byte-for-byte, so a
+    // corpus can migrate parquet↔ORC without a semantic diff.
+    QueryDef("q138_orc_source", FidelityOracle) { (s, d) =>
+      fidelityAgg(s.read.schema(DocsSchema).orc(stagedDocs(s, d, "orc")))
     }
   )
 
-  /** One staged multi-file jsonl copy of `documents` per sf dir, written
-    * once per JVM by the engine's own json writer and deleted at exit
-    * (cf. TextDedupPack.stagedDocBatches). */
-  private val jsonlStages =
+  /** The shared source-fidelity contract (q132/q137/q138): per-source
+    * counts + token mass + a 52-bit-md5 content checksum. The oracle
+    * computes the SAME aggregate from the parquet table, so any loss in
+    * a staged format's round trip — escaping, unicode, nulls, integer
+    * widths — breaks the hash. */
+  private val FidelityOracle =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok_sum,
+      |  CAST(SUM(('0x' || substring(md5(text), 1, 13))::BIGINT) AS BIGINT)
+      |    AS text_checksum
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  /** Explicit read schema for every staged format — no inference scan,
+    * no type drift (the 100 TB discipline). */
+  private val DocsSchema =
+    "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+
+  /** q137's planted CSV stress: comma + escaped quotes + embedded newline,
+    * keyed by doc_id. Used identically at stage-write and read-verify. */
+  private def CsvProbe: org.apache.spark.sql.Column =
+    concat(lit("x,\"quoted\"\nline:"), col("doc_id").cast("string"))
+
+  private def fidelityAgg(docs: DataFrame,
+                          extra: org.apache.spark.sql.Column*): DataFrame = {
+    val aggs = Seq(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("chars_sum"),
+      sum(size(split(col("text"), " ")).cast("long")).as("tok_sum"),
+      sum(conv(substring(md5(col("text")), 1, 13), 16, 10).cast("long"))
+        .as("text_checksum")) ++ extra
+    docs.groupBy("source").agg(aggs.head, aggs.tail: _*).orderBy("source")
+  }
+
+  /** One staged multi-file copy of `documents` per (sf dir, format),
+    * written once per JVM by the engine's own writer and deleted at exit
+    * (cf. TextDedupPack.stagedDocBatches). CSV writes a header and quotes
+    * as needed — exactly what the q137 read-back must survive. */
+  private val docStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def stagedJsonl(s: org.apache.spark.sql.SparkSession, d: String): String =
-    jsonlStages.computeIfAbsent(d, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-q132-jsonl-")
+  private def stagedDocs(s: SparkSession, d: String, format: String): String =
+    docStages.computeIfAbsent(s"$format:$d", _ => {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-stage-$format-")
       sys.addShutdownHook(graft.streaming.Streams.deleteRecursively(dir))
-      Tables.documents(s, d).repartition(4)
-        .write.mode("overwrite").json(dir.toString)
+      val base = Tables.documents(s, d).repartition(4)
+      format match {
+        case "json" => base.write.mode("overwrite").json(dir.toString)
+        case "csv" => base.withColumn("probe", CsvProbe)
+          .write.mode("overwrite").option("header", "true").csv(dir.toString)
+        case "orc" => base.write.mode("overwrite").orc(dir.toString)
+      }
       dir.toString
     })
 }

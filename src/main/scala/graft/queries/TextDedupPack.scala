@@ -1836,6 +1836,46 @@ object TextDedupPack {
       cmAnswer(s, counters, toks)
     },
 
+    // ---- q139: streaming top-k via per-batch partial top-k merge -----------
+    // q136's exact-mergeability, exercised by the streaming engine: each
+    // micro-batch computes its own per-source top-5 (k rows of state per
+    // group) and appends those PARTIAL top-k rows to a store; the final
+    // answer re-aggregates the stored partials with the same TopKRows —
+    // exact merge means partial-of-partials IS the global top-k, so the
+    // result hash-checks against the plain window oracle over the whole
+    // table. State per batch is k rows per group, never the batch.
+    QueryDef(
+      "q139_stream_topk",
+      """SELECT source, rk, nch, did FROM (
+        |  SELECT source, CAST(n_chars AS DOUBLE) AS nch, doc_id AS did,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5
+        |ORDER BY source, rk""".stripMargin) { (s, d) =>
+      val topk = udaf(new graft.functions.TopKRows(5))
+      val srcDir = stagedDocBatches(s, d)
+      val store = clearedStore(d, "graft-q139-topk-")
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) =>
+        batch.groupBy("source")
+          .agg(topk(col("n_chars").cast("double"), col("doc_id"), col("doc_id")).as("tk"))
+          .select(col("source"), explode(col("tk")).as("row"))
+          .select(col("source"), col("row._1").as("nch"), col("row._2").as("did"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(store.toString))
+      s.read.parquet(store.toString)
+        .groupBy("source")
+        .agg(topk(col("nch"), col("did"), col("did")).as("tk"))
+        .select(col("source"), posexplode(col("tk")).as(Seq("pos", "row")))
+        .select(col("source"), (col("pos") + 1).cast("long").as("rk"),
+          col("row._1").as("nch"), col("row._2").as("did"))
+        .orderBy("source", "rk")
+    },
+
     // ---- q131: prefix-filtered set-similarity join (PPJoin family) ---------
     // The PRINCIPLED scale path for q27's gram-Jaccard pairs: order each
     // doc's grams by global rarity (df, gram) and index only the first
