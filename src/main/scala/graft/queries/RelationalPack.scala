@@ -1100,6 +1100,31 @@ object RelationalPack {
         .orderBy("source", "bin")
     },
 
+    // ---- q140: approx-quantile bucket join (q119's documented 100 TB swap) -
+    // q119's scaladoc promises the swap; this runs it: approx_percentile
+    // cut points (fixed-size mergeable sketch, ONE aggregation — no global
+    // sort) collected as the driver-held model (10 doubles, the Ivf
+    // pattern), then bucket assignment is a pure map-side expression on
+    // the scan. Rows-only by design — sketch cut points are
+    // engine-specific — with AnalyticsSpec holding the rank-error band
+    // against q119's exact deciles: every approx bucket count within
+    // 2·N/accuracy of N/10, rows and mass conserved.
+    QueryDef.rowsOnly("q140_quantile_bucket_join") { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      // the model: 9 interior cut points at accuracy 10000
+      val cuts = li.agg(expr(
+        "approx_percentile(l_extendedprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 10000)")
+        .as("c")).head().getSeq[Double](0)
+      val bucket = cuts.zipWithIndex.foldLeft(lit(1L)) { case (acc, (cut, i)) =>
+        when(col("l_extendedprice") > cut, lit(i.toLong + 2)).otherwise(acc)
+      }
+      li.select(col("l_extendedprice").as("x"), bucket.as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), min(col("x")).as("lo"), max(col("x")).as("hi"),
+          sum(col("x").cast(DecimalType(18, 4))).cast("double").as("total"))
+        .orderBy("bin")
+    },
+
     // ---- q136: top-k per group via mergeable fixed-k state -----------------
     // The scale path for q10's window top-k: `TopKRows` keeps ≤ k rows of
     // aggregation state per (group, map partition) and merges exactly —

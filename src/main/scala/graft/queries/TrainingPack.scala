@@ -1017,6 +1017,52 @@ object TrainingPack {
         .orderBy("doc_id")
     },
 
+    // ---- q141: model-based quality classification --------------------------
+    // The fasttext-classifier stand-in every modern corpus pipeline runs
+    // after rule filters: a linear model over the q70 feature family
+    // (ntok, awl, symratio, nstop) with literal weights, thresholded at
+    // logit ≥ 0. Deliberately NO sigmoid — exp() is libm-dependent and
+    // not bit-stable cross-engine, while the linear logit is monotone in
+    // the probability, so the classification is identical and the whole
+    // query stays hash-checkable. Pure map-side scoring + one keyed agg;
+    // swapping in learned weights is a literal change. min/max logits
+    // ride through as exact doubles (no decimal re-round, cf. q133).
+    QueryDef(
+      "q141_quality_classifier",
+      s"""WITH f AS (
+         |  SELECT source, ${qualityExprsSql}
+         |  FROM documents),
+         |scored AS (
+         |  -- e-notation literals parse as DOUBLE in DuckDB; plain 0.02
+         |  -- would parse as DECIMAL and run exact decimal arithmetic,
+         |  -- drifting an ulp from Spark's double evaluation
+         |  SELECT source,
+         |    -3e0 + 2e-2 * ntok + 6e-1 * awl - 25e0 * symratio + 8e-1 * nstop AS logit
+         |  FROM f)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN logit >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  MIN(logit) AS min_logit, MAX(logit) AS max_logit
+         |FROM scored
+         |GROUP BY source
+         |ORDER BY source""".stripMargin) { (s, d) =>
+      val toks = split(col("text"), " ")
+      val ntok = size(toks)
+      val awl = aggregate(transform(toks, x => length(x)), lit(0), (a, x) => a + x) *
+        lit(1.0) / ntok
+      val symratio = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 ]"), lit(0))) *
+        lit(1.0) / col("n_chars")
+      val nstop = size(filter(toks, x => x.isin(ALL_STOPS: _*)))
+      val logit = lit(-3.0) + lit(0.02) * ntok + lit(0.6) * awl -
+        lit(25.0) * symratio + lit(0.8) * nstop
+      Tables.documentsSpread(s, d)
+        .select(col("source"), logit.as("logit"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("logit") >= 0, 1L).otherwise(0L)).as("n_kept"),
+          min(col("logit")).as("min_logit"), max(col("logit")).as("max_logit"))
+        .orderBy("source")
+    },
+
     // ---- q133: per-source quality prior with shrinkage ---------------------
     // Domain-level filtering needs a per-source quality estimate, but raw
     // per-source means are noise for small sources — the standard fix is

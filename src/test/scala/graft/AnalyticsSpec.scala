@@ -89,6 +89,25 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q140 approx buckets track the exact deciles within the sketch band") {
+    val rows = SparkEntry.byName("q140_quantile_bucket_join").run(spark, sf).collect()
+    val n = Tables.lineitem(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == n, "rows not conserved")
+    // approx_percentile(accuracy=10000): rank error <= n/accuracy per cut,
+    // so each bucket count sits within 2n/accuracy (+slack) of n/10
+    val tol = 2.0 * n / 10000 + 2
+    rows.foreach { r =>
+      assert(math.abs(r.getLong(1) - n / 10.0) <= tol,
+        s"bin ${r.getLong(0)}: ${r.getLong(1)} vs ${n / 10.0} (tol $tol)")
+    }
+    // buckets are ordered, non-overlapping ranges
+    val sorted = rows.sortBy(_.getLong(0))
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(a.getDouble(3) <= b.getDouble(2))
+      case _ =>
+    }
+  }
+
   test("q136 mergeable top-k is independent of input partitioning") {
     val topk = udaf(new graft.functions.TopKRows(5))
     def run(parts: Int) = Tables.lineitem(spark, sf)

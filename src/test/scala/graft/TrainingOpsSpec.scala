@@ -279,6 +279,23 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out.exists(_._5 < 10000L), "fixture should force downsampling")
   }
 
+  test("q141 classifier splits the corpus and logits bound the threshold") {
+    val rows = SparkEntry.byName("q141_quality_classifier").run(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    rows.foreach { case (src, n, kept, lo, hi) =>
+      assert(kept <= n, src)
+      assert(lo <= hi, src)
+      // classification consistency: kept>0 requires a non-negative max,
+      // dropped>0 requires a negative min
+      if (kept > 0) assert(hi >= 0, src)
+      if (kept < n) assert(lo < 0, src)
+    }
+    // the fixture must exercise BOTH classes or the query is vacuous
+    assert(rows.map(_._3).sum > 0, "nothing kept")
+    assert(rows.map(t => t._2 - t._3).sum > 0, "nothing dropped")
+  }
+
   test("q134 BPE learning matches an independent Scala replay") {
     import org.apache.spark.sql.functions._
     val got = SparkEntry.byName("q134_bpe_learn").run(spark, sf)
