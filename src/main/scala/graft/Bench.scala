@@ -111,12 +111,17 @@ object Bench {
     // keeping it ~1.5 KB so it always survives the tail intact.
     def r3(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // summary values at 2 decimals: at 140 queries the 3-decimal line hit
+    // 1822 of the 2000-char tail the harness keeps; centisecond precision
+    // is far below this VM's run-to-run noise anyway
+    def r2(v: Double): String =
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val detail = results
       .map { case (k, _, rs) => "\"" + k + "\":" + rs.map(r3).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     println(s"""{"bench_detail":$detail,"sf":"$sfDir"}""")
     def shortId(n: String): String = n.takeWhile(_ != '_')
-    val qs = results.map { case (k, v, _) => "\"" + shortId(k) + "\":" + r3(v) }
+    val qs = results.map { case (k, v, _) => "\"" + shortId(k) + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val total = results.map { case (_, v, _) => math.abs(v) }.sum
     val failedJson = failed.sorted.map(n => "\"" + shortId(n) + "\"")

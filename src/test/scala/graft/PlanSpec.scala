@@ -190,4 +190,16 @@ class PlanSpec extends AnyFunSuite {
     assert(gen.contains("WholeStageCodegen"), gen.take(500))
     assert(gen.contains("spreadJava"), gen.take(2000))
   }
+
+  test("q136's mergeable top-k plans as aggregation, never a window sort") {
+    // the whole point of TopKRows is avoiding the per-group window sort
+    // its oracle states; a regression to WindowExec would silently
+    // reintroduce the full-group shuffle-and-sort
+    val p = plan(q("q136_topk_mergeable"))
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"q136 planned a window sort:\n$p")
+    assert(p.toString.toLowerCase.contains("aggregate"), p.toString.take(500))
+  }
 }
