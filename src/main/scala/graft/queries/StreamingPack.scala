@@ -58,6 +58,35 @@ object StreamingPack {
         .orderBy("hr", "event_type")
     },
 
+    // ---- q142: sliding-window streaming counts (append + watermark) --------
+    // The hopping-window semantic q34/q37's tumbling windows don't cover:
+    // window('1 hour', '15 minutes') puts every event in exactly 4
+    // overlapping windows, each finalized independently once the
+    // watermark passes its end. The oracle states the closed form: the 4
+    // window starts are the event's 900 s grid floor minus k·900 (k<4),
+    // emitted iff start+3600 ≤ max(ts)−3600 (q37's append rule). Window
+    // starts ride as epoch BIGINTs — DuckDB's to_timestamp is
+    // tz-sensitive, integers are not.
+    QueryDef(
+      "q142_stream_sliding",
+      """WITH mx AS (SELECT CAST(FLOOR(EPOCH(max(ts))) AS BIGINT) AS m FROM events),
+        |w AS (
+        |  SELECT ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 900) * 900) - k.k * 900 AS ws,
+        |    event_type
+        |  FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k)
+        |SELECT ws, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM w, mx
+        |WHERE ws + 3600 <= m - 3600
+        |GROUP BY ws, event_type
+        |ORDER BY ws, event_type""".stripMargin) { (s, d) =>
+      Streams.runToMemory(
+        s, Streams.slidingCountsAppend(
+          Streams.eventsStream(s, d), "1 hour", "15 minutes", "1 hour"),
+        "mq142", mode = "append")
+        .select(col("w.start").cast("long").as("ws"), col("event_type"), col("n"))
+        .orderBy("ws", "event_type")
+    },
+
     // ---- q44: exactly-once dedup over an at-least-once stream --------------
     // Two readers of the same source unioned = every event delivered twice
     // (the Kafka at-least-once shape); dropDuplicatesWithinWatermark

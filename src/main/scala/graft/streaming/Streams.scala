@@ -82,6 +82,19 @@ object Streams {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Sliding (hopping) windowed counts in append mode: every event lands
+    * in size/slide overlapping windows (4 for 1h/15min), each a separate
+    * state row finalized independently when the watermark passes its end.
+    * State is bounded by (open windows × keys); the ×4 row fan-out happens
+    * at aggregation INPUT (map-side, before partial agg), not in state.
+    */
+  def slidingCountsAppend(stream: DataFrame, size: String, slide: String,
+                          delay: String = "1 hour"): DataFrame =
+    stream
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), size, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
   /** Exactly-once dedup over an at-least-once stream: duplicate deliveries
     * of the same key inside the watermark are dropped, and — unlike plain
     * `dropDuplicates` — seen-key state is EVICTED once the watermark
