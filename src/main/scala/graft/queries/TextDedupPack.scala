@@ -111,6 +111,9 @@ object TextDedupPack {
   /** q134's merge-round count (learned merge-table size). */
   private val BPE_ROUNDS = 3
 
+  /** q144's synchronous label-propagation round count. */
+  private val LPA_ROUNDS = 3
+
   /** q134 SQL fragments, generated from one place so the Spark loop and
     * the unrolled oracle CTEs cannot drift. Symbol sequences live as
     * '||'-delimited strings ('||sym||sym||'): symbols never contain '|',
@@ -1834,6 +1837,102 @@ object TextDedupPack {
       val toks = Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("t"))
       cmAnswer(s, counters, toks)
+    },
+
+    // ---- q143: triangle count + clustering coefficient ---------------------
+    // Structural audit of the near-dup graph beyond components (q67) and
+    // centrality (q109/q124): triangles distinguish tight clone-cliques
+    // from chains of marginal matches (high clustering ⇒ a real duplicate
+    // family; low ⇒ transitive borderline pairs CC would still merge).
+    // One ordered 3-way self-join on the (a<b) edge list — each join is
+    // keyed, fan-out bounded by the capped pair degree — then a per-node
+    // unnest + count. Shares jpairs with q27/q67 so the graph cannot
+    // drift. coefficient = 2·tri / (deg·(deg−1)), e-notation double
+    // literals (decimal-literal gotcha, cf. q141).
+    QueryDef(
+      "q143_triangle_clustering",
+      s"""WITH $PAIRS_SQL,
+         |deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT doc_a AS id FROM jpairs
+         |    UNION ALL SELECT doc_b FROM jpairs) GROUP BY id),
+         |tri AS (SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+         |  FROM jpairs e1
+         |  JOIN jpairs e2 ON e2.doc_a = e1.doc_b
+         |  JOIN jpairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+         |nt AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+         |    SELECT unnest([x, y, z]) AS id FROM tri) GROUP BY id)
+         |SELECT deg.id AS doc_id, deg.deg, COALESCE(nt.n_tri, 0) AS n_tri,
+         |  CASE WHEN deg.deg < 2 THEN 0e0
+         |       ELSE 2e0 * COALESCE(nt.n_tri, 0) / (deg.deg * (deg.deg - 1)) END
+         |    AS clustering
+         |FROM deg LEFT JOIN nt ON nt.id = deg.id
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val jp = jaccardPairs(s, d)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")).persist()
+      val deg = jp.select(col("a").as("id")).unionAll(jp.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val tri = jp.as("e1")
+        .join(jp.as("e2"), col("e2.a") === col("e1.b"))
+        .join(jp.as("e3"), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      val nodeTri = tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("n_tri"))
+      val ntri = coalesce(col("n_tri"), lit(0L))
+      deg.join(nodeTri, Seq("id"), "left")
+        .select(col("id").as("doc_id"), col("deg"), ntri.as("n_tri"),
+          when(col("deg") < 2, lit(0.0))
+            .otherwise(lit(2.0) * ntri / (col("deg") * (col("deg") - 1)))
+            .as("clustering"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q144: label-propagation communities -------------------------------
+    // The third clustering lens on the match graph: synchronous label
+    // propagation with a deterministic vote (most-frequent neighbor
+    // label, ties to the smallest) for LPA_ROUNDS rounds. Each round is
+    // one keyed join + one keyed vote aggregation (max_by on Spark, the
+    // ROW_NUMBER formulation in the oracle — the q105 pattern of partial-
+    // agg impl vs window-form oracle). Communities ≠ components: LPA
+    // splits chains that CC merges, which is exactly the moderation a
+    // dedup reviewer wants next to q67.
+    QueryDef(
+      "q144_label_propagation", {
+        val rounds = (1 to LPA_ROUNDS).map { r =>
+          s"""l$r AS (SELECT v AS id, lab FROM (
+             |    SELECT e.v, l.lab, COUNT(*) AS c,
+             |      ROW_NUMBER() OVER (PARTITION BY e.v
+             |        ORDER BY COUNT(*) DESC, l.lab) AS rn
+             |    FROM ed e JOIN l${r - 1} l ON l.id = e.u
+             |    GROUP BY e.v, l.lab) WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $PAIRS_SQL,
+           |ed AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
+           |       UNION ALL SELECT doc_b, doc_a FROM jpairs),
+           |l0 AS (SELECT DISTINCT u AS id, u AS lab FROM ed),
+           |$rounds
+           |SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+           |  MIN(id) AS min_member
+           |FROM l$LPA_ROUNDS
+           |GROUP BY lab
+           |ORDER BY community""".stripMargin
+      }) { (s, d) =>
+      val jp = jaccardPairs(s, d)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val ed = jp.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(jp.select(col("b").as("u"), col("a").as("v"))).persist()
+      var labels = ed.select(col("u").as("id")).distinct()
+        .select(col("id"), col("id").as("lab"))
+      for (_ <- 1 to LPA_ROUNDS) {
+        labels = ed.join(labels, col("u") === col("id"))
+          .groupBy(col("v"), col("lab")).agg(count(lit(1)).as("c"))
+          .groupBy(col("v"))
+          .agg(max_by(col("lab"), struct(col("c"), lit(0L) - col("lab"))).as("lab"))
+          .select(col("v").as("id"), col("lab"))
+      }
+      labels.groupBy("lab")
+        .agg(count(lit(1)).as("n_members"), min(col("id")).as("min_member"))
+        .select(col("lab").as("community"), col("n_members"), col("min_member"))
+        .orderBy("community")
     },
 
     // ---- q139: streaming top-k via per-batch partial top-k merge -----------

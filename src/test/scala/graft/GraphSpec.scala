@@ -58,4 +58,54 @@ class GraphSpec extends AnyFunSuite {
     // hub 0 (two in-edges from dedicated leaves... leaf 2 feeds only 0)
     assert(got(0L) > got(2L))
   }
+
+  test("q143 triangle counts match a brute-force Scala count; fixture non-vacuous") {
+    import TestSpark.sf
+    val rows = SparkEntry.byName("q143_triangle_clustering").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // brute force over the same (a<b) pair list
+    val pairs = SparkEntry.byName("q27_ngram_jaccard").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2))
+    def connected(x: Long, y: Long) = pairs((math.min(x, y), math.max(x, y)))
+    val expected = nodes.map { v =>
+      val nbrs = nodes.filter(u => u != v && connected(u, v)).toSeq
+      v -> nbrs.combinations(2).count { case Seq(p, q) => connected(p, q) }
+    }.toMap
+    rows.foreach { case (id, deg, ntri, coeff) =>
+      assert(ntri == expected(id), s"doc $id")
+      if (deg >= 2)
+        assert(math.abs(coeff - 2.0 * ntri / (deg * (deg - 1))) < 1e-12)
+    }
+    assert(rows.map(_._3).sum > 0, "fixture has no triangles — vacuous")
+  }
+
+  test("q144 matches a Scala LPA replay; communities never straddle components") {
+    import TestSpark.sf
+    val pairs = SparkEntry.byName("q27_ngram_jaccard").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    // synchronous LPA replay: most-frequent neighbor label, ties smallest
+    var lab: Map[Long, Long] = nbrs.keys.map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      lab = nbrs.map { case (v, ns) =>
+        val votes = ns.map(lab).groupBy(identity).view.mapValues(_.size).toSeq
+        v -> votes.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val expected = lab.groupBy(_._2).map { case (l, m) =>
+      l -> (m.size.toLong, m.keys.min)
+    }
+    val got = SparkEntry.byName("q144_label_propagation").run(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+    // no community straddles a connected component (labels travel edges)
+    val parent = scala.collection.mutable.Map(nbrs.keys.map(v => v -> v).toSeq: _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    lab.groupBy(_._2).values.foreach { members =>
+      assert(members.keys.map(find).toSet.size == 1, "community spans components")
+    }
+  }
 }
