@@ -43,4 +43,36 @@ object Graph {
     }
     ranks
   }
+
+  /** Personalized (seeded) PageRank: the restart mass lands ONLY on the
+    * seed set, so rank measures proximity to the seeds along the graph —
+    * the quality-propagation primitive (seed = curated/known-good docs,
+    * rank = how strongly the match graph vouches for everything else).
+    * Same fixed-point integer discipline as [[fixedPointPageRank]]
+    * (bit-identical under any partitioning ⇒ oracle-hash-checkable):
+    * r'(v) = [v ∈ seeds]·0.15 + 0.85 · Σ_{u→v} r(u)/outdeg(u), r0 =
+    * [v ∈ seeds]·1e6. Nodes unreachable from any seed stay at exactly 0.
+    * `seedPred` marks the seed rows (a Column over `id`).
+    */
+  def personalizedPageRank(edges: DataFrame, src: String, dst: String,
+                           seedPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                           iters: Int): DataFrame = {
+    val e = edges.select(col(src).as("u"), col(dst).as("v"))
+    val deg = e.groupBy("u").agg(count(lit(1)).as("od"))
+    val ed = e.join(deg, "u").persist()
+    val nodes = deg.select(col("u").as("id")).persist()
+    val restart = when(seedPred(col("id")), lit(150000L)).otherwise(lit(0L))
+    var ranks = nodes.select(col("id"),
+      when(seedPred(col("id")), lit(1000000L)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = ed.join(ranks, col("u") === col("id"))
+        .select(col("v"), expr("r div od").as("c"))
+        .groupBy("v")
+        .agg(expr("CAST((85 * sum(c)) div 100 AS BIGINT)").as("rc"))
+      ranks = nodes
+        .join(contrib, col("v") === col("id"), "left")
+        .select(col("id"), (restart + coalesce(col("rc"), lit(0L))).as("r"))
+    }
+    ranks
+  }
 }

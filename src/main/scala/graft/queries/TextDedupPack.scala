@@ -114,6 +114,9 @@ object TextDedupPack {
   /** q144's synchronous label-propagation round count. */
   private val LPA_ROUNDS = 3
 
+  /** q145's personalized-PageRank iteration count. */
+  private val PPR_ITERS = 4
+
   /** q134 SQL fragments, generated from one place so the Spark loop and
     * the unrolled oracle CTEs cannot drift. Symbol sequences live as
     * '||'-delimited strings ('||sym||sym||'): symbols never contain '|',
@@ -1837,6 +1840,51 @@ object TextDedupPack {
       val toks = Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("t"))
       cmAnswer(s, counters, toks)
+    },
+
+    // ---- q145: personalized PageRank from a seed set -----------------------
+    // Quality propagation: restart mass lands ONLY on seed docs (here the
+    // portable rule doc_id % 7 = 0 stands in for a curated list), so rank
+    // measures how strongly the match graph vouches for each doc's
+    // proximity to the seeds — nodes unreachable from every seed stay at
+    // exactly 0 (asserted in GraphSpec). Same fixed-point integer
+    // discipline as q109, so the iterative result is bit-identical under
+    // any partitioning and the 4 rounds unroll as oracle CTEs.
+    QueryDef(
+      "q145_personalized_pagerank", {
+        val iters = (1 to PPR_ITERS).map { k =>
+          val prev = if (k == 1) "r0" else s"i${k - 1}"
+          s"""c$k AS (
+             |  SELECT ed.v, CAST((85 * SUM(pr.r // ed.od)) // 100 AS BIGINT) AS rc
+             |  FROM ed JOIN $prev pr ON pr.id = ed.u GROUP BY ed.v),
+             |i$k AS (
+             |  SELECT n.id,
+             |    CAST(CASE WHEN n.id % 7 = 0 THEN 150000 ELSE 0 END
+             |      + COALESCE(c$k.rc, 0) AS BIGINT) AS r
+             |  FROM nodes n LEFT JOIN c$k ON c$k.v = n.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $PAIRS_SQL,
+           |edges AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
+           |          UNION ALL SELECT doc_b, doc_a FROM jpairs),
+           |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS od
+           |        FROM edges GROUP BY u),
+           |ed AS (SELECT e.u, e.v, d.od FROM edges e JOIN deg d ON d.u = e.u),
+           |nodes AS (SELECT u AS id FROM deg),
+           |r0 AS (SELECT id,
+           |  CAST(CASE WHEN id % 7 = 0 THEN 1000000 ELSE 0 END AS BIGINT) AS r
+           |  FROM nodes),
+           |$iters
+           |SELECT id AS doc_id, r AS ppr FROM i$PPR_ITERS
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      val jp = jaccardPairs(s, d)
+      val edges = jp.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .unionAll(jp.select(col("doc_b").as("u"), col("doc_a").as("v")))
+        .persist()
+      graft.operators.Graph.personalizedPageRank(
+        edges, "u", "v", id => id % 7 === 0, iters = PPR_ITERS)
+        .select(col("id").as("doc_id"), col("r").as("ppr"))
+        .orderBy("doc_id")
     },
 
     // ---- q143: triangle count + clustering coefficient ---------------------

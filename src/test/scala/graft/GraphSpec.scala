@@ -59,6 +59,32 @@ class GraphSpec extends AnyFunSuite {
     assert(got(0L) > got(2L))
   }
 
+  test("q145 personalized PageRank matches a Scala replay; non-seeds-only islands stay 0") {
+    import TestSpark.sf
+    val got = SparkEntry.byName("q145_personalized_pagerank").run(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = SparkEntry.byName("q27_ngram_jaccard").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs ++ pairs.map(p => (p._2, p._1))
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    def restart(v: Long) = if (v % 7 == 0) 150000L else 0L
+    var r = out.keys.map(v => v -> (if (v % 7 == 0) 1000000L else 0L)).toMap
+    for (_ <- 1 to 4) {
+      val contribs = edges.map { case (u, v) => v -> r(u) / out(u) }
+        .groupBy(_._1).view.mapValues(cs => 85L * cs.map(_._2).sum / 100L).toMap
+      r = out.keys.map(v => v -> (restart(v) + contribs.getOrElse(v, 0L))).toMap
+    }
+    assert(got == r)
+    // a component containing no seed must sit at exactly 0
+    val parent = scala.collection.mutable.Map(out.keys.map(v => v -> v).toSeq: _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val root = find(parent(x)); parent(x) = root; root }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val seededComps = out.keys.filter(_ % 7 == 0).map(find).toSet
+    out.keys.filterNot(v => seededComps(find(v))).foreach { v =>
+      assert(got(v) == 0L, s"unreachable node $v has nonzero rank")
+    }
+  }
+
   test("q143 triangle counts match a brute-force Scala count; fixture non-vacuous") {
     import TestSpark.sf
     val rows = SparkEntry.byName("q143_triangle_clustering").run(spark, sf)
