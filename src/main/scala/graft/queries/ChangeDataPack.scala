@@ -72,6 +72,42 @@ object ChangeDataPack {
         .orderBy("user_id", "event_type")
     },
 
+    // ---- q146: CDC compaction with delete tombstones -----------------------
+    // Real change streams (Debezium et al.) carry deletes: a key whose
+    // LATEST change is a tombstone must vanish from current state, not
+    // surface its last pre-delete row. The op column derives portably
+    // from the fixture (event_id % 10 = 0 → 'd'); compaction is the same
+    // single max_by aggregation as q105 with op riding in the payload,
+    // then one filter — the tombstone keys' history still compacts (and
+    // counts) before being dropped, exactly how a lakehouse MERGE applies
+    // WHEN MATCHED AND op='d' THEN DELETE.
+    QueryDef(
+      "q146_cdc_deletes",
+      """SELECT user_id, event_type, ts AS last_ts, value AS last_value,
+        |  n_versions
+        |FROM (
+        |  SELECT user_id, event_type, ts, value,
+        |    CASE WHEN event_id % 10 = 0 THEN 'd' ELSE 'u' END AS op,
+        |    CAST(COUNT(*) OVER (PARTITION BY user_id, event_type) AS BIGINT)
+        |      AS n_versions,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 AND op <> 'd'
+        |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      val log = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+          col("value"),
+          when(col("event_id") % 10 === 0, lit("d")).otherwise(lit("u")).as("op"))
+      Changes.latestByKey(log,
+        keys = Seq("user_id", "event_type"), ord = Seq("ts", "event_id"))
+        .filter(col("op") =!= "d")
+        .select(col("user_id"), col("event_type"),
+          col("ts").as("last_ts"), col("value").as("last_value"),
+          col("n_versions"))
+        .orderBy("user_id", "event_type")
+    },
+
     // ---- q106: SCD type-2 intervals — attribute history per key ------------
     // Per-user event_type timeline compressed to change rows, each carrying
     // its validity interval [valid_from, valid_to) and a version number.

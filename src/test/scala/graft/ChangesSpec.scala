@@ -94,4 +94,25 @@ class ChangesSpec extends AnyFunSuite {
       Seq("ts", "event_id")).orderBy("version_no").collect()
     assert(got.map(_.getString(1)).toSeq == Seq("b", "a"))
   }
+
+  test("q146 drops exactly the keys whose LATEST change is a tombstone") {
+    import TestSpark.sf
+    import org.apache.spark.sql.functions.col
+    val live = SparkEntry.byName("q146_cdc_deletes").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val all = SparkEntry.byName("q105_cdc_compaction").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(live.subsetOf(all))
+    assert(live.size < all.size, "fixture planted no effective tombstones — vacuous")
+    // independent check of the drop rule: a key is dropped iff its
+    // latest (ts, event_id) row has event_id % 10 == 0
+    val latest = Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts", "event_id")
+      .collect().map(r => ((r.getLong(0), r.getString(1)), (r.getTimestamp(2).getTime, r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    all.foreach { k =>
+      val tomb = latest(k)._2 % 10 == 0
+      assert(live(k) == !tomb, s"$k tombstone=$tomb but live=${live(k)}")
+    }
+  }
 }
