@@ -117,6 +117,9 @@ object TextDedupPack {
   /** q145's personalized-PageRank iteration count. */
   private val PPR_ITERS = 4
 
+  /** q147's BFS hop budget (contamination blast radius). */
+  private val SPREAD_HOPS = 3
+
   /** q134 SQL fragments, generated from one place so the Spark loop and
     * the unrolled oracle CTEs cannot drift. Symbol sequences live as
     * '||'-delimited strings ('||sym||sym||'): symbols never contain '|',
@@ -1840,6 +1843,62 @@ object TextDedupPack {
       val toks = Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("t"))
       cmAnswer(s, counters, toks)
+    },
+
+    // ---- q147: k-hop contamination spread (bounded BFS) --------------------
+    // The blast-radius query decontamination needs: given flagged docs
+    // (portable stand-in: doc_id % 11 = 0), which docs sit within K
+    // near-dup hops — i.e. would removing the flagged docs leave behind
+    // close paraphrases? Bounded synchronous BFS: dist(v) starts 0 on
+    // flagged nodes, each round takes min(dist, 1 + min over neighbors) —
+    // one keyed join + one keyed min per round, K rounds unrolled in the
+    // oracle. Unreached docs report dist −1 (portable NULL-free form).
+    QueryDef(
+      "q147_contamination_spread", {
+        val rounds = (1 to SPREAD_HOPS).map { r =>
+          s"""d$r AS (
+             |  SELECT n.id,
+             |    CAST(LEAST(n.dist,
+             |      COALESCE(m.nd + 1, ${Int.MaxValue})) AS BIGINT) AS dist
+             |  FROM d${r - 1} n LEFT JOIN (
+             |    SELECT e.v, MIN(p.dist) AS nd
+             |    FROM ed e JOIN d${r - 1} p ON p.id = e.u
+             |    WHERE p.dist < ${Int.MaxValue}
+             |    GROUP BY e.v) m ON m.v = n.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $PAIRS_SQL,
+           |ed AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
+           |       UNION ALL SELECT doc_b, doc_a FROM jpairs),
+           |d0 AS (SELECT DISTINCT u AS id,
+           |    CAST(CASE WHEN u % 11 = 0 THEN 0 ELSE ${Int.MaxValue} END AS BIGINT)
+           |      AS dist
+           |  FROM ed),
+           |$rounds
+           |SELECT id AS doc_id,
+           |  CASE WHEN dist >= ${Int.MaxValue} THEN CAST(-1 AS BIGINT) ELSE dist END
+           |    AS hops
+           |FROM d$SPREAD_HOPS
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      val INF = Int.MaxValue.toLong
+      val jp = jaccardPairs(s, d)
+      val ed = jp.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .unionAll(jp.select(col("doc_b").as("u"), col("doc_a").as("v")))
+        .persist()
+      var dist = ed.select(col("u").as("id")).distinct()
+        .select(col("id"),
+          when(col("id") % 11 === 0, lit(0L)).otherwise(lit(INF)).as("dist"))
+      for (_ <- 1 to SPREAD_HOPS) {
+        val relaxed = ed.join(dist.filter(col("dist") < INF), col("u") === col("id"))
+          .groupBy(col("v")).agg(min(col("dist")).as("nd"))
+        dist = dist.join(relaxed, col("v") === col("id"), "left")
+          .select(col("id"),
+            least(col("dist"), coalesce(col("nd") + 1, lit(INF))).as("dist"))
+      }
+      dist
+        .select(col("id").as("doc_id"),
+          when(col("dist") >= INF, lit(-1L)).otherwise(col("dist")).as("hops"))
+        .orderBy("doc_id")
     },
 
     // ---- q145: personalized PageRank from a seed set -----------------------

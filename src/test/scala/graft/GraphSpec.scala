@@ -85,6 +85,30 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("q147 hop counts match a Scala BFS replay, capped at the hop budget") {
+    import TestSpark.sf
+    val got = SparkEntry.byName("q147_contamination_spread").run(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = SparkEntry.byName("q27_ngram_jaccard").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // BFS from flagged nodes, capped at 3 hops
+    var dist = nbrs.keys.map(v => v -> (if (v % 11 == 0) 0 else Int.MaxValue)).toMap
+    for (_ <- 1 to 3) {
+      dist = dist.map { case (v, dv) =>
+        val best = nbrs(v).map(dist).filter(_ < Int.MaxValue)
+        v -> math.min(dv, if (best.isEmpty) Int.MaxValue else best.min + 1)
+      }
+    }
+    val expected = dist.map { case (v, dv) =>
+      v -> (if (dv >= Int.MaxValue) -1L else dv.toLong)
+    }
+    assert(got == expected)
+    assert(got.values.exists(_ > 0), "no spread beyond the flagged docs — vacuous")
+    assert(got.values.forall(h => h >= -1 && h <= 3))
+  }
+
   test("q143 triangle counts match a brute-force Scala count; fixture non-vacuous") {
     import TestSpark.sf
     val rows = SparkEntry.byName("q143_triangle_clustering").run(spark, sf)
