@@ -76,7 +76,7 @@ object TrainingPack {
     * documents columns — shared by q73 (corpus build) and q84 (streaming
     * gate); q70 itself keeps the per-rule breakdown for the funnel report.
     */
-  private[queries] def qualityPassAll: org.apache.spark.sql.Column = {
+  private[graft] def qualityPassAll: org.apache.spark.sql.Column = {
     val toks = split(col("text"), " ")
     val ntok = size(toks)
     val awl = aggregate(transform(toks, x => length(x)), lit(0), (a, x) => a + x) *
@@ -1060,6 +1060,64 @@ object TrainingPack {
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("logit") >= 0, 1L).otherwise(0L)).as("n_kept"),
           min(col("logit")).as("min_logit"), max(col("logit")).as("max_logit"))
+        .orderBy("source")
+    },
+
+    // ---- q148: classifier evaluation against the rule gate -----------------
+    // The eval harness a model-based filter ships with: score every doc
+    // with q141's linear model AND the q70 rule gate, then per source
+    // emit the confusion counts (rule gate as reference labels) plus
+    // precision/recall. Counts are exact integers; the ratios are IEEE
+    // divisions of identical integers (identical bits, no rounding).
+    // One scan, one keyed agg — the evaluation rides the scoring pass.
+    QueryDef(
+      "q148_classifier_eval",
+      s"""WITH f AS (
+         |  SELECT source, n_chars, ${qualityExprsSql}
+         |  FROM documents),
+         |scored AS (
+         |  SELECT source,
+         |    (-3e0 + 2e-2 * ntok + 6e-1 * awl - 25e0 * symratio + 8e-1 * nstop)
+         |      >= 0e0 AS pred,
+         |    ($QualityCondSql) AS truth
+         |  FROM f)
+         |SELECT source,
+         |  CAST(SUM(CASE WHEN pred AND truth THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(SUM(CASE WHEN pred AND NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(SUM(CASE WHEN NOT pred AND truth THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  CAST(SUM(CASE WHEN NOT pred AND NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |  CASE WHEN SUM(CASE WHEN pred THEN 1 ELSE 0 END) = 0 THEN 0e0
+         |       ELSE SUM(CASE WHEN pred AND truth THEN 1 ELSE 0 END) * 1e0
+         |            / SUM(CASE WHEN pred THEN 1 ELSE 0 END) END AS precision,
+         |  CASE WHEN SUM(CASE WHEN truth THEN 1 ELSE 0 END) = 0 THEN 0e0
+         |       ELSE SUM(CASE WHEN pred AND truth THEN 1 ELSE 0 END) * 1e0
+         |            / SUM(CASE WHEN truth THEN 1 ELSE 0 END) END AS recall
+         |FROM scored
+         |GROUP BY source
+         |ORDER BY source""".stripMargin) { (s, d) =>
+      val toks = split(col("text"), " ")
+      val ntok = size(toks)
+      val awl = aggregate(transform(toks, x => length(x)), lit(0), (a, x) => a + x) *
+        lit(1.0) / ntok
+      val symratio = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 ]"), lit(0))) *
+        lit(1.0) / col("n_chars")
+      val nstop = size(filter(toks, x => x.isin(ALL_STOPS: _*)))
+      val logit = lit(-3.0) + lit(0.02) * ntok + lit(0.6) * awl -
+        lit(25.0) * symratio + lit(0.8) * nstop
+      val scored = Tables.documentsSpread(s, d)
+        .select(col("source"), (logit >= 0.0).as("pred"), qualityPassAll.as("truth"))
+      def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+      scored.groupBy("source")
+        .agg(cnt(col("pred") && col("truth")).as("tp"),
+          cnt(col("pred") && !col("truth")).as("fp"),
+          cnt(!col("pred") && col("truth")).as("fn"),
+          cnt(!col("pred") && !col("truth")).as("tn"),
+          when(cnt(col("pred")) === 0, lit(0.0))
+            .otherwise(cnt(col("pred") && col("truth")) * lit(1.0) / cnt(col("pred")))
+            .as("precision"),
+          when(cnt(col("truth")) === 0, lit(0.0))
+            .otherwise(cnt(col("pred") && col("truth")) * lit(1.0) / cnt(col("truth")))
+            .as("recall"))
         .orderBy("source")
     },
 

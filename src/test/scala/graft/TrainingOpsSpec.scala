@@ -296,6 +296,27 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rows.map(t => t._2 - t._3).sum > 0, "nothing dropped")
   }
 
+  test("q148 confusion counts reconcile with q141 and the q70 gate") {
+    val rows = SparkEntry.byName("q148_classifier_eval").run(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    // per source: tp+fp must equal q141's n_kept; the four cells sum to n_docs
+    val kept = SparkEntry.byName("q141_quality_classifier").run(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { case (src, tp, fp, fn, tn, prec, rec) =>
+      val (nDocs, nKept) = kept(src)
+      assert(tp + fp == nKept, s"$src predicted-positive mismatch")
+      assert(tp + fp + fn + tn == nDocs, s"$src cells don't cover the source")
+      if (tp + fp > 0) assert(math.abs(prec - tp.toDouble / (tp + fp)) < 1e-12)
+      if (tp + fn > 0) assert(math.abs(rec - tp.toDouble / (tp + fn)) < 1e-12)
+    }
+    // truth side reconciles with the q70 funnel's pass-all count
+    val truthTotal = rows.map(r => r._2 + r._4).sum
+    val gatePassed = Tables.documents(spark, sf)
+      .filter(graft.queries.TrainingPack.qualityPassAll).count()
+    assert(truthTotal == gatePassed)
+  }
+
   test("q134 BPE learning matches an independent Scala replay") {
     import org.apache.spark.sql.functions._
     val got = SparkEntry.byName("q134_bpe_learn").run(spark, sf)
