@@ -260,4 +260,63 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Exact minimum-length duplicate-substring mining — the guaranteed
+    * semantics of suffix-array training-data dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"), on the
+    * classic reduction to fixed-length grams: a token position is part of
+    * a repeated substring of >= `minLen` tokens iff it is covered by a
+    * `minLen`-gram that occurs at >= 2 (doc, start) locations corpus-wide
+    * (cross-document or within-document — self-repetition is duplication
+    * too). Every maximal run of covered positions is emitted as one span:
+    *
+    *   (idCol, span_start (1-based), span_len, n_grams, n_sources)
+    *
+    * where `n_grams` counts the duplicated gram starts merged into the
+    * span and `n_sources` is the widest corpus spread (distinct docs) of
+    * any gram in it. Exactness: unlike a sliding-window *sample* of
+    * positions, every duplicated gram start is found — recall is 100% by
+    * construction for repeats of >= minLen tokens, and nothing shorter
+    * can be flagged (a flagged position is inside some duplicated
+    * minLen-gram, which IS a >= minLen-token repeat).
+    *
+    * Scale shape: gram extraction is per-row map work (the token array
+    * never shuffles); the occurrence count is ONE keyed agg on the gram
+    * hash with map-side partial aggregation; the flag-back is a keyed
+    * join; island detection is a per-document window (state bounded by
+    * tokens-per-doc, never corpus-sized). No all-pairs stage exists —
+    * cost is linear in total tokens plus the duplicated-gram join.
+    *
+    * Spans with uniform gram width merge iff consecutive duplicated
+    * starts differ by <= minLen (touching or overlapping coverage), so a
+    * single LAG beats a running-max interval sweep.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, tokCol: String,
+                     minLen: Int): DataFrame = {
+    require(minLen >= 2, "minLen must be >= 2")
+    val t = col(tokCol)
+    val grams = docs.filter(size(t) >= minLen)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(1), size(t) - (minLen - 1)),
+          i => md5(concat_ws(" ",
+            (0 until minLen).map(k => element_at(t, i + k)): _*)))))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("st"),
+        col("col").as("gh"))
+    val dupGrams = grams.groupBy("gh")
+      .agg(count(lit(1)).as("occ"), countDistinct(col(idCol)).as("ndocs"))
+      .filter(col("occ") >= 2)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("st"))
+    grams.join(dupGrams, "gh")
+      .withColumn("__brk",
+        when(col("st") - lag(col("st"), 1).over(w) > minLen, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__brk")).over(w))
+      .groupBy(col(idCol), col("__island"))
+      .agg(
+        min(col("st")).as("span_start"),
+        (max(col("st")) - min(col("st")) + minLen).as("span_len"),
+        count(lit(1)).as("n_grams"),
+        max(col("ndocs")).as("n_sources"))
+      .select(col(idCol), col("span_start"), col("span_len"),
+        col("n_grams"), col("n_sources"))
+  }
 }

@@ -351,6 +351,10 @@ object TextDedupPack {
     * they start and only the covered tokens are dropped. */
   private val SPAN_W = 5
 
+  /** q149's exact-mining minimum repeat length (tokens) — matches the
+    * 8-gram granularity of q72's decontamination machinery. */
+  private val DUP_L = 8
+
   /** Shared SQL for distinct word-3-gram extraction with the df cap
     * (DuckDB dialect), over any docs relation `src` with (doc_id, text). */
   private[queries] def gramsSql(src: String): String =
@@ -1366,6 +1370,48 @@ object TextDedupPack {
           md5(concat_ws(" ",
             transform(keptPos, p => element_at(t, p.cast("int"))))).as("kept_md5"))
         .orderBy("doc_id")
+    },
+
+    // ---- q149: exact min-length duplicate-substring mining -----------------
+    // The guaranteed semantics q96 approximates: every maximal repeated
+    // substring of >= DUP_L tokens, via the gram reduction (a position is
+    // in a >= L-token repeat iff covered by a duplicated L-gram; maximal
+    // runs of covered positions = the maximal repeated spans). 100% recall
+    // by construction — no sampling, no windows skipped. See
+    // [[graft.operators.Dedup.duplicateSpans]] for the scale analysis
+    // (one keyed agg + one keyed join + a per-doc window).
+    QueryDef(
+      "q149_duplicate_substrings",
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id, CAST(u.st AS BIGINT) AS st, u.gh AS gh FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(t) - ${DUP_L - 2}), i ->
+         |      {st: i, gh: md5(array_to_string(t[CAST(i AS INT):CAST(i + ${DUP_L - 1} AS INT)], ' '))})) AS u
+         |    FROM d WHERE len(t) >= $DUP_L)),
+         |gs AS (SELECT gh, COUNT(*) AS occ, COUNT(DISTINCT doc_id) AS ndocs
+         |       FROM g GROUP BY gh),
+         |dup AS (SELECT g.doc_id, g.st, gs.ndocs FROM g JOIN gs USING (gh)
+         |        WHERE gs.occ >= 2),
+         |lagged AS (
+         |  SELECT doc_id, st, ndocs,
+         |    LAG(st) OVER (PARTITION BY doc_id ORDER BY st) AS pst
+         |  FROM dup),
+         |isl AS (
+         |  SELECT doc_id, st, ndocs,
+         |    SUM(CASE WHEN st - pst > $DUP_L THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY st) AS island
+         |  FROM lagged)
+         |SELECT doc_id, MIN(st) AS span_start,
+         |  MAX(st) - MIN(st) + $DUP_L AS span_len,
+         |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |  CAST(MAX(ndocs) AS BIGINT) AS n_sources
+         |FROM isl GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+      graft.operators.Dedup.duplicateSpans(
+          Tables.documentsSpread(s, d)
+            .select(col("doc_id"), split(col("text"), " ").as("__t")),
+          "doc_id", "__t", DUP_L)
+        .orderBy("doc_id", "span_start")
     },
 
     // ---- q99: PMI collocation mining — top adjacent-bigram associations ----

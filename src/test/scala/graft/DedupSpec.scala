@@ -311,4 +311,47 @@ class DedupSpec extends AnyFunSuite {
       assert(viaPrefix.size <= candidates)
     } finally grams.unpersist()
   }
+
+  test("duplicateSpans finds planted repeats exactly, at multiple L") {
+    // d1/d2 share the 4-token run "a b c d" (cross-doc, interior offsets);
+    // d3 repeats "p q r" twice within itself with a gap; d4 is one long
+    // self-overlapping repeat covering the whole doc; d5 is all-unique.
+    val planted = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y a b c d z w"),
+      (3L, "p q r s t u v p q r"),
+      (4L, "m n o m n o m n"),
+      (5L, "k1 k2 k3 k4 k5 k6 k7 k8")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    def spans(l: Int): Set[(Long, Long, Long, Long, Long)] =
+      Dedup.duplicateSpans(planted, "doc_id", "t", l)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+    // L=3: "a b c d" -> dup starts {1,2} in d1 / {3,4} in d2 (2 grams, 2
+    // docs); "p q r" -> starts 1 and 8 in d3, gap 7 > 3 so TWO spans, each
+    // exactly 3 tokens, single-doc; d4's grams mno/nom/omn each occur
+    // twice -> starts 1..6 merge into ONE whole-doc span of 8 tokens.
+    assert(spans(3) == Set(
+      (1L, 1L, 4L, 2L, 2L),
+      (2L, 3L, 4L, 2L, 2L),
+      (3L, 1L, 3L, 1L, 1L),
+      (3L, 8L, 3L, 1L, 1L),
+      (4L, 1L, 8L, 6L, 1L)))
+    // L=4: only the cross-doc "a b c d" run and d4's period-3 self-overlap
+    // ("m n o m" = positions 1..4 and 4..7) survive; d3's 3-token repeat
+    // is below the threshold and must NOT appear.
+    // d4 L=4: dup starts {1,2,4,5} ("m n o m"@1,4; "n o m n"@2,5 —
+    // "o m n o"@3 occurs once), still merging into one whole-doc span.
+    assert(spans(4) == Set(
+      (1L, 1L, 4L, 1L, 2L),
+      (2L, 3L, 4L, 1L, 2L),
+      (4L, 1L, 8L, 4L, 1L)))
+    // L=5: nothing repeats for 5 tokens except d4's "m n o m n" at
+    // starts {1, 4} — gap 3 <= 5 merges them into the whole-doc span.
+    assert(spans(5) == Set((4L, 1L, 8L, 2L, 1L)))
+    // L=8: no 8-token repeats anywhere -> empty.
+    assert(spans(8).isEmpty)
+  }
 }
