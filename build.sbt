@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output normally routes through sbt's logger, which prefixes
+// every line with "[info] " — that prefix is why the bench harness's
+// tail-parser never found a clean JSON line (r6-r9 "parsed": null: the
+// tail literally contains `[info] {"metric":...}`). StdoutOutput pipes
+// the child's stdout/stderr through unmodified.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -47,6 +47,7 @@ object Components {
         .filter(col("u") =!= col("v"))
         .distinct())
     var n = e.count()
+    var chk: Option[java.math.BigDecimal] = None
     var converged = n == 0L
     var rounds = 0
     // `<= maxRounds`: detection consumes a round — the loop only learns it
@@ -58,16 +59,35 @@ object Components {
       // localCheckpoint (which also truncates lineage) — no separate count()
       // action per round
       val metricName = s"__cc_n_$rounds"
-      val obs = smallStar(largeStar(e)).observe(metricName, count(lit(1)))
+      // the order-independent edge-set checksum (exact decimal sum of a
+      // 64-bit per-edge hash) rides the same job: count-equal rounds with
+      // a CHANGED set (the alternating stars can oscillate through
+      // equal-size sets) are rejected without paying the exceptAll job —
+      // the expensive exact set-difference only runs when count and
+      // checksum both match, i.e. at most once at the true fixpoint (plus
+      // a vanishing hash-collision chance, which exceptAll then catches).
+      val obs = smallStar(largeStar(e)).observe(metricName, count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")))
       val next = obs.localCheckpoint()
-      val nNext = obs.queryExecution.observedMetrics.get(metricName)
-        .map(_.getLong(0))
+      val metric = obs.queryExecution.observedMetrics.get(metricName)
+      val nNext = metric.map(_.getLong(0))
         .getOrElse(next.count()) // defensive: metrics missing ⇒ count directly
+      val chkNext = metric.map(r => Option(r.getDecimal(1))
+        .getOrElse(java.math.BigDecimal.ZERO))
+      // checksum inequality proves the set changed; equality proves
+      // nothing (collisions), so exceptAll stays the authoritative test
+      val maybeSame = (chk, chkNext) match {
+        case (Some(a), Some(b)) => a.compareTo(b) == 0
+        case _ => true // unknown previous/current checksum — can't prune
+      }
       // both sides are distinct sets: equal size + empty difference ⇒ equal
-      converged = nNext == n && next.exceptAll(e).isEmpty
+      converged = nNext == n && maybeSame && next.exceptAll(e).isEmpty
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $rounds: n=$n -> $nNext converged=$converged")
       e.unpersist(blocking = false)
       e = next
       n = nNext
+      chk = chkNext
       rounds += 1
     }
     if (!converged)

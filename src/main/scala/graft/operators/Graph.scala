@@ -52,7 +52,9 @@ object Graph {
     * (bit-identical under any partitioning ⇒ oracle-hash-checkable):
     * r'(v) = [v ∈ seeds]·0.15 + 0.85 · Σ_{u→v} r(u)/outdeg(u), r0 =
     * [v ∈ seeds]·1e6. Nodes unreachable from any seed stay at exactly 0.
-    * `seedPred` marks the seed rows (a Column over `id`).
+    * `seedPred` marks the seed rows (a Column over `id`). The node set is
+    * the union of BOTH edge endpoints, so sinks (and seeds without
+    * out-edges on a directed graph) are ranked rather than dropped.
     */
   def personalizedPageRank(edges: DataFrame, src: String, dst: String,
                            seedPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
@@ -60,7 +62,12 @@ object Graph {
     val e = edges.select(col(src).as("u"), col(dst).as("v"))
     val deg = e.groupBy("u").agg(count(lit(1)).as("od"))
     val ed = e.join(deg, "u").persist()
-    val nodes = deg.select(col("u").as("id")).persist()
+    // nodes = BOTH endpoint sets, not just out-degree holders: a sink (or
+    // an isolated seed on a directed graph) has no out-edges but must
+    // still appear — and a seed among them must keep its restart mass.
+    val nodes = e.select(col("u").as("id"))
+      .unionByName(e.select(col("v").as("id")))
+      .distinct().persist()
     val restart = when(seedPred(col("id")), lit(150000L)).otherwise(lit(0L))
     var ranks = nodes.select(col("id"),
       when(seedPred(col("id")), lit(1000000L)).otherwise(lit(0L)).as("r"))

@@ -1832,13 +1832,15 @@ object TextDedupPack {
         .select(col("component").as("cluster_id"), col("id").as("doc_id"))
       val ranks = graft.operators.Graph.fixedPointPageRank(edges, "u", "v", iters = 5)
         .select(col("id").as("__rid"), col("r"))
-      val w = Window.partitionBy("cluster_id")
-        .orderBy(col("r").desc, col("doc_id"))
+      // canonical pick = argmax (r, -doc_id): a single max_by hash-agg
+      // (partial-agg'd map-side, no per-cluster sort) replaces the
+      // row_number window — same selection the oracle's rn = 1 makes,
+      // deterministic because (r, doc_id) is unique per row.
+      val ord = struct(col("r"), negate(col("doc_id")))
       comp.join(ranks, col("doc_id") === col("__rid"))
-        .withColumn("rn", row_number().over(w))
         .groupBy("cluster_id")
-        .agg(min(when(col("rn") === 1, col("doc_id"))).as("canonical_doc"),
-          min(when(col("rn") === 1, col("r"))).as("canonical_rank"),
+        .agg(max_by(col("doc_id"), ord).as("canonical_doc"),
+          max_by(col("r"), ord).as("canonical_rank"),
           count(lit(1)).as("cluster_size"))
         .orderBy("cluster_id")
     },
