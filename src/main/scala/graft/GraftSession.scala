@@ -17,6 +17,18 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  val ROCKSDB_PROVIDER =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** True iff the RocksDB state store provider can actually run here:
+    * provider class present AND the JNI native library loads. Computed
+    * once — loadLibrary is idempotent but not cheap.
+    */
+  lazy val rocksDbAvailable: Boolean = scala.util.Try {
+    Class.forName(ROCKSDB_PROVIDER)
+    org.rocksdb.RocksDB.loadLibrary()
+  }.isSuccess
+
   /** Runtime confs every graft query assumes. Safe to call on a session we
     * did not build (the driver's Verify/Bench build their own); only session
     * confs that are settable at runtime go here.
@@ -36,6 +48,16 @@ object GraftSession {
     // this flag (Tables.events then truncates ns→µs like DuckDB does). Set
     // here — not in the loader — so loaders never mutate session state.
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // RocksDB state store: spillable, incrementally-checkpointed streaming
+    // state — the 100 TB deploy answer once stream-stream join / dedup
+    // state outgrows executor heap (the default HDFS-backed provider keeps
+    // every key in an in-memory map). Guarded three ways: never overrides
+    // an explicit setting, requires the provider class on the classpath,
+    // and requires the rocksdbjni NATIVE library to actually load on this
+    // host (the jar alone doesn't guarantee a linkable .so).
+    if (c.getOption("spark.sql.streaming.stateStore.providerClass").forall(_.isEmpty)
+        && rocksDbAvailable)
+      c.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
     // Union.rewriteConstraints crashes ("key not found: <attr>") when a
     // filter constraint over a custom deterministic expression is
     // alias-chased through a self-union of the same scan (q57 shape; the

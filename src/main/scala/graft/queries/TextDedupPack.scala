@@ -1021,7 +1021,14 @@ object TextDedupPack {
           .groupBy("source")
           .agg(hll_sketch_agg(col("fp")).as("sk"))
           .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(store.toString))
+          // idempotent under micro-batch retry (foreachBatch is
+          // at-least-once): dynamic overwrite replaces ONLY this batch's
+          // partition, so a replayed batch can never double its rows into
+          // the store's cell-wise/union merge
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(store.toString))
       val merged = s.read.parquet(store.toString)
         .groupBy("source")
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_approx"))
@@ -1885,7 +1892,14 @@ object TextDedupPack {
         cmCells(batch.select(explode(split(col("text"), " ")).as("t")), "t")
           .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
           .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(store.toString))
+          // idempotent under micro-batch retry (foreachBatch is
+          // at-least-once): dynamic overwrite replaces ONLY this batch's
+          // partition, so a replayed batch can never double its rows into
+          // the store's cell-wise/union merge
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(store.toString))
       val counters = s.read.parquet(store.toString)
         .groupBy("r", "c").agg(sum(col("cnt")).as("cnt"))
       val toks = Tables.documents(s, d)
@@ -2120,7 +2134,14 @@ object TextDedupPack {
           .select(col("source"), explode(col("tk")).as("row"))
           .select(col("source"), col("row._1").as("nch"), col("row._2").as("did"))
           .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(store.toString))
+          // idempotent under micro-batch retry (foreachBatch is
+          // at-least-once): dynamic overwrite replaces ONLY this batch's
+          // partition, so a replayed batch can never double its rows into
+          // the store's cell-wise/union merge
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(store.toString))
       s.read.parquet(store.toString)
         .groupBy("source")
         .agg(topk(col("nch"), col("did"), col("did")).as("tk"))

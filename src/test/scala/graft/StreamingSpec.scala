@@ -169,4 +169,35 @@ class StreamingSpec extends AnyFunSuite {
     val allUnmatched = p.join(c, cond, "left_anti").count()
     assert(expired.size < allUnmatched)
   }
+
+  test("stream-stream join is state-store-provider independent (HDFS vs RocksDB)") {
+    assume(GraftSession.rocksDbAvailable, "rocksdbjni native lib unavailable")
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    def run(provider: String, tag: String): Set[(Long, Long)] = {
+      val prev = spark.conf.getOption(confKey)
+      spark.conf.set(confKey, provider)
+      try {
+        def side(t: String, prefix: String) =
+          Streams.eventsStream(spark, sf).filter(col("event_type") === t)
+            .select(col("event_id").as(s"${prefix}_event_id"),
+              col("user_id").as(s"${prefix}_user_id"), col("ts").as(s"${prefix}_ts"))
+        Streams.runToMemory(
+          spark, Streams.streamStreamJoin(
+            side("purchase", "p"), side("click", "c"),
+            "p_user_id", "c_user_id", "p_ts", "c_ts", windowSec = 1800),
+          s"t_prov_$tag", mode = "append")
+          .select("p_event_id", "c_event_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
+    val viaHdfs = run(
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+      "hdfs")
+    val viaRocks = run(GraftSession.ROCKSDB_PROVIDER, "rocks")
+    assert(viaRocks.nonEmpty)
+    assert(viaHdfs == viaRocks)
+  }
 }
