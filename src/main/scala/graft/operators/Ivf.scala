@@ -107,6 +107,94 @@ object Ivf {
     probeScoreRank(c, q, k)
   }
 
+  /** Oracle-replayable Lloyd's k-means + cluster profile in fixed-point
+    * integer arithmetic — the q109 trick applied to the IVF quantizer, so
+    * an iterative "float" algorithm becomes hash-checkable:
+    *
+    *   - each float coordinate is quantized ONCE via an exact power-of-two
+    *     scale (float→double is exact; ×2^k is exact; floor is exact), so
+    *     both engines see identical integers;
+    *   - a constant offset makes every coordinate non-negative, so the
+    *     centroid-mean floor division (`div` here, `//` in DuckDB, which
+    *     disagree on negatives) is engine-identical;
+    *   - distances/means/drift are integer sums — associative, so results
+    *     are bit-identical under any partitioning or merge order;
+    *   - argmin ties break by cell id via lexicographic struct-min;
+    *   - init = the `nlist` vectors ranked by a portable 60-bit md5 hash.
+    *
+    * Unlike [[kmeansCentroids]] (driver-held nlist×dim means), this path
+    * keeps the centroid tables AS DataFrames end-to-end — nothing ever
+    * reaches the driver, and each round is a broadcast-nlist cross join
+    * (per-row map work) plus one keyed (cell, dim) aggregation, so the
+    * shape survives a corpus of any size.
+    *
+    * Returns per final cell: (cid, n_vecs, mean_dist, drift_l1) where
+    * mean_dist is the floor-mean quantized squared distance under the
+    * final assignment and drift_l1 the L1 centroid movement of the last
+    * Lloyd round — the convergence/balance profile an IVF deploy watches
+    * (skewed cells ⇒ bad probe latency; high drift ⇒ train longer).
+    */
+  def fixedPointKmeansProfile(df: DataFrame, idCol: String, vecCol: String,
+                              nlist: Int, iters: Int,
+                              scale: Int = 1024, offset: Long = 1024L): DataFrame = {
+    require(nlist >= 1 && iters >= 1)
+    val qv = df.select(col(idCol).as("vid"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * scale).cast("long") + offset).as("qv"))
+      .persist()
+    val hh = conv(substring(md5(col("vid").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val wInit = Window.orderBy("h", "vid")
+    val c0 = qv.select(col("vid"), col("qv"), hh.as("h"))
+      .orderBy("h", "vid").limit(nlist)
+      .select((row_number().over(wInit) - 1).cast("long").as("cid"),
+        col("qv").as("c"))
+    def assign(cents: DataFrame): DataFrame =
+      qv.crossJoin(broadcast(cents))
+        .select(col("vid"), col("cid"),
+          aggregate(zip_with(col("qv"), col("c"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("dist"))
+        .groupBy("vid")
+        .agg(min(struct(col("dist"), col("cid"))).as("mn"))
+        .select(col("vid"), col("mn.cid").as("cid"), col("mn.dist").as("dist"))
+    def update(prev: DataFrame, asg: DataFrame): DataFrame = {
+      val means = asg.join(qv, "vid")
+        .select(col("cid"), posexplode(col("qv")))
+        .groupBy("cid", "pos")
+        .agg(expr("sum(col) div count(1)").as("m"))
+      // empty cells keep their previous centroid (coalesce per dimension)
+      prev.select(col("cid"), posexplode(col("c")))
+        .join(means, Seq("cid", "pos"), "left")
+        .groupBy("cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"),
+            coalesce(col("m"), col("col")).as("v")))),
+          s => s.getField("v")).as("c"))
+    }
+    var prev = c0
+    var cents = c0
+    for (_ <- 1 to iters) {
+      prev = cents
+      cents = update(cents, assign(cents))
+    }
+    val fin = assign(cents)
+    val cnt = fin.groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(dist) div count(1)").as("mean_dist"))
+    val dr = cents.join(prev.select(col("cid"), col("c").as("cp")), "cid")
+      .select(col("cid"),
+        aggregate(zip_with(col("c"), col("cp"), (a, b) => abs(a - b)),
+          lit(0L), (acc, x) => acc + x).as("drift_l1"))
+    cents.select("cid")
+      .join(cnt, Seq("cid"), "left")
+      .join(dr, Seq("cid"))
+      .select(col("cid"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        coalesce(col("mean_dist"), lit(0L)).as("mean_dist"),
+        col("drift_l1"))
+      .orderBy("cid")
+  }
+
   /** The 100 TB corpus layout: parquet partitioned by cell id. A probe is
     * then an equi-join on the partition column with the broadcast query
     * side, so dynamic partition pruning restricts the scan to the probed

@@ -37,6 +37,67 @@ object VectorPack {
   /** vec_id offset distinguishing planted twins in q56's corpus. */
   private val TWIN_OFFSET = 1000000L
 
+  /** q150 k-means params: cells, dims, the exact power-of-two quantization
+    * scale and the non-negativity offset (see fixedPointKmeansProfile). */
+  private val KM_NLIST = 8
+  private val KM_DIM = 64
+  private val KM_SCALE = 1024
+  private val KM_OFFSET = 1024
+
+  /** q150's oracle: the fixed-point Lloyd loop unrolled in DuckDB CTEs —
+    * assignment (argmin by (dist, cid) struct-min), per-(cell, dim) floor
+    * means with empty-cell carry-over, twice, then the final-assignment
+    * profile. Integer arithmetic end-to-end, so bit-identical to Spark.
+    */
+  private val Q150_ORACLE: String = {
+    val D1 = KM_DIM + 1
+    def assign(prev: String) =
+      s"""  SELECT vid, CAST(mn.c AS BIGINT) AS cid, mn.d AS dist FROM (
+         |    SELECT v.vid, MIN({d: CAST(list_sum(list_transform(range(1, $D1), i ->
+         |        (v.qv[CAST(i AS INT)] - cc.c[CAST(i AS INT)]) * (v.qv[CAST(i AS INT)] - cc.c[CAST(i AS INT)]))) AS BIGINT),
+         |      c: cc.cid}) AS mn
+         |    FROM q v CROSS JOIN $prev cc GROUP BY v.vid)""".stripMargin
+    def means(a: String) =
+      s"""  SELECT a.cid, t.i AS pos, CAST(SUM(v.qv[CAST(t.i AS INT)]) // COUNT(*) AS BIGINT) AS m
+         |  FROM $a a JOIN q v USING (vid) CROSS JOIN range(1, $D1) t(i)
+         |  GROUP BY a.cid, t.i""".stripMargin
+    def nextC(prev: String, m: String) =
+      s"""  SELECT p.cid, list(COALESCE(m.m, p.c[CAST(t.i AS INT)]) ORDER BY t.i) AS c
+         |  FROM $prev p CROSS JOIN range(1, $D1) t(i)
+         |  LEFT JOIN $m m ON m.cid = p.cid AND m.pos = t.i
+         |  GROUP BY p.cid""".stripMargin
+    s"""WITH q AS (
+       |  SELECT vec_id AS vid,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $KM_SCALE) AS BIGINT) + $KM_OFFSET) AS qv
+       |  FROM embeddings),
+       |hh AS (SELECT vid, qv, ('0x' || substring(md5(CAST(vid AS VARCHAR)), 1, 15))::BIGINT AS h FROM q),
+       |c0 AS (SELECT CAST(rn - 1 AS BIGINT) AS cid, qv AS c FROM (
+       |         SELECT qv, ROW_NUMBER() OVER (ORDER BY h, vid) AS rn FROM hh) WHERE rn <= $KM_NLIST),
+       |a1 AS (
+       |${assign("c0")}),
+       |m1 AS (
+       |${means("a1")}),
+       |c1 AS (
+       |${nextC("c0", "m1")}),
+       |a2 AS (
+       |${assign("c1")}),
+       |m2 AS (
+       |${means("a2")}),
+       |c2 AS (
+       |${nextC("c1", "m2")}),
+       |af AS (
+       |${assign("c2")}),
+       |cnt AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |          CAST(SUM(dist) // COUNT(*) AS BIGINT) AS mean_dist FROM af GROUP BY cid),
+       |dr AS (SELECT c2.cid, CAST(list_sum(list_transform(range(1, $D1), i ->
+       |          abs(c2.c[CAST(i AS INT)] - c1.c[CAST(i AS INT)]))) AS BIGINT) AS drift_l1
+       |       FROM c2 JOIN c1 USING (cid))
+       |SELECT c2.cid, COALESCE(cnt.n_vecs, 0) AS n_vecs,
+       |  COALESCE(cnt.mean_dist, 0) AS mean_dist, dr.drift_l1
+       |FROM c2 LEFT JOIN cnt USING (cid) JOIN dr USING (cid)
+       |ORDER BY cid""".stripMargin
+  }
+
   /** Per-query planted-twin audit over an (qid, nid, rk) top-k result:
     * (qid, twin_found, twin_rank). Shared by q76/q77 so the audit shape
     * cannot drift between the two ANN paths. */
@@ -233,6 +294,25 @@ object VectorPack {
         s, layout, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, centroids, nprobe = 4)
         .orderBy("qid", "rk")
+    },
+
+    // ---- q150: k-means cluster profile — fixed-point, fully oracle-checked -
+    // The IVF quantizer's training loop itself made hash-checkable (the
+    // q109 fixed-point trick): coordinates quantized once by an EXACT
+    // power-of-two scale + offset to non-negative (so Spark `div` and
+    // DuckDB `//` floor identically), two full Lloyd rounds in associative
+    // integer arithmetic, argmin ties broken by cell id, init by portable
+    // md5 rank. Output is the profile an IVF deploy watches: cell
+    // occupancy (skew ⇒ probe latency), floor-mean squared distance
+    // (quantization error), and last-round centroid L1 drift
+    // (convergence). The oracle replays ALL of it — both Lloyd rounds
+    // unrolled as CTEs — so every intermediate integer matches, not just
+    // the final counts. See [[graft.operators.Ivf.fixedPointKmeansProfile]]
+    // (centroids stay DataFrames end-to-end; nothing reaches the driver).
+    QueryDef("q150_kmeans_profile", Q150_ORACLE) { (s, d) =>
+      graft.operators.Ivf.fixedPointKmeansProfile(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        nlist = KM_NLIST, iters = 2)
     },
 
     // ---- q76/q77: planted-recall audits for the two ANN paths --------------

@@ -237,4 +237,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r200 >= r32, s"recall must not degrade with budget: $r32 -> $r200")
     assert(r200 >= 0.6, s"PQ recall@5 with cand=200 only $r200")
   }
+
+  test("fixedPointKmeansProfile is partitioning-independent and sane") {
+    def profile(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Ivf.fixedPointKmeansProfile(df, "vec_id", "embedding",
+        nlist = 8, iters = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    val base = profile(emb)
+    // the fixed-point discipline's whole point: any repartitioning (and
+    // therefore any aggregation/merge order) yields bit-identical output
+    val shuffled = profile(emb.repartition(13, col("label")))
+    assert(base == shuffled)
+    assert(base.map(_._1) == (0L until 8L)) // all cells present, ordered
+    assert(base.map(_._2).sum == emb.count()) // every vector assigned once
+    assert(base.forall(_._4 >= 0L))
+  }
 }
