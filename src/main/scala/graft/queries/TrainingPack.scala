@@ -866,6 +866,84 @@ object TrainingPack {
         .orderBy("source")
     },
 
+    // ---- q151: temperature-smoothed mixture (alpha = 0.5 upsampling) -------
+    // The multilingual/multi-domain training recipe q97's uniform target
+    // can't express: sample source i proportionally to p_i^alpha, which
+    // for alpha = 1/2 flattens the source distribution — small sources are
+    // upsampled relative to their share, large ones capped — without the
+    // all-equal extreme. Weights stay EXACT integers: w_i =
+    // floor(sqrt(actual_tokens_i)) is precise for inputs < 2^52 (sqrt is
+    // correctly rounded and perfect squares survive floor), every
+    // downstream ratio is BIGINT `div` arithmetic, and the doc sampler is
+    // the same deterministic salted-md5 bucket as q97 under a DIFFERENT
+    // salt — so the two mixtures' samples are independent, reproducible,
+    // and engine-identical. Shape: two keyed aggs over the corpus + a
+    // broadcast-back rate table; nothing new shuffles at 100 TB.
+    QueryDef(
+      "q151_temperature_mixture",
+      """WITH docs AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS ntok,
+        |    ('0x' || substring(md5('mixt:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bucket
+        |  FROM documents),
+        |per AS (
+        |  SELECT source, COUNT(*) AS n_docs, SUM(ntok) AS actual_tokens
+        |  FROM docs GROUP BY source),
+        |w AS (
+        |  SELECT source, n_docs, actual_tokens,
+        |    CAST(FLOOR(SQRT(CAST(actual_tokens AS DOUBLE))) AS BIGINT) AS wgt
+        |  FROM per),
+        |tot AS (SELECT SUM(actual_tokens) AS total, SUM(wgt) AS wsum FROM w),
+        |rates AS (
+        |  SELECT source, n_docs, actual_tokens, wgt,
+        |    total * wgt // wsum AS target_tokens,
+        |    LEAST(10000, (total * wgt // wsum) * 10000 // actual_tokens) AS rate_bp
+        |  FROM w CROSS JOIN tot),
+        |sampled AS (
+        |  SELECT d.source, COUNT(*) AS sampled_docs, SUM(d.ntok) AS sampled_tokens
+        |  FROM docs d JOIN rates r ON d.source = r.source
+        |  WHERE d.bucket < r.rate_bp
+        |  GROUP BY d.source)
+        |SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs,
+        |  CAST(r.actual_tokens AS BIGINT) AS actual_tokens,
+        |  CAST(r.wgt AS BIGINT) AS wgt,
+        |  CAST(r.target_tokens AS BIGINT) AS target_tokens,
+        |  CAST(r.rate_bp AS BIGINT) AS rate_bp,
+        |  CAST(COALESCE(s.sampled_docs, 0) AS BIGINT) AS sampled_docs,
+        |  CAST(COALESCE(s.sampled_tokens, 0) AS BIGINT) AS sampled_tokens
+        |FROM rates r LEFT JOIN sampled s ON s.source = r.source
+        |ORDER BY r.source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ntok"),
+          Sampling.hashBucket(col("doc_id"), "mixt", 10000).as("bucket"))
+      val per = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("actual_tokens"))
+        .withColumn("wgt",
+          floor(sqrt(col("actual_tokens").cast("double"))).cast("long"))
+      val tot = per.agg(sum(col("actual_tokens")).as("total"), sum(col("wgt")).as("wsum"))
+      val rates = per.crossJoin(broadcast(tot))
+        // (total·wgt) div wsum, decomposed via total = q·wsum + r into
+        // wgt·q + (wgt·r) div wsum — the same exact floor (the oracle keeps
+        // the plain form; DuckDB sums are HUGEINT), but no int64 overflow
+        // when total is a 100 TB token count and wgt ~ sqrt(total)
+        .withColumn("target_tokens",
+          expr("wgt * (total DIV wsum) + wgt * (total % wsum) DIV wsum"))
+        .withColumn("rate_bp",
+          least(lit(10000L), expr("target_tokens * 10000 DIV actual_tokens")))
+        .select("source", "n_docs", "actual_tokens", "wgt", "target_tokens", "rate_bp")
+      val sampled = docs
+        .join(broadcast(rates.select(col("source"), col("rate_bp"))), "source")
+        .filter(col("bucket") < col("rate_bp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("sampled_docs"), sum(col("ntok")).as("sampled_tokens"))
+      rates.join(sampled, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("actual_tokens"), col("wgt"),
+          col("target_tokens"), col("rate_bp"),
+          coalesce(col("sampled_docs"), lit(0L)).as("sampled_docs"),
+          coalesce(col("sampled_tokens"), lit(0L)).as("sampled_tokens"))
+        .orderBy("source")
+    },
+
     // ---- q102: per-source distribution divergence (corpus-drift audit) -----
     // The data-card metric behind mixture monitoring: how far each
     // source's unigram distribution sits from the corpus-wide one, as

@@ -354,4 +354,42 @@ class DedupSpec extends AnyFunSuite {
     // L=8: no 8-token repeats anywhere -> empty.
     assert(spans(8).isEmpty)
   }
+
+  test("duplicateSpans equals an independent brute-force reference on random corpora") {
+    // tiny vocab + short docs => dense collisions, every edge shape gets hit
+    val rng = new scala.util.Random(20260813L)
+    for (trial <- 1 to 8) {
+      val l = 2 + rng.nextInt(3) // L in 2..4
+      val docs = (1 to (3 + rng.nextInt(4))).map { id =>
+        (id.toLong, Vector.fill(rng.nextInt(18))("abcdef".charAt(rng.nextInt(6)).toString))
+      }
+      // reference: multiset-count every L-gram occurrence corpus-wide, flag
+      // starts whose gram occurs >= 2 times, merge start-runs with gap <= L
+      val occ = docs.flatMap { case (id, t) =>
+        t.sliding(l).zipWithIndex.collect { case (g, i) if g.size == l => (g.mkString(" "), id, i + 1L) }
+      }
+      val byGram = occ.groupBy(_._1)
+      val expected = docs.flatMap { case (id, _) =>
+        val starts = occ.filter(o => o._2 == id && byGram(o._1).size >= 2)
+          .map(o => (o._3, byGram(o._1).map(_._2).distinct.size.toLong))
+          .sortBy(_._1)
+        if (starts.isEmpty) Nil
+        else {
+          val islands = starts.tail.foldLeft(Vector(Vector(starts.head))) {
+            case (acc, s) =>
+              if (s._1 - acc.last.last._1 > l) acc :+ Vector(s)
+              else acc.init :+ (acc.last :+ s)
+          }
+          islands.map(is => (id, is.head._1, is.last._1 - is.head._1 + l,
+            is.size.toLong, is.map(_._2).max))
+        }
+      }.toSet
+      val got = Dedup.duplicateSpans(
+        docs.toDF("doc_id", "t").repartition(3 + trial % 3), "doc_id", "t", l)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(got == expected, s"trial=$trial L=$l docs=$docs")
+    }
+  }
 }
