@@ -292,7 +292,7 @@ object Dedup {
     * single LAG beats a running-max interval sweep.
     */
   def duplicateSpans(docs: DataFrame, idCol: String, tokCol: String,
-                     minLen: Int): DataFrame = {
+                     minLen: Int, withinDoc: Boolean = false): DataFrame = {
     require(minLen >= 2, "minLen must be >= 2")
     val t = col(tokCol)
     val grams = docs.filter(size(t) >= minLen)
@@ -302,11 +302,26 @@ object Dedup {
             (0 until minLen).map(k => element_at(t, i + k)): _*)))))
       .select(col(idCol), (col("pos") + 1).cast("long").as("st"),
         col("col").as("gh"))
-    val dupGrams = grams.groupBy("gh")
-      .agg(count(lit(1)).as("occ"), countDistinct(col(idCol)).as("ndocs"))
-      .filter(col("occ") >= 2)
+    // withinDoc = the self-repetition (loop-detection) variant: a gram is
+    // duplicated only if it occurs >= 2 times in the SAME document, so
+    // spans measure internal cycling rather than corpus-wide copying. The
+    // occurrence agg keys on (doc, gram) instead of gram — still one keyed
+    // shuffle — and the flag-back join keys likewise.
+    val (dupGrams, joinKeys) =
+      if (withinDoc) (
+        grams.groupBy(col(idCol), col("gh"))
+          .agg(count(lit(1)).as("occ"), lit(1L).as("ndocs"))
+          .filter(col("occ") >= 2)
+          .drop("occ"),
+        Seq("gh", idCol))
+      else (
+        grams.groupBy("gh")
+          .agg(count(lit(1)).as("occ"), countDistinct(col(idCol)).as("ndocs"))
+          .filter(col("occ") >= 2)
+          .drop("occ"),
+        Seq("gh"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("st"))
-    grams.join(dupGrams, "gh")
+    grams.join(dupGrams, joinKeys)
       .withColumn("__brk",
         when(col("st") - lag(col("st"), 1).over(w) > minLen, 1L).otherwise(0L))
       .withColumn("__island", sum(col("__brk")).over(w))

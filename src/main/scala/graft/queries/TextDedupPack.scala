@@ -1421,6 +1421,84 @@ object TextDedupPack {
         .orderBy("doc_id", "span_start")
     },
 
+    // ---- q152: self-repetition coverage — degenerate-loop detection --------
+    // The generated-text failure q78's unigram stats can't see: a doc that
+    // CYCLES (the same 5-token-or-longer phrase repeated inside one
+    // document) has normal token frequencies but high self-repeat
+    // coverage. Reuses the q149 span machinery in within-doc mode (a gram
+    // is duplicated only if it recurs in the SAME doc), then reports per
+    // source: docs, loopy docs (>= 30% of positions covered), average
+    // coverage in integer basis points (floor per doc, floor of the mean —
+    // no float anywhere, so no cross-engine rounding surface), and the
+    // worst doc's covered-token count. The fixture corpus contains no
+    // natural 5-gram self-repeats (an all-zero board would be trivially
+    // green even with broken machinery), so every doc_id % 5 == 0 doc is
+    // PLANTED with a loop — its own first 12 tokens appended three times,
+    // the same deterministic augmentation on both engines — giving the
+    // detector known nonzero ground truth it must score exactly.
+    QueryDef(
+      "q152_self_repetition",
+      s"""WITH pl AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN doc_id % 5 = 0
+         |         THEN text || ' ' || hd || ' ' || hd || ' ' || hd
+         |         ELSE text END AS text
+         |  FROM (SELECT doc_id, source, text,
+         |          array_to_string(string_split(text, ' ')[1:12], ' ') AS hd
+         |        FROM documents)),
+         |d AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM pl),
+         |g AS (
+         |  SELECT doc_id, CAST(u.st AS BIGINT) AS st, u.gh AS gh FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(t) - ${SPAN_W - 2}), i ->
+         |      {st: i, gh: md5(array_to_string(t[CAST(i AS INT):CAST(i + ${SPAN_W - 1} AS INT)], ' '))})) AS u
+         |    FROM d WHERE len(t) >= $SPAN_W)),
+         |gs AS (SELECT doc_id, gh FROM g GROUP BY doc_id, gh HAVING COUNT(*) >= 2),
+         |dup AS (SELECT g.doc_id, g.st FROM g JOIN gs
+         |        ON gs.doc_id = g.doc_id AND gs.gh = g.gh),
+         |lagged AS (
+         |  SELECT doc_id, st,
+         |    LAG(st) OVER (PARTITION BY doc_id ORDER BY st) AS pst
+         |  FROM dup),
+         |isl AS (
+         |  SELECT doc_id, st,
+         |    SUM(CASE WHEN st - pst > $SPAN_W THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY st) AS island
+         |  FROM lagged),
+         |spans AS (SELECT doc_id, MAX(st) - MIN(st) + $SPAN_W AS span_len
+         |          FROM isl GROUP BY doc_id, island),
+         |cov AS (SELECT doc_id, SUM(span_len) AS covered FROM spans GROUP BY doc_id),
+         |perdoc AS (
+         |  SELECT d.source, len(d.t) AS ntok, COALESCE(c.covered, 0) AS covered
+         |  FROM d LEFT JOIN cov c USING (doc_id))
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN covered * 10 >= ntok * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_loopy,
+         |  CAST(SUM(covered * 10000 // ntok) // COUNT(*) AS BIGINT) AS avg_cov_bp,
+         |  CAST(MAX(covered) AS BIGINT) AS max_covered
+         |FROM perdoc GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val hd = concat_ws(" ", slice(split(col("text"), " "), 1, 12))
+      val docs = Tables.documentsSpread(s, d)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 5 === 0,
+            concat_ws(" ", col("text"), hd, hd, hd))
+            .otherwise(col("text")).as("text"))
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("__t"))
+      val cov = graft.operators.Dedup.duplicateSpans(
+          docs.select(col("doc_id"), col("__t")), "doc_id", "__t",
+          SPAN_W, withinDoc = true)
+        .groupBy("doc_id").agg(sum(col("span_len")).as("covered"))
+      docs.select(col("doc_id"), col("source"),
+          size(col("__t")).cast("long").as("ntok"))
+        .join(cov, Seq("doc_id"), "left")
+        .withColumn("covered", coalesce(col("covered"), lit(0L)))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("covered") * 10 >= col("ntok") * 3, 1L).otherwise(0L)).as("n_loopy"),
+          expr("sum(covered * 10000 div ntok) div count(1)").as("avg_cov_bp"),
+          max(col("covered")).as("max_covered"))
+        .orderBy("source")
+    },
+
     // ---- q99: PMI collocation mining — top adjacent-bigram associations ----
     // Corpus analysis for tokenizer/vocab design: which adjacent token
     // pairs co-occur far above chance. PMI = ln(P(ab) / (P(a)·P(b))) over

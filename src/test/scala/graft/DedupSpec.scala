@@ -368,28 +368,38 @@ class DedupSpec extends AnyFunSuite {
       val occ = docs.flatMap { case (id, t) =>
         t.sliding(l).zipWithIndex.collect { case (g, i) if g.size == l => (g.mkString(" "), id, i + 1L) }
       }
-      val byGram = occ.groupBy(_._1)
-      val expected = docs.flatMap { case (id, _) =>
-        val starts = occ.filter(o => o._2 == id && byGram(o._1).size >= 2)
-          .map(o => (o._3, byGram(o._1).map(_._2).distinct.size.toLong))
-          .sortBy(_._1)
-        if (starts.isEmpty) Nil
-        else {
-          val islands = starts.tail.foldLeft(Vector(Vector(starts.head))) {
-            case (acc, s) =>
-              if (s._1 - acc.last.last._1 > l) acc :+ Vector(s)
-              else acc.init :+ (acc.last :+ s)
+      def reference(withinDoc: Boolean): Set[(Long, Long, Long, Long, Long)] = {
+        val byGram =
+          if (withinDoc) occ.groupBy(o => (o._1, o._2)).map { case ((g, _), os) => os }.toSeq
+          else occ.groupBy(_._1).values.toSeq
+        val dupOcc = byGram.filter(_.size >= 2).flatten
+        docs.flatMap { case (id, _) =>
+          val starts = dupOcc.filter(_._2 == id)
+            .map(o => (o._3, if (withinDoc) 1L
+              else occ.filter(_._1 == o._1).map(_._2).distinct.size.toLong))
+            .sortBy(_._1)
+          if (starts.isEmpty) Nil
+          else {
+            val islands = starts.tail.foldLeft(Vector(Vector(starts.head))) {
+              case (acc, s) =>
+                if (s._1 - acc.last.last._1 > l) acc :+ Vector(s)
+                else acc.init :+ (acc.last :+ s)
+            }
+            islands.map(is => (id, is.head._1, is.last._1 - is.head._1 + l,
+              is.size.toLong, is.map(_._2).max))
           }
-          islands.map(is => (id, is.head._1, is.last._1 - is.head._1 + l,
-            is.size.toLong, is.map(_._2).max))
-        }
-      }.toSet
-      val got = Dedup.duplicateSpans(
-        docs.toDF("doc_id", "t").repartition(3 + trial % 3), "doc_id", "t", l)
-        .collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-        .toSet
-      assert(got == expected, s"trial=$trial L=$l docs=$docs")
+        }.toSet
+      }
+      for (withinDoc <- Seq(false, true)) {
+        val got = Dedup.duplicateSpans(
+          docs.toDF("doc_id", "t").repartition(3 + trial % 3), "doc_id", "t", l,
+          withinDoc = withinDoc)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+          .toSet
+        assert(got == reference(withinDoc),
+          s"trial=$trial L=$l withinDoc=$withinDoc docs=$docs")
+      }
     }
   }
 }
