@@ -449,7 +449,7 @@ object TextDedupPack {
     * shutdown hooks. q85 stores HLL sketches here, q130 Count-Min grids. */
   private val sketchStores =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
-  private def clearedStore(d: String, prefix: String): java.nio.file.Path = {
+  private[queries] def clearedStore(d: String, prefix: String): java.nio.file.Path = {
     val p = sketchStores.computeIfAbsent(s"$prefix:$d", _ => {
       val dir = java.nio.file.Files.createTempDirectory(prefix)
       sys.addShutdownHook(graft.streaming.Streams.deleteRecursively(dir))
@@ -460,7 +460,7 @@ object TextDedupPack {
     children.foreach(graft.streaming.Streams.deleteRecursively)
     p
   }
-  private def stagedDocBatches(s: org.apache.spark.sql.SparkSession, d: String): String =
+  private[queries] def stagedDocBatches(s: org.apache.spark.sql.SparkSession, d: String): String =
     docBatchStages.computeIfAbsent(d, _ => {
       val dir = java.nio.file.Files.createTempDirectory("graft-q85-src-")
       sys.addShutdownHook(graft.streaming.Streams.deleteRecursively(dir))

@@ -41,6 +41,44 @@ object TrainingPack {
     * source must outweigh before its own mean dominates the prior. */
   private val PRIOR_K = 10
 
+  /** Shared oracle for q92 AND its streaming form q153 (the q116-vs-q105
+    * trick: two engines' worth of machinery, one answer). Plain SQL — no
+    * bloom in sight, because the bloom has no false negatives and the
+    * confirm join removes its false positives, so prefiltered == plain.
+    */
+  private lazy val BLOOM_DECON_SQL: String = {
+    val cat = (1 until DECON_N)
+      .map(k => s"t[i+$k]").mkString("t[i] || ' ' || ", " || ' ' || ", "")
+    s"""WITH b AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t,
+       |    ('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+       |  FROM documents),
+       |lab AS (
+       |  SELECT doc_id,
+       |    CASE WHEN bucket < 80 THEN 'train'
+       |         WHEN bucket < 90 THEN 'val'
+       |         ELSE 'test' END AS split, t
+       |  FROM b WHERE len(t) >= $DECON_N),
+       |grams_all AS (
+       |  SELECT DISTINCT doc_id, split,
+       |    unnest(list_transform(range(1, len(t) - ${DECON_N - 2}),
+       |      i -> $cat)) AS gram
+       |  FROM lab),
+       |grams AS (SELECT doc_id, split, gram FROM (
+       |    SELECT doc_id, split, gram, COUNT(*) OVER (PARTITION BY gram) AS df
+       |    FROM grams_all)
+       |  WHERE df <= $DECON_MAX_DF)
+       |SELECT tr.doc_id AS train_doc_id,
+       |  CAST(COUNT(DISTINCT tr.gram) AS BIGINT) AS n_shared_grams,
+       |  CAST(COUNT(DISTINCT te.doc_id) AS BIGINT) AS n_test_docs,
+       |  MIN(te.doc_id) AS min_test_doc
+       |FROM grams tr
+       |JOIN grams te ON te.gram = tr.gram
+       | AND tr.split = 'train' AND te.split = 'test'
+       |GROUP BY tr.doc_id
+       |ORDER BY train_doc_id""".stripMargin
+  }
+
   /** Document-frequency cap for q72's 8-grams: a gram shared by more docs
     * than this is boilerplate (no contamination signal) and would otherwise
     * fan the train×test join out quadratically in the duplicated content —
@@ -674,38 +712,7 @@ object TrainingPack {
     // join — the oracle is exactly q72's SQL with the roles swapped, no
     // bloom in sight. False positives (~1%) only cost confirm-join input.
     QueryDef(
-      "q92_bloom_decontamination", {
-        val cat = (1 until DECON_N)
-          .map(k => s"t[i+$k]").mkString("t[i] || ' ' || ", " || ' ' || ", "")
-        s"""WITH b AS (
-           |  SELECT doc_id, string_split(text, ' ') AS t,
-           |    ('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
-           |  FROM documents),
-           |lab AS (
-           |  SELECT doc_id,
-           |    CASE WHEN bucket < 80 THEN 'train'
-           |         WHEN bucket < 90 THEN 'val'
-           |         ELSE 'test' END AS split, t
-           |  FROM b WHERE len(t) >= $DECON_N),
-           |grams_all AS (
-           |  SELECT DISTINCT doc_id, split,
-           |    unnest(list_transform(range(1, len(t) - ${DECON_N - 2}),
-           |      i -> $cat)) AS gram
-           |  FROM lab),
-           |grams AS (SELECT doc_id, split, gram FROM (
-           |    SELECT doc_id, split, gram, COUNT(*) OVER (PARTITION BY gram) AS df
-           |    FROM grams_all)
-           |  WHERE df <= $DECON_MAX_DF)
-           |SELECT tr.doc_id AS train_doc_id,
-           |  CAST(COUNT(DISTINCT tr.gram) AS BIGINT) AS n_shared_grams,
-           |  CAST(COUNT(DISTINCT te.doc_id) AS BIGINT) AS n_test_docs,
-           |  MIN(te.doc_id) AS min_test_doc
-           |FROM grams tr
-           |JOIN grams te ON te.gram = tr.gram
-           | AND tr.split = 'train' AND te.split = 'test'
-           |GROUP BY tr.doc_id
-           |ORDER BY train_doc_id""".stripMargin
-      }) { (s, d) =>
+      "q92_bloom_decontamination", BLOOM_DECON_SQL) { (s, d) =>
       val assigned = Sampling.splitColumn(col("doc_id"), "split",
         Seq("train" -> 80, "val" -> 10, "test" -> 10))
       val t = col("t")
@@ -736,6 +743,72 @@ object TrainingPack {
           countDistinct(col("gram")).as("n_shared_grams"),
           countDistinct(col("test_doc_id")).as("n_test_docs"),
           min(col("test_doc_id")).as("min_test_doc"))
+        .orderBy("train_doc_id")
+    },
+
+    // ---- q153: streaming decontamination gate (stream-static bloom join) ---
+    // q92's deploy shape for continuous ingest: the eval side (capped
+    // grams, test slice, the bloom) is built ONCE from the static corpus;
+    // train documents then arrive as a stream, and each micro-batch runs
+    // gram-explode -> map-side bloom prefilter -> stream-static confirm
+    // join -> per-doc flag row, appended idempotently (batch_id dynamic
+    // overwrite). Per-doc rows are final on arrival — a doc lives in
+    // exactly one micro-batch — so the store's union IS the corpus answer,
+    // no merge step. The train side needs no df cap of its own: the
+    // confirm join is against the CAPPED test slice, and a gram over the
+    // df cap is excluded from te globally, so capping the train side too
+    // (as q92 does) cannot change the join result — which is why this
+    // query hash-checks against q92's EXACT oracle (the q116-vs-q105
+    // trick: same answer, streaming engine in the loop).
+    QueryDef(
+      "q153_stream_decontamination", BLOOM_DECON_SQL) { (s, d) =>
+      val assigned = Sampling.splitColumn(col("doc_id"), "split",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      val t = col("t")
+      val base = Tables.documentsSpread(s, d)
+        .select(col("doc_id"), assigned.as("split"), split(col("text"), " ").as("t"))
+        .filter(size(t) >= DECON_N)
+      val gramsAll = base.select(col("doc_id"), col("split"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(t) - (DECON_N - 1)),
+          i => concat_ws(" ", (0 until DECON_N).map(k => element_at(t, i + k)): _*)
+        ))).as("gram"))
+      val grams = Occupancy.cap(gramsAll, Seq("gram"), DECON_MAX_DF,
+        persistResult = true)
+      val te = grams.filter(col("split") === "test")
+        .select(col("doc_id").as("test_doc_id"), col("gram"))
+        .persist() // probed by every micro-batch
+      val bloom = graft.functions.BloomFuncs.build(
+        te, col("gram"), expectedItems = 1000000L)
+      val srcDir = TextDedupPack.stagedDocBatches(s, d)
+      val store = TextDedupPack.clearedStore(d, "graft-q153-flags-")
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) =>
+        batch
+          .select(col("doc_id"), assigned.as("split"), split(col("text"), " ").as("t"))
+          .filter(col("split") === "train" && size(t) >= DECON_N)
+          .select(col("doc_id").as("train_doc_id"),
+            explode(array_distinct(transform(
+              sequence(lit(1), size(t) - (DECON_N - 1)),
+              i => concat_ws(" ", (0 until DECON_N).map(k => element_at(t, i + k)): _*)
+            ))).as("gram"))
+          .filter(graft.functions.BloomFuncs.mightContain(bloom, col("gram")))
+          .join(te, "gram")
+          .groupBy("train_doc_id")
+          .agg(
+            countDistinct(col("gram")).as("n_shared_grams"),
+            countDistinct(col("test_doc_id")).as("n_test_docs"),
+            min(col("test_doc_id")).as("min_test_doc"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(store.toString))
+      s.read.parquet(store.toString)
+        .select("train_doc_id", "n_shared_grams", "n_test_docs", "min_test_doc")
         .orderBy("train_doc_id")
     },
 
