@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftbridge.{ColumnBridge, FloatDot, JpegDims, NfcNormalize, ZValue}
+import org.apache.spark.sql.graftbridge.{ColumnBridge, FloatDot, GzipCompress, GzipDecompress, JpegDims, NfcNormalize, ZValue}
 
 /** Session extension registering graft's native SQL functions, so pure-SQL
   * users get the codegen'd expressions too:
@@ -38,6 +38,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       GraftExtensions.nfcBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gzip"),
+      new ExpressionInfo(classOf[GzipCompress].getName, "graft_gzip"),
+      GraftExtensions.gzipBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gunzip"),
+      new ExpressionInfo(classOf[GzipDecompress].getName, "graft_gunzip"),
+      GraftExtensions.gunzipBuilder))
   }
 }
 
@@ -66,11 +74,25 @@ object GraftExtensions {
     NfcNormalize(children.head)
   }
 
+  private[graft] val gzipBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 1,
+      s"graft_gzip requires exactly 1 argument, got ${children.length}")
+    GzipCompress(children.head)
+  }
+
+  private[graft] val gunzipBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 1,
+      s"graft_gunzip requires exactly 1 argument, got ${children.length}")
+    GzipDecompress(children.head)
+  }
+
   /** Register the same functions on an already-built session. */
   def register(spark: SparkSession): Unit = {
     ColumnBridge.registerTempFunction(spark, "graft_dot", dotBuilder)
     ColumnBridge.registerTempFunction(spark, "graft_jpeg_dims", jpegDimsBuilder)
     ColumnBridge.registerTempFunction(spark, "graft_zvalue", zvalueBuilder)
     ColumnBridge.registerTempFunction(spark, "graft_nfc", nfcBuilder)
+    ColumnBridge.registerTempFunction(spark, "graft_gzip", gzipBuilder)
+    ColumnBridge.registerTempFunction(spark, "graft_gunzip", gunzipBuilder)
   }
 }

@@ -234,6 +234,41 @@ object MultimodalPack {
         feats, "doc_id", "feat", threshold = 0.9999,
         dim = 8, bits = 8, tables = 4)
         .orderBy("id_a", "id_b")
+    },
+
+    // ---- q154: compressed-payload round trip (native gzip codec) -----------
+    // The 100 TB reality the other blob queries skip: text payloads ship
+    // and sit COMPRESSED (WARC-style per-record gzip), so decode must be
+    // per-row codegen map work. Spark side: utf8(text) -> graft_gzip ->
+    // graft_gunzip -> decode, then per-source accounting over the DECODED
+    // bytes (count, byte volume, a 40-bit-md5 content checksum, and a
+    // must-be-zero failed-decode column). The oracle reads the plain text
+    // directly — it can't see gzip bytes, and doesn't need to: any codec
+    // corruption, truncation, or charset drift breaks the checksum, and a
+    // decode returning null trips n_bad. Compression actually shrinking
+    // payloads (and corrupt-input -> null permissiveness, bomb cap) is
+    // pinned in CompressionSpec, where the compressed side is observable.
+    QueryDef(
+      "q154_compressed_payload",
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+        |  CAST(SUM(('0x' || substring(md5(text), 1, 10))::BIGINT) AS BIGINT) AS checksum,
+        |  CAST(0 AS BIGINT) AS n_bad
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      import graft.functions.CompressionExprs.{gzip, gunzip}
+      val payload = gzip(encode(col("text"), "UTF-8"))
+      Tables.documentsSpread(s, d)
+        .select(col("source"), decode(gunzip(payload), "UTF-8").as("dec"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(encode(col("dec"), "UTF-8"))).cast("long").as("n_bytes"),
+          sum(conv(substring(md5(col("dec")), 1, 10), 16, 10).cast("long"))
+            .cast("long").as("checksum"),
+          sum(when(col("dec").isNull, 1L).otherwise(0L)).as("n_bad"))
+        .orderBy("source")
     }
   )
 
