@@ -17,6 +17,9 @@ run / fork := true
 // tail literally contains `[info] {"metric":...}`). StdoutOutput pipes
 // the child's stdout/stderr through unmodified.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and the "[success] Total time" banner otherwise prints AFTER the
+// bench summary, so the summary wouldn't be stdout's final line.
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -128,13 +128,22 @@ object Bench {
       .mkString("{", ",", "}")
     println(s"""{"bench_detail":$detail,"sf":"$sfDir"}""")
     def shortId(n: String): String = n.takeWhile(_ != '_')
-    val qs = results.map { case (k, v, _) => "\"" + shortId(k) + "\":" + r2(v) }
+    // Sub-0.25 s queries sit below this VM's run-to-run noise floor and are
+    // never perf-graded individually; folding them into one {"n","sum"}
+    // aggregate keeps the summary line ~1.3 KB at 153 queries (the harness
+    // tail keeps only ~2000 chars), leaving headroom for ~50 more slow
+    // queries. Their individual times stay on the bench_detail line, and a
+    // failed query (negative best) is always listed individually.
+    val (slow, fastQ) = results.partition { case (_, v, _) => v < 0 || v >= 0.25 }
+    val qs = slow.map { case (k, v, _) => "\"" + shortId(k) + "\":" + r2(v) }
       .mkString("{", ",", "}")
+    val fastJson =
+      s"""{"n":${fastQ.size},"sum":${r2(fastQ.map(_._2).sum)}}"""
     val total = results.map { case (_, v, _) => math.abs(v) }.sum
     val failedJson = failed.sorted.map(n => "\"" + shortId(n) + "\"")
       .mkString("[", ",", "]")
     val summary =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"fast":$fastJson,"failed":$failedJson,"sf":"$sfDir"}"""
     // The driver tails stdout and parses the last JSON line, but under sbt
     // the `[success] Total time ...` banner prints AFTER us — r6-r9 all came
     // back "parsed": null. Emit the summary on BOTH streams, flushed, so a
