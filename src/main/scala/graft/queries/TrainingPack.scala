@@ -37,6 +37,14 @@ object TrainingPack {
   private val WS_NTOK_SCALE = 100
   private val WS_SALT = "wsample"
 
+  /** q155's fixed sample size (must stay below the smallest SF's corpus:
+    * documents has 500 rows at sf0.001), its priority scale (2^40 — the
+    * u-draw's range, so priority = (w<<40) DIV u is exact BIGINT for
+    * weights < 2^23) and its md5 salt (independent of every other draw). */
+  private val PRIO_K = 150
+  private val PRIO_SCALE = 1099511627776L // 2^40
+  private val PRIO_SALT = "prio"
+
   /** q133's shrinkage strength: pseudo-count of corpus-mean evidence a
     * source must outweigh before its own mean dominates the prior. */
   private val PRIOR_K = 10
@@ -1014,6 +1022,91 @@ object TrainingPack {
           col("target_tokens"), col("rate_bp"),
           coalesce(col("sampled_docs"), lit(0L)).as("sampled_docs"),
           coalesce(col("sampled_tokens"), lit(0L)).as("sampled_tokens"))
+        .orderBy("source")
+    },
+
+    // ---- q155: fixed-k priority sampling (Duffield-Lund-Thorup) ------------
+    // q129 keeps a RATE (sample size drifts with the corpus); a storage/
+    // labeling budget needs EXACTLY k documents, weighted so the sample
+    // still estimates any subset's size. Priority sampling: each doc draws
+    // u ~ Uniform, gets priority w/u, and the k highest priorities are the
+    // sample; tau = the (k+1)-th priority turns it into an unbiased
+    // subset-sum estimator (est_w = max(w, tau) for sampled docs — the
+    // variance-optimal fixed-k weighted scheme). Everything stays EXACT
+    // integers: u is 40 md5 bits + 1 (never zero, real value u/2^40 in
+    // (0,1]), priority is (w << 40) DIV u = floor(w / (u/2^40)) — the
+    // real priority floored to a BIGINT, with n_chars < 2^23 bounding the
+    // scaled product under 2^63 — and ties break on doc_id, so the sample
+    // is deterministic and engine-identical. tau and the weights live in
+    // the same natural units, so the estimator is plain greatest(w, tau). Scale shape: the top-(k+1) plans as
+    // TakeOrderedAndProject (per-partition top-k, merge of k+1 rows per
+    // partition — never a total sort); tau/filter/HT math touch only k+1
+    // rows; the actuals are one keyed agg. At k=150 the corpus-TOTAL
+    // estimate lands within a few percent of the true total; per-source
+    // subsets (~k/20 samples each) are unbiased but visibly noisy —
+    // that's the estimator's variance, shown in the output, not asserted
+    // (hash equality is the gate).
+    QueryDef(
+      "q155_priority_sample",
+      s"""WITH w AS (
+         |  SELECT doc_id, source, n_chars,
+         |    ('0x' || substring(md5('$PRIO_SALT:' || CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT + 1 AS u
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, source, n_chars,
+         |    (n_chars * $PRIO_SCALE) // u AS prio
+         |  FROM w),
+         |r AS (
+         |  SELECT doc_id, source, n_chars, prio,
+         |    ROW_NUMBER() OVER (ORDER BY prio DESC, doc_id) AS rn
+         |  FROM p),
+         |tau AS (SELECT prio AS tau_s FROM r WHERE rn = ${PRIO_K + 1}),
+         |samp AS (SELECT * FROM r WHERE rn <= $PRIO_K),
+         |est AS (
+         |  SELECT s.source, COUNT(*) AS n_sampled, SUM(s.n_chars) AS sampled_chars,
+         |    SUM(GREATEST(s.n_chars, t.tau_s)) AS est_chars
+         |  FROM samp s CROSS JOIN tau t GROUP BY s.source),
+         |act AS (
+         |  SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS actual_chars
+         |  FROM documents GROUP BY source)
+         |SELECT a.source, CAST(a.n_docs AS BIGINT) AS n_docs,
+         |  CAST(a.actual_chars AS BIGINT) AS actual_chars,
+         |  CAST(COALESCE(e.n_sampled, 0) AS BIGINT) AS n_sampled,
+         |  CAST(COALESCE(e.sampled_chars, 0) AS BIGINT) AS sampled_chars,
+         |  CAST(COALESCE(e.est_chars, 0) AS BIGINT) AS est_chars
+         |FROM act a LEFT JOIN est e ON e.source = a.source
+         |ORDER BY a.source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("source"), col("n_chars"),
+        (conv(substring(md5(concat(lit(s"$PRIO_SALT:"),
+          col("doc_id").cast("string"))), 1, 10), 16, 10)
+          .cast("long") + 1L).as("u"))
+      // top-(k+1): the extra row carries tau. 151 rows — persisted so the
+      // tau lookup and the sample filter share one TakeOrdered pass.
+      val top = docs
+        .withColumn("prio", expr(s"n_chars * $PRIO_SCALE DIV u"))
+        .orderBy(col("prio").desc, col("doc_id"))
+        .limit(PRIO_K + 1)
+        .persist()
+      // the (k+1)-th row in (prio DESC, doc_id ASC) order = the min of
+      // struct(prio, -doc_id): smallest priority, then LARGEST doc_id
+      // among its ties — no global-order window needed.
+      val tau = top
+        .agg(min(struct(col("prio"), (-col("doc_id")).as("nd"))).as("t"))
+        .select(col("t.prio").as("tau_s"), (-col("t.nd")).as("tau_doc"))
+      val samp = top.crossJoin(broadcast(tau))
+        .filter(!(col("prio") === col("tau_s") && col("doc_id") === col("tau_doc")))
+      val est = samp.groupBy("source").agg(
+        count(lit(1)).as("n_sampled"),
+        sum(col("n_chars")).as("sampled_chars"),
+        expr("sum(greatest(n_chars, tau_s))").as("est_chars"))
+      val act = Tables.documents(s, d).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("actual_chars"))
+      act.join(est, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("actual_chars"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          coalesce(col("sampled_chars"), lit(0L)).as("sampled_chars"),
+          coalesce(col("est_chars"), lit(0L)).as("est_chars"))
         .orderBy("source")
     },
 

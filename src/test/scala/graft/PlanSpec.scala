@@ -23,7 +23,12 @@ class PlanSpec extends AnyFunSuite {
   }
 
   private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
-    p.collect(pf) ++ p.subqueries.flatMap(collectAll(_)(pf))
+    p.collect(pf) ++ p.subqueries.flatMap(collectAll(_)(pf)) ++
+      // descend into persisted sub-lineages — a query that caches its
+      // shared subtree (q107/q155/...) must not hide nodes from the audit
+      p.collect { case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        collectAll(s.relation.cachedPlan)(pf)
+      }.flatten
 
   private def q(name: String): DataFrame = SparkEntry.byName(name).run(spark, sf)
 
@@ -201,5 +206,21 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(windows.isEmpty, s"q136 planned a window sort:\n$p")
     assert(p.toString.toLowerCase.contains("aggregate"), p.toString.take(500))
+  }
+
+  test("q155's priority-sample top-(k+1) plans as TakeOrdered, never a global sort") {
+    // priority sampling's scale story is per-partition top-k + a k-row
+    // merge; a regression to a global Sort + Limit would shuffle the
+    // whole corpus at 100 TB
+    val p = plan(q("q155_priority_sample"))
+    assert(collectAll(p) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, s"q155 lost its TakeOrderedAndProject:\n$p")
+    val globalSorts = collectAll(p) {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    // the only global sort allowed is the final ~20-row per-source output
+    // ordering, which sits above the aggregates, not on the corpus
+    assert(globalSorts.size <= 1, s"q155 global-sorts the corpus:\n$p")
   }
 }
