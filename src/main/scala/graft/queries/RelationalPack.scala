@@ -1155,6 +1155,42 @@ object RelationalPack {
           col("row._1").as("price"), col("row._2").as("okey"),
           col("row._3").as("lineno"))
         .orderBy("l_returnflag", "rk")
+    },
+
+    // ---- q156: EXACT quantiles by iterative range refinement ---------------
+    // Completes the quantile ladder: q119 exact-but-total-order, q64/q140
+    // approximate-and-scalable — this one is exact AND scalable. The
+    // audit/SLA shape ("the exact p99 event time, not a sketch's"):
+    // Quantiles.exactPercentiles finds each rank by bucketing the open
+    // range into 8192 integer cells per round and counting — one scan +
+    // one metadata-sized histogram per round, never a global sort — so a
+    // 64-bit domain closes in <= 5 rounds (3 here: the event-time range is
+    // ~2^31 us). Ranks are pure counts (no float compare anywhere), so
+    // the values are exactly the oracle's ORDER BY row_number picks.
+    // Timestamps flow as epoch MICROS end-to-end: Spark's `ts div 1000`
+    // nanos read and DuckDB's TIMESTAMP_NS->TIMESTAMP cast both truncate,
+    // verified on .000001999/.000001500 ns fixtures.
+    QueryDef(
+      "q156_exact_quantiles",
+      """WITH v AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS x
+        |  FROM events WHERE ts IS NOT NULL),
+        |n AS (SELECT COUNT(*) AS n FROM v),
+        |ks AS (
+        |  SELECT p, GREATEST(1, (n.n * p + 99) // 100) AS k
+        |  FROM (VALUES (50), (90), (99)) AS t(p) CROSS JOIN n),
+        |r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM v)
+        |SELECT CAST(ks.p AS BIGINT) AS p, CAST(ks.k AS BIGINT) AS k,
+        |  CAST(r.x AS BIGINT) AS value_us
+        |FROM ks JOIN r ON r.rn = ks.k
+        |ORDER BY p""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val res = graft.operators.Quantiles.exactPercentiles(
+        Tables.events(s, d).select(unix_micros(col("ts")).as("x")),
+        "x", Seq(50, 90, 99))
+      res.map { case (p, k, v) => (p.toLong, k, v) }
+        .toDF("p", "k", "value_us")
+        .orderBy("p")
     }
   )
 }

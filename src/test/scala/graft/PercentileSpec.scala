@@ -47,4 +47,40 @@ class PercentileSpec extends AnyFunSuite {
       Seq("l_returnflag", "n", "median_qty", "p90_qty", "approx_median_qty", "approx_p90_qty"))
     assert(df.count() > 0)
   }
+
+  test("Quantiles.exactRanks matches sorted ground truth on adversarial data (q156)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // distributions the refinement loop must survive: heavy duplicates,
+    // negatives, a range wider than 2^53 (the double-division trap), and
+    // a constant column (range 0 — must close in round zero)
+    val cases: Seq[(String, Seq[Long])] = Seq(
+      "dups" -> Seq.fill(500)(rnd.nextInt(10).toLong),
+      "negatives" -> Seq.fill(300)(rnd.nextInt(2000).toLong - 1000L),
+      "wide" -> (Seq(Long.MinValue + 10, Long.MaxValue - 10) ++
+        Seq.fill(200)(rnd.nextLong())),
+      "constant" -> Seq.fill(100)(7L),
+      "skew" -> (Seq.fill(400)(1L) ++ Seq.fill(3)(1000000L)))
+    for ((label, xs) <- cases) {
+      val sorted = xs.sorted
+      val n = xs.size
+      val ranks = Seq(1L, n / 2L + 1, n.toLong)
+      // small bucket count forces multiple refinement rounds
+      val got = graft.operators.Quantiles.exactRanks(xs.toDF("x"), "x", ranks, buckets = 4)
+      for (k <- ranks)
+        assert(got(k) == sorted((k - 1).toInt),
+          s"$label rank $k: got ${got(k)}, want ${sorted((k - 1).toInt)}")
+    }
+  }
+
+  test("Quantiles.exactPercentiles ranks agree with exactRanks on lineitem") {
+    val df = Tables.lineitem(spark, sf)
+      .select((col("l_extendedprice") * 100).cast("long").as("cents"))
+    val ps = graft.operators.Quantiles.exactPercentiles(df, "cents", Seq(50, 99))
+    val exact = df.collect().map(_.getLong(0)).sorted
+    for ((p, k, v) <- ps) {
+      assert(k == math.max(1L, (exact.length.toLong * p + 99) / 100))
+      assert(v == exact((k - 1).toInt), s"p$p rank $k: $v != ${exact((k - 1).toInt)}")
+    }
+  }
 }
