@@ -1110,6 +1110,30 @@ object TrainingPack {
         .orderBy("source")
     },
 
+    // ---- q157: contiguous global IDs without a total sort ------------------
+    // Every packed training corpus needs dense sample indices (shard
+    // addressing, resumable iteration), and monotonically_increasing_id
+    // is neither dense nor ordered while ROW_NUMBER over a global ORDER
+    // BY is a one-reducer sort. GlobalIds.assign is the scale shape:
+    // range-partition on the key, rank per partition in parallel, add
+    // broadcast count-prefix offsets. Ordered longest-doc-first
+    // (curriculum order), ties broken by doc_id — a total order, so the
+    // IDs are a deterministic permutation of 1..n and hash-match the
+    // oracle's window exactly at every SF.
+    QueryDef(
+      "q157_global_ids",
+      """SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS global_id
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.GlobalIds.assign(
+          Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+          Seq(col("n_chars").desc, col("doc_id")), "global_id")
+        .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"),
+          col("global_id"))
+        .orderBy("doc_id")
+    },
+
     // ---- q102: per-source distribution divergence (corpus-drift audit) -----
     // The data-card metric behind mixture monitoring: how far each
     // source's unigram distribution sits from the corpus-wide one, as

@@ -151,4 +151,27 @@ class AnalyticsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(again.toSeq == ids.toSeq)
   }
+
+  test("GlobalIds assigns a dense 1..n permutation invariant to partitioning (q157)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // duplicate keys force the tie-break to matter; id column makes the
+    // order total
+    val rows = (1L to 500L).map(i => (i, rnd.nextInt(20).toLong))
+    val df = rows.toDF("id", "key")
+    def run(parts: Int): Seq[(Long, Long)] =
+      graft.operators.GlobalIds
+        .assign(df, Seq(col("key").desc, col("id")), "gid", parts)
+        .select("id", "gid").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(_._1).toSeq
+    val expected = rows.sortBy { case (id, key) => (-key, id) }
+      .zipWithIndex.map { case ((id, _), i) => (id, i + 1L) }
+      .sortBy(_._1)
+    // dense permutation matching the total order, and bit-identical under
+    // 3, 7 and 32 partitions — boundary placement must not matter
+    for (p <- Seq(3, 7, 32)) {
+      spark.catalog.clearCache()
+      assert(run(p) == expected, s"partitions=$p")
+    }
+  }
 }
