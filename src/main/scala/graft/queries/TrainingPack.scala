@@ -45,6 +45,78 @@ object TrainingPack {
   private val PRIO_SCALE = 1099511627776L // 2^40
   private val PRIO_SALT = "prio"
 
+  /** Shared oracle for q155 (batch) and q158 (streaming): priority
+    * sampling is mergeable — the global top-(k+1) priorities are the
+    * top-(k+1) of any union of per-slice top-(k+1)s — so the streaming
+    * per-batch merge must land on the byte-identical answer (the
+    * q116-vs-q105 same-oracle trick, for sampling). */
+  private val PRIO_SAMPLE_SQL =
+    s"""WITH w AS (
+       |  SELECT doc_id, source, n_chars,
+       |    ('0x' || substring(md5('$PRIO_SALT:' || CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT + 1 AS u
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, source, n_chars,
+       |    (n_chars * $PRIO_SCALE) // u AS prio
+       |  FROM w),
+       |r AS (
+       |  SELECT doc_id, source, n_chars, prio,
+       |    ROW_NUMBER() OVER (ORDER BY prio DESC, doc_id) AS rn
+       |  FROM p),
+       |tau AS (SELECT prio AS tau_s FROM r WHERE rn = ${PRIO_K + 1}),
+       |samp AS (SELECT * FROM r WHERE rn <= $PRIO_K),
+       |est AS (
+       |  SELECT s.source, COUNT(*) AS n_sampled, SUM(s.n_chars) AS sampled_chars,
+       |    SUM(GREATEST(s.n_chars, t.tau_s)) AS est_chars
+       |  FROM samp s CROSS JOIN tau t GROUP BY s.source),
+       |act AS (
+       |  SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS actual_chars
+       |  FROM documents GROUP BY source)
+       |SELECT a.source, CAST(a.n_docs AS BIGINT) AS n_docs,
+       |  CAST(a.actual_chars AS BIGINT) AS actual_chars,
+       |  CAST(COALESCE(e.n_sampled, 0) AS BIGINT) AS n_sampled,
+       |  CAST(COALESCE(e.sampled_chars, 0) AS BIGINT) AS sampled_chars,
+       |  CAST(COALESCE(e.est_chars, 0) AS BIGINT) AS est_chars
+       |FROM act a LEFT JOIN est e ON e.source = a.source
+       |ORDER BY a.source""".stripMargin
+
+  /** (doc_id, source, n_chars, u, prio) for the priority draw — shared by
+    * the batch top-k and the streaming per-batch top-k. */
+  private def prioDraw(df: org.apache.spark.sql.DataFrame) =
+    df.select(
+        col("doc_id"), col("source"), col("n_chars"),
+        (conv(substring(md5(concat(lit(s"$PRIO_SALT:"),
+          col("doc_id").cast("string"))), 1, 10), 16, 10)
+          .cast("long") + 1L).as("u"))
+      .withColumn("prio", expr(s"n_chars * $PRIO_SCALE DIV u"))
+
+  /** tau extraction + HT estimates + per-source actuals over a
+    * top-(PRIO_K+1) DataFrame; `corpus` supplies the true totals. */
+  private def prioSummary(
+      top: org.apache.spark.sql.DataFrame,
+      corpus: org.apache.spark.sql.DataFrame) = {
+    // the (k+1)-th row in (prio DESC, doc_id ASC) order = the min of
+    // struct(prio, -doc_id): smallest priority, then LARGEST doc_id
+    // among its ties — no global-order window needed.
+    val tau = top
+      .agg(min(struct(col("prio"), (-col("doc_id")).as("nd"))).as("t"))
+      .select(col("t.prio").as("tau_s"), (-col("t.nd")).as("tau_doc"))
+    val samp = top.crossJoin(broadcast(tau))
+      .filter(!(col("prio") === col("tau_s") && col("doc_id") === col("tau_doc")))
+    val est = samp.groupBy("source").agg(
+      count(lit(1)).as("n_sampled"),
+      sum(col("n_chars")).as("sampled_chars"),
+      expr("sum(greatest(n_chars, tau_s))").as("est_chars"))
+    val act = corpus.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("actual_chars"))
+    act.join(est, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("actual_chars"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("sampled_chars"), lit(0L)).as("sampled_chars"),
+        coalesce(col("est_chars"), lit(0L)).as("est_chars"))
+      .orderBy("source")
+  }
+
   /** q133's shrinkage strength: pseudo-count of corpus-mean evidence a
     * source must outweigh before its own mean dominates the prior. */
   private val PRIOR_K = 10
@@ -1047,67 +1119,47 @@ object TrainingPack {
     // that's the estimator's variance, shown in the output, not asserted
     // (hash equality is the gate).
     QueryDef(
-      "q155_priority_sample",
-      s"""WITH w AS (
-         |  SELECT doc_id, source, n_chars,
-         |    ('0x' || substring(md5('$PRIO_SALT:' || CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT + 1 AS u
-         |  FROM documents),
-         |p AS (
-         |  SELECT doc_id, source, n_chars,
-         |    (n_chars * $PRIO_SCALE) // u AS prio
-         |  FROM w),
-         |r AS (
-         |  SELECT doc_id, source, n_chars, prio,
-         |    ROW_NUMBER() OVER (ORDER BY prio DESC, doc_id) AS rn
-         |  FROM p),
-         |tau AS (SELECT prio AS tau_s FROM r WHERE rn = ${PRIO_K + 1}),
-         |samp AS (SELECT * FROM r WHERE rn <= $PRIO_K),
-         |est AS (
-         |  SELECT s.source, COUNT(*) AS n_sampled, SUM(s.n_chars) AS sampled_chars,
-         |    SUM(GREATEST(s.n_chars, t.tau_s)) AS est_chars
-         |  FROM samp s CROSS JOIN tau t GROUP BY s.source),
-         |act AS (
-         |  SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS actual_chars
-         |  FROM documents GROUP BY source)
-         |SELECT a.source, CAST(a.n_docs AS BIGINT) AS n_docs,
-         |  CAST(a.actual_chars AS BIGINT) AS actual_chars,
-         |  CAST(COALESCE(e.n_sampled, 0) AS BIGINT) AS n_sampled,
-         |  CAST(COALESCE(e.sampled_chars, 0) AS BIGINT) AS sampled_chars,
-         |  CAST(COALESCE(e.est_chars, 0) AS BIGINT) AS est_chars
-         |FROM act a LEFT JOIN est e ON e.source = a.source
-         |ORDER BY a.source""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d).select(
-        col("doc_id"), col("source"), col("n_chars"),
-        (conv(substring(md5(concat(lit(s"$PRIO_SALT:"),
-          col("doc_id").cast("string"))), 1, 10), 16, 10)
-          .cast("long") + 1L).as("u"))
+      "q155_priority_sample", PRIO_SAMPLE_SQL) { (s, d) =>
       // top-(k+1): the extra row carries tau. 151 rows — persisted so the
       // tau lookup and the sample filter share one TakeOrdered pass.
-      val top = docs
-        .withColumn("prio", expr(s"n_chars * $PRIO_SCALE DIV u"))
+      val top = prioDraw(Tables.documents(s, d))
         .orderBy(col("prio").desc, col("doc_id"))
         .limit(PRIO_K + 1)
         .persist()
-      // the (k+1)-th row in (prio DESC, doc_id ASC) order = the min of
-      // struct(prio, -doc_id): smallest priority, then LARGEST doc_id
-      // among its ties — no global-order window needed.
-      val tau = top
-        .agg(min(struct(col("prio"), (-col("doc_id")).as("nd"))).as("t"))
-        .select(col("t.prio").as("tau_s"), (-col("t.nd")).as("tau_doc"))
-      val samp = top.crossJoin(broadcast(tau))
-        .filter(!(col("prio") === col("tau_s") && col("doc_id") === col("tau_doc")))
-      val est = samp.groupBy("source").agg(
-        count(lit(1)).as("n_sampled"),
-        sum(col("n_chars")).as("sampled_chars"),
-        expr("sum(greatest(n_chars, tau_s))").as("est_chars"))
-      val act = Tables.documents(s, d).groupBy("source")
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("actual_chars"))
-      act.join(est, Seq("source"), "left")
-        .select(col("source"), col("n_docs"), col("actual_chars"),
-          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
-          coalesce(col("sampled_chars"), lit(0L)).as("sampled_chars"),
-          coalesce(col("est_chars"), lit(0L)).as("est_chars"))
-        .orderBy("source")
+      prioSummary(top, Tables.documents(s, d))
+    },
+
+    // ---- q158: STREAMING fixed-k priority sampling -------------------------
+    // q155's deploy shape for continuous ingest: priorities are mergeable
+    // (any element of the global top-(k+1) is in its slice's top-(k+1)),
+    // so each micro-batch keeps only its own top-(k+1) draw — k+1 rows of
+    // state per batch, written idempotently (batch_id dynamic overwrite,
+    // cf. q130/q139) — and the final sample is the top-(k+1) of the
+    // store's union. Same tau/HT math as q155, same oracle, and the
+    // stream must land on the byte-identical sample and estimates with
+    // the real streaming engine in the loop.
+    QueryDef(
+      "q158_stream_priority_sample", PRIO_SAMPLE_SQL) { (s, d) =>
+      val srcDir = TextDedupPack.stagedDocBatches(s, d)
+      val store = TextDedupPack.clearedStore(d, "graft-q158-prio-")
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) =>
+        prioDraw(batch)
+          .orderBy(col("prio").desc, col("doc_id"))
+          .limit(PRIO_K + 1)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(store.toString))
+      val top = s.read.parquet(store.toString)
+        .orderBy(col("prio").desc, col("doc_id"))
+        .limit(PRIO_K + 1)
+        .persist()
+      prioSummary(top, Tables.documents(s, d))
     },
 
     // ---- q157: contiguous global IDs without a total sort ------------------
