@@ -41,7 +41,31 @@ object Quantiles {
       valueCol: String,
       ranks: Seq[Long],
       buckets: Int = 8192): Map[Long, Long] =
-    run(df, valueCol, (_, _) => ranks, buckets)._2
+    run(df, valueCol, lit(1L), (_, _) => ranks, buckets)._2
+
+  /** WEIGHTED exact percentiles: the p-th value is the smallest x whose
+    * cumulative weight reaches ceil(W*p/100) of the total weight W —
+    * e.g. with weight = n_chars, p=50 is the doc length below which half
+    * the corpus' characters live. Weights must be positive integers; the
+    * refinement loop is identical to the unweighted one with per-cell
+    * SUM(weight) instead of COUNT — unweighted IS weight 1. Returns
+    * (p, weightRank, value) sorted by p.
+    */
+  def exactWeightedPercentiles(
+      df: DataFrame,
+      valueCol: String,
+      weightCol: String,
+      percents: Seq[Int],
+      buckets: Int = 8192): Seq[(Int, Long, Long)] = {
+    require(percents.forall(p => p >= 1 && p <= 100), "percent must be 1..100")
+    val (w, byRank) =
+      run(df, valueCol, col(weightCol).cast("long"),
+        (ww, _) => percents.map(p => math.max(1L, (ww * p + 99) / 100)), buckets)
+    percents.sorted.map { p =>
+      val k = math.max(1L, (w * p + 99) / 100)
+      (p, k, byRank(k))
+    }
+  }
 
   /** Exact p-th percentiles (p in integer percent, 1..100) with rank
     * k_p = ceil(n*p/100) clamped to >= 1. Returns (p, rank, value) sorted
@@ -55,17 +79,20 @@ object Quantiles {
       buckets: Int = 8192): Seq[(Int, Long, Long)] = {
     require(percents.forall(p => p >= 1 && p <= 100), "percent must be 1..100")
     val (n, byRank) =
-      run(df, valueCol, (nn, _) => percents.map(p => math.max(1L, (nn * p + 99) / 100)), buckets)
+      run(df, valueCol, lit(1L),
+        (nn, _) => percents.map(p => math.max(1L, (nn * p + 99) / 100)), buckets)
     percents.sorted.map { p =>
       val k = math.max(1L, (n * p + 99) / 100)
       (p, k, byRank(k))
     }
   }
 
-  /** Shared refinement loop; `mkRanks` receives (count, (min, max)). */
+  /** Shared refinement loop over weighted ranks (weight 1 = plain rank);
+    * `mkRanks` receives (totalWeight, (min, max)). */
   private def run(
       df: DataFrame,
       valueCol: String,
+      weight: org.apache.spark.sql.Column,
       mkRanks: (Long, (Long, Long)) => Seq[Long],
       buckets: Int): (Long, Map[Long, Long]) = {
     // >= 4 keeps the unsigned bucket width below 2^62 + 1, so it is always
@@ -74,16 +101,16 @@ object Quantiles {
     require(buckets >= 4, "need at least 4 buckets per round")
     val spark = df.sparkSession
     import spark.implicits._
-    val v = df.select(col(valueCol).cast("long").as("x"))
-      .filter(col("x").isNotNull)
+    val v = df.select(col(valueCol).cast("long").as("x"), weight.as("w"))
+      .filter(col("x").isNotNull && col("w").isNotNull && col("w") > 0)
       .persist()
     try {
       val Row(mn: Long, mx: Long, n: Long) =
-        v.agg(min("x"), max("x"), count("x")).head()
+        v.agg(min("x"), max("x"), sum("w")).head()
       val ranks = mkRanks(n, (mn, mx))
       require(ranks.nonEmpty && ranks.forall(k => k >= 1 && k <= n),
         s"ranks must lie in [1, $n]")
-      // per rank: (lo, hi, base) with base = exact #rows < lo
+      // per rank: (lo, hi, base) with base = exact weight strictly below lo
       var st: Map[Long, (Long, Long, Long)] =
         ranks.distinct.map(k => k -> (mn, mx, 0L)).toMap
       while (st.exists { case (_, (lo, hi, _)) => lo < hi }) {
@@ -109,7 +136,7 @@ object Quantiles {
           .groupBy(col("k"), expr(
             "(shiftrightunsigned(x - lo, 1) DIV wd) * 2 + " +
               "((shiftrightunsigned(x - lo, 1) % wd) * 2 + ((x - lo) & 1)) DIV wd").as("b"))
-          .agg(count(lit(1)).as("c"))
+          .agg(sum("w").as("c"))
           .collect()
           .groupBy(_.getLong(0))
         for ((k, lo0, _, wd) <- open) {

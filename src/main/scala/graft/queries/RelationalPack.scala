@@ -1191,6 +1191,38 @@ object RelationalPack {
       res.map { case (p, k, v) => (p.toLong, k, v) }
         .toDF("p", "k", "value_us")
         .orderBy("p")
+    },
+
+    // ---- q159: exact WEIGHTED quantiles (char-mass distribution) -----------
+    // The corpus question row-quantiles can't answer: "below which doc
+    // length does a quarter / half / 90% of the corpus' CHARACTER MASS
+    // live?" — the shard-budget and truncation-policy number. Same
+    // refinement loop as q156 with per-cell SUM(weight) for COUNT
+    // (weight = n_chars here; unweighted is weight 1), ranks in weight
+    // units k = ceil(W*p/100), answer = smallest x whose cumulative
+    // weight reaches k. Still integer counting end-to-end, still no
+    // global sort, still <= 5 rounds on a 64-bit domain.
+    QueryDef(
+      "q159_weighted_quantiles",
+      """WITH v AS (SELECT n_chars AS x FROM documents),
+        |g AS (SELECT x, SUM(x) AS wt FROM v GROUP BY x),
+        |c AS (SELECT x, SUM(wt) OVER (ORDER BY x) AS cum FROM g),
+        |tot AS (SELECT SUM(x) AS tw FROM v),
+        |ks AS (
+        |  SELECT p, GREATEST(1, (tot.tw * p + 99) // 100) AS k
+        |  FROM (VALUES (25), (50), (90)) AS t(p) CROSS JOIN tot)
+        |SELECT CAST(ks.p AS BIGINT) AS p, CAST(ks.k AS BIGINT) AS k,
+        |  CAST(MIN(c.x) AS BIGINT) AS value
+        |FROM ks JOIN c ON c.cum >= ks.k
+        |GROUP BY ks.p, ks.k
+        |ORDER BY p""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val res = graft.operators.Quantiles.exactWeightedPercentiles(
+        Tables.documents(s, d).select(col("n_chars").as("x")),
+        "x", "x", Seq(25, 50, 90))
+      res.map { case (p, k, v) => (p.toLong, k, v) }
+        .toDF("p", "k", "value")
+        .orderBy("p")
     }
   )
 }

@@ -73,6 +73,30 @@ class PercentileSpec extends AnyFunSuite {
     }
   }
 
+  test("Quantiles.exactWeightedPercentiles matches cumulative-weight ground truth (q159)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(400)((rnd.nextInt(50).toLong - 10L, rnd.nextInt(9).toLong + 1L))
+    val df = rows.toDF("x", "w")
+    val got = graft.operators.Quantiles
+      .exactWeightedPercentiles(df, "x", "w", Seq(1, 25, 50, 90, 100), buckets = 4)
+    val total = rows.map(_._2).sum
+    val sorted = rows.sortBy(_._1)
+    for ((p, k, v) <- got) {
+      assert(k == math.max(1L, (total * p + 99) / 100))
+      // ground truth: smallest x whose running weight reaches k
+      val truth = sorted
+        .scanLeft((0L, 0L)) { case ((_, cum), (x, w)) => (x, cum + w) }
+        .tail.find(_._2 >= k).get._1
+      assert(v == truth, s"p$p (weight rank $k): $v != $truth")
+    }
+    // weight-1 degenerates to the unweighted definition
+    val ones = graft.operators.Quantiles
+      .exactWeightedPercentiles(df.withColumn("w", lit(1L)), "x", "w", Seq(50), buckets = 4)
+    val plain = graft.operators.Quantiles.exactPercentiles(df, "x", Seq(50), buckets = 4)
+    assert(ones.map(t => (t._1, t._3)) == plain.map(t => (t._1, t._3)))
+  }
+
   test("Quantiles.exactPercentiles ranks agree with exactRanks on lineitem") {
     val df = Tables.lineitem(spark, sf)
       .select((col("l_extendedprice") * 100).cast("long").as("cents"))
