@@ -1223,6 +1223,50 @@ object RelationalPack {
       res.map { case (p, k, v) => (p.toLong, k, v) }
         .toDF("p", "k", "value")
         .orderBy("p")
+    },
+
+    // ---- q160: robust outlier audit via exact median/MAD -------------------
+    // Mean/stddev outlier gates (q70's family) are themselves skewed by
+    // the outliers they hunt; the robust version needs the median and the
+    // median absolute deviation — both EXACT order statistics, both found
+    // by q156's refinement loop (two passes, no global sort, two longs on
+    // the driver — the Ivf model-holding pattern). The outlier rule
+    // |x - med| > 3*MAD then costs one more integer map-side pass. Rank
+    // convention k = ceil(n/2) matches Quantiles.exactPercentiles(50)
+    // exactly, so the whole audit hash-checks.
+    QueryDef(
+      "q160_mad_outliers",
+      """WITH v AS (SELECT source, n_chars AS x FROM documents),
+        |n AS (SELECT COUNT(*) AS n FROM v),
+        |med AS (
+        |  SELECT x AS m FROM
+        |    (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM v) r
+        |    JOIN n ON r.rn = GREATEST(1, (n.n * 50 + 99) // 100)),
+        |dev AS (SELECT source, x, ABS(x - med.m) AS dv FROM v CROSS JOIN med),
+        |mad AS (
+        |  SELECT dv AS md FROM
+        |    (SELECT dv, ROW_NUMBER() OVER (ORDER BY dv) AS rn FROM dev) r
+        |    JOIN n ON r.rn = GREATEST(1, (n.n * 50 + 99) // 100))
+        |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN d.dv > 3 * mad.md THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(MIN(med.m) AS BIGINT) AS median,
+        |  CAST(MIN(mad.md) AS BIGINT) AS mad
+        |FROM dev d CROSS JOIN med CROSS JOIN mad
+        |GROUP BY d.source
+        |ORDER BY d.source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("n_chars").cast("long").as("x"))
+      val med = graft.operators.Quantiles
+        .exactPercentiles(docs, "x", Seq(50)).head._3
+      val dev = docs.withColumn("dv", abs(col("x") - lit(med)))
+      val mad = graft.operators.Quantiles
+        .exactPercentiles(dev.select(col("dv").as("x")), "x", Seq(50)).head._3
+      dev.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("dv") > lit(3L * mad), 1L).otherwise(0L)).as("n_outliers"))
+        .select(col("source"), col("n_docs"), col("n_outliers"),
+          lit(med).as("median"), lit(mad).as("mad"))
+        .orderBy("source")
     }
   )
 }
