@@ -2264,6 +2264,87 @@ object TextDedupPack {
         .orderBy("doc_a", "doc_b")
     },
 
+    // ---- q161: asymmetric containment join (quote/subset detection) --------
+    // Jaccard (q27/q131) misses the quote case: a short doc copied INTO a
+    // long one scores low symmetric similarity but containment
+    // C(a->b) = |G(a) ∩ G(b)| / |G(a)| = 1. The prefix principle carries
+    // over asymmetrically: if C >= θ then common >= ceil(θ·|a|), which
+    // cannot fit in a's dropped suffix of ceil(θ·|a|) - 1 grams — so
+    // probing only a's |a| - ceil(θ·|a|) + 1 RAREST grams against the
+    // full posting list is lossless, and join cost is bounded by the df
+    // of rare grams, not all-pairs. Verification then counts exact
+    // overlap for candidates only; the oracle is UNCAPPED brute force.
+    // The fixture corpus has no cross-doc quotes, so every doc_id % 7 == 0
+    // doc PLANTS one: its first 24 tokens re-enter as doc_id + 1000000,
+    // the same augmentation on both engines — each planted quote MUST
+    // surface with containment 10000 bp exactly.
+    QueryDef(
+      "q161_containment_join",
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |    array_to_string(string_split(text, ' ')[1:24], ' ') AS text
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+         |          WHERE len(string_split(text, ' ')) >= 3),
+         |grams AS (SELECT DISTINCT doc_id,
+         |            unnest(list_transform(range(1, len(t) - 1),
+         |                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+         |          FROM toks),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+         |co AS (SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+         |         COUNT(*) AS common
+         |       FROM grams a JOIN grams b
+         |         ON a.gram = b.gram AND a.doc_id <> b.doc_id
+         |       GROUP BY a.doc_id, b.doc_id)
+         |SELECT contained_id, container_id, CAST(common AS BIGINT) AS common,
+         |  CAST(sa.n AS BIGINT) AS na,
+         |  CAST(common * 10000 // sa.n AS BIGINT) AS cont_bp
+         |FROM co JOIN sizes sa ON sa.doc_id = contained_id
+         |WHERE common * 10 >= sa.n * 8
+         |ORDER BY contained_id, container_id""".stripMargin) { (s, d) =>
+      val base = Tables.documentsSpread(s, d)
+      val corpus = base.select(col("doc_id"), col("text")).unionByName(
+        base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 24)).as("text")))
+      val t = col("t")
+      val grams = corpus
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(t) >= 3)
+        .select(col("doc_id"),
+          explode(array_distinct(transform(
+            sequence(lit(1), size(t) - 2),
+            i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))
+          ))).as("gram"))
+        .persist()
+      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("na"))
+      val dfc = grams.groupBy("gram").agg(count(lit(1)).as("__df"))
+      // ceil(0.8·n) = (8n + 9) div 10, all integer
+      val pref = grams.join(dfc, "gram")
+        .join(sizes.select(col("doc_id"), col("na").as("__n")), "doc_id")
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("__df"), col("gram"))))
+        .filter(col("__rk") <= col("__n") - expr("(__n * 8 + 9) div 10") + 1)
+        .select(col("doc_id").as("contained_id"), col("gram"))
+      val cands = pref
+        .join(grams.select(col("doc_id").as("container_id"), col("gram")), "gram")
+        .filter(col("contained_id") =!= col("container_id"))
+        .select("contained_id", "container_id").distinct()
+      val common = cands
+        .join(grams.select(col("doc_id").as("contained_id"), col("gram")), "contained_id")
+        .join(grams.select(col("doc_id").as("container_id"), col("gram")),
+          Seq("container_id", "gram"))
+        .groupBy("contained_id", "container_id").agg(count(lit(1)).as("common"))
+      common
+        .join(sizes.select(col("doc_id").as("contained_id"), col("na")), "contained_id")
+        .filter(col("common") * 10 >= col("na") * 8)
+        .select(col("contained_id"), col("container_id"), col("common"), col("na"),
+          expr("common * 10000 div na").as("cont_bp"))
+        .orderBy("contained_id", "container_id")
+    },
+
     // ---- q134: BPE merge-pair learning -------------------------------------
     // Completes q40's honest gap ("real BPE needs a learned merge table"):
     // learn the table. Classic shape: aggregate the corpus ONCE into the

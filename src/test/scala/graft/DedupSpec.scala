@@ -402,4 +402,22 @@ class DedupSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("containment join (q161) surfaces every planted quote at exactly 10000 bp") {
+    val rows = SparkEntry.byName("q161_containment_join").run(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    // every doc_id % 7 == 0 doc with >= 3 tokens plants a quote copy at
+    // doc_id + 1000000; its grams are a subset of the original's, so the
+    // (quote -> original) pair must appear with containment exactly 1
+    val quotable = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 7 === 0 &&
+        size(split(col("text"), " ")) >= 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(quotable.nonEmpty)
+    val planted = rows.filter { case (a, b, _) => a >= 1000000L && b == a - 1000000L }
+    assert(planted.map(_._2).toSet == quotable,
+      s"missing planted pairs: ${quotable -- planted.map(_._2).toSet}")
+    assert(planted.forall(_._3 == 10000L), "a planted quote scored below 10000 bp")
+  }
 }
