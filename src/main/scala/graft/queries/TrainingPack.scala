@@ -957,6 +957,98 @@ object TrainingPack {
         .orderBy("doc_id")
     },
 
+    // ---- q162: bigram-LM scoring (the CCNet-perplexity shape) --------------
+    // One order up from q93: real web-corpus filters score with an n-gram
+    // LM because unigram NLL can't see scrambled word order. Standard
+    // construction: rare tokens (c < min-count) map to '<unk>' (the
+    // normalized stream is [a-z]+ only, so the symbol cannot collide),
+    // bigram counts c2(a,b) and context totals c1(a) = sum_b c2(a,b) come
+    // from two keyed aggs, and each doc scores its average add-one NLL
+    // -ln((c2+1)/(c1+V+2)) over consecutive mapped pairs. The model is
+    // corpus-fit like q93's, every join is keyed on token/bigram (partial-
+    // agg friendly, broadcastable model tables at bounded vocab), and the
+    // q93 decimal ledger (exact DECIMAL(38,20) sums, one DECIMAL(18,8)
+    // round) keeps last-ulp ln() divergence out of the hash.
+    QueryDef(
+      "q162_bigram_logprob",
+      s"""WITH norm AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^a-z ]', '', 'g'), '  *', ' ', 'g')), ' '), x -> x <> '') AS t
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(t) AS tok FROM norm),
+         |cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+         |vocab AS (SELECT tok FROM cnt WHERE c >= $LM_MIN_COUNT),
+         |bg AS (
+         |  SELECT doc_id, u.a AS a, u.b AS b FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(range(1, len(t)), i -> {a: t[i], b: t[i+1]})) AS u
+         |    FROM norm WHERE len(t) >= 2)),
+         |m AS (
+         |  SELECT doc_id,
+         |    CASE WHEN va.tok IS NULL THEN '<unk>' ELSE bg.a END AS a,
+         |    CASE WHEN vb.tok IS NULL THEN '<unk>' ELSE bg.b END AS b
+         |  FROM bg
+         |  LEFT JOIN vocab va ON va.tok = bg.a
+         |  LEFT JOIN vocab vb ON vb.tok = bg.b),
+         |c2 AS (SELECT a, b, COUNT(*) AS c2 FROM m GROUP BY a, b),
+         |c1 AS (SELECT a, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY a),
+         |vm AS (SELECT COUNT(*) + 1 AS V FROM vocab),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CASE WHEN m.a = '<unk>' OR m.b = '<unk>' THEN 1 ELSE 0 END AS unk,
+         |    CAST(-ln((c2.c2 + 1.0) / (c1.c1 + vm.V + 1.0)) AS DECIMAL(38,20)) AS nll
+         |  FROM m JOIN c2 USING (a, b) JOIN c1 USING (a) CROSS JOIN vm)
+         |SELECT doc_id,
+         |  COUNT(*) AS n_bigrams,
+         |  CAST(SUM(unk) AS BIGINT) AS n_unk,
+         |  CAST(CAST(CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS DECIMAL(18,8)) AS DOUBLE) AS avg_nll
+         |FROM scored
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val normE = trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z ]", ""), "  *", " "))
+      val norm = Tables.documentsSpread(s, d)
+        .select(col("doc_id"), filter(split(normE, " "), x => x =!= "").as("t"))
+        .persist()
+      val tok = norm.select(col("doc_id"), explode(col("t")).as("tok"))
+      val vocab = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= LM_MIN_COUNT).select("tok")
+      val t = col("t")
+      val bg = norm.filter(size(t) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(t) - 1),
+          i => struct(element_at(t, i).as("a"), element_at(t, i + 1).as("b"))
+        )).as("u"))
+        .select(col("doc_id"), col("u.a").as("a"), col("u.b").as("b"))
+      val m = bg
+        .join(vocab.select(col("tok").as("a"), lit(1).as("__va")), Seq("a"), "left")
+        .join(vocab.select(col("tok").as("b"), lit(1).as("__vb")), Seq("b"), "left")
+        .select(col("doc_id"),
+          when(col("__va").isNull, "<unk>").otherwise(col("a")).as("a"),
+          when(col("__vb").isNull, "<unk>").otherwise(col("b")).as("b"))
+        .persist()
+      val c2 = m.groupBy("a", "b").agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy("a").agg(sum(col("c2")).as("c1"))
+      val vm = vocab.agg((count(lit(1)) + 1).as("V"))
+      val scored = m
+        .join(c2, Seq("a", "b"))
+        .join(c1, Seq("a"))
+        .crossJoin(broadcast(vm))
+        .select(col("doc_id"),
+          when(col("a") === "<unk>" || col("b") === "<unk>", 1L).otherwise(0L).as("unk"),
+          (-log((col("c2") + lit(1.0)) / (col("c1") + col("V") + lit(1.0))))
+            .cast(DecimalType(38, 20)).as("nll"))
+      scored.groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          sum(col("unk")).as("n_unk"),
+          (sum(col("nll")).cast("double") / count(lit(1)))
+            .cast(DecimalType(18, 8)).cast("double").as("avg_nll"))
+        .orderBy("doc_id")
+    },
+
     // ---- q97: domain-mixture token-budget resampling -----------------------
     // Corpus mixing: rebalance per-source token mass toward a uniform
     // share by downsampling over-represented sources. The plan is pure
