@@ -51,4 +51,36 @@ object GlobalIds {
       .withColumn(idName, row_number().over(w).cast("long") + col("__off"))
       .drop("__pid", "__off")
   }
+
+  /** Adds `outName` (LONG): the EXCLUSIVE running sum of `weightCol` in
+    * `order` — the weight strictly before each row. Same machinery as
+    * [[assign]] with per-partition weight totals for counts; `assign` is
+    * this with weight 1 shifted by one. The backbone of equal-budget
+    * shard planning: shard = prefix DIV budget is then one map-side
+    * expression. `order` must be a total order; weights non-negative. */
+  def prefixSum(df: DataFrame, order: Seq[Column], weightCol: String,
+      outName: String, partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p =
+      if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(p, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val totals = ranged.groupBy("__pid")
+      .agg(sum(col(weightCol).cast("long")).as("w"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val starts = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, w)) =>
+      (pid, acc + w)
+    }.tail.zip(totals).map { case ((pid, cum), (_, w)) => (pid, cum - w) }
+    val offDf = broadcast(starts.toSeq.toDF("__pid", "__off"))
+    val w = Window.partitionBy("__pid").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged.join(offDf, "__pid")
+      .withColumn(outName,
+        coalesce(sum(col(weightCol).cast("long")).over(w), lit(0L)) + col("__off"))
+      .drop("__pid", "__off")
+  }
 }

@@ -45,6 +45,9 @@ object TrainingPack {
   private val PRIO_SCALE = 1099511627776L // 2^40
   private val PRIO_SALT = "prio"
 
+  /** q163's shard count. */
+  private val SHARD_S = 8
+
   /** Shared oracle for q155 (batch) and q158 (streaming): priority
     * sampling is mergeable — the global top-(k+1) priorities are the
     * top-(k+1) of any union of per-slice top-(k+1)s — so the streaming
@@ -1276,6 +1279,50 @@ object TrainingPack {
         .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"),
           col("global_id"))
         .orderBy("doc_id")
+    },
+
+    // ---- q163: equal-budget shard planning via distributed prefix sums -----
+    // The writer-fan-out planner: S tokenizer shards should each carry
+    // ~equal character mass, with docs kept CONTIGUOUS in corpus order
+    // (resumable, locality-friendly) — i.e. shard(doc) = floor(mass
+    // strictly before doc / budget). The exclusive running mass is
+    // GlobalIds.prefixSum (range partition -> per-partition window sum +
+    // broadcast partition-total offsets — never a one-reducer window) and
+    // the shard id is one integer map-side expression with
+    // budget = ceil(total/S), so every shard lands within one max-doc of
+    // the budget. Per-shard accounting hash-checks against the oracle's
+    // cumulative window.
+    QueryDef(
+      "q163_shard_plan",
+      s"""WITH c AS (
+         |  SELECT doc_id, n_chars,
+         |    COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+         |  FROM documents),
+         |tot AS (SELECT SUM(n_chars) AS tw FROM documents),
+         |sh AS (
+         |  SELECT doc_id, n_chars,
+         |    cumb // ((tw + $SHARD_S - 1) // $SHARD_S) AS shard
+         |  FROM c CROSS JOIN tot)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM sh GROUP BY shard
+         |ORDER BY shard""".stripMargin) { (s, d) =>
+      val withPrefix = graft.operators.GlobalIds.prefixSum(
+        Tables.documents(s, d).select("doc_id", "n_chars"),
+        Seq(col("doc_id")), "n_chars", "cumb")
+      val tot = Tables.documents(s, d)
+        .agg(sum(col("n_chars")).as("tw"))
+      withPrefix.crossJoin(broadcast(tot))
+        .withColumn("shard",
+          expr(s"cumb DIV ((tw + ${SHARD_S - 1}) DIV $SHARD_S)"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("shard_chars"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("shard")
     },
 
     // ---- q102: per-source distribution divergence (corpus-drift audit) -----

@@ -174,4 +174,22 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(run(p) == expected, s"partitions=$p")
     }
   }
+
+  test("GlobalIds.prefixSum equals the sequential exclusive scan at any partitioning (q163)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (1L to 400L).map(i => (i, rnd.nextInt(100).toLong))
+    val df = rows.toDF("id", "w")
+    val expected = rows.sortBy(_._1)
+      .scanLeft((0L, 0L)) { case ((_, cum), (id, w)) => (id, cum + w) }
+      .init.zip(rows.sortBy(_._1)).map { case ((_, cumBefore), (id, _)) => (id, cumBefore) }
+    for (p <- Seq(3, 7, 32)) {
+      spark.catalog.clearCache()
+      val got = graft.operators.GlobalIds
+        .prefixSum(df, Seq(col("id")), "w", "cumb", p)
+        .select("id", "cumb").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(_._1).toSeq
+      assert(got == expected, s"partitions=$p")
+    }
+  }
 }
