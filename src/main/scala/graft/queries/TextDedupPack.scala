@@ -2345,6 +2345,65 @@ object TextDedupPack {
         .orderBy("contained_id", "container_id")
     },
 
+    // ---- q164: Heaps-law vocabulary growth audit ---------------------------
+    // The data-card curve behind vocab/tokenizer planning: distinct types
+    // seen in the first N tokens of the corpus, on an N grid. The type
+    // unit is the word 3-GRAM (the fixture's token vocabulary is a
+    // closed 31-word set that saturates by N=1000 — gram types keep
+    // growing like real text). "First N tokens" needs a global token
+    // order — exactly GlobalIds.prefixSum (q163's backbone) on per-doc
+    // token counts: each doc learns the token mass strictly before it in
+    // doc_id order, a gram's global position is that offset + its start
+    // index, and a type's FIRST position is one keyed min-agg.
+    // vocab(N) = types with first_pos <= N — a broadcast grid join over
+    // the gram-type table, never the corpus. No one-reducer window
+    // anywhere; the oracle computes the same curve from a cumulative
+    // window.
+    QueryDef(
+      "q164_vocab_growth",
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |o AS (SELECT doc_id, len(t) AS ntok FROM d),
+         |c AS (SELECT doc_id,
+         |    COALESCE(SUM(ntok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+         |  FROM o),
+         |gr AS (SELECT doc_id, u.i AS pos, u.g AS g FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+         |      i -> {i: i, g: t[i] || ' ' || t[i+1] || ' ' || t[i+2]})) AS u
+         |    FROM d WHERE len(t) >= 3)),
+         |fp AS (SELECT gr.g, MIN(c.cumb + gr.pos) AS first_pos
+         |       FROM gr JOIN c USING (doc_id) GROUP BY gr.g)
+         |SELECT CAST(gd.n AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN fp.first_pos <= gd.n THEN 1 ELSE 0 END) AS BIGINT) AS vocab
+         |FROM (VALUES (1000), (5000), (10000), (50000), (100000), (500000)) AS gd(n)
+         |CROSS JOIN fp
+         |GROUP BY gd.n
+         |ORDER BY n""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val t = col("t")
+      val docs = Tables.documentsSpread(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+      val off = graft.operators.GlobalIds.prefixSum(
+        docs.select(col("doc_id"), size(t).as("ntok")),
+        Seq(col("doc_id")), "ntok", "cumb")
+      val first = docs
+        .filter(size(t) >= 3)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(t) - 2),
+          i => struct(i.as("pos"), concat_ws(" ",
+            element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)).as("g"))
+        )).as("u"))
+        .select(col("doc_id"), col("u.pos").as("pos"), col("u.g").as("g"))
+        .join(off.select("doc_id", "cumb"), "doc_id")
+        .groupBy("g")
+        .agg(min(col("cumb") + col("pos")).as("first_pos"))
+      val grid = Seq(1000L, 5000L, 10000L, 50000L, 100000L, 500000L).toDF("n")
+      first.crossJoin(broadcast(grid))
+        .groupBy("n")
+        .agg(sum(when(col("first_pos") <= col("n"), 1L).otherwise(0L)).as("vocab"))
+        .orderBy("n")
+    },
+
     // ---- q134: BPE merge-pair learning -------------------------------------
     // Completes q40's honest gap ("real BPE needs a learned merge table"):
     // learn the table. Classic shape: aggregate the corpus ONCE into the
