@@ -2404,6 +2404,71 @@ object TextDedupPack {
         .orderBy("n")
     },
 
+    // ---- q165: Zipf slope fit (log-log rank-frequency regression) ----------
+    // q164's companion data-card number: how Zipfian is the corpus? Least-
+    // squares slope of ln(freq) on ln(rank) over the gram-type table.
+    // Rank assignment uses GlobalIds.assign on (count DESC, gram) — the
+    // no-one-reducer ranking from q157, here over the Zipf-bounded TYPE
+    // table — and all four regression sums are exact DECIMAL(38,20)
+    // ledgers of identically-evaluated double terms (the q93/q120
+    // pattern), so partial-agg order can't move an ulp; slope and
+    // intercept round once to DECIMAL(18,8) at the end. A healthy crawl
+    // sits near slope -1; generated/templated text drifts shallow.
+    QueryDef(
+      "q165_zipf_slope",
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |gr AS (SELECT u AS g FROM (
+         |    SELECT unnest(list_transform(range(1, len(t) - 1),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u
+         |    FROM d WHERE len(t) >= 3)),
+         |cnt AS (SELECT g, COUNT(*) AS c FROM gr GROUP BY g),
+         |r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, g) AS rk FROM cnt),
+         |s AS (SELECT COUNT(*) AS n,
+         |    SUM(CAST(ln(rk) AS DECIMAL(38,20))) AS sx,
+         |    SUM(CAST(ln(c) AS DECIMAL(38,20))) AS sy,
+         |    SUM(CAST(ln(rk) * ln(c) AS DECIMAL(38,20))) AS sxy,
+         |    SUM(CAST(ln(rk) * ln(rk) AS DECIMAL(38,20))) AS sxx
+         |  FROM r),
+         |f AS (SELECT n,
+         |    (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |      (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS sl,
+         |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+         |  FROM s)
+         |SELECT CAST(n AS BIGINT) AS n_types,
+         |  CAST(CAST(sl AS DECIMAL(18,8)) AS DOUBLE) AS slope,
+         |  CAST(CAST((syd - sl * sxd) / n AS DECIMAL(18,8)) AS DOUBLE) AS intercept
+         |FROM f""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val t = col("t")
+      val cnt = Tables.documentsSpread(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(t) >= 3)
+        .select(explode(transform(
+          sequence(lit(1), size(t) - 2),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))
+        )).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c"))
+      val ranked = graft.operators.GlobalIds.assign(
+        cnt, Seq(col("c").desc, col("g")), "rk")
+      val sums = ranked.agg(
+        count(lit(1)).as("n"),
+        sum(log(col("rk")).cast(DecimalType(38, 20))).as("sx"),
+        sum(log(col("c")).cast(DecimalType(38, 20))).as("sy"),
+        sum((log(col("rk")) * log(col("c"))).cast(DecimalType(38, 20))).as("sxy"),
+        sum((log(col("rk")) * log(col("rk"))).cast(DecimalType(38, 20))).as("sxx"))
+      sums
+        .select(col("n"),
+          ((col("n") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (col("n") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double"))).as("sl"),
+          col("sx").cast("double").as("sxd"), col("sy").cast("double").as("syd"))
+        .select(col("n").as("n_types"),
+          col("sl").cast(DecimalType(18, 8)).cast("double").as("slope"),
+          (((col("syd") - col("sl") * col("sxd")) / col("n")))
+            .cast(DecimalType(18, 8)).cast("double").as("intercept"))
+    },
+
     // ---- q134: BPE merge-pair learning -------------------------------------
     // Completes q40's honest gap ("real BPE needs a learned merge table"):
     // learn the table. Classic shape: aggregate the corpus ONCE into the
