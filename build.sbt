@@ -20,6 +20,9 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // ... and the "[success] Total time" banner otherwise prints AFTER the
 // bench summary, so the summary wouldn't be stdout's final line.
 showSuccess := false
+// showSuccess is read by sbt's command layer, not a task — exclude it
+// from the unused-key lint so every run doesn't print a [warn] block
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
