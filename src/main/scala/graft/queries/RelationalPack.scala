@@ -1267,6 +1267,37 @@ object RelationalPack {
         .select(col("source"), col("n_docs"), col("n_outliers"),
           lit(med).as("median"), lit(mad).as("mad"))
         .orderBy("source")
+    },
+
+    // ---- q166: PER-GROUP exact quantiles -----------------------------------
+    // Completes the quantile family (global q156, weighted q159): exact
+    // per-source medians/p90s with every group refining its own range in
+    // the SAME rounds — one scan per round covers all groups' open ranges
+    // via the broadcast range table, so round count tracks the widest
+    // group, not the group count, and driver state is O(groups×percents)
+    // triples. The per-group window sort the oracle runs would shuffle
+    // and sort every row of every group; here ranks are pure counts.
+    QueryDef(
+      "q166_grouped_quantiles",
+      """WITH v AS (SELECT source, n_chars AS x FROM documents),
+        |n AS (SELECT source, COUNT(*) AS n FROM v GROUP BY source),
+        |r AS (SELECT source, x,
+        |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY x) AS rn
+        |      FROM v),
+        |ks AS (
+        |  SELECT n.source, t.p, GREATEST(1, (n.n * t.p + 99) // 100) AS k
+        |  FROM n CROSS JOIN (VALUES (50), (90)) AS t(p))
+        |SELECT ks.source, CAST(ks.p AS BIGINT) AS p, CAST(ks.k AS BIGINT) AS k,
+        |  CAST(r.x AS BIGINT) AS value
+        |FROM ks JOIN r ON r.source = ks.source AND r.rn = ks.k
+        |ORDER BY ks.source, p""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val res = graft.operators.Quantiles.exactGroupPercentiles(
+        Tables.documents(s, d).select(col("source"), col("n_chars").as("x")),
+        "source", "x", Seq(50, 90))
+      res.map { case (g, p, k, v) => (g, p.toLong, k, v) }
+        .toDF("source", "p", "k", "value")
+        .orderBy("source", "p")
     }
   )
 }

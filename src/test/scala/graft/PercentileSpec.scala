@@ -97,6 +97,27 @@ class PercentileSpec extends AnyFunSuite {
     assert(ones.map(t => (t._1, t._3)) == plain.map(t => (t._1, t._3)))
   }
 
+  test("Quantiles.exactGroupPercentiles matches per-group sorted ground truth (q166)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // groups of very different sizes and ranges share the refinement
+    // rounds; the widest group must not corrupt the narrow ones
+    val rows = Seq.tabulate(600) { i =>
+      val g = s"g${i % 4}"
+      val x = if (i % 4 == 0) rnd.nextLong() else rnd.nextInt(100 * (i % 4 + 1)).toLong
+      (g, x)
+    }
+    val got = graft.operators.Quantiles
+      .exactGroupPercentiles(rows.toDF("g", "x"), "g", "x", Seq(10, 50, 99), buckets = 4)
+    val byG = rows.groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2).sorted }
+    assert(got.map(_._1).toSet == byG.keySet)
+    for ((g, p, k, v) <- got) {
+      val sorted = byG(g)
+      assert(k == math.max(1L, (sorted.length.toLong * p + 99) / 100))
+      assert(v == sorted((k - 1).toInt), s"group $g p$p rank $k: $v != ${sorted((k - 1).toInt)}")
+    }
+  }
+
   test("Quantiles.exactPercentiles ranks agree with exactRanks on lineitem") {
     val df = Tables.lineitem(spark, sf)
       .select((col("l_extendedprice") * 100).cast("long").as("cents"))
