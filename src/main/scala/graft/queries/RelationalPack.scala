@@ -1298,6 +1298,64 @@ object RelationalPack {
       res.map { case (g, p, k, v) => (g, p.toLong, k, v) }
         .toDF("source", "p", "k", "value")
         .orderBy("source", "p")
+    },
+
+    // ---- q167: per-source robust anomaly gate (grouped median/MAD) ---------
+    // q160's corpus-wide gate, localized: each source gets its OWN
+    // median and MAD, so a source of long docs doesn't flag every short
+    // source as anomalous. Two grouped-refinement passes (q166's engine)
+    // produce a groups-sized model that broadcasts back; the
+    // |x - med_g| > 3*MAD_g rule is one integer map-side pass. Driver
+    // state: two longs per source. The oracle re-derives both statistics
+    // from per-group windows.
+    QueryDef(
+      "q167_grouped_mad_gate",
+      """WITH v AS (SELECT source, doc_id, n_chars AS x FROM documents),
+        |n AS (SELECT source, COUNT(*) AS n FROM v GROUP BY source),
+        |r AS (SELECT source, x,
+        |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY x) AS rn
+        |      FROM v),
+        |med AS (
+        |  SELECT n.source, r.x AS m
+        |  FROM n JOIN r ON r.source = n.source
+        |    AND r.rn = GREATEST(1, (n.n * 50 + 99) // 100)),
+        |dev AS (SELECT v.source, v.x, ABS(v.x - med.m) AS dv
+        |        FROM v JOIN med ON med.source = v.source),
+        |rd AS (SELECT source, dv,
+        |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY dv) AS rn
+        |      FROM dev),
+        |mad AS (
+        |  SELECT n.source, rd.dv AS md
+        |  FROM n JOIN rd ON rd.source = n.source
+        |    AND rd.rn = GREATEST(1, (n.n * 50 + 99) // 100))
+        |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN d.dv > 3 * mad.md THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(MIN(med.m) AS BIGINT) AS median,
+        |  CAST(MIN(mad.md) AS BIGINT) AS mad
+        |FROM dev d
+        |JOIN med ON med.source = d.source
+        |JOIN mad ON mad.source = d.source
+        |GROUP BY d.source
+        |ORDER BY d.source""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("n_chars").cast("long").as("x"))
+      val medDf = broadcast(
+        graft.operators.Quantiles
+          .exactGroupPercentiles(docs, "source", "x", Seq(50))
+          .map { case (g, _, _, v) => (g, v) }.toDF("source", "m"))
+      val dev = docs.join(medDf, "source")
+        .withColumn("dv", abs(col("x") - col("m")))
+      val madDf = broadcast(
+        graft.operators.Quantiles
+          .exactGroupPercentiles(dev, "source", "dv", Seq(50))
+          .map { case (g, _, _, v) => (g, v) }.toDF("source", "md"))
+      dev.join(madDf, "source")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("dv") > lit(3L) * col("md"), 1L).otherwise(0L)).as("n_outliers"),
+          min(col("m")).as("median"), min(col("md")).as("mad"))
+        .orderBy("source")
     }
   )
 }
