@@ -1356,6 +1356,65 @@ object RelationalPack {
           sum(when(col("dv") > lit(3L) * col("md"), 1L).otherwise(0L)).as("n_outliers"),
           min(col("m")).as("median"), min(col("md")).as("mad"))
         .orderBy("source")
+    },
+
+    // ---- q168: chi-square independence audit (length deciles x source) -----
+    // The dataset-bias question behind mixture design: is doc length
+    // independent of source? Decile cut points come from q156's exact
+    // refinement (9 longs of driver state, never a global sort), bucket
+    // assignment is a 9-comparison map-side fold, the contingency table
+    // is one keyed count densified by a broadcast (buckets x sources)
+    // grid — empty cells contribute too, as the textbook statistic
+    // requires. Each cell's term is derived in EXACT integers:
+    // (obs - exp)^2/exp == (obs*N - rowT*colT)^2 / (N*rowT*colT), one
+    // IEEE division of identical integer operands per cell — bit-stable
+    // with no rounding step (cf. q133: never re-round a clean quotient).
+    QueryDef(
+      "q168_chi_square",
+      """WITH v AS (SELECT source, n_chars AS x FROM documents),
+        |n AS (SELECT COUNT(*) AS n FROM v),
+        |r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM v),
+        |cuts AS (
+        |  SELECT t.p, r.x AS cut
+        |  FROM (VALUES (10), (20), (30), (40), (50), (60), (70), (80), (90)) AS t(p)
+        |  CROSS JOIN n JOIN r ON r.rn = GREATEST(1, (n.n * t.p + 99) // 100)),
+        |b AS (SELECT source,
+        |        (SELECT COUNT(*) FROM cuts c WHERE c.cut < v.x) AS bkt
+        |      FROM v),
+        |ct AS (SELECT bkt, source, COUNT(*) AS obs FROM b GROUP BY bkt, source),
+        |rt AS (SELECT bkt, SUM(obs) AS rowt FROM ct GROUP BY bkt),
+        |st AS (SELECT source, SUM(obs) AS colt FROM ct GROUP BY source),
+        |dense AS (
+        |  SELECT rt.bkt, st.source, rt.rowt, st.colt, COALESCE(ct.obs, 0) AS obs
+        |  FROM rt CROSS JOIN st
+        |  LEFT JOIN ct ON ct.bkt = rt.bkt AND ct.source = st.source)
+        |SELECT CAST(bkt AS BIGINT) AS bkt, source, CAST(obs AS BIGINT) AS obs,
+        |  CAST((obs * n.n - rowt * colt) * (obs * n.n - rowt * colt) AS DOUBLE) /
+        |    CAST(n.n * rowt * colt AS DOUBLE) AS contrib
+        |FROM dense CROSS JOIN n
+        |ORDER BY bkt, source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("n_chars").cast("long").as("x"))
+      val cuts = graft.operators.Quantiles
+        .exactPercentiles(docs, "x", (1 to 9).map(_ * 10))
+        .map(_._3)
+      val bkt = cuts.map(c => when(col("x") > lit(c), 1L).otherwise(0L))
+        .reduce(_ + _).as("bkt")
+      val ct = docs.select(col("source"), bkt)
+        .groupBy("bkt", "source").agg(count(lit(1)).as("obs"))
+        .persist()
+      val rt = ct.groupBy("bkt").agg(sum(col("obs")).as("rowt"))
+      val st = ct.groupBy("source").agg(sum(col("obs")).as("colt"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val dense = rt.crossJoin(broadcast(st))
+        .join(ct, Seq("bkt", "source"), "left")
+        .withColumn("obs", coalesce(col("obs"), lit(0L)))
+      val num = col("obs") * col("n") - col("rowt") * col("colt")
+      dense.crossJoin(broadcast(n))
+        .select(col("bkt"), col("source"), col("obs"),
+          ((num * num).cast("double") /
+            (col("n") * col("rowt") * col("colt")).cast("double")).as("contrib"))
+        .orderBy("bkt", "source")
     }
   )
 }
