@@ -1415,6 +1415,52 @@ object RelationalPack {
           ((num * num).cast("double") /
             (col("n") * col("rowt") * col("colt")).cast("double")).as("contrib"))
         .orderBy("bkt", "source")
+    },
+
+    // ---- q169: k-anonymity audit over quasi-identifiers --------------------
+    // The pre-release privacy check redaction (q69) does not cover:
+    // which COMBINATIONS of innocuous attributes isolate a document?
+    // Quasi-identifier = (source, lang, length decile by q156's exact
+    // cuts); one keyed count gives every equivalence class, and the
+    // audit reports the k histogram (classes and rows per
+    // min(k, 10) size class) plus the headline below-k=5 exposure — the
+    // decision numbers for generalize-or-suppress. All integer counting:
+    // one keyed agg over the corpus + a class-sized re-agg.
+    QueryDef(
+      "q169_k_anonymity",
+      """WITH v AS (SELECT source, lang, n_chars AS x FROM documents),
+        |n AS (SELECT COUNT(*) AS n FROM v),
+        |r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM v),
+        |cuts AS (
+        |  SELECT t.p, r.x AS cut
+        |  FROM (VALUES (10), (20), (30), (40), (50), (60), (70), (80), (90)) AS t(p)
+        |  CROSS JOIN n JOIN r ON r.rn = GREATEST(1, (n.n * t.p + 99) // 100)),
+        |q AS (SELECT source, lang,
+        |        (SELECT COUNT(*) FROM cuts c WHERE c.cut < v.x) AS bkt
+        |      FROM v),
+        |cls AS (SELECT source, lang, bkt, COUNT(*) AS k FROM q
+        |        GROUP BY source, lang, bkt)
+        |SELECT CAST(LEAST(k, 10) AS BIGINT) AS k_class,
+        |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(SUM(k) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS rows_below_5
+        |FROM cls
+        |GROUP BY LEAST(k, 10)
+        |ORDER BY k_class""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("lang"), col("n_chars").cast("long").as("x"))
+      val cuts = graft.operators.Quantiles
+        .exactPercentiles(docs, "x", (1 to 9).map(_ * 10))
+        .map(_._3)
+      val bkt = cuts.map(c => when(col("x") > lit(c), 1L).otherwise(0L))
+        .reduce(_ + _).as("bkt")
+      docs.select(col("source"), col("lang"), bkt)
+        .groupBy("source", "lang", "bkt").agg(count(lit(1)).as("k"))
+        .groupBy(least(col("k"), lit(10L)).as("k_class"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(col("k")).as("n_rows"),
+          sum(when(col("k") < 5, col("k")).otherwise(0L)).as("rows_below_5"))
+        .orderBy("k_class")
     }
   )
 }
