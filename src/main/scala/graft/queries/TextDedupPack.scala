@@ -2571,6 +2571,47 @@ object TextDedupPack {
           length(col("nfc")).cast("long").as("len_nfc"),
           substring(col("nfc"), -10, 10).as("norm_tail"))
         .orderBy("doc_id")
+    },
+
+    // ---- q170: edit-distance similarity join (PassJoin segments) -----------
+    // Typo-cluster mining over the part-name dictionary: every unordered
+    // name pair within edit distance 1, with how many parts each spelling
+    // covers — the merge-or-flag decision table for entity normalization.
+    // Algorithm: [[graft.operators.EditDistance.passJoin]] — k+1-segment
+    // blocking with an equality candidate join and exact levenshtein
+    // verify (100% recall by pigeonhole; EditDistanceSpec proves it
+    // against brute force over random strings at k = 1 and 2). Distinct
+    // from q107's deletion-neighborhood blocking: segments index k+1 short
+    // keys per string instead of len+1 variants of len-1 chars, so the
+    // index stays linear in dictionary bytes for long strings and k > 1.
+    // The dictionary is distinct-aggregated FIRST (names, not rows, drive
+    // the join: at 100 TB the part table shrinks to its name dictionary
+    // before any pair work), and Spark/DuckDB `levenshtein` share plain
+    // Levenshtein semantics, so the blocked result hash-matches the
+    // brute-force oracle.
+    QueryDef(
+      "q170_edit_distance_join",
+      """WITH dict AS (
+        |  SELECT p_name AS name, COUNT(*) AS cnt FROM part GROUP BY p_name)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS ed,
+        |  CAST(a.cnt AS BIGINT) AS parts_a, CAST(b.cnt AS BIGINT) AS parts_b
+        |FROM dict a JOIN dict b
+        |  ON a.name < b.name
+        | AND abs(length(a.name) - length(b.name)) <= 1
+        | AND levenshtein(a.name, b.name) <= 1
+        |ORDER BY name_a, name_b""".stripMargin) { (s, d) =>
+      val dict = Tables.part(s, d)
+        .groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("cnt"))
+        .persist()
+      val pairs = graft.operators.EditDistance.passJoin(dict, "name", "name", 1)
+        .select(col("ida").as("name_a"), col("idb").as("name_b"), col("ed"))
+      pairs
+        .join(dict.select(col("name").as("name_a"), col("cnt").as("parts_a")), "name_a")
+        .join(dict.select(col("name").as("name_b"), col("cnt").as("parts_b")), "name_b")
+        .select("name_a", "name_b", "ed", "parts_a", "parts_b")
+        .orderBy("name_a", "name_b")
     }
   )
 
