@@ -1461,6 +1461,75 @@ object RelationalPack {
           sum(col("k")).as("n_rows"),
           sum(when(col("k") < 5, col("k")).otherwise(0L)).as("rows_below_5"))
         .orderBy("k_class")
+    },
+
+    // ---- q171: shuffle-key skew profiler -----------------------------------
+    // The pre-flight diagnostic behind every repartition/join-key choice:
+    // for each candidate key, the per-key count distribution (n_keys, max,
+    // exact p50/p99 via the q156 refinement engine — never a sort of the
+    // counts), the skew ratio max/avg, and the salt factor ceil(max/avg)
+    // that q111's salted join would need to level it. One keyed count per
+    // audited key (partial-agg friendly: the shuffle carries (key, count)
+    // partials), then scalar-only math — the whole profile is
+    // counts-of-counts-sized driver state. At 100 TB this is the query you
+    // run BEFORE picking bucketing/salting, not after the job OOMs.
+    QueryDef(
+      "q171_key_skew_profile",
+      """WITH c1 AS (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey),
+        |s1 AS (SELECT SUM(c) AS n_rows, COUNT(*) AS n_keys, MAX(c) AS c_max FROM c1),
+        |r1 AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn FROM c1),
+        |q1 AS (SELECT 'lineitem.l_orderkey' AS key_name, s1.n_rows, s1.n_keys, s1.c_max,
+        |  (SELECT r.c FROM r1 r, s1 WHERE r.rn = GREATEST(1, (s1.n_keys * 50 + 99) // 100)) AS c_p50,
+        |  (SELECT r.c FROM r1 r, s1 WHERE r.rn = GREATEST(1, (s1.n_keys * 99 + 99) // 100)) AS c_p99
+        |  FROM s1),
+        |c2 AS (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_partkey),
+        |s2 AS (SELECT SUM(c) AS n_rows, COUNT(*) AS n_keys, MAX(c) AS c_max FROM c2),
+        |r2 AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn FROM c2),
+        |q2 AS (SELECT 'lineitem.l_partkey' AS key_name, s2.n_rows, s2.n_keys, s2.c_max,
+        |  (SELECT r.c FROM r2 r, s2 WHERE r.rn = GREATEST(1, (s2.n_keys * 50 + 99) // 100)) AS c_p50,
+        |  (SELECT r.c FROM r2 r, s2 WHERE r.rn = GREATEST(1, (s2.n_keys * 99 + 99) // 100)) AS c_p99
+        |  FROM s2),
+        |c3 AS (SELECT COUNT(*) AS c FROM events GROUP BY user_id),
+        |s3 AS (SELECT SUM(c) AS n_rows, COUNT(*) AS n_keys, MAX(c) AS c_max FROM c3),
+        |r3 AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn FROM c3),
+        |q3 AS (SELECT 'events.user_id' AS key_name, s3.n_rows, s3.n_keys, s3.c_max,
+        |  (SELECT r.c FROM r3 r, s3 WHERE r.rn = GREATEST(1, (s3.n_keys * 50 + 99) // 100)) AS c_p50,
+        |  (SELECT r.c FROM r3 r, s3 WHERE r.rn = GREATEST(1, (s3.n_keys * 99 + 99) // 100)) AS c_p99
+        |  FROM s3),
+        |c4 AS (SELECT COUNT(*) AS c FROM documents GROUP BY source),
+        |s4 AS (SELECT SUM(c) AS n_rows, COUNT(*) AS n_keys, MAX(c) AS c_max FROM c4),
+        |r4 AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn FROM c4),
+        |q4 AS (SELECT 'documents.source' AS key_name, s4.n_rows, s4.n_keys, s4.c_max,
+        |  (SELECT r.c FROM r4 r, s4 WHERE r.rn = GREATEST(1, (s4.n_keys * 50 + 99) // 100)) AS c_p50,
+        |  (SELECT r.c FROM r4 r, s4 WHERE r.rn = GREATEST(1, (s4.n_keys * 99 + 99) // 100)) AS c_p99
+        |  FROM s4)
+        |SELECT key_name, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_keys AS BIGINT) AS n_keys, CAST(c_max AS BIGINT) AS c_max,
+        |  CAST(c_p50 AS BIGINT) AS c_p50, CAST(c_p99 AS BIGINT) AS c_p99,
+        |  CAST(c_max * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE) AS skew,
+        |  CAST((c_max * n_keys + n_rows - 1) // n_rows AS BIGINT) AS salt
+        |FROM (SELECT * FROM q1 UNION ALL SELECT * FROM q2
+        |      UNION ALL SELECT * FROM q3 UNION ALL SELECT * FROM q4)
+        |ORDER BY key_name""".stripMargin) { (s, d) =>
+      def profile(df: DataFrame, key: String, label: String): DataFrame = {
+        val counts = df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+        val ps = graft.operators.Quantiles
+          .exactPercentiles(counts, "c", Seq(50, 99))
+          .map { case (p, _, v) => p -> v }.toMap
+        counts
+          .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+            max(col("c")).as("c_max"))
+          .select(lit(label).as("key_name"), col("n_rows"), col("n_keys"),
+            col("c_max"), lit(ps(50)).as("c_p50"), lit(ps(99)).as("c_p99"),
+            ((col("c_max") * col("n_keys")).cast("double") /
+              col("n_rows").cast("double")).as("skew"),
+            expr("(c_max * n_keys + n_rows - 1) div n_rows").as("salt"))
+      }
+      profile(Tables.lineitem(s, d), "l_orderkey", "lineitem.l_orderkey")
+        .unionAll(profile(Tables.lineitem(s, d), "l_partkey", "lineitem.l_partkey"))
+        .unionAll(profile(Tables.events(s, d), "user_id", "events.user_id"))
+        .unionAll(profile(Tables.documents(s, d), "source", "documents.source"))
+        .orderBy("key_name")
     }
   )
 }
