@@ -1530,6 +1530,72 @@ object RelationalPack {
         .unionAll(profile(Tables.events(s, d), "user_id", "events.user_id"))
         .unionAll(profile(Tables.documents(s, d), "source", "documents.source"))
         .orderBy("key_name")
+    },
+
+    // ---- q172: declarative data-quality rulebook ---------------------------
+    // The Deequ/great-expectations shape as plain Catalyst aggregates
+    // (operators/Rules.scala): every row-local rule over a table folds into
+    // ONE conditional-sum scan of it (orders pays one pass for three rules,
+    // documents one pass for two), uniqueness is one keyed count + a tiny
+    // re-agg, referential integrity one distinct-build left join. Audit cost
+    // is per-TABLE, not per-RULE — at 100 TB adding a tenth range check to
+    // the book costs zero extra I/O. Thresholds chosen to actually split the
+    // fixture (price cap 400k < max 499k, lang whitelist excludes zh,
+    // n_chars cap 500 < max 553) so both zero and non-zero violation counts
+    // are oracle-pinned; NULL predicate = violation by design.
+    QueryDef(
+      "q172_quality_rulebook",
+      """SELECT rule, CAST(n_checked AS BIGINT) AS n_checked,
+        |       CAST(n_violations AS BIGINT) AS n_violations
+        |FROM (
+        |  SELECT 'orders.custkey_not_null' AS rule, COUNT(*) AS n_checked,
+        |    SUM(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS n_violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders.totalprice_range', COUNT(*),
+        |    SUM(CASE WHEN o_totalprice >= 0 AND o_totalprice <= 400000 THEN 0 ELSE 1 END)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders.priority_domain', COUNT(*),
+        |    SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM') THEN 0 ELSE 1 END)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'documents.lang_whitelist', COUNT(*),
+        |    SUM(CASE WHEN lang IN ('en','fr','de','es') THEN 0 ELSE 1 END)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'documents.n_chars_cap', COUNT(*),
+        |    SUM(CASE WHEN n_chars >= 0 AND n_chars <= 500 THEN 0 ELSE 1 END)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'documents.lang_source_unique', SUM(c),
+        |    SUM(CASE WHEN c > 1 THEN c ELSE 0 END)
+        |  FROM (SELECT COUNT(*) AS c FROM documents GROUP BY lang, source)
+        |  UNION ALL
+        |  SELECT 'lineitem.orderkey_fk', COUNT(*),
+        |    SUM(CASE WHEN l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |)
+        |ORDER BY rule""".stripMargin) { (s, d) =>
+      import graft.operators.Rules
+      val orders = Tables.orders(s, d)
+      val docs = Tables.documents(s, d)
+      Rules.audit(orders, Seq(
+          Rules.notNull("orders.custkey_not_null", col("o_custkey")),
+          Rules.inRange("orders.totalprice_range", col("o_totalprice"),
+            lit(0.0), lit(400000.0)),
+          Rules.inSet("orders.priority_domain", col("o_orderpriority"),
+            Seq("1-URGENT", "2-HIGH", "3-MEDIUM"))))
+        .unionAll(Rules.audit(docs, Seq(
+          Rules.inSet("documents.lang_whitelist", col("lang"),
+            Seq("en", "fr", "de", "es")),
+          Rules.inRange("documents.n_chars_cap", col("n_chars"),
+            lit(0L), lit(500L)))))
+        .unionAll(Rules.unique("documents.lang_source_unique", docs,
+          Seq("lang", "source")))
+        .unionAll(Rules.referential("lineitem.orderkey_fk",
+          Tables.lineitem(s, d), "l_orderkey", orders, "o_orderkey"))
+        .orderBy("rule")
     }
   )
 }
