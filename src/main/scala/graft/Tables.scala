@@ -24,15 +24,34 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark does not read
-    * natively — read it as long (legacy.parquet.nanosAsLong, set in
-    * [[GraftSession.tune]]) and truncate to microseconds, exactly as
-    * DuckDB's ns→µs TIMESTAMP conversion does.
+  /** Normalize an events-style `ts` column to a session-zoned TIMESTAMP
+    * (micros) no matter which physical type the driver's generator produced:
+    *
+    *   - TIMESTAMP(NANOS): Spark can't read it natively, so
+    *     [[GraftSession.tune]] pins `legacy.parquet.nanosAsLong` and the
+    *     column arrives as a nanos LONG — truncate ns→µs exactly like
+    *     DuckDB's ns→µs TIMESTAMP conversion does.
+    *   - TIMESTAMP_NTZ (µs, no zone): reinterpret the wall-clock as a UTC
+    *     instant (session TZ is pinned to UTC, so the cast is value-exact
+    *     and matches DuckDB's naive read of the same column).
+    *   - already-zoned TIMESTAMP: pass through.
+    *
+    * Works on batch and streaming frames alike (pure projection).
     */
+  def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(colName).dataType match {
+      case LongType =>
+        df.withColumn(colName, timestamp_micros(expr(s"$colName div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(colName, col(colName).cast(TimestampType))
+      case _ => df
+    }
+  }
+
   def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeTs(load(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

@@ -30,19 +30,18 @@ object Streams {
 
   /** Streaming scan over the driver's events parquet (S2-surrogate: same
     * shape as a Kafka topic replay — unbounded source API, bounded data).
-    * Schema comes from a batch footer read; ts arrives as nanos-long
-    * (GraftSession.tune pins the legacy flag) and is truncated to micros
-    * exactly like graft.Tables.events.
+    * Schema comes from a batch footer read; ts is normalized to a zoned
+    * micros TIMESTAMP by [[graft.Tables.normalizeTs]] whichever physical
+    * type the generator wrote (nanos-long legacy read or TIMESTAMP_NTZ).
     */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     val path = s"$sfDir/events.parquet"
     val schema = spark.read.parquet(path).schema
-    spark.readStream
+    graft.Tables.normalizeTs(spark.readStream
       .schema(schema)
       // glob, not the bare file path: FileStreamSource requires its base
       // path to be a directory, and the non-glob prefix here is $sfDir
-      .parquet(s"$sfDir/events.parque[t]")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(s"$sfDir/events.parque[t]"))
   }
 
   /** Streaming scan over the driver's documents parquet — the document-
