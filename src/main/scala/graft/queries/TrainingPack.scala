@@ -1630,6 +1630,97 @@ object TrainingPack {
           ((col("n") * col("m") + lit(PRIOR_K) * col("g")) / (col("n") + lit(PRIOR_K)))
             .as("shrunk_mean"))
         .orderBy("source")
+    },
+
+    // ---- q173: deterministic epoch shuffle (training-order permutation) ----
+    // Every training run needs a different-but-reproducible global order
+    // per epoch. The shuffle key is md5(epoch:doc_id) — deterministic,
+    // uniform, epoch-salted — and the position comes from GlobalIds.assign
+    // (range partition on the hash + per-partition rank + broadcast
+    // offsets), NOT a one-reducer ROW_NUMBER: at 100 TB the "shuffle" is a
+    // balanced range exchange on a uniform key, the one sort shape with
+    // provably no skew. The audit output is the per-(epoch, source)
+    // position profile — count, min/max, mean position — which doubles as
+    // the interleaving check: a uniform hash order must give every source
+    // a mean position near the corpus midpoint, so a source whose docs
+    // clump (mean far from n/2) would expose a broken shuffle key.
+    QueryDef(
+      "q173_epoch_shuffle",
+      """WITH e0 AS (
+        |  SELECT doc_id, source, 0 AS epoch,
+        |    ROW_NUMBER() OVER (ORDER BY md5('ep0:' || CAST(doc_id AS VARCHAR))) AS pos
+        |  FROM documents),
+        |e1 AS (
+        |  SELECT doc_id, source, 1 AS epoch,
+        |    ROW_NUMBER() OVER (ORDER BY md5('ep1:' || CAST(doc_id AS VARCHAR))) AS pos
+        |  FROM documents),
+        |u AS (SELECT * FROM e0 UNION ALL SELECT * FROM e1)
+        |SELECT CAST(epoch AS BIGINT) AS epoch, source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MIN(pos) AS BIGINT) AS min_pos,
+        |  CAST(MAX(pos) AS BIGINT) AS max_pos,
+        |  CAST(SUM(pos) AS BIGINT) AS pos_sum,
+        |  CAST(CAST(SUM(pos) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_pos
+        |FROM u GROUP BY epoch, source
+        |ORDER BY epoch, source""".stripMargin) { (s, d) =>
+      val epochs = Seq(0L, 1L).map { e =>
+        val hashed = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            md5(concat(lit(s"ep$e:"), col("doc_id").cast("string"))).as("h"))
+        graft.operators.GlobalIds.assign(hashed, Seq(col("h")), "pos")
+          .withColumn("epoch", lit(e))
+      }
+      epochs.reduce(_ unionByName _)
+        .groupBy("epoch", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("pos")).as("min_pos"),
+          max(col("pos")).as("max_pos"),
+          sum(col("pos")).as("pos_sum"),
+          (sum(col("pos")).cast("double") / count(lit(1))).as("mean_pos"))
+        .orderBy("epoch", "source")
+    },
+
+    // ---- q174: winsorization at exact percentile cuts ----------------------
+    // Robust-statistics preprocessing: clip the length distribution at the
+    // exact p1/p99 order statistics before any mean-based budget math, so
+    // a handful of pathological documents can't drag per-source averages.
+    // The cuts come from the q156 refinement engine (never a global sort
+    // of the corpus — driver state is counts-of-buckets only); the clip
+    // itself is a pure map-side LEAST/GREATEST against two broadcast
+    // scalars. Output: per-source clip counts and the clipped-vs-raw mean
+    // — the before/after picture a mixture planner reads.
+    QueryDef(
+      "q174_winsorize",
+      """WITH v AS (SELECT source, n_chars AS x FROM documents),
+        |n AS (SELECT COUNT(*) AS n FROM v),
+        |r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM v),
+        |cuts AS (SELECT
+        |  (SELECT r.x FROM r, n WHERE r.rn = GREATEST(1, (n.n * 1 + 99) // 100)) AS lo,
+        |  (SELECT r.x FROM r, n WHERE r.rn = GREATEST(1, (n.n * 99 + 99) // 100)) AS hi)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN x < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+        |  CAST(SUM(CASE WHEN x > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+        |  CAST(SUM(LEAST(GREATEST(x, lo), hi)) AS BIGINT) AS clipped_sum,
+        |  CAST(CAST(SUM(LEAST(GREATEST(x, lo), hi)) AS BIGINT) AS DOUBLE) / COUNT(*) AS clipped_mean,
+        |  CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) / COUNT(*) AS raw_mean
+        |FROM v CROSS JOIN cuts
+        |GROUP BY source
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("n_chars").cast("long").as("x"))
+      val cuts = graft.operators.Quantiles
+        .exactPercentiles(docs, "x", Seq(1, 99))
+      val lo = cuts.head._3
+      val hi = cuts.last._3
+      val clipped = least(greatest(col("x"), lit(lo)), lit(hi))
+      docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("x") < lo, 1L).otherwise(0L)).as("n_clipped_low"),
+          sum(when(col("x") > hi, 1L).otherwise(0L)).as("n_clipped_high"),
+          sum(clipped).as("clipped_sum"),
+          (sum(clipped).cast("double") / count(lit(1))).as("clipped_mean"),
+          (sum(col("x")).cast("double") / count(lit(1))).as("raw_mean"))
+        .orderBy("source")
     }
   )
 }
