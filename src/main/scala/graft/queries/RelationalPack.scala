@@ -1596,6 +1596,86 @@ object RelationalPack {
         .unionAll(Rules.referential("lineitem.orderkey_fk",
           Tables.lineitem(s, d), "l_orderkey", orders, "o_orderkey"))
         .orderBy("rule")
+    },
+
+    // ---- q175: l-diversity audit (sensitive-attribute concentration) ------
+    // q169's k-anonymity says how many rows share a quasi-identifier class;
+    // it says nothing about whether everyone in a class shares the SAME
+    // sensitive value — the homogeneity attack k-anonymity misses. Here the
+    // quasi-identifier is (source, length-decile by q156's exact cuts), the
+    // sensitive attribute is lang, and l = COUNT(DISTINCT lang) per class.
+    // Output: the l histogram (classes/rows per diversity level) plus the
+    // headline rows in classes below l=3 — the suppress-or-generalize
+    // number. Shape: one keyed count-distinct agg (partial-agg friendly:
+    // distinct is per (class, lang) pre-agg, classes are bounded) + a
+    // class-sized re-agg; the decile cuts are the same driver-held scalars
+    // q169 broadcasts.
+    QueryDef(
+      "q175_l_diversity",
+      """WITH v AS (SELECT source, lang, n_chars AS x FROM documents),
+        |n AS (SELECT COUNT(*) AS n FROM v),
+        |r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM v),
+        |cuts AS (
+        |  SELECT t.p, r.x AS cut
+        |  FROM (VALUES (10), (20), (30), (40), (50), (60), (70), (80), (90)) AS t(p)
+        |  CROSS JOIN n JOIN r ON r.rn = GREATEST(1, (n.n * t.p + 99) // 100)),
+        |q AS (SELECT source, lang,
+        |        (SELECT COUNT(*) FROM cuts c WHERE c.cut < v.x) AS bkt
+        |      FROM v),
+        |cls AS (SELECT source, bkt, COUNT(*) AS k, COUNT(DISTINCT lang) AS l
+        |        FROM q GROUP BY source, bkt)
+        |SELECT CAST(l AS BIGINT) AS l_class,
+        |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(SUM(k) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN l < 3 THEN k ELSE 0 END) AS BIGINT) AS rows_below_3
+        |FROM cls
+        |GROUP BY l
+        |ORDER BY l_class""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("lang"), col("n_chars").cast("long").as("x"))
+      val cuts = graft.operators.Quantiles
+        .exactPercentiles(docs, "x", (1 to 9).map(_ * 10))
+        .map(_._3)
+      val bkt = cuts.map(c => when(col("x") > lit(c), 1L).otherwise(0L))
+        .reduce(_ + _).as("bkt")
+      docs.select(col("source"), col("lang"), bkt)
+        .groupBy("source", "bkt")
+        .agg(count(lit(1)).as("k"), countDistinct(col("lang")).as("l"))
+        .groupBy(col("l").as("l_class"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(col("k")).as("n_rows"),
+          sum(when(col("l") < 3, col("k")).otherwise(0L)).as("rows_below_3"))
+        .orderBy("l_class")
+    },
+
+    // ---- q181: arbitrary GROUPING SETS (beyond rollup/cube) ----------------
+    // q14/q48 cover the rollup and cube lattices; real reporting wants
+    // ARBITRARY set lists — here ((flag,status),(status),()) which is
+    // neither. Spark plans GROUPING SETS as one Expand over a single scan
+    // (each row fans out to its grouping combinations, then one hash agg)
+    // — strictly better at 100 TB than the naive union-of-aggregations,
+    // which scans the fact table once per set. GROUPING() disambiguates
+    // the NULLs of a super-aggregate row from genuine NULL group keys —
+    // identical semantics in Spark and DuckDB.
+    QueryDef(
+      "q181_grouping_sets",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      val view = "graft_q181_lineitem"
+      Tables.lineitem(s, d).createOrReplaceTempView(view)
+      s.sql(
+        s"""SELECT l_returnflag, l_linestatus,
+           |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+           |  COUNT(*) AS n,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+           |FROM $view
+           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+           |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
     }
   )
 }
