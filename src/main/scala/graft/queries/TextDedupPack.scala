@@ -371,6 +371,10 @@ object TextDedupPack {
 
   private val GRAMS_SQL = gramsSql("documents")
 
+  /** q177's sorted-neighborhood window width (rows compared after each row
+    * in blocking-key order). */
+  private val SN_W = 3
+
   /** Shared SQL for the q27 near-dup pair pipeline (DuckDB dialect):
     * capped grams → co-occurrence counts → Jaccard ≥ 0.5 pairs as `jpairs`.
     * q67 builds its connected-components oracle on top of it; q73 replays
@@ -2612,6 +2616,130 @@ object TextDedupPack {
         .join(dict.select(col("name").as("name_b"), col("cnt").as("parts_b")), "name_b")
         .select("name_a", "name_b", "ed", "parts_a", "parts_b")
         .orderBy("name_a", "name_b")
+    },
+
+    // ---- q177: sorted-neighborhood blocking (sort-based candidate gen) -----
+    // The third classic blocking family next to LSH (q28) and prefix
+    // filtering (q131): normalize, SORT by a blocking key, and compare only
+    // rows within a fixed window w of each other in sort order. Candidates
+    // are linear in n·w instead of quadratic, and the sort is ONE balanced
+    // range exchange (GlobalIds.assign — never a one-reducer ROW_NUMBER);
+    // the window join is w cheap rank-equi-joins (rn+i = rn), not an
+    // inequality fan-out. Candidates then face the SAME exact-Jaccard
+    // verify as every other blocking path, so precision is exact by
+    // construction and only recall depends on the key. Key = first 16
+    // alphanumeric chars of the lowercased text — near-dups that share a
+    // prefix sort adjacent.
+    QueryDef(
+      "q177_sorted_neighborhood",
+      s"""WITH $GRAMS_SQL,
+         |sorted AS (
+         |  SELECT doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY
+         |      substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 16),
+         |      doc_id) AS rn
+         |  FROM documents),
+         |cand AS (
+         |  SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS doc_a,
+         |    GREATEST(a.doc_id, b.doc_id) AS doc_b
+         |  FROM sorted a JOIN sorted b ON b.rn - a.rn BETWEEN 1 AND $SN_W),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+         |common AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+         |           FROM cand c
+         |           JOIN grams g1 ON g1.doc_id = c.doc_a
+         |           JOIN grams g2 ON g2.doc_id = c.doc_b AND g2.gram = g1.gram
+         |           GROUP BY c.doc_a, c.doc_b)
+         |SELECT doc_a, doc_b,
+         |  common * 1.0 / (sa.n + sb.n - common) AS jaccard
+         |FROM common
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val key = substring(
+        regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 1, 16)
+      val sorted = graft.operators.GlobalIds.assign(
+        Tables.documentsSpread(s, d).select(col("doc_id"), key.as("k")),
+        Seq(col("k"), col("doc_id")), "rn")
+        .select("doc_id", "rn")
+        .persist() // both sides of the w rank-equi-joins scan it
+      val cand = sorted
+        .select(col("doc_id").as("id_a"),
+          explode(array((1 to SN_W).map(i => col("rn") + i): _*)).as("rn"))
+        .join(sorted.withColumnRenamed("doc_id", "id_b"), "rn")
+        .select(least(col("id_a"), col("id_b")).as("doc_a"),
+          greatest(col("id_a"), col("id_b")).as("doc_b"))
+        .distinct()
+      val grams = sparkGrams(s, d)
+      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val common = cand
+        .join(grams.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
+        .join(grams.select(col("doc_id").as("doc_b"), col("gram")),
+          Seq("doc_b", "gram"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+      val jc = col("common") * lit(1.0) / (col("na") + col("nb") - col("common"))
+      common
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), jc.as("jaccard"))
+        .filter(jc >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- q179: mojibake / encoding-damage gate (planted ground truth) ------
+    // Real web corpora carry UTF-8-decoded-as-Latin-1 double encodings
+    // ('é' → 'Ã©'), replacement chars and stray C0 controls; a training
+    // pipeline gates them out before tokenization. The fixture corpus is
+    // clean, so damage is PLANTED deterministically (docs with
+    // doc_id % 7 == 0 get the classic double-encode: every 'e' → 'Ã©') and
+    // the detector must flag exactly the planted set — same
+    // planted-ground-truth pattern as q65/q76/q88. Detection is pure
+    // per-row expression work (length-difference counting of damage
+    // patterns — no regex engine divergence: counts come from global
+    // replace), aggregated per source.
+    QueryDef(
+      "q179_mojibake_gate",
+      """WITH damaged AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 7 = 0 THEN replace(text, 'e', 'Ã©') ELSE text END AS text,
+        |    CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS planted
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, source, planted,
+        |    length(text) - length(replace(text, 'Ã', '')) AS n_moji,
+        |    length(text) - length(replace(replace(text, chr(65533), ''), chr(7), '')) AS n_repl
+        |  FROM damaged)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(planted) AS BIGINT) AS n_planted,
+        |  CAST(SUM(CASE WHEN n_moji + n_repl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(SUM(CASE WHEN (n_moji + n_repl > 0) <> (planted = 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+        |  CAST(SUM(n_moji) AS BIGINT) AS total_moji
+        |FROM scored
+        |GROUP BY source
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      val damaged = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 7 === 0,
+            regexp_replace(col("text"), "e", "Ã©"))
+            .otherwise(col("text")).as("text"),
+          when(col("doc_id") % 7 === 0, 1L).otherwise(0L).as("planted"))
+      // translate, not regexp_replace: literal single-char removal, no
+      // regex semantics in the hot loop -- count = length difference
+      val nMoji = (length(col("text")) -
+        length(translate(col("text"), "\u00c3", ""))).as("n_moji")
+      val nRepl = (length(col("text")) -
+        length(translate(col("text"), "\ufffd\u0007", ""))).as("n_repl")
+      damaged.select(col("source"), col("planted"), nMoji, nRepl)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("planted")).as("n_planted"),
+          sum(when(col("n_moji") + col("n_repl") > 0, 1L).otherwise(0L))
+            .as("n_flagged"),
+          sum(when((col("n_moji") + col("n_repl") > 0) =!= (col("planted") === 1), 1L)
+            .otherwise(0L)).as("n_mismatch"),
+          sum(col("n_moji")).as("total_moji"))
+        .orderBy("source")
     }
   )
 
