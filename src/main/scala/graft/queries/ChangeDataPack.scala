@@ -166,10 +166,9 @@ object ChangeDataPack {
       val store = q116StateStore(d)
       val latest = new java.util.concurrent.atomic.AtomicReference[String](null)
       val schema = s.read.parquet(srcDir).schema
-      val stream = s.readStream.schema(schema)
+      val stream = Tables.normalizeTs(s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(srcDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .parquet(srcDir))
       graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) => {
         val compactBatch = Changes.latestByKey(
           batch.select("user_id", "event_type", "ts", "event_id", "value"),
@@ -242,6 +241,74 @@ object ChangeDataPack {
         .groupBy("event_type", "status")
         .agg(count(lit(1)).as("n_keys"))
         .orderBy("event_type", "status")
+    },
+
+    // ---- q178: incremental materialized-view maintenance -------------------
+    // The delta-refresh contract behind every warehouse rollup: a monthly
+    // revenue MV maintained by merging the BASE view's partial-aggregate
+    // state with a new delta batch's partials — count/decimal-sum/min/max
+    // are all commutative monoids, so merge = union partials + one re-agg,
+    // and the base rows are NEVER rescanned. At 100 TB that is the whole
+    // point: refresh cost scales with the delta, not the table. The split
+    // is deterministic (orderkey % 10 = 0 plays the arriving delta), and
+    // the query emits the MERGED view joined against a direct full
+    // recompute with a per-month `consistent` flag — the mergeability
+    // claim itself is what the oracle hash-checks. Decimal partial sums
+    // (exact, associative) keep merged == direct bit-for-bit; the cast to
+    // DOUBLE happens once, after the merge.
+    QueryDef(
+      "q178_incremental_mv",
+      """WITH p AS (
+        |  SELECT date_trunc('month', o_orderdate) AS m,
+        |    o_orderkey % 10 = 0 AS is_delta,
+        |    COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS sdec,
+        |    MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+        |  FROM orders GROUP BY 1, 2),
+        |merged AS (
+        |  SELECT m, SUM(n) AS n, SUM(sdec) AS sdec, MIN(mn) AS mn, MAX(mx) AS mx
+        |  FROM p GROUP BY m),
+        |direct AS (
+        |  SELECT date_trunc('month', o_orderdate) AS m, COUNT(*) AS n,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS sdec,
+        |    MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+        |  FROM orders GROUP BY 1)
+        |SELECT merged.m AS month,
+        |  CAST(merged.n AS BIGINT) AS n_orders,
+        |  CAST(merged.sdec AS DOUBLE) AS revenue,
+        |  merged.mn AS min_price, merged.mx AS max_price,
+        |  CAST(CASE WHEN merged.n = direct.n AND merged.sdec = direct.sdec
+        |       AND merged.mn = direct.mn AND merged.mx = direct.mx
+        |       THEN 1 ELSE 0 END AS BIGINT) AS consistent
+        |FROM merged JOIN direct ON merged.m = direct.m
+        |ORDER BY month""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      // cast to DATE: DuckDB's date_trunc('month', ...) is a DATE, Spark's
+      // a TIMESTAMP — the driver hash is type-sensitive
+      def partials(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 4))).as("sdec"),
+          min(col("o_totalprice")).as("mn"),
+          max(col("o_totalprice")).as("mx"))
+      val orders = Tables.orders(s, d)
+      val base = partials(orders.filter(col("o_orderkey") % 10 =!= 0))
+      val delta = partials(orders.filter(col("o_orderkey") % 10 === 0))
+      val merged = base.unionByName(delta)
+        .groupBy("m")
+        .agg(sum(col("n")).as("n"), sum(col("sdec")).as("sdec"),
+          min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+      val direct = partials(orders)
+        .select(col("m"), col("n").as("dn"), col("sdec").as("dsdec"),
+          col("mn").as("dmn"), col("mx").as("dmx"))
+      merged.join(direct, "m")
+        .select(col("m").as("month"),
+          col("n").as("n_orders"),
+          col("sdec").cast("double").as("revenue"),
+          col("mn").as("min_price"), col("mx").as("max_price"),
+          when(col("n") === col("dn") && col("sdec") === col("dsdec")
+            && col("mn") === col("dmn") && col("mx") === col("dmx"), 1L)
+            .otherwise(0L).as("consistent"))
+        .orderBy("month")
     }
   )
 }
