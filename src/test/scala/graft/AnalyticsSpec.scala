@@ -192,4 +192,76 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(got == expected, s"partitions=$p")
     }
   }
+
+  test("q176 CUSUM window identity equals the sequential recurrence") {
+    val got = SparkEntry.byName("q176_cusum_drift").run(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val hourly = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.get(1).toString, r.getLong(2)))
+    assert(got.keySet == hourly.map(_._1).toSet)
+    for ((tpe, rows) <- hourly.groupBy(_._1)) {
+      // ISO timestamp strings sort chronologically
+      val series = rows.sortBy(_._2).map(_._3)
+      val n = series.length.toLong
+      val k = (series.sum + n - 1) / n
+      var s = 0L; var maxS = 0L; var alarms = 0L
+      for (c <- series) {
+        s = math.max(0L, s + (c - k))
+        maxS = math.max(maxS, s)
+        if (s > 3 * k) alarms += 1
+      }
+      val (gn, gk, gmax, galarm) = got(tpe)
+      assert(gn == n && gk == k && gmax == maxS && galarm == alarms,
+        s"$tpe: got ($gn,$gk,$gmax,$galarm) want ($n,$k,$maxS,$alarms)")
+    }
+  }
+
+  test("q173 epoch positions form a dense 1..n permutation per epoch") {
+    val rows = SparkEntry.byName("q173_epoch_shuffle").run(spark, sf).collect()
+    val n = Tables.documents(spark, sf).count()
+    for (e <- Seq(0L, 1L)) {
+      val er = rows.filter(_.getLong(0) == e)
+      assert(er.map(_.getLong(2)).sum == n, s"epoch $e doc count")
+      assert(er.map(_.getLong(3)).min == 1L, s"epoch $e min pos")
+      assert(er.map(_.getLong(4)).max == n, s"epoch $e max pos")
+      assert(er.map(_.getLong(5)).sum == n * (n + 1) / 2, s"epoch $e pos sum")
+    }
+    // different epoch salts must give a different interleaving
+    val bySrc = rows.groupBy(_.getString(1))
+    assert(bySrc.values.exists(rs =>
+      rs.map(_.getLong(5)).distinct.length > 1),
+      "epoch 0 and 1 produced identical per-source position sums")
+  }
+
+  test("q177 sorted-neighborhood pairs are a subset of the exact q27 pairs") {
+    val sn = SparkEntry.byName("q177_sorted_neighborhood").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = SparkEntry.byName("q27_ngram_jaccard").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sn.forall(_._3 >= 0.5))
+    assert(sn.map(p => (p._1, p._2)).toSet.subsetOf(exact),
+      "sorted-neighborhood emitted a pair the exact-Jaccard join does not")
+  }
+
+  test("q178 merged MV is consistent with the direct recompute everywhere") {
+    val rows = SparkEntry.byName("q178_incremental_mv").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(5) == 1L), "a month's merged partials diverged")
+  }
+
+  test("q179 mojibake gate flags exactly the planted damage") {
+    val rows = SparkEntry.byName("q179_mojibake_gate").run(spark, sf).collect()
+    val planted = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 7 === 0)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (r <- rows) {
+      assert(r.getLong(4) == 0L, s"${r.getString(0)}: detector mismatched plant")
+      assert(r.getLong(2) == planted.getOrElse(r.getString(0), 0L))
+      assert(r.getLong(3) == r.getLong(2), "flagged != planted")
+    }
+  }
 }
