@@ -1676,6 +1676,68 @@ object RelationalPack {
            |FROM $view
            |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
            |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
+    },
+
+    // ---- q184: A/B two-proportion z-test ----------------------------------
+    // The experiment-readout primitive: users split into variants by a
+    // deterministic id hash (here parity — any salted-md5 bucket works the
+    // same way, cf. q68), conversion = did the user ever purchase, and the
+    // pooled two-proportion z statistic decides significance. Two keyed
+    // aggs (per-user conversion flag is a partial-agg max, variant totals
+    // a 2-row re-agg) and scalar-only math after — nothing about the test
+    // grows with the table. The z expression is a fixed IEEE tree over
+    // exact integer counts (divisions + one sqrt, both correctly-rounded
+    // in every engine), so even the float output is hash-stable.
+    QueryDef(
+      "q184_ab_proportion_test",
+      """WITH u AS (
+        |  SELECT user_id, user_id % 2 AS variant,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT variant, COUNT(*) AS n, SUM(converted) AS conv
+        |      FROM u GROUP BY variant),
+        |w AS (SELECT
+        |    MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+        |    MAX(CASE WHEN variant = 0 THEN conv END) AS c0,
+        |    MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+        |    MAX(CASE WHEN variant = 1 THEN conv END) AS c1
+        |  FROM g),
+        |z AS (SELECT n0, c0, n1, c1,
+        |    (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0) /
+        |      sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+        |           * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+        |           * (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1)) AS zs
+        |  FROM w)
+        |SELECT CAST(n0 AS BIGINT) AS n_control, CAST(c0 AS BIGINT) AS conv_control,
+        |  CAST(n1 AS BIGINT) AS n_treatment, CAST(c1 AS BIGINT) AS conv_treatment,
+        |  CAST(c0 AS DOUBLE) / n0 AS rate_control,
+        |  CAST(c1 AS DOUBLE) / n1 AS rate_treatment,
+        |  zs AS z_score,
+        |  CAST(CASE WHEN abs(zs) > 1.96 THEN 1 ELSE 0 END AS BIGINT) AS significant
+        |FROM z""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+        .withColumn("variant", col("user_id") % 2)
+      val g = u.groupBy("variant")
+        .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+      val w = g.agg(
+        max(when(col("variant") === 0, col("n"))).as("n0"),
+        max(when(col("variant") === 0, col("conv"))).as("c0"),
+        max(when(col("variant") === 1, col("n"))).as("n1"),
+        max(when(col("variant") === 1, col("conv"))).as("c1"))
+      val pooled = (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1"))
+      val zs = (col("c1").cast("double") / col("n1") - col("c0").cast("double") / col("n0")) /
+        sqrt(pooled * (lit(1) - pooled) *
+          (lit(1).cast("double") / col("n0") + lit(1).cast("double") / col("n1")))
+      w.select(col("n0"), col("c0"), col("n1"), col("c1"), zs.as("zs"))
+        .select(col("n0").as("n_control"), col("c0").as("conv_control"),
+          col("n1").as("n_treatment"), col("c1").as("conv_treatment"),
+          (col("c0").cast("double") / col("n0")).as("rate_control"),
+          (col("c1").cast("double") / col("n1")).as("rate_treatment"),
+          col("zs").as("z_score"),
+          when(abs(col("zs")) > 1.96, 1L).otherwise(0L).as("significant"))
     }
   )
 }
