@@ -82,9 +82,18 @@ object Ivf {
   /** Shared probe tail: join cell-assigned corpus (nid, nvec, cid) with
     * the exploded probe set (qid, qvec, cid), exact cosine re-rank, top-k.
     * One implementation so the ad-hoc and partitioned variants cannot
-    * drift on tie-break or self-pair semantics. */
-  private def probeScoreRank(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
-    val scored = c.join(broadcast(q), "cid")
+    * drift on tie-break or self-pair semantics.
+    *
+    * `broadcastProbes` is a caller-made boundedness promise: true (the
+    * production probe shape — a small query set against a huge corpus)
+    * force-broadcasts the probe side, which is also what lets dynamic
+    * partition pruning skip unprobed cells on the partitioned layout.
+    * Callers whose probe set scales WITH the corpus (the all-pairs recall
+    * audits q77/q98) must pass false so AQE picks the join strategy — a
+    * forced broadcast there would be the q123 OOM pattern. */
+  private def probeScoreRank(c: DataFrame, q: DataFrame, k: Int,
+                             broadcastProbes: Boolean): DataFrame = {
+    val scored = c.join(if (broadcastProbes) broadcast(q) else q, "cid")
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         Similarity.cosine(col("qvec"), col("nvec")).as("cos_sim"))
@@ -98,13 +107,14 @@ object Ivf {
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nlist: Int = 16, nprobe: Int = 4,
-              iters: Int = 3, seed: Long = 42L): DataFrame = {
+              iters: Int = 3, seed: Long = 42L,
+              broadcastProbes: Boolean = true): DataFrame = {
     val centroids = kmeansCentroids(corpus, idCol, vecCol, nlist, iters, seed)
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
       assignCell(col(vecCol), centroids).as("cid"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
       explode(probeCells(col(vecCol), centroids, nprobe)).as("cid"))
-    probeScoreRank(c, q, k)
+    probeScoreRank(c, q, k, broadcastProbes)
   }
 
   /** Oracle-replayable Lloyd's k-means + cluster profile in fixed-point
@@ -217,11 +227,12 @@ object Ivf {
     * assigning + shuffling the corpus. */
   def ivfTopKPartitioned(spark: SparkSession, path: String, queries: DataFrame,
                          idCol: String, vecCol: String, k: Int,
-                         centroids: Array[Array[Double]], nprobe: Int = 4): DataFrame = {
+                         centroids: Array[Array[Double]], nprobe: Int = 4,
+                         broadcastProbes: Boolean = true): DataFrame = {
     val c = spark.read.parquet(path)
       .select(col(idCol).as("nid"), col(vecCol).as("nvec"), col("cid"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
       explode(probeCells(col(vecCol), centroids, nprobe)).as("cid"))
-    probeScoreRank(c, q, k)
+    probeScoreRank(c, q, k, broadcastProbes)
   }
 }

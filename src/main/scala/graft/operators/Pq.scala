@@ -84,7 +84,8 @@ object Pq {
     * exact-cosine re-rank to top k. One implementation so the flat-scan
     * and IVFADC variants cannot drift on tie-break semantics. */
   private def rerankTail(adcScored: DataFrame, corpus: DataFrame, queries: DataFrame,
-                         idCol: String, vecCol: String, k: Int, cand: Int): DataFrame = {
+                         idCol: String, vecCol: String, k: Int, cand: Int,
+                         broadcastQueries: Boolean = true): DataFrame = {
     val wAdc = Window.partitionBy("qid").orderBy(col("adc"), col("nid"))
     val candidates = adcScored
       .withColumn("ar", row_number().over(wAdc))
@@ -92,7 +93,10 @@ object Pq {
       .select("qid", "nid")
     val scored = candidates
       .join(corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec")), "nid")
-      .join(broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))), "qid")
+      .join({
+        val qv = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+        if (broadcastQueries) broadcast(qv) else qv
+      }, "qid")
       .select(col("qid"), col("nid"),
         Similarity.cosine(col("qvec"), col("nvec")).as("cos_sim"))
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
@@ -139,7 +143,8 @@ object Pq {
                  centroids: Array[Array[Double]], nprobe: Int = 2,
                  m: Int = 8, ks: Int = 16, cand: Int = 32,
                  iters: Int = 2, seed: Long = 42L,
-                 precomputed: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+                 precomputed: Option[Array[Array[Array[Double]]]] = None,
+                 broadcastProbes: Boolean = true): DataFrame = {
     val books = precomputed.getOrElse(
       codebooks(corpus, idCol, vecCol, dim, m, ks, iters, seed))
     // hot scan inputs: codes + cell id only (a vector lives in ONE cell,
@@ -150,9 +155,12 @@ object Pq {
     val q = queries.select(col(idCol).as("qid"),
       explode(Ivf.probeCells(col(vecCol), centroids, nprobe)).as("cid"),
       adcLut(col(vecCol), books).as("lut"))
-    val adc = codes.join(broadcast(q), "cid")
+    // broadcastProbes: same caller-made boundedness promise as
+    // Ivf.probeScoreRank — false when the query set scales with the corpus
+    // (q95's all-pairs recall audit), so AQE picks the join strategy
+    val adc = codes.join(if (broadcastProbes) broadcast(q) else q, "cid")
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"), adcDistance(col("codes"), col("lut"), m, ks).as("adc"))
-    rerankTail(adc, corpus, queries, idCol, vecCol, k, cand)
+    rerankTail(adc, corpus, queries, idCol, vecCol, k, cand, broadcastProbes)
   }
 }

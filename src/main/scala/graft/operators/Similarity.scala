@@ -82,7 +82,14 @@ object Similarity {
 
   /** ANN top-k: LSH-bucket candidates (any shared table bucket), exact
     * cosine re-rank, top-k per query. `maxBucket` caps pathological
-    * buckets before pair expansion (cf. Dedup.lshCandidates). */
+    * buckets before pair expansion (cf. Dedup.lshCandidates).
+    *
+    * No forced broadcast on the query side: callers range from a handful
+    * of probes (q55) to the WHOLE corpus self-queried (q76's recall
+    * audit), so query cardinality is unknowable here — AQE broadcasts the
+    * bucket/vector frames when their runtime size is small and falls back
+    * to shuffled equi-joins on (tbl,bucket)/qid when it isn't, which is
+    * the correct all-pairs shape at deploy scale. */
   def annTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               dim: Int = 64, bits: Int = 12, tables: Int = 4,
@@ -93,13 +100,13 @@ object Similarity {
       .select(col(idCol).as("nid"), col("tbl"), col("bucket"))
     val qb = lshBuckets(queries, idCol, vecCol, dim, bits, tables, seed)
       .select(col(idCol).as("qid"), col("tbl"), col("bucket"))
-    val cand = cb.join(broadcast(qb), Seq("tbl", "bucket"))
+    val cand = cb.join(qb, Seq("tbl", "bucket"))
       .filter(col("nid") =!= col("qid"))
       .select("qid", "nid").distinct()
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
     val scored = cand
-      .join(broadcast(q), "qid")
+      .join(q, "qid")
       .join(c, "nid")
       .select(col("qid"), col("nid"), cosine(col("qvec"), col("nvec")).as("cos_sim"))
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))

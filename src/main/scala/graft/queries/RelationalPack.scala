@@ -223,7 +223,10 @@ object RelationalPack {
       val r = Tables.region(s, d).as("r").filter(col("r_name") === "ASIA")
       c.join(o, col("c.c_custkey") === col("o.o_custkey"))
         .join(l, col("l.l_orderkey") === col("o.o_orderkey"))
-        .join(broadcast(sup), col("l.l_suppkey") === col("s.s_suppkey")
+        // supplier scales with SF (unbounded) — no forced broadcast; AQE
+        // broadcasts it at test SFs from runtime stats and shuffle-joins
+        // beyond the threshold
+        .join(sup, col("l.l_suppkey") === col("s.s_suppkey")
           && col("c.c_nationkey") === col("s.s_nationkey"))
         .join(broadcast(n), col("s.s_nationkey") === col("n.n_nationkey"))
         .join(broadcast(r), col("n.n_regionkey") === col("r.r_regionkey"))
@@ -949,8 +952,13 @@ object RelationalPack {
     // Retention grid: cohort = the user's first-event ISO week, offset =
     // whole weeks between cohort and activity week, cell = distinct
     // active users. Two keyed aggregations (first-seen per user — a
-    // partial-agg min — then the cohort×offset distinct count); the
-    // cohort table is |users|-sized and broadcast back onto events.
+    // partial-agg min — then the cohort×offset distinct count). The
+    // cohort table is |users|-sized — an UNBOUNDED cardinality at deploy
+    // scale (10^8-10^9 users on 100 TB of events) — so it must NOT carry a
+    // forced broadcast hint: AQE broadcasts it when the runtime size is
+    // actually small (it is at every test SF) and falls back to a shuffle
+    // join when it isn't, which a compile-time hint would have turned into
+    // a driver/executor OOM.
     QueryDef(
       "q123_cohort_retention",
       """WITH first_seen AS (
@@ -971,7 +979,7 @@ object RelationalPack {
       val e = Tables.events(s, d)
       val firstSeen = e.groupBy("user_id")
         .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
-      e.join(broadcast(firstSeen), "user_id")
+      e.join(firstSeen, "user_id")
         .select(col("user_id"), col("cohort_week"),
           (date_trunc("week", col("ts")).cast("long")
             - col("cohort_week").cast("long")).as("__d"))

@@ -230,9 +230,14 @@ object StreamingPack {
         |FROM events e JOIN customer c ON c.c_custkey = e.user_id
         |GROUP BY c.c_mktsegment
         |ORDER BY mktsegment""".stripMargin) { (s, d) =>
+      // No forced broadcast: customer is |customers|-sized (unbounded at
+      // deploy scale). The planner still broadcasts it here via parquet
+      // file-size stats (autoBroadcastJoinThreshold), and degrades to a
+      // shuffle join per micro-batch when the dim outgrows the threshold —
+      // a compile-time hint would instead OOM the executors.
       val dim = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
       val joined = Streams.eventsStream(s, d)
-        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .join(dim, col("user_id") === col("c_custkey"))
         .groupBy(col("c_mktsegment").as("mktsegment"))
         .agg(count(lit(1)).as("n"))
       Streams.runCompleteToMemory(s, joined, "mq60")
@@ -281,8 +286,12 @@ object StreamingPack {
         Streams.documentsStream(s, d)
           .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
         "doc_id", "text")
+      // No forced broadcast: the banded static side scales with the corpus
+      // (|docs| × bands, even occupancy-capped) — let the planner's size
+      // estimate decide; at deploy scale this becomes a shuffled join on
+      // (band, bh), which is the correct shape for an unbounded index.
       val matches = streamBands
-        .join(broadcast(static), Seq("band", "bh"))
+        .join(static, Seq("band", "bh"))
         .filter(col("match_id") < col("doc_id"))
         .select("doc_id", "match_id")
       Streams.runToMemory(s, matches, "mq75", mode = "append")

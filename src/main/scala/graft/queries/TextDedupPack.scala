@@ -1817,7 +1817,9 @@ object TextDedupPack {
       val kept = toks.groupBy("term")
         .agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, 100))
-      toks.join(broadcast(kept), "term")
+      // `kept` is a df-filtered vocabulary subset — still Heaps-law unbounded
+      // at corpus scale, so no forced broadcast (AQE decides)
+      toks.join(kept, "term")
         .groupBy("term", "df")
         .agg(array_sort(collect_list(col("doc_id"))).as("__ids"))
         .select(col("term"), col("df"),
@@ -2529,7 +2531,9 @@ object TextDedupPack {
       val enc = states(BPE_ROUNDS).select(col("t"), BpeNSymsExpr.as("nsub"))
       Tables.documentsSpread(s, d)
         .select(col("lang"), explode(split(col("text"), " ")).as("t"))
-        .join(broadcast(enc), "t")
+        // `enc` spans every alphanumeric word TYPE — a Heaps-law-unbounded
+        // vocabulary at corpus scale — so no forced broadcast (AQE decides)
+        .join(enc, "t")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_tokens"),
           sum(length(col("t")).cast("long")).as("n_chars"),

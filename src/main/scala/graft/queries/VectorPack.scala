@@ -226,8 +226,12 @@ object VectorPack {
       .crossJoin(broadcast(q))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"), dotDec(col("qe"), col("ne")).as("dot"))
+    // only query-side norms are broadcast (≤ maxQid rows, bounded by the
+    // literal predicate); the corpus-side norms join stays shuffled
+    val qNorms = norms.filter(col("vec_id") < maxQid)
+      .select(col("vec_id").as("qid"), col("nrm").as("nq"))
     val scored = pairs
-      .join(broadcast(norms.select(col("vec_id").as("qid"), col("nrm").as("nq"))), "qid")
+      .join(broadcast(qNorms), "qid")
       .join(norms.select(col("vec_id").as("nid"), col("nrm").as("nn")), "nid")
       .select(col("qid"), col("nid"),
         (col("dot").cast("double") / sqrt(col("nq").cast("double") * col("nn").cast("double")))
@@ -333,8 +337,9 @@ object VectorPack {
     QueryDef("q77_ivf_planted_recall", RECALL_ORACLE) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val corpus = Similarity.plantTwins(emb, "vec_id", "embedding", TWIN_OFFSET)
+      // probes = the whole corpus (all-pairs audit) → no forced broadcast
       recallAudit(graft.operators.Ivf.ivfTopK(corpus, emb, "vec_id", "embedding",
-        k = 5, nlist = 16, nprobe = 4))
+        k = 5, nlist = 16, nprobe = 4, broadcastProbes = false))
     },
 
     // ---- q56: embedding near-dup over the planted corpus (oracle-checked) --
@@ -466,9 +471,12 @@ object VectorPack {
         |ORDER BY qid""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val top = exactTopKDec(s, d, maxQid = 20, k = 5)
-      top
-        .join(broadcast(emb.select(col("vec_id").as("qid"),
-          col("label").cast("long").as("q_label"))), "qid")
+      // embeddings is corpus-sized — broadcast the ~|queries|×k `top` side
+      // instead (bounded by construction); AQE replicates it to both label
+      // lookups without shuffling the corpus twice
+      broadcast(top)
+        .join(emb.select(col("vec_id").as("qid"),
+          col("label").cast("long").as("q_label")), "qid")
         .join(emb.select(col("vec_id").as("nid"),
           col("label").cast("long").as("n_label")), "nid")
         .groupBy("qid", "q_label")
@@ -508,10 +516,12 @@ object VectorPack {
       val emb = Tables.embeddings(s, d)
       val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(
         emb.select((col("vec_id") + TWIN_OFFSET).as("vec_id"), col("embedding")))
+      // probes = the whole corpus (all-pairs audit) → no forced broadcast
       recallAudit(graft.operators.Pq.ivfAdcTopK(
         corpus, emb, "vec_id", "embedding", k = 5, dim = 64,
         centroids = coarseCentroidsFor(s, d), nprobe = 2,
-        precomputed = Some(pqBooksFor(d, "twinned", corpus))))
+        precomputed = Some(pqBooksFor(d, "twinned", corpus)),
+        broadcastProbes = false))
     },
 
     // ---- q98: streaming incremental IVF index ingest (hash-green) ----------
@@ -528,8 +538,10 @@ object VectorPack {
     QueryDef("q98_stream_ivf_ingest", RECALL_ORACLE) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val (layout, centroids) = streamIvfLayout(s, d)
+      // probes = the whole corpus (all-pairs audit) → no forced broadcast
       recallAudit(graft.operators.Ivf.ivfTopKPartitioned(
-        s, layout, emb, "vec_id", "embedding", k = 5, centroids, nprobe = 4))
+        s, layout, emb, "vec_id", "embedding", k = 5, centroids, nprobe = 4,
+        broadcastProbes = false))
     }
   )
 }

@@ -178,6 +178,79 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("every forced broadcast hint wraps a bounded-cardinality frame") {
+    // A compile-time broadcast() hint is a promise the frame stays small at
+    // ANY data scale — r10's q123 broke it by force-broadcasting a
+    // |users|-sized aggregate (driver OOM at deploy scale; AQE would have
+    // chosen correctly on its own). This audit walks every registered
+    // query's ANALYZED plan (hints still present there; the optimizer later
+    // folds them into join nodes) and demands each hinted subtree carry
+    // structural evidence of boundedness:
+    //   - a scalar aggregate (grouping-free) → ≤1 row
+    //   - a LIMIT → ≤n rows
+    //   - a Filter equating/upper-bounding an attribute by a literal
+    //     (the fixed query/probe subsets: vec_id < 20, token = 'x', …)
+    //   - an aggregate whose grouping keys are all bounded-vocabulary
+    //     columns (languages, sources, event types, sketch cells, fixed
+    //     probe terms — NOT ids)
+    //   - only driver-held leaves (LocalRelation/Range) or the fixed-size
+    //     dimension tables (nation: 25 rows, region: 5)
+    // Anything else fails here before it can fail on a cluster.
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, LessThan, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val streaming = Set("q33_stream_count", "q34_stream_hourly",
+      "q37_stream_hourly_append", "q42_stream_sessions", "q44_stream_dedup",
+      "q59_stream_stream_join", "q60_stream_static_join")
+    val lifecycle = Set("q36_etl_lifecycle")
+    // value domains that are bounded vocabularies regardless of data volume
+    val boundedKeys = Set("lang", "source", "event_type", "split", "r", "c",
+      "tok", "token", "band", "cid")
+    def bounded(p: LogicalPlan): Boolean = {
+      // "foldable" rather than bare Literal: the analyzer wraps literals in
+      // casts (vec_id < CAST(10 AS BIGINT))
+      def litBound(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+        e.exists {
+          case EqualTo(_: Attribute, r) if r.foldable => true
+          case EqualTo(l, _: Attribute) if l.foldable => true
+          case LessThan(_: Attribute, r) if r.foldable => true
+          case LessThanOrEqual(_: Attribute, r) if r.foldable => true
+          case _ => false
+        }
+      val scalarAgg = p.exists { case a: Aggregate => a.groupingExpressions.isEmpty; case _ => false }
+      val limited = p.exists { case _: GlobalLimit | _: LocalLimit => true; case _ => false }
+      val filtered = p.exists { case f: Filter => litBound(f.condition); case _ => false }
+      val boundedAgg = p.exists {
+        case a: Aggregate if a.groupingExpressions.nonEmpty =>
+          a.groupingExpressions.forall(_.references.forall(at => boundedKeys(at.name)))
+        case _ => false
+      }
+      val leafBounded = p.collectLeaves().nonEmpty && p.collectLeaves().forall {
+        case _: LocalRelation | _: Range => true
+        case lr: LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.forall(rp =>
+                rp.toString.contains("nation") || rp.toString.contains("region"))
+            case _ => false
+          }
+        case _ => false
+      }
+      scalarAgg || limited || filtered || boundedAgg || leafBounded
+    }
+    SparkEntry.queries.keys.filterNot(streaming).filterNot(lifecycle).foreach { name =>
+      val analyzed = q(name).queryExecution.analyzed
+      val hinted = analyzed.collect {
+        case h: ResolvedHint if h.hints.strategy.exists(_.toString.toUpperCase.contains("BROADCAST")) => h.child
+      }
+      hinted.foreach { sub =>
+        assert(bounded(sub),
+          s"$name force-broadcasts a frame with no boundedness evidence:\n$sub")
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q113's z-value projection stays inside whole-stage codegen") {
     val df = q("q113_zorder_values")
     assert(plan(df).toString.contains("zvalue"))
