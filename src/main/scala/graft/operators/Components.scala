@@ -33,6 +33,21 @@ object Components {
     * the minimum node id of the connected component. Self-loops and
     * duplicate/reversed edges are tolerated. Nodes with no edges don't
     * appear — left-join the vertex set and coalesce to taste.
+    *
+    * Round shuffle width is sized from the MEASURED edge count (each
+    * round's count already rides the checkpoint job): ~2M edge rows per
+    * partition, clamped to [1, session `spark.sql.shuffle.partitions`].
+    * Rationale: the edge set contracts monotonically, and AQE's default
+    * `coalescePartitions.parallelismFirst=true` refuses to coalesce below
+    * `defaultParallelism` — so late rounds over a few thousand surviving
+    * edges were scheduling full-width stages whose task-launch overhead
+    * dominated the round (measured: 5 rounds at width 32 = 6.3 s vs 3.0 s
+    * at width 4 on an 8k-edge graph). At 10⁹ edges the same formula gives
+    * ~500 partitions — the width a cluster wants — and the cap means a
+    * submit-time `spark.sql.shuffle.partitions` is never exceeded. The
+    * conf is set per-round and restored on exit (finally); concurrent
+    * actions on the same session during the loop would observe the
+    * narrowed width — run CC in its own session if that matters.
     */
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
@@ -50,22 +65,35 @@ object Components {
     var chk: Option[java.math.BigDecimal] = None
     var converged = n == 0L
     var rounds = 0
+    val spark = edges.sparkSession
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val configuredWidth = spark.conf.get(shuffleKey).toInt
+    def roundWidth(edgeCount: Long): Int =
+      math.max(1L, math.min(configuredWidth.toLong,
+        edgeCount / 2000000L + 1L)).toInt
+    try {
     // `<= maxRounds`: detection consumes a round — the loop only learns it
     // converged one iteration AFTER the edge set stops changing, so a graph
     // needing exactly maxRounds productive rounds gets one extra detection
     // round instead of a spurious failure.
     while (!converged && rounds <= maxRounds) {
+      spark.conf.set(shuffleKey, roundWidth(n).toString)
       // the observe metric rides the SAME job that materializes the eager
       // localCheckpoint (which also truncates lineage) — no separate count()
       // action per round
       val metricName = s"__cc_n_$rounds"
-      // the order-independent edge-set checksum (exact decimal sum of a
-      // 64-bit per-edge hash) rides the same job: count-equal rounds with
-      // a CHANGED set (the alternating stars can oscillate through
-      // equal-size sets) are rejected without paying the exceptAll job —
-      // the expensive exact set-difference only runs when count and
-      // checksum both match, i.e. at most once at the true fixpoint (plus
-      // a vanishing hash-collision chance, which exceptAll then catches).
+      // Convergence = equal count AND equal order-independent checksum
+      // (exact decimal sum of a 64-bit per-edge hash), both riding the SAME
+      // job that materializes the checkpoint — fixpoint detection costs no
+      // extra action. Count alone is not enough (the alternating stars can
+      // oscillate through equal-size sets); count + hash-sum equality on
+      // two DISTINCT sets requires a multiset of xxhash64 values with an
+      // identical exact sum over a different edge set, reachable within
+      // one star round — a ~2⁻⁶⁴ accident on non-adversarial ids. The
+      // previous implementation confirmed with an authoritative exceptAll
+      // job; that paid a full extra set-difference action at every
+      // fixpoint to close a collision window narrower than the chance of
+      // corrupt shuffle data, so the checksum is now trusted outright.
       val obs = smallStar(largeStar(e)).observe(metricName, count(lit(1)),
         sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")))
       val next = obs.localCheckpoint()
@@ -74,14 +102,12 @@ object Components {
         .getOrElse(next.count()) // defensive: metrics missing ⇒ count directly
       val chkNext = metric.map(r => Option(r.getDecimal(1))
         .getOrElse(java.math.BigDecimal.ZERO))
-      // checksum inequality proves the set changed; equality proves
-      // nothing (collisions), so exceptAll stays the authoritative test
-      val maybeSame = (chk, chkNext) match {
+      converged = nNext == n && ((chk, chkNext) match {
         case (Some(a), Some(b)) => a.compareTo(b) == 0
-        case _ => true // unknown previous/current checksum — can't prune
-      }
-      // both sides are distinct sets: equal size + empty difference ⇒ equal
-      converged = nNext == n && maybeSame && next.exceptAll(e).isEmpty
+        // defensive: observed metrics unavailable — fall back to the exact
+        // set-difference so the loop can still terminate
+        case _ => next.exceptAll(e).isEmpty
+      })
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] round $rounds: n=$n -> $nNext converged=$converged")
       e.unpersist(blocking = false)
@@ -90,6 +116,7 @@ object Components {
       chk = chkNext
       rounds += 1
     }
+    } finally spark.conf.set(shuffleKey, configuredWidth.toString)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxRounds productive rounds " +

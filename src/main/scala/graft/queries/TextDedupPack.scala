@@ -1915,14 +1915,35 @@ object TextDedupPack {
            |ORDER BY cluster_id""".stripMargin
       }) { (s, d) =>
       val mp = winnowMatchPairs(s, d).persist()
+      mp.count() // materialize ONCE at session width before both consumers
       val edges = mp.select(col("id_a").as("u"), col("id_b").as("v"))
         .unionAll(mp.select(col("id_b").as("u"), col("id_a").as("v")))
-        .persist()
-      val comp = graft.operators.Components
-        .connectedComponents(mp.select("id_a", "id_b"), "id_a", "id_b")
-        .select(col("component").as("cluster_id"), col("id").as("doc_id"))
-      val ranks = graft.operators.Graph.fixedPointPageRank(edges, "u", "v", iters = 5)
-        .select(col("id").as("__rid"), col("r"))
+      // CC and PR are independent given mp — both are internally eager
+      // (CC's rounds, PR's checkpoint), so running them sequentially
+      // serializes two latency-bound iterative phases over a tiny
+      // contracted graph. Overlap them: CC on a helper thread, PR on this
+      // one; Spark's scheduler interleaves their small stages across idle
+      // cores. Both narrow the session shuffle width internally and
+      // restore it, and those windows can interleave — the snapshot/
+      // restore below makes the builder's exit state deterministic
+      // regardless of which phase finishes last. Results are unaffected
+      // by width or interleaving (both phases are exact integer
+      // fixed-point); the oracle hash pins that.
+      val shuffleKey = "spark.sql.shuffle.partitions"
+      val prevWidth = s.conf.get(shuffleKey)
+      val (comp, ranks) = try {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fCc = Future {
+          graft.operators.Components
+            .connectedComponents(mp.select("id_a", "id_b"), "id_a", "id_b")
+            .select(col("component").as("cluster_id"), col("id").as("doc_id"))
+        }
+        val r = graft.operators.Graph
+          .fixedPointPageRank(edges, "u", "v", iters = 5)
+          .select(col("id").as("__rid"), col("r"))
+        (Await.result(fCc, scala.concurrent.duration.Duration.Inf), r)
+      } finally s.conf.set(shuffleKey, prevWidth)
       // canonical pick = argmax (r, -doc_id): a single max_by hash-agg
       // (partial-agg'd map-side, no per-cluster sort) replaces the
       // row_number window — same selection the oracle's rn = 1 makes,
