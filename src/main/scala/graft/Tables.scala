@@ -43,6 +43,15 @@ object Tables {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema(colName).dataType match {
       case LongType =>
+        // The ns→µs division is only valid when the LONG is a nanosAsLong
+        // read of TIMESTAMP(NANOS) — require the flag that causes that
+        // read, so a generator that someday writes plain epoch-micros as
+        // un-annotated INT64 fails loudly here instead of silently
+        // producing timestamps 1000× too small (ADVICE r10).
+        require(df.sparkSession.conf
+            .getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+          s"'$colName' arrived as LONG but legacy.parquet.nanosAsLong is not " +
+            "set — refusing to guess the epoch unit")
         df.withColumn(colName, timestamp_micros(expr(s"$colName div 1000")))
       case TimestampNTZType =>
         df.withColumn(colName, col(colName).cast(TimestampType))

@@ -22,6 +22,16 @@ import org.apache.spark.sql.functions._
   * (any disjoint ordered ranges give the same global order), to AQE
   * coalescing, and to the input's file layout — only the sort key (which
   * must be a total order: break ties explicitly) determines the result.
+  *
+  * The range exchange is materialized via `localCheckpoint`, NOT
+  * `persist`: both consumers (the per-partition counts and the returned
+  * plan) read the same materialized blocks, no cache-manager entry is
+  * created, and the blocks free themselves when the returned frame is
+  * garbage-collected — so composing these operators repeatedly in one
+  * session (q173 calls assign per epoch) accumulates nothing. The
+  * r10-shipped `persist` had no reachable unpersist: the caller never saw
+  * the internal frame, and the returned plan was built on it, so even the
+  * operator couldn't release it before the caller's action ran.
   */
 object GlobalIds {
 
@@ -37,7 +47,7 @@ object GlobalIds {
       // spark_partition_id is nondeterministic-tagged, so Catalyst cannot
       // push this projection below the range exchange
       .withColumn("__pid", spark_partition_id())
-      .persist()
+      .localCheckpoint()
     val offsets = ranged.groupBy("__pid").agg(count(lit(1)).as("c"))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1)))
@@ -66,7 +76,7 @@ object GlobalIds {
       if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
     val ranged = df.repartitionByRange(p, order: _*)
       .withColumn("__pid", spark_partition_id())
-      .persist()
+      .localCheckpoint()
     val totals = ranged.groupBy("__pid")
       .agg(sum(col(weightCol).cast("long")).as("w"))
       .collect()

@@ -1712,9 +1712,9 @@ object RelationalPack {
         |  FROM g),
         |z AS (SELECT n0, c0, n1, c1,
         |    (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0) /
-        |      sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+        |      NULLIF(sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
         |           * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
-        |           * (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1)) AS zs
+        |           * (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1)), 0) AS zs
         |  FROM w)
         |SELECT CAST(n0 AS BIGINT) AS n_control, CAST(c0 AS BIGINT) AS conv_control,
         |  CAST(n1 AS BIGINT) AS n_treatment, CAST(c1 AS BIGINT) AS conv_treatment,
@@ -1736,9 +1736,14 @@ object RelationalPack {
         max(when(col("variant") === 1, col("n"))).as("n1"),
         max(when(col("variant") === 1, col("conv"))).as("c1"))
       val pooled = (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1"))
+      // degenerate splits (an empty variant, or all-0/all-1 conversions)
+      // zero the pooled standard error; NULLIF-guard the division so both
+      // engines yield NULL identically instead of Spark/DuckDB disagreeing
+      // on a divide-by-zero float (ADVICE r10)
+      val se = sqrt(pooled * (lit(1) - pooled) *
+        (lit(1).cast("double") / col("n0") + lit(1).cast("double") / col("n1")))
       val zs = (col("c1").cast("double") / col("n1") - col("c0").cast("double") / col("n0")) /
-        sqrt(pooled * (lit(1) - pooled) *
-          (lit(1).cast("double") / col("n0") + lit(1).cast("double") / col("n1")))
+        nullif(se, lit(0d))
       w.select(col("n0"), col("c0"), col("n1"), col("c1"), zs.as("zs"))
         .select(col("n0").as("n_control"), col("c0").as("conv_control"),
           col("n1").as("n_treatment"), col("c1").as("conv_treatment"),

@@ -2687,7 +2687,9 @@ object TextDedupPack {
         Tables.documentsSpread(s, d).select(col("doc_id"), key.as("k")),
         Seq(col("k"), col("doc_id")), "rn")
         .select("doc_id", "rn")
-        .persist() // both sides of the w rank-equi-joins scan it
+        // both sides of the w rank-equi-joins scan it; localCheckpoint, not
+        // persist — no cache entry to leak, blocks free on GC (cf. GlobalIds)
+        .localCheckpoint()
       val cand = sorted
         .select(col("doc_id").as("id_a"),
           explode(array((1 to SN_W).map(i => col("rn") + i): _*)).as("rn"))
@@ -2716,9 +2718,11 @@ object TextDedupPack {
     // ('é' → 'Ã©'), replacement chars and stray C0 controls; a training
     // pipeline gates them out before tokenization. The fixture corpus is
     // clean, so damage is PLANTED deterministically (docs with
-    // doc_id % 7 == 0 get the classic double-encode: every 'e' → 'Ã©') and
-    // the detector must flag exactly the planted set — same
-    // planted-ground-truth pattern as q65/q76/q88. Detection is pure
+    // doc_id % 7 == 0 get the classic double-encode: every 'e' → 'Ã©',
+    // PLUS one appended ' Ã©' token so the plant is content-independent —
+    // a planted doc carries damage even if a regenerated fixture doc has
+    // no 'e' at all) and the detector must flag exactly the planted set —
+    // same planted-ground-truth pattern as q65/q76/q88. Detection is pure
     // per-row expression work (length-difference counting of damage
     // patterns — no regex engine divergence: counts come from global
     // replace), aggregated per source.
@@ -2726,7 +2730,7 @@ object TextDedupPack {
       "q179_mojibake_gate",
       """WITH damaged AS (
         |  SELECT doc_id, source,
-        |    CASE WHEN doc_id % 7 = 0 THEN replace(text, 'e', 'Ã©') ELSE text END AS text,
+        |    CASE WHEN doc_id % 7 = 0 THEN replace(text, 'e', 'Ã©') || ' Ã©' ELSE text END AS text,
         |    CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS planted
         |  FROM documents),
         |scored AS (
@@ -2746,7 +2750,7 @@ object TextDedupPack {
       val damaged = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           when(col("doc_id") % 7 === 0,
-            regexp_replace(col("text"), "e", "Ã©"))
+            concat(regexp_replace(col("text"), "e", "Ã©"), lit(" Ã©")))
             .otherwise(col("text")).as("text"),
           when(col("doc_id") % 7 === 0, 1L).otherwise(0L).as("planted"))
       // translate, not regexp_replace: literal single-char removal, no

@@ -10,6 +10,27 @@ import org.scalatest.funsuite.AnyFunSuite
 class AnalyticsSpec extends AnyFunSuite {
   import TestSpark.{sf, spark}
 
+  test("GlobalIds-backed queries leave no cached frames behind") {
+    // r10 verdict: GlobalIds persisted its range exchange with no
+    // reachable unpersist, so composing q157/q163/q164/q165/q173 in one
+    // session accumulated cached partitions unbounded. The operator now
+    // materializes via localCheckpoint (no cache-manager entry; blocks
+    // free on GC) — composing every GlobalIds consumer back-to-back must
+    // leave the session cache exactly as empty as it started.
+    spark.catalog.clearCache()
+    for (name <- Seq("q157_global_ids", "q163_shard_plan",
+        "q164_vocab_growth", "q165_zipf_slope", "q173_epoch_shuffle")) {
+      SparkEntry.byName(name).run(spark, sf).count()
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"$name left cached frames in the session")
+    }
+    // direct operator composition, as a library consumer would
+    val df = Tables.documents(spark, sf).select(col("doc_id"), col("n_chars"))
+    operators.GlobalIds.assign(df, Seq(col("doc_id")), "gid").count()
+    operators.GlobalIds.prefixSum(df, Seq(col("doc_id")), "n_chars", "pfx").count()
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("q120 correlation matches built-in corr() to float tolerance") {
     val got = SparkEntry.byName("q120_correlation").run(spark, sf)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
@@ -253,6 +274,17 @@ class AnalyticsSpec extends AnyFunSuite {
   }
 
   test("q179 mojibake gate flags exactly the planted damage") {
+    // precondition, asserted explicitly so a fixture regeneration that
+    // violates it fails HERE with a clear message instead of as a
+    // confusing flagged/planted mismatch below: clean documents must not
+    // naturally contain the damage markers the detector counts
+    val dirtyClean = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 7 =!= 0)
+      .filter(col("text").contains("\u00c3") || col("text").contains("\ufffd")
+        || col("text").contains("\u0007"))
+      .count()
+    assert(dirtyClean == 0L,
+      s"fixture precondition broken: $dirtyClean clean docs contain damage markers")
     val rows = SparkEntry.byName("q179_mojibake_gate").run(spark, sf).collect()
     val planted = Tables.documents(spark, sf)
       .filter(col("doc_id") % 7 === 0)
