@@ -345,6 +345,74 @@ object TextDedupPack {
     * absent from the corpus simply contribute no term (tf = 0). */
   private val BM25_QUERY = Seq("the", "of", "la", "der", "el")
 
+  /** DuckDB CTE chain ending in `scored(doc_id, bm25)` — q104's scoring,
+    * shared verbatim with the hybrid-retrieval fusion (q182/q183 in
+    * VectorPack) so the two oracles cannot drift on a constant. Already
+    * stripMargin'd: interpolate only at line ends (see the `||` gotcha in
+    * the verify skill). */
+  private[queries] lazy val Bm25SqlCtes: String = {
+    val qlist = BM25_QUERY.map(q =>
+      s"{tok: '$q', tf: len(list_filter(t, x -> x = '$q'))}").mkString(", ")
+    s"""base AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |    string_split(text, ' ') AS t
+       |  FROM documents),
+       |n AS (
+       |  SELECT COUNT(*) AS nd,
+       |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+       |  FROM base),
+       |tf AS (
+       |  SELECT doc_id, dl, u.tok AS tok, u.tf AS tf FROM (
+       |    SELECT doc_id, dl, unnest([$qlist]) AS u FROM base)),
+       |dfc AS (
+       |  SELECT tok, CAST(SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT) AS dfc
+       |  FROM tf GROUP BY tok),
+       |terms AS (
+       |  SELECT doc_id,
+       |    CAST(ln(1 + (nd - dfc + 0.5) / (dfc + 0.5))
+       |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       |      AS DECIMAL(38,20)) AS term
+       |  FROM tf JOIN dfc USING (tok) CROSS JOIN n
+       |  WHERE tf > 0),
+       |scored AS (
+       |  SELECT doc_id,
+       |    CAST(CAST(CAST(SUM(term) AS DOUBLE) AS DECIMAL(18,8)) AS DOUBLE) AS bm25
+       |  FROM terms GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Spark side of [[Bm25SqlCtes]]: (doc_id, bm25) for every document
+    * containing ≥1 query token. Per-doc term frequencies are map-side
+    * array filters (no token explode); document frequencies one tiny
+    * partial-agg'd shuffle broadcast back. */
+  private[queries] def bm25Scores(s: org.apache.spark.sql.SparkSession,
+                                  d: String): org.apache.spark.sql.DataFrame = {
+    val t = col("__t")
+    val base = Tables.documentsSpread(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("__t"))
+      .select(col("doc_id"), size(t).cast("long").as("dl"), t)
+    val n = base.agg(count(lit(1)).as("nd"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tfRows = base.select(col("doc_id"), col("dl"),
+        explode(array(BM25_QUERY.map(q =>
+          struct(lit(q).as("tok"),
+            size(filter(t, x => x === q)).cast("long").as("tf"))): _*)).as("u"))
+      .select(col("doc_id"), col("dl"), col("u.tok").as("tok"), col("u.tf").as("tf"))
+      .persist() // df agg + term scoring share it
+    val dfc = tfRows.groupBy("tok")
+      .agg(sum(when(col("tf") > 0, 1L).otherwise(0L)).as("dfc"))
+    val terms = tfRows.filter(col("tf") > 0)
+      .join(broadcast(dfc), "tok")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"),
+        (log(lit(1) + (col("nd") - col("dfc") + lit(0.5)) / (col("dfc") + lit(0.5)))
+          * (col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .cast(DecimalType(38, 20)).as("term"))
+    terms.groupBy("doc_id")
+      .agg(sum(col("term")).cast("double")
+        .cast(DecimalType(18, 8)).cast("double").as("bm25"))
+  }
+
   /** q96's duplicated-window width (tokens). Sub-segment spans: q86 removes
     * whole duplicated 16-token segments aligned to a fixed grid; q96 slides
     * a 5-token window at every offset, so copied spans are caught wherever
@@ -1676,64 +1744,13 @@ object TextDedupPack {
     // decimal-sum + DECIMAL(18,8) rounding discipline, and the top-50 cut
     // orders by the ROUNDED score with doc_id tiebreak.
     QueryDef(
-      "q104_bm25", {
-        val qlist = BM25_QUERY.map(q =>
-          s"{tok: '$q', tf: len(list_filter(t, x -> x = '$q'))}").mkString(", ")
-        s"""WITH base AS (
-           |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
-           |    string_split(text, ' ') AS t
-           |  FROM documents),
-           |n AS (
-           |  SELECT COUNT(*) AS nd,
-           |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
-           |  FROM base),
-           |tf AS (
-           |  SELECT doc_id, dl, u.tok AS tok, u.tf AS tf FROM (
-           |    SELECT doc_id, dl, unnest([$qlist]) AS u FROM base)),
-           |dfc AS (
-           |  SELECT tok, CAST(SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT) AS dfc
-           |  FROM tf GROUP BY tok),
-           |terms AS (
-           |  SELECT doc_id,
-           |    CAST(ln(1 + (nd - dfc + 0.5) / (dfc + 0.5))
-           |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
-           |      AS DECIMAL(38,20)) AS term
-           |  FROM tf JOIN dfc USING (tok) CROSS JOIN n
-           |  WHERE tf > 0),
-           |scored AS (
-           |  SELECT doc_id,
-           |    CAST(CAST(CAST(SUM(term) AS DOUBLE) AS DECIMAL(18,8)) AS DOUBLE) AS bm25
-           |  FROM terms GROUP BY doc_id)
-           |SELECT doc_id, bm25,
-           |  CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rk
-           |FROM scored QUALIFY rk <= 50
-           |ORDER BY rk""".stripMargin
-      }) { (s, d) =>
-      val t = col("__t")
-      val base = Tables.documentsSpread(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("__t"))
-        .select(col("doc_id"), size(t).cast("long").as("dl"), t)
-      val n = base.agg(count(lit(1)).as("nd"),
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-      val tfRows = base.select(col("doc_id"), col("dl"),
-          explode(array(BM25_QUERY.map(q =>
-            struct(lit(q).as("tok"),
-              size(filter(t, x => x === q)).cast("long").as("tf"))): _*)).as("u"))
-        .select(col("doc_id"), col("dl"), col("u.tok").as("tok"), col("u.tf").as("tf"))
-        .persist() // df agg + term scoring share it
-      val dfc = tfRows.groupBy("tok")
-        .agg(sum(when(col("tf") > 0, 1L).otherwise(0L)).as("dfc"))
-      val terms = tfRows.filter(col("tf") > 0)
-        .join(broadcast(dfc), "tok")
-        .crossJoin(broadcast(n))
-        .select(col("doc_id"),
-          (log(lit(1) + (col("nd") - col("dfc") + lit(0.5)) / (col("dfc") + lit(0.5)))
-            * (col("tf") * lit(2.2))
-            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-            .cast(DecimalType(38, 20)).as("term"))
-      val scored = terms.groupBy("doc_id")
-        .agg(sum(col("term")).cast("double")
-          .cast(DecimalType(18, 8)).cast("double").as("bm25"))
+      "q104_bm25",
+      s"""WITH $Bm25SqlCtes
+         |SELECT doc_id, bm25,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rk
+         |FROM scored QUALIFY rk <= 50
+         |ORDER BY rk""".stripMargin) { (s, d) =>
+      val scored = bm25Scores(s, d)
       val w = Window.orderBy(col("bm25").desc, col("doc_id"))
       scored.withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 50)

@@ -542,6 +542,173 @@ object VectorPack {
       recallAudit(graft.operators.Ivf.ivfTopKPartitioned(
         s, layout, emb, "vec_id", "embedding", k = 5, centroids, nprobe = 4,
         broadcastProbes = false))
+    },
+
+    // ---- q182: hybrid retrieval — BM25 + vector fusion via RRF -------------
+    // The retrieval shape modern pipelines actually ship: a lexical
+    // ranking (q104's BM25) and a dense ranking (q35's decimal-exact
+    // cosine, query = vec 0's embedding) fused by reciprocal-rank fusion
+    // (Cormack et al., SIGIR'09): score(d) = Σ_r 1/(60 + rank_r(d)) over
+    // the rankings that contain d. Both ranking tails are
+    // TakeOrderedAndProject (per-partition top-100 + a 100-row merge —
+    // the corpus is never globally sorted or shuffled for the cut), the
+    // fusion is a full-outer join of two 100-row frames, and the RRF
+    // arithmetic is INTEGER (1e9 div (60+rank)) so the fused scores and
+    // ranks are hash-exact in both engines — fusing ranks instead of
+    // scores is exactly what makes RRF calibration-free AND
+    // oracle-checkable.
+    QueryDef(
+      "q182_hybrid_rrf",
+      s"""WITH ${hybridSqlCtes("embeddings")}
+         |SELECT rk, doc_id, rrf_score, bm25_rk, cos_rk
+         |FROM htop ORDER BY rk""".stripMargin) { (s, d) =>
+      rrfFused(s, d, Tables.embeddings(s, d).select("vec_id", "embedding"))
+    },
+
+    // ---- q183: diversified hybrid retrieval (near-dup-suppressed) ----------
+    // Composition of three first-class operators — BM25, exact dense
+    // ranking, and embedding near-dup detection — into the result-list
+    // diversification step a retrieval pipeline runs last: drop any fused
+    // top-20 candidate whose embedding cosine to ANY higher-ranked
+    // candidate is ≥ 0.95 (transitive-chain suppression, not greedy MMR —
+    // SQL-expressible without recursion; documented choice). Ground truth
+    // is PLANTED (cf. q56/q76): the corpus is twinned (every vec_id gets
+    // an exact-copy twin at +1e6), so the dense ranking provably contains
+    // adjacent duplicate pairs at identical cosine, and the gate must
+    // remove every lower-ranked twin that reaches the fused list. The
+    // pairwise pass is 20×20 rows — suppression cost is O(k²), never
+    // corpus-scale.
+    QueryDef(
+      "q183_diversified_retrieval",
+      s"""WITH temb AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + $TWIN_OFFSET AS vec_id, embedding FROM embeddings),
+         |${hybridSqlCtes("temb")},
+         |cemb AS (
+         |  SELECT h.rk, h.doc_id, h.rrf_score, e.embedding, n.nrm
+         |  FROM htop h
+         |  JOIN temb e ON e.vec_id = h.doc_id
+         |  JOIN cnorms n ON n.vec_id = h.doc_id),
+         |sup AS (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM cemb a JOIN cemb b ON a.rk < b.rk
+         |  WHERE CAST(CAST(CAST(list_sum(list_transform(range(1,65), i ->
+         |      CAST(CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)
+         |        AS DECIMAL(38,20)))) AS DOUBLE)
+         |    / sqrt(CAST(a.nrm AS DOUBLE)*CAST(b.nrm AS DOUBLE))
+         |    AS DECIMAL(18,8)) AS DOUBLE) >= 0.95)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY c.rk) AS BIGINT) AS rk,
+         |  c.doc_id, c.rrf_score, c.rk AS fused_rk
+         |FROM cemb c LEFT JOIN sup s ON s.doc_id = c.doc_id
+         |WHERE s.doc_id IS NULL
+         |ORDER BY rk""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val temb = emb.unionByName(emb.select(
+        (col("vec_id") + TWIN_OFFSET).as("vec_id"), col("embedding")))
+      val htop = rrfFused(s, d, temb) // ≤ 20 rows by construction
+      val cemb = htop.join(
+        temb.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+      val a = cemb.select(col("rk").as("__rka"), col("embedding").as("__ea"))
+      val b = cemb.select(col("rk").as("__rkb"), col("doc_id").as("__idb"),
+        col("embedding").as("__eb"))
+      // 20×20 inequality join — broadcast the (limit-bounded) right side so
+      // the pairwise pass plans as BroadcastNestedLoop, never a cartesian
+      val sup = a.join(broadcast(b), col("__rka") < col("__rkb"))
+        .filter(cosineDec(col("__ea"), col("__eb")) >= 0.95)
+        .select(col("__idb").as("doc_id")).distinct()
+      val wS = Window.orderBy(col("fused_rk"))
+      cemb.withColumnRenamed("rk", "fused_rk")
+        .join(sup, Seq("doc_id"), "left_anti")
+        .orderBy(col("fused_rk"))
+        .withColumn("rk", row_number().over(wS).cast("long"))
+        .select(col("rk"), col("doc_id"), col("rrf_score"), col("fused_rk"))
     }
   )
+
+  /** Depth of each ranking feeding the RRF fusion, the fused cut, and the
+    * RRF smoothing constant (k = 60, the value from the RRF paper). */
+  private val HY_DEPTH = 100
+  private val HY_K = 20
+  private val HY_QID = 0L
+
+  /** DuckDB CTE chain for the hybrid fusion over embedding relation
+    * `embSrc`: BM25 CTEs (shared verbatim with q104 via
+    * [[TextDedupPack.Bm25SqlCtes]]) + single-query cosine ranking +
+    * integer RRF, ending in `htop(rk, doc_id, rrf_score, bm25_rk,
+    * cos_rk)`. `cnorms` is also referenced by q183's suppression pass. */
+  private def hybridSqlCtes(embSrc: String): String =
+    s"""${TextDedupPack.Bm25SqlCtes},
+       |trank AS (
+       |  SELECT doc_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rt
+       |  FROM scored QUALIFY rt <= $HY_DEPTH),
+       |cnorms AS (
+       |  SELECT vec_id, list_sum(list_transform(embedding, x ->
+       |    CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,20)))) AS nrm
+       |  FROM $embSrc),
+       |cq AS (
+       |  SELECT e.embedding AS qe, n.nrm AS nq
+       |  FROM $embSrc e JOIN cnorms n ON n.vec_id = e.vec_id
+       |  WHERE e.vec_id = $HY_QID),
+       |cscored AS (
+       |  SELECT e.vec_id AS doc_id,
+       |    CAST(CAST(CAST(list_sum(list_transform(range(1,65), i ->
+       |      CAST(CAST(cq.qe[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE)
+       |        AS DECIMAL(38,20)))) AS DOUBLE)
+       |      / sqrt(CAST(cq.nq AS DOUBLE)*CAST(nn.nrm AS DOUBLE))
+       |      AS DECIMAL(18,8)) AS DOUBLE) AS cos_sim
+       |  FROM cq CROSS JOIN $embSrc e JOIN cnorms nn ON nn.vec_id = e.vec_id
+       |  WHERE e.vec_id <> $HY_QID),
+       |vrank AS (
+       |  SELECT doc_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS rv
+       |  FROM cscored QUALIFY rv <= $HY_DEPTH),
+       |fused AS (
+       |  SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+       |    COALESCE(1000000000 // (60 + t.rt), 0)
+       |      + COALESCE(1000000000 // (60 + v.rv), 0) AS rrf,
+       |    COALESCE(t.rt, 0) AS bm25_rk, COALESCE(v.rv, 0) AS cos_rk
+       |  FROM trank t FULL OUTER JOIN vrank v ON v.doc_id = t.doc_id),
+       |htop AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk,
+       |    doc_id, CAST(rrf AS BIGINT) AS rrf_score,
+       |    CAST(bm25_rk AS BIGINT) AS bm25_rk, CAST(cos_rk AS BIGINT) AS cos_rk
+       |  FROM fused QUALIFY rk <= $HY_K)""".stripMargin
+
+  /** Spark side of [[hybridSqlCtes]]: the fused top-[[HY_K]]
+    * (rk, doc_id, rrf_score, bm25_rk, cos_rk) over corpus `emb`
+    * (vec_id, embedding). Both ranking cuts are orderBy+limit —
+    * TakeOrderedAndProject, per-partition top-N and an N-row merge, no
+    * global sort — and the rank windows then run over ≤ [[HY_DEPTH]]
+    * rows. Absent ranks fuse as 0 contribution (standard RRF over the
+    * union of rankings). */
+  private def rrfFused(s: SparkSession, d: String,
+                       emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val wT = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val trank = TextDedupPack.bm25Scores(s, d)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(HY_DEPTH)
+      .withColumn("rt", row_number().over(wT).cast("long"))
+      .select("doc_id", "rt")
+    val q = emb.filter(col("vec_id") === HY_QID).select(col("embedding").as("qe"))
+    val cscored = emb.filter(col("vec_id") =!= HY_QID)
+      .select(col("vec_id").as("doc_id"), col("embedding").as("ne"))
+      .crossJoin(broadcast(q))
+      .select(col("doc_id"), cosineDec(col("qe"), col("ne")).as("cos_sim"))
+    val wV = Window.orderBy(col("cos_sim").desc, col("doc_id"))
+    val vrank = cscored.orderBy(col("cos_sim").desc, col("doc_id")).limit(HY_DEPTH)
+      .withColumn("rv", row_number().over(wV).cast("long"))
+      .select("doc_id", "rv")
+    val fused = trank.join(vrank, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(expr("1000000000 div (60 + rt)"), lit(0L)) +
+          coalesce(expr("1000000000 div (60 + rv)"), lit(0L))).as("rrf"),
+        coalesce(col("rt"), lit(0L)).as("bm25_rk"),
+        coalesce(col("rv"), lit(0L)).as("cos_rk"))
+    val wF = Window.orderBy(col("rrf").desc, col("doc_id"))
+    fused.orderBy(col("rrf").desc, col("doc_id")).limit(HY_K)
+      .withColumn("rk", row_number().over(wF).cast("long"))
+      .select(col("rk"), col("doc_id"), col("rrf").as("rrf_score"),
+        col("bm25_rk"), col("cos_rk"))
+  }
 }

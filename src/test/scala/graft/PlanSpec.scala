@@ -281,6 +281,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.toString.toLowerCase.contains("aggregate"), p.toString.take(500))
   }
 
+  test("q182's ranking cuts plan as TakeOrdered — the corpus never globally sorts for the fusion") {
+    // each ranking's top-100 must be per-partition top-N + an N-row merge;
+    // a regression to Sort+Limit (or a corpus-wide window) would shuffle
+    // and sort the whole corpus twice per fused query at 100 TB
+    val p = plan(q("q182_hybrid_rrf"))
+    val topk = collectAll(p) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(topk.size >= 2, s"expected a TakeOrdered cut per ranking:\n$p")
+    // window sorts run over limit-bounded (≤100-row) frames only: every
+    // WindowExec must sit above a limit, never directly over the corpus
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    windows.foreach { w =>
+      val bounded = w.collectFirst {
+        case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => ()
+        case g: org.apache.spark.sql.execution.GlobalLimitExec => ()
+        case l: org.apache.spark.sql.execution.LocalLimitExec => ()
+      }.nonEmpty
+      assert(bounded, s"rank window runs over an unbounded frame:\n$w")
+    }
+  }
+
   test("q155's priority-sample top-(k+1) plans as TakeOrdered, never a global sort") {
     // priority sampling's scale story is per-partition top-k + a k-row
     // merge; a regression to a global Sort + Limit would shuffle the

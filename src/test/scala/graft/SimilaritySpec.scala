@@ -238,6 +238,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r200 >= 0.6, s"PQ recall@5 with cand=200 only $r200")
   }
 
+  test("q183 diversification is sound: no surviving pair is near-duplicate") {
+    // suppression rule: a candidate dies if ANY higher-ranked candidate
+    // has cosine ≥ 0.95 — so the survivor set must be pairwise < 0.95
+    // (if a surviving pair were ≥ 0.95, the lower-ranked member should
+    // have been suppressed), and survivor order must preserve fused order
+    val out = SparkEntry.byName("q183_diversified_retrieval")
+      .run(spark, TestSpark.sf).collect()
+    assert(out.nonEmpty)
+    val ranks = out.map(_.getLong(0)).toSeq
+    assert(ranks == (1L to out.length).toSeq, "rk not dense from 1")
+    val fusedRks = out.map(_.getLong(3)).toSeq
+    assert(fusedRks == fusedRks.sorted, "survivors reorder the fused list")
+    // rebuild the twinned corpus (TWIN_OFFSET = 1e6, as the query plants)
+    val emb = Tables.embeddings(spark, TestSpark.sf).select("vec_id", "embedding")
+    val temb = emb.unionByName(emb.select(
+      (col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val ids = out.map(_.getLong(1)).toSeq
+    val vecs = temb.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect().toMap
+    def cos(x: Seq[Float], y: Seq[Float]): Double = {
+      val dot = x.zip(y).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      val nx = math.sqrt(x.map(a => a.toDouble * a.toDouble).sum)
+      val ny = math.sqrt(y.map(a => a.toDouble * a.toDouble).sum)
+      dot / (nx * ny)
+    }
+    for (i <- ids.indices; j <- ids.indices if i < j)
+      assert(cos(vecs(ids(i)), vecs(ids(j))) < 0.95,
+        s"surviving near-dup pair ${ids(i)}, ${ids(j)}")
+  }
+
   test("fixedPointKmeansProfile is partitioning-independent and sane") {
     def profile(df: org.apache.spark.sql.DataFrame) =
       graft.operators.Ivf.fixedPointKmeansProfile(df, "vec_id", "embedding",
