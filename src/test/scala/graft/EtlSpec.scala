@@ -105,6 +105,79 @@ class EtlSpec extends AnyFunSuite {
     })
   }
 
+  /** A NiFi-style record whose fields are independently ABSENT — the
+    * `AttributesToJSON` `Null Value=false` omission semantics
+    * (reference `tp.xml:1296`): an unset attribute simply does not
+    * appear in the serialized object. */
+  private val nifiRow: Gen[(Option[String], Option[String], Option[String],
+      Option[String], Option[String])] = {
+    val field: Gen[Option[String]] =
+      Gen.frequency(3 -> Gen.alphaNumStr.map(Some(_)), 1 -> Gen.const(None))
+    val coordF: Gen[Option[String]] = Gen.frequency(
+      3 -> Gen.chooseNum(-89, 89).map(i => Some(i.toString)),
+      1 -> Gen.const(None))
+    for {
+      id <- Gen.chooseNum(0, 999).map(i => Some(i.toString))
+      icao <- field; name <- field; lat <- coordF; lon <- coordF
+    } yield (id, icao, name, lat, lon)
+  }
+
+  test("toWire omits null fields (NiFi Null Value=false) and parse restores them as nulls") {
+    // the omission round-trip the r10 verdict asked for: a row with absent
+    // attributes serializes WITHOUT those keys (never "k":null), and
+    // re-parsing yields the same row with nulls for the omitted keys —
+    // the exact producer/consumer contract of the reference's
+    // AttributesToJSON → Kafka → from_json path.
+    check(Prop.forAll(Gen.listOfN(40, nifiRow)) { rows =>
+      val df = rows.toDF("id", "icao", "name", "lat", "lon")
+      val wired = Etl.toWire(df, "id", Seq("id", "icao", "name", "lat", "lon"))
+      val omissionOk = wired.select("value").as[String].collect()
+        .zip(rows).forall { case (j, (id, icao, name, lat, lon)) =>
+          Seq("id" -> id, "icao" -> icao, "name" -> name,
+            "lat" -> lat, "lon" -> lon).forall { case (k, v) =>
+            // alphanumeric values can't fake a "key": token
+            v.isDefined == j.contains(s""""$k":""")
+          }
+        }
+      val reparsed = Etl.parse(
+        wired.select(encode($"value", "UTF-8").as("value")))
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(_.toString).sorted.toSeq
+      omissionOk && canon(reparsed) == canon(df)
+    })
+  }
+
+  private val byteWire: Gen[Array[Byte]] = Gen.frequency(
+    // pure garbage bytes (invalid UTF-8 sequences included)
+    2 -> Gen.nonEmptyListOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray),
+    // well-formed JSON with a raw invalid-UTF-8 byte inside a value
+    2 -> Gen.chooseNum(0, 99).map { i =>
+      val head = s"""{"id":"$i","name":"n""".getBytes("UTF-8")
+      val tail = s"""","lat":"5","lon":"6"}""".getBytes("UTF-8")
+      head ++ Array(0xC3.toByte, 0x28.toByte) ++ tail // truncated 2-byte seq
+    },
+    // valid JSON bytes, as a control group
+    1 -> Gen.chooseNum(0, 99).map(i =>
+      s"""{"id":"$i","name":"n$i","lat":"5","lon":"6"}""".getBytes("UTF-8")))
+
+  test("non-UTF-8 wire bytes never throw; the clean path's invariants hold") {
+    // CAST(binary AS STRING) replaces invalid sequences with U+FFFD, so a
+    // record with damage confined to a string field still parses and (with
+    // valid coords) survives clean; pure garbage falls out at from_json
+    // (null struct) or the coord filter. Either way: no exception, row
+    // count preserved through parse, no null coord ever reaches the output.
+    check(Prop.forAll(Gen.listOfN(60, byteWire)) { arrs =>
+      val wire = arrs.toDF("value")
+      val parsed = Etl.parse(wire)
+      val cleaned = Etl.clean(parsed)
+      parsed.count() == arrs.size.toLong &&
+        cleaned.filter($"latitude".isNull || $"longitude".isNull).count() == 0L &&
+        // every record with valid coords survives, damage in name or not
+        cleaned.count() == arrs.count(a =>
+          new String(a, "UTF-8").contains("\"lat\":\"5\"")).toLong
+    })
+  }
+
   test("typed-parse variant nulls bad coords inside from_json (§2.9)") {
     // from_json with DoubleType accepts JSON *number* tokens only: a
     // quoted coord ("4.5") is a type mismatch → null field (the NiFi wire
