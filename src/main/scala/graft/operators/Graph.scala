@@ -91,6 +91,7 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, src: String, dst: String,
                            seedPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
                            iters: Int): DataFrame = {
+    val spark = edges.sparkSession
     val e = edges.select(col(src).as("u"), col(dst).as("v"))
     val deg = e.groupBy("u").agg(count(lit(1)).as("od"))
     val ed = e.join(deg, "u").persist()
@@ -100,18 +101,32 @@ object Graph {
     val nodes = e.select(col("u").as("id"))
       .unionByName(e.select(col("v").as("id")))
       .distinct().persist()
-    val restart = when(seedPred(col("id")), lit(150000L)).otherwise(lit(0L))
-    var ranks = nodes.select(col("id"),
-      when(seedPred(col("id")), lit(1000000L)).otherwise(lit(0L)).as("r"))
-    for (_ <- 1 to iters) {
-      val contrib = ed.join(ranks, col("u") === col("id"))
-        .select(col("v"), expr("r div od").as("c"))
-        .groupBy("v")
-        .agg(expr("CAST((85 * sum(c)) div 100 AS BIGINT)").as("rc"))
-      ranks = nodes
-        .join(contrib, col("v") === col("id"), "left")
-        .select(col("id"), (restart + coalesce(col("rc"), lit(0L))).as("r"))
+    // same eager measured-width discipline (and cache lifecycle) as
+    // [[fixedPointPageRank]] — see its scaladoc
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val configuredWidth = spark.conf.get(shuffleKey).toInt
+    try {
+      val nEdges = ed.count()
+      val width = math.max(1L, math.min(configuredWidth.toLong,
+        nEdges / 2000000L + 1L)).toInt
+      spark.conf.set(shuffleKey, width.toString)
+      val restart = when(seedPred(col("id")), lit(150000L)).otherwise(lit(0L))
+      var ranks = nodes.select(col("id"),
+        when(seedPred(col("id")), lit(1000000L)).otherwise(lit(0L)).as("r"))
+      for (_ <- 1 to iters) {
+        val contrib = ed.join(ranks, col("u") === col("id"))
+          .select(col("v"), expr("r div od").as("c"))
+          .groupBy("v")
+          .agg(expr("CAST((85 * sum(c)) div 100 AS BIGINT)").as("rc"))
+        ranks = nodes
+          .join(contrib, col("v") === col("id"), "left")
+          .select(col("id"), (restart + coalesce(col("rc"), lit(0L))).as("r"))
+      }
+      ranks.localCheckpoint()
+    } finally {
+      spark.conf.set(shuffleKey, configuredWidth.toString)
+      ed.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
     }
-    ranks
   }
 }

@@ -2211,14 +2211,29 @@ object TextDedupPack {
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
       val ed = jp.select(col("a").as("u"), col("b").as("v"))
         .unionAll(jp.select(col("b").as("u"), col("a").as("v"))).persist()
-      var labels = ed.select(col("u").as("id")).distinct()
-        .select(col("id"), col("id").as("lab"))
-      for (_ <- 1 to LPA_ROUNDS) {
-        labels = ed.join(labels, col("u") === col("id"))
-          .groupBy(col("v"), col("lab")).agg(count(lit(1)).as("c"))
-          .groupBy(col("v"))
-          .agg(max_by(col("lab"), struct(col("c"), lit(0L) - col("lab"))).as("lab"))
-          .select(col("v").as("id"), col("lab"))
+      // same eager measured-width discipline as Graph.fixedPointPageRank:
+      // the LPA rounds run over the contracted match graph, so their
+      // shuffles narrow to the measured edge count and the result is
+      // checkpointed node-sized (also releasing ed — no cache leak)
+      val shuffleKey = "spark.sql.shuffle.partitions"
+      val prevWidth = s.conf.get(shuffleKey)
+      val labels = try {
+        val nEdges = ed.count()
+        s.conf.set(shuffleKey, math.max(1L, math.min(prevWidth.toInt.toLong,
+          nEdges / 2000000L + 1L)).toString)
+        var l = ed.select(col("u").as("id")).distinct()
+          .select(col("id"), col("id").as("lab"))
+        for (_ <- 1 to LPA_ROUNDS) {
+          l = ed.join(l, col("u") === col("id"))
+            .groupBy(col("v"), col("lab")).agg(count(lit(1)).as("c"))
+            .groupBy(col("v"))
+            .agg(max_by(col("lab"), struct(col("c"), lit(0L) - col("lab"))).as("lab"))
+            .select(col("v").as("id"), col("lab"))
+        }
+        l.localCheckpoint()
+      } finally {
+        s.conf.set(shuffleKey, prevWidth)
+        ed.unpersist(blocking = false)
       }
       labels.groupBy("lab")
         .agg(count(lit(1)).as("n_members"), min(col("id")).as("min_member"))
