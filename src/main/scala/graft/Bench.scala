@@ -133,13 +133,15 @@ object Bench {
       .mkString("{", ",", "}")
     println(s"""{"bench_detail":$detail,"fixture":"$fixtureHash","fixture_files":$fixtureDetail,"sf":"$sfDir"}""")
     def shortId(n: String): String = n.takeWhile(_ != '_')
-    // Sub-0.25 s queries sit below this VM's run-to-run noise floor and are
+    // Sub-0.4 s queries sit below this VM's run-to-run noise floor and are
     // never perf-graded individually; folding them into one {"n","sum"}
-    // aggregate keeps the summary line ~1.3 KB at 153 queries (the harness
-    // tail keeps only ~2000 chars), leaving headroom for ~50 more slow
-    // queries. Their individual times stay on the bench_detail line, and a
-    // failed query (negative best) is always listed individually.
-    val (slow, fastQ) = results.partition { case (_, v, _) => v < 0 || v >= 0.25 }
+    // aggregate keeps the summary line well under the ~2000-char tail the
+    // harness parses (steady-state timing pushed the r11 fleet to 122
+    // individual entries at the old 0.25 s cut — 1802 chars, one slow
+    // query from truncation). Their individual times stay on the
+    // bench_detail line, and a failed query (negative best) is always
+    // listed individually.
+    val (slow, fastQ) = results.partition { case (_, v, _) => v < 0 || v >= 0.4 }
     val qs = slow.map { case (k, v, _) => "\"" + shortId(k) + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val fastJson =
