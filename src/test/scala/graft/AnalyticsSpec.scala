@@ -31,6 +31,22 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("measured-width iterative queries restore the session shuffle width") {
+    // CC/PageRank/PPR/LPA narrow spark.sql.shuffle.partitions to the
+    // measured edge count during their rounds and MUST restore it on exit
+    // (including q124's concurrent CC ∥ PR window, whose builder-level
+    // snapshot makes the end state deterministic) — a leaked narrow width
+    // would silently serialize every later query in the session
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    for (name <- Seq("q109_match_pagerank", "q124_canonical_selection",
+        "q144_label_propagation", "q145_personalized_pagerank")) {
+      SparkEntry.byName(name).run(spark, sf).count()
+      assert(spark.conf.get(key) == before, s"$name leaked shuffle width")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q120 correlation matches built-in corr() to float tolerance") {
     val got = SparkEntry.byName("q120_correlation").run(spark, sf)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
