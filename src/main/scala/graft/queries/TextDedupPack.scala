@@ -590,18 +590,26 @@ object TextDedupPack {
     * doc's dropped suffix, so the prefixes intersect. Buckets are small
     * by construction — prefixes are each doc's RAREST grams. */
   private[graft] def prefixJoinCandidates(
-      grams: org.apache.spark.sql.DataFrame) = {
+      grams: org.apache.spark.sql.DataFrame,
+      precomputedSizes: Option[org.apache.spark.sql.DataFrame] = None) = {
     val dfCounts = grams.groupBy("gram").agg(count(lit(1)).as("__df"))
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("__n"))
+    // caller may pass its per-doc gram counts (q131 needs them again for
+    // the jaccard denominator) so the corpus-wide agg runs once, not twice
+    val sizes = precomputedSizes.getOrElse(
+      grams.groupBy("doc_id").agg(count(lit(1)).as("__n")))
     // ceil(θ·n) with θ = 0.5 in exact integer arithmetic: (n + 1) div 2
     val prefix = grams.join(dfCounts, "gram").join(sizes, "doc_id")
       .withColumn("__rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("__df"), col("gram"))))
       .filter(col("__rk") <= col("__n") - expr("(__n + 1) div 2") + 1)
-      .select(col("doc_id"), col("gram"))
-    prefix.select(col("doc_id").as("doc_a"), col("gram"))
-      .join(prefix.select(col("doc_id").as("doc_b"), col("gram")), "gram")
-      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_id"), col("gram"), col("__n"))
+    // length filter (Vernica et al.): J(a,b) ≥ θ ⟹ max(|a|,|b|) ≤ |min|/θ
+    // (θ = 1/2 ⟹ max ≤ 2·min, exact in integers) — prunes size-mismatched
+    // candidate pairs map-side with zero recall loss
+    prefix.select(col("doc_id").as("doc_a"), col("gram"), col("__n").as("__na"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("gram"), col("__n").as("__nb")), "gram")
+      .filter(col("doc_a") < col("doc_b")
+        && greatest(col("__na"), col("__nb")) <= lit(2) * least(col("__na"), col("__nb")))
       .select("doc_a", "doc_b").distinct()
   }
 
@@ -610,8 +618,9 @@ object TextDedupPack {
     * provably contains every qualifying pair. */
   private[graft] def prefixJoinPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
     val grams = uncappedGrams(s, d)
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = prefixJoinCandidates(grams)
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n")).persist()
+    val common = prefixJoinCandidates(grams,
+        Some(sizes.select(col("doc_id"), col("n").as("__n"))))
       .join(grams.withColumnRenamed("doc_id", "doc_a"), "doc_a")
       .join(grams.select(col("doc_id").as("doc_b"), col("gram")), Seq("doc_b", "gram"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
