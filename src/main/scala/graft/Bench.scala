@@ -108,8 +108,14 @@ object Bench {
     // both the detail and summary lines; the full listing stays on the
     // detail line for forensics.
     val fixtureFiles = {
+      // Option-guard: listFiles() returns null on I/O error or if the dir
+      // vanishes mid-walk (e.g. a fixture regeneration — the very event
+      // this fingerprint detects); an NPE here would discard the whole
+      // run's output AFTER every query was timed
       def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+            .toSeq.sortBy(_.getName).flatMap(walk)
         else Seq(f)
       val root = new java.io.File(sfDir)
       if (root.isDirectory)

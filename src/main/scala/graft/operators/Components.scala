@@ -29,6 +29,13 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Shared measured-shuffle-width formula for iterative rounds (CC,
+    * PageRank, personalized PR, LPA): ~2M edge rows per partition, at
+    * least 1, never above the session's configured width. One definition
+    * so the rows-per-partition target cannot drift between operators. */
+  private[graft] def roundWidth(configuredWidth: Int, rows: Long): Int =
+    math.max(1L, math.min(configuredWidth.toLong, rows / 2000000L + 1L)).toInt
+
   /** (id, component) for every node that appears in `edges`; `component` is
     * the minimum node id of the connected component. Self-loops and
     * duplicate/reversed edges are tolerated. Nodes with no edges don't
@@ -68,16 +75,13 @@ object Components {
     val spark = edges.sparkSession
     val shuffleKey = "spark.sql.shuffle.partitions"
     val configuredWidth = spark.conf.get(shuffleKey).toInt
-    def roundWidth(edgeCount: Long): Int =
-      math.max(1L, math.min(configuredWidth.toLong,
-        edgeCount / 2000000L + 1L)).toInt
     try {
     // `<= maxRounds`: detection consumes a round — the loop only learns it
     // converged one iteration AFTER the edge set stops changing, so a graph
     // needing exactly maxRounds productive rounds gets one extra detection
     // round instead of a spurious failure.
     while (!converged && rounds <= maxRounds) {
-      spark.conf.set(shuffleKey, roundWidth(n).toString)
+      spark.conf.set(shuffleKey, roundWidth(configuredWidth, n).toString)
       // the observe metric rides the SAME job that materializes the eager
       // localCheckpoint (which also truncates lineage) — no separate count()
       // action per round

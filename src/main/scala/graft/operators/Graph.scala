@@ -55,9 +55,8 @@ object Graph {
     try {
       // materializes ed (the full-width pass) and measures the graph
       val nEdges = ed.count()
-      val width = math.max(1L, math.min(configuredWidth.toLong,
-        nEdges / 2000000L + 1L)).toInt
-      spark.conf.set(shuffleKey, width.toString)
+      spark.conf.set(shuffleKey,
+        Components.roundWidth(configuredWidth, nEdges).toString)
       // r0 from the CACHED ed, not from deg — deg's lineage rescans the
       // caller's edge frame, which the cache exists to avoid
       var ranks = ed.select(col("u")).distinct()
@@ -107,9 +106,8 @@ object Graph {
     val configuredWidth = spark.conf.get(shuffleKey).toInt
     try {
       val nEdges = ed.count()
-      val width = math.max(1L, math.min(configuredWidth.toLong,
-        nEdges / 2000000L + 1L)).toInt
-      spark.conf.set(shuffleKey, width.toString)
+      spark.conf.set(shuffleKey,
+        Components.roundWidth(configuredWidth, nEdges).toString)
       val restart = when(seedPred(col("id")), lit(150000L)).otherwise(lit(0L))
       var ranks = nodes.select(col("id"),
         when(seedPred(col("id")), lit(1000000L)).otherwise(lit(0L)).as("r"))

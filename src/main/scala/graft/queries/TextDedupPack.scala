@@ -1957,19 +1957,31 @@ object TextDedupPack {
       // fixed-point); the oracle hash pins that.
       val shuffleKey = "spark.sql.shuffle.partitions"
       val prevWidth = s.conf.get(shuffleKey)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      var fCc: Option[Future[org.apache.spark.sql.DataFrame]] = None
       val (comp, ranks) = try {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.ExecutionContext.Implicits.global
-        val fCc = Future {
+        val f = Future {
           graft.operators.Components
             .connectedComponents(mp.select("id_a", "id_b"), "id_a", "id_b")
             .select(col("component").as("cluster_id"), col("id").as("doc_id"))
         }
+        fCc = Some(f)
         val r = graft.operators.Graph
           .fixedPointPageRank(edges, "u", "v", iters = 5)
           .select(col("id").as("__rid"), col("r"))
-        (Await.result(fCc, scala.concurrent.duration.Duration.Inf), r)
-      } finally s.conf.set(shuffleKey, prevWidth)
+        (Await.result(f, scala.concurrent.duration.Duration.Inf), r)
+      } finally {
+        // quiesce the CC thread BEFORE restoring the width: if PR threw,
+        // an orphaned future would keep re-narrowing the session conf
+        // after this restore (and its own restore could write back a
+        // racy snapshot taken while PR had the conf narrowed) — the
+        // restore below must be the LAST write. CC is bounded by
+        // maxRounds, so the quiesce always terminates.
+        fCc.foreach(f => scala.util.Try(
+          Await.ready(f, scala.concurrent.duration.Duration.Inf)))
+        s.conf.set(shuffleKey, prevWidth)
+      }
       // canonical pick = argmax (r, -doc_id): a single max_by hash-agg
       // (partial-agg'd map-side, no per-cluster sort) replaces the
       // row_number window — same selection the oracle's rn = 1 makes,
@@ -2228,8 +2240,8 @@ object TextDedupPack {
       val prevWidth = s.conf.get(shuffleKey)
       val labels = try {
         val nEdges = ed.count()
-        s.conf.set(shuffleKey, math.max(1L, math.min(prevWidth.toInt.toLong,
-          nEdges / 2000000L + 1L)).toString)
+        s.conf.set(shuffleKey, graft.operators.Components
+          .roundWidth(prevWidth.toInt, nEdges).toString)
         var l = ed.select(col("u").as("id")).distinct()
           .select(col("id"), col("id").as("lab"))
         for (_ <- 1 to LPA_ROUNDS) {

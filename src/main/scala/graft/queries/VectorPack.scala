@@ -606,9 +606,13 @@ object VectorPack {
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       val temb = emb.unionByName(emb.select(
         (col("vec_id") + TWIN_OFFSET).as("vec_id"), col("embedding")))
-      val htop = rrfFused(s, d, temb) // ≤ 20 rows by construction
+      // cemb feeds three consumers (both sides of the pairwise pass and
+      // the final projection); localCheckpoint so the corpus-scale fused
+      // ranking underneath runs ONCE — ≤ 20 rows materialized, auto-freed
+      val htop = rrfFused(s, d, temb)
       val cemb = htop.join(
         temb.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+        .localCheckpoint()
       val a = cemb.select(col("rk").as("__rka"), col("embedding").as("__ea"))
       val b = cemb.select(col("rk").as("__rkb"), col("doc_id").as("__idb"),
         col("embedding").as("__eb"))
