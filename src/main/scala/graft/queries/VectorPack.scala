@@ -607,12 +607,15 @@ object VectorPack {
       val temb = emb.unionByName(emb.select(
         (col("vec_id") + TWIN_OFFSET).as("vec_id"), col("embedding")))
       // cemb feeds three consumers (both sides of the pairwise pass and
-      // the final projection); localCheckpoint so the corpus-scale fused
-      // ranking underneath runs ONCE — ≤ 20 rows materialized, auto-freed
+      // the final projection); collect it to a driver-held LocalRelation
+      // (the centroid pattern: ≤ 20 rows × 64 floats by construction) so
+      // the corpus-scale fused ranking underneath runs ONCE and the
+      // boundedness of the pairwise broadcast stays structurally visible
       val htop = rrfFused(s, d, temb)
-      val cemb = htop.join(
+      val cembRows = htop.join(
         temb.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
-        .localCheckpoint()
+      val cemb = s.createDataFrame(
+        java.util.Arrays.asList(cembRows.collect(): _*), cembRows.schema)
       val a = cemb.select(col("rk").as("__rka"), col("embedding").as("__ea"))
       val b = cemb.select(col("rk").as("__rkb"), col("doc_id").as("__idb"),
         col("embedding").as("__eb"))
