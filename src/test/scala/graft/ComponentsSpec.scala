@@ -36,6 +36,18 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got == expected, clue)
   }
 
+  test("roundWidth clamps to [1, configured] and scales with measured rows") {
+    // the shared width formula behind CC/PageRank/PPR/LPA round sizing:
+    // ~2M rows/partition, never 0, never above the session setting
+    assert(Components.roundWidth(32, 0L) == 1)
+    assert(Components.roundWidth(32, 1999999L) == 1)
+    assert(Components.roundWidth(32, 2000000L) == 2)
+    assert(Components.roundWidth(32, 10000000L) == 6)
+    assert(Components.roundWidth(32, 1000000000L) == 32) // capped
+    assert(Components.roundWidth(4, 1000000000L) == 4)
+    assert(Components.roundWidth(1, 0L) == 1)
+  }
+
   test("random sparse graph matches union-find") {
     val rnd = new scala.util.Random(42)
     val edges = Seq.fill(400)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
