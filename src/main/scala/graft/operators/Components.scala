@@ -69,7 +69,7 @@ object Components {
         .filter(col("u") =!= col("v"))
         .distinct())
     var n = e.count()
-    var chk: Option[java.math.BigDecimal] = None
+    var chk: Option[(java.math.BigDecimal, Long)] = None
     var converged = n == 0L
     var rounds = 0
     val spark = edges.sparkSession
@@ -86,28 +86,36 @@ object Components {
       // localCheckpoint (which also truncates lineage) — no separate count()
       // action per round
       val metricName = s"__cc_n_$rounds"
-      // Convergence = equal count AND equal order-independent checksum
-      // (exact decimal sum of a 64-bit per-edge hash), both riding the SAME
-      // job that materializes the checkpoint — fixpoint detection costs no
-      // extra action. Count alone is not enough (the alternating stars can
-      // oscillate through equal-size sets); count + hash-sum equality on
-      // two DISTINCT sets requires a multiset of xxhash64 values with an
-      // identical exact sum over a different edge set, reachable within
-      // one star round — a ~2⁻⁶⁴ accident on non-adversarial ids. The
-      // previous implementation confirmed with an authoritative exceptAll
-      // job; that paid a full extra set-difference action at every
-      // fixpoint to close a collision window narrower than the chance of
-      // corrupt shuffle data, so the checksum is now trusted outright.
+      // Convergence = equal count AND equal order-independent digest, all
+      // riding the SAME job that materializes the checkpoint — fixpoint
+      // detection costs no extra action. Count alone is not enough (the
+      // alternating stars can oscillate through equal-size sets). The
+      // digest is a PAIR of independent order-independent reductions over
+      // the per-edge 64-bit hash: its exact decimal SUM and its bitwise
+      // XOR. A lone sum is not collision-resistant on structured ids —
+      // two swapped edges whose hash deltas cancel (h(a)+h(b) =
+      // h(c)+h(d)) already defeat it — but a cancellation in the additive
+      // group and in GF(2)^64 simultaneously, under the same hash, within
+      // the one-star-round reachable set, has no structural shortcut:
+      // XOR discards the carries that make additive cancellation
+      // constructible, so a collision needs h-values agreeing in both
+      // groups at once (~2⁻¹²⁸ accidental). The previous implementation
+      // confirmed with an authoritative exceptAll job; that paid a full
+      // extra set-difference action at every fixpoint to close a window
+      // this digest pair closes for free.
       val obs = smallStar(largeStar(e)).observe(metricName, count(lit(1)),
-        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")))
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+        expr("bit_xor(xxhash64(u, v))"))
       val next = obs.localCheckpoint()
       val metric = obs.queryExecution.observedMetrics.get(metricName)
       val nNext = metric.map(_.getLong(0))
         .getOrElse(next.count()) // defensive: metrics missing ⇒ count directly
-      val chkNext = metric.map(r => Option(r.getDecimal(1))
-        .getOrElse(java.math.BigDecimal.ZERO))
+      val chkNext = metric.map(r => (
+        Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO),
+        if (r.isNullAt(2)) 0L else r.getLong(2)))
       converged = nNext == n && ((chk, chkNext) match {
-        case (Some(a), Some(b)) => a.compareTo(b) == 0
+        case (Some((sa, xa)), Some((sb, xb))) =>
+          sa.compareTo(sb) == 0 && xa == xb
         // defensive: observed metrics unavailable — fall back to the exact
         // set-difference so the loop can still terminate
         case _ => next.exceptAll(e).isEmpty

@@ -1885,13 +1885,19 @@ object TextDedupPack {
            |ORDER BY doc_id""".stripMargin
       }) { (s, d) =>
       // persisted: deg and the degree-annotated edge list both scan the
-      // symmetric edge set, and mp itself is a match-pair self-join
+      // symmetric edge set, and mp itself is a match-pair self-join.
+      // fixedPointPageRank is EAGER (returns a localCheckpoint-backed
+      // frame), so the cache is releasable the moment it returns — without
+      // the unpersist nothing downstream ever references it again and the
+      // blocks leak for the session's lifetime (ADVICE r11).
       val mp = winnowMatchPairs(s, d)
       val edges = mp.select(col("id_a").as("u"), col("id_b").as("v"))
         .unionAll(mp.select(col("id_b").as("u"), col("id_a").as("v")))
         .persist()
-      graft.operators.Graph.fixedPointPageRank(edges, "u", "v", iters = 5)
-        .select(col("id").as("doc_id"), col("r").as("pr_rank"))
+      val pr =
+        try graft.operators.Graph.fixedPointPageRank(edges, "u", "v", iters = 5)
+        finally edges.unpersist(blocking = false)
+      pr.select(col("id").as("doc_id"), col("r").as("pr_rank"))
         .orderBy("doc_id")
     },
 
@@ -1981,6 +1987,11 @@ object TextDedupPack {
         fCc.foreach(f => scala.util.Try(
           Await.ready(f, scala.concurrent.duration.Duration.Inf)))
         s.conf.set(shuffleKey, prevWidth)
+        // both consumers are eager and checkpoint-backed once the future
+        // has quiesced — nothing references the mp cache after this point
+        // (ADVICE r11: the unreleased persist leaked for the session's
+        // lifetime)
+        mp.unpersist(blocking = false)
       }
       // canonical pick = argmax (r, -doc_id): a single max_by hash-agg
       // (partial-agg'd map-side, no per-cluster sort) replaces the
@@ -2145,9 +2156,13 @@ object TextDedupPack {
       val edges = jp.select(col("doc_a").as("u"), col("doc_b").as("v"))
         .unionAll(jp.select(col("doc_b").as("u"), col("doc_a").as("v")))
         .persist()
-      graft.operators.Graph.personalizedPageRank(
-        edges, "u", "v", id => id % 7 === 0, iters = PPR_ITERS)
-        .select(col("id").as("doc_id"), col("r").as("ppr"))
+      // personalizedPageRank is eager (checkpoint-backed result) — the
+      // edge cache is dead the moment it returns (cf. q109)
+      val ppr =
+        try graft.operators.Graph.personalizedPageRank(
+          edges, "u", "v", id => id % 7 === 0, iters = PPR_ITERS)
+        finally edges.unpersist(blocking = false)
+      ppr.select(col("id").as("doc_id"), col("r").as("ppr"))
         .orderBy("doc_id")
     },
 

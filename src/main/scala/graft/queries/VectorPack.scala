@@ -578,6 +578,14 @@ object VectorPack {
     // remove every lower-ranked twin that reaches the fused list. The
     // pairwise pass is 20×20 rows — suppression cost is O(k²), never
     // corpus-scale.
+    //
+    // EAGER BUILDER (exception to the lazy-until-action QueryDef norm):
+    // constructing this DataFrame executes the corpus-scale fused ranking
+    // and collects its limit-bounded top-20 to a driver-held
+    // LocalRelation, because three downstream consumers (both sides of
+    // the pairwise pass + the final projection) would otherwise each
+    // recompute it. Plan-only consumers (explain, PlanSpec walks) pay one
+    // full execution; data errors surface at build time.
     QueryDef(
       "q183_diversified_retrieval",
       s"""WITH temb AS (

@@ -39,12 +39,40 @@ class AnalyticsSpec extends AnyFunSuite {
     // would silently serialize every later query in the session
     val key = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(key)
-    for (name <- Seq("q109_match_pagerank", "q124_canonical_selection",
-        "q144_label_propagation", "q145_personalized_pagerank")) {
+    // ADVICE r11: every persist these BUILDERS take feeds an EAGER,
+    // checkpoint-backed operator (CC / PR / PPR / LPA), so those caches
+    // must be released by the time the builder returns. What MAY remain
+    // cached is the documented sessionManaged internals of the shared
+    // candidate generators (winnowMatchPairs' capped fingerprints,
+    // jaccardPairs' grams/pairs), released by the harness's clearCache —
+    // pinned exactly below so any NEW unreleased builder persist (the
+    // q109-edges/q124-mp leak class) fails this test.
+    val expectedInternal = Map(
+      "q109_match_pagerank" -> 1, // winnowMatchPairs: capped fingerprints
+      "q124_canonical_selection" -> 1, // same capped (mp itself released)
+      "q144_label_propagation" -> 2, // jaccardPairs: grams + match pairs
+      "q145_personalized_pagerank" -> 2)
+    for ((name, internal) <- expectedInternal) {
+      spark.catalog.clearCache()
       SparkEntry.byName(name).run(spark, sf).count()
       assert(spark.conf.get(key) == before, s"$name leaked shuffle width")
-      spark.catalog.clearCache()
+      assert(cachedEntryCount <= internal,
+        s"$name left ${cachedEntryCount} cached frames (expected ≤ $internal " +
+          "sessionManaged internals) — a builder persist has no release")
     }
+    spark.catalog.clearCache()
+  }
+
+  /** Number of entries in the session's CacheManager (its `cachedData`
+    * field is private — reflection is test-only). `isEmpty` alone can't
+    * distinguish "builder leaked its persist" from the documented
+    * sessionManaged operator internals that legitimately stay cached
+    * until `clearCache()`. */
+  private def cachedEntryCount: Int = {
+    val f = classOf[org.apache.spark.sql.execution.CacheManager]
+      .getDeclaredField("cachedData")
+    f.setAccessible(true)
+    f.get(spark.sharedState.cacheManager).asInstanceOf[IndexedSeq[_]].size
   }
 
   test("q120 correlation matches built-in corr() to float tolerance") {
