@@ -48,8 +48,27 @@ object Bench {
     // get two, plus an adaptive third when the two disagree by >30% (the
     // slower was a GC/contention artifact; r9 measured 12 of 48 heavy
     // queries drifting >20% across consecutive invocations).
+    // Quiesce barrier, run UNTIMED before every attempt: queries that
+    // materialize driver-held state (q183's collect-to-LocalRelation, the
+    // driver-held ANN/quantile models) leave broadcast blocks, weak
+    // references, and short-lived driver garbage behind; the ContextCleaner
+    // only learns a broadcast is dead after a GC enqueues its reference, so
+    // without a barrier that cleanup lands inside the NEXT queries' timed
+    // attempts (r11: q19 4.39 s in-fleet vs 0.47-0.50 s warm isolated, and
+    // q20/q21/q22 — the queries after q183 in fleet order — inflated
+    // 1.4-2.7x in the same pocket). Two GC passes: the first enqueues dead
+    // weak/soft references, the pause lets the cleaner thread drain its
+    // queue (removeBroadcast/removeBlock calls), the second collects the
+    // garbage that drain itself produced.
+    def quiesce(): Unit = {
+      System.gc()
+      Thread.sleep(50)
+      System.gc()
+      Thread.sleep(25)
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): (Boolean, Double) = {
+        quiesce()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }

@@ -52,9 +52,11 @@ object Components {
     * at width 4 on an 8k-edge graph). At 10⁹ edges the same formula gives
     * ~500 partitions — the width a cluster wants — and the cap means a
     * submit-time `spark.sql.shuffle.partitions` is never exceeded. The
-    * conf is set per-round and restored on exit (finally); concurrent
-    * actions on the same session during the loop would observe the
-    * narrowed width — run CC in its own session if that matters.
+    * width lives IN THE PLAN — each star round routes its input through an
+    * explicit `repartition(w, ...)` whose partitioning the round's groupBy
+    * and join then reuse — so nothing mutates session conf and concurrent
+    * queries on the same session are unaffected (the r11 form narrowed
+    * `spark.sql.shuffle.partitions` around each round).
     */
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
@@ -73,15 +75,13 @@ object Components {
     var converged = n == 0L
     var rounds = 0
     val spark = edges.sparkSession
-    val shuffleKey = "spark.sql.shuffle.partitions"
-    val configuredWidth = spark.conf.get(shuffleKey).toInt
-    try {
+    val configuredWidth = spark.conf.get("spark.sql.shuffle.partitions").toInt
     // `<= maxRounds`: detection consumes a round — the loop only learns it
     // converged one iteration AFTER the edge set stops changing, so a graph
     // needing exactly maxRounds productive rounds gets one extra detection
     // round instead of a spurious failure.
     while (!converged && rounds <= maxRounds) {
-      spark.conf.set(shuffleKey, roundWidth(configuredWidth, n).toString)
+      val w = roundWidth(configuredWidth, n)
       // the observe metric rides the SAME job that materializes the eager
       // localCheckpoint (which also truncates lineage) — no separate count()
       // action per round
@@ -103,7 +103,7 @@ object Components {
       // confirmed with an authoritative exceptAll job; that paid a full
       // extra set-difference action at every fixpoint to close a window
       // this digest pair closes for free.
-      val obs = smallStar(largeStar(e)).observe(metricName, count(lit(1)),
+      val obs = starRound(e, w).observe(metricName, count(lit(1)),
         sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
         expr("bit_xor(xxhash64(u, v))"))
       val next = obs.localCheckpoint()
@@ -128,7 +128,6 @@ object Components {
       chk = chkNext
       rounds += 1
     }
-    } finally spark.conf.set(shuffleKey, configuredWidth.toString)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxRounds productive rounds " +
@@ -141,19 +140,32 @@ object Components {
           .select(col("id"), col("id").as("component")))
   }
 
+  /** One large-star + small-star round at explicit width `w` — the lazy
+    * plan [[connectedComponents]] checkpoints per round. Exposed for plan
+    * tests: every exchange in the round is a width-`w` `repartition`
+    * whose partitioning the round's groupBy-min and join both reuse (the
+    * star's neighborhood scan is shuffled ONCE and read by both the min
+    * aggregation and the join probe), so a spec can assert both the
+    * width and the exchange count.
+    */
+  private[graft] def starRound(e: DataFrame, w: Int): DataFrame =
+    smallStar(largeStar(e, w), w)
+
   /** Large-star: every node connects its strictly-larger neighbors to the
     * minimum of its neighborhood (including itself). Output keeps the
     * big→small orientation: emitted (v, m) has v > u ≥ m.
     */
-  private def largeStar(e: DataFrame): DataFrame = {
+  private def largeStar(e: DataFrame, w: Int): DataFrame = {
     val und = e.select(col("u"), col("v"))
       .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .repartition(w, col("u"))
     val mins = und.groupBy("u").agg(min("v").as("mn"))
       .select(col("u"), least(col("u"), col("mn")).as("m"))
     und.join(mins, "u")
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .filter(col("u") =!= col("v"))
+      .repartition(w, col("u"), col("v"))
       .distinct()
   }
 
@@ -161,13 +173,15 @@ object Components {
     * itself) to its minimum neighbor. Input and output are big→small
     * oriented (u > v).
     */
-  private def smallStar(e: DataFrame): DataFrame = {
-    val mins = e.groupBy("u").agg(min("v").as("m"))
-    e.join(mins, "u")
+  private def smallStar(e: DataFrame, w: Int): DataFrame = {
+    val eP = e.repartition(w, col("u"))
+    val mins = eP.groupBy("u").agg(min("v").as("m"))
+    eP.join(mins, "u")
       .filter(col("v") =!= col("m"))
       .select(col("v").as("u"), col("m").as("v"))
       .unionByName(mins.select(col("u"), col("m").as("v")))
       .filter(col("u") =!= col("v"))
+      .repartition(w, col("u"), col("v"))
       .distinct()
   }
 }

@@ -1955,14 +1955,12 @@ object TextDedupPack {
       // serializes two latency-bound iterative phases over a tiny
       // contracted graph. Overlap them: CC on a helper thread, PR on this
       // one; Spark's scheduler interleaves their small stages across idle
-      // cores. Both narrow the session shuffle width internally and
-      // restore it, and those windows can interleave — the snapshot/
-      // restore below makes the builder's exit state deterministic
-      // regardless of which phase finishes last. Results are unaffected
-      // by width or interleaving (both phases are exact integer
-      // fixed-point); the oracle hash pins that.
-      val shuffleKey = "spark.sql.shuffle.partitions"
-      val prevWidth = s.conf.get(shuffleKey)
+      // cores. Both express their measured iteration width IN THE PLAN
+      // (explicit repartition — see Components/Graph), so the overlap
+      // touches no session state and needs no snapshot/restore (the r11
+      // form mutated spark.sql.shuffle.partitions from both threads).
+      // Results are unaffected by width or interleaving (both phases are
+      // exact integer fixed-point); the oracle hash pins that.
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       var fCc: Option[Future[org.apache.spark.sql.DataFrame]] = None
@@ -1978,15 +1976,12 @@ object TextDedupPack {
           .select(col("id").as("__rid"), col("r"))
         (Await.result(f, scala.concurrent.duration.Duration.Inf), r)
       } finally {
-        // quiesce the CC thread BEFORE restoring the width: if PR threw,
-        // an orphaned future would keep re-narrowing the session conf
-        // after this restore (and its own restore could write back a
-        // racy snapshot taken while PR had the conf narrowed) — the
-        // restore below must be the LAST write. CC is bounded by
-        // maxRounds, so the quiesce always terminates.
+        // quiesce the CC thread before releasing the cache: if PR threw,
+        // an orphaned future would still be running jobs against mp after
+        // the unpersist. CC is bounded by maxRounds, so the quiesce
+        // always terminates.
         fCc.foreach(f => scala.util.Try(
           Await.ready(f, scala.concurrent.duration.Duration.Inf)))
-        s.conf.set(shuffleKey, prevWidth)
         // both consumers are eager and checkpoint-backed once the future
         // has quiesced — nothing references the mp cache after this point
         // (ADVICE r11: the unreleased persist leaked for the session's
@@ -2248,29 +2243,30 @@ object TextDedupPack {
       val ed = jp.select(col("a").as("u"), col("b").as("v"))
         .unionAll(jp.select(col("b").as("u"), col("a").as("v"))).persist()
       // same eager measured-width discipline as Graph.fixedPointPageRank:
-      // the LPA rounds run over the contracted match graph, so their
-      // shuffles narrow to the measured edge count and the result is
-      // checkpointed node-sized (also releasing ed — no cache leak)
-      val shuffleKey = "spark.sql.shuffle.partitions"
-      val prevWidth = s.conf.get(shuffleKey)
+      // the LPA rounds run over the contracted match graph at an in-plan
+      // width (one reused repartition(w, u) over the edge list, one
+      // repartition(w, v) per round — the vote's two groupBys and the
+      // next round's join all ride those partitionings; no session conf
+      // is touched) and the result is checkpointed node-sized (also
+      // releasing ed — no cache leak)
       val labels = try {
         val nEdges = ed.count()
-        s.conf.set(shuffleKey, graft.operators.Components
-          .roundWidth(prevWidth.toInt, nEdges).toString)
-        var l = ed.select(col("u").as("id")).distinct()
+        val w = graft.operators.Components.roundWidth(
+          s.conf.get("spark.sql.shuffle.partitions").toInt, nEdges)
+        val edP = ed.repartition(w, col("u"))
+        var l = edP.select(col("u").as("id")).distinct()
           .select(col("id"), col("id").as("lab"))
         for (_ <- 1 to LPA_ROUNDS) {
-          l = ed.join(l, col("u") === col("id"))
+          l = edP.join(l, col("u") === col("id"))
+            .select(col("v"), col("lab"))
+            .repartition(w, col("v"))
             .groupBy(col("v"), col("lab")).agg(count(lit(1)).as("c"))
             .groupBy(col("v"))
             .agg(max_by(col("lab"), struct(col("c"), lit(0L) - col("lab"))).as("lab"))
             .select(col("v").as("id"), col("lab"))
         }
         l.localCheckpoint()
-      } finally {
-        s.conf.set(shuffleKey, prevWidth)
-        ed.unpersist(blocking = false)
-      }
+      } finally ed.unpersist(blocking = false)
       labels.groupBy("lab")
         .agg(count(lit(1)).as("n_members"), min(col("id")).as("min_member"))
         .select(col("lab").as("community"), col("n_members"), col("min_member"))

@@ -31,12 +31,12 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
-  test("measured-width iterative queries restore the session shuffle width") {
-    // CC/PageRank/PPR/LPA narrow spark.sql.shuffle.partitions to the
-    // measured edge count during their rounds and MUST restore it on exit
-    // (including q124's concurrent CC ∥ PR window, whose builder-level
-    // snapshot makes the end state deterministic) — a leaked narrow width
-    // would silently serialize every later query in the session
+  test("measured-width iterative queries never disturb the session shuffle width") {
+    // CC/PageRank/PPR/LPA express their measured round width IN THE PLAN
+    // (explicit repartition — see PlanSpec's width audit); session conf
+    // must come out of every builder exactly as it went in, with no
+    // narrow-width window even transiently observable (the r11 form
+    // mutated-and-restored it, which raced q124's concurrent CC ∥ PR)
     val key = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(key)
     // ADVICE r11: every persist these BUILDERS take feeds an EAGER,

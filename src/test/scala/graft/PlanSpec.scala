@@ -97,6 +97,65 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("iterative rounds carry the measured width in-plan; the edge list shuffles once") {
+    // CC / PageRank / PPR / LPA used to narrow spark.sql.shuffle.partitions
+    // around their rounds (invisible to the plan, racy under concurrent
+    // queries on the same session). The width now lives in the plan as
+    // explicit repartition(w, key) exchanges, so it is assertable: every
+    // exchange in a round plan is exactly the measured width, and the
+    // distinct-canonical exchange count proves the edge list is shuffled
+    // ONCE and read back by r0 + every iteration join (plus one re-key per
+    // iteration) — no EnsureRequirements exchange sneaks in at session
+    // width, which is the property that keeps the cached/bucketed edge
+    // layout from re-shuffling per iteration at cluster scale.
+    import org.apache.spark.sql.functions._
+    val w = 3
+    val edges = spark.range(200)
+      .select((col("id") % 50).as("u"), (col("id") % 37 + 1).as("v"))
+      .localCheckpoint()
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("od"))
+    val ed = edges.join(deg, "u").localCheckpoint()
+    val iters = 4
+    val pr = graft.operators.Graph.rankRounds(ed, w, iters)
+    val prSh = collectAll(plan(pr)) { case s: ShuffleExchangeExec => s }
+    assert(prSh.nonEmpty)
+    assert(prSh.forall(_.outputPartitioning.numPartitions == w),
+      s"PageRank exchange at non-measured width:\n${plan(pr)}")
+    // iters + 2: the full-width edge shuffle (reused by every iteration
+    // join), a column-pruned u-only shuffle feeding r0's distinct (the
+    // optimizer splits it off the full one — one narrow extra pass), and
+    // one contribution re-key per iteration
+    assert(prSh.map(_.canonicalized).distinct.size == iters + 2,
+      s"PageRank: expected pruned-r0 + reused edge shuffle + $iters re-keys:\n${plan(pr)}")
+    val e0 = edges.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .localCheckpoint()
+    val cc = graft.operators.Components.starRound(e0, w)
+    val ccSh = collectAll(plan(cc)) { case s: ShuffleExchangeExec => s }
+    assert(ccSh.forall(_.outputPartitioning.numPartitions == w),
+      s"CC exchange at non-measured width:\n${plan(cc)}")
+    // large-star: the optimizer pushes the probe-only predicate (v > u)
+    // below the join side of the neighborhood shuffle, splitting it off
+    // the min-agg copy (a filtered, CHEAPER shuffle — 2 classes), + the
+    // dedup re-key; small-star: its filter (v ≠ m) spans both sides so
+    // its neighborhood shuffle stays single (1 class), + dedup re-key.
+    // 5 distinct width-w exchanges per round, none at session width.
+    assert(ccSh.map(_.canonicalized).distinct.size == 5,
+      s"CC round: expected 5 width-$w exchanges, got ${ccSh.map(_.canonicalized).distinct.size}:\n${plan(cc)}")
+    val nodes = edges.select(col("u").as("id"))
+      .unionByName(edges.select(col("v").as("id")))
+    val ppr = graft.operators.Graph.personalizedRounds(
+      ed, nodes, idc => idc < 5, w, iters)
+    val pprSh = collectAll(plan(ppr)) { case s: ShuffleExchangeExec => s }
+    assert(pprSh.forall(_.outputPartitioning.numPartitions == w),
+      s"PPR exchange at non-measured width:\n${plan(ppr)}")
+    // edge shuffle + node-universe shuffle (reused by r0 and every left
+    // join) + one contribution re-key per iteration
+    assert(pprSh.map(_.canonicalized).distinct.size == iters + 2,
+      s"PPR: expected 2 reused shuffles + $iters re-keys, got ${pprSh.map(_.canonicalized).distinct.size}:\n${plan(ppr)}")
+  }
+
   test("temporal joins plan as equi-joins/windows, never nested-loop") {
     // the naive as-of/range formulations are inequality joins, which Spark
     // plans as BroadcastNestedLoopJoin — quadratic work at scale. Ours
