@@ -52,7 +52,27 @@ object Tables {
             .getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
           s"'$colName' arrived as LONG but legacy.parquet.nanosAsLong is not " +
             "set — refusing to guess the epoch unit")
-        df.withColumn(colName, timestamp_micros(expr(s"$colName div 1000")))
+        // The flag alone can't close the hole: GraftSession.tune pins
+        // nanosAsLong session-wide, so a plain epoch-µs INT64 column would
+        // still reach this branch and come out 1000× too small. Guard the
+        // VALUE: a ns→µs conversion of any plausible event time lands in
+        // [1990, 2100); anything outside raises per-row instead of
+        // silently shifting the timeline (ADVICE r11). Two codegen'd
+        // comparisons per row, lazy — no extra action.
+        locally {
+          import org.apache.spark.sql.functions.{concat, lit, raise_error, when}
+          val us = expr(s"$colName div 1000")
+          val lo = 631152000000000L    // 1990-01-01T00:00:00Z in µs
+          val hi = 4102444800000000L   // 2100-01-01T00:00:00Z in µs
+          val guarded = when(col(colName).isNull,
+              timestamp_micros(lit(null).cast(LongType)))
+            .when(us >= lo && us < hi, timestamp_micros(us))
+            .otherwise(raise_error(concat(
+              lit(s"'$colName' ns->us conversion lands outside [1990, 2100): " +
+                "raw value "), col(colName).cast("string"),
+              lit(" — is the column really TIMESTAMP(NANOS)?"))).cast(TimestampType))
+          df.withColumn(colName, guarded)
+        }
       case TimestampNTZType =>
         df.withColumn(colName, col(colName).cast(TimestampType))
       case _ => df

@@ -24,6 +24,16 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(spark.sharedState.cacheManager.isEmpty,
         s"$name left cached frames in the session")
     }
+    // q173 + q177 composition (ADVICE r11): q177's sort frame used to be a
+    // builder persist with no reachable release — now localCheckpoint-backed,
+    // so the only cache the composition may leave is the documented
+    // sessionManaged capped-grams internal of q177's verify stage
+    SparkEntry.byName("q173_epoch_shuffle").run(spark, sf).count()
+    SparkEntry.byName("q177_sorted_neighborhood").run(spark, sf).count()
+    assert(cachedEntryCount <= 1,
+      s"q173+q177 composition left $cachedEntryCount cached frames " +
+        "(expected ≤ 1: the sessionManaged capped grams)")
+    spark.catalog.clearCache()
     // direct operator composition, as a library consumer would
     val df = Tables.documents(spark, sf).select(col("doc_id"), col("n_chars"))
     operators.GlobalIds.assign(df, Seq(col("doc_id")), "gid").count()

@@ -255,7 +255,7 @@ class PlanSpec extends AnyFunSuite {
     //   - only driver-held leaves (LocalRelation/Range) or the fixed-size
     //     dimension tables (nation: 25 rows, region: 5)
     // Anything else fails here before it can fail on a cluster.
-    import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, LessThan, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
     import org.apache.spark.sql.catalyst.plans.logical._
     import org.apache.spark.sql.execution.datasources.LogicalRelation
     val streaming = Set("q33_stream_count", "q34_stream_hourly",
@@ -265,37 +265,59 @@ class PlanSpec extends AnyFunSuite {
     // value domains that are bounded vocabularies regardless of data volume
     val boundedKeys = Set("lang", "source", "event_type", "split", "r", "c",
       "tok", "token", "band", "cid")
-    def bounded(p: LogicalPlan): Boolean = {
-      // "foldable" rather than bare Literal: the analyzer wraps literals in
-      // casts (vec_id < CAST(10 AS BIGINT))
-      def litBound(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
-        e.exists {
-          case EqualTo(_: Attribute, r) if r.foldable => true
-          case EqualTo(l, _: Attribute) if l.foldable => true
-          case LessThan(_: Attribute, r) if r.foldable => true
-          case LessThanOrEqual(_: Attribute, r) if r.foldable => true
+    // "foldable" rather than bare Literal: the analyzer wraps literals in
+    // casts (vec_id < CAST(10 AS BIGINT)). Only EQUALITIES and UPPER
+    // bounds certify a subset — a lower bound (attr > lit / lit < attr)
+    // keeps the frame corpus-scale and must NOT pass (ADVICE r11).
+    def litBound(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      e.exists {
+        case EqualTo(_: Attribute, r) if r.foldable => true
+        case EqualTo(l, _: Attribute) if l.foldable => true
+        case LessThan(_: Attribute, r) if r.foldable => true
+        case LessThanOrEqual(_: Attribute, r) if r.foldable => true
+        case GreaterThan(l, _: Attribute) if l.foldable => true
+        case GreaterThanOrEqual(l, _: Attribute) if l.foldable => true
+        case In(_: Attribute, vs) if vs.forall(_.foldable) => true
+        case _ => false
+      }
+    // Recursive ON the output-cardinality path (ADVICE r11): the old form
+    // certified a hinted subtree if evidence existed ANYWHERE inside it,
+    // so a corpus-scale frame joined against a literal-filtered probe
+    // passed — exactly the unbounded-broadcast pattern the audit exists
+    // to block. Now every branch that can inject rows into the hinted
+    // frame's output must itself be bounded: a join is bounded only if
+    // BOTH inputs are (semi/anti: the left), a union only if all arms
+    // are, and evidence below a node certifies nothing unless each
+    // sibling branch on the path is certified too.
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case f: Filter => litBound(f.condition) || bounded(f.child)
+      case _: GlobalLimit | _: LocalLimit => true
+      case a: Aggregate =>
+        a.groupingExpressions.isEmpty ||
+          a.groupingExpressions.forall(_.references.forall(at => boundedKeys(at.name))) ||
+          bounded(a.child)
+      case j: Join =>
+        j.joinType match {
+          case org.apache.spark.sql.catalyst.plans.LeftSemi |
+               org.apache.spark.sql.catalyst.plans.LeftAnti => bounded(j.left)
+          case _ => bounded(j.left) && bounded(j.right)
+        }
+      case u: Union => u.children.forall(bounded)
+      case _: LocalRelation | _: Range => true
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.forall(rp =>
+              rp.toString.contains("nation") || rp.toString.contains("region"))
           case _ => false
         }
-      val scalarAgg = p.exists { case a: Aggregate => a.groupingExpressions.isEmpty; case _ => false }
-      val limited = p.exists { case _: GlobalLimit | _: LocalLimit => true; case _ => false }
-      val filtered = p.exists { case f: Filter => litBound(f.condition); case _ => false }
-      val boundedAgg = p.exists {
-        case a: Aggregate if a.groupingExpressions.nonEmpty =>
-          a.groupingExpressions.forall(_.references.forall(at => boundedKeys(at.name)))
-        case _ => false
-      }
-      val leafBounded = p.collectLeaves().nonEmpty && p.collectLeaves().forall {
-        case _: LocalRelation | _: Range => true
-        case lr: LogicalRelation =>
-          lr.relation match {
-            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-              fs.location.rootPaths.forall(rp =>
-                rp.toString.contains("nation") || rp.toString.contains("region"))
-            case _ => false
-          }
-        case _ => false
-      }
-      scalarAgg || limited || filtered || boundedAgg || leafBounded
+      case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode => false
+      // any other unary/pass-through node (Project, Sort, Window, Generate,
+      // Repartition, SubqueryAlias, …): cardinality comes from below —
+      // Generate can fan out per-row, but only content-proportionally to an
+      // already-bounded input
+      case other if other.children.size == 1 => bounded(other.children.head)
+      case other => other.children.nonEmpty && other.children.forall(bounded)
     }
     SparkEntry.queries.keys.filterNot(streaming).filterNot(lifecycle).foreach { name =>
       val analyzed = q(name).queryExecution.analyzed
