@@ -638,6 +638,83 @@ object VectorPack {
         .orderBy(col("fused_rk"))
         .withColumn("rk", row_number().over(wS).cast("long"))
         .select(col("rk"), col("doc_id"), col("rrf_score"), col("fused_rk"))
+    },
+
+    // ---- q185: hybrid retrieval with the ANN dense leg (IVF-pruned) --------
+    // q182's dense leg is the exact full-corpus cosine scan; this is the
+    // composition a 100 TB retrieval stack actually ships — the SAME
+    // integer-RRF fusion, but the dense ranking comes from the IVF
+    // cell-partitioned layout (q58's index: probe nprobe cells, exact
+    // re-rank only those candidates — the corpus scan prunes to probed
+    // partitions, asserted in PlanSpec). The IVF tail is approximate, so
+    // instead of replaying rankings the oracle pins PLANTED + STRUCTURAL
+    // invariants per query (q77's audit pattern, over a bounded
+    // HY_NQ-query batch):
+    //   - twin_dense_rank = 1: each query's exact-copy twin lands in the
+    //     query's own probed cell at decimal cosine 1.0 — rank 1 in the
+    //     IVF leg or the index lost a planted neighbor;
+    //   - twin_in_head = 1: integer RRF gives the twin 1e9 div 61; a
+    //     dense-only doc (rv ≥ 2) or a BM25-only doc (rt ≥ 2) scores
+    //     strictly less, so only the ≤ HY_DEPTH−1 dual-leg docs and the
+    //     BM25 rank-1 tie (which wins on smaller doc_id) can outrank it —
+    //     fused rank ≤ HY_DEPTH + 1 is a THEOREM of the fusion, not a
+    //     fixture accident;
+    //   - head_purity = 1: every doc that does outrank the twin is one of
+    //     those two admissible kinds — any other beater means the fusion
+    //     arithmetic broke.
+    QueryDef(
+      "q185_hybrid_ivf_recall",
+      s"""SELECT vec_id AS qid,
+        |  CAST(1 AS BIGINT) AS twin_dense_rank,
+        |  CAST(1 AS BIGINT) AS twin_in_head,
+        |  CAST(1 AS BIGINT) AS head_purity
+        |FROM embeddings
+        |WHERE vec_id < $HY_NQ
+        |ORDER BY qid""".stripMargin) { (s, d) =>
+      val (layout, centroids) = ivfLayout(s, d)
+      // a BOUNDED query batch (vec_id < HY_NQ) against the twinned index —
+      // the production retrieval shape (queries ≪ corpus), and what makes
+      // the scale story real: the broadcast probe set dynamically prunes
+      // the layout scan to probed cells (PlanSpec asserts the DPP; the
+      // all-queries recall sweep is q77/q98's job, where every cell is
+      // probed and pruning is semantically nil)
+      val dense = graft.operators.Ivf.ivfTopKPartitioned(
+        s, layout,
+        Tables.embeddings(s, d).filter(col("vec_id") < HY_NQ),
+        "vec_id", "embedding",
+        k = HY_DEPTH, centroids, nprobe = 4)
+        .select(col("qid"), col("nid").as("doc_id"), col("rk").as("rv"))
+      val wT = Window.orderBy(col("bm25").desc, col("doc_id"))
+      val bm = TextDedupPack.bm25Scores(s, d)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(HY_DEPTH)
+        .withColumn("rt", row_number().over(wT).cast("long"))
+        .select("doc_id", "rt")
+      // the lexical leg is query-independent: replicate the 100-row cut
+      // per query via broadcast (|Q| × HY_DEPTH rows, never corpus-scale)
+      val bmPerQ = Tables.embeddings(s, d)
+        .filter(col("vec_id") < HY_NQ).select(col("vec_id").as("qid"))
+        .crossJoin(broadcast(bm))
+      val fused = dense.join(bmPerQ, Seq("qid", "doc_id"), "full_outer")
+        .select(col("qid"), col("doc_id"), col("rt"), col("rv"),
+          (coalesce(expr("1000000000 div (60 + rt)"), lit(0L)) +
+            coalesce(expr("1000000000 div (60 + rv)"), lit(0L))).as("rrf"))
+      val wF = Window.partitionBy("qid").orderBy(col("rrf").desc, col("doc_id"))
+      val twin = col("doc_id") === col("qid") + TWIN_OFFSET
+      val ranked = fused
+        .withColumn("frk", row_number().over(wF).cast("long"))
+        .withColumn("twin_frk",
+          min(when(twin, col("frk"))).over(Window.partitionBy("qid")))
+      val admissibleBeater =
+        (col("rt").isNotNull && col("rv").isNotNull) || col("rt") === 1
+      val offender =
+        col("frk") < col("twin_frk") && !coalesce(admissibleBeater, lit(false))
+      ranked.groupBy("qid")
+        .agg(
+          min(when(twin, col("rv"))).as("twin_dense_rank"),
+          max(when(twin && col("frk") <= HY_DEPTH + 1, 1L).otherwise(0L))
+            .as("twin_in_head"),
+          (lit(1L) - max(when(offender, 1L).otherwise(0L))).as("head_purity"))
+        .orderBy("qid")
     }
   )
 
@@ -646,6 +723,11 @@ object VectorPack {
   private val HY_DEPTH = 100
   private val HY_K = 20
   private val HY_QID = 0L
+
+  /** q185's query-batch bound: the fused recall audit runs a bounded batch
+    * (the production shape — queries ≪ corpus), which both justifies
+    * broadcasting the probe set and lets DPP prune the layout scan. */
+  private val HY_NQ = 50L
 
   /** DuckDB CTE chain for the hybrid fusion over embedding relation
     * `embSrc`: BM25 CTEs (shared verbatim with q104 via

@@ -185,6 +185,17 @@ class PlanSpec extends AnyFunSuite {
     assert(probe.count() > 0)
   }
 
+  test("q185's IVF dense leg scans only probed cells (DPP on the layout)") {
+    // the ANN-leg fusion is only a scale win if the cell-partitioned
+    // corpus scan prunes to the probed cells — same property q58's layout
+    // test pins, asserted here on the REGISTERED query's own plan so a
+    // regression in the fusion wiring (e.g. the probe join losing its
+    // partition-column equi-key) fails the suite
+    val s = plan(q("q185_hybrid_ivf_recall")).toString
+    assert(s.contains("PartitionFilters") && s.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on q185's IVF scan:\n${s.take(4000)}")
+  }
+
   test("q92's bloom probe filters the train side BEFORE the confirm-join exchange") {
     // the point of the bloom prefilter is that might_contain runs map-side,
     // under the shuffle that feeds the exact-confirm join — if it floated
