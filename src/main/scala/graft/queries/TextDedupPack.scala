@@ -2833,6 +2833,163 @@ object TextDedupPack {
             .otherwise(0L)).as("n_mismatch"),
           sum(col("n_moji")).as("total_moji"))
         .orderBy("source")
+    },
+
+    // ---- q186: Fellegi–Sunter probabilistic record linkage -----------------
+    // The probabilistic scoring layer entity resolution runs AFTER blocking
+    // (Fellegi & Sunter, "A theory for record linkage", JASA 1969 — public
+    // literature): each candidate pair's field-agreement pattern is scored
+    // by a likelihood ratio Π m_f/u_f (agree) · (1-m_f)/(1-u_f) (disagree),
+    // where u_f — the chance two NON-matching records agree on field f —
+    // is estimated EXACTLY from the data's value-frequency distribution
+    // (u_f = Σ_v n_v(n_v-1) / N(N-1), pure BIGINT arithmetic), and m_f —
+    // the chance true matches agree — is a model constant (19/20, 4/5,
+    // 9/10 for nation/segment/balance-band). Ground truth is PLANTED on
+    // the customer table (cf. q107/q179): every custkey%5==0 customer gets
+    // a "dirty twin" at +1e6 (last name char replaced, attributes copied,
+    // segment perturbed for half of them — a true match the scorer must
+    // accept even with one field disagreeing) and every custkey%7==3 gets
+    // an "impostor" at +2e6 (IDENTICAL name, all attributes changed — a
+    // distinct entity sharing a name, which name-only matching would
+    // falsely merge and the FS score must reject). Candidates come from
+    // standard equality blocking on name-minus-last-char — the 4th classic
+    // blocking family next to LSH (q28), prefix filtering (q131) and
+    // sorted neighborhood (q177); lossless for BOTH planted classes by
+    // construction (twins differ only in the last char, impostors not at
+    // all). Output is the (pair_class × decision) confusion matrix with
+    // exact basis-point score sums.
+    //
+    // Cross-engine bit-stability: LR is a product of three quotients of
+    // exact BIGINT-derived doubles (< 2^53, conversion exact) evaluated in
+    // fixed left-associative order — the q133 raw-IEEE-quotient
+    // discipline — then floored to integer basis points.
+    //
+    // 100 TB shape: candidate generation is ONE keyed shuffle on the
+    // blocking key (block-size skew is exactly what q171's profiler
+    // pre-flights); the u-model is three keyed aggs reduced to one
+    // broadcast scalar row; scoring is map-side expression work on
+    // candidates. Nothing is quadratic in the table — only in block
+    // occupancy, which the blocking key bounds.
+    QueryDef(
+      "q186_record_linkage",
+      """WITH recs AS (
+        |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nation,
+        |    c_mktsegment AS seg, CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS band
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, substring(c_name, 1, length(c_name) - 1) || 'Z',
+        |    c_nationkey,
+        |    CASE WHEN c_custkey % 10 = 0 THEN c_mktsegment ELSE 'Z' || c_mktsegment END,
+        |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)
+        |  FROM customer WHERE c_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 2000000, c_name, (c_nationkey + 1) % 25,
+        |    'X' || c_mktsegment,
+        |    CAST(FLOOR((10000.0 - c_acctbal) / 1000.0) AS BIGINT)
+        |  FROM customer WHERE c_custkey % 7 = 3),
+        |scal AS (
+        |  SELECT CAST(n * (n - 1) AS BIGINT) AS uden, un, us, ub
+        |  FROM (SELECT COUNT(*) AS n FROM recs),
+        |    (SELECT CAST(SUM(c * (c - 1)) AS BIGINT) AS un
+        |     FROM (SELECT COUNT(*) AS c FROM recs GROUP BY nation)),
+        |    (SELECT CAST(SUM(c * (c - 1)) AS BIGINT) AS us
+        |     FROM (SELECT COUNT(*) AS c FROM recs GROUP BY seg)),
+        |    (SELECT CAST(SUM(c * (c - 1)) AS BIGINT) AS ub
+        |     FROM (SELECT COUNT(*) AS c FROM recs GROUP BY band))),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    a.nation = b.nation AS agr_n, a.seg = b.seg AS agr_s,
+        |    a.band = b.band AS agr_b
+        |  FROM recs a JOIN recs b
+        |    ON substring(a.name, 1, length(a.name) - 1)
+        |     = substring(b.name, 1, length(b.name) - 1)
+        |   AND a.id < b.id),
+        |scored AS (
+        |  SELECT
+        |    CASE WHEN id_b - id_a = 1000000 AND id_a % 5 = 0
+        |           AND id_a < 1000000 THEN 'twin'
+        |         WHEN id_b - id_a = 2000000 AND id_a % 7 = 3
+        |           AND id_a < 1000000 THEN 'impostor'
+        |         ELSE 'background' END AS pair_class,
+        |    (CASE WHEN agr_n THEN CAST(19 * uden AS DOUBLE) / CAST(20 * un AS DOUBLE)
+        |          ELSE CAST(uden AS DOUBLE) / CAST(20 * (uden - un) AS DOUBLE) END)
+        |    * (CASE WHEN agr_s THEN CAST(4 * uden AS DOUBLE) / CAST(5 * us AS DOUBLE)
+        |            ELSE CAST(uden AS DOUBLE) / CAST(5 * (uden - us) AS DOUBLE) END)
+        |    * (CASE WHEN agr_b THEN CAST(9 * uden AS DOUBLE) / CAST(10 * ub AS DOUBLE)
+        |            ELSE CAST(uden AS DOUBLE) / CAST(10 * (uden - ub) AS DOUBLE) END)
+        |      AS lr
+        |  FROM pairs, scal)
+        |SELECT pair_class,
+        |  CASE WHEN lr >= 40.0 THEN 'match' WHEN lr >= 1.0 THEN 'possible'
+        |       ELSE 'non_match' END AS decision,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CAST(FLOOR(lr * 10000.0) AS BIGINT)) AS BIGINT) AS sum_score_bp,
+        |  CAST(MIN(CAST(FLOOR(lr * 10000.0) AS BIGINT)) AS BIGINT) AS min_score_bp,
+        |  CAST(MAX(CAST(FLOOR(lr * 10000.0) AS BIGINT)) AS BIGINT) AS max_score_bp
+        |FROM scored
+        |GROUP BY pair_class, decision
+        |ORDER BY pair_class, decision""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val band = floor(col("c_acctbal") / 1000.0)
+      val base = cust.select(col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_nationkey").as("nation"), col("c_mktsegment").as("seg"),
+        band.as("band"))
+      val dirty = cust.filter(col("c_custkey") % 5 === 0).select(
+        (col("c_custkey") + 1000000L).as("id"),
+        concat(col("c_name").substr(lit(1), length(col("c_name")) - 1), lit("Z"))
+          .as("name"),
+        col("c_nationkey").as("nation"),
+        when(col("c_custkey") % 10 === 0, col("c_mktsegment"))
+          .otherwise(concat(lit("Z"), col("c_mktsegment"))).as("seg"),
+        band.as("band"))
+      val imp = cust.filter(col("c_custkey") % 7 === 3).select(
+        (col("c_custkey") + 2000000L).as("id"), col("c_name").as("name"),
+        ((col("c_nationkey") + 1) % 25).as("nation"),
+        concat(lit("X"), col("c_mktsegment")).as("seg"),
+        floor((lit(10000.0) - col("c_acctbal")) / 1000.0).as("band"))
+      val recs = base.unionByName(dirty).unionByName(imp)
+      // u-model: one scalar row — Σ n_v(n_v-1) per field over N(N-1)
+      def uNum(c: String, as: String) =
+        recs.groupBy(c).agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") * (col("c") - 1)).as(as))
+      val scal = recs.agg(count(lit(1)).as("n"))
+        .select((col("n") * (col("n") - 1)).as("uden"))
+        .crossJoin(broadcast(uNum("nation", "un")))
+        .crossJoin(broadcast(uNum("seg", "us")))
+        .crossJoin(broadcast(uNum("band", "ub")))
+      val key = col("name").substr(lit(1), length(col("name")) - 1)
+      def side(suf: String) = recs.select(key.as("k"), col("id").as(s"id_$suf"),
+        col("nation").as(s"n_$suf"), col("seg").as(s"s_$suf"),
+        col("band").as(s"b_$suf"))
+      val pairs = side("a").join(side("b"), Seq("k"))
+        .filter(col("id_a") < col("id_b"))
+        .crossJoin(broadcast(scal))
+      val uden = col("uden")
+      def w(agree: org.apache.spark.sql.Column, mNum: Long, mDen: Long,
+            num: org.apache.spark.sql.Column) =
+        when(agree, (lit(mNum) * uden).cast("double")
+            / (lit(mDen) * num).cast("double"))
+          .otherwise(uden.cast("double")
+            / (lit(mDen) * (uden - num)).cast("double"))
+      val lr = w(col("n_a") === col("n_b"), 19L, 20L, col("un")) *
+        w(col("s_a") === col("s_b"), 4L, 5L, col("us")) *
+        w(col("b_a") === col("b_b"), 9L, 10L, col("ub"))
+      // id_a < 1e6 pins id_a to a BASE record: without it a (dirty_i,
+      // impostor_i) pair — diff exactly 1e6 and same block, since the dirty
+      // name's prefix equals the impostor's — would be mislabeled 'twin'
+      val cls = when(col("id_b") - col("id_a") === 1000000L &&
+          col("id_a") % 5 === 0 && col("id_a") < 1000000L, "twin")
+        .when(col("id_b") - col("id_a") === 2000000L &&
+          col("id_a") % 7 === 3 && col("id_a") < 1000000L, "impostor")
+        .otherwise("background")
+      pairs.select(cls.as("pair_class"),
+          when(lr >= 40.0, "match").when(lr >= 1.0, "possible")
+            .otherwise("non_match").as("decision"),
+          floor(lr * 10000.0).as("bp"))
+        .groupBy("pair_class", "decision")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("bp")).as("sum_score_bp"),
+          min(col("bp")).as("min_score_bp"), max(col("bp")).as("max_score_bp"))
+        .orderBy("pair_class", "decision")
     }
   )
 

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q186 Fellegi–Sunter linkage: planted ground truth must classify cleanly.
+  *
+  * The plant (TextDedupPack q186): every custkey%5==0 customer gets a dirty
+  * twin (+1e6, last name char replaced, attributes copied, segment perturbed
+  * for custkey%10!=0) and every custkey%7==3 an impostor (+2e6, identical
+  * name, nation/segment/band all changed). Blocking on name-minus-last-char
+  * is lossless for both classes by construction, so:
+  *   - every planted twin pair must be found AND decided 'match' (its worst
+  *     agreement pattern — one disagreeing field out of three — still clears
+  *     the upper threshold under the fixture's value distributions);
+  *   - every impostor pair must be found AND decided 'non_match' (all three
+  *     scored fields disagree by construction; even a boundary band
+  *     collision leaves the LR below 1).
+  */
+class LinkageSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+
+  test("q186: planted twins all match, impostors all non-match, none missed") {
+    val out = SparkEntry.byName("q186_record_linkage").run(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    val cust = Tables.customer(spark, sf)
+    val nTwin = cust.filter(col("c_custkey") % 5 === 0).count()
+    val nImp = cust.filter(col("c_custkey") % 7 === 3).count()
+    assert(nTwin > 0 && nImp > 0, "fixture must plant both classes")
+
+    // twins: exactly one decision row, 'match', with full planted count
+    val twinRows = out.filter(_._1._1 == "twin")
+    assert(twinRows.keySet == Set(("twin", "match")),
+      s"twin decisions: ${twinRows.keys}")
+    assert(twinRows(("twin", "match")) == nTwin)
+
+    // impostors: exactly one decision row, 'non_match', full planted count
+    val impRows = out.filter(_._1._1 == "impostor")
+    assert(impRows.keySet == Set(("impostor", "non_match")),
+      s"impostor decisions: ${impRows.keys}")
+    assert(impRows(("impostor", "non_match")) == nImp)
+  }
+}
