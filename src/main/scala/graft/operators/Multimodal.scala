@@ -115,6 +115,66 @@ object Multimodal {
       .withColumn("frame",
         expr(s"substring(`$binCol`, frame_no * $stride + 1, $frameLen)"))
 
+  val FTYP_TAG: Array[Byte] = "ftyp".getBytes("UTF-8")
+  val MOOV_TAG: Array[Byte] = "moov".getBytes("UTF-8")
+  val FREE_TAG: Array[Byte] = "free".getBytes("UTF-8")
+  val MVHD_TAG: Array[Byte] = "mvhd".getBytes("UTF-8")
+
+  /** Big-endian uint32 at a DATA-DEPENDENT 1-based byte offset — same hex
+    * round-trip as [[beUInt32]] but the position is a column (box offsets in
+    * a container walk are data, not constants). Positions are guarded small
+    * by the callers before the int cast. */
+  private def beUInt32At(bin: Column, pos: Column): Column =
+    conv(hex(bin.substr(pos.cast("int"), lit(4))), 16, 10).cast("long")
+
+  private def tagAt(bin: Column, pos: Column): Column =
+    bin.substr(pos.cast("int"), lit(4))
+
+  /** REAL ISO-BMFF (MP4) top-level box walk → movie-header metadata:
+    * `struct(timescale, duration)`, nulls when the input is not a parseable
+    * MP4 — the video leg of the media-metadata family next to the PNG/JPEG/
+    * WAV parses above.
+    *
+    * An MP4 is a sequence of boxes `size(4,BE) ++ type(4) ++ payload`; the
+    * movie timescale/duration live in `moov`'s first child `mvhd`
+    * (version 0: timescale at box offset +20, duration at +24 — ISO/IEC
+    * 14496-12, public spec). The walk is genuinely data-dependent: `ftyp`'s
+    * size varies with its compatible-brand list and an optional `free` box
+    * may precede `moov`, so a fixed substring cannot reach the header — the
+    * expression reads each box's size field to find the next (two hops
+    * unrolled: `moov` as box 1 or, behind one `free`, box 2 — the canonical
+    * fast-start layouts; a streaming-tail `moov` after `mdat` is out of
+    * scope and yields null). Size fields are range-guarded BEFORE being
+    * used as offsets, so hostile bytes cannot drive the substring positions
+    * outside int range; every branch is plain codegen'd expression work.
+    */
+  def mp4Meta(bin: Column): Column = {
+    val len = length(bin).cast("long")
+    val z0 = beUInt32At(bin, lit(1))
+    // every size field is range- AND length-guarded BEFORE use as an
+    // offset: hostile bytes can't push the walk outside the payload, and
+    // an oracle replay hits the exact same guard set (no partial-read
+    // divergence between engines)
+    val isFtyp = tagAt(bin, lit(5)) === lit(FTYP_TAG) &&
+      z0.between(16L, 80L) && len >= z0 + 8
+    val s1 = lit(1L) + z0
+    val t1 = tagAt(bin, s1 + 4)
+    val z1 = beUInt32At(bin, s1)
+    val s2 = s1 + z1
+    val moovS = when(isFtyp,
+      when(t1 === lit(MOOV_TAG), s1)
+        .when(t1 === lit(FREE_TAG) && z1.between(8L, 64L) && len >= s2 + 7 &&
+          tagAt(bin, s2 + 4) === lit(MOOV_TAG), s2))
+    // mvhd must be moov's first child, version 0
+    val mvhdOk = moovS.isNotNull && len >= moovS + 35 &&
+      tagAt(bin, moovS + 12) === lit(MVHD_TAG) &&
+      bin.substr((moovS + 16).cast("int"), lit(1)) === lit(Array[Byte](0))
+    val timescale = when(mvhdOk, beUInt32At(bin, moovS + 28))
+    struct(
+      when(timescale > 0, timescale).as("timescale"),
+      when(timescale > 0, beUInt32At(bin, moovS + 32)).as("duration"))
+  }
+
   /** STUB resize: byte-domain stand-in for an image resize — truncates the
     * payload to `targetBytes`, preserving the leading magic/header bytes so
     * mime and metadata survive. A real implementation decodes, resamples

@@ -269,8 +269,166 @@ object MultimodalPack {
             .cast("long").as("checksum"),
           sum(when(col("dec").isNull, 1L).otherwise(0L)).as("n_bad"))
         .orderBy("source")
+    },
+
+    // ---- q187: MP4 (ISO-BMFF) movie-header decode + frame-sample plan ------
+    // The video leg of the media-metadata family (PNG q63 / JPEG q63 / WAV
+    // q66): REAL top-level box walk via [[Multimodal.mp4Meta]] — ftyp's
+    // size varies with its compatible-brand list and an optional `free`
+    // box precedes `moov` for doc_id%4==1, so the mvhd offset is
+    // data-dependent and only reading the size fields reaches it — then
+    // the schedule a frame-sampling pipeline derives BEFORE any codec
+    // runs: ~1 fps capped at 8 samples, PTS in native timescale units via
+    // pure integer arithmetic (i·duration DIV n). Planted ground truth:
+    // timescale ∈ {600, 1000, 90000} and duration = ts·(1 + id%120) +
+    // id%50 by doc_id, with doc_id%5==4 docs carrying raw text that must
+    // decode to the unparsed class (timescale -1). The actual frame
+    // EXTRACTION stays behind the documented codec stub boundary
+    // ([[Multimodal.featuresStub]]); everything up to it — container
+    // parse, per-title schedule, sampling arithmetic — is real, and at
+    // 100 TB it's the cheap pruning pass that decides which byte ranges
+    // the expensive decode stage reads at all.
+    QueryDef(
+      "q187_mp4_schedule",
+      s"""WITH $MP4_SQL,
+         |dec1 AS (SELECT doc_id, source, hex(content) AS h,
+         |    octet_length(content) AS len FROM vids),
+         |dec2 AS (SELECT *, ('0x' || substring(h, 1, 8))::BIGINT AS z0 FROM dec1),
+         |dec3 AS (SELECT *,
+         |    CASE WHEN substring(h, 9, 8) = '$FTYP_HEX' AND z0 BETWEEN 16 AND 80
+         |      AND len >= z0 + 8 THEN 1 + 2 * z0 END AS s1 FROM dec2),
+         |dec4 AS (SELECT *,
+         |    CASE WHEN s1 IS NOT NULL THEN substring(h, s1 + 8, 8) END AS t1,
+         |    CASE WHEN s1 IS NOT NULL
+         |      THEN ('0x' || substring(h, s1, 8))::BIGINT END AS z1
+         |  FROM dec3),
+         |dec5 AS (SELECT *,
+         |    CASE WHEN t1 = '$MOOV_HEX' THEN s1
+         |         WHEN t1 = '$FREE_HEX' AND z1 BETWEEN 8 AND 64
+         |          AND 2 * len >= s1 + 2 * z1 + 15
+         |          AND substring(h, s1 + 2 * z1 + 8, 8) = '$MOOV_HEX'
+         |         THEN s1 + 2 * z1 END AS ms FROM dec4),
+         |dec6 AS (SELECT *,
+         |    CASE WHEN ms IS NOT NULL AND 2 * len >= ms + 71
+         |      AND substring(h, ms + 24, 8) = '$MVHD_HEX'
+         |      AND substring(h, ms + 32, 2) = '00'
+         |    THEN ('0x' || substring(h, ms + 56, 8))::BIGINT END AS tsc0 FROM dec5),
+         |dec7 AS (SELECT doc_id, source,
+         |    CASE WHEN tsc0 > 0 THEN tsc0 END AS tsc,
+         |    CASE WHEN tsc0 > 0
+         |      THEN ('0x' || substring(h, ms + 64, 8))::BIGINT END AS dur
+         |  FROM dec6),
+         |sched AS (SELECT source, COALESCE(tsc, -1) AS timescale,
+         |    CASE WHEN tsc IS NOT NULL THEN (dur * 1000) // tsc END AS dur_ms,
+         |    CASE WHEN tsc IS NOT NULL
+         |      THEN LEAST(8, GREATEST(1, dur // tsc)) END AS n_samples,
+         |    CASE WHEN tsc IS NOT NULL THEN CAST(list_sum(list_transform(
+         |        range(0, LEAST(8, GREATEST(1, dur // tsc))),
+         |        i -> (i * dur) // LEAST(8, GREATEST(1, dur // tsc)))) AS BIGINT)
+         |      END AS pts_sum
+         |  FROM dec7)
+         |SELECT source, timescale,
+         |  CAST(COUNT(*) AS BIGINT) AS n_videos,
+         |  COALESCE(CAST(SUM(dur_ms) AS BIGINT), -1) AS sum_dur_ms,
+         |  COALESCE(CAST(SUM(n_samples) AS BIGINT), -1) AS sum_samples,
+         |  COALESCE(CAST(SUM(pts_sum) AS BIGINT), -1) AS sum_pts
+         |FROM sched GROUP BY source, timescale
+         |ORDER BY source, timescale""".stripMargin) { (s, d) =>
+      val dec = mp4Blobs(s, d)
+        .select(col("source"), Multimodal.mp4Meta(col("content")).as("m"))
+        .select(col("source"), col("m.timescale").as("tsc"),
+          col("m.duration").as("dur"))
+        .withColumn("n_samples", when(col("tsc").isNotNull,
+          least(lit(8L), greatest(lit(1L), expr("dur DIV tsc")))))
+        .withColumn("dur_ms",
+          when(col("tsc").isNotNull, expr("dur * 1000 DIV tsc")))
+        .withColumn("pts_sum", when(col("tsc").isNotNull, expr(
+          """aggregate(sequence(CAST(0 AS BIGINT), n_samples - 1),
+            |CAST(0 AS BIGINT),
+            |(acc, i) -> acc + (i * dur) DIV n_samples)""".stripMargin.replace("\n", " "))))
+      dec
+        .groupBy(col("source"), coalesce(col("tsc"), lit(-1L)).as("timescale"))
+        .agg(count(lit(1)).as("n_videos"),
+          coalesce(sum(col("dur_ms")), lit(-1L)).as("sum_dur_ms"),
+          coalesce(sum(col("n_samples")), lit(-1L)).as("sum_samples"),
+          coalesce(sum(col("pts_sum")), lit(-1L)).as("sum_pts"))
+        .orderBy("source", "timescale")
     }
   )
 
   private[graft] val DUP_OFFSET = 1000000L
+
+  private val FTYP_HEX = hexLit(Multimodal.FTYP_TAG)
+  private val MOOV_HEX = hexLit(Multimodal.MOOV_TAG)
+  private val FREE_HEX = hexLit(Multimodal.FREE_TAG)
+  private val MVHD_HEX = hexLit(Multimodal.MVHD_TAG)
+
+  /** Constant mvhd (version 0) bytes AFTER the duration field: rate
+    * 0x00010000, volume 0x0100, 10 reserved zero bytes, the unity display
+    * matrix, 24 pre_defined zero bytes, next_track_ID 2 — 80 bytes, fixed
+    * by ISO/IEC 14496-12 §8.2.2 for a canonical header. */
+  private[graft] val MVHD_TAIL: Array[Byte] = {
+    def be(v: Long): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    be(0x00010000L) ++ Array[Byte](0x01, 0x00) ++ Array.fill[Byte](10)(0) ++
+      Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L)
+        .flatMap(be).toArray ++
+      Array.fill[Byte](24)(0) ++ be(2L)
+  }
+
+  /** Spark-side MP4 fixture: a canonical fast-start ISO-BMFF file per doc
+    * (ftyp with doc_id-varying compatible brands, an optional free box,
+    * moov/mvhd with planted timescale+duration, mdat carrying the text) —
+    * or raw text bytes for doc_id%5==4 (the must-not-parse class). */
+  private[graft] def mp4Blobs(s: SparkSession, d: String): DataFrame = {
+    def be32(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 8, "0"))
+    def ascii(t: String) = lit(t.getBytes("UTF-8"))
+    val zero4 = lit(Array[Byte](0, 0, 0, 0))
+    val nb = pmod(col("doc_id"), lit(3))
+    val ts = when(nb === 0, 600L).when(nb === 1, 1000L).otherwise(90000L)
+    val dur = ts * (lit(1L) + pmod(col("doc_id"), lit(120L))) +
+      pmod(col("doc_id"), lit(50L))
+    val ftyp = concat(be32(lit(16L) + nb * 4), ascii("ftyp"), ascii("isom"),
+      zero4, encode(call_function("repeat", lit("mp41"), nb.cast("int")), "UTF-8"))
+    val pad = pmod(col("doc_id"), lit(6))
+    val free = when(pmod(col("doc_id"), lit(4)) === 1,
+      concat(be32(lit(8L) + pad), ascii("free"),
+        encode(call_function("repeat", lit("X"), pad.cast("int")), "UTF-8")))
+      .otherwise(lit(Array.empty[Byte]))
+    val mvhd = concat(be32(lit(108L)), ascii("mvhd"),
+      zero4, zero4, zero4, // version 0 + flags, creation, modification
+      be32(ts), be32(dur), lit(MVHD_TAIL))
+    val moov = concat(be32(lit(116L)), ascii("moov"), mvhd)
+    val txt = encode(col("text"), "UTF-8")
+    val mdat = concat(be32(lit(8L) + length(txt)), ascii("mdat"), txt)
+    Tables.documents(s, d).select(col("doc_id"), col("source"),
+      when(pmod(col("doc_id"), lit(5)) === 4, txt)
+        .otherwise(concat(ftyp, free, moov, mdat)).as("content"))
+  }
+
+  /** DuckDB replay of [[mp4Blobs]] (hex/BLOB concat, cf. BLOBS_SQL). */
+  private val MP4_SQL =
+    s"""vids AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id % 5 = 4 THEN encode(text)
+       |    ELSE
+       |      unhex(lpad(to_hex(16 + 4 * (doc_id % 3)), 8, '0')) || 'ftyp'::BLOB ||
+       |      'isom'::BLOB || unhex('00000000') ||
+       |      encode(repeat('mp41', CAST(doc_id % 3 AS BIGINT))) ||
+       |      CASE WHEN doc_id % 4 = 1
+       |        THEN unhex(lpad(to_hex(8 + doc_id % 6), 8, '0')) || 'free'::BLOB ||
+       |          encode(repeat('X', CAST(doc_id % 6 AS BIGINT)))
+       |        ELSE ''::BLOB END ||
+       |      unhex('00000074') || 'moov'::BLOB ||
+       |      unhex('0000006C') || 'mvhd'::BLOB || unhex('000000000000000000000000') ||
+       |      unhex(lpad(to_hex(CASE doc_id % 3 WHEN 0 THEN 600
+       |        WHEN 1 THEN 1000 ELSE 90000 END), 8, '0')) ||
+       |      unhex(lpad(to_hex(
+       |        (CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END)
+       |          * (1 + doc_id % 120) + doc_id % 50), 8, '0')) ||
+       |      unhex('${hexLit(MVHD_TAIL)}') ||
+       |      unhex(lpad(to_hex(8 + octet_length(encode(text))), 8, '0')) ||
+       |      'mdat'::BLOB || encode(text)
+       |    END AS content
+       |  FROM documents)""".stripMargin
 }

@@ -156,6 +156,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.getLong(1) == 32)
   }
 
+  test("mp4Meta walks the box list to mvhd; nulls on non-MP4/truncated input") {
+    def be32(v: Long): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(tag: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ tag.getBytes("UTF-8") ++ payload
+    def mvhd(ts: Long, dur: Long): Array[Byte] =
+      box("mvhd", Array.fill[Byte](12)(0) ++ be32(ts) ++ be32(dur) ++
+        MultimodalPack.MVHD_TAIL)
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0L))
+    val plain = ftyp ++ box("moov", mvhd(90000L, 450000L))
+    // free box between ftyp and moov: the walk must hop over it
+    val freed = ftyp ++ box("free", Array.fill[Byte](5)('X')) ++
+      box("moov", mvhd(600L, 1234L))
+    // version-1 mvhd (64-bit fields) is out of scope -> null, not garbage
+    val v1 = ftyp ++ box("moov",
+      box("mvhd", Array[Byte](1, 0, 0, 0) ++ Array.fill[Byte](8)(0) ++
+        be32(600L) ++ be32(99L) ++ MultimodalPack.MVHD_TAIL))
+    val truncated = plain.take(plain.length - 90) // mvhd body cut off
+    val raw = "just some text, no boxes at all".getBytes("UTF-8")
+    val got = blobDf(1L -> plain, 2L -> freed, 3L -> v1, 4L -> truncated,
+      5L -> raw)
+      .select(col("id"), Multimodal.mp4Meta(col("content")).as("m"))
+      .select(col("id"), col("m.timescale"), col("m.duration"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(got(1L) == (Some(90000L), Some(450000L)))
+    assert(got(2L) == (Some(600L), Some(1234L)))
+    assert(got(3L) == (None, None))
+    assert(got(4L) == (None, None))
+    assert(got(5L) == (None, None))
+  }
+
   test("featuresStub is deterministic, fixed-dim, centered") {
     val df = MultimodalPack.blobs(spark, sf)
       .select(col("doc_id"), Multimodal.featuresStub(col("content")).as("f"))
