@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter, "A theory
+  * for record linkage", JASA 1969 — public literature), shared by the batch
+  * (q186) and streaming (q188) faces.
+  *
+  * The scoring layer runs AFTER blocking: each candidate pair's
+  * field-agreement pattern gets a likelihood ratio
+  * `Π m_f/u_f (agree) · (1-m_f)/(1-u_f) (disagree)`, where `u_f` — the
+  * chance two NON-matching records agree on field f — is estimated EXACTLY
+  * from the value-frequency distribution (`u_f = Σ_v n_v(n_v-1) / N(N-1)`,
+  * pure BIGINT arithmetic) and `m_f` — the chance true matches agree — is a
+  * model constant per field. Cross-engine bit-stability: the ratio is a
+  * fixed-order product of quotients of exact BIGINT-derived doubles
+  * (< 2^53, conversion exact; the q133 raw-IEEE-quotient discipline),
+  * floored to integer basis points.
+  *
+  * 100 TB shape: candidate generation is ONE keyed shuffle on the blocking
+  * key (skew pre-flighted by q171's profiler; any blocking family — LSH
+  * q28, prefix q131, sorted-neighborhood q177, PassJoin q170 — can feed
+  * it); the u-model is three keyed aggs reduced to one broadcast scalar
+  * row; scoring is map-side arithmetic on candidates only. Quadratic only
+  * in block occupancy, never in the table.
+  *
+  * The planted ground truth used by both queries lives here too: every
+  * custkey%5==0 customer gets a "dirty twin" at +1e6 (last name char
+  * replaced, attributes copied, segment perturbed for custkey%10!=0 — a
+  * true match the scorer must accept with one field disagreeing) and every
+  * custkey%7==3 an "impostor" at +2e6 (IDENTICAL name, nation/segment/band
+  * all changed — a distinct entity sharing a name, which name-only matching
+  * would falsely merge).
+  */
+object Linkage {
+
+  val TWIN_OFFSET = 1000000L
+  val IMPOSTOR_OFFSET = 2000000L
+
+  /** Linkage-normalized view of the customer table:
+    * (id, name, nation, seg, band). */
+  def baseRecords(cust: DataFrame): DataFrame =
+    cust.select(col("c_custkey").as("id"), col("c_name").as("name"),
+      col("c_nationkey").as("nation"), col("c_mktsegment").as("seg"),
+      bandOf(col("c_acctbal")).as("band"))
+
+  /** Planted dirty twins: true matches with a one-char name edit. */
+  def dirtyRecords(cust: DataFrame): DataFrame =
+    cust.filter(col("c_custkey") % 5 === 0).select(
+      (col("c_custkey") + TWIN_OFFSET).as("id"),
+      concat(col("c_name").substr(lit(1), length(col("c_name")) - 1), lit("Z"))
+        .as("name"),
+      col("c_nationkey").as("nation"),
+      when(col("c_custkey") % 10 === 0, col("c_mktsegment"))
+        .otherwise(concat(lit("Z"), col("c_mktsegment"))).as("seg"),
+      bandOf(col("c_acctbal")).as("band"))
+
+  /** Planted impostors: same name, every scored field changed. */
+  def impostorRecords(cust: DataFrame): DataFrame =
+    cust.filter(col("c_custkey") % 7 === 3).select(
+      (col("c_custkey") + IMPOSTOR_OFFSET).as("id"), col("c_name").as("name"),
+      ((col("c_nationkey") + 1) % 25).as("nation"),
+      concat(lit("X"), col("c_mktsegment")).as("seg"),
+      bandOf(lit(10000.0) - col("c_acctbal")).as("band"))
+
+  private def bandOf(acctbal: Column): Column = floor(acctbal / 1000.0)
+
+  /** Standard equality blocking key: name minus its last character —
+    * lossless for BOTH planted classes by construction (twins differ only
+    * in the last char, impostors not at all). */
+  def blockKey: Column = col("name").substr(lit(1), length(col("name")) - 1)
+
+  /** The u-probability model as ONE scalar row `(uden, un, us, ub)`:
+    * `u_f = <num>/uden` with `uden = N(N-1)` and `<num> = Σ_v n_v(n_v-1)`
+    * per field, all exact BIGINTs from three keyed aggs. */
+  def uModel(recs: DataFrame): DataFrame = {
+    def uNum(c: String, as: String) =
+      recs.groupBy(c).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * (col("c") - 1)).as(as))
+    recs.agg(count(lit(1)).as("n"))
+      .select((col("n") * (col("n") - 1)).as("uden"))
+      .crossJoin(broadcast(uNum("nation", "un")))
+      .crossJoin(broadcast(uNum("seg", "us")))
+      .crossJoin(broadcast(uNum("band", "ub")))
+  }
+
+  /** Likelihood ratio over the three agreement indicators; expects the
+    * pair columns `n_a/n_b, s_a/s_b, b_a/b_b` and the [[uModel]] scalars in
+    * scope. m-constants: 19/20 (nation), 4/5 (segment), 9/10 (band). */
+  def likelihoodRatio: Column = {
+    val uden = col("uden")
+    def w(agree: Column, mNum: Long, mDen: Long, num: Column) =
+      when(agree, (lit(mNum) * uden).cast("double")
+          / (lit(mDen) * num).cast("double"))
+        .otherwise(uden.cast("double")
+          / (lit(mDen) * (uden - num)).cast("double"))
+    w(col("n_a") === col("n_b"), 19L, 20L, col("un")) *
+      w(col("s_a") === col("s_b"), 4L, 5L, col("us")) *
+      w(col("b_a") === col("b_b"), 9L, 10L, col("ub"))
+  }
+
+  /** Three-way decision on the ratio: match / possible / non_match. */
+  def decisionOf(lr: Column): Column =
+    when(lr >= 40.0, "match").when(lr >= 1.0, "possible")
+      .otherwise("non_match")
+
+  /** Planted pair class from id arithmetic. `id_a < TWIN_OFFSET` pins id_a
+    * to a BASE record: without it a (dirty_i, impostor_i) pair — diff
+    * exactly TWIN_OFFSET and same block, since the dirty name's prefix
+    * equals the impostor's — would be mislabeled 'twin'. */
+  def pairClass: Column =
+    when(col("id_b") - col("id_a") === TWIN_OFFSET &&
+      col("id_a") % 5 === 0 && col("id_a") < TWIN_OFFSET, "twin")
+      .when(col("id_b") - col("id_a") === IMPOSTOR_OFFSET &&
+        col("id_a") % 7 === 3 && col("id_a") < TWIN_OFFSET, "impostor")
+      .otherwise("background")
+
+  /** Confusion-matrix aggregation over rows carrying
+    * (pair_class, decision, bp). */
+  def confusion(scored: DataFrame): DataFrame =
+    scored.groupBy("pair_class", "decision")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("bp")).as("sum_score_bp"),
+        min(col("bp")).as("min_score_bp"), max(col("bp")).as("max_score_bp"))
+      .orderBy("pair_class", "decision")
+}

@@ -364,6 +364,106 @@ object StreamingPack {
         "mq42", mode = "append")
         .select(col("user_id"), col("sess_start"), col("n_events"))
         .orderBy("user_id", "sess_start")
+    },
+
+    // ---- q188: streaming record linkage against the master table -----------
+    // q186's production shape: new entity records ARRIVE (dirty twins +
+    // impostors planted map-side, each class its own reader of the
+    // customer-topic surrogate, unioned) and must link against the STATIC
+    // master table before ingest. The
+    // u-probability model comes from the master side only (the estimable
+    // side in production — you can't estimate value frequencies over
+    // records that haven't arrived), reduced to one broadcast scalar row;
+    // the blocking join is stream-static on the equality key (stateless,
+    // append mode — no watermark needed) and scoring is map-side, so the
+    // whole gate is a per-micro-batch map+join with NO streaming state.
+    // The confusion matrix aggregates in batch on the drained sink (q75's
+    // pair-dedup trick) and hash-checks against the closed-form oracle:
+    // every planted twin must arrive at 'match', every impostor at
+    // 'non_match' — same guarantees as q186 under the master-only model.
+    QueryDef(
+      "q188_stream_record_linkage",
+      """WITH base AS (
+        |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nation,
+        |    c_mktsegment AS seg, CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS band
+        |  FROM customer),
+        |newrec AS (
+        |  SELECT c_custkey + 1000000 AS id,
+        |    substring(c_name, 1, length(c_name) - 1) || 'Z' AS name,
+        |    c_nationkey AS nation,
+        |    CASE WHEN c_custkey % 10 = 0 THEN c_mktsegment ELSE 'Z' || c_mktsegment END AS seg,
+        |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS band
+        |  FROM customer WHERE c_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 2000000, c_name, (c_nationkey + 1) % 25,
+        |    'X' || c_mktsegment,
+        |    CAST(FLOOR((10000.0 - c_acctbal) / 1000.0) AS BIGINT)
+        |  FROM customer WHERE c_custkey % 7 = 3),
+        |scal AS (
+        |  SELECT CAST(n * (n - 1) AS BIGINT) AS uden, un, us, ub
+        |  FROM (SELECT COUNT(*) AS n FROM base),
+        |    (SELECT CAST(SUM(c * (c - 1)) AS BIGINT) AS un
+        |     FROM (SELECT COUNT(*) AS c FROM base GROUP BY nation)),
+        |    (SELECT CAST(SUM(c * (c - 1)) AS BIGINT) AS us
+        |     FROM (SELECT COUNT(*) AS c FROM base GROUP BY seg)),
+        |    (SELECT CAST(SUM(c * (c - 1)) AS BIGINT) AS ub
+        |     FROM (SELECT COUNT(*) AS c FROM base GROUP BY band))),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    a.nation = b.nation AS agr_n, a.seg = b.seg AS agr_s,
+        |    a.band = b.band AS agr_b
+        |  FROM base a JOIN newrec b
+        |    ON substring(a.name, 1, length(a.name) - 1)
+        |     = substring(b.name, 1, length(b.name) - 1)),
+        |scored AS (
+        |  SELECT
+        |    CASE WHEN id_b - id_a = 1000000 AND id_a % 5 = 0
+        |           AND id_a < 1000000 THEN 'twin'
+        |         WHEN id_b - id_a = 2000000 AND id_a % 7 = 3
+        |           AND id_a < 1000000 THEN 'impostor'
+        |         ELSE 'background' END AS pair_class,
+        |    (CASE WHEN agr_n THEN CAST(19 * uden AS DOUBLE) / CAST(20 * un AS DOUBLE)
+        |          ELSE CAST(uden AS DOUBLE) / CAST(20 * (uden - un) AS DOUBLE) END)
+        |    * (CASE WHEN agr_s THEN CAST(4 * uden AS DOUBLE) / CAST(5 * us AS DOUBLE)
+        |            ELSE CAST(uden AS DOUBLE) / CAST(5 * (uden - us) AS DOUBLE) END)
+        |    * (CASE WHEN agr_b THEN CAST(9 * uden AS DOUBLE) / CAST(10 * ub AS DOUBLE)
+        |            ELSE CAST(uden AS DOUBLE) / CAST(10 * (uden - ub) AS DOUBLE) END)
+        |      AS lr
+        |  FROM pairs, scal)
+        |SELECT pair_class,
+        |  CASE WHEN lr >= 40.0 THEN 'match' WHEN lr >= 1.0 THEN 'possible'
+        |       ELSE 'non_match' END AS decision,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CAST(FLOOR(lr * 10000.0) AS BIGINT)) AS BIGINT) AS sum_score_bp,
+        |  CAST(MIN(CAST(FLOOR(lr * 10000.0) AS BIGINT)) AS BIGINT) AS min_score_bp,
+        |  CAST(MAX(CAST(FLOOR(lr * 10000.0) AS BIGINT)) AS BIGINT) AS max_score_bp
+        |FROM scored
+        |GROUP BY pair_class, decision
+        |ORDER BY pair_class, decision""".stripMargin) { (s, d) =>
+      import graft.operators.Linkage
+      val master = Linkage.baseRecords(Tables.customer(s, d))
+      val scal = Linkage.uModel(master)
+      val masterK = master.select(Linkage.blockKey.as("k"),
+        col("id").as("id_a"), col("nation").as("n_a"), col("seg").as("s_a"),
+        col("band").as("b_a"))
+      // arriving records: the two planted classes, each a map-side
+      // projection of its own reader of the customer topic surrogate
+      val arriving = Linkage.dirtyRecords(Streams.customerStream(s, d))
+        .unionByName(Linkage.impostorRecords(Streams.customerStream(s, d)))
+        .select(Linkage.blockKey.as("k"), col("id").as("id_b"),
+          col("nation").as("n_b"), col("seg").as("s_b"), col("band").as("b_b"))
+      // stream-static equi-join on the blocking key; u-model scalars ride
+      // a broadcast single-row join (literal key — bounded by construction)
+      val lr = Linkage.likelihoodRatio
+      val scored = arriving
+        .join(masterK, Seq("k"))
+        .withColumn("j", lit(1))
+        .join(broadcast(scal.withColumn("j", lit(1))), Seq("j"))
+        .select(Linkage.pairClass.as("pair_class"),
+          Linkage.decisionOf(lr).as("decision"),
+          floor(lr * 10000.0).as("bp"))
+      Linkage.confusion(
+        Streams.runToMemory(s, scored, "mq188", mode = "append"))
     }
   )
 }

@@ -2929,67 +2929,23 @@ object TextDedupPack {
         |FROM scored
         |GROUP BY pair_class, decision
         |ORDER BY pair_class, decision""".stripMargin) { (s, d) =>
+      import graft.operators.Linkage
       val cust = Tables.customer(s, d)
-      val band = floor(col("c_acctbal") / 1000.0)
-      val base = cust.select(col("c_custkey").as("id"), col("c_name").as("name"),
-        col("c_nationkey").as("nation"), col("c_mktsegment").as("seg"),
-        band.as("band"))
-      val dirty = cust.filter(col("c_custkey") % 5 === 0).select(
-        (col("c_custkey") + 1000000L).as("id"),
-        concat(col("c_name").substr(lit(1), length(col("c_name")) - 1), lit("Z"))
-          .as("name"),
-        col("c_nationkey").as("nation"),
-        when(col("c_custkey") % 10 === 0, col("c_mktsegment"))
-          .otherwise(concat(lit("Z"), col("c_mktsegment"))).as("seg"),
-        band.as("band"))
-      val imp = cust.filter(col("c_custkey") % 7 === 3).select(
-        (col("c_custkey") + 2000000L).as("id"), col("c_name").as("name"),
-        ((col("c_nationkey") + 1) % 25).as("nation"),
-        concat(lit("X"), col("c_mktsegment")).as("seg"),
-        floor((lit(10000.0) - col("c_acctbal")) / 1000.0).as("band"))
-      val recs = base.unionByName(dirty).unionByName(imp)
-      // u-model: one scalar row — Σ n_v(n_v-1) per field over N(N-1)
-      def uNum(c: String, as: String) =
-        recs.groupBy(c).agg(count(lit(1)).as("c"))
-          .agg(sum(col("c") * (col("c") - 1)).as(as))
-      val scal = recs.agg(count(lit(1)).as("n"))
-        .select((col("n") * (col("n") - 1)).as("uden"))
-        .crossJoin(broadcast(uNum("nation", "un")))
-        .crossJoin(broadcast(uNum("seg", "us")))
-        .crossJoin(broadcast(uNum("band", "ub")))
-      val key = col("name").substr(lit(1), length(col("name")) - 1)
-      def side(suf: String) = recs.select(key.as("k"), col("id").as(s"id_$suf"),
-        col("nation").as(s"n_$suf"), col("seg").as(s"s_$suf"),
-        col("band").as(s"b_$suf"))
+      val recs = Linkage.baseRecords(cust)
+        .unionByName(Linkage.dirtyRecords(cust))
+        .unionByName(Linkage.impostorRecords(cust))
+      val scal = Linkage.uModel(recs)
+      def side(suf: String) = recs.select(Linkage.blockKey.as("k"),
+        col("id").as(s"id_$suf"), col("nation").as(s"n_$suf"),
+        col("seg").as(s"s_$suf"), col("band").as(s"b_$suf"))
       val pairs = side("a").join(side("b"), Seq("k"))
         .filter(col("id_a") < col("id_b"))
         .crossJoin(broadcast(scal))
-      val uden = col("uden")
-      def w(agree: org.apache.spark.sql.Column, mNum: Long, mDen: Long,
-            num: org.apache.spark.sql.Column) =
-        when(agree, (lit(mNum) * uden).cast("double")
-            / (lit(mDen) * num).cast("double"))
-          .otherwise(uden.cast("double")
-            / (lit(mDen) * (uden - num)).cast("double"))
-      val lr = w(col("n_a") === col("n_b"), 19L, 20L, col("un")) *
-        w(col("s_a") === col("s_b"), 4L, 5L, col("us")) *
-        w(col("b_a") === col("b_b"), 9L, 10L, col("ub"))
-      // id_a < 1e6 pins id_a to a BASE record: without it a (dirty_i,
-      // impostor_i) pair — diff exactly 1e6 and same block, since the dirty
-      // name's prefix equals the impostor's — would be mislabeled 'twin'
-      val cls = when(col("id_b") - col("id_a") === 1000000L &&
-          col("id_a") % 5 === 0 && col("id_a") < 1000000L, "twin")
-        .when(col("id_b") - col("id_a") === 2000000L &&
-          col("id_a") % 7 === 3 && col("id_a") < 1000000L, "impostor")
-        .otherwise("background")
-      pairs.select(cls.as("pair_class"),
-          when(lr >= 40.0, "match").when(lr >= 1.0, "possible")
-            .otherwise("non_match").as("decision"),
-          floor(lr * 10000.0).as("bp"))
-        .groupBy("pair_class", "decision")
-        .agg(count(lit(1)).as("n_pairs"), sum(col("bp")).as("sum_score_bp"),
-          min(col("bp")).as("min_score_bp"), max(col("bp")).as("max_score_bp"))
-        .orderBy("pair_class", "decision")
+      val lr = Linkage.likelihoodRatio
+      Linkage.confusion(pairs.select(
+        Linkage.pairClass.as("pair_class"),
+        Linkage.decisionOf(lr).as("decision"),
+        floor(lr * 10000.0).as("bp")))
     }
   )
 

@@ -56,6 +56,17 @@ object Streams {
       .parquet(s"$sfDir/documents.parque[t]")
   }
 
+  /** Streaming scan over the driver's customer parquet — the master-data
+    * ingest surrogate (new/changed entity records arriving as a topic),
+    * feeding the streaming record-linkage gate (q188). */
+  def customerStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/customer.parquet"
+    val schema = spark.read.parquet(path).schema
+    spark.readStream
+      .schema(schema)
+      .parquet(s"$sfDir/customer.parque[t]")
+  }
+
   /** A3: streaming global COUNT(*) (`spark_kafka_direct.py:35-40`). */
   def globalCount(stream: DataFrame): DataFrame =
     stream.groupBy().count()

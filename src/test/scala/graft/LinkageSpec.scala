@@ -42,4 +42,20 @@ class LinkageSpec extends AnyFunSuite {
       s"impostor decisions: ${impRows.keys}")
     assert(impRows(("impostor", "non_match")) == nImp)
   }
+
+  test("q188: streaming gate reaches the same planted guarantees as batch") {
+    val out = SparkEntry.byName("q188_stream_record_linkage").run(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    val cust = Tables.customer(spark, sf)
+    val nTwin = cust.filter(col("c_custkey") % 5 === 0).count()
+    val nImp = cust.filter(col("c_custkey") % 7 === 3).count()
+
+    assert(out.filter(_._1._1 == "twin").keySet == Set(("twin", "match")))
+    assert(out(("twin", "match")) == nTwin)
+    assert(out.filter(_._1._1 == "impostor").keySet ==
+      Set(("impostor", "non_match")))
+    assert(out(("impostor", "non_match")) == nImp)
+  }
 }
