@@ -1751,6 +1751,44 @@ object RelationalPack {
           (col("c1").cast("double") / col("n1")).as("rate_treatment"),
           col("zs").as("z_score"),
           when(abs(col("zs")) > 1.96, 1L).otherwise(0L).as("significant"))
+    },
+
+    // ---- q189: pivot with EXPLICIT values (the scale-safe form) ------------
+    // The long-to-wide reshape every BI layer asks for: per-source doc
+    // counts and char volumes pivoted into one column pair per language.
+    // The values list is EXPLICIT (`pivot("lang", Seq(...))`), which is the
+    // only form that survives 100 TB: with values given, Catalyst rewrites
+    // the pivot into ONE conditional aggregation over ONE scan — no
+    // separate job, nothing driver-side. Valueless `pivot("lang")` would
+    // first run a driver-side `collect()` of the distinct langs (an eager
+    // action hidden inside plan construction) and then embed an unbounded
+    // column list — both banned shapes in this library. Absent
+    // (source, lang) combos surface as nulls from the pivot and are
+    // COALESCEd to 0 explicitly, matching the oracle's conditional-sum
+    // semantics; langs outside the explicit list are ignored identically
+    // on both engines. The inverse reshape (unpivot/stack) is q172's
+    // rulebook scan.
+    QueryDef(
+      "q189_pivot_lang", {
+        val arms = Seq("de", "en", "es", "fr", "zh").map { l =>
+          s"""  CAST(SUM(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS ${l}_docs,
+             |  CAST(COALESCE(SUM(CASE WHEN lang = '$l' THEN n_chars END), 0) AS BIGINT) AS ${l}_chars""".stripMargin
+        }.mkString(",\n")
+        s"""SELECT source,
+           |$arms
+           |FROM documents
+           |GROUP BY source
+           |ORDER BY source""".stripMargin
+      }) { (s, d) =>
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val wide = Tables.documents(s, d)
+        .groupBy("source")
+        .pivot("lang", langs)
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+      wide.select(col("source") +: langs.flatMap(l => Seq(
+          coalesce(col(s"${l}_docs"), lit(0L)).as(s"${l}_docs"),
+          coalesce(col(s"${l}_chars"), lit(0L)).as(s"${l}_chars"))): _*)
+        .orderBy("source")
     }
   )
 }
