@@ -90,10 +90,14 @@ object Linkage {
     * scope. m-constants: 19/20 (nation), 4/5 (segment), 9/10 (band). */
   def likelihoodRatio: Column = {
     val uden = col("uden")
+    // disagree weight = (1-m)/(1-u) = ((mDen-mNum)/mDen) / ((uden-num)/uden)
+    // — the (mDen-mNum) factor must be computed, not assumed 1: the current
+    // constants all happen to have mNum = mDen-1, but the helper must stay
+    // correct for any m
     def w(agree: Column, mNum: Long, mDen: Long, num: Column) =
       when(agree, (lit(mNum) * uden).cast("double")
           / (lit(mDen) * num).cast("double"))
-        .otherwise(uden.cast("double")
+        .otherwise((lit(mDen - mNum) * uden).cast("double")
           / (lit(mDen) * (uden - num)).cast("double"))
     w(col("n_a") === col("n_b"), 19L, 20L, col("un")) *
       w(col("s_a") === col("s_b"), 4L, 5L, col("us")) *

@@ -293,7 +293,8 @@ object MultimodalPack {
       s"""WITH $MP4_SQL,
          |dec1 AS (SELECT doc_id, source, hex(content) AS h,
          |    octet_length(content) AS len FROM vids),
-         |dec2 AS (SELECT *, ('0x' || substring(h, 1, 8))::BIGINT AS z0 FROM dec1),
+         |dec2 AS (SELECT *, CASE WHEN len >= 4
+         |    THEN ('0x' || substring(h, 1, 8))::BIGINT END AS z0 FROM dec1),
          |dec3 AS (SELECT *,
          |    CASE WHEN substring(h, 9, 8) = '$FTYP_HEX' AND z0 BETWEEN 16 AND 80
          |      AND len >= z0 + 8 THEN 1 + 2 * z0 END AS s1 FROM dec2),

@@ -48,23 +48,25 @@ object Streams {
     * ingest surrogate (a Kafka topic of docs replayed through the file
     * source). No timestamp munging: documents carry no nano columns.
     */
-  def documentsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = s"$sfDir/documents.parquet"
-    val schema = spark.read.parquet(path).schema
-    spark.readStream
-      .schema(schema)
-      .parquet(s"$sfDir/documents.parque[t]")
-  }
+  def documentsStream(spark: SparkSession, sfDir: String): DataFrame =
+    tableStream(spark, sfDir, "documents")
 
   /** Streaming scan over the driver's customer parquet — the master-data
     * ingest surrogate (new/changed entity records arriving as a topic),
     * feeding the streaming record-linkage gate (q188). */
-  def customerStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = s"$sfDir/customer.parquet"
-    val schema = spark.read.parquet(path).schema
+  def customerStream(spark: SparkSession, sfDir: String): DataFrame =
+    tableStream(spark, sfDir, "customer")
+
+  /** File-source replay of a fixture table (no timestamp munging — only
+    * `events` carries nano columns and keeps its own reader above). The
+    * glob, not the bare file path: FileStreamSource requires its base path
+    * to be a directory, and the non-glob prefix here is `sfDir`. */
+  private def tableStream(spark: SparkSession, sfDir: String,
+                          table: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/$table.parquet").schema
     spark.readStream
       .schema(schema)
-      .parquet(s"$sfDir/customer.parque[t]")
+      .parquet(s"$sfDir/$table.parque[t]")
   }
 
   /** A3: streaming global COUNT(*) (`spark_kafka_direct.py:35-40`). */

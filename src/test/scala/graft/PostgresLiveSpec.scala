@@ -37,14 +37,22 @@ class PostgresLiveSpec extends AnyFunSuite {
     val rows = spark.range(10).select(
       col("id"), concat(lit("name"), col("id")).as("name"),
       (col("id") * 1.5).as("score"))
-    graft.sinks.Sinks.jdbcWrite(rows, u, table, DRIVER)
-    // second write proves overwrite (not append): count must stay 10
-    graft.sinks.Sinks.jdbcWrite(rows, u, table, DRIVER)
-    val back = graft.sinks.Sinks.jdbcRead(spark, u, table, DRIVER)
-    assert(back.count() == 10)
-    // values and types survive the TEXT/FLOAT8 round-trip exactly
-    assert(back.select(col("id"), col("name"), col("score")).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet ==
-      (0L until 10L).map(i => (i, s"name$i", i * 1.5)).toSet)
+    try {
+      graft.sinks.Sinks.jdbcWrite(rows, u, table, DRIVER)
+      // second write proves overwrite (not append): count must stay 10
+      graft.sinks.Sinks.jdbcWrite(rows, u, table, DRIVER)
+      val back = graft.sinks.Sinks.jdbcRead(spark, u, table, DRIVER)
+      assert(back.count() == 10)
+      // values and types survive the TEXT/FLOAT8 round-trip exactly
+      assert(back.select(col("id"), col("name"), col("score")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet ==
+        (0L until 10L).map(i => (i, s"name$i", i * 1.5)).toSet)
+    } finally {
+      // unlike Kafka topics (retention-expired), tables accumulate forever
+      // — drop what this run created, even on assertion failure
+      val conn = java.sql.DriverManager.getConnection(u)
+      try conn.createStatement().execute(s"DROP TABLE IF EXISTS $table")
+      finally conn.close()
+    }
   }
 }
