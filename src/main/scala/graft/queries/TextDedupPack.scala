@@ -2946,6 +2946,144 @@ object TextDedupPack {
         Linkage.pairClass.as("pair_class"),
         Linkage.decisionOf(lr).as("decision"),
         floor(lr * 10000.0).as("bp")))
+    },
+
+    // ---- q190: golden-record survivorship (entity-resolution capstone) -----
+    // The step entity resolution exists FOR: q186's match decisions become
+    // transitive clusters (operators.Components — the same O(log² n)
+    // keyed-rounds CC as q67, here over the FS 'match' pairs), and each
+    // cluster collapses to ONE golden record by explicit survivorship
+    // rules: canonical id = min member id (the CC convention), nation from
+    // the canonical record, segment by majority vote (tie → lexicographic
+    // — a deterministic rule, not arg_max luck), band = max. Records that
+    // match nothing survive as their own singleton cluster. The oracle
+    // replays CC as a recursive-CTE closure (q67's trick, feasible at test
+    // SFs) over the identical match set.
+    //
+    // 100 TB shape: matches are the FS-gated candidate pairs (linear via
+    // blocking), CC is keyed rounds with measured widths, and survivorship
+    // is two keyed aggs + one cluster-partitioned window (clusters are
+    // near-dup-group-sized, never corpus-sized) + two joins back on
+    // cluster_id. Nothing quadratic, no driver-side graph.
+    QueryDef(
+      "q190_golden_record",
+      s"""WITH RECURSIVE recs AS (
+         |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nation,
+         |    c_mktsegment AS seg, CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS band
+         |  FROM customer
+         |  UNION ALL
+         |  SELECT c_custkey + 1000000, substring(c_name, 1, length(c_name) - 1) || 'Z',
+         |    c_nationkey,
+         |    CASE WHEN c_custkey % 10 = 0 THEN c_mktsegment ELSE 'Z' || c_mktsegment END,
+         |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)
+         |  FROM customer WHERE c_custkey % 5 = 0
+         |  UNION ALL
+         |  SELECT c_custkey + 2000000, c_name, (c_nationkey + 1) % 25,
+         |    'X' || c_mktsegment,
+         |    CAST(FLOOR((10000.0 - c_acctbal) / 1000.0) AS BIGINT)
+         |  FROM customer WHERE c_custkey % 7 = 3),
+         |scal AS (
+         |  SELECT CAST(n * (n - 1) AS BIGINT) AS uden, un, us, ub
+         |  FROM (SELECT COUNT(*) AS n FROM recs),
+         |    (SELECT CAST(SUM(c * (c - 1)) AS BIGINT) AS un
+         |     FROM (SELECT COUNT(*) AS c FROM recs GROUP BY nation)),
+         |    (SELECT CAST(SUM(c * (c - 1)) AS BIGINT) AS us
+         |     FROM (SELECT COUNT(*) AS c FROM recs GROUP BY seg)),
+         |    (SELECT CAST(SUM(c * (c - 1)) AS BIGINT) AS ub
+         |     FROM (SELECT COUNT(*) AS c FROM recs GROUP BY band))),
+         |cpairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |    a.nation = b.nation AS agr_n, a.seg = b.seg AS agr_s,
+         |    a.band = b.band AS agr_b
+         |  FROM recs a JOIN recs b
+         |    ON substring(a.name, 1, length(a.name) - 1)
+         |     = substring(b.name, 1, length(b.name) - 1)
+         |   AND a.id < b.id),
+         |matches AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b,
+         |      (CASE WHEN agr_n THEN CAST(19 * uden AS DOUBLE) / CAST(20 * un AS DOUBLE)
+         |            ELSE CAST(uden AS DOUBLE) / CAST(20 * (uden - un) AS DOUBLE) END)
+         |      * (CASE WHEN agr_s THEN CAST(4 * uden AS DOUBLE) / CAST(5 * us AS DOUBLE)
+         |              ELSE CAST(uden AS DOUBLE) / CAST(5 * (uden - us) AS DOUBLE) END)
+         |      * (CASE WHEN agr_b THEN CAST(9 * uden AS DOUBLE) / CAST(10 * ub AS DOUBLE)
+         |              ELSE CAST(uden AS DOUBLE) / CAST(10 * (uden - ub) AS DOUBLE) END)
+         |        AS lr
+         |    FROM cpairs, scal)
+         |  WHERE lr >= 40.0),
+         |und AS (SELECT id_a AS u, id_b AS v FROM matches
+         |        UNION ALL
+         |        SELECT id_b AS u, id_a AS v FROM matches),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM und
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+         |comp AS (SELECT u AS id, least(u, MIN(v)) AS cluster_id
+         |         FROM reach GROUP BY u),
+         |members AS (
+         |  SELECT r.id, COALESCE(c.cluster_id, r.id) AS cluster_id,
+         |    r.nation, r.seg, r.band
+         |  FROM recs r LEFT JOIN comp c ON c.id = r.id),
+         |segc AS (SELECT cluster_id, seg, COUNT(*) AS cnt
+         |         FROM members GROUP BY cluster_id, seg),
+         |segw AS (SELECT cluster_id, seg,
+         |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |                       ORDER BY cnt DESC, seg) AS rn
+         |  FROM segc),
+         |agg AS (SELECT cluster_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_members,
+         |    CAST(MAX(band) AS BIGINT) AS band_max,
+         |    CAST(SUM(CASE WHEN id >= 1000000 AND id < 2000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_twin_members,
+         |    CAST(SUM(CASE WHEN id >= 2000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_impostor_members
+         |  FROM members GROUP BY cluster_id)
+         |SELECT a.cluster_id, a.n_members,
+         |  CAST(r.nation AS BIGINT) AS canonical_nation,
+         |  s.seg AS golden_seg, a.band_max,
+         |  a.n_twin_members, a.n_impostor_members
+         |FROM agg a
+         |JOIN recs r ON r.id = a.cluster_id
+         |JOIN segw s ON s.cluster_id = a.cluster_id AND s.rn = 1
+         |ORDER BY a.cluster_id""".stripMargin) { (s, d) =>
+      import graft.operators.{Components, Linkage}
+      val cust = Tables.customer(s, d)
+      val recs = Linkage.baseRecords(cust)
+        .unionByName(Linkage.dirtyRecords(cust))
+        .unionByName(Linkage.impostorRecords(cust))
+      val scal = Linkage.uModel(recs)
+      def side(suf: String) = recs.select(Linkage.blockKey.as("k"),
+        col("id").as(s"id_$suf"), col("nation").as(s"n_$suf"),
+        col("seg").as(s"s_$suf"), col("band").as(s"b_$suf"))
+      val matches = side("a").join(side("b"), Seq("k"))
+        .filter(col("id_a") < col("id_b"))
+        .crossJoin(broadcast(scal))
+        .filter(Linkage.likelihoodRatio >= 40.0)
+        .select("id_a", "id_b")
+      val comp = Components.connectedComponents(matches, "id_a", "id_b")
+        .select(col("id").as("__cid"), col("component"))
+      val members = recs
+        .join(comp, col("id") === col("__cid"), "left")
+        .select(col("id"), coalesce(col("component"), col("id")).as("cluster_id"),
+          col("nation"), col("seg"), col("band"))
+      val segw = members.groupBy("cluster_id", "seg").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("cluster_id").orderBy(col("cnt").desc, col("seg"))))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("seg").as("golden_seg"))
+      val agg = members.groupBy("cluster_id").agg(
+        count(lit(1)).as("n_members"), max(col("band")).as("band_max"),
+        sum(when(col("id") >= Linkage.TWIN_OFFSET &&
+          col("id") < Linkage.IMPOSTOR_OFFSET, 1L).otherwise(0L))
+          .as("n_twin_members"),
+        sum(when(col("id") >= Linkage.IMPOSTOR_OFFSET, 1L).otherwise(0L))
+          .as("n_impostor_members"))
+      agg
+        .join(recs.select(col("id").as("cluster_id"),
+          col("nation").cast("long").as("canonical_nation")), "cluster_id")
+        .join(segw, "cluster_id")
+        .select(col("cluster_id"), col("n_members"), col("canonical_nation"),
+          col("golden_seg"), col("band_max"), col("n_twin_members"),
+          col("n_impostor_members"))
+        .orderBy("cluster_id")
     }
   )
 

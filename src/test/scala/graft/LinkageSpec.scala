@@ -58,4 +58,27 @@ class LinkageSpec extends AnyFunSuite {
       Set(("impostor", "non_match")))
     assert(out(("impostor", "non_match")) == nImp)
   }
+
+  test("q190: clusters partition the records; twins cluster with a base record") {
+    import graft.operators.Linkage
+    val df = SparkEntry.byName("q190_golden_record").run(spark, sf).cache()
+    try {
+      val cust = Tables.customer(spark, sf)
+      val nBase = cust.count()
+      val nTwin = cust.filter(col("c_custkey") % 5 === 0).count()
+      val nImp = cust.filter(col("c_custkey") % 7 === 3).count()
+
+      // the clusters PARTITION the augmented record set
+      assert(df.agg(sum("n_members")).collect()(0).getLong(0) ==
+        nBase + nTwin + nImp)
+      assert(df.agg(sum("n_twin_members")).collect()(0).getLong(0) == nTwin)
+      assert(df.agg(sum("n_impostor_members")).collect()(0).getLong(0) == nImp)
+
+      // every twin's pair with its base is a guaranteed 'match', so any
+      // cluster holding a twin must also hold a base record — and the
+      // canonical (min id) of such a cluster is then always a base id
+      assert(df.filter(col("n_twin_members") > 0 &&
+        col("cluster_id") >= Linkage.TWIN_OFFSET).count() == 0)
+    } finally df.unpersist()
+  }
 }
