@@ -412,4 +412,31 @@ class PlanSpec extends AnyFunSuite {
     // ordering, which sits above the aggregates, not on the corpus
     assert(globalSorts.size <= 1, s"q155 global-sorts the corpus:\n$p")
   }
+
+  test("Spark's runtime bloom filter injects on a selective shuffle join") {
+    // The 100 TB fact-fact shape: a selectively-filtered side joined to a
+    // large side on a shuffle join. Spark 4's InjectRuntimeFilter builds a
+    // bloom filter from the filtered (creation) side and pushes
+    // might_contain onto the large (application) side's scan, pruning
+    // shuffle input at runtime — the engine must COMPOSE with it, not
+    // fight it. The production size thresholds (10 GB application-side
+    // scan) obviously never trip at fixture scale, so this runs in an
+    // isolated newSession (shared context, private SQLConf — nothing the
+    // parallel suites see) with the thresholds scaled down and broadcast
+    // disabled to force the shuffle-join shape the filter exists to prune.
+    val s2 = GraftSession.tune(spark.newSession())
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val orders = Tables.orders(s2, sf)
+      .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+    val j = Tables.lineitem(s2, sf)
+      .join(orders, org.apache.spark.sql.functions.col("l_orderkey") ===
+        org.apache.spark.sql.functions.col("o_orderkey"))
+      .groupBy("l_orderkey").count()
+    val opt = j.queryExecution.optimizedPlan.toString
+    assert(opt.contains("might_contain"),
+      s"runtime bloom filter was not injected:\n$opt")
+  }
 }
