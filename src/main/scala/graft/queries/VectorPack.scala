@@ -715,6 +715,73 @@ object VectorPack {
             .as("twin_in_head"),
           (lit(1L) - max(when(offender, 1L).otherwise(0L))).as("head_purity"))
         .orderBy("qid")
+    },
+
+    // ---- q191: scalar-quantized (SQ8) top-k — the 4th compression path -----
+    // Next to SRP buckets (q55), IVF partitions (q58) and PQ codebooks
+    // (q94): uniform 8-bit scalar quantization, the compression every
+    // production vector store ships first. The model is TWO scalars
+    // (corpus min/max — vs PQ's codebooks), broadcast into a map-side
+    // `transform`; the code table is 64 bytes/vector (4× under float32),
+    // which at 100 TB is a scan-bandwidth, not a compute, win. Distances
+    // are PURE INTEGER (Σ (Δcode)²) — SIMD-fodder at deploy and, unlike
+    // PQ's float ADC tables, exactly replayable in DuckDB, so this
+    // approximate path is FULLY hash-checked, ranks included: quantization
+    // boundaries come from one fixed double expression per element
+    // (float→double exact, identical IEEE ops both engines) and
+    // everything after is BIGINT. Planted ground truth rides the exact-
+    // copy twin corpus: identical vectors quantize to identical codes, so
+    // each query's twin sits at distance 0 / rank 1 by construction. The
+    // exact re-rank escape hatch on the SQ candidates is q35's decimal
+    // scorer — the standard two-stage deployment.
+    QueryDef(
+      "q191_sq8_topk",
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + $TWIN_OFFSET, embedding FROM embeddings),
+         |scal AS (
+         |  SELECT MIN(CAST(x AS DOUBLE)) AS mn, MAX(CAST(x AS DOUBLE)) AS mx
+         |  FROM (SELECT unnest(embedding) AS x FROM corpus)),
+         |coded AS (
+         |  SELECT vec_id, list_transform(embedding, x ->
+         |    GREATEST(0, LEAST(255, CAST(FLOOR(
+         |      (CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn)) AS BIGINT)))) AS qv
+         |  FROM corpus, scal),
+         |q AS (SELECT vec_id AS qid, qv AS qe FROM coded WHERE vec_id < 10),
+         |pairs AS (
+         |  SELECT qid, c.vec_id AS nid,
+         |    CAST(list_sum(list_transform(range(1, 65), i ->
+         |      (qe[i] - c.qv[i]) * (qe[i] - c.qv[i]))) AS BIGINT) AS d2
+         |  FROM q JOIN coded c ON c.vec_id <> qid)
+         |SELECT qid, nid, d2,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, nid) AS BIGINT) AS rk
+         |FROM pairs QUALIFY rk <= 5
+         |ORDER BY qid, rk""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val corpus = emb.unionByName(emb.select(
+        (col("vec_id") + TWIN_OFFSET).as("vec_id"), col("embedding")))
+      val scal = corpus.select(explode(col("embedding")).as("x"))
+        .agg(min(col("x").cast("double")).as("mn"),
+          max(col("x").cast("double")).as("mx"))
+      val qv = transform(col("embedding"), x =>
+        greatest(lit(0L), least(lit(255L),
+          floor((x.cast("double") - col("mn")) * 255.0 / (col("mx") - col("mn"))))))
+      val coded = corpus.crossJoin(broadcast(scal))
+        .select(col("vec_id"), qv.as("qv"))
+      // bounded query batch (vec_id < 10) broadcast against the full code
+      // table — the corpus side never shuffles (the q35 shape)
+      val queries = coded.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("qv").as("qe"))
+      val d2 = aggregate(
+        zip_with(col("qe"), col("qv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v)
+      val w = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
+      coded.join(broadcast(queries), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"), d2.as("d2"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .orderBy("qid", "rk")
     }
   )
 

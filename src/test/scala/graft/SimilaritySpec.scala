@@ -283,4 +283,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(base.map(_._2).sum == emb.count()) // every vector assigned once
     assert(base.forall(_._4 >= 0L))
   }
+
+  test("q191 SQ8: every query's exact-copy twin sits at distance 0, rank 1") {
+    // identical vectors quantize to identical codes whatever the scale, so
+    // the planted twin's integer distance is structurally 0 — if any query
+    // misses this, the quantizer is not a function of the input vector
+    val rows = SparkEntry.byName("q191_sq8_topk").run(spark, sf)
+      .filter(col("rk") === 1)
+      .select("qid", "nid", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (qid, nid, d2) =>
+      assert(d2 == 0L, s"twin of $qid not at distance 0")
+      assert(nid == qid + 1000000L, s"rank-1 neighbor of $qid is $nid, not its twin")
+    }
+  }
 }
