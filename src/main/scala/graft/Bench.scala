@@ -56,19 +56,37 @@ object Bench {
     // without a barrier that cleanup lands inside the NEXT queries' timed
     // attempts (r11: q19 4.39 s in-fleet vs 0.47-0.50 s warm isolated, and
     // q20/q21/q22 — the queries after q183 in fleet order — inflated
-    // 1.4-2.7x in the same pocket). Two GC passes: the first enqueues dead
-    // weak/soft references, the pause lets the cleaner thread drain its
-    // queue (removeBroadcast/removeBlock calls), the second collects the
-    // garbage that drain itself produced.
-    def quiesce(): Unit = {
-      System.gc()
-      Thread.sleep(50)
-      System.gc()
-      Thread.sleep(25)
-    }
+    // 1.4-2.7x in the same pocket). r12 ran the FULL barrier (two GC
+    // passes + 75 ms of drain sleep — the first GC enqueues dead refs,
+    // the pause lets the cleaner drain removeBroadcast/removeBlock calls,
+    // the second collects the drain's own garbage) before all ~760
+    // attempts; r13 targets it (verdict item 3): the heavy barrier runs
+    // only around the queries that actually materialize driver-held
+    // relations/models (the DIRTY set below — every attempt of a dirty
+    // query and of its fleet successor), everything else gets a single GC
+    // pass with a short drain. The pocket-free property is preserved —
+    // q183 (the r11 culprit) is dirty, so its own attempts and q19's (its
+    // alphabetical successor) still see the full barrier.
+    val DIRTY = Set(
+      "q76", "q77", "q88", "q89", "q94", "q95", // driver-held ANN models (SRP/IVF/PQ)
+      "q134", "q135",                           // BPE: driver-held merge table, 1-row rounds
+      "q136", "q140",                           // mergeable-state / driver-held relations
+      "q155", "q158",                           // priority-sample driver-held thresholds
+      "q156", "q159", "q166",                   // exact distributed quantile models
+      "q183", "q185", "q191")                   // fused lists / IVF probe models
+    def quiesce(heavy: Boolean): Unit =
+      if (heavy) {
+        System.gc(); Thread.sleep(50)
+        System.gc(); Thread.sleep(25)
+      } else {
+        System.gc(); Thread.sleep(15)
+      }
+    def shortIdOf(n: String): String = n.takeWhile(_ != '_')
+    var prevDirty = false // did the previously-run query materialize driver state?
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val heavy = prevDirty || DIRTY(shortIdOf(name))
       def once(): (Boolean, Double) = {
-        quiesce()
+        quiesce(heavy)
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -79,6 +97,7 @@ object Bench {
         spark.catalog.clearCache()
         (ok, (System.nanoTime() - t0) / 1e9)
       }
+      prevDirty = DIRTY(shortIdOf(name))
       val warm = once() // attempt 0: first-touch codegen/JIT, never timed
       val timed =
         if (!warm._1) Seq.empty

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Connected components over an edge list — the clustering step that turns
@@ -36,6 +36,50 @@ object Components {
   private[graft] def roundWidth(configuredWidth: Int, rows: Long): Int =
     math.max(1L, math.min(configuredWidth.toLong, rows / 2000000L + 1L)).toInt
 
+  /** A PRIVATE session clone whose `spark.sql.shuffle.partitions` is the
+    * measured round width `w` — the mechanism that lets iterative rounds
+    * (CC / PageRank / PPR / LPA) run every exchange, aggregation, and
+    * checkpoint at the width the data warrants WITHOUT mutating the
+    * caller's session. `SparkSession.newSession()` shares the
+    * SparkContext, the CacheManager (so persisted inputs stay visible),
+    * and all executors, but has an isolated `SQLConf` — concurrent
+    * queries on the caller's session are unaffected by construction,
+    * which was the r11 objection to narrowing the shared conf around the
+    * rounds. Narrow-width planning matters because Catalyst sizes EVERY
+    * exchange it inserts (aggregation shuffles, EnsureRequirements
+    * repartitions) and every `repartition(cols*)` from the session conf:
+    * with the aggregations at the narrow width their partial hash agg
+    * still runs map-side (combine preserved), the per-round
+    * `localCheckpoint` stores `w` partitions instead of the session's 32,
+    * and a 6-round CC on an 8k-edge graph schedules ~10 tasks per round
+    * instead of ~130 (the r12 in-plan `repartition(w, …)` form narrowed
+    * only the exchanges it spelled out, leaving the agg shuffles,
+    * checkpoints and re-scan stages at full width — measured 1.5–2.5×
+    * slower across the iterative family at sf0.1). The clone is re-tuned
+    * via [[graft.GraftSession.tune]] (a fresh session starts from builder
+    * defaults, which would silently flip ANSI back on).
+    */
+  private[graft] def narrowClone(spark: SparkSession, w: Int): SparkSession = {
+    val s2 = spark.newSession()
+    graft.GraftSession.tune(s2)
+    s2.conf.set("spark.sql.shuffle.partitions", w.toString)
+    s2
+  }
+
+  /** Re-resolve `df`'s plan in `target` (a session of the same
+    * SparkContext) via a transient, UUID-named GLOBAL temp view — the
+    * public-API way to move a plan between sessions. `target.table(...)`
+    * analyzes eagerly and view resolution inlines the stored plan, so the
+    * view is dropped before returning; cached lineage is honored (the
+    * CacheManager lives in the shared state).
+    */
+  private[graft] def rebind(df: DataFrame, target: SparkSession): DataFrame = {
+    val name = "graft_rebind_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    df.createOrReplaceGlobalTempView(name)
+    try target.table("global_temp." + name)
+    finally df.sparkSession.catalog.dropGlobalTempView(name)
+  }
+
   /** (id, component) for every node that appears in `edges`; `component` is
     * the minimum node id of the connected component. Self-loops and
     * duplicate/reversed edges are tolerated. Nodes with no edges don't
@@ -52,36 +96,53 @@ object Components {
     * at width 4 on an 8k-edge graph). At 10⁹ edges the same formula gives
     * ~500 partitions — the width a cluster wants — and the cap means a
     * submit-time `spark.sql.shuffle.partitions` is never exceeded. The
-    * width lives IN THE PLAN — each star round routes its input through an
-    * explicit `repartition(w, ...)` whose partitioning the round's groupBy
-    * and join then reuse — so nothing mutates session conf and concurrent
-    * queries on the same session are unaffected (the r11 form narrowed
-    * `spark.sql.shuffle.partitions` around each round).
+    * rounds run in a [[narrowClone]] of the caller's session (re-sized per
+    * round as the edge set contracts), so every exchange — the stars'
+    * neighborhood shuffles, the map-side-combined dedup aggregations, the
+    * per-round checkpoint — plans at the measured width while the
+    * caller's session conf is never touched and concurrent queries on it
+    * are unaffected by construction.
     */
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int = 25,
       scope: CacheScope = CacheScope.sessionManaged): DataFrame = {
-    // canonical big→small orientation, self-loops dropped, one row per pair
-    var e = scope.persist(
-      edges
-        .select(
-          greatest(col(srcCol), col(dstCol)).as("u"),
-          least(col(srcCol), col(dstCol)).as("v"))
-        .filter(col("u") =!= col("v"))
-        .distinct())
-    var n = e.count()
+    // canonical big→small orientation, self-loops dropped, one row per pair.
+    // Eager localCheckpoint, NOT persist: the rounds run in a session
+    // clone, and a checkpoint-backed LogicalRDD is a plain block scan
+    // valid in any session of the context — whereas cache substitution is
+    // plan-matching against the shared CacheManager, which the
+    // view-rebound plan does not reliably hit (measured: a cache miss
+    // re-ran the entire upstream candidate-pair pipeline 2–4× inside
+    // round 0 — 12 s for a 256-edge graph). The blocks are freed by the
+    // ContextCleaner once the last round dereferences them; `scope` is
+    // kept for signature compatibility but no longer tracks anything
+    // here.
+    val eInit = edges
+      .select(
+        greatest(col(srcCol), col(dstCol)).as("u"),
+        least(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var n = eInit.count()
     var chk: Option[(java.math.BigDecimal, Long)] = None
     var converged = n == 0L
     var rounds = 0
     val spark = edges.sparkSession
     val configuredWidth = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // all rounds run in the conf-isolated narrow clone; re-sized per round
+    // below as the edge set contracts
+    val s2 = narrowClone(spark, roundWidth(configuredWidth, n))
+    var e = rebind(eInit, s2)
     // `<= maxRounds`: detection consumes a round — the loop only learns it
     // converged one iteration AFTER the edge set stops changing, so a graph
     // needing exactly maxRounds productive rounds gets one extra detection
     // round instead of a spurious failure.
     while (!converged && rounds <= maxRounds) {
-      val w = roundWidth(configuredWidth, n)
+      val tRound = System.nanoTime()
+      s2.conf.set("spark.sql.shuffle.partitions",
+        roundWidth(configuredWidth, n).toString)
       // the observe metric rides the SAME job that materializes the eager
       // localCheckpoint (which also truncates lineage) — no separate count()
       // action per round
@@ -103,7 +164,7 @@ object Components {
       // confirmed with an authoritative exceptAll job; that paid a full
       // extra set-difference action at every fixpoint to close a window
       // this digest pair closes for free.
-      val obs = starRound(e, w).observe(metricName, count(lit(1)),
+      val obs = starRound(e).observe(metricName, count(lit(1)),
         sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
         expr("bit_xor(xxhash64(u, v))"))
       val next = obs.localCheckpoint()
@@ -121,7 +182,8 @@ object Components {
         case _ => next.exceptAll(e).isEmpty
       })
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        System.err.println(s"[cc] round $rounds: n=$n -> $nNext converged=$converged")
+        System.err.println(f"[cc] round $rounds: n=$n -> $nNext converged=$converged " +
+          f"(${(System.nanoTime() - tRound) / 1e9}%.2f s)")
       e.unpersist(blocking = false)
       e = next
       n = nNext
@@ -133,55 +195,75 @@ object Components {
         s"connectedComponents did not converge in $maxRounds productive rounds " +
           "+ 1 detection round (raise maxRounds; expected O(log² n))")
     // fixpoint is a union of stars: every non-min node has exactly one edge
-    // to its component min; the mins label themselves
-    e.select(col("u").as("id"), col("v").as("component"))
-      .unionByName(
-        e.select(col("v").as("id")).distinct()
-          .select(col("id"), col("id").as("component")))
+    // to its component min; the mins label themselves. Rebound to the
+    // CALLER's session — the narrow clone is an implementation detail and
+    // must not leak into the frame the caller composes further.
+    rebind(
+      e.select(col("u").as("id"), col("v").as("component"))
+        .unionByName(
+          e.select(col("v").as("id")).distinct()
+            .select(col("id"), col("id").as("component"))),
+      spark)
   }
 
-  /** One large-star + small-star round at explicit width `w` — the lazy
-    * plan [[connectedComponents]] checkpoints per round. Exposed for plan
-    * tests: every exchange in the round is a width-`w` `repartition`
-    * whose partitioning the round's groupBy-min and join both reuse (the
-    * star's neighborhood scan is shuffled ONCE and read by both the min
-    * aggregation and the join probe), so a spec can assert both the
-    * width and the exchange count.
+  /** One large-star + small-star round — the lazy plan
+    * [[connectedComponents]] checkpoints per round. Width comes from the
+    * session `e` is bound to (the [[narrowClone]] in production; a
+    * narrowed test session in PlanSpec). Exposed for plan tests: every
+    * exchange in a round — each star's min-table aggregation and its
+    * closing `distinct` — is map-side combined and at the clone width,
+    * and the edge list itself is never raw-shuffled while the min table
+    * broadcasts (see [[largeStar]]).
     */
-  private[graft] def starRound(e: DataFrame, w: Int): DataFrame =
-    smallStar(largeStar(e, w), w)
+  private[graft] def starRound(e: DataFrame): DataFrame =
+    smallStar(largeStar(e))
 
   /** Large-star: every node connects its strictly-larger neighbors to the
     * minimum of its neighborhood (including itself). Output keeps the
     * big→small orientation: emitted (v, m) has v > u ≥ m.
+    *
+    * The closing `distinct()` plans its OWN exchange (partial hash-agg →
+    * exchange → final) rather than riding an explicit `repartition(w, u,
+    * v)`: the partial agg runs map-side IN the join stage, so the clique
+    * fan-in this star produces (every member of a dense component emits
+    * the same (v, m) pair) collapses before it is shuffled. The r12 form
+    * pre-repartitioned and shipped those duplicates raw — measured
+    * 1.5–2.5× slower across the CC family at sf0.1 (q74 2.37 s → 5.85 s).
+    * Inside the [[narrowClone]] that exchange (like every other) plans at
+    * the measured round width.
+    *
+    * No explicit repartition anywhere: the neighborhood join is left to
+    * Catalyst, which broadcasts the node-sized min table while it fits
+    * (zero edge shuffle for the join — the r12 form force-shuffled the
+    * probe side even under a broadcast) and falls back to a sort-merge
+    * join over clone-width keyed exchanges when it doesn't. The round's
+    * input is the previous round's checkpoint, already materialized at
+    * the clone width, so the scan-side stages are narrow too.
     */
-  private def largeStar(e: DataFrame, w: Int): DataFrame = {
+  private def largeStar(e: DataFrame): DataFrame = {
     val und = e.select(col("u"), col("v"))
       .unionByName(e.select(col("v").as("u"), col("u").as("v")))
-      .repartition(w, col("u"))
     val mins = und.groupBy("u").agg(min("v").as("mn"))
       .select(col("u"), least(col("u"), col("mn")).as("m"))
     und.join(mins, "u")
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .filter(col("u") =!= col("v"))
-      .repartition(w, col("u"), col("v"))
       .distinct()
   }
 
   /** Small-star: every node connects its smaller-or-equal neighbors (and
     * itself) to its minimum neighbor. Input and output are big→small
-    * oriented (u > v).
+    * oriented (u > v). Same map-side-combined `distinct()` as
+    * [[largeStar]].
     */
-  private def smallStar(e: DataFrame, w: Int): DataFrame = {
-    val eP = e.repartition(w, col("u"))
-    val mins = eP.groupBy("u").agg(min("v").as("m"))
-    eP.join(mins, "u")
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("u").agg(min("v").as("m"))
+    e.join(mins, "u")
       .filter(col("v") =!= col("m"))
       .select(col("v").as("u"), col("m").as("v"))
       .unionByName(mins.select(col("u"), col("m").as("v")))
       .filter(col("u") =!= col("v"))
-      .repartition(w, col("u"), col("v"))
       .distinct()
   }
 }

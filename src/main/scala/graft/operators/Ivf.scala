@@ -144,14 +144,24 @@ object Ivf {
     * Lloyd round — the convergence/balance profile an IVF deploy watches
     * (skewed cells ⇒ bad probe latency; high drift ⇒ train longer).
     */
-  def fixedPointKmeansProfile(df: DataFrame, idCol: String, vecCol: String,
-                              nlist: Int, iters: Int,
-                              scale: Int = 1024, offset: Long = 1024L): DataFrame = {
+  /** Exact power-of-two fixed-point quantization of a float-vector column
+    * — the ONE lossy step of the oracle-replayable k-means: float→double
+    * is exact, ×2^k is exact, floor is exact, and the constant offset
+    * makes every coordinate non-negative so floor division (`div` /
+    * DuckDB `//`) is engine-identical downstream. */
+  def quantizeVec(vecCol: Column, scale: Int = 1024, offset: Long = 1024L): Column =
+    transform(vecCol, x => floor(x.cast("double") * scale).cast("long") + offset)
+
+  /** The fixed-point Lloyd core over a pre-quantized `(vid, qv)` frame:
+    * `iters` rounds of integer Lloyd from a portable md5-ranked init.
+    * Returns (final centroids `(cid, c)`, previous-round centroids, final
+    * assignment `(vid, cid, dist)`). Shared by the q150 profile and the
+    * q193 IVF-SQ8 index so the replayable quantizer cannot drift between
+    * its consumers. The caller should persist/checkpoint `qv` — it is
+    * scanned by every round. */
+  private[graft] def fixedPointLloyd(qv: DataFrame, nlist: Int, iters: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(nlist >= 1 && iters >= 1)
-    val qv = df.select(col(idCol).as("vid"),
-      transform(col(vecCol),
-        x => floor(x.cast("double") * scale).cast("long") + offset).as("qv"))
-      .persist()
     val hh = conv(substring(md5(col("vid").cast("string")), 1, 15), 16, 10)
       .cast("long")
     val wInit = Window.orderBy("h", "vid")
@@ -187,7 +197,16 @@ object Ivf {
       prev = cents
       cents = update(cents, assign(cents))
     }
-    val fin = assign(cents)
+    (cents, prev, assign(cents))
+  }
+
+  def fixedPointKmeansProfile(df: DataFrame, idCol: String, vecCol: String,
+                              nlist: Int, iters: Int,
+                              scale: Int = 1024, offset: Long = 1024L): DataFrame = {
+    val qv = df.select(col(idCol).as("vid"),
+      quantizeVec(col(vecCol), scale, offset).as("qv"))
+      .persist()
+    val (cents, prev, fin) = fixedPointLloyd(qv, nlist, iters)
     val cnt = fin.groupBy("cid")
       .agg(count(lit(1)).as("n_vecs"),
         expr("sum(dist) div count(1)").as("mean_dist"))

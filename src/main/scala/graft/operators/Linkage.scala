@@ -14,9 +14,18 @@ import org.apache.spark.sql.functions._
   * from the value-frequency distribution (`u_f = Σ_v n_v(n_v-1) / N(N-1)`,
   * pure BIGINT arithmetic) and `m_f` — the chance true matches agree — is a
   * model constant per field. Cross-engine bit-stability: the ratio is a
-  * fixed-order product of quotients of exact BIGINT-derived doubles
-  * (< 2^53, conversion exact; the q133 raw-IEEE-quotient discipline),
-  * floored to integer basis points.
+  * fixed-order product of quotients of exact BIGINT-derived doubles,
+  * floored to integer basis points (the q133 raw-IEEE-quotient
+  * discipline). Exactness bound (ADVICE r12): the quotient operands are
+  * exact doubles only while they stay < 2^53 — `uden = N(N-1)` crosses
+  * that at N ≈ 9.5·10⁷ rows, and the BIGINT product `mDen·uden` in
+  * [[likelihoodRatio]] overflows at N ≈ 6.8·10⁸ (ANSI-off Spark wraps
+  * silently; DuckDB raises) — so the BIT-IDENTICAL-to-DuckDB guarantee is
+  * a fixture/test-SF property. At larger N the linkage itself is fine
+  * (the ratio degrades gracefully to ~1-ulp double noise around a 40.0
+  * threshold, after restructuring the weights as
+  * `(uden.toDouble/num) · (mNum/mDen)` so no BIGINT product is formed);
+  * only the cross-engine replay stops being exact.
   *
   * 100 TB shape: candidate generation is ONE keyed shuffle on the blocking
   * key (skew pre-flighted by q171's profiler; any blocking family — LSH
@@ -38,17 +47,35 @@ object Linkage {
   val TWIN_OFFSET = 1000000L
   val IMPOSTOR_OFFSET = 2000000L
 
+  /** Per-row plant-soundness guard (ADVICE r12): the planted id ranges
+    * [TWIN_OFFSET, 2·TWIN_OFFSET) and [IMPOSTOR_OFFSET, …) are disjoint
+    * from base ids ONLY while max(c_custkey) < TWIN_OFFSET (TPC-H customer
+    * crosses 1M keys at SF ≈ 7). Past that, [[pairClass]]'s `id_a <
+    * TWIN_OFFSET` test and q190's id-range member-class sums would
+    * silently corrupt the ground truth — so every record builder routes
+    * the key through this guard and fails loudly instead. Two codegen'd
+    * comparisons per row, same idiom as `Tables.normalizeTs`'s epoch
+    * guard; a deployment at larger SF derives the offsets from the
+    * observed max key instead. */
+  private def guardedKey(k: Column): Column =
+    when(k >= TWIN_OFFSET, raise_error(concat(
+      lit("Linkage plant offsets collide with real keys: c_custkey "),
+      k.cast("string"),
+      lit(s" >= TWIN_OFFSET ($TWIN_OFFSET) — derive offsets from max(c_custkey)")))
+      .cast("bigint"))
+      .otherwise(k)
+
   /** Linkage-normalized view of the customer table:
     * (id, name, nation, seg, band). */
   def baseRecords(cust: DataFrame): DataFrame =
-    cust.select(col("c_custkey").as("id"), col("c_name").as("name"),
+    cust.select(guardedKey(col("c_custkey")).as("id"), col("c_name").as("name"),
       col("c_nationkey").as("nation"), col("c_mktsegment").as("seg"),
       bandOf(col("c_acctbal")).as("band"))
 
   /** Planted dirty twins: true matches with a one-char name edit. */
   def dirtyRecords(cust: DataFrame): DataFrame =
     cust.filter(col("c_custkey") % 5 === 0).select(
-      (col("c_custkey") + TWIN_OFFSET).as("id"),
+      (guardedKey(col("c_custkey")) + TWIN_OFFSET).as("id"),
       concat(col("c_name").substr(lit(1), length(col("c_name")) - 1), lit("Z"))
         .as("name"),
       col("c_nationkey").as("nation"),
@@ -59,7 +86,8 @@ object Linkage {
   /** Planted impostors: same name, every scored field changed. */
   def impostorRecords(cust: DataFrame): DataFrame =
     cust.filter(col("c_custkey") % 7 === 3).select(
-      (col("c_custkey") + IMPOSTOR_OFFSET).as("id"), col("c_name").as("name"),
+      (guardedKey(col("c_custkey")) + IMPOSTOR_OFFSET).as("id"),
+      col("c_name").as("name"),
       ((col("c_nationkey") + 1) % 25).as("nation"),
       concat(lit("X"), col("c_mktsegment")).as("seg"),
       bandOf(lit(10000.0) - col("c_acctbal")).as("band"))

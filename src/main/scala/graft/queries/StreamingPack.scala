@@ -377,8 +377,11 @@ object StreamingPack {
     // the blocking join is stream-static on the equality key (stateless,
     // append mode — no watermark needed) and scoring is map-side, so the
     // whole gate is a per-micro-batch map+join with NO streaming state.
-    // The confusion matrix aggregates in batch on the drained sink (q75's
-    // pair-dedup trick) and hash-checks against the closed-form oracle:
+    // The confusion matrix aggregates in batch on the drained sink — no
+    // pair dedup: Trigger.AvailableNow processes each staged input file
+    // exactly once, so the sink holds each candidate pair exactly once
+    // (a replay-tolerant deployment would dropDuplicates on (id_a, id_b)
+    // first) — and hash-checks against the closed-form oracle:
     // every planted twin must arrive at 'match', every impostor at
     // 'non_match' — same guarantees as q186 under the master-only model.
     QueryDef(

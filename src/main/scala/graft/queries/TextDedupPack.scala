@@ -2240,33 +2240,42 @@ object TextDedupPack {
       }) { (s, d) =>
       val jp = jaccardPairs(s, d)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      // eager checkpoint, not persist: the LPA rounds run in a session
+      // clone, which reads checkpoint blocks directly (cross-session
+      // cache substitution is unreliable — see
+      // Components.connectedComponents)
       val ed = jp.select(col("a").as("u"), col("b").as("v"))
-        .unionAll(jp.select(col("b").as("u"), col("a").as("v"))).persist()
+        .unionAll(jp.select(col("b").as("u"), col("a").as("v")))
+        .localCheckpoint()
       // same eager measured-width discipline as Graph.fixedPointPageRank:
-      // the LPA rounds run over the contracted match graph at an in-plan
-      // width (one reused repartition(w, u) over the edge list, one
-      // repartition(w, v) per round — the vote's two groupBys and the
-      // next round's join all ride those partitionings; no session conf
-      // is touched) and the result is checkpointed node-sized (also
-      // releasing ed — no cache leak)
+      // the LPA rounds run over the contracted match graph inside a
+      // conf-isolated Components.narrowClone sized from the measured edge
+      // count (one reused narrow repartition over the edge list; the vote
+      // count's partial agg — the map-side combine over (v, lab) repeats
+      // — runs inside the join stage before its exchange, and the
+      // label-choice groupBy plans its own narrow, partial-combined
+      // exchange; the caller session's conf is never touched) and the
+      // result is checkpointed node-sized and rebound to the caller's
+      // session (also releasing ed — no cache leak)
       val labels = try {
         val nEdges = ed.count()
         val w = graft.operators.Components.roundWidth(
           s.conf.get("spark.sql.shuffle.partitions").toInt, nEdges)
-        val edP = ed.repartition(w, col("u"))
+        val s2 = graft.operators.Components.narrowClone(s, w)
+        val edP = graft.operators.Components.rebind(ed, s2)
+          .repartition(col("u"))
         var l = edP.select(col("u").as("id")).distinct()
           .select(col("id"), col("id").as("lab"))
         for (_ <- 1 to LPA_ROUNDS) {
           l = edP.join(l, col("u") === col("id"))
             .select(col("v"), col("lab"))
-            .repartition(w, col("v"))
             .groupBy(col("v"), col("lab")).agg(count(lit(1)).as("c"))
             .groupBy(col("v"))
             .agg(max_by(col("lab"), struct(col("c"), lit(0L) - col("lab"))).as("lab"))
             .select(col("v").as("id"), col("lab"))
         }
-        l.localCheckpoint()
-      } finally ed.unpersist(blocking = false)
+        graft.operators.Components.rebind(l.localCheckpoint(), s)
+      } finally ed.unpersist(blocking = false) // checkpoint blocks free on dereference; no-op kept for clarity
       labels.groupBy("lab")
         .agg(count(lit(1)).as("n_members"), min(col("id")).as("min_member"))
         .select(col("lab").as("community"), col("n_members"), col("min_member"))
@@ -3084,6 +3093,120 @@ object TextDedupPack {
           col("golden_seg"), col("band_max"), col("n_twin_members"),
           col("n_impostor_members"))
         .orderBy("cluster_id")
+    },
+
+    // ---- q192: linkage threshold sweep — precision/recall over the LR cut --
+    // q186 decides at LR >= 40.0; this query makes that cutoff a MEASURED
+    // choice instead of a magic constant (the q148 eval-harness pattern
+    // applied to linkage): the same scored candidate pairs are evaluated
+    // against a ladder of thresholds, with planted twins as ground-truth
+    // positives and impostors+background as negatives, producing the
+    // threshold → (tp, fp, fn, tn, precision, recall) table an operator
+    // reads to place the cut. All-integer: scores are the floored basis
+    // points q186 already emits, thresholds compare in basis points, and
+    // precision/recall are floor-divided basis points — exactly
+    // replayable (Spark `div` ≡ DuckDB `//` on non-negatives).
+    //
+    // 100 TB shape: one extra map-side cross join of the scored pairs
+    // against a 9-row broadcast threshold list, then a 9-group
+    // aggregation with map-side partial combine — the sweep costs one
+    // pass over the candidates, nothing quadratic, no extra shuffle of
+    // the pair stream beyond the 9-key agg exchange.
+    QueryDef(
+      "q192_linkage_threshold_sweep",
+      """WITH recs AS (
+        |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nation,
+        |    c_mktsegment AS seg, CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS band
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, substring(c_name, 1, length(c_name) - 1) || 'Z',
+        |    c_nationkey,
+        |    CASE WHEN c_custkey % 10 = 0 THEN c_mktsegment ELSE 'Z' || c_mktsegment END,
+        |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)
+        |  FROM customer WHERE c_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 2000000, c_name, (c_nationkey + 1) % 25,
+        |    'X' || c_mktsegment,
+        |    CAST(FLOOR((10000.0 - c_acctbal) / 1000.0) AS BIGINT)
+        |  FROM customer WHERE c_custkey % 7 = 3),
+        |scal AS (
+        |  SELECT CAST(n * (n - 1) AS BIGINT) AS uden, un, us, ub
+        |  FROM (SELECT COUNT(*) AS n FROM recs),
+        |    (SELECT CAST(SUM(c * (c - 1)) AS BIGINT) AS un
+        |     FROM (SELECT COUNT(*) AS c FROM recs GROUP BY nation)),
+        |    (SELECT CAST(SUM(c * (c - 1)) AS BIGINT) AS us
+        |     FROM (SELECT COUNT(*) AS c FROM recs GROUP BY seg)),
+        |    (SELECT CAST(SUM(c * (c - 1)) AS BIGINT) AS ub
+        |     FROM (SELECT COUNT(*) AS c FROM recs GROUP BY band))),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    a.nation = b.nation AS agr_n, a.seg = b.seg AS agr_s,
+        |    a.band = b.band AS agr_b
+        |  FROM recs a JOIN recs b
+        |    ON substring(a.name, 1, length(a.name) - 1)
+        |     = substring(b.name, 1, length(b.name) - 1)
+        |   AND a.id < b.id),
+        |scored AS (
+        |  SELECT
+        |    CASE WHEN id_b - id_a = 1000000 AND id_a % 5 = 0
+        |           AND id_a < 1000000 THEN 1 ELSE 0 END AS is_pos,
+        |    CAST(FLOOR((
+        |    (CASE WHEN agr_n THEN CAST(19 * uden AS DOUBLE) / CAST(20 * un AS DOUBLE)
+        |          ELSE CAST(uden AS DOUBLE) / CAST(20 * (uden - un) AS DOUBLE) END)
+        |    * (CASE WHEN agr_s THEN CAST(4 * uden AS DOUBLE) / CAST(5 * us AS DOUBLE)
+        |            ELSE CAST(uden AS DOUBLE) / CAST(5 * (uden - us) AS DOUBLE) END)
+        |    * (CASE WHEN agr_b THEN CAST(9 * uden AS DOUBLE) / CAST(10 * ub AS DOUBLE)
+        |            ELSE CAST(uden AS DOUBLE) / CAST(10 * (uden - ub) AS DOUBLE) END)
+        |    ) * 10000.0) AS BIGINT) AS bp
+        |  FROM pairs, scal),
+        |thr AS (SELECT * FROM (VALUES (1), (2), (5), (10), (20), (40), (80),
+        |                              (160), (320)) v(t)),
+        |swept AS (
+        |  SELECT CAST(t AS BIGINT) AS threshold,
+        |    CAST(SUM(CASE WHEN is_pos = 1 AND bp >= t * 10000 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN is_pos = 0 AND bp >= t * 10000 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN is_pos = 1 AND bp < t * 10000 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(SUM(CASE WHEN is_pos = 0 AND bp < t * 10000 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM scored, thr GROUP BY t)
+        |SELECT threshold, tp, fp, fn, tn,
+        |  CASE WHEN tp + fp = 0 THEN NULL
+        |       ELSE CAST((tp * 10000) // (tp + fp) AS BIGINT) END AS precision_bp,
+        |  CASE WHEN tp + fn = 0 THEN NULL
+        |       ELSE CAST((tp * 10000) // (tp + fn) AS BIGINT) END AS recall_bp
+        |FROM swept
+        |ORDER BY threshold""".stripMargin) { (s, d) =>
+      import graft.operators.Linkage
+      import s.implicits._
+      val cust = Tables.customer(s, d)
+      val recs = Linkage.baseRecords(cust)
+        .unionByName(Linkage.dirtyRecords(cust))
+        .unionByName(Linkage.impostorRecords(cust))
+      val scal = Linkage.uModel(recs)
+      def side(suf: String) = recs.select(Linkage.blockKey.as("k"),
+        col("id").as(s"id_$suf"), col("nation").as(s"n_$suf"),
+        col("seg").as(s"s_$suf"), col("band").as(s"b_$suf"))
+      val scored = side("a").join(side("b"), Seq("k"))
+        .filter(col("id_a") < col("id_b"))
+        .crossJoin(broadcast(scal))
+        .select(
+          when(Linkage.pairClass === "twin", 1L).otherwise(0L).as("is_pos"),
+          floor(Linkage.likelihoodRatio * 10000.0).as("bp"))
+      val thr = Seq(1L, 2L, 5L, 10L, 20L, 40L, 80L, 160L, 320L)
+        .toDF("threshold")
+      val hit = col("bp") >= col("threshold") * 10000
+      val swept = scored.crossJoin(broadcast(thr))
+        .groupBy("threshold")
+        .agg(
+          sum(when(col("is_pos") === 1 && hit, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("is_pos") === 0 && hit, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("is_pos") === 1 && !hit, 1L).otherwise(0L)).as("fn"),
+          sum(when(col("is_pos") === 0 && !hit, 1L).otherwise(0L)).as("tn"))
+      swept.select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+          when(col("tp") + col("fp") === 0, lit(null).cast("long"))
+            .otherwise(expr("(tp * 10000) div (tp + fp)")).as("precision_bp"),
+          when(col("tp") + col("fn") === 0, lit(null).cast("long"))
+            .otherwise(expr("(tp * 10000) div (tp + fn)")).as("recall_bp"))
+        .orderBy("threshold")
     }
   )
 

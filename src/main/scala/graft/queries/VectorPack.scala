@@ -44,12 +44,21 @@ object VectorPack {
   private val KM_SCALE = 1024
   private val KM_OFFSET = 1024
 
-  /** q150's oracle: the fixed-point Lloyd loop unrolled in DuckDB CTEs —
-    * assignment (argmin by (dist, cid) struct-min), per-(cell, dim) floor
-    * means with empty-cell carry-over, twice, then the final-assignment
-    * profile. Integer arithmetic end-to-end, so bit-identical to Spark.
+  /** q193's probe width: 2 of the [[KM_NLIST]] cells — a real ~4× scan
+    * prune at test scale while twin recall stays structural (the query's
+    * own cell is always its first probe). */
+  private val IVFSQ_NPROBE = 2
+
+  /** The fixed-point Lloyd loop unrolled in DuckDB CTEs — assignment
+    * (argmin by (dist, cid) struct-min), per-(cell, dim) floor means with
+    * empty-cell carry-over, two rounds, final assignment `af`. Integer
+    * arithmetic end-to-end, so bit-identical to Spark's
+    * `Ivf.fixedPointLloyd`. Expects a CTE named `q(vid, qv)` holding the
+    * quantized corpus; emits CTEs `hh, c0, a1, m1, c1, a2, m2, c2, af`.
+    * Shared by q150 (profile) and q193 (IVF-SQ8 index) so the oracle
+    * replay cannot drift between them.
     */
-  private val Q150_ORACLE: String = {
+  private val LLOYD_CTES: String = {
     val D1 = KM_DIM + 1
     def assign(prev: String) =
       s"""  SELECT vid, CAST(mn.c AS BIGINT) AS cid, mn.d AS dist FROM (
@@ -66,11 +75,7 @@ object VectorPack {
          |  FROM $prev p CROSS JOIN range(1, $D1) t(i)
          |  LEFT JOIN $m m ON m.cid = p.cid AND m.pos = t.i
          |  GROUP BY p.cid""".stripMargin
-    s"""WITH q AS (
-       |  SELECT vec_id AS vid,
-       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $KM_SCALE) AS BIGINT) + $KM_OFFSET) AS qv
-       |  FROM embeddings),
-       |hh AS (SELECT vid, qv, ('0x' || substring(md5(CAST(vid AS VARCHAR)), 1, 15))::BIGINT AS h FROM q),
+    s"""hh AS (SELECT vid, qv, ('0x' || substring(md5(CAST(vid AS VARCHAR)), 1, 15))::BIGINT AS h FROM q),
        |c0 AS (SELECT CAST(rn - 1 AS BIGINT) AS cid, qv AS c FROM (
        |         SELECT qv, ROW_NUMBER() OVER (ORDER BY h, vid) AS rn FROM hh) WHERE rn <= $KM_NLIST),
        |a1 AS (
@@ -86,7 +91,22 @@ object VectorPack {
        |c2 AS (
        |${nextC("c1", "m2")}),
        |af AS (
-       |${assign("c2")}),
+       |${assign("c2")})""".stripMargin
+  }
+
+  /** The exact power-of-two quantization CTE body over a corpus relation's
+    * (vec_id, embedding) — DuckDB twin of [[graft.operators.Ivf.quantizeVec]]. */
+  private def quantizeSql(src: String): String =
+    s"""  SELECT vec_id AS vid,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $KM_SCALE) AS BIGINT) + $KM_OFFSET) AS qv
+       |  FROM $src""".stripMargin
+
+  /** q150's oracle: Lloyd CTEs + the final-assignment profile. */
+  private val Q150_ORACLE: String = {
+    val D1 = KM_DIM + 1
+    s"""WITH q AS (
+       |${quantizeSql("embeddings")}),
+       |$LLOYD_CTES,
        |cnt AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
        |          CAST(SUM(dist) // COUNT(*) AS BIGINT) AS mean_dist FROM af GROUP BY cid),
        |dr AS (SELECT c2.cid, CAST(list_sum(list_transform(range(1, $D1), i ->
@@ -776,11 +796,139 @@ object VectorPack {
       val d2 = aggregate(
         zip_with(col("qe"), col("qv"), (a, b) => (a - b) * (a - b)),
         lit(0L), (acc, v) => acc + v)
-      val w = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
+      // Top-5 via the q136 mergeable TopKRows aggregator, NOT a rank
+      // window: Window.partitionBy(qid) would sort the full corpus×query
+      // pair stream inside each query's partition (~2N rows sorted per
+      // query for a top-5, one hot reducer per query at a realistic
+      // batch width). The aggregator keeps ≤ 5 rows of state per (qid,
+      // map partition), combines map-side, and merges exactly, so the
+      // shuffle carries 5 rows per qid per partition and the result is
+      // hash-identical to the window oracle (exact mergeability). Score
+      // is the NEGATED integer distance as double — exact (d2 ≤ 64·255²
+      // ≪ 2^53), and (-d2 DESC, nid ASC) ≡ (d2 ASC, nid ASC), the
+      // oracle's order. PlanSpec pins the no-Window property.
+      val topk = udaf(new graft.functions.TopKRows(5))
       coded.join(broadcast(queries), col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("nid"), d2.as("d2"))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= 5)
+        .groupBy("qid")
+        .agg(topk((-col("d2")).cast("double"), col("nid"), lit(0L)).as("tk"))
+        .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "row")))
+        .select(col("qid"), col("row._2").as("nid"),
+          (-col("row._1")).cast("long").as("d2"),
+          (col("pos") + 1).cast("long").as("rk"))
+        .orderBy("qid", "rk")
+    },
+
+    // ---- q193: IVF-SQ8 — quantized codes inside the cell layout ------------
+    // The FAISS IVF-SQ composition and the capstone of the ANN family:
+    // q150's coarse quantizer (fixed-point integer Lloyd, md5-ranked
+    // init — `Ivf.fixedPointLloyd`, shared verbatim with q150) partitions
+    // the twin-planted corpus into cells, q191's SQ8 scalar quantizer
+    // compresses every vector to 64 one-byte codes, and a query probes
+    // its IVFSQ_NPROBE nearest cells by integer centroid distance, then
+    // ADC-scans ONLY those cells' codes with q191's pure-integer
+    // distance. Every stage is integer/deterministic (ties by cell id
+    // resp. neighbor id), so unlike the float IVF paths (q58/q77, audited
+    // via planted recall) this ENTIRE approximate index — training,
+    // assignment, probing, ranks — is hash-checked against a full DuckDB
+    // replay.
+    //
+    // 100 TB shape: the cell layout is `writeCellPartitioned` (probes
+    // prune partitions via DPP — q58/q185's asserted path) holding 64 B
+    // codes instead of 256 B floats, so a probe reads nprobe/nlist of the
+    // corpus at ¼ bandwidth; the centroid table is nlist rows broadcast;
+    // the per-query top-5 is the q136 mergeable aggregator, never a
+    // corpus sort. Twin recall is structural: an exact-copy twin shares
+    // its base's cell (identical vector ⇒ identical argmin) and the
+    // query's own cell is always its first probe, so every twin surfaces
+    // at distance 0, rank 1 — and the hash check verifies it.
+    QueryDef(
+      "q193_ivf_sq8_topk",
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + $TWIN_OFFSET, embedding FROM embeddings),
+         |q AS (
+         |${quantizeSql("corpus")}),
+         |$LLOYD_CTES,
+         |scal AS (
+         |  SELECT MIN(CAST(x AS DOUBLE)) AS mn, MAX(CAST(x AS DOUBLE)) AS mx
+         |  FROM (SELECT unnest(embedding) AS x FROM corpus)),
+         |coded AS (
+         |  SELECT vec_id, list_transform(embedding, x ->
+         |    GREATEST(0, LEAST(255, CAST(FLOOR(
+         |      (CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn)) AS BIGINT)))) AS qv8
+         |  FROM corpus, scal),
+         |probes AS (
+         |  SELECT vid AS qid, cid FROM (
+         |    SELECT v.vid, cc.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vid ORDER BY
+         |        CAST(list_sum(list_transform(range(1, ${KM_DIM + 1}), i ->
+         |          (v.qv[CAST(i AS INT)] - cc.c[CAST(i AS INT)])
+         |          * (v.qv[CAST(i AS INT)] - cc.c[CAST(i AS INT)]))) AS BIGINT),
+         |        cc.cid) AS pr
+         |    FROM q v CROSS JOIN c2 cc
+         |    WHERE v.vid < 10)
+         |  WHERE pr <= $IVFSQ_NPROBE),
+         |cand AS (
+         |  SELECT p.qid, a.vid AS nid,
+         |    CAST(list_sum(list_transform(range(1, ${KM_DIM + 1}), i ->
+         |      (qc.qv8[i] - nc.qv8[i]) * (qc.qv8[i] - nc.qv8[i]))) AS BIGINT) AS d2
+         |  FROM probes p
+         |  JOIN af a ON a.cid = p.cid AND a.vid <> p.qid
+         |  JOIN coded nc ON nc.vec_id = a.vid
+         |  JOIN coded qc ON qc.vec_id = p.qid)
+         |SELECT qid, nid, d2,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, nid) AS BIGINT) AS rk
+         |FROM cand QUALIFY rk <= 5
+         |ORDER BY qid, rk""".stripMargin) { (s, d) =>
+      import graft.operators.Ivf
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val corpus = emb.unionByName(emb.select(
+        (col("vec_id") + TWIN_OFFSET).as("vec_id"), col("embedding")))
+      // the Lloyd rounds scan the quantized corpus repeatedly — persist it
+      // (the q150 convention; Bench clears caches between runs)
+      val qv = corpus.select(col("vec_id").as("vid"),
+        Ivf.quantizeVec(col("embedding")).as("qv")).persist()
+      val (cents, _, af) = Ivf.fixedPointLloyd(qv, KM_NLIST, iters = 2)
+      val scal = corpus.select(explode(col("embedding")).as("x"))
+        .agg(min(col("x").cast("double")).as("mn"),
+          max(col("x").cast("double")).as("mx"))
+      val q8 = transform(col("embedding"), x =>
+        greatest(lit(0L), least(lit(255L),
+          floor((x.cast("double") - col("mn")) * 255.0 / (col("mx") - col("mn"))))))
+      val coded = corpus.crossJoin(broadcast(scal))
+        .select(col("vec_id"), q8.as("qv8"))
+      // probe ranking: integer distance of the query's KM-quantized vector
+      // to each centroid, ties by cell id; nlist rows per query, so the
+      // collect_list+sort is bounded by nlist
+      val qdist = aggregate(
+        zip_with(col("qv"), col("c"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      val probes = qv.filter(col("vid") < 10).crossJoin(broadcast(cents))
+        .select(col("vid").as("qid"), qdist.as("dist"), col("cid"))
+        .groupBy("qid")
+        .agg(slice(transform(
+          array_sort(collect_list(struct(col("dist"), col("cid")))),
+          st => st.getField("cid")), 1, IVFSQ_NPROBE).as("cells"))
+        .select(col("qid"), explode(col("cells")).as("cid"))
+      val qCodes = coded.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("qv8").as("qe"))
+      val d2 = aggregate(
+        zip_with(col("qe"), col("qv8"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      val topk = udaf(new graft.functions.TopKRows(5))
+      coded.join(af.select(col("vid").as("vec_id"), col("cid")), "vec_id")
+        .join(broadcast(probes), "cid")
+        .join(broadcast(qCodes), "qid")
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"), d2.as("d2"))
+        .groupBy("qid")
+        .agg(topk((-col("d2")).cast("double"), col("nid"), lit(0L)).as("tk"))
+        .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "row")))
+        .select(col("qid"), col("row._2").as("nid"),
+          (-col("row._1")).cast("long").as("d2"),
+          (col("pos") + 1).cast("long").as("rk"))
         .orderBy("qid", "rk")
     }
   )

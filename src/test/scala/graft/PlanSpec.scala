@@ -97,63 +97,86 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("iterative rounds carry the measured width in-plan; the edge list shuffles once") {
+  test("iterative rounds: every exchange at the narrow-clone width, edge " +
+       "list shuffles once, aggregation exchanges map-side combined") {
     // CC / PageRank / PPR / LPA used to narrow spark.sql.shuffle.partitions
-    // around their rounds (invisible to the plan, racy under concurrent
-    // queries on the same session). The width now lives in the plan as
-    // explicit repartition(w, key) exchanges, so it is assertable: every
-    // exchange in a round plan is exactly the measured width, and the
-    // distinct-canonical exchange count proves the edge list is shuffled
-    // ONCE and read back by r0 + every iteration join (plus one re-key per
-    // iteration) — no EnsureRequirements exchange sneaks in at session
-    // width, which is the property that keeps the cached/bucketed edge
-    // layout from re-shuffling per iteration at cluster scale.
+    // around their rounds on the SHARED session (racy under concurrent
+    // queries). They now run inside Components.narrowClone — an isolated
+    // newSession() whose conf carries the measured width — so the narrow
+    // width is still assertable from the plan (every exchange's
+    // numPartitions) while the caller's session is untouched by
+    // construction. Assertions per plan:
+    //   * ALL exchanges are at the clone width w — aggregation shuffles
+    //     and checkpoint layout included, which the r12 in-plan
+    //     repartition(w, …) form could not achieve (its agg/dedup stages
+    //     ran at session width);
+    //   * the distinct canonical exchange classes count the reused edge
+    //     shuffle + the per-iteration aggregation exchanges — no
+    //     EnsureRequirements exchange sneaks a full edge re-shuffle in;
+    //   * the expected number of exchange classes carry a map-side
+    //     PARTIAL aggregate in-stage upstream (requiredChildDistribution
+    //     empty ⇔ partial mode, which also catches grouping-only distinct
+    //     partials) — the combine property the r12 shape lost: raw
+    //     edge-volume rows must never cross an aggregation exchange.
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    def combinedUpstream(p: SparkPlan): Boolean = p match {
+      case _: ShuffleExchangeExec => false // next stage — stop
+      case a: BaseAggregateExec => a.requiredChildDistributionExpressions.isEmpty
+      case other => other.children.exists(combinedUpstream)
+    }
+    def audit(tag: String, p: SparkPlan, w: Int,
+              expectClasses: Int, expectCombined: Int): Unit = {
+      val sh = collectAll(p) { case s: ShuffleExchangeExec => s }
+      assert(sh.nonEmpty, s"$tag: no exchanges found:\n$p")
+      assert(sh.forall(_.outputPartitioning.numPartitions == w),
+        s"$tag: exchange at non-clone width:\n$p")
+      val classes = sh.groupBy(_.canonicalized).values.map(_.head).toSeq
+      assert(classes.size == expectClasses,
+        s"$tag: expected $expectClasses exchange classes, got ${classes.size}:\n$p")
+      val combined = classes.count(s => combinedUpstream(s.child))
+      assert(combined == expectCombined,
+        s"$tag: expected $expectCombined map-side-combined exchange classes, " +
+          s"got $combined:\n$p")
+    }
     val w = 3
+    val s2 = graft.operators.Components.narrowClone(spark, w)
+    def narrow(df: DataFrame): DataFrame =
+      graft.operators.Components.rebind(df, s2)
     val edges = spark.range(200)
       .select((col("id") % 50).as("u"), (col("id") % 37 + 1).as("v"))
       .localCheckpoint()
     val deg = edges.groupBy("u").agg(count(lit(1)).as("od"))
-    val ed = edges.join(deg, "u").localCheckpoint()
+    val ed = narrow(edges.join(deg, "u").localCheckpoint())
     val iters = 4
-    val pr = graft.operators.Graph.rankRounds(ed, w, iters)
-    val prSh = collectAll(plan(pr)) { case s: ShuffleExchangeExec => s }
-    assert(prSh.nonEmpty)
-    assert(prSh.forall(_.outputPartitioning.numPartitions == w),
-      s"PageRank exchange at non-measured width:\n${plan(pr)}")
-    // iters + 2: the full-width edge shuffle (reused by every iteration
-    // join), a column-pruned u-only shuffle feeding r0's distinct (the
-    // optimizer splits it off the full one — one narrow extra pass), and
-    // one contribution re-key per iteration
-    assert(prSh.map(_.canonicalized).distinct.size == iters + 2,
-      s"PageRank: expected pruned-r0 + reused edge shuffle + $iters re-keys:\n${plan(pr)}")
-    val e0 = edges.filter(col("u") =!= col("v"))
+    // PageRank: classes = the full edge shuffle (reused by every iteration
+    // join) + a column-pruned u-only copy feeding r0's distinct + one
+    // combined contribution-sum exchange per iteration (no other exchange:
+    // the agg's hash(v)→id output co-partitions the next join).
+    val pr = graft.operators.Graph.rankRounds(ed, iters)
+    audit("PageRank", plan(pr), w,
+      expectClasses = iters + 2, expectCombined = iters)
+    val e0 = narrow(edges.filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-      .localCheckpoint()
-    val cc = graft.operators.Components.starRound(e0, w)
-    val ccSh = collectAll(plan(cc)) { case s: ShuffleExchangeExec => s }
-    assert(ccSh.forall(_.outputPartitioning.numPartitions == w),
-      s"CC exchange at non-measured width:\n${plan(cc)}")
-    // large-star: the optimizer pushes the probe-only predicate (v > u)
-    // below the join side of the neighborhood shuffle, splitting it off
-    // the min-agg copy (a filtered, CHEAPER shuffle — 2 classes), + the
-    // dedup re-key; small-star: its filter (v ≠ m) spans both sides so
-    // its neighborhood shuffle stays single (1 class), + dedup re-key.
-    // 5 distinct width-w exchanges per round, none at session width.
-    assert(ccSh.map(_.canonicalized).distinct.size == 5,
-      s"CC round: expected 5 width-$w exchanges, got ${ccSh.map(_.canonicalized).distinct.size}:\n${plan(cc)}")
-    val nodes = edges.select(col("u").as("id"))
-      .unionByName(edges.select(col("v").as("id")))
+      .localCheckpoint())
+    // CC round: at this size Catalyst broadcasts each star's node-sized
+    // min table, so the edge list is NEVER shuffled for the joins — the
+    // only exchanges are each star's min aggregation and its dedup
+    // distinct, all four map-side combined.
+    val cc = graft.operators.Components.starRound(e0)
+    audit("CC", plan(cc), w, expectClasses = 4, expectCombined = 4)
+    assert(collectAll(plan(cc)) { case j: BroadcastHashJoinExec => j }
+        .map(_.canonicalized).distinct.size == 2,
+      s"CC round: expected both star joins to broadcast the min table:\n${plan(cc)}")
+    val nodes = narrow(edges.select(col("u").as("id"))
+      .unionByName(edges.select(col("v").as("id"))))
+    // PPR: edge shuffle + node-universe shuffle (reused by r0 and every
+    // left join) + the per-iteration combined contribution exchanges.
     val ppr = graft.operators.Graph.personalizedRounds(
-      ed, nodes, idc => idc < 5, w, iters)
-    val pprSh = collectAll(plan(ppr)) { case s: ShuffleExchangeExec => s }
-    assert(pprSh.forall(_.outputPartitioning.numPartitions == w),
-      s"PPR exchange at non-measured width:\n${plan(ppr)}")
-    // edge shuffle + node-universe shuffle (reused by r0 and every left
-    // join) + one contribution re-key per iteration
-    assert(pprSh.map(_.canonicalized).distinct.size == iters + 2,
-      s"PPR: expected 2 reused shuffles + $iters re-keys, got ${pprSh.map(_.canonicalized).distinct.size}:\n${plan(ppr)}")
+      ed, nodes, idc => idc < 5, iters)
+    audit("PPR", plan(ppr), w,
+      expectClasses = iters + 2, expectCombined = iters)
   }
 
   test("temporal joins plan as equi-joins/windows, never nested-loop") {
@@ -371,6 +394,18 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(windows.isEmpty, s"q136 planned a window sort:\n$p")
     assert(p.toString.toLowerCase.contains("aggregate"), p.toString.take(500))
+  }
+
+  test("q191's SQ8 top-k plans as aggregation — no window sort on the pair stream") {
+    // q191 scored the query×corpus pair stream through a rank window in
+    // r12 (each query's partition sorted ~2N pairs for a top-5); the
+    // TopKRows aggregator shape must hold so the SQ8 path scales past a
+    // 10-query batch
+    val p = plan(q("q191_sq8_topk"))
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"q191 planned a window sort:\n$p")
   }
 
   test("q182's ranking cuts plan as TakeOrdered — the corpus never globally sorts for the fusion") {
