@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Components
+import graft.operators.{Components, Graph}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -117,5 +117,33 @@ class ComponentsSpec extends AnyFunSuite {
   test("empty edge set yields empty labels") {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Components.connectedComponents(empty, "a", "b").count() == 0)
+  }
+
+  test("the narrow clone never leaks: caller conf untouched, result is a " +
+       "caller-session frame, composable with caller frames") {
+    // The rounds run inside Components.narrowClone (an isolated
+    // newSession() at the measured width). Contract pinned here: the
+    // CALLER's shuffle width is never read-modified (the r11 form mutated
+    // it around the rounds — racy under concurrent queries), the returned
+    // frame is rebound to the caller's session (a clone-bound frame would
+    // poison every downstream join with session-mixing), and it composes
+    // with caller-session frames.
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val edges = spark.range(300)
+      .select((col("id") % 60).as("a"), (col("id") % 41 + 1).as("b"))
+    val cc = Components.connectedComponents(edges, "a", "b")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before,
+      "connectedComponents mutated the caller session's shuffle width")
+    assert(cc.sparkSession eq spark, "result frame bound to the clone, not the caller")
+    val joined = cc.join(
+      edges.select(col("a").as("id")).distinct(), "id")
+    assert(joined.count() > 0)
+    val pr = Graph.fixedPointPageRank(edges, "a", "b", iters = 3)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+    assert(pr.sparkSession eq spark)
+    // no transient rebind views left behind in the global temp database
+    val leftover = spark.sql("SHOW VIEWS IN global_temp").collect()
+      .map(_.getString(1)).filter(_.startsWith("graft_rebind_"))
+    assert(leftover.isEmpty, s"rebind views leaked: ${leftover.mkString(",")}")
   }
 }
