@@ -541,6 +541,21 @@ object TextDedupPack {
       dir.toString
     })
 
+  /** One staged 4-file copy of the exact-Jaccard PAIR list per sf dir —
+    * the match-edge stream q194 ingests with maxFilesPerTrigger=1 (the
+    * "pairs arrive as candidates are discovered" shape). Built on first
+    * use, deleted at JVM exit; cf. [[stagedDocBatches]]. */
+  private val pairBatchStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[queries] def stagedPairBatches(s: org.apache.spark.sql.SparkSession, d: String): String =
+    pairBatchStages.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q194-src-")
+      sys.addShutdownHook(graft.streaming.Streams.deleteRecursively(dir))
+      jaccardPairs(s, d).select("doc_a", "doc_b").repartition(4)
+        .write.mode("overwrite").parquet(dir.toString)
+      dir.toString
+    })
+
   /** Spark side of [[pairsSql]]: exact n-gram Jaccard near-dup pairs
     * (doc_a, doc_b, jaccard ≥ 0.5), unordered. Shared by q27 (pair listing),
     * q67 (connected-components clustering of the same pairs) and q73 (the
@@ -3207,6 +3222,72 @@ object TextDedupPack {
           when(col("tp") + col("fn") === 0, lit(null).cast("long"))
             .otherwise(expr("(tp * 10000) div (tp + fn)")).as("recall_bp"))
         .orderBy("threshold")
+    },
+
+    // ---- q194: streaming incremental connected components ------------------
+    // Incremental entity resolution at ingest — the q116-versioned-state
+    // trick applied to q67's clustering: match pairs ARRIVE as
+    // micro-batches (as candidate generation discovers them) and each
+    // batch folds into a persistent component state WITHOUT ever
+    // re-reading the pair history. State = the star edges (id →
+    // component) of the clusters so far — NODE-sized, the contraction CC
+    // itself converges to — and per batch the engine runs
+    // `Components.connectedComponents` over state ∪ new edges only.
+    // Correct because a component's star preserves exactly its
+    // connectivity: CC(stars(G₁) ∪ E₂) = CC(G₁ ∪ E₂), and connectivity is
+    // associative-commutative over edge arrival order, so ANY batch split
+    // yields the same final clustering — which is what the oracle pins
+    // (the identical recursive-closure SQL as batch q67, hash-exact).
+    //
+    // 100 TB shape: the alternative — re-cluster the full pair corpus on
+    // every ingest — reads history linear in corpus age; this reads
+    // O(|nodes| + |batch|) per merge. Each per-batch CC runs in the
+    // narrow session clone at its measured width (tiny for incremental
+    // merges: the state is already a union of stars, so late batches
+    // converge in 1–2 rounds), and state versions ping-pong as parquet
+    // (a lakehouse MERGE in parquet terms, cf. q116).
+    QueryDef(
+      "q194_stream_incremental_cc",
+      s"""WITH RECURSIVE $PAIRS_SQL,
+         |und AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |        UNION ALL
+         |        SELECT doc_b AS u, doc_a AS v FROM jpairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM und
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, least(u, MIN(v)) AS cluster_id
+         |         FROM reach GROUP BY u)
+         |SELECT cluster_id, doc_id,
+         |  CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+         |FROM comp
+         |ORDER BY cluster_id, doc_id""".stripMargin) { (s, d) =>
+      val srcDir = stagedPairBatches(s, d)
+      val store = clearedStore(d, "graft-q194-cc-")
+      val latest = new java.util.concurrent.atomic.AtomicReference[String](null)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) => {
+        val newEdges = batch.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        val merged = Option(latest.get()) match {
+          case Some(prev) =>
+            batch.sparkSession.read.parquet(prev)
+              .select(col("id").as("u"), col("component").as("v"))
+              .unionByName(newEdges)
+          case None => newEdges
+        }
+        val comp = graft.operators.Components
+          .connectedComponents(merged, "u", "v")
+        val next = s"$store/v$batchId"
+        comp.write.mode("overwrite").parquet(next)
+        latest.set(next)
+      })
+      s.read.parquet(latest.get())
+        .select(col("component").as("cluster_id"), col("id").as("doc_id"),
+          when(col("id") === col("component"), 1L).otherwise(0L).as("is_canonical"))
+        .orderBy("cluster_id", "doc_id")
     }
   )
 
