@@ -119,6 +119,39 @@ class ComponentsSpec extends AnyFunSuite {
     assert(Components.connectedComponents(empty, "a", "b").count() == 0)
   }
 
+  test("incremental star-fold over arbitrary batch splits equals batch CC") {
+    // The identity q194's streaming merge rests on: a component's star
+    // edges preserve exactly its connectivity, so folding edge batches
+    // through CC(state ∪ batch) — state being the previous fold's
+    // (id, component) stars — must land on the SAME clustering as one
+    // batch CC over everything, for ANY split of the edge list.
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 400)
+      .map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    val batchAnswer = Components
+      .connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .select("id", "component").as[(Long, Long)].collect().toSet
+    for (nSplits <- Seq(2, 5)) {
+      var state: Option[org.apache.spark.sql.DataFrame] = None
+      edges.grouped(edges.size / nSplits + 1).foreach { part =>
+        val newE = part.toDF("a", "b")
+        val merged = state match {
+          case Some(st) => st
+            .select(col("id").as("a"), col("component").as("b"))
+            .unionByName(newE)
+          case None => newE
+        }
+        state = Some(Components.connectedComponents(merged, "a", "b")
+          .localCheckpoint())
+      }
+      val incremental = state.get
+        .select("id", "component").as[(Long, Long)].collect().toSet
+      assert(incremental == batchAnswer,
+        s"$nSplits-way incremental fold diverged from batch CC")
+    }
+  }
+
   test("the narrow clone never leaks: caller conf untouched, result is a " +
        "caller-session frame, composable with caller frames") {
     // The rounds run inside Components.narrowClone (an isolated
