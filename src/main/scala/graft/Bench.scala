@@ -73,7 +73,14 @@ object Bench {
       "q136", "q140",                           // mergeable-state / driver-held relations
       "q155", "q158",                           // priority-sample driver-held thresholds
       "q156", "q159", "q166",                   // exact distributed quantile models
-      "q183", "q185", "q191")                   // fused lists / IVF probe models
+      "q183", "q185", "q191", "q193",           // fused lists / IVF probe + Lloyd models
+      // the iterative CC/PageRank family: per-round localCheckpoint blocks
+      // free via GC + ContextCleaner (not deterministically), so their
+      // successors need the full drain barrier — q194 doubly so (it is
+      // ALSO q19's fleet predecessor, the r11 pocket victim: 'q194...' <
+      // 'q19_...' because '4' < '_')
+      "q67", "q73", "q74", "q109", "q124", "q144", "q145", "q147",
+      "q190", "q194")
     def quiesce(heavy: Boolean): Unit =
       if (heavy) {
         System.gc(); Thread.sleep(50)

@@ -40,45 +40,39 @@ object Components {
     * measured round width `w` — the mechanism that lets iterative rounds
     * (CC / PageRank / PPR / LPA) run every exchange, aggregation, and
     * checkpoint at the width the data warrants WITHOUT mutating the
-    * caller's session. `SparkSession.newSession()` shares the
-    * SparkContext, the CacheManager (so persisted inputs stay visible),
-    * and all executors, but has an isolated `SQLConf` — concurrent
-    * queries on the caller's session are unaffected by construction,
-    * which was the r11 objection to narrowing the shared conf around the
-    * rounds. Narrow-width planning matters because Catalyst sizes EVERY
-    * exchange it inserts (aggregation shuffles, EnsureRequirements
-    * repartitions) and every `repartition(cols*)` from the session conf:
-    * with the aggregations at the narrow width their partial hash agg
-    * still runs map-side (combine preserved), the per-round
-    * `localCheckpoint` stores `w` partitions instead of the session's 32,
-    * and a 6-round CC on an 8k-edge graph schedules ~10 tasks per round
-    * instead of ~130 (the r12 in-plan `repartition(w, …)` form narrowed
-    * only the exchanges it spelled out, leaving the agg shuffles,
-    * checkpoints and re-scan stages at full width — measured 1.5–2.5×
-    * slower across the iterative family at sf0.1). The clone is re-tuned
-    * via [[graft.GraftSession.tune]] (a fresh session starts from builder
-    * defaults, which would silently flip ANSI back on).
+    * caller's session. `SessionBridge.cloneSession` (the shim
+    * `Streams.runToMemory` already uses for scoped conf overrides) shares
+    * the SparkContext, the CacheManager, and all executors, and COPIES
+    * the caller's entire runtime SQLConf — so the clone inherits
+    * GraftSession.tune's pins plus any caller-side overrides (a test's
+    * broadcast threshold, say) verbatim, and conf changes made here are
+    * invisible to concurrent queries on the caller's session, which was
+    * the r11 objection to narrowing the shared conf around the rounds.
+    * Narrow-width planning matters because Catalyst sizes EVERY exchange
+    * it inserts (aggregation shuffles, EnsureRequirements repartitions)
+    * and every `repartition(cols*)` from the session conf: with the
+    * aggregations at the narrow width their partial hash agg still runs
+    * map-side (combine preserved), the per-round `localCheckpoint`
+    * stores `w` partitions instead of the session's 32, and a 6-round CC
+    * on an 8k-edge graph schedules ~10 tasks per round instead of ~130
+    * (the r12 in-plan `repartition(w, …)` form narrowed only the
+    * exchanges it spelled out, leaving the agg shuffles, checkpoints and
+    * re-scan stages at full width — measured 1.5–2.5× slower across the
+    * iterative family at sf0.1).
     */
   private[graft] def narrowClone(spark: SparkSession, w: Int): SparkSession = {
-    val s2 = spark.newSession()
-    graft.GraftSession.tune(s2)
+    val s2 = org.apache.spark.sql.graftbridge.SessionBridge.cloneSession(spark)
     s2.conf.set("spark.sql.shuffle.partitions", w.toString)
     s2
   }
 
   /** Re-resolve `df`'s plan in `target` (a session of the same
-    * SparkContext) via a transient, UUID-named GLOBAL temp view — the
-    * public-API way to move a plan between sessions. `target.table(...)`
-    * analyzes eagerly and view resolution inlines the stored plan, so the
-    * view is dropped before returning; cached lineage is honored (the
-    * CacheManager lives in the shared state).
+    * SparkContext) so execution picks up that session's conf — delegates
+    * to `SessionBridge.rebind` (no catalog round-trip; the earlier
+    * global-temp-view form churned the shared catalog per call).
     */
-  private[graft] def rebind(df: DataFrame, target: SparkSession): DataFrame = {
-    val name = "graft_rebind_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    df.createOrReplaceGlobalTempView(name)
-    try target.table("global_temp." + name)
-    finally df.sparkSession.catalog.dropGlobalTempView(name)
-  }
+  private[graft] def rebind(df: DataFrame, target: SparkSession): DataFrame =
+    org.apache.spark.sql.graftbridge.SessionBridge.rebind(df, target)
 
   /** (id, component) for every node that appears in `edges`; `component` is
     * the minimum node id of the connected component. Self-loops and
@@ -105,19 +99,18 @@ object Components {
     */
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
-      maxRounds: Int = 25,
-      scope: CacheScope = CacheScope.sessionManaged): DataFrame = {
+      maxRounds: Int = 25): DataFrame = {
     // canonical big→small orientation, self-loops dropped, one row per pair.
     // Eager localCheckpoint, NOT persist: the rounds run in a session
     // clone, and a checkpoint-backed LogicalRDD is a plain block scan
     // valid in any session of the context — whereas cache substitution is
-    // plan-matching against the shared CacheManager, which the
-    // view-rebound plan does not reliably hit (measured: a cache miss
-    // re-ran the entire upstream candidate-pair pipeline 2–4× inside
-    // round 0 — 12 s for a 256-edge graph). The blocks are freed by the
-    // ContextCleaner once the last round dereferences them; `scope` is
-    // kept for signature compatibility but no longer tracks anything
-    // here.
+    // plan-matching against the shared CacheManager, which a rebound plan
+    // does not reliably hit (measured: a cache miss re-ran the entire
+    // upstream candidate-pair pipeline 2–4× inside round 0 — 12 s for a
+    // 256-edge graph). The blocks — this one's and each superseded
+    // round's — are freed by the ContextCleaner once unreferenced, not
+    // deterministically (the r12 form's CacheScope/unpersist no longer
+    // has anything to release, so the parameter is gone).
     val eInit = edges
       .select(
         greatest(col(srcCol), col(dstCol)).as("u"),
@@ -184,7 +177,9 @@ object Components {
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(f"[cc] round $rounds: n=$n -> $nNext converged=$converged " +
           f"(${(System.nanoTime() - tRound) / 1e9}%.2f s)")
-      e.unpersist(blocking = false)
+      // the superseded round's checkpoint blocks free via the
+      // ContextCleaner once `e` is reassigned — Dataset.unpersist would
+      // be a no-op on a checkpointed frame
       e = next
       n = nNext
       chk = chkNext

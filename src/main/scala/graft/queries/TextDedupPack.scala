@@ -3284,10 +3284,19 @@ object TextDedupPack {
         comp.write.mode("overwrite").parquet(next)
         latest.set(next)
       })
-      s.read.parquet(latest.get())
-        .select(col("component").as("cluster_id"), col("id").as("doc_id"),
-          when(col("id") === col("component"), 1L).otherwise(0L).as("is_canonical"))
-        .orderBy("cluster_id", "doc_id")
+      Option(latest.get()) match {
+        case Some(last) =>
+          s.read.parquet(last)
+            .select(col("component").as("cluster_id"), col("id").as("doc_id"),
+              when(col("id") === col("component"), 1L).otherwise(0L)
+                .as("is_canonical"))
+            .orderBy("cluster_id", "doc_id")
+        case None =>
+          // zero micro-batches fired (no staged pair files at this SF) —
+          // match batch q67's empty-input answer instead of NPE-ing
+          s.range(0).select(col("id").as("cluster_id"), col("id").as("doc_id"),
+            col("id").as("is_canonical"))
+      }
     }
   )
 
