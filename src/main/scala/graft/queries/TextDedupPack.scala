@@ -120,6 +120,10 @@ object TextDedupPack {
   /** q147's BFS hop budget (contamination blast radius). */
   private val SPREAD_HOPS = 3
 
+  /** q195: walks per start node and steps per walk. */
+  private val WALKS_PER_NODE = 2
+  private val WALK_STEPS = 4
+
   /** q134 SQL fragments, generated from one place so the Spark loop and
     * the unrolled oracle CTEs cannot drift. Symbol sequences live as
     * '||'-delimited strings ('||sym||sym||'): symbols never contain '|',
@@ -3297,6 +3301,89 @@ object TextDedupPack {
           s.range(0).select(col("id").as("cluster_id"), col("id").as("doc_id"),
             col("id").as("is_canonical"))
       }
+    },
+
+    // ---- q195: deterministic random walks over the match graph -------------
+    // The graph-embedding data-prep primitive (DeepWalk, Perozzi et al.
+    // KDD'14; node2vec's p=q=1 case): WALKS_PER_NODE truncated random
+    // walks of WALK_STEPS steps from every node, emitted as (start, walk,
+    // step, node) rows — the "sentences" a skip-gram embedder consumes.
+    // The walk is made ORACLE-REPLAYABLE by derandomizing the step draw:
+    // each node's neighbors get a dense rank r ∈ [0, od) (ROW_NUMBER by
+    // neighbor id — deterministic, ties impossible on distinct pairs),
+    // and step t moves to the neighbor with
+    //   r = H(start, walk, t−1, node) mod od,
+    // H being the portable 60-bit md5 both engines compute bit-identically
+    // (the q65 trick). H is keyed on the FULL walk state, so the two
+    // walks from one start diverge and revisits of a node at different
+    // steps redraw independently — the statistical shape DeepWalk wants,
+    // with none of the engine-specific RNG that would make this
+    // rows-only.
+    //
+    // 100 TB shape: one degree agg + one per-node neighbor-rank window
+    // (bounded by max degree, never corpus-wide) + WALK_STEPS keyed
+    // joins of the walk frontier (|nodes|·WALKS_PER_NODE rows — node-
+    // sized) against the ranked edge list; the edge list is checkpointed
+    // once and every step probes it by key. Nothing quadratic, state is
+    // the frontier, and the emitted corpus is nodes × walks × steps rows
+    // — the same asymptotics as the walk corpus any embedding pipeline
+    // materializes.
+    QueryDef(
+      "q195_random_walks", {
+        val steps = (1 to WALK_STEPS).map { t =>
+          s"""w$t AS (SELECT p.start, p.walk, CAST($t AS BIGINT) AS step, r.v AS node
+             |  FROM w${t - 1} p
+             |  JOIN deg d ON d.u = p.node
+             |  JOIN rnk r ON r.u = p.node AND r.r =
+             |    ('0x' || substring(md5(CAST(p.start AS VARCHAR) || ':' ||
+             |      CAST(p.walk AS VARCHAR) || ':' || CAST(p.step AS VARCHAR) || ':' ||
+             |      CAST(p.node AS VARCHAR)), 1, 15))::BIGINT % d.od)""".stripMargin
+        }.mkString(",\n")
+        val unionAll = (0 to WALK_STEPS).map(t => s"SELECT * FROM w$t")
+          .mkString(" UNION ALL ")
+        val walkIds = (0 until WALKS_PER_NODE).map(k => s"($k)").mkString(", ")
+        s"""WITH $PAIRS_SQL,
+           |und AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
+           |        UNION ALL SELECT doc_b, doc_a FROM jpairs),
+           |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS od FROM und GROUP BY u),
+           |rnk AS (SELECT u, v,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) - 1 AS BIGINT) AS r
+           |  FROM und),
+           |w0 AS (SELECT d.u AS start, CAST(k.k AS BIGINT) AS walk,
+           |    CAST(0 AS BIGINT) AS step, d.u AS node
+           |  FROM deg d CROSS JOIN (VALUES $walkIds) k(k)),
+           |$steps
+           |SELECT start, walk, step, node
+           |FROM ($unionAll)
+           |ORDER BY start, walk, step""".stripMargin
+      }) { (s, d) =>
+      import s.implicits._
+      val jp = jaccardPairs(s, d)
+      // checkpointed once: deg, the rank window, and every step join scan
+      // these blocks instead of re-running the pair pipeline per step
+      val und = jp.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .unionAll(jp.select(col("doc_b").as("u"), col("doc_a").as("v")))
+        .localCheckpoint()
+      val deg = und.groupBy("u").agg(count(lit(1)).cast("long").as("od"))
+      val rnk = und.withColumn("r",
+        (row_number().over(Window.partitionBy("u").orderBy("v")) - 1).cast("long"))
+      var cur = deg.select(col("u").as("start"))
+        .crossJoin((0L until WALKS_PER_NODE.toLong).toDF("walk"))
+        .select(col("start"), col("walk"), lit(0L).as("step"),
+          col("start").as("node"))
+      val levels = scala.collection.mutable.ArrayBuffer(cur)
+      for (t <- 1 to WALK_STEPS) {
+        val h = conv(substring(md5(concat_ws(":",
+          col("start"), col("walk"), col("step"), col("node"))), 1, 15), 16, 10)
+          .cast("long")
+        cur = cur
+          .join(deg, col("u") === col("node")).drop("u")
+          .join(rnk, col("u") === col("node") && col("r") === h % col("od"))
+          .select(col("start"), col("walk"), lit(t.toLong).as("step"),
+            col("v").as("node"))
+        levels += cur
+      }
+      levels.reduce(_ unionByName _).orderBy("start", "walk", "step")
     }
   )
 
