@@ -28,14 +28,14 @@ object Ivf {
   /** Squared L2 distance to a fixed centroid, via dots (‖v‖² is shared
     * across all centroids by codegen subexpression elimination). */
   private def dist2(v: Column, c: Array[Double]): Column = {
-    val cArr = array(c.map(lit(_)): _*)
+    val cArr = array(c.toIndexedSeq.map(lit(_)): _*)
     val cNorm = c.map(x => x * x).sum
     vdot(v, v) - lit(2.0) * vdot(v, cArr) + lit(cNorm)
   }
 
   /** (dist², cell) structs — struct ordering gives lexicographic argmin. */
   private def cellStructs(v: Column, centroids: Array[Array[Double]]): Seq[Column] =
-    centroids.zipWithIndex.map { case (c, i) =>
+    centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
       struct(dist2(v, c).as("d"), lit(i).as("cid"))
     }
 

@@ -34,7 +34,7 @@ object Pq {
     * (cf. Ivf's private dist2 — ‖v‖² shared across centroids by codegen
     * subexpression elimination). */
   private def dist2(v: Column, c: Array[Double]): Column = {
-    val cArr = array(c.map(lit(_)): _*)
+    val cArr = array(c.toIndexedSeq.map(lit(_)): _*)
     val cNorm = c.map(x => x * x).sum
     vdot(v, v) - lit(2.0) * vdot(v, cArr) + lit(cNorm)
   }

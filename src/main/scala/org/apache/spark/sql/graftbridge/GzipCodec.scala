@@ -100,7 +100,8 @@ object GzipCodec {
       is.close()
       if (bombed) null else bos.toByteArray
     } catch {
+      // ZipException (corrupt stream) is an IOException subclass — one
+      // case covers both truncation and corruption
       case _: java.io.IOException => null
-      case _: java.util.zip.ZipException => null
     }
 }
