@@ -1721,6 +1721,65 @@ object TrainingPack {
           (sum(clipped).cast("double") / count(lit(1))).as("clipped_mean"),
           (sum(col("x")).cast("double") / count(lit(1))).as("raw_mean"))
         .orderBy("source")
+    },
+
+    // ---- q197: population-stability drift monitor (PSI) --------------------
+    // The ML-monitoring complement of q176's CUSUM (rate drift over time):
+    // PSI measures DISTRIBUTION shift between two corpus slices —
+    // Σ (q̂ᵢ − p̂ᵢ)·ln(q̂ᵢ/p̂ᵢ) over fixed feature bins — the standard gate
+    // ("PSI < 0.1 stable / > 0.25 retrain") every training-data ingest
+    // runs between the reference window and the current one before a
+    // model sees the batch. Slices here are doc_id parity (a portable
+    // stand-in for two ingest windows), feature = document length in
+    // fixed 256-char bins, and both bin proportions are Laplace-smoothed
+    // ((n+1)/(N+B)) so empty bins contribute a finite, well-defined term
+    // instead of ±∞. Cross-engine bit-stability is the q93 ln discipline:
+    // every ln argument is a quotient of exact integer-derived doubles
+    // (identical IEEE value both engines), each term is a fixed
+    // expression tree rounded to DECIMAL(18,8).
+    //
+    // 100 TB shape: one scan → one 8-group aggregation with map-side
+    // combine; the two slice totals are one broadcast scalar row; the
+    // per-bin table is B rows. Nothing else — drift monitoring must be
+    // (and is) the cheapest query in the pipeline.
+    QueryDef(
+      "q197_distribution_drift",
+      """WITH bins AS (SELECT CAST(range AS BIGINT) AS bin FROM range(0, 8)),
+        |binned AS (
+        |  SELECT LEAST(7, n_chars // 256) AS bin,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS is_ref
+        |  FROM documents),
+        |counts AS (
+        |  SELECT b.bin,
+        |    CAST(COALESCE(SUM(x.is_ref), 0) AS BIGINT) AS ref_n,
+        |    CAST(COALESCE(SUM(1 - x.is_ref), 0) AS BIGINT) AS cur_n
+        |  FROM bins b LEFT JOIN binned x ON x.bin = b.bin
+        |  GROUP BY b.bin),
+        |scal AS (SELECT SUM(ref_n) AS ref_t, SUM(cur_n) AS cur_t FROM counts)
+        |SELECT bin, ref_n, cur_n,
+        |  CAST(CAST(
+        |    ((cur_n + 1.0) / (cur_t + 8.0) - (ref_n + 1.0) / (ref_t + 8.0))
+        |    * ln(((cur_n + 1.0) / (cur_t + 8.0)) / ((ref_n + 1.0) / (ref_t + 8.0)))
+        |    AS DECIMAL(18,8)) AS DOUBLE) AS psi_term
+        |FROM counts, scal
+        |ORDER BY bin""".stripMargin) { (s, d) =>
+      val bins = s.range(0, 8).select(col("id").as("bin"))
+      val binned = Tables.documentsSpread(s, d)
+        .select(least(lit(7L), expr("n_chars div 256")).as("bin"),
+          when(pmod(col("doc_id"), lit(2)) === 0, 1L).otherwise(0L).as("is_ref"))
+      val counts = bins.join(binned, Seq("bin"), "left")
+        .groupBy("bin")
+        .agg(coalesce(sum(col("is_ref")), lit(0L)).as("ref_n"),
+          coalesce(sum(lit(1L) - col("is_ref")), lit(0L)).as("cur_n"))
+      val scal = counts.agg(sum(col("ref_n")).as("ref_t"),
+        sum(col("cur_n")).as("cur_t"))
+      val p = (col("ref_n") + lit(1.0)) / (col("ref_t") + lit(8.0))
+      val q = (col("cur_n") + lit(1.0)) / (col("cur_t") + lit(8.0))
+      counts.crossJoin(broadcast(scal))
+        .select(col("bin"), col("ref_n"), col("cur_n"),
+          ((q - p) * log(q / p)).cast(DecimalType(18, 8)).cast("double")
+            .as("psi_term"))
+        .orderBy("bin")
     }
   )
 }
