@@ -76,13 +76,11 @@ object Multimodal {
 
   val FMT_TAG: Array[Byte] = "fmt ".getBytes("UTF-8")
 
-  /** Little-endian uint32/uint16 at 1-based byte offset `pos`: hex the
-    * bytes, reorder pairs to big-endian, parse. Codegen'd builtins only. */
-  private def leUInt(bin: Column, pos: Int, nBytes: Int): Column = {
-    val h = hex(substring(bin, pos, nBytes))
-    val be = concat((nBytes to 1 by -1).map(i => substring(h, (i - 1) * 2 + 1, 2)): _*)
-    conv(be, 16, 10).cast("long")
-  }
+  /** Little-endian uint32/uint16 at 1-based byte offset `pos` — the
+    * fixed-offset, fixed-endian specialization of [[uintAt]] (constant
+    * folding collapses the endian branch). */
+  private def leUInt(bin: Column, pos: Int, nBytes: Int): Column =
+    uintAt(bin, lit(pos), nBytes, lit(true))
 
   /** REAL WAV fmt-chunk parse: a canonical WAV file is RIFF(4) ++ size(4)
     * ++ "WAVE"(4) ++ "fmt "(4) ++ chunkSize(4) ++ audioFormat(2,LE) ++
@@ -120,12 +118,12 @@ object Multimodal {
   val FREE_TAG: Array[Byte] = "free".getBytes("UTF-8")
   val MVHD_TAG: Array[Byte] = "mvhd".getBytes("UTF-8")
 
-  /** Big-endian uint32 at a DATA-DEPENDENT 1-based byte offset — same hex
-    * round-trip as [[beUInt32]] but the position is a column (box offsets in
-    * a container walk are data, not constants). Positions are guarded small
+  /** Big-endian uint32 at a DATA-DEPENDENT 1-based byte offset — the
+    * 4-byte big-endian specialization of [[uintAt]] (box offsets in a
+    * container walk are data, not constants). Positions are guarded small
     * by the callers before the int cast. */
   private def beUInt32At(bin: Column, pos: Column): Column =
-    conv(hex(bin.substr(pos.cast("int"), lit(4))), 16, 10).cast("long")
+    uintAt(bin, pos, 4, lit(false))
 
   private def tagAt(bin: Column, pos: Column): Column =
     bin.substr(pos.cast("int"), lit(4))

@@ -3376,11 +3376,18 @@ object TextDedupPack {
         val h = conv(substring(md5(concat_ws(":",
           col("start"), col("walk"), col("step"), col("node"))), 1, 15), 16, 10)
           .cast("long")
+        // per-step localCheckpoint (the Components/Graph round
+        // convention): the final union reads each level's blocks, so
+        // step t's join executes exactly ONCE — without it level t's
+        // lazy plan re-runs all t prior joins and the union costs
+        // O(steps²) join executions. The frontier is node-sized, so the
+        // checkpoint is metadata-scale next to the edge list.
         cur = cur
           .join(deg, col("u") === col("node")).drop("u")
           .join(rnk, col("u") === col("node") && col("r") === h % col("od"))
           .select(col("start"), col("walk"), lit(t.toLong).as("step"),
             col("v").as("node"))
+          .localCheckpoint()
         levels += cur
       }
       levels.reduce(_ unionByName _).orderBy("start", "walk", "step")

@@ -1764,7 +1764,10 @@ object TrainingPack {
         |FROM counts, scal
         |ORDER BY bin""".stripMargin) { (s, d) =>
       val bins = s.range(0, 8).select(col("id").as("bin"))
-      val binned = Tables.documentsSpread(s, d)
+      // plain documents scan — NOT documentsSpread: the per-row work is
+      // one div, so a pre-repartition would shuffle the whole table for
+      // an 8-group agg whose map-side partials already collapse it
+      val binned = Tables.documents(s, d)
         .select(least(lit(7L), expr("n_chars div 256")).as("bin"),
           when(pmod(col("doc_id"), lit(2)) === 0, 1L).otherwise(0L).as("is_ref"))
       val counts = bins.join(binned, Seq("bin"), "left")

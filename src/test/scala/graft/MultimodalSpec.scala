@@ -230,18 +230,22 @@ class MultimodalSpec extends AnyFunSuite {
       else Array(v >> 24, v >> 16, v >> 8, v).map(x => (x & 0xFF).toByte)
     def blob(le: Boolean, pad: Int, orient: Int, magic: Int = 42,
              ifdOffset: Option[Int] = None, truncate: Boolean = false,
-             endianTag: Array[Byte] = null): Array[Byte] = {
+             endianTag: Array[Byte] = null, countOverride: Option[Int] = None,
+             orientTag: Int = 0x0112, orientType: Int = 3,
+             orientCount: Int = 1, decoys: Int = 1): Array[Byte] = {
       val et = Option(endianTag).getOrElse(
         if (le) Multimodal.TIFF_LE else Multimodal.TIFF_BE)
       val entry0 = u16(0x010E, le) ++ u16(2, le) ++ u32(4, le) ++
         "desc".getBytes("UTF-8")
-      val entry1 = u16(0x0112, le) ++ u16(3, le) ++ u32(1, le) ++
-        u16(orient, le) ++ Array[Byte](0, 0)
+      val entry1 = u16(orientTag, le) ++ u16(orientType, le) ++
+        u32(orientCount, le) ++ u16(orient, le) ++ Array[Byte](0, 0)
+      val nEntries = countOverride.getOrElse(decoys + 1)
       val tiff = et ++ u16(magic, le) ++
         u32(ifdOffset.getOrElse(8 + pad), le) ++ Array.fill(pad)(0.toByte) ++
-        u16(2, le) ++ entry0 ++ entry1 ++ u32(0, le)
+        u16(nEntries, le) ++
+        Array.fill(decoys)(entry0).flatten ++ entry1 ++ u32(0, le)
       val head = Array(0xFF, 0xD8, 0xFF, 0xE1).map(_.toByte) ++
-        u16(46 + pad, le = false) ++ Multimodal.EXIF_TAG
+        u16(46 + pad + 12 * (decoys - 1), le = false) ++ Multimodal.EXIF_TAG
       val full = head ++ tiff ++ "payload".getBytes("UTF-8")
       if (truncate) full.take(head.length + 8) else full
     }
@@ -261,8 +265,14 @@ class MultimodalSpec extends AnyFunSuite {
       blob(le = false, pad = 1, orient = 6,
         endianTag = "XX".getBytes("UTF-8")),           // unknown byte order
       blob(le = true, pad = 2, orient = 0),            // below the spec range
-      blob(le = false, pad = 2, orient = 9))           // above the spec range
+      blob(le = false, pad = 2, orient = 9),           // above the spec range
+      blob(le = true, pad = 0, orient = 6, countOverride = Some(0)), // empty IFD
+      blob(le = true, pad = 0, orient = 6, countOverride = Some(5)), // count over the scan bound
+      blob(le = false, pad = 0, orient = 6, orientType = 2),  // non-SHORT entry
+      blob(le = true, pad = 0, orient = 6, orientCount = 2),  // count != 1
+      blob(le = false, pad = 0, orient = 6, orientTag = 0x0113), // tag never present
+      blob(le = true, pad = 1, orient = 7, decoys = 3))  // tag at scan position 4
     assert(got == Seq(Some(6L), Some(3L), None, None, None, None, None,
-      None, None), got)
+      None, None, None, None, None, None, None, Some(7L)), got)
   }
 }
