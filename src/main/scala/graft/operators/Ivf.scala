@@ -191,13 +191,28 @@ object Ivf {
             coalesce(col("m"), col("col")).as("v")))),
           s => s.getField("v")).as("c"))
     }
-    var prev = c0
-    var cents = c0
+    // Eager per-round materialization (the fixedPointPageRank idiom): each
+    // round executes ONCE against the caller's persisted qv and lands in a
+    // localCheckpoint-backed frame, so (a) round r+1 and every downstream
+    // consumer read a block scan instead of re-executing an iters-deep lazy
+    // tree, and (b) the caller can release its qv persist the moment this
+    // returns (ADVICE r13: q193/q150's persist leaked for the session's
+    // lifetime because the lazily-returned frames still referenced it).
+    // cents/prev are nlist-row; the final assignment is corpus-sized but
+    // one narrow (vid, cid, dist) pass — the same table an IVF build
+    // materializes into its cell layout anyway.
+    var prev = c0.localCheckpoint()
+    var cents = prev
     for (_ <- 1 to iters) {
       prev = cents
-      cents = update(cents, assign(cents))
+      cents = update(cents, assign(cents)).localCheckpoint()
     }
-    (cents, prev, assign(cents))
+    // limit(nlist) is a no-op on content (the centroid table holds exactly
+    // nlist rows) but restores STATIC boundedness evidence on the
+    // checkpoint-backed frame — callers broadcast the centroids, and the
+    // PlanSpec audit rightly refuses a forced broadcast whose lineage is
+    // an opaque LogicalRDD leaf
+    (cents.limit(nlist), prev.limit(nlist), assign(cents).localCheckpoint())
   }
 
   def fixedPointKmeansProfile(df: DataFrame, idCol: String, vecCol: String,
@@ -206,7 +221,12 @@ object Ivf {
     val qv = df.select(col(idCol).as("vid"),
       quantizeVec(col(vecCol), scale, offset).as("qv"))
       .persist()
-    val (cents, prev, fin) = fixedPointLloyd(qv, nlist, iters)
+    // fixedPointLloyd is eager (checkpoint-backed returns), so the persist
+    // is releasable the moment it returns — without the unpersist the
+    // blocks leak for the session's lifetime (ADVICE r13)
+    val (cents, prev, fin) =
+      try fixedPointLloyd(qv, nlist, iters)
+      finally qv.unpersist(blocking = false)
     val cnt = fin.groupBy("cid")
       .agg(count(lit(1)).as("n_vecs"),
         expr("sum(dist) div count(1)").as("mean_dist"))

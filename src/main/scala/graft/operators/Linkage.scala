@@ -16,16 +16,15 @@ import org.apache.spark.sql.functions._
   * model constant per field. Cross-engine bit-stability: the ratio is a
   * fixed-order product of quotients of exact BIGINT-derived doubles,
   * floored to integer basis points (the q133 raw-IEEE-quotient
-  * discipline). Exactness bound (ADVICE r12): the quotient operands are
-  * exact doubles only while they stay < 2^53 — `uden = N(N-1)` crosses
-  * that at N ≈ 9.5·10⁷ rows, and the BIGINT product `mDen·uden` in
-  * [[likelihoodRatio]] overflows at N ≈ 6.8·10⁸ (ANSI-off Spark wraps
-  * silently; DuckDB raises) — so the BIT-IDENTICAL-to-DuckDB guarantee is
-  * a fixture/test-SF property. At larger N the linkage itself is fine
-  * (the ratio degrades gracefully to ~1-ulp double noise around a 40.0
-  * threshold, after restructuring the weights as
-  * `(uden.toDouble/num) · (mNum/mDen)` so no BIGINT product is formed);
-  * only the cross-engine replay stops being exact.
+  * discipline). Overflow/exactness bounds (ADVICE r12/r13): the weights
+  * are structured as `(uden/num) · (mNum/mDen)` — two double quotients
+  * and one multiply, NO BIGINT-product-with-constant anywhere — so the
+  * first integer overflow is `uden = N(N-1)` itself at N ≈ 3.0·10⁹ rows
+  * (vs N ≈ 6.8·10⁸ for the old `mDen·uden` form). BIT-IDENTICAL-to-DuckDB
+  * replay additionally needs the BIGINT→double conversions exact, which
+  * holds while uden < 2^53 (N ≈ 9.5·10⁷); past that the linkage itself is
+  * fine (the ratio carries ~1-ulp conversion noise around a 40.0
+  * threshold) — only the cross-engine replay stops being exact.
   *
   * 100 TB shape: candidate generation is ONE keyed shuffle on the blocking
   * key (skew pre-flighted by q171's profiler; any blocking family — LSH
@@ -118,15 +117,21 @@ object Linkage {
     * scope. m-constants: 19/20 (nation), 4/5 (segment), 9/10 (band). */
   def likelihoodRatio: Column = {
     val uden = col("uden")
-    // disagree weight = (1-m)/(1-u) = ((mDen-mNum)/mDen) / ((uden-num)/uden)
-    // — the (mDen-mNum) factor must be computed, not assumed 1: the current
+    // agree weight = m/u = (uden/num) · (mNum/mDen); disagree weight =
+    // (1-m)/(1-u) = (uden/(uden-num)) · ((mDen-mNum)/mDen) — the
+    // (mDen-mNum) factor must be computed, not assumed 1: the current
     // constants all happen to have mNum = mDen-1, but the helper must stay
-    // correct for any m
+    // correct for any m. The m-quotient is a plan-time double CONSTANT
+    // (same correctly-rounded IEEE value both engines fold to), so the
+    // runtime op sequence is one divide + one multiply and no BIGINT
+    // product with a constant is ever formed (overflow bound in the
+    // object scaladoc). Order fixed: (uden/num) first, then · m — the
+    // oracle SQL mirrors the exact same shape.
     def w(agree: Column, mNum: Long, mDen: Long, num: Column) =
-      when(agree, (lit(mNum) * uden).cast("double")
-          / (lit(mDen) * num).cast("double"))
-        .otherwise((lit(mDen - mNum) * uden).cast("double")
-          / (lit(mDen) * (uden - num)).cast("double"))
+      when(agree, uden.cast("double") / num.cast("double")
+          * lit(mNum.toDouble / mDen.toDouble))
+        .otherwise(uden.cast("double") / (uden - num).cast("double")
+          * lit((mDen - mNum).toDouble / mDen.toDouble))
     w(col("n_a") === col("n_b"), 19L, 20L, col("un")) *
       w(col("s_a") === col("s_b"), 4L, 5L, col("us")) *
       w(col("b_a") === col("b_b"), 9L, 10L, col("ub"))

@@ -2939,12 +2939,12 @@ object TextDedupPack {
         |         WHEN id_b - id_a = 2000000 AND id_a % 7 = 3
         |           AND id_a < 1000000 THEN 'impostor'
         |         ELSE 'background' END AS pair_class,
-        |    (CASE WHEN agr_n THEN CAST(19 * uden AS DOUBLE) / CAST(20 * un AS DOUBLE)
-        |          ELSE CAST(uden AS DOUBLE) / CAST(20 * (uden - un) AS DOUBLE) END)
-        |    * (CASE WHEN agr_s THEN CAST(4 * uden AS DOUBLE) / CAST(5 * us AS DOUBLE)
-        |            ELSE CAST(uden AS DOUBLE) / CAST(5 * (uden - us) AS DOUBLE) END)
-        |    * (CASE WHEN agr_b THEN CAST(9 * uden AS DOUBLE) / CAST(10 * ub AS DOUBLE)
-        |            ELSE CAST(uden AS DOUBLE) / CAST(10 * (uden - ub) AS DOUBLE) END)
+        |    (CASE WHEN agr_n THEN CAST(uden AS DOUBLE) / CAST(un AS DOUBLE) * (19.0 / 20.0)
+        |          ELSE CAST(uden AS DOUBLE) / CAST(uden - un AS DOUBLE) * (1.0 / 20.0) END)
+        |    * (CASE WHEN agr_s THEN CAST(uden AS DOUBLE) / CAST(us AS DOUBLE) * (4.0 / 5.0)
+        |            ELSE CAST(uden AS DOUBLE) / CAST(uden - us AS DOUBLE) * (1.0 / 5.0) END)
+        |    * (CASE WHEN agr_b THEN CAST(uden AS DOUBLE) / CAST(ub AS DOUBLE) * (9.0 / 10.0)
+        |            ELSE CAST(uden AS DOUBLE) / CAST(uden - ub AS DOUBLE) * (1.0 / 10.0) END)
         |      AS lr
         |  FROM pairs, scal)
         |SELECT pair_class,
@@ -3030,12 +3030,12 @@ object TextDedupPack {
          |matches AS (
          |  SELECT id_a, id_b FROM (
          |    SELECT id_a, id_b,
-         |      (CASE WHEN agr_n THEN CAST(19 * uden AS DOUBLE) / CAST(20 * un AS DOUBLE)
-         |            ELSE CAST(uden AS DOUBLE) / CAST(20 * (uden - un) AS DOUBLE) END)
-         |      * (CASE WHEN agr_s THEN CAST(4 * uden AS DOUBLE) / CAST(5 * us AS DOUBLE)
-         |              ELSE CAST(uden AS DOUBLE) / CAST(5 * (uden - us) AS DOUBLE) END)
-         |      * (CASE WHEN agr_b THEN CAST(9 * uden AS DOUBLE) / CAST(10 * ub AS DOUBLE)
-         |              ELSE CAST(uden AS DOUBLE) / CAST(10 * (uden - ub) AS DOUBLE) END)
+         |      (CASE WHEN agr_n THEN CAST(uden AS DOUBLE) / CAST(un AS DOUBLE) * (19.0 / 20.0)
+         |            ELSE CAST(uden AS DOUBLE) / CAST(uden - un AS DOUBLE) * (1.0 / 20.0) END)
+         |      * (CASE WHEN agr_s THEN CAST(uden AS DOUBLE) / CAST(us AS DOUBLE) * (4.0 / 5.0)
+         |              ELSE CAST(uden AS DOUBLE) / CAST(uden - us AS DOUBLE) * (1.0 / 5.0) END)
+         |      * (CASE WHEN agr_b THEN CAST(uden AS DOUBLE) / CAST(ub AS DOUBLE) * (9.0 / 10.0)
+         |              ELSE CAST(uden AS DOUBLE) / CAST(uden - ub AS DOUBLE) * (1.0 / 10.0) END)
          |        AS lr
          |    FROM cpairs, scal)
          |  WHERE lr >= 40.0),
@@ -3170,12 +3170,12 @@ object TextDedupPack {
         |    CASE WHEN id_b - id_a = 1000000 AND id_a % 5 = 0
         |           AND id_a < 1000000 THEN 1 ELSE 0 END AS is_pos,
         |    CAST(FLOOR((
-        |    (CASE WHEN agr_n THEN CAST(19 * uden AS DOUBLE) / CAST(20 * un AS DOUBLE)
-        |          ELSE CAST(uden AS DOUBLE) / CAST(20 * (uden - un) AS DOUBLE) END)
-        |    * (CASE WHEN agr_s THEN CAST(4 * uden AS DOUBLE) / CAST(5 * us AS DOUBLE)
-        |            ELSE CAST(uden AS DOUBLE) / CAST(5 * (uden - us) AS DOUBLE) END)
-        |    * (CASE WHEN agr_b THEN CAST(9 * uden AS DOUBLE) / CAST(10 * ub AS DOUBLE)
-        |            ELSE CAST(uden AS DOUBLE) / CAST(10 * (uden - ub) AS DOUBLE) END)
+        |    (CASE WHEN agr_n THEN CAST(uden AS DOUBLE) / CAST(un AS DOUBLE) * (19.0 / 20.0)
+        |          ELSE CAST(uden AS DOUBLE) / CAST(uden - un AS DOUBLE) * (1.0 / 20.0) END)
+        |    * (CASE WHEN agr_s THEN CAST(uden AS DOUBLE) / CAST(us AS DOUBLE) * (4.0 / 5.0)
+        |            ELSE CAST(uden AS DOUBLE) / CAST(uden - us AS DOUBLE) * (1.0 / 5.0) END)
+        |    * (CASE WHEN agr_b THEN CAST(uden AS DOUBLE) / CAST(ub AS DOUBLE) * (9.0 / 10.0)
+        |            ELSE CAST(uden AS DOUBLE) / CAST(uden - ub AS DOUBLE) * (1.0 / 10.0) END)
         |    ) * 10000.0) AS BIGINT) AS bp
         |  FROM pairs, scal),
         |thr AS (SELECT * FROM (VALUES (1), (2), (5), (10), (20), (40), (80),

@@ -887,10 +887,16 @@ object VectorPack {
       val corpus = emb.unionByName(emb.select(
         (col("vec_id") + TWIN_OFFSET).as("vec_id"), col("embedding")))
       // the Lloyd rounds scan the quantized corpus repeatedly — persist it
-      // (the q150 convention; Bench clears caches between runs)
+      // for the (eager, checkpoint-backed) fixedPointLloyd call and release
+      // it the moment that returns (ADVICE r13: the persist leaked into the
+      // session). The one later use (probes, vid < 10) recomputes from the
+      // parquet scan with the vid filter pushed down — cheaper than holding
+      // a corpus-sized cache alive for it.
       val qv = corpus.select(col("vec_id").as("vid"),
         Ivf.quantizeVec(col("embedding")).as("qv")).persist()
-      val (cents, _, af) = Ivf.fixedPointLloyd(qv, KM_NLIST, iters = 2)
+      val (cents, _, af) =
+        try Ivf.fixedPointLloyd(qv, KM_NLIST, iters = 2)
+        finally qv.unpersist(blocking = false)
       val scal = corpus.select(explode(col("embedding")).as("x"))
         .agg(min(col("x").cast("double")).as("mn"),
           max(col("x").cast("double")).as("mx"))

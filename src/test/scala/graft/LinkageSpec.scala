@@ -59,6 +59,35 @@ class LinkageSpec extends AnyFunSuite {
     assert(out(("impostor", "non_match")) == nImp)
   }
 
+  test("plant-offset guard: a custkey at/above TWIN_OFFSET fails loudly") {
+    import graft.operators.Linkage
+    import spark.implicits._
+    // a customer table that has grown past the plant offset (TPC-H SF >= ~7):
+    // every record builder must raise, not silently corrupt the ground truth
+    val over = Seq((Linkage.TWIN_OFFSET, "Customer#000001", 7L, "BUILDING", 100.0))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    for (build <- Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+        Linkage.baseRecords, Linkage.dirtyRecords, Linkage.impostorRecords)) {
+      // dirty/impostor builders filter on custkey%5==0 / %7==3 — TWIN_OFFSET
+      // (1e6, %7==1) satisfies %5==0; 1000002 (%7==3) feeds the impostor
+      // path, so every builder sees at least one over-offset row
+      val keyed = over.unionByName(
+        Seq((Linkage.TWIN_OFFSET + 2L, "Customer#000002", 7L, "BUILDING", 100.0))
+          .toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"))
+      val e = intercept[Throwable] { build(keyed).collect() }
+      assert(messages(e).contains("Linkage plant offsets collide"),
+        s"guard must fire loudly, got: ${messages(e)}")
+    }
+    // negative control: keys strictly below the offset pass through unchanged
+    val ok = Seq((999999L, "Customer#000003", 7L, "BUILDING", 100.0))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+    assert(Linkage.baseRecords(ok).select("id").as[Long].collect().toSeq ==
+      Seq(999999L))
+  }
+
   test("q190: clusters partition the records; twins cluster with a base record") {
     import graft.operators.Linkage
     val df = SparkEntry.byName("q190_golden_record").run(spark, sf).cache()
