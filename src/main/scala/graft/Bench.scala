@@ -80,12 +80,12 @@ object Bench {
       // ALSO q19's fleet predecessor, the r11 pocket victim: 'q194...' <
       // 'q19_...' because '4' < '_')
       "q67", "q73", "q74", "q109", "q124", "q144", "q145", "q147",
-      "q190", "q194",
-      // q195 localCheckpoints the edge list + every per-step frontier level
-      // (ADVICE r13), and q150/q193's Lloyd rounds are checkpoint-backed
-      // (r14) — same GC+ContextCleaner-freed-blocks criterion as the CC
-      // family above
-      "q195", "q150")
+      "q190", "q194", "q200", // q200: per-batch checkpointed PR rounds
+      // q195/q198 localCheckpoint the edge list + every per-step frontier
+      // level (ADVICE r13; q198 re-derives the walk corpus), and
+      // q150/q193's Lloyd rounds are checkpoint-backed (r14) — same
+      // GC+ContextCleaner-freed-blocks criterion as the CC family above
+      "q195", "q198", "q150")
     def quiesce(heavy: Boolean): Unit =
       if (heavy) {
         System.gc(); Thread.sleep(50)

@@ -230,14 +230,24 @@ object Multimodal {
     * orientation entry, or a value outside the spec's 1–8 all yield null
     * — the honest answer, never garbage. Pure codegen'd expressions.
     */
-  def exifOrientation(bin: Column): Column = {
+  /** Byte-order column of an APP1 TIFF blob (true = "II" little-endian).
+    * Meaningful only where [[tiffIfdOk]] holds. */
+  private def tiffLe(bin: Column): Column =
+    substring(bin, 13, 2) === lit(TIFF_LE)
+
+  /** True when the APP1 → TIFF header → IFD0 walk succeeds: JPEG SOI +
+    * APP1 + "Exif\0\0", a valid endian marker and magic 42, an IFD0
+    * offset in [8, 64], an entry count ≥ 1 and a payload covering the
+    * scanned entry prefix. The parsed/unparsed discriminator the
+    * EXIF-gated queries share. */
+  def tiffIfdOk(bin: Column): Column = {
     val len = length(bin).cast("long")
     val isApp1 = substring(bin, 1, 3) === lit(JPEG_MAGIC) &&
       substring(bin, 3, 2) === lit(APP1_MARKER) &&
       substring(bin, 7, 6) === lit(EXIF_TAG)
     val tiff = lit(13L) // 1-based byte position of the TIFF origin
     val endian = substring(bin, 13, 2)
-    val le = endian === lit(TIFF_LE)
+    val le = tiffLe(bin)
     val tiffOk = isApp1 && (le || endian === lit(TIFF_BE)) &&
       uintAt(bin, tiff + 2, 2, le) === 42L
     val o = uintAt(bin, tiff + 4, 4, le) // IFD0 offset, relative to the origin
@@ -249,18 +259,59 @@ object Multimodal {
     // JPEG), so accept any n >= 1 and walk only the first min(n, 4)
     // entries; the length guard covers exactly the scanned prefix.
     val scanned = least(n, lit(4L))
-    val nOk = oOk && n >= 1L && len >= ifd + 1 + scanned * 12
+    oOk && n >= 1L && len >= ifd + 1 + scanned * 12
+  }
+
+  /** Shared IFD0 entry scan (first 4 entries): for the first entry
+    * matching (tag, type, count), return `emit(entryPos, le)`; null when
+    * [[tiffIfdOk]] fails or no scanned entry matches. `emit` is evaluated
+    * PER CANDIDATE ENTRY inside the scan — the value read stays inside
+    * the guarded branch instead of re-walking from a found position,
+    * which matters for tree size: a re-walk would duplicate the whole
+    * scan subtree once per byte the read touches. */
+  private def ifdEntryScan(bin: Column, tag: Long, typ: Long, cnt: Long)
+                          (emit: (Column, Column) => Column): Column = {
+    val le = tiffLe(bin)
+    val ifd = lit(13L) + uintAt(bin, lit(17L), 4, le)
+    val n = uintAt(bin, ifd, 2, le)
+    val nOk = tiffIfdOk(bin)
     val hits = (0 until 4).map { k =>
       val e = ifd + 2 + k * 12
       when(nOk && lit(k.toLong) < n &&
-        uintAt(bin, e, 2, le) === 0x0112L &&   // Orientation tag
-        uintAt(bin, e + 2, 2, le) === 3L &&    // type SHORT
-        uintAt(bin, e + 4, 4, le) === 1L,      // count 1
-        uintAt(bin, e + 8, 2, le))             // value in the field's first 2 bytes
+        uintAt(bin, e, 2, le) === tag &&
+        uintAt(bin, e + 2, 2, le) === typ &&
+        uintAt(bin, e + 4, 4, le) === cnt,
+        emit(e, le))
     }
-    val orient = coalesce(hits: _*)
+    coalesce(hits: _*)
+  }
+
+  def exifOrientation(bin: Column): Column = {
+    // Orientation (0x0112), type SHORT (3), count 1; value in the entry's
+    // first 2 value bytes, valid range 1-8
+    val orient = ifdEntryScan(bin, 0x0112L, 3L, 1L)(
+      (e, le) => uintAt(bin, e + 8, 2, le))
     when(orient.between(1L, 8L), orient)
   }
+
+  /** Absolute (1-based) position of the GPS IFD pointer entry (tag
+    * 0x8825, type LONG (4), count 1) in IFD0 — the tag whose PRESENCE is
+    * the image-side PII signal: its value points at the GPS IFD
+    * (latitude/longitude/altitude/timestamp). Null when unparsed or
+    * absent. The 12 bytes at this position are the redaction target.
+    *
+    * NOTE for composers: feeding a CONSTRUCTED binary (e.g. an `overlay`
+    * splice) into this walk inlines that construction once per byte read
+    * — stage it through a projection (`withColumn`) first so the walk
+    * reads an attribute (q199 learned this as a driver OOM at sf0.001). */
+  def gpsEntryPos(bin: Column): Column =
+    ifdEntryScan(bin, 0x8825L, 4L, 1L)((e, _) => e)
+
+  /** The GPS IFD offset (relative to the TIFF origin) read from the
+    * pointer entry's 4-byte value, in the blob's own byte order. */
+  def gpsIfdOffset(bin: Column): Column =
+    ifdEntryScan(bin, 0x8825L, 4L, 1L)(
+      (e, le) => uintAt(bin, e + 8, 4, le))
 
   /** STUB resize: byte-domain stand-in for an image resize — truncates the
     * payload to `targetBytes`, preserving the leading magic/header bytes so

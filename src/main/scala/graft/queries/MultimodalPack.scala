@@ -443,6 +443,122 @@ object MultimodalPack {
             .when(col("orientation").isin(2L, 4L, 5L, 7L), 1L)
             .otherwise(0L).as("mirrored"))
         .orderBy("doc_id")
+    },
+
+    // ---- q199: EXIF GPS detection + byte-surgery redaction plan ------------
+    // q196's TIFF walk composed with q69's PII discipline — the image-side
+    // PII gate every multimodal corpus runs before publishing: the GPS IFD
+    // pointer tag (0x8825) in IFD0 is THE camera-location signal (its
+    // value points at the latitude/longitude/altitude IFD), so the gate
+    // must (a) flag its presence, (b) emit the byte-surgery plan — the
+    // absolute offset of the 12-byte entry to zero — and (c) PROVE the
+    // surgery works, by re-running the same walk over the spliced bytes
+    // (`overlay` + re-scan: a zeroed entry no longer matches any tag).
+    // The fixture plants BOTH endiannesses (doc_id%2), the data-dependent
+    // header pad, a GPS-ABSENT class (doc_id%5==1 keeps the 2-entry IFD —
+    // the scan must NOT fire on the zeroed next-pointer bytes at the same
+    // position), and raw-text rows (doc_id%3==2, the unparsed class). The
+    // oracle rebuilds the identical blob and CHECKS the tag bytes at the
+    // plant-derived position in the right endianness (the q196
+    // discipline), so the engines agree only if the walk really walked.
+    //
+    // 100 TB shape: pure per-row codegen'd expression work over the
+    // binary column — no shuffle at all until the (tiny) ordered output;
+    // in production this runs as a projection inside the ingest scan, and
+    // the redaction overlay writes back columnar with zero decode.
+    QueryDef(
+      "q199_exif_gps_redaction", {
+        def u16h(v: String) = {
+          val x = s"lpad(to_hex($v), 4, '0')"
+          s"(CASE WHEN le THEN substring($x, 3, 2) || substring($x, 1, 2) ELSE $x END)"
+        }
+        def u32h(v: String) = {
+          val x = s"lpad(to_hex($v), 8, '0')"
+          s"(CASE WHEN le THEN substring($x, 7, 2) || substring($x, 5, 2) || " +
+            s"substring($x, 3, 2) || substring($x, 1, 2) ELSE $x END)"
+        }
+        s"""WITH plant AS (
+           |  SELECT doc_id, text, doc_id % 2 = 0 AS le,
+           |    CAST(doc_id % 4 AS BIGINT) AS p,
+           |    CAST(1 + doc_id % 8 AS BIGINT) AS orient,
+           |    (doc_id % 3 <> 2) AND (doc_id % 5 <> 1) AS gps
+           |  FROM documents),
+           |eblobs AS (
+           |  SELECT doc_id, p, le,
+           |    CASE WHEN doc_id % 3 = 2 THEN encode(text)
+           |    ELSE unhex('FFD8FFE1' ||
+           |      lpad(to_hex((CASE WHEN gps THEN 58 ELSE 46 END) + p), 4, '0') ||
+           |      '457869660000' ||
+           |      CASE WHEN le THEN '4949' ELSE '4D4D' END ||
+           |      ${u16h("42")} || ${u32h("8 + p")} ||
+           |      repeat('00', CAST(p AS BIGINT)) ||
+           |      ${u16h("CASE WHEN gps THEN 3 ELSE 2 END")} ||
+           |      ${u16h("270")} || ${u16h("2")} || ${u32h("4")} || '64657363' ||
+           |      ${u16h("274")} || ${u16h("3")} || ${u32h("1")} ||
+           |      ${u16h("orient")} || '0000' ||
+           |      CASE WHEN gps THEN
+           |        ${u16h("34853")} || ${u16h("4")} || ${u32h("1")} || ${u32h("50 + p")}
+           |      ELSE '' END ||
+           |      ${u32h("0")}) || encode(text)
+           |    END AS content
+           |  FROM plant),
+           |parsed AS (
+           |  SELECT doc_id, p, le, content,
+           |    doc_id % 3 <> 2 AS ok,
+           |    doc_id % 3 <> 2 AND
+           |      substring(hex(content), CAST(93 + 2 * p AS INT), 4) =
+           |        CASE WHEN le THEN '2588' ELSE '8825' END AS tag_hit
+           |  FROM eblobs),
+           |vals AS (
+           |  SELECT doc_id, p, ok, tag_hit,
+           |    CASE WHEN tag_hit THEN CASE WHEN le
+           |      THEN ('0x' || substring(hex(content), CAST(115 + 2 * p AS INT), 2)
+           |          || substring(hex(content), CAST(113 + 2 * p AS INT), 2)
+           |          || substring(hex(content), CAST(111 + 2 * p AS INT), 2)
+           |          || substring(hex(content), CAST(109 + 2 * p AS INT), 2))::BIGINT
+           |      ELSE ('0x' || substring(hex(content), CAST(109 + 2 * p AS INT), 8))::BIGINT
+           |    END END AS gps_val
+           |  FROM parsed)
+           |SELECT doc_id,
+           |  CAST(CASE WHEN NOT ok THEN -1 WHEN tag_hit THEN 1 ELSE 0 END AS BIGINT)
+           |    AS has_gps,
+           |  CAST(CASE WHEN tag_hit THEN gps_val ELSE -1 END AS BIGINT) AS gps_off,
+           |  CAST(CASE WHEN tag_hit THEN 47 + p ELSE -1 END AS BIGINT) AS redact_pos,
+           |  CAST(CASE WHEN NOT ok THEN -1 ELSE 1 END AS BIGINT) AS clean_after
+           |FROM vals
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      // STAGED through projections, deliberately: each withColumn
+      // materializes one walk result as an attribute, so the next stage's
+      // walk reads a leaf instead of inlining the previous walk's whole
+      // expression tree per byte read (composing them inline is
+      // multiplicative — the un-staged form OOM'd the driver during
+      // analysis at sf0.001). CollapseProject leaves multi-referenced
+      // non-cheap aliases un-inlined, so the staging survives
+      // optimization.
+      gpsBlobs(s, d)
+        // three-valued-logic guard: treat an unknown parse as unparsed
+        .withColumn("parsed",
+          coalesce(Multimodal.tiffIfdOk(col("content")), lit(false)))
+        .withColumn("pos", Multimodal.gpsEntryPos(col("content")))
+        .withColumn("off", Multimodal.gpsIfdOffset(col("content")))
+        // the surgery itself: zero the 12 entry bytes in place (tag
+        // 0x0000, type 0, count 0 — skipped by any conforming reader)...
+        .withColumn("zeroed", overlay(col("content"),
+          lit(Array.fill[Byte](12)(0)), col("pos").cast("int")))
+        // ...then PROVE it by re-running the same detection walk over the
+        // spliced bytes
+        .withColumn("regps", Multimodal.gpsEntryPos(col("zeroed")))
+        .select(col("doc_id"),
+          when(!col("parsed"), -1L).when(col("pos").isNotNull, 1L)
+            .otherwise(0L).as("has_gps"),
+          coalesce(col("off"), lit(-1L)).as("gps_off"),
+          coalesce(col("pos"), lit(-1L)).as("redact_pos"),
+          when(!col("parsed"), -1L)
+            .when(col("pos").isNull, 1L)
+            .otherwise(when(col("regps").isNull, 1L).otherwise(0L))
+            .as("clean_after"))
+        .orderBy("doc_id")
     }
   )
 
@@ -451,7 +567,19 @@ object MultimodalPack {
     * first IFD entry, and orientation all doc_id-derived; doc_id%3==2 rows
     * are raw text (the must-fail class). Mirrors the oracle's `eblobs`
     * CTE byte-for-byte. */
-  private[graft] def exifBlobs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def exifBlobs(s: SparkSession, d: String): DataFrame =
+    exifBlobsImpl(s, d, withGps = false)
+
+  /** q199 fixture: same TIFF machinery, but doc_id%5!=1 parsed rows carry
+    * a THIRD IFD0 entry — the GPS IFD pointer (0x8825, LONG, count 1,
+    * value = the GPS IFD's origin-relative offset, 50+p: right after
+    * IFD0's next-pointer). doc_id%5==1 keeps the 2-entry IFD (the
+    * GPS-absent class) and doc_id%3==2 stays raw text (unparsed). */
+  private[graft] def gpsBlobs(s: SparkSession, d: String): DataFrame =
+    exifBlobsImpl(s, d, withGps = true)
+
+  private def exifBlobsImpl(s: SparkSession, d: String,
+                            withGps: Boolean): DataFrame = {
     val le = pmod(col("doc_id"), lit(2)) === 0
     val p = pmod(col("doc_id"), lit(4))
     val orient = lit(1) + pmod(col("doc_id"), lit(8))
@@ -472,14 +600,24 @@ object MultimodalPack {
     // first two bytes (endian), zero-padded
     val entry1 = concat(u16e(lit(0x0112)), u16e(lit(3)), u32e(lit(1)),
       u16e(orient), lit(Array[Byte](0, 0)))
+    // GPS IFD pointer (0x8825, LONG type 4, count 1) — kept in ascending
+    // tag order after 0x010E/0x0112, as the spec mandates
+    val hasGps =
+      if (withGps) pmod(col("doc_id"), lit(5)) =!= 1 else lit(false)
+    val entry2 = concat(u16e(lit(0x8825)), u16e(lit(4)), u32e(lit(1)),
+      u32e(lit(50) + p))
+    val nEntries = when(hasGps, lit(3)).otherwise(lit(2))
     val tiff = concat(
       when(le, lit(Multimodal.TIFF_LE)).otherwise(lit(Multimodal.TIFF_BE)),
       u16e(lit(42)), u32e(lit(8) + p),
       unhex(call_function("repeat", lit("00"), p)), // the header pad
-      u16e(lit(2)), entry0, entry1, u32e(lit(0)))
+      u16e(nEntries), entry0, entry1,
+      when(hasGps, entry2).otherwise(lit(Array.empty[Byte])),
+      u32e(lit(0)))
+    val app1Len = when(hasGps, lit(58)).otherwise(lit(46)) + p
     val app1 = concat(
       lit(Array[Byte](0xFF.toByte, 0xD8.toByte)), lit(Multimodal.APP1_MARKER),
-      unhex(lpad(hex(lit(46) + p), 4, "0")), // APP1 length, always BE
+      unhex(lpad(hex(app1Len), 4, "0")), // APP1 length, always BE
       lit(Multimodal.EXIF_TAG), tiff)
     Tables.documents(s, d).select(col("doc_id"),
       when(pmod(col("doc_id"), lit(3)) === 2, encode(col("text"), "UTF-8"))

@@ -124,6 +124,10 @@ object TextDedupPack {
   private val WALKS_PER_NODE = 2
   private val WALK_STEPS = 4
 
+  /** q198 skip-gram context radius: pairs are (node_t, node_{t±j}) for
+    * j ≤ SKIP_WINDOW within one walk — word2vec's window parameter. */
+  private val SKIP_WINDOW = 2
+
   /** q134 SQL fragments, generated from one place so the Spark loop and
     * the unrolled oracle CTEs cannot drift. Symbol sequences live as
     * '||'-delimited strings ('||sym||sym||'): symbols never contain '|',
@@ -556,6 +560,21 @@ object TextDedupPack {
       val dir = java.nio.file.Files.createTempDirectory("graft-q194-src-")
       sys.addShutdownHook(graft.streaming.Streams.deleteRecursively(dir))
       jaccardPairs(s, d).select("doc_a", "doc_b").repartition(4)
+        .write.mode("overwrite").parquet(dir.toString)
+      dir.toString
+    })
+
+  /** One staged 4-file copy of the WINNOW match-pair list per sf dir —
+    * q200's edge stream (the q109 graph arriving incrementally); cf.
+    * [[stagedPairBatches]] (which stages the q67/q194 Jaccard pairs). */
+  private val winnowPairStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[queries] def stagedWinnowPairBatches(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    winnowPairStages.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q200-src-")
+      sys.addShutdownHook(graft.streaming.Streams.deleteRecursively(dir))
+      winnowMatchPairs(s, d).select("id_a", "id_b").repartition(4)
         .write.mode("overwrite").parquet(dir.toString)
       dir.toString
     })
@@ -1884,25 +1903,7 @@ object TextDedupPack {
     // the lineage would need per-round localCheckpoint (cf. Components),
     // at a fixed 5 rounds the plan stays flat.
     QueryDef(
-      "q109_match_pagerank", {
-        val iters = (1 to 5).map { k =>
-          val prev = if (k == 1) "r0" else s"i${k - 1}"
-          s"""i$k AS (
-             |  SELECT ed.v AS id,
-             |    CAST(150000 + (85 * SUM(pr.r // ed.od)) // 100 AS BIGINT) AS r
-             |  FROM ed JOIN $prev pr ON pr.id = ed.u GROUP BY ed.v)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH $WinnowPairsSqlCtes,
-           |edges AS (SELECT id_a AS u, id_b AS v FROM mpairs
-           |          UNION ALL SELECT id_b, id_a FROM mpairs),
-           |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS od
-           |        FROM edges GROUP BY u),
-           |ed AS (SELECT e.u, e.v, d.od FROM edges e JOIN deg d ON d.u = e.u),
-           |r0 AS (SELECT u AS id, CAST(1000000 AS BIGINT) AS r FROM deg),
-           |$iters
-           |SELECT id AS doc_id, r AS pr_rank FROM i5
-           |ORDER BY doc_id""".stripMargin
-      }) { (s, d) =>
+      "q109_match_pagerank", PR_MATCH_ORACLE) { (s, d) =>
       // persisted: deg and the degree-annotated edge list both scan the
       // symmetric edge set, and mp itself is a match-pair self-join.
       // fixedPointPageRank is EAGER (returns a localCheckpoint-backed
@@ -3329,70 +3330,219 @@ object TextDedupPack {
     // — the same asymptotics as the walk corpus any embedding pipeline
     // materializes.
     QueryDef(
-      "q195_random_walks", {
-        val steps = (1 to WALK_STEPS).map { t =>
-          s"""w$t AS (SELECT p.start, p.walk, CAST($t AS BIGINT) AS step, r.v AS node
-             |  FROM w${t - 1} p
-             |  JOIN deg d ON d.u = p.node
-             |  JOIN rnk r ON r.u = p.node AND r.r =
-             |    ('0x' || substring(md5(CAST(p.start AS VARCHAR) || ':' ||
-             |      CAST(p.walk AS VARCHAR) || ':' || CAST(p.step AS VARCHAR) || ':' ||
-             |      CAST(p.node AS VARCHAR)), 1, 15))::BIGINT % d.od)""".stripMargin
-        }.mkString(",\n")
-        val unionAll = (0 to WALK_STEPS).map(t => s"SELECT * FROM w$t")
-          .mkString(" UNION ALL ")
-        val walkIds = (0 until WALKS_PER_NODE).map(k => s"($k)").mkString(", ")
-        s"""WITH $PAIRS_SQL,
-           |und AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
-           |        UNION ALL SELECT doc_b, doc_a FROM jpairs),
-           |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS od FROM und GROUP BY u),
-           |rnk AS (SELECT u, v,
-           |    CAST(ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) - 1 AS BIGINT) AS r
-           |  FROM und),
-           |w0 AS (SELECT d.u AS start, CAST(k.k AS BIGINT) AS walk,
-           |    CAST(0 AS BIGINT) AS step, d.u AS node
-           |  FROM deg d CROSS JOIN (VALUES $walkIds) k(k)),
-           |$steps
-           |SELECT start, walk, step, node
-           |FROM ($unionAll)
-           |ORDER BY start, walk, step""".stripMargin
-      }) { (s, d) =>
-      import s.implicits._
-      val jp = jaccardPairs(s, d)
-      // checkpointed once: deg, the rank window, and every step join scan
-      // these blocks instead of re-running the pair pipeline per step
-      val und = jp.select(col("doc_a").as("u"), col("doc_b").as("v"))
-        .unionAll(jp.select(col("doc_b").as("u"), col("doc_a").as("v")))
-        .localCheckpoint()
-      val deg = und.groupBy("u").agg(count(lit(1)).cast("long").as("od"))
-      val rnk = und.withColumn("r",
-        (row_number().over(Window.partitionBy("u").orderBy("v")) - 1).cast("long"))
-      var cur = deg.select(col("u").as("start"))
-        .crossJoin((0L until WALKS_PER_NODE.toLong).toDF("walk"))
-        .select(col("start"), col("walk"), lit(0L).as("step"),
-          col("start").as("node"))
-      val levels = scala.collection.mutable.ArrayBuffer(cur)
-      for (t <- 1 to WALK_STEPS) {
-        val h = conv(substring(md5(concat_ws(":",
-          col("start"), col("walk"), col("step"), col("node"))), 1, 15), 16, 10)
-          .cast("long")
-        // per-step localCheckpoint (the Components/Graph round
-        // convention): the final union reads each level's blocks, so
-        // step t's join executes exactly ONCE — without it level t's
-        // lazy plan re-runs all t prior joins and the union costs
-        // O(steps²) join executions. The frontier is node-sized, so the
-        // checkpoint is metadata-scale next to the edge list.
-        cur = cur
-          .join(deg, col("u") === col("node")).drop("u")
-          .join(rnk, col("u") === col("node") && col("r") === h % col("od"))
-          .select(col("start"), col("walk"), lit(t.toLong).as("step"),
-            col("v").as("node"))
-          .localCheckpoint()
-        levels += cur
+      "q195_random_walks",
+      s"""WITH $WALKS_SQL_CTES
+         |SELECT start, walk, step, node
+         |FROM walks
+         |ORDER BY start, walk, step""".stripMargin) { (s, d) =>
+      walkCorpus(s, d).orderBy("start", "walk", "step")
+    },
+
+    // ---- q198: walk → skip-gram pair generation ----------------------------
+    // What the q195 walk corpus exists FOR: a word2vec-style embedder
+    // (DeepWalk/node2vec) trains on (center, context) co-occurrence pairs
+    // within a ±SKIP_WINDOW window of each walk position — this query
+    // materializes that pair/count table. Self-join-free by construction:
+    // contexts come from lead(node, j) over the (start, walk) partition
+    // ordered by step (j = 1..SKIP_WINDOW), then each forward pair is
+    // emitted in both directions — the same multiset the oracle's
+    // symmetric step-range join produces. Fully hash-checkable because
+    // q195's corpus itself replays exactly (derandomized step draw).
+    //
+    // 100 TB shape: ONE shuffle to co-locate each walk's WALK_STEPS+1
+    // rows (partitions are walk-count-sized, each window tiny and
+    // bounded), a map-side explode bounded by SKIP_WINDOW, and one
+    // map-side-combined count agg on (center, context) — the pair
+    // vocabulary, near-dup-graph-sized, never corpus-scale. No self-join
+    // anywhere: the window pass replaces the quadratic walks⋈walks the
+    // oracle can afford only at test SF.
+    QueryDef(
+      "q198_skipgram_pairs",
+      s"""WITH $WALKS_SQL_CTES,
+         |ctx AS (
+         |  SELECT a.node AS center, b.node AS context
+         |  FROM walks a JOIN walks b
+         |    ON a.start = b.start AND a.walk = b.walk
+         |   AND b.step BETWEEN a.step - $SKIP_WINDOW AND a.step + $SKIP_WINDOW
+         |   AND b.step <> a.step)
+         |SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM ctx
+         |GROUP BY center, context
+         |ORDER BY center, context""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("start", "walk").orderBy("step")
+      val fwd = walkCorpus(s, d)
+        .select(col("node").as("center"),
+          array((1 to SKIP_WINDOW).map(j => lead(col("node"), j).over(w)): _*)
+            .as("nexts"))
+        .select(col("center"), explode(col("nexts")).as("context"))
+        .filter(col("context").isNotNull)
+      fwd
+        .unionByName(fwd.select(col("context").as("center"),
+          col("center").as("context")))
+        .groupBy("center", "context")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("center", "context")
+    },
+
+    // ---- q200: streaming incremental PageRank over the match graph ---------
+    // q194's versioned-state pattern applied to the last iterative-family
+    // member: match edges ARRIVE (the staged winnow-pair files,
+    // maxFilesPerTrigger=1) and every micro-batch re-derives the
+    // centrality ranking of the graph seen so far — the ingest-time shape
+    // of q124's canonical-doc selection, where each pair discovery can
+    // reshuffle which cluster member is canonical. State is the
+    // accumulated EDGE list in versioned parquet (the q116 MERGE trick:
+    // write v{batchId}, read v{batchId-1} — idempotent under micro-batch
+    // replay); per batch, the full 5 fixed-point rounds re-run from the
+    // uniform init over state ∪ batch inside the narrow clone
+    // (Graph.fixedPointPageRank — conf-isolated width, checkpointed
+    // rounds), and the node-sized rank table lands in its own version.
+    // Rank warm-starting is deliberately NOT used: q109's contract is
+    // exactly-5-rounds-from-uniform (that fixed-round integer replay is
+    // what makes an iterative algorithm hash-checkable at all), and a
+    // warm-started rank over a grown edge set answers a different
+    // recurrence — so the warm state here is the edge store, not the
+    // ranks, and the final batch's output hash-matches batch q109's
+    // oracle verbatim. Unlike q194's CC (whose star-edge state COMPRESSES
+    // pair history to node size), PR needs every edge each round — the
+    // honest per-batch cost is bounded rounds over the current graph,
+    // which is precisely what a production rank-on-ingest pipeline pays.
+    QueryDef(
+      "q200_stream_incremental_pagerank", PR_MATCH_ORACLE) { (s, d) =>
+      val srcDir = stagedWinnowPairBatches(s, d)
+      val store = clearedStore(d, "graft-q200-pr-")
+      val latestEdges =
+        new java.util.concurrent.atomic.AtomicReference[String](null)
+      val latestRanks =
+        new java.util.concurrent.atomic.AtomicReference[String](null)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) => {
+        val ss = batch.sparkSession
+        val merged = Option(latestEdges.get()) match {
+          case Some(prev) => ss.read.parquet(prev).unionByName(
+            batch.select(col("id_a"), col("id_b")))
+          case None => batch.select(col("id_a"), col("id_b"))
+        }
+        val edgesV = s"$store/edges_v$batchId"
+        merged.write.mode("overwrite").parquet(edgesV)
+        latestEdges.set(edgesV)
+        val mp = ss.read.parquet(edgesV)
+        val sym = mp.select(col("id_a").as("u"), col("id_b").as("v"))
+          .unionAll(mp.select(col("id_b").as("u"), col("id_a").as("v")))
+        val pr = graft.operators.Graph
+          .fixedPointPageRank(sym, "u", "v", iters = 5)
+        val ranksV = s"$store/ranks_v$batchId"
+        pr.write.mode("overwrite").parquet(ranksV)
+        latestRanks.set(ranksV)
+      })
+      Option(latestRanks.get()) match {
+        case Some(last) =>
+          s.read.parquet(last)
+            .select(col("id").as("doc_id"), col("r").as("pr_rank"))
+            .orderBy("doc_id")
+        case None =>
+          // zero micro-batches fired — match batch q109's empty answer
+          s.range(0).select(col("id").as("doc_id"), col("id").as("pr_rank"))
       }
-      levels.reduce(_ unionByName _).orderBy("start", "walk", "step")
     }
   )
+
+  /** q109/q200 shared oracle: 5 unrolled fixed-point PageRank rounds over
+    * the symmetric winnowing match graph — q200's streaming answer must
+    * hash-match the identical batch formulation. */
+  private lazy val PR_MATCH_ORACLE: String = {
+    val iters = (1 to 5).map { k =>
+      val prev = if (k == 1) "r0" else s"i${k - 1}"
+      s"""i$k AS (
+         |  SELECT ed.v AS id,
+         |    CAST(150000 + (85 * SUM(pr.r // ed.od)) // 100 AS BIGINT) AS r
+         |  FROM ed JOIN $prev pr ON pr.id = ed.u GROUP BY ed.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $WinnowPairsSqlCtes,
+       |edges AS (SELECT id_a AS u, id_b AS v FROM mpairs
+       |          UNION ALL SELECT id_b, id_a FROM mpairs),
+       |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS od
+       |        FROM edges GROUP BY u),
+       |ed AS (SELECT e.u, e.v, d.od FROM edges e JOIN deg d ON d.u = e.u),
+       |r0 AS (SELECT u AS id, CAST(1000000 AS BIGINT) AS r FROM deg),
+       |$iters
+       |SELECT id AS doc_id, r AS pr_rank FROM i5
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q195/q198 shared oracle CTE chain, ending in
+    * `walks(start, walk, step, node)` — the derandomized walk corpus. */
+  private lazy val WALKS_SQL_CTES: String = {
+    val steps = (1 to WALK_STEPS).map { t =>
+      s"""w$t AS (SELECT p.start, p.walk, CAST($t AS BIGINT) AS step, r.v AS node
+         |  FROM w${t - 1} p
+         |  JOIN deg d ON d.u = p.node
+         |  JOIN rnk r ON r.u = p.node AND r.r =
+         |    ('0x' || substring(md5(CAST(p.start AS VARCHAR) || ':' ||
+         |      CAST(p.walk AS VARCHAR) || ':' || CAST(p.step AS VARCHAR) || ':' ||
+         |      CAST(p.node AS VARCHAR)), 1, 15))::BIGINT % d.od)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (0 to WALK_STEPS).map(t => s"SELECT * FROM w$t")
+      .mkString(" UNION ALL ")
+    val walkIds = (0 until WALKS_PER_NODE).map(k => s"($k)").mkString(", ")
+    s"""$PAIRS_SQL,
+       |und AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
+       |        UNION ALL SELECT doc_b, doc_a FROM jpairs),
+       |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS od FROM und GROUP BY u),
+       |rnk AS (SELECT u, v,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) - 1 AS BIGINT) AS r
+       |  FROM und),
+       |w0 AS (SELECT d.u AS start, CAST(k.k AS BIGINT) AS walk,
+       |    CAST(0 AS BIGINT) AS step, d.u AS node
+       |  FROM deg d CROSS JOIN (VALUES $walkIds) k(k)),
+       |$steps,
+       |walks AS ($unionAll)""".stripMargin
+  }
+
+  /** The q195 walk corpus `(start, walk, step, node)` without final
+    * ordering — shared by q195 (emits it) and q198 (skip-gram pairs over
+    * it). See q195's scaladoc-comment for the derandomization scheme and
+    * the 100 TB shape. */
+  private def walkCorpus(s: org.apache.spark.sql.SparkSession,
+                         d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val jp = jaccardPairs(s, d)
+    // checkpointed once: deg, the rank window, and every step join scan
+    // these blocks instead of re-running the pair pipeline per step
+    val und = jp.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(jp.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint()
+    val deg = und.groupBy("u").agg(count(lit(1)).cast("long").as("od"))
+    val rnk = und.withColumn("r",
+      (row_number().over(Window.partitionBy("u").orderBy("v")) - 1).cast("long"))
+    var cur = deg.select(col("u").as("start"))
+      .crossJoin((0L until WALKS_PER_NODE.toLong).toDF("walk"))
+      .select(col("start"), col("walk"), lit(0L).as("step"),
+        col("start").as("node"))
+    val levels = scala.collection.mutable.ArrayBuffer(cur)
+    for (t <- 1 to WALK_STEPS) {
+      val h = conv(substring(md5(concat_ws(":",
+        col("start"), col("walk"), col("step"), col("node"))), 1, 15), 16, 10)
+        .cast("long")
+      // per-step localCheckpoint (the Components/Graph round
+      // convention): the final union reads each level's blocks, so
+      // step t's join executes exactly ONCE — without it level t's
+      // lazy plan re-runs all t prior joins and the union costs
+      // O(steps²) join executions. The frontier is node-sized, so the
+      // checkpoint is metadata-scale next to the edge list.
+      cur = cur
+        .join(deg, col("u") === col("node")).drop("u")
+        .join(rnk, col("u") === col("node") && col("r") === h % col("od"))
+        .select(col("start"), col("walk"), lit(t.toLong).as("step"),
+          col("v").as("node"))
+        .localCheckpoint()
+      levels += cur
+    }
+    levels.reduce(_ unionByName _)
+  }
 
   /** `functions.instr` only takes a literal needle; SQL `instr(str, substr)`
     * accepts two expressions — expose that via expr-compatible helper.

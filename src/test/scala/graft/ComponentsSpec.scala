@@ -36,6 +36,49 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got == expected, clue)
   }
 
+  test("narrowClone re-plans successive rounds at the re-measured width " +
+       "(multi-width path: mock 5M -> 1M edge counts)") {
+    // At test SFs roundWidth always lands on 1-2, so the clone-resize
+    // branch the 10^9-edge claim rests on never runs organically
+    // (VERDICT r13 item 8). Pin it with the widths the formula yields for
+    // a 5M-row round contracting to 1M: the SAME clone, re-conf'd between
+    // rounds exactly as connectedComponents does, must plan the next
+    // round's exchanges at the new width — and the caller session's width
+    // must never move.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val configured = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val w1 = Components.roundWidth(configured, 5000000L)
+    val w2 = Components.roundWidth(configured, 1000000L)
+    assert(w1 == 3 && w2 == 1 && w1 != w2,
+      s"mock counts must exercise distinct widths, got $w1/$w2 (configured=$configured)")
+    val s2 = Components.narrowClone(spark, w1)
+    def roundPlanWidths(): Seq[Int] = {
+      // the shape of one star round's aggregation: keyed groupBy over the
+      // rebound edge list — the exchange Catalyst inserts must carry the
+      // clone's CURRENT width
+      val e = Components.rebind(
+        spark.range(200).selectExpr("id % 50 AS u", "id % 37 + 1 AS v")
+          .localCheckpoint(), s2)
+      val p = e.groupBy("u").count().queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case other: SparkPlan => other
+      }
+      p.collect { case s: ShuffleExchangeExec =>
+        s.outputPartitioning.numPartitions }
+    }
+    val r1 = roundPlanWidths()
+    assert(r1.nonEmpty && r1.forall(_ == w1), s"round-1 widths $r1 != $w1")
+    // the edge set "contracted" to 1M rows: re-size the SAME clone, as the
+    // CC loop does before each round
+    s2.conf.set("spark.sql.shuffle.partitions", w2.toString)
+    val r2 = roundPlanWidths()
+    assert(r2.nonEmpty && r2.forall(_ == w2), s"round-2 widths $r2 != $w2")
+    assert(spark.conf.get("spark.sql.shuffle.partitions").toInt == configured,
+      "clone re-size leaked into the caller session")
+  }
+
   test("roundWidth clamps to [1, configured] and scales with measured rows") {
     // the shared width formula behind CC/PageRank/PPR/LPA round sizing:
     // ~2M rows/partition, never 0, never above the session setting
