@@ -3447,6 +3447,104 @@ object TextDedupPack {
           // zero micro-batches fired — match batch q109's empty answer
           s.range(0).select(col("id").as("doc_id"), col("id").as("pr_rank"))
       }
+    },
+
+    // ---- q201: node2vec second-order biased walks --------------------------
+    // The search-bias generalization of q195 (Grover & Leskovec, KDD'16 —
+    // public literature): step t's draw depends on the PREVIOUS node, so
+    // the walk interpolates between BFS-like (stay near) and DFS-like
+    // (wander) exploration. Transition weights with p=2, q=1/2, scaled ×2
+    // to stay integer: returning to prev costs 1 (1/p·2), a neighbor of
+    // prev costs 2 (1·2), a distance-2 hop costs 4 (1/q·2); step 1 (no
+    // prev yet) is uniform. The draw is derandomized on the full
+    // second-order state — r = H(start, walk, t−1, prev, node) mod
+    // Σweights, selected by cumulative-weight interval over the dense
+    // neighbor rank — so the biased corpus replays exactly in DuckDB,
+    // interval-selection and all (a float alias-table draw would be
+    // rows-only). Distance-1 detection is a keyed LEFT join of the
+    // candidate (prev, x) pair against the edge set — no adjacency list
+    // ever materializes per row.
+    //
+    // 100 TB shape: per step, one keyed join of the node-sized frontier
+    // against the ranked edge list (fan-out = frontier degrees, bounded
+    // by the edge count), one keyed membership join, and two windows
+    // partitioned per (start, walk) — each window partition is one
+    // node's neighbor list, bounded by max degree, never corpus-wide.
+    // Per-step localCheckpoint keeps the union O(steps), the q195
+    // discipline.
+    QueryDef(
+      "q201_node2vec_walks", {
+        val steps = (1 to WALK_STEPS).map { t =>
+          s"""c$t AS (SELECT p.start, p.walk, p.node, p.prev, r.v, r.r,
+             |    CASE WHEN r.v = p.prev THEN 1
+             |         WHEN p.prev IS NULL THEN 1
+             |         WHEN e.u IS NOT NULL THEN 2 ELSE 4 END AS w
+             |  FROM b${t - 1} p
+             |  JOIN rnk r ON r.u = p.node
+             |  LEFT JOIN und e ON e.u = p.prev AND e.v = r.v),
+             |u$t AS (SELECT *,
+             |    SUM(w) OVER (PARTITION BY start, walk ORDER BY r
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             |    SUM(w) OVER (PARTITION BY start, walk) AS tw,
+             |    ('0x' || substring(md5(CAST(start AS VARCHAR) || ':' ||
+             |      CAST(walk AS VARCHAR) || ':' || CAST(${t - 1} AS VARCHAR) || ':' ||
+             |      CAST(COALESCE(prev, -1) AS VARCHAR) || ':' ||
+             |      CAST(node AS VARCHAR)), 1, 15))::BIGINT AS h
+             |  FROM c$t),
+             |b$t AS (SELECT start, walk, CAST($t AS BIGINT) AS step,
+             |    v AS node, node AS prev
+             |  FROM u$t WHERE cw - w <= h % tw AND h % tw < cw)""".stripMargin
+        }.mkString(",\n")
+        val unionAll = (0 to WALK_STEPS)
+          .map(t => s"SELECT start, walk, step, node FROM b$t")
+          .mkString(" UNION ALL ")
+        s"""WITH $WALK_GRAPH_CTES,
+           |b0 AS (SELECT d.u AS start, CAST(k.k AS BIGINT) AS walk,
+           |    CAST(0 AS BIGINT) AS step, d.u AS node,
+           |    CAST(NULL AS BIGINT) AS prev
+           |  FROM deg d CROSS JOIN (VALUES $WALK_IDS_SQL) k(k)),
+           |$steps
+           |SELECT start, walk, step, node
+           |FROM ($unionAll)
+           |ORDER BY start, walk, step""".stripMargin
+      }) { (s, d) =>
+      import s.implicits._
+      val (und, deg, rnk) = walkGraph(s, d)
+      val prevEdge = und.select(col("u").as("pu"), col("v").as("pv"))
+        .withColumn("d1", lit(1))
+      val wOrd = Window.partitionBy("start", "walk").orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("start", "walk")
+      var cur = deg.select(col("u").as("start"))
+        .crossJoin((0L until WALKS_PER_NODE.toLong).toDF("walk"))
+        .select(col("start"), col("walk"), lit(0L).as("step"),
+          col("start").as("node"), lit(null).cast("long").as("prev"))
+      val levels = scala.collection.mutable.ArrayBuffer(
+        cur.select("start", "walk", "step", "node"))
+      for (t <- 1 to WALK_STEPS) {
+        val h = conv(substring(md5(concat_ws(":",
+          col("start"), col("walk"), col("step"),
+          coalesce(col("prev"), lit(-1L)), col("node"))), 1, 15), 16, 10)
+          .cast("long")
+        cur = cur
+          .join(rnk, col("u") === col("node")).drop("u")
+          .join(prevEdge,
+            col("pu") === col("prev") && col("pv") === col("v"), "left")
+          .withColumn("w",
+            when(col("v") === col("prev"), 1L)
+              .when(col("prev").isNull, 1L)
+              .when(col("d1") === 1, 2L)
+              .otherwise(4L))
+          .withColumn("cw", sum(col("w")).over(wOrd))
+          .withColumn("tw", sum(col("w")).over(wAll))
+          .withColumn("rd", h % col("tw"))
+          .filter(col("cw") - col("w") <= col("rd") && col("rd") < col("cw"))
+          .select(col("start"), col("walk"), lit(t.toLong).as("step"),
+            col("v").as("node"), col("node").as("prev"))
+          .localCheckpoint() // the q195 per-step discipline
+        levels += cur.select("start", "walk", "step", "node")
+      }
+      levels.reduce(_ unionByName _).orderBy("start", "walk", "step")
     }
   )
 
@@ -3473,6 +3571,22 @@ object TextDedupPack {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Shared walk-graph oracle CTEs: the symmetric Jaccard match edges
+    * with per-node degree and dense neighbor rank — `und(u, v)`,
+    * `deg(u, od)`, `rnk(u, v, r)`. Used by q195/q198 (first-order walks)
+    * and q201 (second-order node2vec walks). */
+  private lazy val WALK_GRAPH_CTES: String =
+    s"""$PAIRS_SQL,
+       |und AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
+       |        UNION ALL SELECT doc_b, doc_a FROM jpairs),
+       |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS od FROM und GROUP BY u),
+       |rnk AS (SELECT u, v,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) - 1 AS BIGINT) AS r
+       |  FROM und)""".stripMargin
+
+  private lazy val WALK_IDS_SQL: String =
+    (0 until WALKS_PER_NODE).map(k => s"($k)").mkString(", ")
+
   /** q195/q198 shared oracle CTE chain, ending in
     * `walks(start, walk, step, node)` — the derandomized walk corpus. */
   private lazy val WALKS_SQL_CTES: String = {
@@ -3487,17 +3601,10 @@ object TextDedupPack {
     }.mkString(",\n")
     val unionAll = (0 to WALK_STEPS).map(t => s"SELECT * FROM w$t")
       .mkString(" UNION ALL ")
-    val walkIds = (0 until WALKS_PER_NODE).map(k => s"($k)").mkString(", ")
-    s"""$PAIRS_SQL,
-       |und AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
-       |        UNION ALL SELECT doc_b, doc_a FROM jpairs),
-       |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS od FROM und GROUP BY u),
-       |rnk AS (SELECT u, v,
-       |    CAST(ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) - 1 AS BIGINT) AS r
-       |  FROM und),
+    s"""$WALK_GRAPH_CTES,
        |w0 AS (SELECT d.u AS start, CAST(k.k AS BIGINT) AS walk,
        |    CAST(0 AS BIGINT) AS step, d.u AS node
-       |  FROM deg d CROSS JOIN (VALUES $walkIds) k(k)),
+       |  FROM deg d CROSS JOIN (VALUES $WALK_IDS_SQL) k(k)),
        |$steps,
        |walks AS ($unionAll)""".stripMargin
   }
@@ -3506,18 +3613,27 @@ object TextDedupPack {
     * ordering — shared by q195 (emits it) and q198 (skip-gram pairs over
     * it). See q195's scaladoc-comment for the derandomization scheme and
     * the 100 TB shape. */
-  private def walkCorpus(s: org.apache.spark.sql.SparkSession,
-                         d: String): org.apache.spark.sql.DataFrame = {
-    import s.implicits._
+  /** Spark-side walk graph shared by q195/q198/q201: the checkpointed
+    * symmetric edge list plus its degree and dense-neighbor-rank views
+    * (deg/rnk and every step join scan the checkpoint blocks instead of
+    * re-running the pair pipeline per step). */
+  private def walkGraph(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
     val jp = jaccardPairs(s, d)
-    // checkpointed once: deg, the rank window, and every step join scan
-    // these blocks instead of re-running the pair pipeline per step
     val und = jp.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionAll(jp.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .localCheckpoint()
     val deg = und.groupBy("u").agg(count(lit(1)).cast("long").as("od"))
     val rnk = und.withColumn("r",
       (row_number().over(Window.partitionBy("u").orderBy("v")) - 1).cast("long"))
+    (und, deg, rnk)
+  }
+
+  private def walkCorpus(s: org.apache.spark.sql.SparkSession,
+                         d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val (_, deg, rnk) = walkGraph(s, d)
     var cur = deg.select(col("u").as("start"))
       .crossJoin((0L until WALKS_PER_NODE.toLong).toDF("walk"))
       .select(col("start"), col("walk"), lit(0L).as("step"),

@@ -176,6 +176,14 @@ object TrainingPack {
     * carries — Zipf puts most distinct tokens under any such floor). */
   private val LM_MIN_COUNT = 5
 
+  /** q202's curated target slice (4 of the 20 sources — a fifth of the
+    * corpus plays "high-quality reference", the rest is the raw pool),
+    * and the fixed selection size K. */
+  private val DSIR_TARGET = Seq("src0", "src1", "src2", "src3")
+  private val DSIR_TARGET_SQL =
+    DSIR_TARGET.map(s => s"'$s'").mkString("(", ", ", ")")
+  private val DSIR_K = 100
+
   /** DuckDB SQL for the four per-doc quality metrics (ntok/awl/symratio/
     * nstop) — the SELECT-list fragment every quality oracle shares. */
   private[queries] def qualityExprsSql: String = {
@@ -1783,6 +1791,121 @@ object TrainingPack {
           ((q - p) * log(q / p)).cast(DecimalType(18, 8)).cast("double")
             .as("psi_term"))
         .orderBy("bin")
+    },
+
+    // ---- q202: DSIR-style importance selection toward a target slice -------
+    // Data Selection via Importance Resampling (Xie et al., NeurIPS 2023 —
+    // public literature), the unigram face: pick the raw-corpus documents
+    // most like a curated TARGET slice by likelihood ratio under two
+    // add-one-smoothed unigram LMs. Per token t over the shared vocabulary
+    // (q93's min-count gate, fit on the FULL corpus so both sides share
+    // one V): λ(t) = ln p_target(t) − ln p_rest(t), each an IEEE ln of an
+    // exact-integer quotient (the q93 discipline); OOV tokens hit the
+    // shared constant λ = ln((Tr+V+1)/(Tt+V+1)) through the SAME formula
+    // with c=0, so no token escapes scoring. Per-doc importance = the
+    // token-AVERAGE λ (length-normalized, or long docs would win on token
+    // count alone), summed in DECIMAL(38,20) — exact, order-independent —
+    // rounded DECIMAL(18,8) and floored to integer basis points. The
+    // SELECTION is the q136 mergeable-top-k discipline: the K most
+    // target-like docs via the fixed-state TopKRows aggregator — never a
+    // corpus-wide rank window. (DSIR's stochastic Gumbel resampling draw
+    // needs engine RNG; the deterministic hard-selection face is what a
+    // hash-checkable engine can replay, and the sampling variant is one
+    // priority-key swap away via q155's machinery.)
+    //
+    // 100 TB shape: two token-count aggs (map-side combined, vocab-sized
+    // model tables) + one broadcast scalar row; scoring is one left join
+    // of the token stream against the broadcastable λ model + one per-doc
+    // agg; selection is fixed-k mergeable state per partition. Nothing
+    // corpus-sorted, nothing quadratic.
+    QueryDef(
+      "q202_dsir_selection",
+      s"""WITH norm AS (
+         |  SELECT doc_id, source,
+         |    list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^a-z ]', '', 'g'), '  *', ' ', 'g')), ' '), x -> x <> '') AS t
+         |  FROM documents),
+         |tok AS (SELECT doc_id, source, unnest(t) AS tok FROM norm),
+         |cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+         |vocab AS (SELECT tok FROM cnt WHERE c >= $LM_MIN_COUNT),
+         |tcnt AS (SELECT tok, COUNT(*) AS ct FROM tok
+         |         WHERE source IN $DSIR_TARGET_SQL AND tok IN (SELECT tok FROM vocab)
+         |         GROUP BY tok),
+         |rcnt AS (SELECT tok, COUNT(*) AS cr FROM tok
+         |         WHERE source NOT IN $DSIR_TARGET_SQL AND tok IN (SELECT tok FROM vocab)
+         |         GROUP BY tok),
+         |scal AS (
+         |  SELECT
+         |    (SELECT COUNT(*) FROM tok WHERE source IN $DSIR_TARGET_SQL) AS Tt,
+         |    (SELECT COUNT(*) FROM tok WHERE source NOT IN $DSIR_TARGET_SQL) AS Tr,
+         |    (SELECT COUNT(*) FROM vocab) AS V),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CAST(ln((COALESCE(t.ct, 0) + 1.0) / (Tt + V + 1.0))
+         |       - ln((COALESCE(r.cr, 0) + 1.0) / (Tr + V + 1.0))
+         |      AS DECIMAL(38,20)) AS lam
+         |  FROM tok
+         |  LEFT JOIN tcnt t USING (tok) LEFT JOIN rcnt r USING (tok)
+         |  CROSS JOIN scal),
+         |docs AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         |    CAST(FLOOR(CAST(CAST(CAST(SUM(lam) AS DOUBLE) / COUNT(*)
+         |      AS DECIMAL(18,8)) AS DOUBLE) * 10000.0) AS BIGINT) AS imp_bp
+         |  FROM scored GROUP BY doc_id)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY imp_bp DESC, doc_id) AS BIGINT)
+         |    AS rk,
+         |  doc_id, n_tok, imp_bp
+         |FROM docs
+         |QUALIFY rk <= $DSIR_K
+         |ORDER BY rk""".stripMargin) { (s, d) =>
+      val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z ]", ""), "  *", " "))
+      // token stream scanned four times (vocab fit + two side counts +
+      // scoring) — persisted, the q93 convention (lazy consumers all the
+      // way down, so the cache must outlive the returned plan; Bench
+      // clears caches between queries)
+      val tok = Tables.documentsSpread(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(filter(split(norm, " "), x => x =!= "")).as("tok"))
+        .persist()
+      val inTarget = col("source").isin(DSIR_TARGET: _*)
+      val vocab = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= LM_MIN_COUNT).select("tok")
+      val tcnt = tok.filter(inTarget).join(vocab, "tok")
+          .groupBy("tok").agg(count(lit(1)).as("ct"))
+      val rcnt = tok.filter(!inTarget).join(vocab, "tok")
+          .groupBy("tok").agg(count(lit(1)).as("cr"))
+      val scal = tok.agg(
+          sum(when(inTarget, 1L).otherwise(0L)).as("Tt"),
+          sum(when(inTarget, 0L).otherwise(1L)).as("Tr"))
+          .crossJoin(broadcast(vocab.agg(count(lit(1)).as("V"))))
+      val lam =
+          (log((coalesce(col("ct"), lit(0L)) + lit(1.0)) /
+            (col("Tt") + col("V") + lit(1.0)))
+            - log((coalesce(col("cr"), lit(0L)) + lit(1.0)) /
+              (col("Tr") + col("V") + lit(1.0))))
+            .cast(DecimalType(38, 20))
+      val docs = tok
+          .join(tcnt, Seq("tok"), "left")
+          .join(rcnt, Seq("tok"), "left")
+          .crossJoin(broadcast(scal))
+          .select(col("doc_id"), lam.as("lam"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+            floor((sum(col("lam")).cast("double") / count(lit(1)))
+              .cast(DecimalType(18, 8)).cast("double") * 10000.0)
+              .cast("long").as("imp_bp"))
+      val topk = udaf(new graft.functions.TopKRows(DSIR_K))
+      val sel = docs
+          .agg(topk(col("imp_bp").cast("double"), col("doc_id"), lit(0L)).as("tk"))
+          .select(posexplode(col("tk")).as(Seq("pos", "row")))
+          .select((col("pos") + 1).cast("long").as("rk"),
+            col("row._2").as("doc_id"))
+      // rejoin the K selected ids (broadcast — fixed-k by construction)
+      // for their per-doc stats
+      docs.join(broadcast(sel), "doc_id")
+          .select(col("rk"), col("doc_id"), col("n_tok"), col("imp_bp"))
+          .orderBy("rk")
     }
   )
 }
