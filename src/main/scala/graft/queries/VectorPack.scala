@@ -936,6 +936,110 @@ object VectorPack {
           (-col("row._1")).cast("long").as("d2"),
           (col("pos") + 1).cast("long").as("rk"))
         .orderBy("qid", "rk")
+    },
+
+    // ---- q203: retrieval rank metrics over graded planted relevance --------
+    // The EVALUATION layer the retrieval family (q35/q55/q58/q76/q77/
+    // q94–q95/q182–q185/q191/q193) was missing: per-query rank of the one
+    // relevant item, reciprocal rank, and hit@1/hit@10 — the numbers an
+    // IR pipeline reports as MRR/recall cutoffs. The q76 recall audits
+    // plant EXACT twins (always rank 1 — a constant-true oracle, by
+    // design); metrics only mean something when ranks VARY, so this
+    // fixture plants GRADED relevance: each base vector's twin is
+    // perturbed in integer quantized space by md5-derived per-dimension
+    // noise with amplitude (vec_id % 5)·128 — class 0 is an exact copy
+    // (rank 1 guaranteed), class 4 is noise comparable to inter-vector
+    // distance (deep, data-dependent ranks). Everything is integer
+    // (quantized L2, lexicographic (d2, id) tiebreak, reciprocal rank as
+    // 10000 DIV rank), so the whole metric table replays exactly.
+    //
+    // 100 TB shape: the rank of the relevant item is computed WITHOUT a
+    // corpus sort — rank = 1 + count(candidates that beat the twin),
+    // one map-side comparison per (query, candidate) against the
+    // broadcast per-query twin distance, folded by one map-side-combined
+    // agg. The query batch (50) and twin rows are broadcast; the corpus
+    // is scanned once, never shuffled.
+    QueryDef(
+      "q203_retrieval_rank_metrics", {
+        val D1 = KM_DIM + 1
+        def noise(vid: String, i: String) =
+          s"""(('0x' || substring(md5(CAST($vid AS VARCHAR) || ':' ||
+             |      CAST($i AS VARCHAR)), 1, 15))::BIGINT
+             |      % (2 * (($vid % 5) * 128) + 1)) - ($vid % 5) * 128""".stripMargin
+        s"""WITH q AS (
+           |${quantizeSql("embeddings")}),
+           |tw AS (
+           |  SELECT vid + $TWIN_OFFSET AS tvid,
+           |    list_transform(range(1, $D1), i -> qv[i] +
+           |      ${noise("vid", "i")}) AS qv
+           |  FROM q),
+           |corpus AS (SELECT vid, qv FROM q
+           |           UNION ALL SELECT tvid, qv FROM tw),
+           |queries AS (SELECT vid AS qid, qv AS qe FROM q WHERE vid < 50),
+           |dists AS (
+           |  SELECT qid, c.vid AS cid,
+           |    CAST(list_sum(list_transform(range(1, $D1), i ->
+           |      (c.qv[i] - qe[i]) * (c.qv[i] - qe[i]))) AS BIGINT) AS d2
+           |  FROM corpus c JOIN queries ON c.vid <> qid),
+           |twind AS (SELECT qid, d2 AS dt, cid AS tid FROM dists
+           |          WHERE cid = qid + $TWIN_OFFSET),
+           |ranks AS (
+           |  SELECT d.qid,
+           |    CAST(1 + SUM(CASE WHEN d.d2 < t.dt
+           |        OR (d.d2 = t.dt AND d.cid < t.tid) THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS twin_rank
+           |  FROM dists d JOIN twind t USING (qid) GROUP BY d.qid)
+           |SELECT qid, CAST(qid % 5 AS BIGINT) AS amp_class, twin_rank,
+           |  CAST(10000 // twin_rank AS BIGINT) AS rr_bp,
+           |  CAST(CASE WHEN twin_rank = 1 THEN 1 ELSE 0 END AS BIGINT) AS hit_1,
+           |  CAST(CASE WHEN twin_rank <= 10 THEN 1 ELSE 0 END AS BIGINT) AS hit_10
+           |FROM ranks
+           |ORDER BY qid""".stripMargin
+      }) { (s, d) =>
+      import graft.operators.Ivf
+      val base = Tables.embeddings(s, d).select(col("vec_id").as("vid"),
+        Ivf.quantizeVec(col("embedding")).as("qv"))
+      val amp = pmod(col("vid"), lit(5)) * 128
+      // graded per-dimension noise, 1-based dim index in the hash key to
+      // match the oracle's range(1, 65) variable
+      val noisy = transform(col("qv"), (x, i) =>
+        x + pmod(conv(substring(md5(concat_ws(":",
+            col("vid"), (i + 1).cast("long"))), 1, 15), 16, 10).cast("long"),
+          amp * 2 + 1) - amp)
+      // two-step select, deliberately: putting `(vid + OFFSET).as("vid")`
+      // in the SAME select as `noisy` makes Spark 4's lateral-column-alias
+      // resolution bind noisy's `col("vid")` (the md5 noise key) to the
+      // NEW offset alias instead of the input vid — silently different
+      // noise than the oracle's. Noise first, rename after.
+      val twins = base.select(col("vid"), noisy.as("qv"))
+        .select((col("vid") + TWIN_OFFSET).as("vid"), col("qv"))
+      val corpus = base.unionByName(twins)
+      val queries = base.filter(col("vid") < 50)
+        .select(col("vid").as("qid"), col("qv").as("qe"))
+      def l2(a: Column, b: Column) = aggregate(
+        zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+      val dists = corpus.join(broadcast(queries), col("vid") =!= col("qid"))
+        .select(col("qid"), col("vid").as("cid"), l2(col("qv"), col("qe")).as("d2"))
+      // per-query twin distance, derived from the BOUNDED query/twin rows
+      // (vid range filters carry the static boundedness evidence)
+      val twinD = twins
+        .filter(col("vid") >= TWIN_OFFSET && col("vid") < TWIN_OFFSET + 50)
+        .select((col("vid") - TWIN_OFFSET).as("qid"), col("vid").as("tid"),
+          col("qv").as("tqv"))
+        .join(queries, "qid")
+        .select(col("qid"), col("tid"), l2(col("tqv"), col("qe")).as("dt"))
+      dists.join(broadcast(twinD), "qid")
+        .groupBy("qid")
+        .agg((lit(1L) + sum(when(col("d2") < col("dt") ||
+            (col("d2") === col("dt") && col("cid") < col("tid")), 1L)
+          .otherwise(0L))).as("twin_rank"))
+        .select(col("qid"), pmod(col("qid"), lit(5)).as("amp_class"),
+          col("twin_rank"),
+          expr("10000 div twin_rank").as("rr_bp"),
+          when(col("twin_rank") === 1L, 1L).otherwise(0L).as("hit_1"),
+          when(col("twin_rank") <= 10L, 1L).otherwise(0L).as("hit_10"))
+        .orderBy("qid")
     }
   )
 
