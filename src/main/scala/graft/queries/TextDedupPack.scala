@@ -3545,8 +3545,248 @@ object TextDedupPack {
         levels += cur.select("start", "walk", "step", "node")
       }
       levels.reduce(_ unionByName _).orderBy("start", "walk", "step")
+    },
+
+    // ---- q204: HyperLogLog from first principles, integer-replayed ---------
+    // q43/q85 are rows-only because built-in sketch BINARIES are
+    // engine-specific — but the HLL ALGORITHM (Flajolet-Fusy-Gandouet-
+    // Meunier 2007, public literature) is not. Built from the portable md5
+    // idiom, every step replays in DuckDB: bucket j = first 2 hex chars
+    // (m = 256 registers), rank rho = leading-zero count of the next 48
+    // bits + 1 — computed by TRIMMING LEADING '0' HEX DIGITS (4 zero bits
+    // each) plus a 4-way CASE on the first surviving digit, so no log2()
+    // ever runs. The register sum is replayed as the INTEGER
+    // S = Σ 2^(49−M_j) (absent buckets contribute 2^49; max 256·2^49 = 2^57,
+    // no overflow) — a bit-exact cross-engine check of the whole sketch
+    // state, stronger than comparing a rounded estimate. The estimate
+    // α_m·m²·2^49/S is one fixed IEEE expression; the small-range
+    // linear-counting branch m·ln(m/V) follows the q93 ln discipline
+    // (DECIMAL rounding absorbs last-ulp libm divergence). n_exact is the
+    // in-query verifier, as in q43.
+    //
+    // 100 TB shape: one scan, one map-side-combinable (source, j) max — at
+    // most 256 register rows per source survive the shuffle regardless of
+    // corpus size, then a 256-row-per-source finalize. The production path
+    // stays approx_count_distinct (HLL++, binary-mergeable); this query
+    // pins the algorithm itself under the oracle so the sketch family's
+    // correctness story no longer rests on rows-only checks alone.
+    QueryDef("q204_hll_replay", HLL_ORACLE_BATCH) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val ex = docs.groupBy("source")
+        .agg(countDistinct(docFp).as("n_exact"))
+      hllFinalize(hllRegisters(docs))
+        .join(ex, "source")
+        .select("source", "n_exact", "v_zero", "s_reg", "est_hll")
+        .orderBy("source")
+    },
+
+    // ---- q205: streaming HLL — per-batch registers, max-merged -------------
+    // q85's incremental-cardinality loop with the portable q204 sketch in
+    // place of the engine-specific binary: each micro-batch (real streaming
+    // engine, maxFilesPerTrigger=1) reduces to its own (source, j, m)
+    // register rows — O(256 · sources) regardless of batch size — persisted
+    // under batch_id with dynamic partition overwrite (idempotent under
+    // foreachBatch's at-least-once replay, the q85/q153 discipline). The
+    // corpus-wide answer max-merges the stored registers; because register
+    // max is associative, commutative, and idempotent, the merged state is
+    // IDENTICAL to the single-pass batch sketch no matter how ingest was
+    // batched — so the streaming answer hash-matches the same DuckDB oracle
+    // as q204's finalize, with old batches never rescanned. That is the
+    // sketch-store contract a 100 TB ingest pipeline runs on, now
+    // oracle-checked end to end instead of rows-only.
+    QueryDef("q205_stream_hll_merge", HLL_ORACLE_STREAM) { (s, d) =>
+      val srcDir = stagedDocBatches(s, d)
+      val store = clearedStore(d, "graft-q205-hll-")
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) =>
+        hllRegisters(batch)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(store.toString))
+      val merged = s.read.parquet(store.toString)
+        .groupBy("source", "j").agg(max(col("m")).as("m"))
+      hllFinalize(merged).orderBy("source")
+    },
+
+    // ---- q206: GloVe co-occurrence statistics over the walk corpus ---------
+    // The OTHER embedding objective the walk corpus feeds: GloVe
+    // (Pennington-Socher-Manning, EMNLP'14, public literature) trains
+    // against distance-weighted co-occurrence counts X_ij = Σ 1/d — not
+    // q198's flat pair counts — with sample weight f(X) = (X/x_max)^0.75
+    // capped at 1, and regression target ln(X). The 1/d weights are kept
+    // INTEGER by scaling with LCM(1..SKIP_WINDOW) = 2 (w_d = 2/d ∈ {2,1}),
+    // so x_scaled replays exactly; X = x_scaled/2 is one exact-integer IEEE
+    // quotient, and the two derived doubles (pow-0.75 and ln — both
+    // last-ulp-risky libm calls) follow the q93 DECIMAL(18,8) rounding
+    // discipline.
+    //
+    // 100 TB shape: identical to q198 (one walk-partition window pass, a
+    // map-side explode bounded by SKIP_WINDOW, one map-side-combined sum on
+    // (center, context)) — the weight rides along as a literal per lead
+    // offset, so the distance never needs a self-join to recover. The
+    // finalize is per-pair arithmetic on the vocabulary-sized pair table.
+    QueryDef(
+      "q206_glove_cooc",
+      s"""WITH $WALKS_SQL_CTES,
+         |ctx AS (
+         |  SELECT a.node AS center, b.node AS context,
+         |    CAST($GLOVE_LCM / abs(a.step - b.step) AS BIGINT) AS wd
+         |  FROM walks a JOIN walks b
+         |    ON a.start = b.start AND a.walk = b.walk
+         |   AND b.step BETWEEN a.step - $SKIP_WINDOW AND a.step + $SKIP_WINDOW
+         |   AND b.step <> a.step),
+         |agg AS (
+         |  SELECT center, context, CAST(SUM(wd) AS BIGINT) AS x_scaled
+         |  FROM ctx GROUP BY center, context),
+         |fin AS (
+         |  SELECT center, context, x_scaled,
+         |    CAST(x_scaled AS DOUBLE) / CAST($GLOVE_LCM.0 AS DOUBLE) AS x
+         |  FROM agg)
+         |SELECT center, context, x_scaled,
+         |  CAST(CAST(CASE WHEN x < CAST(100.0 AS DOUBLE)
+         |    THEN power(x / CAST(100.0 AS DOUBLE), CAST(0.75 AS DOUBLE))
+         |    ELSE CAST(1.0 AS DOUBLE) END AS DECIMAL(18,8)) AS DOUBLE) AS fx,
+         |  CAST(CAST(ln(x) AS DECIMAL(18,8)) AS DOUBLE) AS log_x
+         |FROM fin
+         |ORDER BY center, context""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("start", "walk").orderBy("step")
+      val fwd = walkCorpus(s, d)
+        .select(col("node").as("center"),
+          array((1 to SKIP_WINDOW).map(j =>
+            struct(lead(col("node"), j).over(w).as("context"),
+              lit((GLOVE_LCM / j).toLong).as("wd"))): _*).as("cands"))
+        .select(col("center"), explode(col("cands")).as("c"))
+        .select(col("center"), col("c.context").as("context"),
+          col("c.wd").as("wd"))
+        .filter(col("context").isNotNull)
+      val agg0 = fwd
+        .unionByName(fwd.select(col("context").as("center"),
+          col("center").as("context"), col("wd")))
+        .groupBy("center", "context")
+        .agg(sum(col("wd")).as("x_scaled"))
+      val x = col("x_scaled").cast("double") / lit(GLOVE_LCM.toDouble)
+      agg0.select(col("center"), col("context"), col("x_scaled"),
+          when(x < lit(100.0), pow(x / lit(100.0), lit(0.75)))
+            .otherwise(lit(1.0))
+            .cast(DecimalType(18, 8)).cast("double").as("fx"),
+          log(x).cast(DecimalType(18, 8)).cast("double").as("log_x"))
+        .orderBy("center", "context")
     }
   )
+
+  /** Integer scale for q206's 1/d GloVe distance weights:
+    * LCM(1..SKIP_WINDOW), so every scaled weight LCM/d is exact. */
+  private val GLOVE_LCM = 2
+
+  /** Normalized document fingerprint shared by the HLL queries (q204/q205)
+    * and the q43/q85 built-in-sketch variants: md5 of the lowercased
+    * letters-and-spaces text, whitespace-collapsed. */
+  private def docFp: org.apache.spark.sql.Column =
+    md5(trim(regexp_replace(regexp_replace(lower(col("text")),
+      "[^a-z ]", ""), "  *", " ")))
+
+  /** q204/q205 register table: (source, j, m) with j = md5 first byte
+    * (256 buckets) and m = max over docs of rho(next 48 bits). The rho
+    * computation is pure string/integer work on md5 hex — hex-digit
+    * leading-zero trim (4 bits per trimmed '0') + a 4-way CASE on the
+    * first surviving digit — so DuckDB replays it exactly; an empty
+    * suffix (all 48 bits zero) pins rho = 49. Map-side combinable: the
+    * (source, j) max shuffles at most 256 rows per source. */
+  private def hllRegisters(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val fp = docFp
+    val st = ltrim(substring(fp, 3, 12), "0")
+    val idx = instr2(lit("0123456789abcdef"), substring(st, 1, 1)) - 1
+    val rho = when(length(st) === 0, 49)
+      .otherwise((lit(12) - length(st)) * 4 +
+        when(idx >= 8, 0).when(idx >= 4, 1).when(idx >= 2, 2).otherwise(3) + 1)
+    docs.select(col("source"),
+        conv(substring(fp, 1, 2), 16, 10).cast("long").as("j"),
+        rho.cast("int").as("rho"))
+      .groupBy("source", "j").agg(max(col("rho")).as("m"))
+  }
+
+  /** Finalize a (source, j, m) register table into the HLL answer row:
+    * v_zero (registers never hit), the integer register sum
+    * S = Σ 2^(49−M_j) with absent buckets at 2^49, and the estimate —
+    * α₂₅₆·m²·2^49/S, or linear counting m·ln(m/V) in the small range
+    * (E ≤ 2.5m, V > 0). Every constant is spelled as the same IEEE
+    * expression the oracle uses; the final DECIMAL(28,6) rounding is the
+    * q93 ln discipline. */
+  private def hllFinalize(regs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val agg0 = regs.groupBy("source").agg(
+      (lit(256L) - count(lit(1))).as("v_zero"),
+      (sum(pow(lit(2.0), lit(49) - col("m")).cast("long")) +
+        (lit(256L) - count(lit(1))) * lit(562949953421312L)).as("s_reg"))
+    val eRaw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+      lit(65536.0) * lit(562949953421312.0) / col("s_reg").cast("double")
+    agg0.withColumn("e_raw", eRaw)
+      .select(col("source"), col("v_zero"), col("s_reg"),
+        when(col("e_raw") <= lit(640.0) && col("v_zero") > 0,
+          lit(256.0) * log(lit(256.0) / col("v_zero").cast("double")))
+          .otherwise(col("e_raw"))
+          .cast(DecimalType(28, 6)).cast("double").as("est_hll"))
+  }
+
+  /** Shared oracle CTE chain for q204/q205, ending in
+    * `hll(source, v_zero, s_reg, est_hll)` — the DuckDB replay of
+    * [[hllRegisters]] + [[hllFinalize]]. `fp` is kept visible for q204's
+    * exact-count verifier column. */
+  private lazy val HLL_SQL_CTES: String =
+    """fp AS (
+      |  SELECT source,
+      |    md5(trim(regexp_replace(regexp_replace(lower(text),
+      |      '[^a-z ]', '', 'g'), '  *', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |hx AS (
+      |  SELECT source, ('0x' || substring(fp, 1, 2))::BIGINT AS j,
+      |    ltrim(substring(fp, 3, 12), '0') AS st
+      |  FROM fp),
+      |reg AS (
+      |  SELECT source, j, MAX(CASE WHEN st = '' THEN 49
+      |    ELSE (12 - length(st)) * 4 +
+      |      CASE WHEN instr('0123456789abcdef', substring(st, 1, 1)) - 1 >= 8 THEN 0
+      |           WHEN instr('0123456789abcdef', substring(st, 1, 1)) - 1 >= 4 THEN 1
+      |           WHEN instr('0123456789abcdef', substring(st, 1, 1)) - 1 >= 2 THEN 2
+      |           ELSE 3 END + 1 END) AS m
+      |  FROM hx GROUP BY source, j),
+      |agg AS (
+      |  SELECT source, CAST(256 - COUNT(*) AS BIGINT) AS v_zero,
+      |    CAST(SUM(CAST(power(2, 49 - m) AS BIGINT))
+      |      + (256 - COUNT(*)) * 562949953421312 AS BIGINT) AS s_reg
+      |  FROM reg GROUP BY source),
+      |est AS (
+      |  SELECT source, v_zero, s_reg,
+      |    CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+      |        + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
+      |      * CAST(65536.0 AS DOUBLE) * CAST(562949953421312.0 AS DOUBLE)
+      |      / CAST(s_reg AS DOUBLE) AS e_raw
+      |  FROM agg),
+      |hll AS (
+      |  SELECT source, v_zero, s_reg,
+      |    CAST(CAST(CASE WHEN e_raw <= CAST(640.0 AS DOUBLE) AND v_zero > 0
+      |      THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) / CAST(v_zero AS DOUBLE))
+      |      ELSE e_raw END AS DECIMAL(28,6)) AS DOUBLE) AS est_hll
+      |  FROM est)""".stripMargin
+
+  private lazy val HLL_ORACLE_BATCH: String =
+    s"""WITH $HLL_SQL_CTES,
+       |ex AS (SELECT source, COUNT(DISTINCT fp) AS n_exact
+       |       FROM fp GROUP BY source)
+       |SELECT h.source AS source, e.n_exact, h.v_zero, h.s_reg, h.est_hll
+       |FROM hll h JOIN ex e ON e.source = h.source
+       |ORDER BY source""".stripMargin
+
+  private lazy val HLL_ORACLE_STREAM: String =
+    s"""WITH $HLL_SQL_CTES
+       |SELECT source, v_zero, s_reg, est_hll FROM hll
+       |ORDER BY source""".stripMargin
 
   /** q109/q200 shared oracle: 5 unrolled fixed-point PageRank rounds over
     * the symmetric winnowing match graph — q200's streaming answer must

@@ -1906,6 +1906,80 @@ object TrainingPack {
       docs.join(broadcast(sel), "doc_id")
           .select(col("rk"), col("doc_id"), col("n_tok"), col("imp_bp"))
           .orderBy("rk")
+    },
+
+    // ---- q207: Luhn-validated card-number gate (PII, checksum class) -------
+    // q69 finds PII by PATTERN; payment-card numbers need more — a 16-digit
+    // run is only a PAN if its Luhn check digit validates (ISO/IEC 7812,
+    // public standard), and a corpus gate that flags every long digit run
+    // drowns in false positives. Ground truth is planted like q69's: every
+    // doc gets a 16-digit card-shaped number whose last digit is
+    // doc_id mod 10 — so ~1 in 10 validates, giving both classes — plus a
+    // 4-digit reference number that the length window must ignore. The
+    // Luhn sum runs right-to-left over each candidate via
+    // aggregate(sequence) on the reversed digits (double every second,
+    // subtract 9 above 9) — pure integer/string work both engines replay
+    // exactly. Redaction policy: ALL card-length runs are masked (the
+    // conservative corpus-release choice); the flag records which docs
+    // actually carried a validating PAN.
+    //
+    // 100 TB shape: embarrassingly parallel — one scan, per-row lambda
+    // work bounded by digits-per-doc, no shuffle before the final sort.
+    // The lambda stays a single fixed-size codegen'd expression (no UDF).
+    QueryDef(
+      "q207_luhn_pan_gate", {
+        val luhn = """list_sum(list_transform(range(1, length(r) + 1), i ->
+          |      CASE WHEN i % 2 = 0 THEN
+          |        CASE WHEN (ascii(substring(reverse(r), CAST(i AS INT), 1)) - 48) * 2 > 9
+          |          THEN (ascii(substring(reverse(r), CAST(i AS INT), 1)) - 48) * 2 - 9
+          |          ELSE (ascii(substring(reverse(r), CAST(i AS INT), 1)) - 48) * 2 END
+          |        ELSE ascii(substring(reverse(r), CAST(i AS INT), 1)) - 48 END)) % 10 = 0"""
+          .stripMargin
+        s"""WITH planted AS (
+           |  SELECT doc_id,
+           |    text || ' card 4532' ||
+           |      lpad(CAST(doc_id * 7919 % 100000000 AS VARCHAR), 8, '0') ||
+           |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+           |      CAST(doc_id % 10 AS VARCHAR) ||
+           |      ' ref ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+           |  FROM documents),
+           |runs AS (
+           |  SELECT doc_id, t, regexp_extract_all(t, '[0-9]{13,19}') AS rs
+           |  FROM planted)
+           |SELECT doc_id,
+           |  CAST(len(rs) AS BIGINT) AS n_candidates,
+           |  CAST(len(list_filter(rs, r -> $luhn)) AS BIGINT) AS n_luhn_valid,
+           |  md5(regexp_replace(t, '[0-9]{13,19}', '<PAN>', 'g')) AS redacted_md5
+           |FROM runs
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      val planted = concat(
+        col("text"), lit(" card 4532"),
+        lpad((col("doc_id") * 7919 % 100000000L).cast("string"), 8, "0"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        (col("doc_id") % 10).cast("string"),
+        lit(" ref "), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      val luhnValid = (r: org.apache.spark.sql.Column) => {
+        val rev = reverse(r)
+        val s0 = aggregate(sequence(lit(1), length(rev)), lit(0), (acc, i) => {
+          val dgt = ascii(rev.substr(i, lit(1))) - 48
+          acc + when(i % 2 === 0,
+            when(dgt * 2 > 9, dgt * 2 - 9).otherwise(dgt * 2)).otherwise(dgt)
+        })
+        s0 % 10 === 0
+      }
+      Tables.documents(s, d)
+        .select(col("doc_id"), planted.as("t"))
+        .select(col("doc_id"),
+          regexp_extract_all(col("t"), lit("[0-9]{13,19}"), lit(0)).as("rs"),
+          col("t"))
+        .select(col("doc_id"),
+          size(col("rs")).cast("long").as("n_candidates"),
+          size(filter(col("rs"), r => luhnValid(r))).cast("long")
+            .as("n_luhn_valid"),
+          md5(regexp_replace(col("t"), "[0-9]{13,19}", "<PAN>"))
+            .as("redacted_md5"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -130,6 +130,30 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("portable HLL (q204) tracks exact distinct; streaming merge (q205) is identical") {
+    val batch = SparkEntry.byName("q204_hll_replay").run(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(batch.nonEmpty)
+    batch.foreach { case (src, exact, vZero, sReg, est) =>
+      // m = 256 registers: rsd = 1.04/√256 = 6.5%; linear counting is far
+      // tighter in the small range — allow ~3σ plus small-count slack
+      val tol = math.max(4.0, exact * 0.20)
+      assert(math.abs(est - exact) <= tol, s"source=$src exact=$exact est=$est")
+      assert(vZero >= 0 && vZero <= 256, s"source=$src v_zero=$vZero")
+      // every register contributes a term in [2^0, 2^49]: bounds on S
+      assert(sReg >= 256L && sReg <= 256L * (1L << 49), s"source=$src s_reg=$sReg")
+    }
+    // register max-merge is associative/commutative/idempotent, so the
+    // streaming per-batch merge must reproduce the batch sketch EXACTLY —
+    // same v_zero, same integer register sum, same estimate, per source
+    val stream = SparkEntry.byName("q205_stream_hll_merge").run(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(stream.toSeq.sortBy(_._1) ==
+      batch.toSeq.map { case (s0, _, v, sr, e) => (s0, v, sr, e) }.sortBy(_._1))
+  }
+
   test("Occupancy.cap keeps exactly the rows of groups within the cap") {
     val df = Seq.tabulate(100)(i => (s"k${i % 7}", i.toLong)).toDF("k", "v")
     // group sizes: k0..k1 → 15, k2..k6 → 14

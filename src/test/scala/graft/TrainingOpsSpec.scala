@@ -370,4 +370,34 @@ class TrainingOpsSpec extends AnyFunSuite {
       assert(math.abs(shrunk - raw) <= bound, s"$src shrank too far")
     }
   }
+
+  test("q207 Luhn gate agrees with an independent Scala Luhn on every planted PAN") {
+    // reference implementation, written independently of the SQL expression
+    def luhnOk(digits: String): Boolean = {
+      val s0 = digits.reverse.zipWithIndex.map { case (c, i) =>
+        val d = c - '0'
+        if (i % 2 == 1) { val dd = d * 2; if (dd > 9) dd - 9 else dd } else d
+      }.sum
+      s0 % 10 == 0
+    }
+    // known ISO/IEC 7812 vectors: a published valid test PAN and an
+    // off-by-one corruption of it
+    assert(luhnOk("4532015112830366"))
+    assert(!luhnOk("4532015112830367"))
+    val rows = SparkEntry.byName("q207_luhn_pan_gate").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (docId, nCand, nValid) =>
+      // exactly the one planted 16-digit run is card-length; the 4-digit
+      // ref number must never enter the candidate set
+      assert(nCand == 1L, s"doc $docId: n_candidates=$nCand")
+      val pan = "4532" +
+        f"${docId * 7919 % 100000000L}%08d" + f"${docId % 1000}%03d" +
+        (docId % 10).toString
+      val expected = if (luhnOk(pan)) 1L else 0L
+      assert(nValid == expected, s"doc $docId pan=$pan")
+    }
+    // both classes must actually occur in the fixture
+    assert(rows.exists(_._3 == 1L) && rows.exists(_._3 == 0L))
+  }
 }
