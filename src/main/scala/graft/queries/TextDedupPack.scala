@@ -3359,29 +3359,12 @@ object TextDedupPack {
     QueryDef(
       "q198_skipgram_pairs",
       s"""WITH $WALKS_SQL_CTES,
-         |ctx AS (
-         |  SELECT a.node AS center, b.node AS context
-         |  FROM walks a JOIN walks b
-         |    ON a.start = b.start AND a.walk = b.walk
-         |   AND b.step BETWEEN a.step - $SKIP_WINDOW AND a.step + $SKIP_WINDOW
-         |   AND b.step <> a.step)
+         |$SKIPGRAM_CTX_CTE
          |SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n_pairs
          |FROM ctx
          |GROUP BY center, context
          |ORDER BY center, context""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy("start", "walk").orderBy("step")
-      val fwd = walkCorpus(s, d)
-        .select(col("node").as("center"),
-          array((1 to SKIP_WINDOW).map(j => lead(col("node"), j).over(w)): _*)
-            .as("nexts"))
-        .select(col("center"), explode(col("nexts")).as("context"))
-        .filter(col("context").isNotNull)
-      fwd
-        .unionByName(fwd.select(col("context").as("center"),
-          col("center").as("context")))
-        .groupBy("center", "context")
-        .agg(count(lit(1)).as("n_pairs"))
-        .orderBy("center", "context")
+      skipgramPairs(s, d).orderBy("center", "context")
     },
 
     // ---- q200: streaming incremental PageRank over the match graph ---------
@@ -3676,8 +3659,137 @@ object TextDedupPack {
             .cast(DecimalType(18, 8)).cast("double").as("fx"),
           log(x).cast(DecimalType(18, 8)).cast("double").as("log_x"))
         .orderBy("center", "context")
+    },
+
+    // ---- q208: SGNS negative-sampling table ---------------------------------
+    // The third leg of the embedding-prep trio (q198 positives, q206 GloVe
+    // stats): skip-gram-with-negative-sampling (Mikolov et al., NeurIPS'13)
+    // draws K noise words per positive pair from the unigram^(3/4)
+    // distribution. Made exactly replayable twice over:
+    //   1. the fractional-power weight floor(c^0.75) is computed as the
+    //      INTEGER fourth root of c³ — a floor(power()) candidate corrected
+    //      by one exact integer comparison step, so engine-specific pow
+    //      rounding can never flip a weight;
+    //   2. the draw replays word2vec's OWN published mechanism — the
+    //      unigram table where word i occupies w_i consecutive slots,
+    //      indexed uniformly — with slot positions assigned by
+    //      GlobalIds.prefixSum (two-phase balanced prefix sum, never a
+    //      one-reducer window) and the index h = md5(center:context:slot)
+    //      mod Σw, so "weighted draw" becomes one EQUI-join on position.
+    // Collisions (negative == center/context) are flagged, not resampled —
+    // resampling is an unbounded loop; flagging is the bounded, replayable
+    // policy and downstream can drop or keep flagged rows.
+    //
+    // 100 TB shape: the expanded table is Σ floor(c^0.75) rows —
+    // sub-corpus-scale by concavity — built from one keyed count + one
+    // prefix sum; draws are pairs × K rows joined by KEY (position), no
+    // interval/range join, no broadcast of the vocabulary. Everything
+    // map-side-combinable before its one shuffle.
+    QueryDef(
+      "q208_sgns_negatives", {
+        val negIds = (1 to K_NEG).map(n => s"($n)").mkString(", ")
+        s"""WITH $WALKS_SQL_CTES,
+           |$SKIPGRAM_CTX_CTE,
+           |pairs AS (SELECT center, context FROM ctx GROUP BY center, context),
+           |cnt AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS c FROM walks GROUP BY node),
+           |wt0 AS (SELECT node, c*c*c AS c3,
+           |    CAST(floor(power(c*c*c, 0.25)) AS BIGINT) AS r0 FROM cnt),
+           |wts AS (SELECT node,
+           |    CASE WHEN (r0+1)*(r0+1)*(r0+1)*(r0+1) <= c3 THEN r0+1
+           |         WHEN r0*r0*r0*r0 > c3 THEN r0-1 ELSE r0 END AS w
+           |  FROM wt0),
+           |lad AS (SELECT node, w,
+           |    CAST(COALESCE(SUM(w) OVER (ORDER BY node
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+           |  FROM wts),
+           |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM wts),
+           |expanded AS (SELECT node AS neg_node,
+           |    off + unnest(range(1, w + 1)) AS pos FROM lad),
+           |draws AS (
+           |  SELECT p.center, p.context, CAST(k.n AS BIGINT) AS n,
+           |    ('0x' || substring(md5(CAST(p.center AS VARCHAR) || ':' ||
+           |      CAST(p.context AS VARCHAR) || ':' ||
+           |      CAST(k.n AS VARCHAR)), 1, 15))::BIGINT % t.tw + 1 AS pos
+           |  FROM pairs p CROSS JOIN (VALUES $negIds) k(n) CROSS JOIN tot t)
+           |SELECT d.center, d.context, d.n, e.neg_node,
+           |  CAST(CASE WHEN e.neg_node = d.center OR e.neg_node = d.context
+           |    THEN 1 ELSE 0 END AS BIGINT) AS is_collision
+           |FROM draws d JOIN expanded e ON e.pos = d.pos
+           |ORDER BY center, context, n""".stripMargin
+      }) { (s, d) =>
+      val cnt = walkCorpus(s, d).groupBy("node")
+        .agg(count(lit(1)).as("c"))
+      // integer fourth root of c^3 = floor(c^0.75): floor(pow) is within
+      // ±1 of truth, one comparison step pins it exactly — staged through
+      // withColumn so the r0 subtree is built once (cf. the q187/q199
+      // expression-tree lesson)
+      val wts = cnt
+        .withColumn("c3", col("c") * col("c") * col("c"))
+        .withColumn("r0",
+          floor(pow(col("c3").cast("double"), lit(0.25))).cast("long"))
+        .withColumn("w",
+          when((col("r0") + 1) * (col("r0") + 1) * (col("r0") + 1) *
+            (col("r0") + 1) <= col("c3"), col("r0") + 1)
+            .when(col("r0") * col("r0") * col("r0") * col("r0") > col("c3"),
+              col("r0") - 1)
+            .otherwise(col("r0")))
+        .select("node", "w")
+      val ladder = graft.operators.GlobalIds.prefixSum(
+        wts, Seq(col("node")), "w", "off")
+      val expanded = ladder.select(col("node").as("neg_node"),
+        explode(sequence(col("off") + 1, col("off") + col("w"))).as("pos"))
+      val tot = wts.agg(sum(col("w")).as("tw"))
+      val draws = skipgramPairs(s, d).select("center", "context")
+        .crossJoin(broadcast(tot))
+        .select(col("center"), col("context"),
+          explode(array((1 to K_NEG).map(n => lit(n.toLong)): _*)).as("n"),
+          col("tw"))
+        .withColumn("pos",
+          conv(substring(md5(concat_ws(":",
+            col("center"), col("context"), col("n"))), 1, 15), 16, 10)
+            .cast("long") % col("tw") + 1)
+      draws.join(expanded, "pos")
+        .select(col("center"), col("context"), col("n"), col("neg_node"),
+          when(col("neg_node") === col("center") ||
+            col("neg_node") === col("context"), 1L).otherwise(0L)
+            .as("is_collision"))
+        .orderBy("center", "context", "n")
     }
   )
+
+  /** Negative draws per positive pair in q208 (word2vec's k). */
+  private val K_NEG = 3
+
+  /** Skip-gram context CTE shared by q198 (pair counts) and q208
+    * (negative draws): symmetric ±SKIP_WINDOW co-occurrences within a
+    * walk. Requires `walks` from [[WALKS_SQL_CTES]]. */
+  private lazy val SKIPGRAM_CTX_CTE: String =
+    s"""ctx AS (
+       |  SELECT a.node AS center, b.node AS context
+       |  FROM walks a JOIN walks b
+       |    ON a.start = b.start AND a.walk = b.walk
+       |   AND b.step BETWEEN a.step - $SKIP_WINDOW AND a.step + $SKIP_WINDOW
+       |   AND b.step <> a.step)""".stripMargin
+
+  /** The q198 skip-gram pair/count table (center, context, n_pairs) —
+    * lead() windows per walk partition, both directions, one map-side-
+    * combined count. Shared by q198 (emits it) and q208 (draws negatives
+    * per distinct pair). */
+  private def skipgramPairs(s: org.apache.spark.sql.SparkSession,
+                            d: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("start", "walk").orderBy("step")
+    val fwd = walkCorpus(s, d)
+      .select(col("node").as("center"),
+        array((1 to SKIP_WINDOW).map(j => lead(col("node"), j).over(w)): _*)
+          .as("nexts"))
+      .select(col("center"), explode(col("nexts")).as("context"))
+      .filter(col("context").isNotNull)
+    fwd
+      .unionByName(fwd.select(col("context").as("center"),
+        col("center").as("context")))
+      .groupBy("center", "context")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 
   /** Integer scale for q206's 1/d GloVe distance weights:
     * LCM(1..SKIP_WINDOW), so every scaled weight LCM/d is exact. */

@@ -1980,6 +1980,85 @@ object TrainingPack {
           md5(regexp_replace(col("t"), "[0-9]{13,19}", "<PAN>"))
             .as("redacted_md5"))
         .orderBy("doc_id")
+    },
+
+    // ---- q209: interpolated Kneser-Ney bigram model -------------------------
+    // The LM-smoothing capstone over q162's bigram machinery: add-one
+    // smoothing (q93/q162) over-weights unseen mass; production n-gram
+    // filters (KenLM) use Kneser-Ney (Kneser & Ney '95; Chen & Goodman '98)
+    // — absolute discount d plus a CONTINUATION-probability backoff
+    // P_cont(w) = N1+(·w)/N1+(··) ("how many distinct histories precede w",
+    // not "how often does w occur"). With d = 3/4, the whole model is
+    // exact rational arithmetic: over common denominator 4·c(v)·N,
+    //   P(w|v) = [ (4·c(vw) − 3)·N + 3·N1+(v·)·N1+(·w) ] / (4·c(v)·N)
+    // — num and den are emitted as BIGINTs (the bit-exact cross-engine
+    // check; no floating point anywhere in the model), and p_kn is their
+    // one IEEE quotient under the q93 DECIMAL(18,8) rounding. Seen-mass
+    // property Σ_w P(w|v) ≤ 1 is pinned in TrainingOpsSpec. num stays
+    // under 2^53 while c(vw)·N_distinct_bigrams < 2.2·10¹⁵ — beyond any
+    // realistic single-model fit (KenLM prunes first); the den product is
+    // the same order.
+    //
+    // 100 TB shape: q162's exact plan skeleton — one bigram explode
+    // (map-side), three keyed aggs over the DISTINCT-bigram table (c1/N1v
+    // per v, N1w per w, one scalar N — all partial-agg friendly, the c2
+    // table persisted for its four consumers), keyed joins back, and the
+    // min-count output filter bounds what's emitted, not what's modeled.
+    QueryDef(
+      "q209_kneser_ney",
+      s"""WITH norm AS (
+         |  SELECT list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
+         |    '[^a-z ]', '', 'g'), '  *', ' ', 'g')), ' '), x -> x <> '') AS t
+         |  FROM documents),
+         |bg AS (
+         |  SELECT u.a AS a, u.b AS b FROM (
+         |    SELECT unnest(list_transform(range(1, len(t)), i -> {a: t[i], b: t[i+1]})) AS u
+         |    FROM norm WHERE len(t) >= 2)),
+         |c2 AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY a, b),
+         |c1 AS (SELECT a, CAST(SUM(c2) AS BIGINT) AS c1,
+         |       CAST(COUNT(*) AS BIGINT) AS n1v FROM c2 GROUP BY a),
+         |nw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n1w FROM c2 GROUP BY b),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM c2)
+         |SELECT c2.a AS a, c2.b AS b, c2.c2 AS c_vw, c1.n1v, nw.n1w,
+         |  (c2.c2 * 4 - 3) * nn.nn + c1.n1v * nw.n1w * 3 AS num,
+         |  c1.c1 * nn.nn * 4 AS den,
+         |  CAST(CAST(CAST((c2.c2 * 4 - 3) * nn.nn + c1.n1v * nw.n1w * 3 AS DOUBLE)
+         |    / CAST(c1.c1 * nn.nn * 4 AS DOUBLE) AS DECIMAL(18,8)) AS DOUBLE) AS p_kn
+         |FROM c2 JOIN c1 USING (a) JOIN nw USING (b) CROSS JOIN nn
+         |WHERE c2.c2 >= $KN_MIN_COUNT
+         |ORDER BY a, b""".stripMargin) { (s, d) =>
+      val normE = trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z ]", ""), "  *", " "))
+      val norm = Tables.documentsSpread(s, d)
+        .select(filter(split(normE, " "), x => x =!= "").as("t"))
+      val t = col("t")
+      val bg = norm.filter(size(t) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), size(t) - 1),
+          i => struct(element_at(t, i).as("a"), element_at(t, i + 1).as("b"))
+        )).as("u"))
+        .select(col("u.a").as("a"), col("u.b").as("b"))
+      // the distinct-bigram table feeds four consumers (c1/n1v, n1w, the
+      // scalar N, the output rows) — persisted, the q162 discipline
+      val c2 = bg.groupBy("a", "b").agg(count(lit(1)).as("c2")).persist()
+      val c1 = c2.groupBy("a")
+        .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1v"))
+      val nw = c2.groupBy("b").agg(count(lit(1)).as("n1w"))
+      val nn = c2.agg(count(lit(1)).as("nn"))
+      c2.filter(col("c2") >= KN_MIN_COUNT)
+        .join(c1, "a").join(nw, "b").crossJoin(broadcast(nn))
+        .withColumn("num",
+          (col("c2") * 4 - 3) * col("nn") + col("n1v") * col("n1w") * 3)
+        .withColumn("den", col("c1") * col("nn") * 4)
+        .select(col("a"), col("b"), col("c2").as("c_vw"),
+          col("n1v"), col("n1w"), col("num"), col("den"),
+          (col("num").cast("double") / col("den").cast("double"))
+            .cast(DecimalType(18, 8)).cast("double").as("p_kn"))
+        .orderBy("a", "b")
     }
   )
+
+  /** q209's output floor: bigrams below this support are modeled (they
+    * shape every continuation/history count) but not emitted. */
+  private val KN_MIN_COUNT = 5
 }

@@ -154,6 +154,24 @@ class DedupSpec extends AnyFunSuite {
       batch.toSeq.map { case (s0, _, v, sr, e) => (s0, v, sr, e) }.sortBy(_._1))
   }
 
+  test("q208 emits exactly K draws per positive pair, every negative from the walk vocabulary") {
+    val negs = SparkEntry.byName("q208_sgns_negatives").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val pairs = SparkEntry.byName("q198_skipgram_pairs").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(negs.nonEmpty && pairs.nonEmpty)
+    // one row per (pair, slot): no draw is lost in the position join and
+    // none duplicates (positions are unique in the expanded table)
+    assert(negs.length == pairs.size * 3)
+    negs.groupBy(t => (t._1, t._2)).foreach { case (p, g) =>
+      assert(pairs.contains(p))
+      assert(g.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L), s"pair $p slots")
+    }
+    val vocab = SparkEntry.byName("q195_random_walks").run(spark, sf)
+      .select("node").distinct().collect().map(_.getLong(0)).toSet
+    negs.foreach { case (_, _, _, neg) => assert(vocab.contains(neg)) }
+  }
+
   test("Occupancy.cap keeps exactly the rows of groups within the cap") {
     val df = Seq.tabulate(100)(i => (s"k${i % 7}", i.toLong)).toDF("k", "v")
     // group sizes: k0..k1 → 15, k2..k6 → 14

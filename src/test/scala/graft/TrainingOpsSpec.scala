@@ -400,4 +400,24 @@ class TrainingOpsSpec extends AnyFunSuite {
     // both classes must actually occur in the fixture
     assert(rows.exists(_._3 == 1L) && rows.exists(_._3 == 0L))
   }
+
+  test("q209 Kneser-Ney probabilities are in (0,1] and seen mass per history <= 1") {
+    val rows = SparkEntry.byName("q209_kneser_ney").run(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(5), r.getLong(6),
+        r.getDouble(7)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (v, cvw, num, den, p) =>
+      assert(cvw >= 5, s"$v: output below min count")
+      assert(num > 0 && num <= den, s"$v: num=$num den=$den")
+      assert(p > 0.0 && p <= 1.0, s"$v: p=$p")
+    }
+    // the interpolated-KN normalization property, restricted to emitted
+    // rows: the seen probability mass of any history is at most 1 (the
+    // remainder is the backoff mass of its unseen continuations)
+    rows.groupBy(_._1).foreach { case (v, g) =>
+      val mass = g.map(_._5).sum
+      assert(mass <= 1.0 + 1e-6, s"history $v seen mass $mass > 1")
+    }
+  }
 }
