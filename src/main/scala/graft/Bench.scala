@@ -85,7 +85,8 @@ object Bench {
       // level (ADVICE r13; q198 re-derives the walk corpus), and
       // q150/q193's Lloyd rounds are checkpoint-backed (r14) — same
       // GC+ContextCleaner-freed-blocks criterion as the CC family above
-      "q195", "q198", "q201", "q206", "q208", "q150")
+      "q195", "q198", "q201", "q206", "q208", "q150",
+      "q210") // q210 runs a full CC (per-round localCheckpoint), as q67
     def quiesce(heavy: Boolean): Unit =
       if (heavy) {
         System.gc(); Thread.sleep(50)

@@ -3754,8 +3754,76 @@ object TextDedupPack {
             col("neg_node") === col("context"), 1L).otherwise(0L)
             .as("is_collision"))
         .orderBy("center", "context", "n")
+    },
+
+    // ---- q210: dedup-weighted corpus sampling --------------------------------
+    // Between "keep everything" and "keep one canonical per cluster" (q67)
+    // sits the policy modern corpus builds actually use (SemDeDup/SoftDeDup
+    // family): keep each document with probability 1/|cluster|, so every
+    // near-dup cluster contributes ONE document in expectation — the
+    // deduplicated DISTRIBUTION is preserved while which copy survives
+    // stays diverse, and unique documents (|cluster| = 1) are kept with
+    // probability exactly 1. The Bernoulli draw is derandomized portably:
+    // keep iff md5₆₀(salt:doc_id) mod |cluster| = 0 — an exact-integer rule
+    // both engines replay bit-for-bit (bias ≤ |cluster|/2⁶⁰), no float
+    // threshold anywhere. Emits EVERY doc with its kept flag (the audit
+    // view; the corpus build is `WHERE kept = 1`).
+    //
+    // 100 TB shape: cluster structure comes from operators.Components
+    // (O(log² n) keyed rounds, node-sized state); sizes are one map-side-
+    // combined count on the component table; membership + size attach via
+    // two keyed joins against the node-sized cluster table (docs outside
+    // any pair never enter the CC — the LEFT joins default them to
+    // singleton); the draw itself is pure map-side. Nothing scans pair
+    // history after the CC.
+    QueryDef(
+      "q210_dedup_weighted_sample",
+      s"""WITH RECURSIVE $PAIRS_SQL,
+         |und AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |        UNION ALL
+         |        SELECT doc_b AS u, doc_a AS v FROM jpairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM und
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, least(u, MIN(v)) AS cluster_id
+         |         FROM reach GROUP BY u),
+         |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS csize
+         |       FROM comp GROUP BY cluster_id),
+         |alld AS (
+         |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         |    CAST(COALESCE(s.csize, 1) AS BIGINT) AS cluster_size
+         |  FROM documents d
+         |  LEFT JOIN comp c ON c.doc_id = d.doc_id
+         |  LEFT JOIN sz s ON s.cluster_id = c.cluster_id)
+         |SELECT doc_id, cluster_id, cluster_size,
+         |  CAST(CASE WHEN ('0x' || substring(md5('$DWS_SALT:' ||
+         |      CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % cluster_size = 0
+         |    THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM alld
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val clusters = graft.operators.Components
+        .connectedComponents(jaccardPairs(s, d).select("doc_a", "doc_b"),
+          "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("component").as("cid"))
+      val sz = clusters.groupBy("cid").agg(count(lit(1)).as("csize"))
+      val h = conv(substring(md5(concat(lit(s"$DWS_SALT:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+      Tables.documents(s, d).select("doc_id")
+        .join(clusters, Seq("doc_id"), "left")
+        .join(sz, Seq("cid"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cid"), col("doc_id")).as("cluster_id"),
+          coalesce(col("csize"), lit(1L)).as("cluster_size"))
+        .withColumn("kept",
+          when(h % col("cluster_size") === 0L, 1L).otherwise(0L))
+        .orderBy("doc_id")
     }
   )
+
+  /** q210's draw salt: decouples the keep/drop pattern from every other
+    * md5-derandomized query over doc_id (q129's threshold draw included). */
+  private val DWS_SALT = "q210"
 
   /** Negative draws per positive pair in q208 (word2vec's k). */
   private val K_NEG = 3

@@ -172,6 +172,39 @@ class DedupSpec extends AnyFunSuite {
     negs.foreach { case (_, _, _, neg) => assert(vocab.contains(neg)) }
   }
 
+  test("q210 kept flag re-derives from an independent Scala md5 draw; singletons always kept") {
+    val rows = SparkEntry.byName("q210_dedup_weighted_sample").run(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every document exactly once
+    assert(rows.length == docs.count())
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // independent re-derivation of the whole Bernoulli(1/size) draw
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_))
+        .mkString.take(15), 16)
+    rows.foreach { case (doc, _, size, kept) =>
+      assert(size >= 1)
+      val expect = if (h60(s"q210:$doc") % size == 0L) 1L else 0L
+      assert(kept == expect, s"doc $doc size $size")
+      if (size == 1L) assert(kept == 1L, s"singleton $doc dropped")
+    }
+    // both classes occur among clustered docs, and cluster ids agree
+    // with q67's connected components on the shared membership
+    val clustered = rows.filter(_._3 > 1)
+    assert(clustered.exists(_._4 == 1L) && clustered.exists(_._4 == 0L))
+    val cc = SparkEntry.byName("q67_dedup_clusters").run(spark, sf)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (doc, cid, size, _) =>
+      cc.get(doc) match {
+        case Some(c) => assert(cid == c && size > 1, s"doc $doc")
+        case None    => assert(cid == doc && size == 1, s"doc $doc")
+      }
+    }
+  }
+
   test("Occupancy.cap keeps exactly the rows of groups within the cap") {
     val df = Seq.tabulate(100)(i => (s"k${i % 7}", i.toLong)).toDF("k", "v")
     // group sizes: k0..k1 → 15, k2..k6 → 14
