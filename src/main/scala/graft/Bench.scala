@@ -69,7 +69,7 @@ object Bench {
     // alphabetical successor) still see the full barrier.
     val DIRTY = Set(
       "q76", "q77", "q88", "q89", "q94", "q95", // driver-held ANN models (SRP/IVF/PQ)
-      "q134", "q135",                           // BPE: driver-held merge table, 1-row rounds
+      "q134", "q135", "q211",                   // BPE: driver-held merge table, 1-row rounds
       "q136", "q140",                           // mergeable-state / driver-held relations
       "q155", "q158",                           // priority-sample driver-held thresholds
       "q156", "q159", "q166",                   // exact distributed quantile models

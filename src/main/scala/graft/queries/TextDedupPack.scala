@@ -2655,6 +2655,61 @@ object TextDedupPack {
         .orderBy("lang")
     },
 
+    // ---- q211: tokenizer fertility per language -----------------------------
+    // The multilingual-tokenizer-bias audit run before committing a vocab:
+    // fertility (subwords per word) and chars-per-subword differ sharply by
+    // language under a shared BPE table, and high-fertility languages pay
+    // more sequence length per unit text (Rust/ács-style fertility
+    // studies). Re-uses q134's learned table verbatim (BpeSql.learnCtes in
+    // the oracle, bpeLearn on the Spark side — learn and audit cannot
+    // drift) and adds what q135's ledger lacks: the single-subword share
+    // (words the vocab covers whole), worst-case fertility, and the two
+    // ratios as DECIMAL(18,8)-rounded quotients of exact integer aggs.
+    //
+    // 100 TB shape: identical to q135 — token stream ⋈ vocab (Zipf-bounded
+    // type table, AQE decides the strategy), then ONE map-side-combined
+    // per-lang agg; ratios are per-group scalars computed after the
+    // reduction. Nothing beyond q135's cost.
+    QueryDef(
+      "q211_tokenizer_fertility", {
+        s"""WITH ${BpeSql.learnCtes},
+           |enc AS (SELECT t, ${BpeSql.nSyms} AS nsub FROM v$BPE_ROUNDS),
+           |tokl AS (
+           |  SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents),
+           |j AS (SELECT lang, tokl.t AS t, enc.nsub AS nsub
+           |      FROM tokl JOIN enc ON enc.t = tokl.t)
+           |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+           |  CAST(SUM(nsub) AS BIGINT) AS n_subwords,
+           |  CAST(SUM(CASE WHEN nsub = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_single,
+           |  CAST(MAX(nsub) AS BIGINT) AS max_fertility,
+           |  CAST(CAST(CAST(SUM(nsub) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           |    AS DECIMAL(18,8)) AS DOUBLE) AS fertility,
+           |  CAST(CAST(CAST(SUM(length(t)) AS DOUBLE) / CAST(SUM(nsub) AS DOUBLE)
+           |    AS DECIMAL(18,8)) AS DOUBLE) AS chars_per_subword
+           |FROM j
+           |GROUP BY lang
+           |ORDER BY lang""".stripMargin
+      }) { (s, d) =>
+      val (states, _) = bpeLearn(s, d)
+      val enc = states(BPE_ROUNDS).select(col("t"), BpeNSymsExpr.as("nsub"))
+      Tables.documentsSpread(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+        .join(enc, "t")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("nsub").cast("long")).as("n_subwords"),
+          sum(when(col("nsub") === 1, 1L).otherwise(0L)).as("n_single"),
+          max(col("nsub").cast("long")).as("max_fertility"),
+          sum(length(col("t")).cast("long")).as("n_chars"))
+        .select(col("lang"), col("n_words"), col("n_subwords"),
+          col("n_single"), col("max_fertility"),
+          (col("n_subwords").cast("double") / col("n_words").cast("double"))
+            .cast(DecimalType(18, 8)).cast("double").as("fertility"),
+          (col("n_chars").cast("double") / col("n_subwords").cast("double"))
+            .cast(DecimalType(18, 8)).cast("double").as("chars_per_subword"))
+        .orderBy("lang")
+    },
+
     // ---- q126: Unicode NFC canonicalization (native expression) ------------
     // Hash-keyed text operators silently under-deduplicate on corpora that
     // mix precomposed and decomposed Unicode — "é" (U+00E9) and "é"

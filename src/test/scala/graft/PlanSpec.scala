@@ -64,6 +64,26 @@ class PlanSpec extends AnyFunSuite {
     assert(cartesian.isEmpty, "unbroadcast cartesian product in the exact top-k")
   }
 
+  test("q204 HLL register reduction is map-side combined before its shuffle") {
+    // the 100 TB property the query's scaladoc claims: the (source, j) max
+    // runs in PARTIAL mode in the scan stage, so at most 256 register rows
+    // per source per partition ever cross the aggregation exchange —
+    // corpus-size rows never do. Partial mode ⇔ no required child
+    // distribution on the aggregate node.
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Max
+    val p = plan(q("q204_hll_replay"))
+    val partialMax = collectAll(p) {
+      case a: BaseAggregateExec
+        if a.requiredChildDistributionExpressions.isEmpty &&
+          a.aggregateExpressions.exists(_.aggregateFunction.isInstanceOf[Max]) => a
+    }
+    assert(partialMax.nonEmpty,
+      s"register max is not map-side combined:\n$p")
+    // and the finalize join never degrades to a cartesian
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
   test("no query plan in the whole registry contains an unbroadcast cartesian product") {
     // rows-only + oracle queries alike; streaming queries excluded (their
     // plan materializes through the streaming engine)

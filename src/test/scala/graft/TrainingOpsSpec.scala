@@ -401,6 +401,28 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rows.exists(_._3 == 1L) && rows.exists(_._3 == 0L))
   }
 
+  test("q211 fertility ledger is consistent with q135's encode totals") {
+    val fert = SparkEntry.byName("q211_tokenizer_fertility").run(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    val enc = SparkEntry.byName("q135_bpe_encode").run(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(fert.keySet == enc.keySet && fert.nonEmpty)
+    fert.foreach { case (lang, (nw, nsub, nsingle, maxf, f, cps)) =>
+      // same join, same corpus: totals must agree with q135 exactly
+      assert((nw, nsub) == enc(lang), s"$lang totals diverge from q135")
+      assert(nsingle >= 0 && nsingle <= nw)
+      // every word is at least one subword; fertility sits in [1, maxf]
+      assert(nsub >= nw && maxf >= 1)
+      assert(f >= 1.0 && f <= maxf.toDouble, s"$lang fertility $f")
+      // a subword is at least one char, so chars/subword >= 1
+      assert(cps >= 1.0, s"$lang chars_per_subword $cps")
+    }
+  }
+
   test("q209 Kneser-Ney probabilities are in (0,1] and seen mass per history <= 1") {
     val rows = SparkEntry.byName("q209_kneser_ney").run(spark, sf)
       .collect()
