@@ -3772,7 +3772,12 @@ object TextDedupPack {
            |FROM draws d JOIN expanded e ON e.pos = d.pos
            |ORDER BY center, context, n""".stripMargin
       }) { (s, d) =>
-      val cnt = walkCorpus(s, d).groupBy("node")
+      // ONE walk build feeds both the unigram counts and the positive
+      // pairs — walkCorpus's per-step localCheckpoints are eager, so a
+      // second call would re-run the whole WALK_STEPS join ladder
+      // (BenchOne r14: 9.5 s two-build vs one-build at sf0.1)
+      val wc = walkCorpus(s, d)
+      val cnt = wc.groupBy("node")
         .agg(count(lit(1)).as("c"))
       // integer fourth root of c^3 = floor(c^0.75): floor(pow) is within
       // ±1 of truth, one comparison step pins it exactly — staged through
@@ -3794,7 +3799,7 @@ object TextDedupPack {
       val expanded = ladder.select(col("node").as("neg_node"),
         explode(sequence(col("off") + 1, col("off") + col("w"))).as("pos"))
       val tot = wts.agg(sum(col("w")).as("tw"))
-      val draws = skipgramPairs(s, d).select("center", "context")
+      val draws = skipgramPairsOf(wc).select("center", "context")
         .crossJoin(broadcast(tot))
         .select(col("center"), col("context"),
           explode(array((1 to K_NEG).map(n => lit(n.toLong)): _*)).as("n"),
@@ -3899,9 +3904,16 @@ object TextDedupPack {
     * combined count. Shared by q198 (emits it) and q208 (draws negatives
     * per distinct pair). */
   private def skipgramPairs(s: org.apache.spark.sql.SparkSession,
-                            d: String): org.apache.spark.sql.DataFrame = {
+                            d: String): org.apache.spark.sql.DataFrame =
+    skipgramPairsOf(walkCorpus(s, d))
+
+  /** [[skipgramPairs]] over an ALREADY-BUILT walk corpus — q208 shares
+    * one checkpointed walk between the pair table and the unigram
+    * counts instead of re-running the step-join ladder. */
+  private def skipgramPairsOf(
+      wc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy("start", "walk").orderBy("step")
-    val fwd = walkCorpus(s, d)
+    val fwd = wc
       .select(col("node").as("center"),
         array((1 to SKIP_WINDOW).map(j => lead(col("node"), j).over(w)): _*)
           .as("nexts"))
