@@ -918,54 +918,10 @@ object TrainingPack {
     // the hash.
     QueryDef(
       "q93_unigram_logprob",
-      s"""WITH norm AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
-         |      '[^a-z ]', '', 'g'), '  *', ' ', 'g')), ' '), x -> x <> '') AS t
-         |  FROM documents),
-         |tok AS (SELECT doc_id, unnest(t) AS tok FROM norm),
-         |cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
-         |vocab AS (SELECT tok, c FROM cnt WHERE c >= $LM_MIN_COUNT),
-         |scal AS (
-         |  SELECT (SELECT SUM(c) FROM cnt) AS T, (SELECT COUNT(*) FROM vocab) AS V),
-         |scored AS (
-         |  SELECT doc_id,
-         |    CASE WHEN v.c IS NULL THEN 1 ELSE 0 END AS oov,
-         |    CAST(-ln((COALESCE(v.c, 0) + 1.0) / (T + V + 1.0)) AS DECIMAL(38,20)) AS nll
-         |  FROM tok LEFT JOIN vocab v USING (tok) CROSS JOIN scal)
-         |SELECT doc_id,
-         |  COUNT(*) AS n_tok,
-         |  CAST(SUM(oov) AS BIGINT) AS n_oov,
-         |  CAST(CAST(CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS DECIMAL(18,8)) AS DOUBLE) AS avg_nll
-         |FROM scored
-         |GROUP BY doc_id
+      s"""WITH $UNIGRAM_NLL_CTES
+         |SELECT doc_id, n_tok, n_oov, avg_nll FROM pd
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.types.DecimalType
-      val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
-        "[^a-z ]", ""), "  *", " "))
-      // token stream scanned twice (count-model pass + scoring pass) —
-      // persisted, cf. q90's identical two-pass shape
-      val tok = Tables.documentsSpread(s, d)
-        .select(col("doc_id"), explode(filter(split(norm, " "), x => x =!= "")).as("tok"))
-        .persist()
-      val cnt = tok.groupBy("tok").agg(count(lit(1)).as("c"))
-      val vocab = cnt.filter(col("c") >= LM_MIN_COUNT)
-      val scal = cnt.agg(sum(col("c")).as("T"))
-        .crossJoin(vocab.agg(count(lit(1)).as("V")))
-      val scored = tok
-        .join(vocab, Seq("tok"), "left")
-        .crossJoin(broadcast(scal))
-        .select(col("doc_id"),
-          when(col("c").isNull, 1L).otherwise(0L).as("oov"),
-          (-log((coalesce(col("c"), lit(0L)) + lit(1.0)) /
-            (col("T") + col("V") + lit(1.0)))).cast(DecimalType(38, 20)).as("nll"))
-      scored.groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_tok"),
-          sum(col("oov")).as("n_oov"),
-          (sum(col("nll")).cast("double") / count(lit(1)))
-            .cast(DecimalType(18, 8)).cast("double").as("avg_nll"))
-        .orderBy("doc_id")
+      unigramNllPerDoc(s, d).orderBy("doc_id")
     },
 
     // ---- q162: bigram-LM scoring (the CCNet-perplexity shape) --------------
@@ -2055,10 +2011,122 @@ object TrainingPack {
           (col("num").cast("double") / col("den").cast("double"))
             .cast(DecimalType(18, 8)).cast("double").as("p_kn"))
         .orderBy("a", "b")
+    },
+
+    // ---- q212: competence-based curriculum schedule --------------------------
+    // Curriculum learning's data-side artifact (Platanios et al., NAACL'19):
+    // rank every document by difficulty — q93's unigram avg-NLL, the
+    // perplexity proxy, shared VERBATIM via UNIGRAM_NLL_CTES so the
+    // ordering score cannot drift from the audited one — and assign each
+    // doc the FIRST epoch whose competence window admits it, under the
+    // published sqrt schedule c(e) = sqrt(e/E): epoch e trains on the
+    // easiest floor(N·sqrt(e/E)) docs, so first_epoch(rank) is the
+    // smallest e with rank ≤ that cut. sqrt(e/E) for e=1..4 is the same
+    // IEEE double in both engines (correctly-rounded sqrt of an exact
+    // quotient), so the floor'd cuts replay exactly; ties in avg_nll
+    // break on doc_id (total order).
+    //
+    // 100 TB shape: the global difficulty rank comes from GlobalIds.assign
+    // — a balanced range exchange + per-partition rank + broadcast offsets,
+    // never a one-reducer ROW_NUMBER; N is one broadcast scalar; the epoch
+    // assignment is a pure map-side CASE against 3 floor'd cuts. The
+    // per-doc score table is persisted for its two consumers (rank
+    // lineage, N).
+    QueryDef(
+      "q212_curriculum_schedule",
+      s"""WITH $UNIGRAM_NLL_CTES,
+         |rk AS (
+         |  SELECT doc_id, avg_nll,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY avg_nll, doc_id) AS BIGINT) AS rank
+         |  FROM pd),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pd)
+         |SELECT doc_id, avg_nll, rank,
+         |  CAST(CASE
+         |    WHEN rank <= CAST(floor(CAST(n AS DOUBLE) * sqrt(1.0/4.0)) AS BIGINT) THEN 1
+         |    WHEN rank <= CAST(floor(CAST(n AS DOUBLE) * sqrt(2.0/4.0)) AS BIGINT) THEN 2
+         |    WHEN rank <= CAST(floor(CAST(n AS DOUBLE) * sqrt(3.0/4.0)) AS BIGINT) THEN 3
+         |    ELSE 4 END AS BIGINT) AS first_epoch
+         |FROM rk CROSS JOIN nn
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // two consumers (rank lineage + the N scalar) — persisted
+      val pd = unigramNllPerDoc(s, d).select("doc_id", "avg_nll").persist()
+      val rk = graft.operators.GlobalIds.assign(
+        pd, Seq(col("avg_nll"), col("doc_id")), "rank")
+      val nn = pd.agg(count(lit(1)).as("n"))
+      def cut(e: Int) =
+        floor(col("n").cast("double") * lit(math.sqrt(e / 4.0))).cast("long")
+      rk.crossJoin(broadcast(nn))
+        .select(col("doc_id"), col("avg_nll"), col("rank"),
+          when(col("rank") <= cut(1), 1L)
+            .when(col("rank") <= cut(2), 2L)
+            .when(col("rank") <= cut(3), 3L)
+            .otherwise(4L).as("first_epoch"))
+        .orderBy("doc_id")
     }
   )
 
   /** q209's output floor: bigrams below this support are modeled (they
     * shape every continuation/history count) but not emitted. */
   private val KN_MIN_COUNT = 5
+
+  /** q93's whole per-doc scoring chain as CTEs ending in
+    * `pd(doc_id, n_tok, n_oov, avg_nll)` — shared verbatim by q93 (emits
+    * pd) and q212 (ranks pd into a curriculum), so the difficulty score
+    * a curriculum orders by can never drift from the audited one. */
+  private lazy val UNIGRAM_NLL_CTES: String =
+    s"""norm AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
+       |      '[^a-z ]', '', 'g'), '  *', ' ', 'g')), ' '), x -> x <> '') AS t
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(t) AS tok FROM norm),
+       |cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+       |vocab AS (SELECT tok, c FROM cnt WHERE c >= $LM_MIN_COUNT),
+       |scal AS (
+       |  SELECT (SELECT SUM(c) FROM cnt) AS T, (SELECT COUNT(*) FROM vocab) AS V),
+       |scored AS (
+       |  SELECT doc_id,
+       |    CASE WHEN v.c IS NULL THEN 1 ELSE 0 END AS oov,
+       |    CAST(-ln((COALESCE(v.c, 0) + 1.0) / (T + V + 1.0)) AS DECIMAL(38,20)) AS nll
+       |  FROM tok LEFT JOIN vocab v USING (tok) CROSS JOIN scal),
+       |pd AS (
+       |  SELECT doc_id,
+       |    COUNT(*) AS n_tok,
+       |    CAST(SUM(oov) AS BIGINT) AS n_oov,
+       |    CAST(CAST(CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS DECIMAL(18,8)) AS DOUBLE) AS avg_nll
+       |  FROM scored
+       |  GROUP BY doc_id)""".stripMargin
+
+  /** Spark mirror of [[UNIGRAM_NLL_CTES]]'s `pd`: per-doc
+    * (doc_id, n_tok, n_oov, avg_nll) under the add-one-smoothed
+    * corpus-fit unigram LM, with the q93 decimal ledger (exact
+    * DECIMAL(38,20) sums, one DECIMAL(18,8) round). */
+  private def unigramNllPerDoc(s: org.apache.spark.sql.SparkSession,
+                               d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
+      "[^a-z ]", ""), "  *", " "))
+    // token stream scanned twice (count-model pass + scoring pass) —
+    // persisted, cf. q90's identical two-pass shape
+    val tok = Tables.documentsSpread(s, d)
+      .select(col("doc_id"), explode(filter(split(norm, " "), x => x =!= "")).as("tok"))
+      .persist()
+    val cnt = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+    val vocab = cnt.filter(col("c") >= LM_MIN_COUNT)
+    val scal = cnt.agg(sum(col("c")).as("T"))
+      .crossJoin(vocab.agg(count(lit(1)).as("V")))
+    val scored = tok
+      .join(vocab, Seq("tok"), "left")
+      .crossJoin(broadcast(scal))
+      .select(col("doc_id"),
+        when(col("c").isNull, 1L).otherwise(0L).as("oov"),
+        (-log((coalesce(col("c"), lit(0L)) + lit(1.0)) /
+          (col("T") + col("V") + lit(1.0)))).cast(DecimalType(38, 20)).as("nll"))
+    scored.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum(col("oov")).as("n_oov"),
+        (sum(col("nll")).cast("double") / count(lit(1)))
+          .cast(DecimalType(18, 8)).cast("double").as("avg_nll"))
+  }
 }

@@ -961,28 +961,7 @@ object VectorPack {
     // is scanned once, never shuffled.
     QueryDef(
       "q203_retrieval_rank_metrics", {
-        val D1 = KM_DIM + 1
-        def noise(vid: String, i: String) =
-          s"""(('0x' || substring(md5(CAST($vid AS VARCHAR) || ':' ||
-             |      CAST($i AS VARCHAR)), 1, 15))::BIGINT
-             |      % (2 * (($vid % 5) * 128) + 1)) - ($vid % 5) * 128""".stripMargin
-        s"""WITH q AS (
-           |${quantizeSql("embeddings")}),
-           |tw AS (
-           |  SELECT vid + $TWIN_OFFSET AS tvid,
-           |    list_transform(range(1, $D1), i -> qv[i] +
-           |      ${noise("vid", "i")}) AS qv
-           |  FROM q),
-           |corpus AS (SELECT vid, qv FROM q
-           |           UNION ALL SELECT tvid, qv FROM tw),
-           |queries AS (SELECT vid AS qid, qv AS qe FROM q WHERE vid < 50),
-           |dists AS (
-           |  SELECT qid, c.vid AS cid,
-           |    CAST(list_sum(list_transform(range(1, $D1), i ->
-           |      (c.qv[i] - qe[i]) * (c.qv[i] - qe[i]))) AS BIGINT) AS d2
-           |  FROM corpus c JOIN queries ON c.vid <> qid),
-           |twind AS (SELECT qid, d2 AS dt, cid AS tid FROM dists
-           |          WHERE cid = qid + $TWIN_OFFSET),
+        s"""WITH $GradedDistsCtes,
            |ranks AS (
            |  SELECT d.qid,
            |    CAST(1 + SUM(CASE WHEN d.d2 < t.dt
@@ -996,39 +975,7 @@ object VectorPack {
            |FROM ranks
            |ORDER BY qid""".stripMargin
       }) { (s, d) =>
-      import graft.operators.Ivf
-      val base = Tables.embeddings(s, d).select(col("vec_id").as("vid"),
-        Ivf.quantizeVec(col("embedding")).as("qv"))
-      val amp = pmod(col("vid"), lit(5)) * 128
-      // graded per-dimension noise, 1-based dim index in the hash key to
-      // match the oracle's range(1, 65) variable
-      val noisy = transform(col("qv"), (x, i) =>
-        x + pmod(conv(substring(md5(concat_ws(":",
-            col("vid"), (i + 1).cast("long"))), 1, 15), 16, 10).cast("long"),
-          amp * 2 + 1) - amp)
-      // two-step select, deliberately: putting `(vid + OFFSET).as("vid")`
-      // in the SAME select as `noisy` makes Spark 4's lateral-column-alias
-      // resolution bind noisy's `col("vid")` (the md5 noise key) to the
-      // NEW offset alias instead of the input vid — silently different
-      // noise than the oracle's. Noise first, rename after.
-      val twins = base.select(col("vid"), noisy.as("qv"))
-        .select((col("vid") + TWIN_OFFSET).as("vid"), col("qv"))
-      val corpus = base.unionByName(twins)
-      val queries = base.filter(col("vid") < 50)
-        .select(col("vid").as("qid"), col("qv").as("qe"))
-      def l2(a: Column, b: Column) = aggregate(
-        zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, x) => acc + x)
-      val dists = corpus.join(broadcast(queries), col("vid") =!= col("qid"))
-        .select(col("qid"), col("vid").as("cid"), l2(col("qv"), col("qe")).as("d2"))
-      // per-query twin distance, derived from the BOUNDED query/twin rows
-      // (vid range filters carry the static boundedness evidence)
-      val twinD = twins
-        .filter(col("vid") >= TWIN_OFFSET && col("vid") < TWIN_OFFSET + 50)
-        .select((col("vid") - TWIN_OFFSET).as("qid"), col("vid").as("tid"),
-          col("qv").as("tqv"))
-        .join(queries, "qid")
-        .select(col("qid"), col("tid"), l2(col("tqv"), col("qe")).as("dt"))
+      val (dists, twinD) = gradedDists(s, d)
       dists.join(broadcast(twinD), "qid")
         .groupBy("qid")
         .agg((lit(1L) + sum(when(col("d2") < col("dt") ||
@@ -1040,8 +987,132 @@ object VectorPack {
           when(col("twin_rank") === 1L, 1L).otherwise(0L).as("hit_1"),
           when(col("twin_rank") <= 10L, 1L).otherwise(0L).as("hit_10"))
         .orderBy("qid")
+    },
+
+    // ---- q213: hard-negative mining for contrastive retriever training -----
+    // The training-data artifact built ON q203's evaluation fixture:
+    // contrastive/triplet training (DPR, SBERT) needs, per (anchor query,
+    // known positive), the K nearest NON-relevant corpus items — the hard
+    // negatives — plus the triplet margin d2(neg) − d2(pos), whose sign
+    // says whether the triplet violates (produces gradient). Fixture,
+    // distances, and tiebreaks are shared VERBATIM with q203
+    // (GradedDistsCtes / gradedDists), so "hard" here is measured in
+    // exactly the geometry the rank metrics audit — everything integer,
+    // margins included, and the violation flag uses q203's (d2, id)
+    // lexicographic order.
+    //
+    // 100 TB shape: per-query top-K via the mergeable TopKRows aggregator
+    // (≤ K rows of state per (query, map partition) cross the shuffle —
+    // never a corpus sort, never a rank window over the pair stream); the
+    // query batch and the per-query positive distances broadcast; the
+    // corpus is scanned once.
+    QueryDef(
+      "q213_hard_negatives",
+      s"""WITH $GradedDistsCtes,
+         |neg AS (
+         |  SELECT qid, cid, d2,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cid)
+         |      AS BIGINT) AS rk
+         |  FROM dists WHERE cid <> qid + $TWIN_OFFSET
+         |  QUALIFY rk <= $HN_K)
+         |SELECT n.qid, n.rk, n.cid AS neg_id, n.d2 AS d2_neg, t.dt AS d2_pos,
+         |  n.d2 - t.dt AS margin,
+         |  CAST(CASE WHEN n.d2 < t.dt OR (n.d2 = t.dt AND n.cid < t.tid)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS is_violation
+         |FROM neg n JOIN twind t USING (qid)
+         |ORDER BY qid, rk""".stripMargin) { (s, d) =>
+      val (dists, twinD) = gradedDists(s, d)
+      val topk = udaf(new graft.functions.TopKRows(HN_K))
+      dists.filter(col("cid") =!= col("qid") + TWIN_OFFSET)
+        .groupBy("qid")
+        .agg(topk((-col("d2")).cast("double"), col("cid"), lit(0L)).as("tk"))
+        .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "row")))
+        .select(col("qid"), (col("pos") + 1).cast("long").as("rk"),
+          col("row._2").as("neg_id"), (-col("row._1")).cast("long").as("d2_neg"))
+        .join(broadcast(twinD), "qid")
+        .select(col("qid"), col("rk"), col("neg_id"), col("d2_neg"),
+          col("dt").as("d2_pos"),
+          (col("d2_neg") - col("dt")).as("margin"),
+          when(col("d2_neg") < col("dt") ||
+            (col("d2_neg") === col("dt") && col("neg_id") < col("tid")), 1L)
+            .otherwise(0L).as("is_violation"))
+        .orderBy("qid", "rk")
     }
   )
+
+  /** q213's negatives per (query, positive) — the K of triplet mining. */
+  private val HN_K = 3
+
+  /** q203/q213 shared oracle CTE chain: the graded-relevance fixture
+    * (quantized base + per-dimension-noised twins, amplitude
+    * (vid%5)·128), the broadcast query batch (vid < 50), and the exact
+    * integer L2 pair distances — ending in `dists(qid, cid, d2)` and
+    * `twind(qid, dt, tid)`. Shared verbatim so the evaluation geometry
+    * and the mined training triplets can never drift. */
+  private lazy val GradedDistsCtes: String = {
+    val D1 = KM_DIM + 1
+    def noise(vid: String, i: String) =
+      s"""(('0x' || substring(md5(CAST($vid AS VARCHAR) || ':' ||
+         |      CAST($i AS VARCHAR)), 1, 15))::BIGINT
+         |      % (2 * (($vid % 5) * 128) + 1)) - ($vid % 5) * 128""".stripMargin
+    s"""q AS (
+       |${quantizeSql("embeddings")}),
+       |tw AS (
+       |  SELECT vid + $TWIN_OFFSET AS tvid,
+       |    list_transform(range(1, $D1), i -> qv[i] +
+       |      ${noise("vid", "i")}) AS qv
+       |  FROM q),
+       |corpus AS (SELECT vid, qv FROM q
+       |           UNION ALL SELECT tvid, qv FROM tw),
+       |queries AS (SELECT vid AS qid, qv AS qe FROM q WHERE vid < 50),
+       |dists AS (
+       |  SELECT qid, c.vid AS cid,
+       |    CAST(list_sum(list_transform(range(1, $D1), i ->
+       |      (c.qv[i] - qe[i]) * (c.qv[i] - qe[i]))) AS BIGINT) AS d2
+       |  FROM corpus c JOIN queries ON c.vid <> qid),
+       |twind AS (SELECT qid, d2 AS dt, cid AS tid FROM dists
+       |          WHERE cid = qid + $TWIN_OFFSET)""".stripMargin
+  }
+
+  /** Spark mirror of [[GradedDistsCtes]]: returns
+    * (`dists(qid, cid, d2)`, `twinD(qid, tid, dt)`). */
+  private def gradedDists(s: SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import graft.operators.Ivf
+    val base = Tables.embeddings(s, d).select(col("vec_id").as("vid"),
+      Ivf.quantizeVec(col("embedding")).as("qv"))
+    val amp = pmod(col("vid"), lit(5)) * 128
+    // graded per-dimension noise, 1-based dim index in the hash key to
+    // match the oracle's range(1, 65) variable
+    val noisy = transform(col("qv"), (x, i) =>
+      x + pmod(conv(substring(md5(concat_ws(":",
+          col("vid"), (i + 1).cast("long"))), 1, 15), 16, 10).cast("long"),
+        amp * 2 + 1) - amp)
+    // two-step select, deliberately: putting `(vid + OFFSET).as("vid")`
+    // in the SAME select as `noisy` makes Spark 4's lateral-column-alias
+    // resolution bind noisy's `col("vid")` (the md5 noise key) to the
+    // NEW offset alias instead of the input vid — silently different
+    // noise than the oracle's. Noise first, rename after.
+    val twins = base.select(col("vid"), noisy.as("qv"))
+      .select((col("vid") + TWIN_OFFSET).as("vid"), col("qv"))
+    val corpus = base.unionByName(twins)
+    val queries = base.filter(col("vid") < 50)
+      .select(col("vid").as("qid"), col("qv").as("qe"))
+    def l2(a: Column, b: Column) = aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+    val dists = corpus.join(broadcast(queries), col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid").as("cid"), l2(col("qv"), col("qe")).as("d2"))
+    // per-query twin distance, derived from the BOUNDED query/twin rows
+    // (vid range filters carry the static boundedness evidence)
+    val twinD = twins
+      .filter(col("vid") >= TWIN_OFFSET && col("vid") < TWIN_OFFSET + 50)
+      .select((col("vid") - TWIN_OFFSET).as("qid"), col("vid").as("tid"),
+        col("qv").as("tqv"))
+      .join(queries, "qid")
+      .select(col("qid"), col("tid"), l2(col("tqv"), col("qe")).as("dt"))
+    (dists, twinD)
+  }
 
   /** Depth of each ranking feeding the RRF fusion, the fused cut, and the
     * RRF smoothing constant (k = 60, the value from the RRF paper). */

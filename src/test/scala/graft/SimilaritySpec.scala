@@ -298,4 +298,32 @@ class SimilaritySpec extends AnyFunSuite {
       assert(nid == qid + 1000000L, s"rank-1 neighbor of $qid is $nid, not its twin")
     }
   }
+
+  test("q213 violation counts tie out exactly against q203's twin ranks") {
+    val negs = SparkEntry.byName("q213_hard_negatives").run(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(5), r.getLong(6)))
+    val ranks = SparkEntry.byName("q203_retrieval_rank_metrics").run(spark, sf)
+      .select("qid", "twin_rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(negs.nonEmpty && ranks.nonEmpty)
+    val k = 3L
+    negs.groupBy(_._1).foreach { case (qid, g) =>
+      // K rows per query, ranks 1..K, distances nondecreasing in rank
+      assert(g.map(_._2).sorted.toSeq == (1L to k), s"q$qid slots")
+      val byRk = g.sortBy(_._2)
+      assert(byRk.map(_._4).toSeq == byRk.map(_._4).sorted.toSeq, s"q$qid order")
+      g.foreach { case (_, _, nid, _, margin, viol) =>
+        // never the anchor or the positive; violation ⇔ margin boundary
+        assert(nid != qid && nid != qid + 1000000L)
+        assert(if (margin < 0) viol == 1L else if (margin > 0) viol == 0L else true)
+      }
+      // candidates beating the twin are exactly the violating ones and
+      // occupy the head of the non-twin ranking, so the count ties out
+      val expect = math.min(ranks(qid) - 1, k)
+      assert(g.count(_._6 == 1L).toLong == expect,
+        s"q$qid violations vs twin_rank ${ranks(qid)}")
+    }
+  }
 }

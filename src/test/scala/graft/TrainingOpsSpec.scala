@@ -401,6 +401,30 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rows.exists(_._3 == 1L) && rows.exists(_._3 == 0L))
   }
 
+  test("q212 curriculum ranks are a difficulty permutation and the sqrt competence cuts hold") {
+    val rows = SparkEntry.byName("q212_curriculum_schedule").run(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    val n = rows.length
+    assert(n > 0)
+    // rank is a permutation of 1..N in (avg_nll, doc_id) order
+    assert(rows.map(_._3).sorted.toSeq == (1L to n.toLong))
+    val byRank = rows.sortBy(_._3)
+    assert(byRank.map(r => (r._2, r._1)).toSeq ==
+      rows.map(r => (r._2, r._1)).sortBy(identity).toSeq)
+    // first_epoch = smallest e with rank <= floor(N*sqrt(e/4))
+    rows.foreach { case (doc, _, rank, fe) =>
+      val expect = (1 to 4).find(e =>
+        e == 4 || rank <= math.floor(n * math.sqrt(e / 4.0)).toLong).get
+      assert(fe == expect.toLong, s"doc $doc rank $rank")
+    }
+    // the difficulty score is q93's avg_nll, verbatim
+    val q93 = SparkEntry.byName("q93_unigram_logprob").run(spark, sf)
+      .select("doc_id", "avg_nll").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (doc, nll, _, _) => assert(q93(doc) == nll) }
+  }
+
   test("q211 fertility ledger is consistent with q135's encode totals") {
     val fert = SparkEntry.byName("q211_tokenizer_fertility").run(spark, sf)
       .collect()
