@@ -3878,8 +3878,112 @@ object TextDedupPack {
         .withColumn("kept",
           when(h % col("cluster_size") === 0L, 1L).otherwise(0L))
         .orderBy("doc_id")
+    },
+
+    // ---- q214: LSH banding parameter sweep ----------------------------------
+    // q192 made q186's match cutoff a measured choice; q214 does the same
+    // for q28's banding: with 16 minhashes, every (bands b × rows r)
+    // factorization — (16,1) (8,2) (4,4) (2,8) (1,16) — is run in ONE
+    // query, each measured against the EXACT ground truth (q27's uncapped
+    // Jaccard ≥ 0.5 pairs, PAIRS_SQL shared verbatim): candidate volume
+    // (the cost axis), recall and precision in exact integer basis points
+    // (the quality axes). The S-curve tradeoff (more bands → higher
+    // recall, more candidates) becomes a 5-row table instead of folklore.
+    // The minhash construction is q28's, verbatim (same salts, same hex
+    // slices), so the sweep tunes exactly the operator that ships.
+    //
+    // 100 TB shape: the sweep costs 31 band rows per doc (vs q28's 4) —
+    // still linear in the corpus, never quadratic: buckets are
+    // occupancy-capped per (b, band, bh) exactly as q28's, candidates
+    // come from the keyed bucket self-join, and the truth join is keyed
+    // on the pair. The per-config ledger is one map-side-combined count
+    // over the candidate table; n_truth is one broadcast scalar.
+    QueryDef(
+      "q214_lsh_banding_sweep", {
+        val mhCols = (0 until 16).map(i =>
+          s"MIN(substring(md5('${i / 4}:' || gram), ${(i % 4) * 8 + 1}, 8)) AS mh$i")
+          .mkString(",\n    ")
+        val bandSelects = SWEEP_CONFIGS.flatMap { case (b, r) =>
+          (0 until b).map { i =>
+            val cat = (i * r until i * r + r).map(k => s"mh$k").mkString(" || ")
+            s"SELECT doc_id, $b AS b, $r AS r, $i AS band, md5($cat) AS bh FROM mh"
+          }
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH $PAIRS_SQL,
+           |mh AS (SELECT doc_id,
+           |    $mhCols
+           |  FROM grams GROUP BY doc_id),
+           |sb AS (
+           |  $bandSelects),
+           |sbc AS (SELECT doc_id, b, r, band, bh FROM (
+           |          SELECT *, COUNT(*) OVER (PARTITION BY b, band, bh) AS n
+           |          FROM sb)
+           |        WHERE n <= $MAX_BUCKET),
+           |cand AS (SELECT DISTINCT s1.b AS b, s1.r AS r,
+           |           s1.doc_id AS doc_a, s2.doc_id AS doc_b
+           |         FROM sbc s1 JOIN sbc s2
+           |           ON s1.b = s2.b AND s1.band = s2.band AND s1.bh = s2.bh
+           |          AND s1.doc_id < s2.doc_id),
+           |tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM jpairs),
+           |per AS (
+           |  SELECT b, r, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           |    CAST(SUM(CASE WHEN j.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_caught
+           |  FROM cand c LEFT JOIN jpairs j
+           |    ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+           |  GROUP BY b, r)
+           |SELECT CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r,
+           |  n_candidates, n_truth, n_caught,
+           |  CAST(CASE WHEN n_truth = 0 THEN 0
+           |    ELSE 10000 * n_caught // n_truth END AS BIGINT) AS recall_bp,
+           |  CAST(CASE WHEN n_candidates = 0 THEN 0
+           |    ELSE 10000 * n_caught // n_candidates END AS BIGINT) AS precision_bp
+           |FROM per CROSS JOIN tr
+           |ORDER BY b DESC""".stripMargin
+      }) { (s, d) =>
+      val grams = sparkGrams(s, d)
+      val mhAggs = (0 until 16).map(i =>
+        min(substring(md5(concat(lit(s"${i / 4}:"), col("gram"))),
+          (i % 4) * 8 + 1, 8)).as(s"mh$i"))
+      // 31 band branches below all scan mh — persisted, as q28's 4 are
+      val mh = grams.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*).persist()
+      val sb = SWEEP_CONFIGS.flatMap { case (b, r) =>
+        (0 until b).map { i =>
+          mh.select(col("doc_id"), lit(b.toLong).as("b"), lit(r.toLong).as("r"),
+            lit(i.toLong).as("band"),
+            md5(concat((i * r until i * r + r).map(k => col(s"mh$k")): _*)).as("bh"))
+        }
+      }.reduce(_ unionByName _)
+      val sbc = graft.operators.Occupancy.cap(
+        sb, Seq("b", "band", "bh"), MAX_BUCKET, persistResult = true)
+      val cand = sbc.as("s1")
+        .join(sbc.as("s2"),
+          col("s1.b") === col("s2.b") && col("s1.band") === col("s2.band") &&
+            col("s1.bh") === col("s2.bh") && col("s1.doc_id") < col("s2.doc_id"))
+        .select(col("s1.b").as("b"), col("s1.r").as("r"),
+          col("s1.doc_id").as("doc_a"), col("s2.doc_id").as("doc_b"))
+        .distinct()
+      val truth = jaccardPairs(s, d).select(col("doc_a"), col("doc_b"),
+        lit(1L).as("hit"))
+      val tr = truth.agg(count(lit(1)).as("n_truth"))
+      cand.join(truth, Seq("doc_a", "doc_b"), "left")
+        .groupBy("b", "r")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_caught"))
+        .crossJoin(broadcast(tr))
+        .select(col("b"), col("r"), col("n_candidates"), col("n_truth"),
+          col("n_caught"),
+          when(col("n_truth") === 0L, 0L)
+            .otherwise(expr("10000 * n_caught div n_truth")).as("recall_bp"),
+          when(col("n_candidates") === 0L, 0L)
+            .otherwise(expr("10000 * n_caught div n_candidates")).as("precision_bp"))
+        .orderBy(col("b").desc)
     }
   )
+
+  /** q214's banding sweep: every (bands, rows) factorization of the
+    * 16-minhash signature, the b·r = 16 ladder. */
+  private val SWEEP_CONFIGS = Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
 
   /** q210's draw salt: decouples the keep/drop pattern from every other
     * md5-derandomized query over doc_id (q129's threshold draw included). */

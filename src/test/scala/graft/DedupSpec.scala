@@ -205,6 +205,29 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q214 sweep: the (4,4) row ties out with q28's shipped banding") {
+    val rows = SparkEntry.byName("q214_lsh_banding_sweep").run(spark, sf)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // one row per b*r=16 factorization
+    assert(rows.keySet == Set((16L, 1L), (8L, 2L), (4L, 4L), (2L, 8L), (1L, 16L)))
+    rows.foreach { case ((b, r), (nc, nt, caught, rec, prec)) =>
+      assert(b * r == 16)
+      assert(caught <= nc && caught <= nt, s"($b,$r)")
+      assert(rec >= 0 && rec <= 10000 && prec >= 0 && prec <= 10000, s"($b,$r)")
+      // exact integer basis points re-derived
+      if (nt > 0) assert(rec == 10000 * caught / nt, s"($b,$r) recall")
+      if (nc > 0) assert(prec == 10000 * caught / nc, s"($b,$r) precision")
+    }
+    // (4,4) IS q28's shipped banding with the same cap, and n_caught
+    // counts its candidates at exact Jaccard >= 0.5 — i.e. exactly the
+    // pair set q28 emits
+    val q28n = SparkEntry.byName("q28_minhash_lsh").run(spark, sf).count()
+    assert(rows((4L, 4L))._3 == q28n, s"(4,4) caught vs q28 pairs $q28n")
+  }
+
   test("Occupancy.cap keeps exactly the rows of groups within the cap") {
     val df = Seq.tabulate(100)(i => (s"k${i % 7}", i.toLong)).toDF("k", "v")
     // group sizes: k0..k1 → 15, k2..k6 → 14

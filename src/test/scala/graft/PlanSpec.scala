@@ -428,6 +428,17 @@ class PlanSpec extends AnyFunSuite {
     assert(windows.isEmpty, s"q191 planned a window sort:\n$p")
   }
 
+  test("q213's per-query top-K plans as aggregation — no window sort on the pair stream") {
+    // the mined negatives must come from the mergeable TopKRows shape
+    // (<= K rows per (query, map partition) cross the shuffle); a rank
+    // window would sort every query's ~2N pair partition at 100 TB
+    val p = plan(q("q213_hard_negatives"))
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"q213 planned a window sort:\n$p")
+  }
+
   test("q182's ranking cuts plan as TakeOrdered — the corpus never globally sorts for the fusion") {
     // each ranking's top-100 must be per-partition top-N + an N-row merge;
     // a regression to Sort+Limit (or a corpus-wide window) would shuffle
