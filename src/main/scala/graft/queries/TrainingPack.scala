@@ -2062,6 +2062,101 @@ object TrainingPack {
             .when(col("rank") <= cut(3), 3L)
             .otherwise(4L).as("first_epoch"))
         .orderBy("doc_id")
+    },
+
+    // ---- q215: temperature-scaled multilingual sampling plan -----------------
+    // The published α-sampling policy (XLM-R / mBERT: sample language l
+    // with probability ∝ c_l^α, α < 1 upweights low-resource languages)
+    // at α = 3/4, made exactly replayable end to end:
+    //   * the fractional-power weight floor(c^0.75) is q208's integer
+    //     fourth root of c³ — floor(pow) candidate, ±1 pinned by an exact
+    //     quartic comparison in DECIMAL(38,0) (internal only, never on
+    //     the wire) — exact while c_l < 4.6·10¹² tokens (~23 TB of text
+    //     PER LANGUAGE; beyond that the fixture scaling, not this query,
+    //     is the thing to revisit);
+    //   * every budget product keeps one factor ≤ 10⁴ (the q97 envelope,
+    //     exact to ~9·10¹⁴ corpus tokens): share_bp = w·10⁴ div Σw,
+    //     quota = (B div 10⁴)·share_bp with B = total div 2, rate_bp =
+    //     min(10⁴, quota·10⁴ div c_l) — never a corpus-scale × weight-
+    //     scale BIGINT product (the Linkage uModel lesson);
+    //   * the realized sample rides the q97 md5-bucket draw (salt
+    //     'tmix'), so sampled_docs/tokens replay exactly.
+    //
+    // 100 TB shape: one scan → one per-lang agg (map-side combined), a
+    // |langs|-row weight/rate table broadcast back, one filtered re-agg.
+    QueryDef(
+      "q215_alpha_sampling_plan",
+      """WITH docs AS (
+        |  SELECT lang, doc_id, len(string_split(text, ' ')) AS ntok,
+        |    ('0x' || substring(md5('tmix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bucket
+        |  FROM documents),
+        |per AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |        CAST(SUM(ntok) AS BIGINT) AS c FROM docs GROUP BY lang),
+        |w0 AS (SELECT lang, n_docs, c,
+        |    CAST(c AS DECIMAL(38,0)) * c * c AS c3,
+        |    CAST(floor(power(CAST(c AS DOUBLE), 0.75)) AS BIGINT) AS r0 FROM per),
+        |wts AS (SELECT lang, n_docs, c,
+        |    CASE WHEN CAST(r0 + 1 AS DECIMAL(38,0)) * (r0+1) * (r0+1) * (r0+1) <= c3 THEN r0 + 1
+        |         WHEN CAST(r0 AS DECIMAL(38,0)) * r0 * r0 * r0 > c3 THEN r0 - 1
+        |         ELSE r0 END AS w
+        |  FROM w0),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total,
+        |        CAST(SUM(w) AS BIGINT) AS sw FROM wts),
+        |rates AS (
+        |  SELECT lang, n_docs, c AS actual_tokens, w AS alpha_weight,
+        |    w * 10000 // sw AS share_bp,
+        |    (total // 2 // 10000) * (w * 10000 // sw) AS quota_tokens,
+        |    LEAST(10000, (total // 2 // 10000) * (w * 10000 // sw) * 10000 // c) AS rate_bp
+        |  FROM wts CROSS JOIN tot),
+        |sampled AS (
+        |  SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS sampled_docs,
+        |    CAST(SUM(d.ntok) AS BIGINT) AS sampled_tokens
+        |  FROM docs d JOIN rates r ON d.lang = r.lang
+        |  WHERE d.bucket < r.rate_bp GROUP BY d.lang)
+        |SELECT r.lang, r.n_docs, r.actual_tokens, r.alpha_weight, r.share_bp,
+        |  r.quota_tokens, r.rate_bp,
+        |  CAST(COALESCE(s.sampled_docs, 0) AS BIGINT) AS sampled_docs,
+        |  CAST(COALESCE(s.sampled_tokens, 0) AS BIGINT) AS sampled_tokens
+        |FROM rates r LEFT JOIN sampled s ON s.lang = r.lang
+        |ORDER BY r.lang""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ntok"),
+          graft.operators.Sampling.hashBucket(col("doc_id"), "tmix", 10000).as("bucket"))
+      val per = docs.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("c"))
+      val dec = DecimalType(38, 0)
+      val wts = per
+        .withColumn("c3", col("c").cast(dec) * col("c") * col("c"))
+        .withColumn("r0",
+          floor(pow(col("c").cast("double"), lit(0.75))).cast("long"))
+        .withColumn("w",
+          when((col("r0") + 1).cast(dec) * (col("r0") + 1) * (col("r0") + 1) *
+            (col("r0") + 1) <= col("c3"), col("r0") + 1)
+            .when(col("r0").cast(dec) * col("r0") * col("r0") * col("r0") > col("c3"),
+              col("r0") - 1)
+            .otherwise(col("r0")))
+        .select("lang", "n_docs", "c", "w")
+      val tot = wts.agg(sum(col("c")).as("total"), sum(col("w")).as("sw"))
+      val rates = wts.crossJoin(broadcast(tot))
+        .withColumn("share_bp", expr("w * 10000 div sw"))
+        .withColumn("quota_tokens", expr("total div 2 div 10000") * col("share_bp"))
+        .withColumn("rate_bp",
+          least(lit(10000L), expr("quota_tokens * 10000 div c")))
+        .select(col("lang"), col("n_docs"), col("c").as("actual_tokens"),
+          col("w").as("alpha_weight"), col("share_bp"), col("quota_tokens"),
+          col("rate_bp"))
+      val sampled = docs
+        .join(broadcast(rates.select(col("lang"), col("rate_bp"))), "lang")
+        .filter(col("bucket") < col("rate_bp"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("sampled_docs"), sum(col("ntok")).as("sampled_tokens"))
+      rates.join(sampled, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("actual_tokens"),
+          col("alpha_weight"), col("share_bp"), col("quota_tokens"), col("rate_bp"),
+          coalesce(col("sampled_docs"), lit(0L)).as("sampled_docs"),
+          coalesce(col("sampled_tokens"), lit(0L)).as("sampled_tokens"))
+        .orderBy("lang")
     }
   )
 

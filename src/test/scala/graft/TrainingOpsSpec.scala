@@ -401,6 +401,35 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rows.exists(_._3 == 1L) && rows.exists(_._3 == 0L))
   }
 
+  test("q215 alpha weights and budget ledger re-derive exactly in Scala") {
+    val rows = SparkEntry.byName("q215_alpha_sampling_plan").run(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    // exact floor(c^0.75) via BigInt quartic search — fully independent
+    // of both engines' pow()
+    def pow34(c: Long): Long = {
+      val c3 = BigInt(c).pow(3)
+      var r = math.floor(math.pow(c.toDouble, 0.75)).toLong
+      while (BigInt(r + 1).pow(4) <= c3) r += 1
+      while (BigInt(r).pow(4) > c3) r -= 1
+      r
+    }
+    val total = rows.map(_._2).sum
+    val sw = rows.map(r => pow34(r._2)).sum
+    rows.foreach { case (lang, c, w, shareBp, quota, rateBp) =>
+      assert(w == pow34(c), s"$lang weight")
+      assert(shareBp == w * 10000L / sw, s"$lang share")
+      assert(quota == total / 2 / 10000 * shareBp, s"$lang quota")
+      assert(rateBp == math.min(10000L, quota * 10000L / c), s"$lang rate")
+    }
+    // α < 1 flattens the mixture: shares are damped toward uniform
+    val maxRaw = rows.maxBy(_._2)
+    assert(maxRaw._4 * total <= maxRaw._2 * 10000L,
+      "largest language's share exceeds its raw proportion")
+  }
+
   test("q212 curriculum ranks are a difficulty permutation and the sqrt competence cuts hold") {
     val rows = SparkEntry.byName("q212_curriculum_schedule").run(spark, sf)
       .collect()
