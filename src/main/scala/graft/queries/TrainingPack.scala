@@ -1707,46 +1707,44 @@ object TrainingPack {
     // per-bin table is B rows. Nothing else — drift monitoring must be
     // (and is) the cheapest query in the pipeline.
     QueryDef(
-      "q197_distribution_drift",
-      """WITH bins AS (SELECT CAST(range AS BIGINT) AS bin FROM range(0, 8)),
-        |binned AS (
-        |  SELECT LEAST(7, n_chars // 256) AS bin,
-        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS is_ref
-        |  FROM documents),
-        |counts AS (
-        |  SELECT b.bin,
-        |    CAST(COALESCE(SUM(x.is_ref), 0) AS BIGINT) AS ref_n,
-        |    CAST(COALESCE(SUM(1 - x.is_ref), 0) AS BIGINT) AS cur_n
-        |  FROM bins b LEFT JOIN binned x ON x.bin = b.bin
-        |  GROUP BY b.bin),
-        |scal AS (SELECT SUM(ref_n) AS ref_t, SUM(cur_n) AS cur_t FROM counts)
-        |SELECT bin, ref_n, cur_n,
-        |  CAST(CAST(
-        |    ((cur_n + 1.0) / (cur_t + 8.0) - (ref_n + 1.0) / (ref_t + 8.0))
-        |    * ln(((cur_n + 1.0) / (cur_t + 8.0)) / ((ref_n + 1.0) / (ref_t + 8.0)))
-        |    AS DECIMAL(18,8)) AS DOUBLE) AS psi_term
-        |FROM counts, scal
-        |ORDER BY bin""".stripMargin) { (s, d) =>
-      val bins = s.range(0, 8).select(col("id").as("bin"))
+      "q197_distribution_drift", PSI_ORACLE) { (s, d) =>
       // plain documents scan — NOT documentsSpread: the per-row work is
       // one div, so a pre-repartition would shuffle the whole table for
       // an 8-group agg whose map-side partials already collapse it
-      val binned = Tables.documents(s, d)
-        .select(least(lit(7L), expr("n_chars div 256")).as("bin"),
-          when(pmod(col("doc_id"), lit(2)) === 0, 1L).otherwise(0L).as("is_ref"))
-      val counts = bins.join(binned, Seq("bin"), "left")
+      psiFinalize(s, psiBinCounts(Tables.documents(s, d)))
+    },
+
+    // ---- q216: streaming PSI drift gate -------------------------------------
+    // q197's monitor made incremental — the q105/q116/q130/q205
+    // shared-oracle pairing applied to drift: each micro-batch reduces to
+    // its own ≤ 8-row bin-count increment persisted under batch_id
+    // (idempotent dynamic overwrite under foreachBatch's at-least-once
+    // replay), and the gate's answer sum-merges the stored increments.
+    // Because bin counts merge by exact addition, the merged histogram is
+    // IDENTICAL to the one-pass scan no matter how ingest was batched —
+    // so the streaming gate hash-matches q197's oracle VERBATIM, and a
+    // retrain decision never rescans ingest history. That is the shape a
+    // production drift monitor actually runs: O(bins) state per batch,
+    // O(batches · bins) total, zero re-reads.
+    QueryDef(
+      "q216_stream_drift_gate", PSI_ORACLE) { (s, d) =>
+      val srcDir = TextDedupPack.stagedDocBatches(s, d)
+      val store = TextDedupPack.clearedStore(d, "graft-q216-psi-")
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) =>
+        psiBinCounts(batch)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(store.toString))
+      val merged = s.read.parquet(store.toString)
         .groupBy("bin")
-        .agg(coalesce(sum(col("is_ref")), lit(0L)).as("ref_n"),
-          coalesce(sum(lit(1L) - col("is_ref")), lit(0L)).as("cur_n"))
-      val scal = counts.agg(sum(col("ref_n")).as("ref_t"),
-        sum(col("cur_n")).as("cur_t"))
-      val p = (col("ref_n") + lit(1.0)) / (col("ref_t") + lit(8.0))
-      val q = (col("cur_n") + lit(1.0)) / (col("cur_t") + lit(8.0))
-      counts.crossJoin(broadcast(scal))
-        .select(col("bin"), col("ref_n"), col("cur_n"),
-          ((q - p) * log(q / p)).cast(DecimalType(18, 8)).cast("double")
-            .as("psi_term"))
-        .orderBy("bin")
+        .agg(sum(col("ref_n")).as("ref_n"), sum(col("cur_n")).as("cur_n"))
+      psiFinalize(s, merged)
     },
 
     // ---- q202: DSIR-style importance selection toward a target slice -------
@@ -2163,6 +2161,64 @@ object TrainingPack {
   /** q209's output floor: bigrams below this support are modeled (they
     * shape every continuation/history count) but not emitted. */
   private val KN_MIN_COUNT = 5
+
+  /** q197's oracle — and, verbatim, q216's: bin counts merge by exact
+    * addition, so the per-micro-batch accumulated histogram must equal
+    * the one-pass scan (the q105/q116/q130/q205 shared-oracle trick,
+    * applied to the drift monitor). */
+  private lazy val PSI_ORACLE: String =
+    """WITH bins AS (SELECT CAST(range AS BIGINT) AS bin FROM range(0, 8)),
+      |binned AS (
+      |  SELECT LEAST(7, n_chars // 256) AS bin,
+      |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS is_ref
+      |  FROM documents),
+      |counts AS (
+      |  SELECT b.bin,
+      |    CAST(COALESCE(SUM(x.is_ref), 0) AS BIGINT) AS ref_n,
+      |    CAST(COALESCE(SUM(1 - x.is_ref), 0) AS BIGINT) AS cur_n
+      |  FROM bins b LEFT JOIN binned x ON x.bin = b.bin
+      |  GROUP BY b.bin),
+      |scal AS (SELECT SUM(ref_n) AS ref_t, SUM(cur_n) AS cur_t FROM counts)
+      |SELECT bin, ref_n, cur_n,
+      |  CAST(CAST(
+      |    ((cur_n + 1.0) / (cur_t + 8.0) - (ref_n + 1.0) / (ref_t + 8.0))
+      |    * ln(((cur_n + 1.0) / (cur_t + 8.0)) / ((ref_n + 1.0) / (ref_t + 8.0)))
+      |    AS DECIMAL(18,8)) AS DOUBLE) AS psi_term
+      |FROM counts, scal
+      |ORDER BY bin""".stripMargin
+
+  /** The PSI feature binning + per-bin slice counts over a documents
+    * relation (only OBSERVED bins emitted — [[psiFinalize]] fills the
+    * rest). Shared by q197 (one-pass) and q216 (per micro-batch). */
+  private def psiBinCounts(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(least(lit(7L), expr("n_chars div 256")).as("bin"),
+        when(pmod(col("doc_id"), lit(2)) === 0, 1L).otherwise(0L).as("is_ref"))
+      .groupBy("bin")
+      .agg(sum(col("is_ref")).as("ref_n"),
+        sum(lit(1L) - col("is_ref")).as("cur_n"))
+
+  /** The PSI finalize over (possibly sparse) per-bin counts: fill the
+    * fixed 8-bin frame, Laplace-smooth both proportions, emit the q93-
+    * disciplined per-bin terms. */
+  private def psiFinalize(s: org.apache.spark.sql.SparkSession,
+                          partial: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bins = s.range(0, 8).select(col("id").as("bin"))
+    val counts = bins.join(partial, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    val scal = counts.agg(sum(col("ref_n")).as("ref_t"),
+      sum(col("cur_n")).as("cur_t"))
+    val p = (col("ref_n") + lit(1.0)) / (col("ref_t") + lit(8.0))
+    val q = (col("cur_n") + lit(1.0)) / (col("cur_t") + lit(8.0))
+    counts.crossJoin(broadcast(scal))
+      .select(col("bin"), col("ref_n"), col("cur_n"),
+        ((q - p) * log(q / p)).cast(DecimalType(18, 8)).cast("double")
+          .as("psi_term"))
+      .orderBy("bin")
+  }
 
   /** q93's whole per-doc scoring chain as CTEs ending in
     * `pd(doc_id, n_tok, n_oov, avg_nll)` — shared verbatim by q93 (emits

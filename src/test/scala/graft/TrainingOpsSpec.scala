@@ -401,6 +401,17 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rows.exists(_._3 == 1L) && rows.exists(_._3 == 0L))
   }
 
+  test("q216 streaming drift gate is row-identical to batch q197") {
+    // bin counts merge by exact addition, so the per-micro-batch
+    // accumulated histogram must equal the one-pass scan — the same
+    // batch-vs-stream equality HeavyHittersSpec pins for q125/q130
+    val batch = SparkEntry.byName("q197_distribution_drift").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val stream = SparkEntry.byName("q216_stream_drift_gate").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(batch.length == 8 && stream.toSeq == batch.toSeq)
+  }
+
   test("q215 alpha weights and budget ledger re-derive exactly in Scala") {
     val rows = SparkEntry.byName("q215_alpha_sampling_plan").run(spark, sf)
       .collect()
