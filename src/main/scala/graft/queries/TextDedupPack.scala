@@ -3978,12 +3978,119 @@ object TextDedupPack {
           when(col("n_candidates") === 0L, 0L)
             .otherwise(expr("10000 * n_caught div n_candidates")).as("precision_bp"))
         .orderBy(col("b").desc)
+    },
+
+    // ---- q217: common-neighbor link prediction on the match graph -----------
+    // The dedup-ops "suggested merges" view: non-edge pairs that share
+    // near-dup neighbors are the near-misses the threshold clipped (a~m,
+    // m~b but a≁b) — exactly what a reviewer triages before lowering a
+    // cutoff, and the classical link-prediction baseline (common
+    // neighbors + neighborhood Jaccard; Liben-Nowell & Kleinberg '03).
+    // All-integer: cn is a count, the neighborhood Jaccard is exact basis
+    // points 10000·cn div (deg_a + deg_b − cn) — no deg×deg product ever
+    // forms (the Linkage uModel overflow lesson; preferential attachment
+    // is deliberately NOT emitted for that reason). The θ = 0.5 graph is
+    // all tight cliques at test SFs (zero open wedges — q67's clusters
+    // are complete), so the fixture PLANTS the near-miss shape the query
+    // exists to find: for doc_id < 25, a prefix-2/3 and a suffix-2/3
+    // variant — each ~2/3-Jaccard to its base (edge), ~1/3 to each other
+    // (non-edge) — an open L–doc–R wedge per planted doc, built
+    // identically in both engines from pure token slicing.
+    //
+    // 100 TB shape: one keyed 2-path self-join on the middle node (the
+    // known Σ deg(m)² frontier cost of link prediction — bounded here
+    // because the match graph is sparse by construction: its edges come
+    // from df-capped gram overlap), one LEFT ANTI join against the edge
+    // list to drop existing pairs, two keyed degree joins. Candidates,
+    // not pairs-of-everything: only 2-hop pairs are ever materialized.
+    QueryDef(
+      "q217_link_prediction",
+      s"""WITH pre AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t,
+         |    len(string_split(text, ' ')) AS n,
+         |    (2 * len(string_split(text, ' ')) + 2) // 3 AS k
+         |  FROM documents
+         |  WHERE doc_id < 25 AND len(string_split(text, ' ')) >= 9),
+         |pl AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + $LP_OFFSET_L,
+         |    array_to_string(list_slice(t, 1, k), ' ') FROM pre
+         |  UNION ALL SELECT doc_id + $LP_OFFSET_R,
+         |    array_to_string(list_slice(t, n - k + 1, n), ' ') FROM pre),
+         |${pairsSql("pl")},
+         |und AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |        UNION ALL SELECT doc_b, doc_a FROM jpairs),
+         |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS dg FROM und GROUP BY u),
+         |p2 AS (SELECT n1.u AS a, n2.v AS b, CAST(COUNT(*) AS BIGINT) AS cn
+         |       FROM und n1 JOIN und n2 ON n2.u = n1.v AND n1.u < n2.v
+         |       GROUP BY n1.u, n2.v),
+         |cand AS (SELECT p2.a, p2.b, p2.cn FROM p2
+         |         LEFT JOIN jpairs j ON j.doc_a = p2.a AND j.doc_b = p2.b
+         |         WHERE j.doc_a IS NULL)
+         |SELECT c.a AS doc_a, c.b AS doc_b, c.cn AS common_neighbors,
+         |  da.dg AS deg_a, db.dg AS deg_b,
+         |  CAST(10000 * c.cn // (da.dg + db.dg - c.cn) AS BIGINT) AS nb_jaccard_bp
+         |FROM cand c JOIN deg da ON da.u = c.a JOIN deg db ON db.u = c.b
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      // persisted: both 2-path sides, the anti-join probe, and both
+      // degree joins re-read the edge list
+      val jp = jaccardPairsOf(plantedWedgeDocs(s, d))
+        .select(col("doc_a").as("a"), col("doc_b").as("b")).persist()
+      val und = jp.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(jp.select(col("b").as("u"), col("a").as("v")))
+      val deg = und.groupBy("u").agg(count(lit(1)).as("dg"))
+      val p2 = und.as("n1")
+        .join(und.as("n2"),
+          col("n2.u") === col("n1.v") && col("n1.u") < col("n2.v"))
+        .groupBy(col("n1.u").as("a"), col("n2.v").as("b"))
+        .agg(count(lit(1)).as("cn"))
+      p2.join(jp, Seq("a", "b"), "left_anti")
+        .join(deg.select(col("u").as("a"), col("dg").as("deg_a")), "a")
+        .join(deg.select(col("u").as("b"), col("dg").as("deg_b")), "b")
+        .select(col("a").as("doc_a"), col("b").as("doc_b"),
+          col("cn").as("common_neighbors"), col("deg_a"), col("deg_b"),
+          expr("10000 * cn div (deg_a + deg_b - cn)").as("nb_jaccard_bp"))
+        .orderBy("doc_a", "doc_b")
     }
   )
 
   /** q214's banding sweep: every (bands, rows) factorization of the
     * 16-minhash signature, the b·r = 16 ladder. */
   private val SWEEP_CONFIGS = Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+
+  /** q217's planted-wedge id offsets (prefix / suffix variant). Disjoint
+    * from base doc ids and [[NATIVE_TWIN_OFFSET]] plants only while
+    * max(doc_id) < LP_OFFSET_L − NATIVE_TWIN_OFFSET; the builder guards
+    * the base ids loudly (the Linkage plant-offset lesson, r13 ADVICE). */
+  private val LP_OFFSET_L = 2000000L
+  private val LP_OFFSET_R = 3000000L
+
+  /** q217's fixture: documents plus, for doc_id < 25, a prefix-2/3 and a
+    * suffix-2/3 token-slice variant — each ≈2/3-Jaccard to its base
+    * (above the 0.5 edge threshold), ≈1/3 to each other (below) — one
+    * open L–doc–R wedge per planted doc. Pure token slicing, replayed
+    * verbatim in the oracle's `pre`/`pl` CTEs. */
+  private def plantedWedgeDocs(s: org.apache.spark.sql.SparkSession,
+                               d: String): org.apache.spark.sql.DataFrame = {
+    val guarded = when(col("doc_id") >= LP_OFFSET_L - NATIVE_TWIN_OFFSET,
+      raise_error(concat(lit("q217 plant-offset collision: doc_id "),
+        col("doc_id").cast("string"),
+        lit(s" >= ${LP_OFFSET_L - NATIVE_TWIN_OFFSET} — raise LP_OFFSET_*"))))
+      .otherwise(col("doc_id"))
+    val pre = Tables.documentsSpread(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("n", size(col("t")))
+      .filter(col("doc_id") < 25 && col("n") >= 9)
+      .withColumn("k", expr("(2 * n + 2) div 3"))
+    val lVar = pre.select((col("doc_id") + LP_OFFSET_L).as("doc_id"),
+      concat_ws(" ", slice(col("t"), lit(1), col("k"))).as("text"))
+    val rVar = pre.select((col("doc_id") + LP_OFFSET_R).as("doc_id"),
+      concat_ws(" ", slice(col("t"), col("n") - col("k") + 1, col("k"))).as("text"))
+    // the guard rides the base scan (per-row when(), codegen'd away on
+    // the happy path) so id-space disjointness fails loudly, never silently
+    Tables.documentsSpread(s, d).select(guarded.as("doc_id"), col("text"))
+      .unionByName(lVar).unionByName(rVar)
+  }
 
   /** q210's draw salt: decouples the keep/drop pattern from every other
     * md5-derandomized query over doc_id (q129's threshold draw included). */

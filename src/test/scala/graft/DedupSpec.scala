@@ -228,6 +228,27 @@ class DedupSpec extends AnyFunSuite {
     assert(rows((4L, 4L))._3 == q28n, s"(4,4) caught vs q28 pairs $q28n")
   }
 
+  test("q217 finds every planted L-doc-R wedge and its ledger re-derives") {
+    val rows = SparkEntry.byName("q217_link_prediction").run(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // every eligible base doc (id < 25, >= 9 tokens) contributes its
+    // planted (L, R) non-edge candidate
+    val eligible = docs.select("doc_id", "text").collect()
+      .filter(r => r.getLong(0) < 25 && r.getString(1).split(" ").length >= 9)
+      .map(_.getLong(0)).toSet
+    assert(eligible.nonEmpty)
+    val planted = rows.filter(r => r._1 >= 2000000L && r._2 >= 3000000L)
+      .map(r => (r._1 - 2000000L, r._2 - 3000000L)).toSet
+    eligible.foreach(id => assert(planted.contains((id, id)), s"wedge $id missing"))
+    rows.foreach { case (a, b, cn, da, db, bp) =>
+      assert(a < b && cn >= 1 && cn <= math.min(da, db))
+      assert(bp == 10000L * cn / (da + db - cn), s"($a,$b) bp")
+    }
+  }
+
   test("Occupancy.cap keeps exactly the rows of groups within the cap") {
     val df = Seq.tabulate(100)(i => (s"k${i % 7}", i.toLong)).toDF("k", "v")
     // group sizes: k0..k1 → 15, k2..k6 → 14
