@@ -2155,6 +2155,90 @@ object TrainingPack {
           coalesce(col("sampled_docs"), lit(0L)).as("sampled_docs"),
           coalesce(col("sampled_tokens"), lit(0L)).as("sampled_tokens"))
         .orderBy("lang")
+    },
+
+    // ---- q218: high-entropy secret/credential scan ---------------------------
+    // The TruffleHog/detect-secrets-style gate every code-bearing corpus
+    // runs before training: long alphanumeric tokens whose CHARACTER
+    // entropy is key-like get flagged (a leaked hex/base64 credential is
+    // near-uniform over its alphabet; natural-language tokens are not).
+    // Candidates are tokens matching [A-Za-z0-9]{20,}; per-token Shannon
+    // entropy rides q101's exact within-row discipline (distinct chars via
+    // array_distinct, counts via length-minus-replace, DECIMAL(38,20)
+    // in-row sum, one DECIMAL(18,8) round) and the 2.2-nat threshold
+    // compares the ROUNDED value, so the verdict replays exactly. The
+    // fixture plants both classes: doc_id % 4 = 0 gets a 67-char
+    // 'key'+md5+md5 credential (2.44–2.83 nats over 60k planted keys —
+    // must flag at the 2.2 cut; one md5 alone dips to 2.19, which is why
+    // the plant is doubled), % 4 = 1 a 24-char
+    // single-letter run (0 nats — must NOT flag, the length-only
+    // false-positive a naive gate commits).
+    //
+    // 100 TB shape: pure map-side — candidate extraction, per-token
+    // entropy, and the flag are all within-row; the only shuffle is the
+    // per-doc count agg (map-side combined). The gate costs one scan.
+    QueryDef(
+      "q218_secret_scan",
+      """WITH planted AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' key' || md5('sk:' || CAST(doc_id AS VARCHAR)) ||
+        |           md5('sk2:' || CAST(doc_id AS VARCHAR))
+        |         WHEN doc_id % 4 = 1 THEN ' ' || repeat(chr(97 + CAST(doc_id % 26 AS INT)), 24)
+        |         ELSE '' END AS t
+        |  FROM documents),
+        |cand AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(t, ' '),
+        |    x -> regexp_matches(x, '^[A-Za-z0-9]{20,}$'))) AS tok
+        |  FROM planted),
+        |ent AS (
+        |  SELECT doc_id, tok,
+        |    CAST(CAST(CAST(list_sum(list_transform(list_distinct(string_split(tok, '')), ch ->
+        |      CAST((CAST(length(tok) - length(replace(tok, ch, '')) AS DOUBLE) / length(tok))
+        |        * ln(CAST(length(tok) AS DOUBLE) / (length(tok) - length(replace(tok, ch, ''))))
+        |        AS DECIMAL(38,20)))) AS DOUBLE) AS DECIMAL(18,8)) AS DOUBLE) AS e
+        |  FROM cand),
+        |flagged AS (
+        |  SELECT doc_id, tok, e,
+        |    CASE WHEN e >= 2.2e0 THEN 1 ELSE 0 END AS flag
+        |  FROM ent)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+        |  CAST(SUM(flag) AS BIGINT) AS n_flagged,
+        |  MIN(CASE WHEN flag = 1 THEN tok END) AS sample_flagged,
+        |  MAX(e) AS max_entropy
+        |FROM flagged
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val planted = Tables.documentsSpread(s, d)
+        .select(col("doc_id"), concat(col("text"),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit(" key"), md5(concat(lit("sk:"), col("doc_id").cast("string"))),
+              md5(concat(lit("sk2:"), col("doc_id").cast("string")))))
+            .when(pmod(col("doc_id"), lit(4)) === 1,
+              concat(lit(" "),
+                expr("repeat(char(97 + CAST(doc_id % 26 AS INT)), 24)")))
+            .otherwise(lit(""))).as("t"))
+      val cand = planted
+        .select(col("doc_id"), explode(filter(split(col("t"), " "),
+          x => x.rlike("^[A-Za-z0-9]{20,}$"))).as("tok"))
+      val m = length(col("tok"))
+      val cnt = (ch: org.apache.spark.sql.Column) =>
+        m - length(call_function("replace", col("tok"), ch, lit("")))
+      val e = aggregate(
+        transform(array_distinct(split(col("tok"), "")), ch =>
+          ((cnt(ch).cast("double") / m) * log(m.cast("double") / cnt(ch)))
+            .cast(DecimalType(38, 20))),
+        lit(0).cast(DecimalType(38, 20)),
+        (acc, x) => (acc + x).cast(DecimalType(38, 20)))
+        .cast("double").cast(DecimalType(18, 8)).cast("double")
+      cand
+        .withColumn("e", e)
+        .withColumn("flag", when(col("e") >= lit(2.2), 1L).otherwise(0L))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(col("flag")).as("n_flagged"),
+          min(when(col("flag") === 1L, col("tok"))).as("sample_flagged"),
+          max(col("e")).as("max_entropy"))
+        .orderBy("doc_id")
     }
   )
 

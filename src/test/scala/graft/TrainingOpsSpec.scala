@@ -401,6 +401,37 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rows.exists(_._3 == 1L) && rows.exists(_._3 == 0L))
   }
 
+  test("q218 flags every planted key, passes every planted run, entropy re-derives") {
+    val rows = SparkEntry.byName("q218_secret_scan").run(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3)), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    def entropy(t: String): Double = {
+      val n = t.length.toDouble
+      val h = t.distinct.map { ch =>
+        val c = t.count(_ == ch).toDouble
+        BigDecimal((c / n) * math.log(n / c)).setScale(20, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      BigDecimal(h.toDouble).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    rows.foreach { case (doc, nc, nf, sample, maxE) =>
+      assert(nc >= 1 && nf <= nc)
+      if (doc % 4 == 0) {
+        // the planted 35-char key MUST be flagged and carries key-like entropy
+        assert(nf >= 1 && sample.isDefined, s"doc $doc key not flagged")
+        assert(sample.get.startsWith("key") && entropy(sample.get) >= 2.2,
+          s"doc $doc sample ${sample.get}")
+      }
+      if (doc % 4 == 1 && nc == 1) {
+        // the 24-char single-letter run is the only candidate: zero entropy,
+        // never flagged (the length-only false positive)
+        assert(nf == 0 && maxE == 0.0, s"doc $doc run flagged")
+      }
+    }
+    assert(rows.exists(_._3 > 0) && rows.exists(r => r._3 == 0 && r._2 > 0))
+  }
+
   test("q216 streaming drift gate is row-identical to batch q197") {
     // bin counts merge by exact addition, so the per-micro-batch
     // accumulated histogram must equal the one-pass scan — the same
