@@ -4051,6 +4051,67 @@ object TextDedupPack {
           col("cn").as("common_neighbors"), col("deg_a"), col("deg_b"),
           expr("10000 * cn div (deg_a + deg_b - cn)").as("nb_jaccard_bp"))
         .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- q219: quality-based survivorship per near-dup cluster ---------------
+    // q67 keeps the MIN-ID copy; real pipelines keep the BEST copy — the
+    // document-level face of q190's golden-record survivorship, with the
+    // survivor picked by q141's linear quality model
+    // (TrainingPack.qualityLogitCol, shared so the model that classifies
+    // is the model that selects; ties break on doc_id). Emits the
+    // per-cluster ledger: survivor, its logit, and the worst member's
+    // logit — the quality spread that motivates replacing min-id with
+    // quality survivorship in the first place.
+    //
+    // 100 TB shape: the CC gives node-sized cluster state; the logit is
+    // one map-side expression on the scan; the rank window partitions BY
+    // CLUSTER (bounded partitions — never a global sort); one map-side-
+    // combined per-cluster agg. The logit is the q141 e-notation IEEE
+    // expression, bit-identical cross-engine, so ordering and the emitted
+    // doubles replay exactly.
+    QueryDef(
+      "q219_quality_survivorship",
+      s"""WITH RECURSIVE $PAIRS_SQL,
+         |und AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |        UNION ALL
+         |        SELECT doc_b AS u, doc_a AS v FROM jpairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM und
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, least(u, MIN(v)) AS cluster_id
+         |         FROM reach GROUP BY u),
+         |f AS (SELECT doc_id, n_chars, ${TrainingPack.qualityExprsSql}
+         |  FROM documents),
+         |lg AS (SELECT doc_id,
+         |    -3e0 + 2e-2 * ntok + 6e-1 * awl - 25e0 * symratio + 8e-1 * nstop AS logit
+         |  FROM f),
+         |m AS (SELECT c.cluster_id, c.doc_id, l.logit,
+         |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY l.logit DESC, c.doc_id) AS rn
+         |  FROM comp c JOIN lg l USING (doc_id))
+         |SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  MAX(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc,
+         |  MAX(CASE WHEN rn = 1 THEN logit END) AS canonical_logit,
+         |  MIN(logit) AS min_logit
+         |FROM m GROUP BY cluster_id
+         |ORDER BY cluster_id""".stripMargin) { (s, d) =>
+      val clusters = graft.operators.Components
+        .connectedComponents(jaccardPairs(s, d).select("doc_a", "doc_b"),
+          "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+      val lg = Tables.documents(s, d)
+        .select(col("doc_id"), TrainingPack.qualityLogitCol.as("logit"))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("logit").desc, col("doc_id"))
+      clusters.join(lg, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("rn") === 1, col("doc_id"))).as("canonical_doc"),
+          max(when(col("rn") === 1, col("logit"))).as("canonical_logit"),
+          min(col("logit")).as("min_logit"))
+        .orderBy("cluster_id")
     }
   )
 

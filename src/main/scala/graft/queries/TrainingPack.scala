@@ -195,6 +195,22 @@ object TrainingPack {
        |    len(list_filter(string_split(text, ' '), x -> x IN ($stops))) AS nstop""".stripMargin
   }
 
+  /** q141's linear quality logit as ONE Column over (text, n_chars) —
+    * the e-notation-literal IEEE expression both engines evaluate
+    * identically. Shared with q219's quality survivorship (TextDedupPack)
+    * so the model that classifies is the model that picks survivors. */
+  private[queries] def qualityLogitCol: org.apache.spark.sql.Column = {
+    val toks = split(col("text"), " ")
+    val ntok = size(toks)
+    val awl = aggregate(transform(toks, x => length(x)), lit(0), (a, x) => a + x) *
+      lit(1.0) / ntok
+    val symratio = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 ]"), lit(0))) *
+      lit(1.0) / col("n_chars")
+    val nstop = size(filter(toks, x => x.isin(ALL_STOPS: _*)))
+    lit(-3.0) + lit(0.02) * ntok + lit(0.6) * awl -
+      lit(25.0) * symratio + lit(0.8) * nstop
+  }
+
   /** DuckDB SQL for the combined pass-all gate over [[qualityExprsSql]]'s
     * columns. */
   private[queries] val QualityCondSql =

@@ -249,6 +249,28 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q219 survivorship clusters agree with q67 and the ledger is internally consistent") {
+    val surv = SparkEntry.byName("q219_quality_survivorship").run(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    val cc = SparkEntry.byName("q67_dedup_clusters").run(spark, sf)
+      .select("cluster_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (c, g) => c -> g.map(_._2).toSet }
+    assert(surv.nonEmpty && surv.map(_._1).toSet == cc.keySet)
+    surv.foreach { case (cid, n, canon, clog, mlog) =>
+      val members = cc(cid)
+      assert(n == members.size && n >= 2, s"cluster $cid size")
+      assert(members.contains(canon), s"cluster $cid survivor not a member")
+      assert(clog >= mlog, s"cluster $cid logit order")
+    }
+    // quality survivorship must actually differ from min-id canonical
+    // somewhere (else the query adds nothing over q67)
+    assert(surv.exists { case (cid, _, canon, _, _) => canon != cid })
+    assert(surv.exists { case (cid, _, canon, _, _) => canon == cid })
+  }
+
   test("Occupancy.cap keeps exactly the rows of groups within the cap") {
     val df = Seq.tabulate(100)(i => (s"k${i % 7}", i.toLong)).toDF("k", "v")
     // group sizes: k0..k1 → 15, k2..k6 → 14
