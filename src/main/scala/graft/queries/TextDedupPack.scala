@@ -4112,6 +4112,89 @@ object TextDedupPack {
           max(when(col("rn") === 1, col("logit"))).as("canonical_logit"),
           min(col("logit")).as("min_logit"))
         .orderBy("cluster_id")
+    },
+
+    // ---- q220: positional phrase search --------------------------------------
+    // The index feature q108's posting lists lack: EXACT phrase matching
+    // needs token POSITIONS, and the match is position arithmetic — terms
+    // t1 t2 t3 co-occur with pos, pos+1, pos+2 in one doc. Self-tuning
+    // fixture: the phrase is the corpus's most frequent word trigram
+    // (deterministic count-desc/lexicographic-asc top-1), so the query is
+    // meaningful at any SF without a planted literal. The match runs the
+    // way a positional index does: each term's postings are filtered
+    // FIRST against the broadcast phrase row (three term-selective
+    // streams, not a corpus-wide join), then two keyed (doc_id, pos)
+    // equi-joins apply the adjacency arithmetic.
+    //
+    // 100 TB shape: the position table is one map-side posexplode; the
+    // top-phrase model is a map-side-combined count + a 1-row broadcast;
+    // each postings stream is pre-filtered to one term before joining, so
+    // join inputs are term-frequency-sized, not corpus-sized; the final
+    // per-doc agg is map-side combined. No windows, no sorts beyond the
+    // output ORDER BY.
+    QueryDef(
+      "q220_phrase_search",
+      """WITH toksrc AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |toks AS (
+        |  SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(t) + 1),
+        |        i -> {pos: i, tok: t[i]})) AS u
+        |    FROM toksrc)),
+        |tri AS (
+        |  SELECT unnest(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |  FROM toksrc WHERE len(t) >= 3),
+        |top AS (SELECT g FROM (SELECT g, COUNT(*) AS c FROM tri GROUP BY g)
+        |        ORDER BY c DESC, g LIMIT 1),
+        |pw AS (SELECT string_split(g, ' ')[1] AS w1,
+        |       string_split(g, ' ')[2] AS w2,
+        |       string_split(g, ' ')[3] AS w3, g FROM top),
+        |hits AS (
+        |  SELECT a.doc_id, a.pos, pw.g FROM toks a
+        |  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        |  CROSS JOIN pw
+        |  WHERE a.tok = pw.w1 AND b.tok = pw.w2 AND c.tok = pw.w3)
+        |SELECT doc_id, ANY_VALUE(g) AS phrase,
+        |  CAST(COUNT(*) AS BIGINT) AS n_occ,
+        |  CAST(MIN(pos) AS BIGINT) AS first_pos
+        |FROM hits
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // postings scanned by the top-phrase build and all three term
+      // streams — persisted
+      val toks = Tables.documentsSpread(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+        .persist()
+      val tarr = col("t")
+      val tri = Tables.documentsSpread(s, d)
+        .select(split(col("text"), " ").as("t"))
+        .filter(size(tarr) >= 3)
+        .select(explode(transform(sequence(lit(1), size(tarr) - 2), i =>
+          concat_ws(" ", element_at(tarr, i), element_at(tarr, i + 1),
+            element_at(tarr, i + 2)))).as("g"))
+      val top = tri.groupBy("g").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("g")).limit(1)
+      val pw = top.select(element_at(split(col("g"), " "), 1).as("w1"),
+        element_at(split(col("g"), " "), 2).as("w2"),
+        element_at(split(col("g"), " "), 3).as("w3"), col("g"))
+      def term(w: String, posAs: String) = toks.crossJoin(broadcast(pw))
+        .filter(col("tok") === col(w))
+        .select(col("doc_id"), col("pos").as(posAs),
+          if (w == "w1") col("g") else lit(null).as("__drop"))
+        .drop("__drop")
+      val a = term("w1", "pos")
+      val b = term("w2", "posb").select(col("doc_id").as("doc_b"), col("posb"))
+      val c = term("w3", "posc").select(col("doc_id").as("doc_c"), col("posc"))
+      a.join(b, col("doc_b") === col("doc_id") && col("posb") === col("pos") + 1)
+        .join(c, col("doc_c") === col("doc_id") && col("posc") === col("pos") + 2)
+        .groupBy("doc_id")
+        .agg(first(col("g")).as("phrase"), count(lit(1)).as("n_occ"),
+          min(col("pos")).cast("long").as("first_pos"))
+        .orderBy("doc_id")
     }
   )
 

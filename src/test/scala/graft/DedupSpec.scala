@@ -271,6 +271,39 @@ class DedupSpec extends AnyFunSuite {
     assert(surv.exists { case (cid, _, canon, _, _) => canon == cid })
   }
 
+  test("q220 phrase hits re-derive from a plain Scala sliding-window scan") {
+    val got = SparkEntry.byName("q220_phrase_search").run(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    // independent top-trigram selection (count desc, lexicographic asc)
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach { case (_, t) =>
+      t.sliding(3).filter(_.size == 3)
+        .foreach(w => counts(w.mkString(" ")) = counts.getOrElse(w.mkString(" "), 0L) + 1)
+    }
+    val phrase = counts.toSeq.maxBy { case (g, c) => (c, ReverseLex(g)) }._1
+    assert(got.forall(_._2 == phrase), s"phrase ${got.head._2} != $phrase")
+    val pw = phrase.split(" ").toSeq
+    val expect = texts.flatMap { case (id, t) =>
+      val occ = t.sliding(3).zipWithIndex.collect {
+        case (w, i) if w == pw => i + 1
+      }.toSeq
+      if (occ.isEmpty) None else Some(id -> (occ.size.toLong, occ.min.toLong))
+    }.toMap
+    assert(got.map(_._1).toSet == expect.keySet)
+    got.foreach { case (id, _, n, fp) =>
+      assert((n, fp) == expect(id), s"doc $id")
+    }
+  }
+
+  // orders lexicographically DESCENDING when used inside maxBy's tuple
+  private case class ReverseLex(s: String) extends Ordered[ReverseLex] {
+    def compare(that: ReverseLex): Int = that.s.compareTo(s)
+  }
+
   test("Occupancy.cap keeps exactly the rows of groups within the cap") {
     val df = Seq.tabulate(100)(i => (s"k${i % 7}", i.toLong)).toDF("k", "v")
     // group sizes: k0..k1 → 15, k2..k6 → 14

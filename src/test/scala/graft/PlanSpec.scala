@@ -439,6 +439,18 @@ class PlanSpec extends AnyFunSuite {
     assert(windows.isEmpty, s"q213 planned a window sort:\n$p")
   }
 
+  test("q212's difficulty rank plans without a one-reducer window") {
+    // the curriculum rank must come from GlobalIds' balanced range
+    // exchange + per-__pid windows — a WindowExec with an EMPTY partition
+    // spec would sort the whole corpus on one reducer at 100 TB
+    val p = plan(q("q212_curriculum_schedule"))
+    val unpartitioned = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty, s"q212 planned a global window sort:\n$p")
+  }
+
   test("q182's ranking cuts plan as TakeOrdered — the corpus never globally sorts for the fusion") {
     // each ranking's top-100 must be per-partition top-N + an N-row merge;
     // a regression to Sort+Limit (or a corpus-wide window) would shuffle
