@@ -4195,6 +4195,137 @@ object TextDedupPack {
         .agg(first(col("g")).as("phrase"), count(lit(1)).as("n_occ"),
           min(col("pos")).cast("long").as("first_pos"))
         .orderBy("doc_id")
+    },
+
+    // ---- q221: URL canonicalization dedup ------------------------------------
+    // Crawl dedup's FIRST line of defense, upstream of any content hash:
+    // the same page arrives under many URL spellings (scheme/host case,
+    // www. prefix, default :443 port, trailing slash, tracking params in
+    // varying order, fragments). Each doc gets a deterministically-varied
+    // raw URL over a planted canonical identity (g = doc_id % 200 drives
+    // host+path+kept-param, so every variant class collides back to one
+    // known form); the canonicalizer then lowercases scheme+host ONLY
+    // (path case is significant in real URLs), strips the default port /
+    // www. prefix / fragment / trailing slash, drops utm_*/gclid/fbclid
+    // params and sorts the survivors. Self-verifying like q82: recovered=1
+    // iff the canonical equals the planted expected form, group-wide.
+    //
+    // 100 TB shape: canonicalization is pure map-side string work riding
+    // the scan; the only shuffle is the groupBy on the canonical key (the
+    // dedup aggregation itself, partially aggregated map-side except the
+    // exact DISTINCT raw count, which needs the group's rows — acceptable
+    // because group size = variants-per-page, not corpus-sized). No joins,
+    // no windows.
+    QueryDef(
+      "q221_url_canonical_dedup",
+      """WITH b AS (
+        |  SELECT doc_id, doc_id % 200 AS g,
+        |    'example' || CAST((doc_id % 200) % 50 AS VARCHAR) || '.com' AS hb
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, g,
+        |    CASE WHEN doc_id % 4 < 2 THEN 'www.' || hb ELSE hb END AS hp,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN 'utm_source=feed&utm_campaign=c' || CAST(doc_id % 9 AS VARCHAR) END AS t1,
+        |    CASE WHEN doc_id % 3 = 1
+        |      THEN 'gclid=g' || CAST(doc_id % 11 AS VARCHAR) END AS t2,
+        |    'id=' || CAST(g AS VARCHAR) AS kp,
+        |    'v=' || CAST(g % 3 AS VARCHAR) AS kp2
+        |  FROM b),
+        |raw AS (
+        |  SELECT doc_id, g,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN upper(hp) ELSE hp END) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END) ||
+        |    '/articles/item-' || CAST(g AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+        |    '?' ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN concat_ws('&', t1, kp2, t2, kp)
+        |          ELSE concat_ws('&', kp, t1, t2, kp2) END) ||
+        |    (CASE WHEN doc_id % 3 = 2 THEN '#sec-' || CAST(doc_id % 4 AS VARCHAR)
+        |          ELSE '' END) AS url
+        |  FROM h),
+        |nf AS (
+        |  SELECT doc_id, g, url, regexp_replace(url, '#.*$', '') AS nofrag FROM raw),
+        |parts AS (
+        |  SELECT doc_id, g, url,
+        |    lower(regexp_extract(nofrag, '^([a-zA-Z]+)://', 1)) AS sch,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(nofrag, '^[a-zA-Z]+://([^/]+)', 1)),
+        |      ':(443|80)$', ''), '^www\.', '') AS hostc,
+        |    regexp_replace(
+        |      regexp_extract(nofrag, '^[a-zA-Z]+://[^/]+([^?]*)', 1),
+        |      '/+$', '') AS pathc,
+        |    array_to_string(list_sort(list_filter(
+        |      string_split(regexp_extract(nofrag, '\?(.*)$', 1), '&'),
+        |      x -> NOT (starts_with(x, 'utm_') OR starts_with(x, 'gclid=')
+        |                OR starts_with(x, 'fbclid=')))), '&') AS qc
+        |  FROM nf),
+        |canon AS (
+        |  SELECT doc_id, url,
+        |    sch || '://' || hostc || pathc ||
+        |      (CASE WHEN qc = '' THEN '' ELSE '?' || qc END) AS canonical_url,
+        |    'https://example' || CAST(g % 50 AS VARCHAR) || '.com/articles/item-' ||
+        |      CAST(g AS VARCHAR) || '?id=' || CAST(g AS VARCHAR) ||
+        |      '&v=' || CAST(g % 3 AS VARCHAR) AS expected
+        |  FROM parts)
+        |SELECT canonical_url,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(doc_id) AS keep_id,
+        |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw,
+        |  CAST(MIN(CASE WHEN canonical_url = expected THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS recovered
+        |FROM canon
+        |GROUP BY canonical_url
+        |ORDER BY canonical_url""".stripMargin) { (s, d) =>
+      val did = col("doc_id")
+      val g = did % 200
+      val hb = concat(lit("example"), (g % 50).cast("string"), lit(".com"))
+      val hp = when(did % 4 < 2, concat(lit("www."), hb)).otherwise(hb)
+      val t1 = when(did % 2 === 0,
+        concat(lit("utm_source=feed&utm_campaign=c"), (did % 9).cast("string")))
+      val t2 = when(did % 3 === 1,
+        concat(lit("gclid=g"), (did % 11).cast("string")))
+      val kp = concat(lit("id="), g.cast("string"))
+      val kp2 = concat(lit("v="), (g % 3).cast("string"))
+      val url = concat(
+        when(did % 2 === 0, lit("HTTPS")).otherwise(lit("https")), lit("://"),
+        when(did % 2 === 0, upper(hp)).otherwise(hp),
+        when(did % 7 === 0, lit(":443")).otherwise(lit("")),
+        lit("/articles/item-"), g.cast("string"),
+        when(did % 5 === 0, lit("/")).otherwise(lit("")),
+        lit("?"),
+        when(did % 2 === 0, concat_ws("&", t1, kp2, t2, kp))
+          .otherwise(concat_ws("&", kp, t1, t2, kp2)),
+        when(did % 3 === 2, concat(lit("#sec-"), (did % 4).cast("string")))
+          .otherwise(lit("")))
+      val nofrag = regexp_replace(col("url"), "#.*$", "")
+      val sch = lower(regexp_extract(nofrag, "^([a-zA-Z]+)://", 1))
+      val hostc = regexp_replace(regexp_replace(
+        lower(regexp_extract(nofrag, "^[a-zA-Z]+://([^/]+)", 1)),
+        ":(443|80)$", ""), "^www\\.", "")
+      val pathc = regexp_replace(
+        regexp_extract(nofrag, "^[a-zA-Z]+://[^/]+([^?]*)", 1), "/+$", "")
+      val qc = array_join(array_sort(filter(
+        split(regexp_extract(nofrag, "\\?(.*)$", 1), "&"),
+        x => !(x.startsWith("utm_") || x.startsWith("gclid=")
+          || x.startsWith("fbclid=")))), "&")
+      val expected = concat(lit("https://example"), (g % 50).cast("string"),
+        lit(".com/articles/item-"), g.cast("string"),
+        lit("?id="), g.cast("string"), lit("&v="), (g % 3).cast("string"))
+      Tables.documentsSpread(s, d)
+        .select(did, url.as("url"), expected.as("expected"))
+        .select(col("doc_id"), col("url"), col("expected"),
+          concat(sch, lit("://"), hostc, pathc,
+            when(qc === "", lit("")).otherwise(concat(lit("?"), qc)))
+            .as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("keep_id"),
+          countDistinct(col("url")).as("n_raw"),
+          min(when(col("canonical_url") === col("expected"), 1L).otherwise(0L))
+            .as("recovered"))
+        .orderBy("canonical_url")
     }
   )
 

@@ -304,6 +304,48 @@ class DedupSpec extends AnyFunSuite {
     def compare(that: ReverseLex): Int = that.s.compareTo(s)
   }
 
+  test("q221 canonical groups re-derive from a plain Scala URL builder") {
+    val got = SparkEntry.byName("q221_url_canonical_dedup").run(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.nonEmpty)
+    val ids = docs.select("doc_id").as[Long].collect().toSeq
+    // independent raw-URL construction (mirrors the planted variant classes)
+    def raw(id: Long): String = {
+      val g = id % 200
+      val hb = s"example${g % 50}.com"
+      val hp = if (id % 4 < 2) s"www.$hb" else hb
+      val t1 = if (id % 2 == 0) Some(s"utm_source=feed&utm_campaign=c${id % 9}") else None
+      val t2 = if (id % 3 == 1) Some(s"gclid=g${id % 11}") else None
+      val kp = s"id=$g"; val kp2 = s"v=${g % 3}"
+      val qs =
+        if (id % 2 == 0) (t1.toSeq ++ Seq(kp2) ++ t2.toSeq :+ kp).mkString("&")
+        else (Seq(kp) ++ t1.toSeq ++ t2.toSeq :+ kp2).mkString("&")
+      (if (id % 2 == 0) "HTTPS" else "https") + "://" +
+        (if (id % 2 == 0) hp.toUpperCase else hp) +
+        (if (id % 7 == 0) ":443" else "") +
+        s"/articles/item-$g" + (if (id % 5 == 0) "/" else "") +
+        "?" + qs + (if (id % 3 == 2) s"#sec-${id % 4}" else "")
+    }
+    def canonical(id: Long): String = {
+      val g = id % 200
+      s"https://example${g % 50}.com/articles/item-$g?id=$g&v=${g % 3}"
+    }
+    val expect = ids.groupBy(canonical).map { case (c, members) =>
+      c -> (members.size.toLong, members.min,
+        members.map(raw).distinct.size.toLong)
+    }
+    assert(got.map(_._1).toSet == expect.keySet)
+    got.foreach { case (c, nDocs, keepId, nRaw, recovered) =>
+      val (en, ekeep, eraw) = expect(c)
+      assert((nDocs, keepId, nRaw) == ((en, ekeep, eraw)), s"group $c")
+      assert(recovered == 1L, s"group $c not recovered")
+    }
+    // the variant classes must actually occur: some group collapses >1 raw
+    assert(got.exists(_._4 > 1), "no group with multiple raw spellings")
+  }
+
   test("Occupancy.cap keeps exactly the rows of groups within the cap") {
     val df = Seq.tabulate(100)(i => (s"k${i % 7}", i.toLong)).toDF("k", "v")
     // group sizes: k0..k1 → 15, k2..k6 → 14
