@@ -2255,6 +2255,108 @@ object TrainingPack {
           min(when(col("flag") === 1L, col("tok"))).as("sample_flagged"),
           max(col("e")).as("max_entropy"))
         .orderBy("doc_id")
+    },
+
+    // ---- q222: per-source boilerplate-line removal (CCNet-style) -------------
+    // q82 strips structural markup; this is the CONTENT-level counterpart
+    // CCNet applies per crawl source: a line that recurs in more than half
+    // of a source's documents (nav text, cookie banners, copyright footers)
+    // is boilerplate and is dropped from every doc, whatever the doc says.
+    // Planted page = header \n body \n [subscribe] \n footer: header and
+    // footer are per-source constants (df = 100% → dropped); the subscribe
+    // line rides ~30% of docs (below the 50% cut → kept); the body is the
+    // original text. Self-verifying like q82/q221: recovered=1 iff the
+    // cleaned page equals body+[subscribe] exactly.
+    //
+    // 100 TB shape: the line ledger groups on (source, md5(line)) — a
+    // fixed-width shuffle key however long the line — with map-side
+    // combine; the per-source doc count is a tiny broadcast; the
+    // line-level join back is keyed on the same (source, line-hash) pair;
+    // the final per-doc agg reassembles kept lines with a bounded
+    // per-page sort (pages have O(lines-per-page) entries, never
+    // corpus-sized). One scan of documents feeds both sides.
+    QueryDef(
+      "q222_boilerplate_lines",
+      """WITH pl AS (
+        |  SELECT doc_id, source,
+        |    concat_ws(chr(10),
+        |      'site ' || source || ' navigation menu home about',
+        |      text,
+        |      CASE WHEN doc_id % 10 < 3
+        |        THEN 'subscribe to the ' || source || ' newsletter' END,
+        |      'copyright ' || source || ' all rights reserved') AS page,
+        |    md5(concat_ws(chr(10), text,
+        |      CASE WHEN doc_id % 10 < 3
+        |        THEN 'subscribe to the ' || source || ' newsletter' END))
+        |      AS exp_md5
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, source, exp_md5, u.pos AS pos, u.line AS line,
+        |    md5(u.line) AS lh
+        |  FROM (
+        |    SELECT doc_id, source, exp_md5,
+        |      unnest(list_transform(range(1, len(l) + 1),
+        |        i -> {pos: i, line: l[i]})) AS u
+        |    FROM (SELECT doc_id, source, exp_md5,
+        |            string_split(page, chr(10)) AS l FROM pl))),
+        |df AS (
+        |  SELECT source, lh, COUNT(DISTINCT doc_id) AS dfc
+        |  FROM lines GROUP BY source, lh),
+        |sd AS (
+        |  SELECT source, COUNT(DISTINCT doc_id) AS n_src
+        |  FROM documents GROUP BY source),
+        |fl AS (
+        |  SELECT l.doc_id, l.exp_md5, l.pos, l.line,
+        |    CASE WHEN 2 * df.dfc > sd.n_src THEN 1 ELSE 0 END AS bp
+        |  FROM lines l
+        |  JOIN df ON df.source = l.source AND df.lh = l.lh
+        |  JOIN sd ON sd.source = l.source),
+        |agg AS (
+        |  SELECT doc_id, exp_md5,
+        |    CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |    CAST(SUM(1 - bp) AS BIGINT) AS n_kept,
+        |    md5(string_agg(CASE WHEN bp = 0 THEN line END, chr(10)
+        |      ORDER BY pos)) AS clean_md5
+        |  FROM fl GROUP BY doc_id, exp_md5)
+        |SELECT doc_id, n_lines, n_kept, clean_md5,
+        |  CAST(CASE WHEN clean_md5 = exp_md5 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS recovered
+        |FROM agg
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val sub = when(col("doc_id") % 10 < 3,
+        concat(lit("subscribe to the "), col("source"), lit(" newsletter")))
+      val page = concat_ws("\n",
+        concat(lit("site "), col("source"), lit(" navigation menu home about")),
+        col("text"), sub,
+        concat(lit("copyright "), col("source"), lit(" all rights reserved")))
+      val pl = Tables.documentsSpread(s, d)
+        .select(col("doc_id"), col("source"), page.as("page"),
+          md5(concat_ws("\n", col("text"), sub)).as("exp_md5"))
+      val lines = pl
+        .select(col("doc_id"), col("source"), col("exp_md5"),
+          posexplode(split(col("page"), "\n")).as(Seq("p0", "line")))
+        .select(col("doc_id"), col("source"), col("exp_md5"),
+          (col("p0") + 1).as("pos"), col("line"), md5(col("line")).as("lh"))
+      val dfc = lines.groupBy("source", "lh")
+        .agg(countDistinct(col("doc_id")).as("dfc"))
+      val sd = Tables.documents(s, d).groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_src"))
+      val fl = lines
+        .join(dfc, Seq("source", "lh"))
+        .join(broadcast(sd), "source")
+        .withColumn("bp",
+          when(lit(2) * col("dfc") > col("n_src"), 1).otherwise(0))
+      fl.groupBy("doc_id", "exp_md5")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(lit(1) - col("bp")).cast("long").as("n_kept"),
+          md5(array_join(transform(
+            array_sort(collect_list(
+              when(col("bp") === 0, struct(col("pos"), col("line"))))),
+            x => x.getField("line")), "\n")).as("clean_md5"))
+        .select(col("doc_id"), col("n_lines"), col("n_kept"), col("clean_md5"),
+          when(col("clean_md5") === col("exp_md5"), 1L).otherwise(0L)
+            .as("recovered"))
+        .orderBy("doc_id")
     }
   )
 

@@ -432,6 +432,52 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rows.exists(_._3 > 0) && rows.exists(r => r._3 == 0 && r._2 > 0))
   }
 
+  test("q222 drops exactly the per-source majority lines, keeps the 30% rider") {
+    val rows = SparkEntry.byName("q222_boilerplate_lines").run(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val base = docs.select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    def pageLines(id: Long, src: String, text: String): Seq[String] = {
+      val sub =
+        if (id % 10 < 3) Some(s"subscribe to the $src newsletter") else None
+      Seq(s"site $src navigation menu home about", text) ++
+        sub.toSeq :+ s"copyright $src all rights reserved"
+    }
+    val bySrc = base.groupBy(_._2)
+    val dfm: Map[(String, String), Int] = bySrc.flatMap { case (src, ds) =>
+      ds.flatMap { case (id, _, t) => pageLines(id, src, t).distinct.map((src, _)) }
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+    }
+    val nSrc = bySrc.map { case (src, ds) => src -> ds.map(_._1).distinct.size }
+    val expect = base.map { case (id, src, t) =>
+      val ls = pageLines(id, src, t)
+      val kept = ls.filterNot(l => 2L * dfm((src, l)) > nSrc(src))
+      val sub = if (id % 10 < 3) Some(s"subscribe to the $src newsletter") else None
+      val clean = kept.mkString("\n")
+      val wanted = (Seq(t) ++ sub.toSeq).mkString("\n")
+      id -> (ls.size.toLong, kept.size.toLong, md5hex(clean),
+        if (clean == wanted) 1L else 0L)
+    }.toMap
+    assert(rows.map(_._1).toSet == expect.keySet)
+    rows.foreach { case (id, nl, nk, md, rec) =>
+      assert((nl, nk, md, rec) == expect(id), s"doc $id")
+    }
+    // headers+footers must actually be dropped in every page
+    assert(rows.forall { case (_, nl, nk, _, _) => nl - nk >= 2 })
+    // most docs recover body+[rider] exactly; the exceptions are docs whose
+    // body is itself a per-source majority line (mass exact dups — the
+    // corpus plants them; dropping those too IS the CCNet semantics), and
+    // the per-row equality above already proved each one against the replay
+    assert(rows.count(_._5 == 1L) * 2 > rows.size, "majority not recovered")
+    assert(rows.exists(_._2 == 4L) && rows.exists(_._2 == 3L))
+  }
+
   test("q216 streaming drift gate is row-identical to batch q197") {
     // bin counts merge by exact addition, so the per-micro-batch
     // accumulated histogram must equal the one-pass scan — the same
