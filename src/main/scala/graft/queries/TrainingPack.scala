@@ -2357,6 +2357,87 @@ object TrainingPack {
           when(col("clean_md5") === col("exp_md5"), 1L).otherwise(0L)
             .as("recovered"))
         .orderBy("doc_id")
+    },
+
+    // ---- q223: mixed-script confusable scan ----------------------------------
+    // The homoglyph gate (Unicode TR39 confusables): a token mixing Latin
+    // and Cyrillic letters is a spoof candidate — phishing corpora and
+    // poisoned training data hide 'pаypаl' (Cyrillic а) inside Latin text.
+    // Planted three ways: a mixed-script spoof (MUST flag, doc_id%5),
+    // a pure-Cyrillic word (single script — must NOT flag, doc_id%7), and
+    // a Latin+digit token (digits are Common script — must NOT flag,
+    // doc_id%4). Script membership is one regex class per script over the
+    // token ([a-z] vs [\x{0400}-\x{04FF}] — Java and RE2 both take the
+    // \x{...} form); mixed = both present. recovered=1 iff the per-doc
+    // mixed and Cyrillic counts equal the planted expectation exactly.
+    //
+    // 100 TB shape: pure map-side tokenize + two regex probes per token;
+    // the only shuffle is the per-doc count agg (map-side combined). The
+    // Cyrillic literals are built via chr() codepoints in the oracle and
+    // \u escapes in Scala so both engines emit identical UTF-8 bytes.
+    QueryDef(
+      "q223_script_mix_scan",
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    concat_ws(' ', text,
+        |      CASE WHEN doc_id % 5 = 0
+        |        THEN 'p' || chr(1072) || 'yp' || chr(1072) || 'l-' ||
+        |             CAST(doc_id % 7 AS VARCHAR) END,
+        |      CASE WHEN doc_id % 7 = 0
+        |        THEN chr(1087) || chr(1088) || chr(1080) || chr(1074) ||
+        |             chr(1077) || chr(1090) END,
+        |      CASE WHEN doc_id % 4 = 0 THEN 'build42' END) AS t
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM aug),
+        |cls AS (
+        |  SELECT doc_id, tok,
+        |    CASE WHEN regexp_matches(tok, '[a-z]') THEN 1 ELSE 0 END AS has_lat,
+        |    CASE WHEN regexp_matches(tok, '[\x{0400}-\x{04FF}]')
+        |      THEN 1 ELSE 0 END AS has_cyr
+        |  FROM tok)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(has_lat * has_cyr) AS BIGINT) AS n_mixed,
+        |  CAST(SUM(has_cyr) AS BIGINT) AS n_cyr,
+        |  MIN(CASE WHEN has_lat * has_cyr = 1 THEN tok END) AS sample_mixed,
+        |  CAST(CASE WHEN
+        |      SUM(has_lat * has_cyr) =
+        |        (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+        |      AND SUM(has_cyr) =
+        |        (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) +
+        |        (CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS recovered
+        |FROM cls
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val did = col("doc_id")
+      val spoof = when(did % 5 === 0,
+        concat(lit("p\u0430yp\u0430l-"), (did % 7).cast("string")))
+      val cyr = when(did % 7 === 0,
+        lit("\u043f\u0440\u0438\u0432\u0435\u0442"))
+      val b42 = when(did % 4 === 0, lit("build42"))
+      val hasLat = when(col("tok").rlike("[a-z]"), 1).otherwise(0)
+      val hasCyr = when(col("tok").rlike("[\\x{0400}-\\x{04FF}]"), 1)
+        .otherwise(0)
+      val expMixed = when(did % 5 === 0, 1L).otherwise(0L)
+      val expCyr = expMixed + when(did % 7 === 0, 1L).otherwise(0L)
+      Tables.documentsSpread(s, d)
+        .select(did,
+          explode(split(concat_ws(" ", col("text"), spoof, cyr, b42), " "))
+            .as("tok"))
+        .select(did, col("tok"), hasLat.as("has_lat"), hasCyr.as("has_cyr"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("has_lat") * col("has_cyr")).as("n_mixed"),
+          sum(col("has_cyr")).as("n_cyr"),
+          min(when(col("has_lat") * col("has_cyr") === 1, col("tok")))
+            .as("sample_mixed"))
+        .select(col("doc_id"), col("n_tokens"), col("n_mixed"), col("n_cyr"),
+          col("sample_mixed"),
+          when(col("n_mixed") === expMixed && col("n_cyr") === expCyr, 1L)
+            .otherwise(0L).as("recovered"))
+        .orderBy("doc_id")
     }
   )
 

@@ -478,6 +478,38 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rows.exists(_._2 == 4L) && rows.exists(_._2 == 3L))
   }
 
+  test("q223 flags exactly the planted mixed-script tokens") {
+    val rows = SparkEntry.byName("q223_script_mix_scan").run(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.getString(4)), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val base = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows.map(_._1).toSet == base.keySet)
+    def hasLat(t: String) = t.exists(c => c >= 'a' && c <= 'z')
+    def hasCyr(t: String) = t.exists(c => c >= '\u0400' && c <= '\u04FF')
+    rows.foreach { case (id, nTok, nMixed, nCyr, sample, rec) =>
+      val spoof =
+        if (id % 5 == 0) Some("p\u0430yp\u0430l-" + (id % 7)) else None
+      val cyr =
+        if (id % 7 == 0) Some("\u043f\u0440\u0438\u0432\u0435\u0442") else None
+      val b42 = if (id % 4 == 0) Some("build42") else None
+      val toks = base(id).split(" ").toSeq ++ spoof ++ cyr ++ b42
+      val mixed = toks.filter(t => hasLat(t) && hasCyr(t))
+      assert(nTok == toks.size, s"doc $id n_tokens")
+      assert(nMixed == mixed.size && nMixed == spoof.size.toLong, s"doc $id mixed")
+      assert(nCyr == toks.count(hasCyr) &&
+        nCyr == (spoof.size + cyr.size).toLong, s"doc $id cyr")
+      assert(sample == mixed.sorted.headOption, s"doc $id sample")
+      assert(rec == 1L, s"doc $id recovered")
+    }
+    // all three plant classes occur, and the two must-NOT-flag classes
+    // really never flag
+    assert(rows.exists(_._3 > 0) && rows.exists(r => r._4 > r._3))
+    assert(rows.filter(_._1 % 5 != 0).forall(_._3 == 0L))
+  }
+
   test("q216 streaming drift gate is row-identical to batch q197") {
     // bin counts merge by exact addition, so the per-micro-batch
     // accumulated histogram must equal the one-pass scan — the same
