@@ -4326,6 +4326,69 @@ object TextDedupPack {
           min(when(col("canonical_url") === col("expected"), 1L).otherwise(0L))
             .as("recovered"))
         .orderBy("canonical_url")
+    },
+
+    // ---- q224: cross-source token-overlap matrix -----------------------------
+    // The corpus-composition audit run before mixing sources into one
+    // training set: for every source pair, how much vocabulary do they
+    // share? Emits exact |A∩B| plus Jaccard and containment
+    // (overlap-coefficient) as integer basis points — the all-integer
+    // ledger discipline of q192/q214, so both engines agree bit-for-bit.
+    // High containment of a small source inside a big one is the
+    // "this source is a subset crawl of that one" signal that pure
+    // doc-level dedup misses.
+    //
+    // 100 TB shape: the distinct (source, token) projection is one
+    // map-side-combined aggregation; the pair join is keyed on token with
+    // per-key fan-out bounded by the SOURCE dimension (≤ C(|sources|,2)
+    // pairs per token — a catalog-bounded constant, never corpus-sized);
+    // per-source vocabulary sizes are a tiny broadcast into the final
+    // 190-row ledger. The projection is persisted — it feeds the size agg
+    // and both join sides from one computation.
+    QueryDef(
+      "q224_source_overlap_matrix",
+      """WITH d AS (
+        |  SELECT DISTINCT source, tok FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)),
+        |sz AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY source),
+        |pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM d a JOIN d b ON b.tok = a.tok AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT src_a, src_b, n_common,
+        |  sa.n AS n_a, sb.n AS n_b,
+        |  CAST(10000 * n_common // (sa.n + sb.n - n_common) AS BIGINT)
+        |    AS jaccard_bp,
+        |  CAST(10000 * n_common //
+        |    (CASE WHEN sa.n < sb.n THEN sa.n ELSE sb.n END) AS BIGINT)
+        |    AS containment_bp
+        |FROM pairs
+        |JOIN sz sa ON sa.source = src_a
+        |JOIN sz sb ON sb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+      val dd = Tables.documentsSpread(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .distinct()
+        .persist()
+      val sz = dd.groupBy("source").agg(count(lit(1)).as("n"))
+      val pairs = dd.select(col("source").as("src_a"), col("tok"))
+        .join(dd.select(col("source").as("src_b"), col("tok")), "tok")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_common"))
+      pairs
+        .join(broadcast(sz.select(col("source").as("src_a"), col("n").as("n_a"))),
+          "src_a")
+        .join(broadcast(sz.select(col("source").as("src_b"), col("n").as("n_b"))),
+          "src_b")
+        .select(col("src_a"), col("src_b"), col("n_common"),
+          col("n_a"), col("n_b"),
+          expr("10000 * n_common div (n_a + n_b - n_common)").as("jaccard_bp"),
+          expr("10000 * n_common div (case when n_a < n_b then n_a else n_b end)")
+            .as("containment_bp"))
+        .orderBy("src_a", "src_b")
     }
   )
 

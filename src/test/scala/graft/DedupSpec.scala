@@ -346,6 +346,35 @@ class DedupSpec extends AnyFunSuite {
     assert(got.exists(_._4 > 1), "no group with multiple raw spellings")
   }
 
+  test("q224 overlap matrix re-derives from plain Scala token sets") {
+    val got = SparkEntry.byName("q224_source_overlap_matrix").run(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.nonEmpty)
+    val vocab: Map[String, Set[String]] = docs.select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (src, g) =>
+        src -> g.flatMap(_._2.split(" ")).toSet
+      }
+    val srcs = vocab.keys.toSeq.sorted
+    val expectPairs = for {
+      i <- srcs.indices; j <- (i + 1) until srcs.size
+      (a, b) = (srcs(i), srcs(j))
+    } yield (a, b)
+    assert(got.map(t => (t._1, t._2)).toSeq == expectPairs,
+      "pair coverage/order")
+    got.foreach { case (a, b, common, na, nb, jbp, cbp) =>
+      val (sa, sb) = (vocab(a), vocab(b))
+      val c = (sa intersect sb).size.toLong
+      assert((common, na, nb) == ((c, sa.size.toLong, sb.size.toLong)),
+        s"($a,$b) sizes")
+      assert(jbp == 10000L * c / (sa.size + sb.size - c), s"($a,$b) jaccard")
+      assert(cbp == 10000L * c / math.min(sa.size, sb.size), s"($a,$b) containment")
+      assert(cbp >= jbp)
+    }
+  }
+
   test("Occupancy.cap keeps exactly the rows of groups within the cap") {
     val df = Seq.tabulate(100)(i => (s"k${i % 7}", i.toLong)).toDF("k", "v")
     // group sizes: k0..k1 → 15, k2..k6 → 14
