@@ -4217,114 +4217,60 @@ object TextDedupPack {
     // because group size = variants-per-page, not corpus-sized). No joins,
     // no windows.
     QueryDef(
-      "q221_url_canonical_dedup",
-      """WITH b AS (
-        |  SELECT doc_id, doc_id % 200 AS g,
-        |    'example' || CAST((doc_id % 200) % 50 AS VARCHAR) || '.com' AS hb
-        |  FROM documents),
-        |h AS (
-        |  SELECT doc_id, g,
-        |    CASE WHEN doc_id % 4 < 2 THEN 'www.' || hb ELSE hb END AS hp,
-        |    CASE WHEN doc_id % 2 = 0
-        |      THEN 'utm_source=feed&utm_campaign=c' || CAST(doc_id % 9 AS VARCHAR) END AS t1,
-        |    CASE WHEN doc_id % 3 = 1
-        |      THEN 'gclid=g' || CAST(doc_id % 11 AS VARCHAR) END AS t2,
-        |    'id=' || CAST(g AS VARCHAR) AS kp,
-        |    'v=' || CAST(g % 3 AS VARCHAR) AS kp2
-        |  FROM b),
-        |raw AS (
-        |  SELECT doc_id, g,
-        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
-        |    (CASE WHEN doc_id % 2 = 0 THEN upper(hp) ELSE hp END) ||
-        |    (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END) ||
-        |    '/articles/item-' || CAST(g AS VARCHAR) ||
-        |    (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
-        |    '?' ||
-        |    (CASE WHEN doc_id % 2 = 0 THEN concat_ws('&', t1, kp2, t2, kp)
-        |          ELSE concat_ws('&', kp, t1, t2, kp2) END) ||
-        |    (CASE WHEN doc_id % 3 = 2 THEN '#sec-' || CAST(doc_id % 4 AS VARCHAR)
-        |          ELSE '' END) AS url
-        |  FROM h),
-        |nf AS (
-        |  SELECT doc_id, g, url, regexp_replace(url, '#.*$', '') AS nofrag FROM raw),
-        |parts AS (
-        |  SELECT doc_id, g, url,
-        |    lower(regexp_extract(nofrag, '^([a-zA-Z]+)://', 1)) AS sch,
-        |    regexp_replace(regexp_replace(
-        |      lower(regexp_extract(nofrag, '^[a-zA-Z]+://([^/]+)', 1)),
-        |      ':(443|80)$', ''), '^www\.', '') AS hostc,
-        |    regexp_replace(
-        |      regexp_extract(nofrag, '^[a-zA-Z]+://[^/]+([^?]*)', 1),
-        |      '/+$', '') AS pathc,
-        |    array_to_string(list_sort(list_filter(
-        |      string_split(regexp_extract(nofrag, '\?(.*)$', 1), '&'),
-        |      x -> NOT (starts_with(x, 'utm_') OR starts_with(x, 'gclid=')
-        |                OR starts_with(x, 'fbclid=')))), '&') AS qc
-        |  FROM nf),
-        |canon AS (
-        |  SELECT doc_id, url,
-        |    sch || '://' || hostc || pathc ||
-        |      (CASE WHEN qc = '' THEN '' ELSE '?' || qc END) AS canonical_url,
-        |    'https://example' || CAST(g % 50 AS VARCHAR) || '.com/articles/item-' ||
-        |      CAST(g AS VARCHAR) || '?id=' || CAST(g AS VARCHAR) ||
-        |      '&v=' || CAST(g % 3 AS VARCHAR) AS expected
-        |  FROM parts)
-        |SELECT canonical_url,
-        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |  MIN(doc_id) AS keep_id,
-        |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw,
-        |  CAST(MIN(CASE WHEN canonical_url = expected THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS recovered
-        |FROM canon
-        |GROUP BY canonical_url
-        |ORDER BY canonical_url""".stripMargin) { (s, d) =>
-      val did = col("doc_id")
-      val g = did % 200
-      val hb = concat(lit("example"), (g % 50).cast("string"), lit(".com"))
-      val hp = when(did % 4 < 2, concat(lit("www."), hb)).otherwise(hb)
-      val t1 = when(did % 2 === 0,
-        concat(lit("utm_source=feed&utm_campaign=c"), (did % 9).cast("string")))
-      val t2 = when(did % 3 === 1,
-        concat(lit("gclid=g"), (did % 11).cast("string")))
-      val kp = concat(lit("id="), g.cast("string"))
-      val kp2 = concat(lit("v="), (g % 3).cast("string"))
-      val url = concat(
-        when(did % 2 === 0, lit("HTTPS")).otherwise(lit("https")), lit("://"),
-        when(did % 2 === 0, upper(hp)).otherwise(hp),
-        when(did % 7 === 0, lit(":443")).otherwise(lit("")),
-        lit("/articles/item-"), g.cast("string"),
-        when(did % 5 === 0, lit("/")).otherwise(lit("")),
-        lit("?"),
-        when(did % 2 === 0, concat_ws("&", t1, kp2, t2, kp))
-          .otherwise(concat_ws("&", kp, t1, t2, kp2)),
-        when(did % 3 === 2, concat(lit("#sec-"), (did % 4).cast("string")))
-          .otherwise(lit("")))
-      val nofrag = regexp_replace(col("url"), "#.*$", "")
-      val sch = lower(regexp_extract(nofrag, "^([a-zA-Z]+)://", 1))
-      val hostc = regexp_replace(regexp_replace(
-        lower(regexp_extract(nofrag, "^[a-zA-Z]+://([^/]+)", 1)),
-        ":(443|80)$", ""), "^www\\.", "")
-      val pathc = regexp_replace(
-        regexp_extract(nofrag, "^[a-zA-Z]+://[^/]+([^?]*)", 1), "/+$", "")
-      val qc = array_join(array_sort(filter(
-        split(regexp_extract(nofrag, "\\?(.*)$", 1), "&"),
-        x => !(x.startsWith("utm_") || x.startsWith("gclid=")
-          || x.startsWith("fbclid=")))), "&")
-      val expected = concat(lit("https://example"), (g % 50).cast("string"),
-        lit(".com/articles/item-"), g.cast("string"),
-        lit("?id="), g.cast("string"), lit("&v="), (g % 3).cast("string"))
-      Tables.documentsSpread(s, d)
-        .select(did, url.as("url"), expected.as("expected"))
-        .select(col("doc_id"), col("url"), col("expected"),
-          concat(sch, lit("://"), hostc, pathc,
-            when(qc === "", lit("")).otherwise(concat(lit("?"), qc)))
-            .as("canonical_url"))
+      "q221_url_canonical_dedup", URL_DEDUP_ORACLE) { (s, d) =>
+      canonicalUrls(Tables.documentsSpread(s, d))
         .groupBy("canonical_url")
         .agg(count(lit(1)).as("n_docs"),
           min(col("doc_id")).as("keep_id"),
           countDistinct(col("url")).as("n_raw"),
           min(when(col("canonical_url") === col("expected"), 1L).otherwise(0L))
             .as("recovered"))
+        .orderBy("canonical_url")
+    },
+
+    // ---- q225: streaming incremental URL dedup -------------------------------
+    // q221 made incremental — the q216/q205 shared-oracle pairing applied
+    // to crawl ingest: each micro-batch of documents reduces to its own
+    // (canonical_url, url) increment rows — cnt / min_id / recovered are
+    // all mergeable (sum, min, min) — persisted under batch_id (idempotent
+    // dynamic overwrite under foreachBatch's at-least-once replay). The
+    // final ledger sum/min-merges the stored increments per (canonical,
+    // url), then folds to canonical groups, so the streaming gate
+    // hash-matches batch q221's oracle VERBATIM no matter how ingest was
+    // batched. The n_raw distinct count — NOT sum-mergeable — is what
+    // forces the two-level state: distinct raw spellings are the state
+    // rows themselves (bounded by variants-per-page), and the count falls
+    // out of the final per-canonical fold for free.
+    //
+    // 100 TB shape: O(distinct (canonical,url) in batch) state written per
+    // batch, O(batches · variants) total, zero re-reads of ingest
+    // history; the merge is two keyed aggs over the increment store.
+    QueryDef(
+      "q225_stream_url_dedup", URL_DEDUP_ORACLE) { (s, d) =>
+      val srcDir = stagedDocBatches(s, d)
+      val store = clearedStore(d, "graft-q225-url-")
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) =>
+        canonicalUrls(batch)
+          .groupBy("canonical_url", "url")
+          .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_id"),
+            min(when(col("canonical_url") === col("expected"), 1L)
+              .otherwise(0L)).as("rec"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(store.toString))
+      s.read.parquet(store.toString)
+        .groupBy("canonical_url", "url")
+        .agg(sum(col("cnt")).as("cnt"), min(col("min_id")).as("min_id"),
+          min(col("rec")).as("rec"))
+        .groupBy("canonical_url")
+        .agg(sum(col("cnt")).as("n_docs"), min(col("min_id")).as("keep_id"),
+          count(lit(1)).as("n_raw"), min(col("rec")).as("recovered"))
         .orderBy("canonical_url")
     },
 
@@ -4428,6 +4374,119 @@ object TextDedupPack {
     // the happy path) so id-space disjointness fails loudly, never silently
     Tables.documentsSpread(s, d).select(guarded.as("doc_id"), col("text"))
       .unionByName(lVar).unionByName(rVar)
+  }
+
+  /** q221's oracle — and, verbatim, q225's: the per-(canonical, url)
+    * increments merge by sum/min, so the streamed ledger equals the
+    * one-pass scan however ingest was batched. */
+  private val URL_DEDUP_ORACLE: String =
+    """WITH b AS (
+          |  SELECT doc_id, doc_id % 200 AS g,
+          |    'example' || CAST((doc_id % 200) % 50 AS VARCHAR) || '.com' AS hb
+          |  FROM documents),
+          |h AS (
+          |  SELECT doc_id, g,
+          |    CASE WHEN doc_id % 4 < 2 THEN 'www.' || hb ELSE hb END AS hp,
+          |    CASE WHEN doc_id % 2 = 0
+          |      THEN 'utm_source=feed&utm_campaign=c' || CAST(doc_id % 9 AS VARCHAR) END AS t1,
+          |    CASE WHEN doc_id % 3 = 1
+          |      THEN 'gclid=g' || CAST(doc_id % 11 AS VARCHAR) END AS t2,
+          |    'id=' || CAST(g AS VARCHAR) AS kp,
+          |    'v=' || CAST(g % 3 AS VARCHAR) AS kp2
+          |  FROM b),
+          |raw AS (
+          |  SELECT doc_id, g,
+          |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+          |    (CASE WHEN doc_id % 2 = 0 THEN upper(hp) ELSE hp END) ||
+          |    (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END) ||
+          |    '/articles/item-' || CAST(g AS VARCHAR) ||
+          |    (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+          |    '?' ||
+          |    (CASE WHEN doc_id % 2 = 0 THEN concat_ws('&', t1, kp2, t2, kp)
+          |          ELSE concat_ws('&', kp, t1, t2, kp2) END) ||
+          |    (CASE WHEN doc_id % 3 = 2 THEN '#sec-' || CAST(doc_id % 4 AS VARCHAR)
+          |          ELSE '' END) AS url
+          |  FROM h),
+          |nf AS (
+          |  SELECT doc_id, g, url, regexp_replace(url, '#.*$', '') AS nofrag FROM raw),
+          |parts AS (
+          |  SELECT doc_id, g, url,
+          |    lower(regexp_extract(nofrag, '^([a-zA-Z]+)://', 1)) AS sch,
+          |    regexp_replace(regexp_replace(
+          |      lower(regexp_extract(nofrag, '^[a-zA-Z]+://([^/]+)', 1)),
+          |      ':(443|80)$', ''), '^www\.', '') AS hostc,
+          |    regexp_replace(
+          |      regexp_extract(nofrag, '^[a-zA-Z]+://[^/]+([^?]*)', 1),
+          |      '/+$', '') AS pathc,
+          |    array_to_string(list_sort(list_filter(
+          |      string_split(regexp_extract(nofrag, '\?(.*)$', 1), '&'),
+          |      x -> NOT (starts_with(x, 'utm_') OR starts_with(x, 'gclid=')
+          |                OR starts_with(x, 'fbclid=')))), '&') AS qc
+          |  FROM nf),
+          |canon AS (
+          |  SELECT doc_id, url,
+          |    sch || '://' || hostc || pathc ||
+          |      (CASE WHEN qc = '' THEN '' ELSE '?' || qc END) AS canonical_url,
+          |    'https://example' || CAST(g % 50 AS VARCHAR) || '.com/articles/item-' ||
+          |      CAST(g AS VARCHAR) || '?id=' || CAST(g AS VARCHAR) ||
+          |      '&v=' || CAST(g % 3 AS VARCHAR) AS expected
+          |  FROM parts)
+          |SELECT canonical_url,
+          |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  MIN(doc_id) AS keep_id,
+          |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw,
+          |  CAST(MIN(CASE WHEN canonical_url = expected THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS recovered
+          |FROM canon
+          |GROUP BY canonical_url
+          |ORDER BY canonical_url""".stripMargin
+
+  /** q221's raw-URL plant + canonicalizer over any documents slice —
+    * emits (doc_id, url, expected, canonical_url). Shared with q225's
+    * per-batch increments so the streaming gate replays the batch
+    * semantics on each micro-batch. */
+  private def canonicalUrls(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val did = col("doc_id")
+      val g = did % 200
+      val hb = concat(lit("example"), (g % 50).cast("string"), lit(".com"))
+      val hp = when(did % 4 < 2, concat(lit("www."), hb)).otherwise(hb)
+      val t1 = when(did % 2 === 0,
+        concat(lit("utm_source=feed&utm_campaign=c"), (did % 9).cast("string")))
+      val t2 = when(did % 3 === 1,
+        concat(lit("gclid=g"), (did % 11).cast("string")))
+      val kp = concat(lit("id="), g.cast("string"))
+      val kp2 = concat(lit("v="), (g % 3).cast("string"))
+      val url = concat(
+        when(did % 2 === 0, lit("HTTPS")).otherwise(lit("https")), lit("://"),
+        when(did % 2 === 0, upper(hp)).otherwise(hp),
+        when(did % 7 === 0, lit(":443")).otherwise(lit("")),
+        lit("/articles/item-"), g.cast("string"),
+        when(did % 5 === 0, lit("/")).otherwise(lit("")),
+        lit("?"),
+        when(did % 2 === 0, concat_ws("&", t1, kp2, t2, kp))
+          .otherwise(concat_ws("&", kp, t1, t2, kp2)),
+        when(did % 3 === 2, concat(lit("#sec-"), (did % 4).cast("string")))
+          .otherwise(lit("")))
+      val nofrag = regexp_replace(col("url"), "#.*$", "")
+      val sch = lower(regexp_extract(nofrag, "^([a-zA-Z]+)://", 1))
+      val hostc = regexp_replace(regexp_replace(
+        lower(regexp_extract(nofrag, "^[a-zA-Z]+://([^/]+)", 1)),
+        ":(443|80)$", ""), "^www\\.", "")
+      val pathc = regexp_replace(
+        regexp_extract(nofrag, "^[a-zA-Z]+://[^/]+([^?]*)", 1), "/+$", "")
+      val qc = array_join(array_sort(filter(
+        split(regexp_extract(nofrag, "\\?(.*)$", 1), "&"),
+        x => !(x.startsWith("utm_") || x.startsWith("gclid=")
+          || x.startsWith("fbclid=")))), "&")
+      val expected = concat(lit("https://example"), (g % 50).cast("string"),
+        lit(".com/articles/item-"), g.cast("string"),
+        lit("?id="), g.cast("string"), lit("&v="), (g % 3).cast("string"))
+      docs
+        .select(did, url.as("url"), expected.as("expected"))
+        .select(col("doc_id"), col("url"), col("expected"),
+          concat(sch, lit("://"), hostc, pathc,
+            when(qc === "", lit("")).otherwise(concat(lit("?"), qc)))
+            .as("canonical_url"))
   }
 
   /** q210's draw salt: decouples the keep/drop pattern from every other

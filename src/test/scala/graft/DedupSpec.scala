@@ -346,6 +346,19 @@ class DedupSpec extends AnyFunSuite {
     assert(got.exists(_._4 > 1), "no group with multiple raw spellings")
   }
 
+  test("q225 streaming URL dedup is row-identical to batch q221") {
+    // cnt/min_id/recovered merge by sum/min and n_raw falls out of the
+    // distinct state rows, so the merged ledger must equal the one-pass
+    // scan regardless of how ingest was batched
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val batch = SparkEntry.byName("q221_url_canonical_dedup").run(spark, sf)
+      .collect().map(key).toSeq
+    val stream = SparkEntry.byName("q225_stream_url_dedup").run(spark, sf)
+      .collect().map(key).toSeq
+    assert(batch.nonEmpty && batch == stream)
+  }
+
   test("q224 overlap matrix re-derives from plain Scala token sets") {
     val got = SparkEntry.byName("q224_source_overlap_matrix").run(spark, sf)
       .collect()
