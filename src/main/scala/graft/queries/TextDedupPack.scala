@@ -4274,6 +4274,100 @@ object TextDedupPack {
         .orderBy("canonical_url")
     },
 
+    // ---- q226: registered-domain rollup with longest-suffix match ------------
+    // The eTLD+1 grouping every crawl pipeline needs before per-domain
+    // quotas or blocklists: 'cdn.assets.site3.co.uk' belongs to
+    // 'site3.co.uk', and deriving that requires LONGEST-match against a
+    // public-suffix list ('co.uk' must beat its own suffix 'uk' — naive
+    // TLD split yields the wrong registrant for every ccTLD-second-level
+    // host). Hosts are planted over 4 subdomain classes × 3 suffix
+    // classes with the expected registered domain carried alongside
+    // (recovered=1 iff derivation matches the plant, group-wide); a
+    // 3-entry blocklist marks domains the corpus must drop.
+    //
+    // 100 TB shape: the suffix list is a tiny broadcast (the real PSL is
+    // ~9k rows — still broadcast-sized); the longest-match is a
+    // broadcast nested-loop ends_with join + one per-doc struct-max agg
+    // (no window, no corpus sort); the rollup is one keyed agg on the
+    // registered domain. Blocklist membership is a literal IN over the
+    // broadcast list.
+    QueryDef(
+      "q226_registered_domain",
+      """WITH hosts AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 7 < 2 THEN ''
+        |          WHEN doc_id % 7 < 4 THEN 'www.'
+        |          WHEN doc_id % 7 < 6 THEN 'cdn.assets.'
+        |          ELSE 'm.' END) ||
+        |    'site' || CAST(doc_id % 40 AS VARCHAR) || '.' ||
+        |    (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+        |          ELSE 'org' END) AS host,
+        |    'site' || CAST(doc_id % 40 AS VARCHAR) || '.' ||
+        |    (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+        |          ELSE 'org' END) AS expected
+        |  FROM documents),
+        |sfx(s) AS (VALUES ('com'), ('org'), ('uk'), ('co.uk')),
+        |m AS (
+        |  SELECT doc_id, host, expected, s,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY len(s) DESC, s) AS rk
+        |  FROM hosts JOIN sfx ON ends_with(host, '.' || s)),
+        |reg AS (
+        |  SELECT doc_id, host, expected,
+        |    regexp_extract(substring(host, 1, len(host) - len(s) - 1),
+        |      '([^.]+)$', 1) || '.' || s AS regdom,
+        |    s AS suffix
+        |  FROM m WHERE rk = 1)
+        |SELECT regdom, MIN(suffix) AS suffix,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+        |  CAST(CASE WHEN regdom IN ('site7.com', 'site13.co.uk', 'site21.org')
+        |    THEN 1 ELSE 0 END AS BIGINT) AS blocked,
+        |  CAST(MIN(CASE WHEN regdom = expected THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS recovered
+        |FROM reg
+        |GROUP BY regdom
+        |ORDER BY regdom""".stripMargin) { (s, d) =>
+      val did = col("doc_id")
+      val suffix = when(did % 3 === 0, lit("com"))
+        .when(did % 3 === 1, lit("co.uk")).otherwise(lit("org"))
+      val expected = concat(lit("site"), (did % 40).cast("string"),
+        lit("."), suffix)
+      val host = concat(
+        when(did % 7 < 2, lit("")).when(did % 7 < 4, lit("www."))
+          .when(did % 7 < 6, lit("cdn.assets.")).otherwise(lit("m.")),
+        expected)
+      import s.implicits._
+      val sfx = Seq("com", "org", "uk", "co.uk").toDF("s")
+      val m = Tables.documentsSpread(s, d)
+        .select(did, host.as("host"), expected.as("expected"))
+        .join(broadcast(sfx),
+          col("host").endsWith(concat(lit("."), col("s"))))
+      val best = m.groupBy("doc_id", "host", "expected")
+        .agg(max(struct(length(col("s")).as("l"), col("s").as("s"))).as("b"))
+        .select(col("doc_id"), col("host"), col("expected"),
+          col("b").getField("s").as("s"))
+      val regdom = concat(
+        regexp_extract(
+          expr("substring(host, 1, length(host) - length(s) - 1)"),
+          "([^.]+)$", 1),
+        lit("."), col("s"))
+      best
+        .select(col("host"), col("expected"), col("s").as("suffix"),
+          regdom.as("regdom"))
+        .groupBy("regdom")
+        .agg(min(col("suffix")).as("suffix"),
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("host")).as("n_hosts"),
+          min(when(col("regdom") === col("expected"), 1L).otherwise(0L))
+            .as("recovered"))
+        .select(col("regdom"), col("suffix"), col("n_docs"), col("n_hosts"),
+          when(col("regdom").isin("site7.com", "site13.co.uk", "site21.org"),
+            1L).otherwise(0L).as("blocked"),
+          col("recovered"))
+        .orderBy("regdom")
+    },
+
     // ---- q224: cross-source token-overlap matrix -----------------------------
     // The corpus-composition audit run before mixing sources into one
     // training set: for every source pair, how much vocabulary do they

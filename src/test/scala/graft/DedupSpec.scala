@@ -359,6 +359,45 @@ class DedupSpec extends AnyFunSuite {
     assert(batch.nonEmpty && batch == stream)
   }
 
+  test("q226 longest-suffix match beats the naive TLD split on every ccTLD host") {
+    val got = SparkEntry.byName("q226_registered_domain").run(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    val suffixes = Seq("com", "org", "uk", "co.uk")
+    val ids = docs.select("doc_id").as[Long].collect().toSeq
+    def host(id: Long): String = {
+      val sub =
+        if (id % 7 < 2) "" else if (id % 7 < 4) "www."
+        else if (id % 7 < 6) "cdn.assets." else "m."
+      val sfx = (id % 3) match { case 0 => "com"; case 1 => "co.uk"; case _ => "org" }
+      s"${sub}site${id % 40}.$sfx"
+    }
+    def regdom(h: String): String = {
+      val s = suffixes.filter(x => h.endsWith("." + x)).maxBy(_.length)
+      val base = h.dropRight(s.length + 1)
+      base.split('.').last + "." + s
+    }
+    val expect = ids.map(host).groupBy(regdom).map { case (rd, hs) =>
+      rd -> (hs.size.toLong, hs.distinct.size.toLong)
+    }
+    assert(got.map(_._1).toSet == expect.keySet)
+    got.foreach { case (rd, sfx, nDocs, nHosts, blocked, rec) =>
+      assert((nDocs, nHosts) == expect(rd), s"$rd counts")
+      assert(rd.endsWith("." + sfx), s"$rd suffix $sfx")
+      assert(rec == 1L, s"$rd not recovered")
+      assert(blocked ==
+        (if (Set("site7.com", "site13.co.uk", "site21.org")(rd)) 1L else 0L))
+    }
+    // the ccTLD class must exist and never resolve to the bare 'uk' suffix
+    val coUk = got.filter(_._1.endsWith(".co.uk"))
+    assert(coUk.nonEmpty && got.forall(r => !r._1.matches("^[^.]+\\.uk$")))
+    assert(got.exists(_._5 == 1L))
+    // multiple subdomain spellings collapse into one registrant
+    assert(got.exists(_._4 > 1))
+  }
+
   test("q224 overlap matrix re-derives from plain Scala token sets") {
     val got = SparkEntry.byName("q224_source_overlap_matrix").run(spark, sf)
       .collect()
