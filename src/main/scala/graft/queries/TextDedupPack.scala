@@ -4386,50 +4386,48 @@ object TextDedupPack {
     // 190-row ledger. The projection is persisted — it feeds the size agg
     // and both join sides from one computation.
     QueryDef(
-      "q224_source_overlap_matrix",
-      """WITH d AS (
-        |  SELECT DISTINCT source, tok FROM (
-        |    SELECT source, unnest(string_split(text, ' ')) AS tok
-        |    FROM documents)),
-        |sz AS (
-        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY source),
-        |pairs AS (
-        |  SELECT a.source AS src_a, b.source AS src_b,
-        |    CAST(COUNT(*) AS BIGINT) AS n_common
-        |  FROM d a JOIN d b ON b.tok = a.tok AND a.source < b.source
-        |  GROUP BY a.source, b.source)
-        |SELECT src_a, src_b, n_common,
-        |  sa.n AS n_a, sb.n AS n_b,
-        |  CAST(10000 * n_common // (sa.n + sb.n - n_common) AS BIGINT)
-        |    AS jaccard_bp,
-        |  CAST(10000 * n_common //
-        |    (CASE WHEN sa.n < sb.n THEN sa.n ELSE sb.n END) AS BIGINT)
-        |    AS containment_bp
-        |FROM pairs
-        |JOIN sz sa ON sa.source = src_a
-        |JOIN sz sb ON sb.source = src_b
-        |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
-      val dd = Tables.documentsSpread(s, d)
-        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
-        .distinct()
-        .persist()
-      val sz = dd.groupBy("source").agg(count(lit(1)).as("n"))
-      val pairs = dd.select(col("source").as("src_a"), col("tok"))
-        .join(dd.select(col("source").as("src_b"), col("tok")), "tok")
-        .filter(col("src_a") < col("src_b"))
-        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_common"))
-      pairs
-        .join(broadcast(sz.select(col("source").as("src_a"), col("n").as("n_a"))),
-          "src_a")
-        .join(broadcast(sz.select(col("source").as("src_b"), col("n").as("n_b"))),
-          "src_b")
-        .select(col("src_a"), col("src_b"), col("n_common"),
-          col("n_a"), col("n_b"),
-          expr("10000 * n_common div (n_a + n_b - n_common)").as("jaccard_bp"),
-          expr("10000 * n_common div (case when n_a < n_b then n_a else n_b end)")
-            .as("containment_bp"))
-        .orderBy("src_a", "src_b")
-    }
+      "q224_source_overlap_matrix", SRC_OVERLAP_ORACLE) { (s, d) =>
+      overlapMatrix(
+        Tables.documentsSpread(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .distinct()
+          .persist())
+    },
+
+    // ---- q227: streaming incremental source-overlap matrix -------------------
+    // q224 made incremental — the corpus-composition audit maintained as
+    // sources stream in: each micro-batch writes its own DISTINCT
+    // (source, token) projection under batch_id (idempotent dynamic
+    // overwrite; distinct is NOT sum-mergeable, so — as in q225 — the
+    // state rows ARE the distinct pairs and the merge is a set union,
+    // i.e. one more distinct over the increment store). The final matrix
+    // then runs the identical pair-join ledger, so the streamed audit
+    // hash-matches batch q224's oracle VERBATIM however ingest was
+    // batched. State is vocabulary-sized — the same asymptotics as the
+    // batch audit's own intermediate, never corpus-sized.
+    QueryDef(
+      "q227_stream_overlap_matrix", SRC_OVERLAP_ORACLE) { (s, d) =>
+      val srcDir = stagedDocBatches(s, d)
+      val store = clearedStore(d, "graft-q227-ovl-")
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) =>
+        batch
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .distinct()
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(store.toString))
+      overlapMatrix(
+        s.read.parquet(store.toString)
+          .select(col("source"), col("tok"))
+          .distinct()
+          .persist())
+    },
   )
 
   /** q214's banding sweep: every (bands, rows) factorization of the
@@ -4468,6 +4466,55 @@ object TextDedupPack {
     // the happy path) so id-space disjointness fails loudly, never silently
     Tables.documentsSpread(s, d).select(guarded.as("doc_id"), col("text"))
       .unionByName(lVar).unionByName(rVar)
+  }
+
+  /** q224's oracle — and, verbatim, q227's: distinct (source, token)
+    * pairs merge by set union, so the streamed audit equals the one-pass
+    * scan however ingest was batched. */
+  private val SRC_OVERLAP_ORACLE: String =
+    """WITH d AS (
+        |  SELECT DISTINCT source, tok FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)),
+        |sz AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY source),
+        |pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM d a JOIN d b ON b.tok = a.tok AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT src_a, src_b, n_common,
+        |  sa.n AS n_a, sb.n AS n_b,
+        |  CAST(10000 * n_common // (sa.n + sb.n - n_common) AS BIGINT)
+        |    AS jaccard_bp,
+        |  CAST(10000 * n_common //
+        |    (CASE WHEN sa.n < sb.n THEN sa.n ELSE sb.n END) AS BIGINT)
+        |    AS containment_bp
+        |FROM pairs
+        |JOIN sz sa ON sa.source = src_a
+        |JOIN sz sb ON sb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin
+
+  /** q224's pair-ledger over a distinct (source, token) projection —
+    * shared with q227's merged increment store. Caller persists the
+    * projection (it feeds the size agg and both join sides). */
+  private def overlapMatrix(dd: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sz = dd.groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = dd.select(col("source").as("src_a"), col("tok"))
+      .join(dd.select(col("source").as("src_b"), col("tok")), "tok")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(broadcast(sz.select(col("source").as("src_a"), col("n").as("n_a"))),
+        "src_a")
+      .join(broadcast(sz.select(col("source").as("src_b"), col("n").as("n_b"))),
+        "src_b")
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        col("n_a"), col("n_b"),
+        expr("10000 * n_common div (n_a + n_b - n_common)").as("jaccard_bp"),
+        expr("10000 * n_common div (case when n_a < n_b then n_a else n_b end)")
+          .as("containment_bp"))
+      .orderBy("src_a", "src_b")
   }
 
   /** q221's oracle — and, verbatim, q225's: the per-(canonical, url)

@@ -398,6 +398,19 @@ class DedupSpec extends AnyFunSuite {
     assert(got.exists(_._4 > 1))
   }
 
+  test("q227 streaming overlap matrix is row-identical to batch q224") {
+    // distinct (source, token) pairs merge by set union, so the merged
+    // increment store must reproduce the one-pass audit exactly
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))
+    val batch = SparkEntry.byName("q224_source_overlap_matrix").run(spark, sf)
+      .collect().map(key).toSeq
+    val stream = SparkEntry.byName("q227_stream_overlap_matrix").run(spark, sf)
+      .collect().map(key).toSeq
+    assert(batch.nonEmpty && batch == stream)
+  }
+
   test("q224 overlap matrix re-derives from plain Scala token sets") {
     val got = SparkEntry.byName("q224_source_overlap_matrix").run(spark, sf)
       .collect()
