@@ -4274,6 +4274,87 @@ object TextDedupPack {
         .orderBy("canonical_url")
     },
 
+    // ---- q228: multi-phrase blocklist scan -----------------------------------
+    // q220 generalized from one phrase to a phrase TABLE — the deny-list
+    // filter every corpus runs (toxic phrases, banned boilerplate,
+    // known-leak strings): find every positional occurrence of ANY listed
+    // phrase in one pass. Self-tuning like q220: the blocklist is the
+    // corpus's own top-5 word bigrams (count-desc/lexicographic top-5),
+    // so the query is meaningful at any SF without planted literals. The
+    // match is the positional-index shape: postings pre-filter against
+    // the BROADCAST blocklist's first words (a semi-join, not a literal
+    // — the part q220's single phrase couldn't exercise), then one keyed
+    // (doc_id, pos) adjacency join verifies the second word. Policy: a
+    // doc with ≥ 2 hits is blocked.
+    //
+    // 100 TB shape: postings are one map-side posexplode (persisted —
+    // the bigram model and both match streams share it); the blocklist
+    // model is a map-side-combined count + 5-row broadcast; match
+    // streams are first-word-selective before the adjacency equi-join;
+    // the per-doc agg is map-side combined. No windows, no corpus sort.
+    QueryDef(
+      "q228_phrase_blocklist",
+      """WITH toksrc AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |toks AS (
+        |  SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(t) + 1),
+        |        i -> {pos: i, tok: t[i]})) AS u
+        |    FROM toksrc)),
+        |bi AS (
+        |  SELECT unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM toksrc WHERE len(t) >= 2),
+        |bl AS (
+        |  SELECT g, string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2
+        |  FROM (SELECT g, COUNT(*) AS c FROM bi GROUP BY g
+        |        ORDER BY c DESC, g LIMIT 5)),
+        |hits AS (
+        |  SELECT a.doc_id, bl.g FROM toks a
+        |  JOIN bl ON a.tok = bl.w1
+        |  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |             AND b.tok = bl.w2)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_hits,
+        |  CAST(COUNT(DISTINCT g) AS BIGINT) AS n_phrases,
+        |  MIN(g) AS top_phrase,
+        |  CAST(CASE WHEN COUNT(*) >= 2 THEN 1 ELSE 0 END AS BIGINT) AS blocked
+        |FROM hits
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = Tables.documentsSpread(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+        .persist()
+      val tarr = col("t")
+      val bl = Tables.documentsSpread(s, d)
+        .select(split(col("text"), " ").as("t"))
+        .filter(size(tarr) >= 2)
+        .select(explode(transform(sequence(lit(1), size(tarr) - 1), i =>
+          concat_ws(" ", element_at(tarr, i), element_at(tarr, i + 1))))
+          .as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("g")).limit(5)
+        .select(col("g"),
+          element_at(split(col("g"), " "), 1).as("w1"),
+          element_at(split(col("g"), " "), 2).as("w2"))
+      val a = toks.join(broadcast(bl), col("tok") === col("w1"))
+        .select(col("doc_id"), col("pos"), col("w2"), col("g"))
+      val b = toks.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"),
+        col("tok").as("tok_b"))
+      a.join(b, col("doc_b") === col("doc_id") && col("pos_b") === col("pos") + 1
+          && col("tok_b") === col("w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"),
+          countDistinct(col("g")).as("n_phrases"),
+          min(col("g")).as("top_phrase"))
+        .select(col("doc_id"), col("n_hits"), col("n_phrases"),
+          col("top_phrase"),
+          when(col("n_hits") >= 2, 1L).otherwise(0L).as("blocked"))
+        .orderBy("doc_id")
+    },
+
     // ---- q226: registered-domain rollup with longest-suffix match ------------
     // The eTLD+1 grouping every crawl pipeline needs before per-domain
     // quotas or blocklists: 'cdn.assets.site3.co.uk' belongs to

@@ -346,6 +346,37 @@ class DedupSpec extends AnyFunSuite {
     assert(got.exists(_._4 > 1), "no group with multiple raw spellings")
   }
 
+  test("q228 blocklist hits re-derive from a plain Scala multi-phrase scan") {
+    val got = SparkEntry.byName("q228_phrase_blocklist").run(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4)))
+    assert(got.nonEmpty)
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach { case (_, t) =>
+      t.sliding(2).filter(_.size == 2)
+        .foreach(w => counts(w.mkString(" ")) = counts.getOrElse(w.mkString(" "), 0L) + 1)
+    }
+    val bl = counts.toSeq.sortBy { case (g, c) => (-c, g) }.take(5).map(_._1).toSet
+    val expect = texts.flatMap { case (id, t) =>
+      val hits = t.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+        .filter(bl).toSeq
+      if (hits.isEmpty) None
+      else Some(id -> (hits.size.toLong, hits.distinct.size.toLong,
+        hits.min, if (hits.size >= 2) 1L else 0L))
+    }.toMap
+    assert(got.map(_._1).toSet == expect.keySet)
+    got.foreach { case (id, nh, np, tp, bk) =>
+      assert((nh, np, tp, bk) == expect(id), s"doc $id")
+    }
+    // the multi-pattern part must be exercised: some doc matches more than
+    // one distinct listed phrase, and both verdict classes occur
+    assert(got.exists(_._3 > 1))
+    assert(got.exists(_._5 == 1L) && got.exists(_._5 == 0L))
+  }
+
   test("q225 streaming URL dedup is row-identical to batch q221") {
     // cnt/min_id/recovered merge by sum/min and n_raw falls out of the
     // distinct state rows, so the merged ledger must equal the one-pass
