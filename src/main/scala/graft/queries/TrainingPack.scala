@@ -421,6 +421,70 @@ object TrainingPack {
         .orderBy("lang", "bin")
     },
 
+    // ---- q229: packing attention-span table --------------------------------
+    // The metadata q71's bin assignment leaves implicit and a trainer
+    // actually consumes: for every context window, WHICH byte-ranges
+    // belong to which document — the loss-mask / attention-reset span
+    // table. A doc starting at offset s with n tokens occupies every
+    // window from s div C through (s+n−1) div C; its segment in window b
+    // is [max(s, bC), min(s+n, (b+1)C)) re-based to the window, with
+    // head/tail clip flags marking boundary crossings (where attention
+    // must reset and loss must mask). Pure integer arithmetic on q71's
+    // prefix sums, so the span table is exact in both engines.
+    //
+    // 100 TB shape: the only exchange is q71's per-(lang) prefix-sum
+    // window (per-shard at deploy, as Packing documents); span expansion
+    // is a map-side explode over sequence(firstBin, lastBin) — bounded by
+    // ceil(ntok/C)+1 segments per doc, linear in corpus tokens.
+    QueryDef(
+      "q229_packing_spans",
+      s"""WITH t AS (
+         |  SELECT lang, doc_id, len(string_split(text, ' ')) AS ntok
+         |  FROM documents),
+         |c AS (
+         |  SELECT lang, doc_id, ntok,
+         |    CAST(COALESCE(SUM(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS s
+         |  FROM t),
+         |seg AS (
+         |  SELECT lang, doc_id, ntok, s,
+         |    unnest(range(s // $PACK_CAPACITY,
+         |                 (s + ntok - 1) // $PACK_CAPACITY + 1)) AS bin
+         |  FROM c)
+         |SELECT lang, CAST(bin AS BIGINT) AS bin, doc_id,
+         |  CAST(GREATEST(s, bin * $PACK_CAPACITY) - bin * $PACK_CAPACITY
+         |    AS BIGINT) AS span_start,
+         |  CAST(LEAST(s + ntok, (bin + 1) * $PACK_CAPACITY)
+         |     - GREATEST(s, bin * $PACK_CAPACITY) AS BIGINT) AS span_len,
+         |  CAST(CASE WHEN s < bin * $PACK_CAPACITY THEN 1 ELSE 0 END AS BIGINT)
+         |    AS clipped_head,
+         |  CAST(CASE WHEN s + ntok > (bin + 1) * $PACK_CAPACITY THEN 1 ELSE 0 END
+         |    AS BIGINT) AS clipped_tail
+         |FROM seg
+         |ORDER BY lang, bin, doc_id""".stripMargin) { (s, d) =>
+      val cap = lit(PACK_CAPACITY.toLong)
+      val t = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ntok"))
+      Packing.concatAndChunk(t, Seq("lang"), "doc_id", "ntok", PACK_CAPACITY)
+        .select(col("lang"), col("doc_id"), col("ntok"),
+          col("start_offset").as("s"))
+        .select(col("lang"), col("doc_id"), col("ntok"), col("s"),
+          explode(sequence(expr(s"s div ${PACK_CAPACITY}"),
+            expr(s"(s + ntok - 1) div ${PACK_CAPACITY}"))).as("bin"))
+        .select(col("lang"), col("bin"), col("doc_id"),
+          (greatest(col("s"), col("bin") * cap) - col("bin") * cap)
+            .as("span_start"),
+          (least(col("s") + col("ntok"), (col("bin") + 1) * cap)
+            - greatest(col("s"), col("bin") * cap)).as("span_len"),
+          when(col("s") < col("bin") * cap, 1L).otherwise(0L)
+            .as("clipped_head"),
+          when(col("s") + col("ntok") > (col("bin") + 1) * cap, 1L)
+            .otherwise(0L).as("clipped_tail"))
+        .orderBy("lang", "bin", "doc_id")
+    },
+
     // ---- q73: corpus build — funnel → cluster → split → decon → pack -------
     // The pipeline a real corpus run composes from the stages above, each
     // individually hash-checked: q70's quality rules filter the raw docs,

@@ -478,6 +478,46 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rows.exists(_._2 == 4L) && rows.exists(_._2 == 3L))
   }
 
+  test("q229 spans tile every window exactly, clips consistent with q71") {
+    val CAP = 2048L
+    val rows = SparkEntry.byName("q229_packing_spans").run(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, bin, id, st, len, ch, ct) =>
+      assert(st >= 0 && st < CAP && len >= 1 && st + len <= CAP,
+        s"($lang,$bin,$id) span out of window")
+      // a head-clipped segment always starts at 0; a tail-clipped one
+      // always runs to the window end
+      if (ch == 1) assert(st == 0, s"($lang,$bin,$id) head clip not at 0")
+      if (ct == 1) assert(st + len == CAP, s"($lang,$bin,$id) tail clip short")
+    }
+    // per (lang, bin): spans are disjoint, sorted by start, and fill the
+    // window completely for every bin except the lang's last
+    val byBin = rows.groupBy(r => (r._1, r._2))
+    val lastBin = rows.groupBy(_._1).map { case (l, g) => l -> g.map(_._2).max }
+    byBin.foreach { case ((lang, bin), segs) =>
+      val sorted = segs.sortBy(_._4).toSeq
+      sorted.sliding(2).filter(_.size == 2).foreach { w =>
+        assert(w(0)._4 + w(0)._5 == w(1)._4, s"($lang,$bin) gap/overlap")
+      }
+      assert(sorted.head._4 == 0, s"($lang,$bin) does not start at 0")
+      val fill = segs.map(_._5).sum
+      if (bin != lastBin(lang)) assert(fill == CAP, s"($lang,$bin) fill $fill")
+      else assert(fill <= CAP)
+    }
+    // q71 consistency: a doc's FIRST segment count per (lang, bin) equals
+    // q71's n_docs
+    val q71 = SparkEntry.byName("q71_sequence_packing").run(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val firstSegs = rows.filter(_._6 == 0L).groupBy(r => (r._1, r._2))
+      .map { case (k, g) => k -> g.size.toLong }
+    assert(firstSegs == q71, "first-segment counts disagree with q71")
+    // both clip classes occur (docs straddle windows at this sf)
+    assert(rows.exists(_._6 == 1L) && rows.exists(_._7 == 1L))
+  }
+
   test("q223 flags exactly the planted mixed-script tokens") {
     val rows = SparkEntry.byName("q223_script_mix_scan").run(spark, sf)
       .collect()
