@@ -559,8 +559,211 @@ object MultimodalPack {
             .otherwise(when(col("regps").isNull, 1L).otherwise(0L))
             .as("clean_after"))
         .orderBy("doc_id")
+    },
+
+    // ---- q230: GIF logical-screen decode + block-walk frame census ---------
+    // The animated-GIF triage every image pipeline runs before any codec:
+    // how many frames, is it animated, what are the canvas dims, how big
+    // is the palette — all from the container, no LZW decode. Unlike the
+    // fixed-offset PNG/WAV reads, a GIF's frames sit behind a
+    // variable-length BLOCK LIST (optional global color table sized by a
+    // packed-bits field, optional NETSCAPE loop extension, one graphic-
+    // control extension per frame, LZW data sub-blocks with a length
+    // prefix), so the census is a real walk: read the palette size from
+    // the packed byte, hop extension blocks by their fixed sizes, hop
+    // each frame by its descriptor + sub-block length, count the 0x2C
+    // image separators, and demand the 0x3B trailer. Bounded unroll
+    // (9 steps ≥ 1 app ext + 3×(GCE+frame) + trailer, the planted
+    // ceiling; the q196 bounded-entry-scan discipline — and the q187
+    // lesson: every step's position is STAGED via withColumn, so no
+    // subtree multiplies through nested reads). Plants: both versions
+    // (87a single-frame/no-GCE vs 89a 1–3 frames), palette
+    // present×2-sizes/absent, varying LZW payload lengths, and a
+    // raw-text must-fail class. The oracle rebuilds the identical blob
+    // and CHECKS introducer/trailer bytes at plant-derived offsets
+    // before answering from the plant — agreeing with the walk only if
+    // the walk really followed packed-bits → palette hop → block hops.
+    QueryDef(
+      "q230_gif_census", {
+        def le16(v: String) =
+          s"(substring(lpad(to_hex($v), 4, '0'), 3, 2) || " +
+            s"substring(lpad(to_hex($v), 4, '0'), 1, 2))"
+        s"""WITH plant AS (
+           |  SELECT doc_id, text,
+           |    doc_id % 7 = 3 AS raw,
+           |    doc_id % 2 = 0 AS v89,
+           |    doc_id % 3 AS gc,
+           |    CAST(1 + doc_id % 300 AS BIGINT) AS w,
+           |    CAST(1 + doc_id % 200 AS BIGINT) AS h,
+           |    CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 3 ELSE 1 END
+           |      AS BIGINT) AS nf,
+           |    CAST(2 + doc_id % 5 AS BIGINT) AS lz,
+           |    CAST(doc_id % 4 AS BIGINT) AS lp,
+           |    CAST(2 + doc_id % 6 AS BIGINT) AS dl
+           |  FROM documents),
+           |parts AS (
+           |  SELECT *,
+           |    CAST(CASE gc WHEN 0 THEN 6 WHEN 2 THEN 24 ELSE 0 END AS BIGINT)
+           |      AS gct,
+           |    CASE gc WHEN 0 THEN '80' WHEN 2 THEN '82' ELSE '00' END AS pk,
+           |    CAST(CASE WHEN doc_id % 2 = 0 AND
+           |        (CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 3 ELSE 1 END) > 1
+           |      THEN 19 ELSE 0 END AS BIGINT) AS app
+           |  FROM plant),
+           |hexes AS (
+           |  SELECT *,
+           |    (CASE WHEN v89 THEN '474946383961' ELSE '474946383761' END) ||
+           |    ${le16("w")} || ${le16("h")} || pk || '0000' ||
+           |    repeat('0F', CAST(gct AS INT)) ||
+           |    (CASE WHEN app > 0
+           |      THEN '21FF0B4E45545343415045322E300301' || ${le16("lp")} || '00'
+           |      ELSE '' END) ||
+           |    repeat(
+           |      (CASE WHEN v89 THEN '21F90400' || ${le16("dl")} || '0000'
+           |       ELSE '' END) ||
+           |      '2C00000000' || ${le16("w")} || ${le16("h")} || '00' ||
+           |      '02' || lpad(to_hex(lz), 2, '0') ||
+           |      repeat('5A', CAST(lz AS INT)) || '00',
+           |      CAST(nf AS INT)) ||
+           |    '3B' AS ghex
+           |  FROM parts),
+           |blobs AS (
+           |  SELECT doc_id, raw, v89, w, h, nf, gct, app, lz,
+           |    CASE WHEN raw THEN encode(text) ELSE unhex(ghex) END AS content
+           |  FROM hexes),
+           |chk AS (
+           |  SELECT doc_id, raw, v89, w, h, nf, gct,
+           |    hex(content) AS hx,
+           |    14 + gct AS fb,
+           |    app,
+           |    CAST(CASE WHEN v89 THEN 8 ELSE 0 END AS BIGINT) AS gce,
+           |    13 + gct + app +
+           |      nf * ((CASE WHEN v89 THEN 8 ELSE 0 END) + 13 + lz) + 1 AS tot
+           |  FROM blobs),
+           |ok AS (
+           |  SELECT doc_id, v89, w, h, nf, gct,
+           |    NOT raw
+           |    AND substring(hx, 1, 12) =
+           |      (CASE WHEN v89 THEN '474946383961' ELSE '474946383761' END)
+           |    AND (app = 0 OR substring(hx, CAST(2*fb - 1 AS INT), 4) = '21FF')
+           |    AND substring(hx, CAST(2*(fb + app + gce) - 1 AS INT), 2) = '2C'
+           |    AND substring(hx, CAST(2*tot - 1 AS INT), 2) = '3B' AS good
+           |  FROM chk)
+           |SELECT doc_id,
+           |  CASE WHEN good THEN (CASE WHEN v89 THEN '89a' ELSE '87a' END) END
+           |    AS version,
+           |  CAST(CASE WHEN good THEN w ELSE -1 END AS BIGINT) AS width,
+           |  CAST(CASE WHEN good THEN h ELSE -1 END AS BIGINT) AS height,
+           |  CAST(CASE WHEN good THEN gct ELSE -1 END AS BIGINT) AS gct_bytes,
+           |  CAST(CASE WHEN good THEN nf ELSE -1 END AS BIGINT) AS n_frames,
+           |  CAST(CASE WHEN good THEN (CASE WHEN nf > 1 THEN 1 ELSE 0 END)
+           |    ELSE -1 END AS BIGINT) AS animated
+           |FROM ok
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      def byteAt(p: org.apache.spark.sql.Column) =
+        col("hx").substr(p * 2 - 1, lit(2))
+      def step(df: DataFrame): DataFrame = df
+        .withColumn("b", byteAt(col("p")))
+        .withColumn("lb", byteAt(col("p") + 1))
+        .withColumn("ll",
+          conv(byteAt(col("p") + 11), 16, 10).cast("long"))
+        .withColumn("fin", col("seen") || col("bad"))
+        .withColumn("isf", !col("fin") && col("b") === "2C")
+        .withColumn("fbad",
+          col("isf") && !(byteAt(col("p") + 12 + col("ll")) === "00"))
+        .withColumn("nf",
+          col("nf") + when(col("isf") && !col("fbad"), 1L).otherwise(0L))
+        .withColumn("seen",
+          col("seen") || (!col("fin") && col("b") === "3B"))
+        .withColumn("bad",
+          col("bad") || col("fbad") ||
+            (!col("fin") && !col("b").isin("21", "2C", "3B")) ||
+            (!col("fin") && col("b") === "21" && !col("lb").isin("F9", "FF")))
+        .withColumn("p",
+          when(col("fin") || col("bad") || col("b") === "3B", col("p"))
+            .when(col("b") === "21" && col("lb") === "FF", col("p") + 19)
+            .when(col("b") === "21" && col("lb") === "F9", col("p") + 8)
+            .otherwise(col("p") + 13 + col("ll")))
+      val base = gifBlobs(s, d)
+        .withColumn("hx", hex(col("content")))
+        .withColumn("ver",
+          when(substring(col("hx"), 1, 12) === "474946383961", "89a")
+            .when(substring(col("hx"), 1, 12) === "474946383761", "87a"))
+        .withColumn("w", conv(concat(substring(col("hx"), 15, 2),
+          substring(col("hx"), 13, 2)), 16, 10).cast("long"))
+        .withColumn("h", conv(concat(substring(col("hx"), 19, 2),
+          substring(col("hx"), 17, 2)), 16, 10).cast("long"))
+        .withColumn("pk", conv(substring(col("hx"), 21, 2), 16, 10)
+          .cast("long"))
+        .withColumn("gctb",
+          when(col("pk") >= 128,
+            expr("cast(3 * shiftleft(1, cast(pk % 8 as int) + 1) as bigint)"))
+            .otherwise(0L))
+        .withColumn("p", lit(14L) + col("gctb"))
+        .withColumn("nf", lit(0L))
+        .withColumn("seen", lit(false))
+        .withColumn("bad", col("ver").isNull)
+      val walked = (1 to 9).foldLeft(base)((df, _) => step(df))
+      walked
+        .withColumn("ok", col("ver").isNotNull && col("seen") && !col("bad"))
+        .select(col("doc_id"),
+          when(col("ok"), col("ver")).as("version"),
+          when(col("ok"), col("w")).otherwise(-1L).as("width"),
+          when(col("ok"), col("h")).otherwise(-1L).as("height"),
+          when(col("ok"), col("gctb")).otherwise(-1L).as("gct_bytes"),
+          when(col("ok"), col("nf")).otherwise(-1L).as("n_frames"),
+          when(col("ok"), when(col("nf") > 1, 1L).otherwise(0L))
+            .otherwise(-1L).as("animated"))
+        .orderBy("doc_id")
     }
   )
+
+  /** q230 fixture: minimal-but-real GIFs derived from doc_id — version
+    * 87a/89a, optional global color table (two sizes), optional NETSCAPE
+    * loop extension, 1–3 frames each with a graphic-control extension
+    * (89a) and a one-sub-block LZW payload of varying length; doc_id%7==3
+    * rows are raw text (the must-fail class). Mirrors the oracle's
+    * `hexes` CTE byte-for-byte. */
+  private[graft] def gifBlobs(s: SparkSession, d: String): DataFrame = {
+    val did = col("doc_id")
+    val raw = pmod(did, lit(7)) === 3
+    val v89 = pmod(did, lit(2)) === 0
+    val gc = pmod(did, lit(3))
+    val w = lit(1) + pmod(did, lit(300))
+    val h = lit(1) + pmod(did, lit(200))
+    val nf = when(v89, lit(1) + pmod(did, lit(3))).otherwise(lit(1))
+    val lz = lit(2) + pmod(did, lit(5))
+    val lp = pmod(did, lit(4))
+    val dl = lit(2) + pmod(did, lit(6))
+    def le16(c: org.apache.spark.sql.Column) = {
+      val x = lpad(hex(c), 4, "0")
+      concat(substring(x, 3, 2), substring(x, 1, 2))
+    }
+    val gct = when(gc === 0, lit(6)).when(gc === 2, lit(24)).otherwise(lit(0))
+    val pk = when(gc === 0, lit("80")).when(gc === 2, lit("82"))
+      .otherwise(lit("00"))
+    val app = v89 && (nf > 1)
+    val frameUnit = concat(
+      when(v89, concat(lit("21F90400"), le16(dl), lit("0000")))
+        .otherwise(lit("")),
+      lit("2C00000000"), le16(w), le16(h), lit("00"),
+      lit("02"), lpad(hex(lz), 2, "0"),
+      call_function("repeat", lit("5A"), lz), lit("00"))
+    Tables.documentsSpread(s, d)
+      .withColumn("unit", frameUnit)
+      .withColumn("ghex", concat(
+        when(v89, lit("474946383961")).otherwise(lit("474946383761")),
+        le16(w), le16(h), pk, lit("0000"),
+        call_function("repeat", lit("0F"), gct),
+        when(app, concat(lit("21FF0B4E45545343415045322E300301"),
+          le16(lp), lit("00"))).otherwise(lit("")),
+        call_function("repeat", col("unit"), nf),
+        lit("3B")))
+      .select(did,
+        when(raw, encode(col("text"), "UTF-8"))
+          .otherwise(unhex(col("ghex"))).as("content"))
+  }
 
   /** Spark-side q196 fixture: JPEG SOI ++ APP1("Exif\0\0" + TIFF) ++ text
     * payload, with the TIFF byte order, header pad (IFD0 offset), decoy

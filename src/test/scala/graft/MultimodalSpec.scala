@@ -275,4 +275,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == Seq(Some(6L), Some(3L), None, None, None, None, None,
       None, None, None, None, None, None, None, Some(7L)), got)
   }
+
+  test("q230 GIF census agrees with the JDK's own ImageIO GIF reader") {
+    val rows = SparkEntry.byName("q230_gif_census").run(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(rows.nonEmpty)
+    val blobs = graft.queries.MultimodalPack.gifBlobs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    assert(blobs.length == rows.size)
+    var checkedGifs = 0
+    blobs.foreach { case (id, bytes) =>
+      val (ver, w, h, gct, nf, anim) = rows(id)
+      if (id % 7 == 3) {
+        // raw-text class: the walk must refuse it
+        assert(ver.isEmpty && nf == -1L, s"doc $id raw not refused")
+      } else {
+        // external validation: the JDK GIF reader must accept the blob
+        // and agree on canvas dims and frame count
+        val in = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        assert(readers.hasNext, s"doc $id: ImageIO has no reader for blob")
+        val rd = readers.next()
+        rd.setInput(in)
+        try {
+          assert(rd.getFormatName.equalsIgnoreCase("gif"), s"doc $id format")
+          assert(rd.getWidth(0) == w && rd.getHeight(0) == h, s"doc $id dims")
+          assert(rd.getNumImages(true) == nf, s"doc $id frames")
+        } finally { rd.dispose(); in.close() }
+        assert(ver.contains(if (id % 2 == 0) "89a" else "87a"), s"doc $id ver")
+        assert(anim == (if (nf > 1) 1L else 0L), s"doc $id animated")
+        assert(gct == (if (id % 3 == 0) 6L else if (id % 3 == 2) 24L else 0L))
+        checkedGifs += 1
+      }
+    }
+    assert(checkedGifs > 0)
+    // all three frame counts and both versions occur
+    assert(Set(1L, 2L, 3L).subsetOf(
+      rows.values.collect { case (Some("89a"), _, _, _, n, _) => n }.toSet))
+    assert(rows.values.exists(_._1.contains("87a")))
+  }
 }
