@@ -237,8 +237,14 @@ object VectorPack {
     * on scoring or tie-break: corpus never shuffles, query side and norms
     * broadcast, every score rounded to DECIMAL(18,8) before ranking. */
   private def exactTopKDec(s: SparkSession, d: String,
-                           maxQid: Long, k: Int) = {
-    val emb = Tables.embeddings(s, d)
+                           maxQid: Long, k: Int,
+                           dims: Option[Int] = None) = {
+    val embRaw = Tables.embeddings(s, d)
+    // q231's truncated pass: score on a dimension PREFIX of the same
+    // vectors (the Matryoshka read — ¼ of the scan bytes at 16 of 64)
+    val emb = dims.map(n =>
+      embRaw.withColumn("embedding", slice(col("embedding"), 1, n)))
+      .getOrElse(embRaw)
     val norms = emb.select(col("vec_id"), dotDec(col("embedding"), col("embedding")).as("nrm"))
     val q = emb.filter(col("vec_id") < maxQid)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -1037,6 +1043,101 @@ object VectorPack {
             (col("d2_neg") === col("dt") && col("neg_id") < col("tid")), 1L)
             .otherwise(0L).as("is_violation"))
         .orderBy("qid", "rk")
+    },
+
+    // ---- q231: Matryoshka dimension-truncation audit -------------------------
+    // The measurement behind MRL-style embedding serving (Kusupati et al.,
+    // NeurIPS 2022 — public literature): if retrieval reads only a PREFIX
+    // of each vector (16 of 64 dims = ¼ the scan bytes), how much of the
+    // full-dimension ranking survives? Both rankings run the q35
+    // decimal-exact brute-force discipline (broadcast queries, corpus
+    // never shuffled, DECIMAL(18,8)-rounded cosine, nid tiebreak), so
+    // overlap@5 and the truncated rank of the full-dim top-1 are exact
+    // integers both engines replay. The answer is the serving decision:
+    // a high overlap says prefix-score-then-rerank; a low one says the
+    // prefix is not a retrieval index.
+    //
+    // 100 TB shape: two passes of the q35 shape (queries broadcast,
+    // corpus scanned in place — the truncated pass reading ¼ of the
+    // vector bytes is exactly the Matryoshka payoff); the audit join is
+    // top-5-sized per query, trivially broadcastable.
+    QueryDef(
+      "q231_matryoshka_audit",
+      """WITH norms AS (
+        |  SELECT vec_id, list_sum(list_transform(embedding, x ->
+        |    CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,20)))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        |      WHERE vec_id < 10),
+        |pairs AS (
+        |  SELECT qid, e.vec_id AS nid,
+        |    list_sum(list_transform(range(1,65), i ->
+        |      CAST(CAST(qe[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE)
+        |        AS DECIMAL(38,20)))) AS dot
+        |  FROM q JOIN embeddings e ON e.vec_id <> qid),
+        |scored AS (
+        |  SELECT qid, nid,
+        |    CAST(CAST(CAST(dot AS DOUBLE)/sqrt(CAST(nq.nrm AS DOUBLE)*CAST(nn.nrm AS DOUBLE)) AS DECIMAL(18,8)) AS DOUBLE) AS cos_sim
+        |  FROM pairs JOIN norms nq ON nq.vec_id = qid
+        |             JOIN norms nn ON nn.vec_id = nid),
+        |full5 AS (
+        |  SELECT qid, nid,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cos_sim DESC, nid) AS BIGINT) AS rk
+        |  FROM scored QUALIFY rk <= 5),
+        |tnorms AS (
+        |  SELECT vec_id, list_sum(list_transform(range(1,17), i ->
+        |    CAST(CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)
+        |      AS DECIMAL(38,20)))) AS nrm
+        |  FROM embeddings),
+        |tpairs AS (
+        |  SELECT qid, e.vec_id AS nid,
+        |    list_sum(list_transform(range(1,17), i ->
+        |      CAST(CAST(qe[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE)
+        |        AS DECIMAL(38,20)))) AS dot
+        |  FROM q JOIN embeddings e ON e.vec_id <> qid),
+        |tscored AS (
+        |  SELECT qid, nid,
+        |    CAST(CAST(CAST(dot AS DOUBLE)/sqrt(CAST(nq.nrm AS DOUBLE)*CAST(nn.nrm AS DOUBLE)) AS DECIMAL(18,8)) AS DOUBLE) AS cos_sim
+        |  FROM tpairs JOIN tnorms nq ON nq.vec_id = qid
+        |              JOIN tnorms nn ON nn.vec_id = nid),
+        |t5 AS (
+        |  SELECT qid, nid,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cos_sim DESC, nid) AS BIGINT) AS rk
+        |  FROM tscored QUALIFY rk <= 5),
+        |ov AS (
+        |  SELECT f.qid, CAST(COUNT(t.nid) AS BIGINT) AS overlap5
+        |  FROM full5 f LEFT JOIN t5 t ON t.qid = f.qid AND t.nid = f.nid
+        |  GROUP BY f.qid),
+        |tr AS (
+        |  SELECT f1.qid, COALESCE(t.rk, CAST(-1 AS BIGINT)) AS top1_rank_trunc
+        |  FROM (SELECT qid, nid FROM full5 WHERE rk = 1) f1
+        |  LEFT JOIN t5 t ON t.qid = f1.qid AND t.nid = f1.nid)
+        |SELECT ov.qid, ov.overlap5, tr.top1_rank_trunc,
+        |  CAST(CASE WHEN tr.top1_rank_trunc >= 1 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS top1_kept
+        |FROM ov JOIN tr ON tr.qid = ov.qid
+        |ORDER BY ov.qid""".stripMargin) { (s, d) =>
+      val full = exactTopKDec(s, d, maxQid = 10, k = 5)
+        .select(col("qid"), col("nid"), col("rk"))
+      val trunc = exactTopKDec(s, d, maxQid = 10, k = 5, dims = Some(16))
+        .select(col("qid").as("tqid"), col("nid").as("tnid"),
+          col("rk").as("trk"))
+      val ov = full
+        .join(broadcast(trunc),
+          col("tqid") === col("qid") && col("tnid") === col("nid"), "left")
+        .groupBy("qid").agg(count(col("tnid")).as("overlap5"))
+      val tr = full.filter(col("rk") === 1)
+        .join(broadcast(trunc),
+          col("tqid") === col("qid") && col("tnid") === col("nid"), "left")
+        .select(col("qid"), coalesce(col("trk"), lit(-1L))
+          .as("top1_rank_trunc"))
+      ov.join(broadcast(tr), "qid")
+        .select(col("qid"), col("overlap5"), col("top1_rank_trunc"),
+          when(col("top1_rank_trunc") >= 1, 1L).otherwise(0L)
+            .as("top1_kept"))
+        .orderBy("qid")
     }
   )
 

@@ -326,4 +326,40 @@ class SimilaritySpec extends AnyFunSuite {
         s"q$qid violations vs twin_rank ${ranks(qid)}")
     }
   }
+
+  test("q231 overlap/ranks re-derive from a plain Scala decimal replay") {
+    val got = SparkEntry.byName("q231_matryoshka_audit").run(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 10)
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def round20(x: Double) =
+      BigDecimal(x).setScale(20, BigDecimal.RoundingMode.HALF_UP)
+    def round8(x: Double) =
+      BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the engine discipline: per-term DECIMAL(38,20) rounding, exact sum,
+    // one IEEE division, DECIMAL(18,8) round
+    def cos(a: Array[Float], b: Array[Float], dims: Int): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        (0 until dims).map(i => round20(x(i).toDouble * y(i).toDouble)).sum
+      round8(dot(a, b).toDouble /
+        math.sqrt(dot(a, a).toDouble * dot(b, b).toDouble))
+    }
+    def top5(qid: Long, dims: Int): Seq[Long] =
+      vecs.keys.filter(_ != qid).toSeq
+        .map(n => (cos(vecs(qid), vecs(n), dims), n))
+        .sortBy { case (c, n) => (-c, n) }.take(5).map(_._2)
+    got.foreach { case (qid, ov, t1rk, t1kept) =>
+      val f = top5(qid, 64); val t = top5(qid, 16)
+      assert(ov == f.count(t.contains(_)).toLong, s"q$qid overlap")
+      val expRk = t.indexOf(f.head) match { case -1 => -1L; case i => i + 1L }
+      assert(t1rk == expRk, s"q$qid top1 rank")
+      assert(t1kept == (if (expRk >= 1) 1L else 0L))
+      assert(ov >= 0L && ov <= 5L)
+    }
+    // truncation must actually change something somewhere, or the audit
+    // measures nothing at this sf
+    assert(got.exists(_._2 < 5L))
+  }
 }
