@@ -4274,6 +4274,109 @@ object TextDedupPack {
         .orderBy("canonical_url")
     },
 
+    // ---- q232: per-domain crawl quota ----------------------------------------
+    // The politeness/diversity cap a crawl scheduler enforces over q226's
+    // registered domains: keep at most K documents per domain, survivors
+    // chosen by a deterministic salted-hash priority (so re-runs and
+    // re-partitions elect the SAME survivors — a crawl quota that churns
+    // its keep-set re-crawls the diff every time). K=3 binds at every SF
+    // (the fixture's domain classes carry ≥4 docs).
+    //
+    // 100 TB shape: the selection is the q136/TopKRows discipline —
+    // fixed-k mergeable state per (domain, map partition), shuffle
+    // carries ≤ K rows per group per partition, NEVER a per-domain sort
+    // (the window formulation is the oracle, not the engine path). The
+    // 48-bit md5-prefix priority is exact in a double, so the aggregator
+    // tiebreak (score desc = priority asc, doc_id) replays the oracle's
+    // ORDER BY bit-for-bit.
+    QueryDef(
+      "q232_domain_quota",
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    'site' || CAST(doc_id % 40 AS VARCHAR) || '.' ||
+        |    (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+        |          ELSE 'org' END) AS regdom,
+        |    ('0x' || substring(md5('q232:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+        |      AS prio
+        |  FROM documents),
+        |rk AS (
+        |  SELECT regdom, doc_id, prio,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY regdom
+        |      ORDER BY prio, doc_id) AS BIGINT) AS rk
+        |  FROM r)
+        |SELECT regdom, rk, doc_id, prio
+        |FROM rk WHERE rk <= 3
+        |ORDER BY regdom, rk""".stripMargin) { (s, d) =>
+      val did = col("doc_id")
+      val regdom = concat(lit("site"), (did % 40).cast("string"), lit("."),
+        when(did % 3 === 0, lit("com")).when(did % 3 === 1, lit("co.uk"))
+          .otherwise(lit("org")))
+      val prio = conv(substring(md5(concat(lit("q232:"), did.cast("string"))),
+        1, 12), 16, 10).cast("long")
+      val topk = udaf(new graft.functions.TopKRows(3))
+      Tables.documentsSpread(s, d)
+        .select(regdom.as("regdom"), did, prio.as("prio"))
+        .groupBy("regdom")
+        .agg(topk((-col("prio")).cast("double"), col("doc_id"), col("prio"))
+          .as("tk"))
+        .select(col("regdom"), posexplode(col("tk")).as(Seq("pos", "row")))
+        .select(col("regdom"), (col("pos") + 1).cast("long").as("rk"),
+          col("row._2").as("doc_id"), col("row._3").as("prio"))
+        .orderBy("regdom", "rk")
+    },
+
+    // ---- q233: n-gram novelty score ------------------------------------------
+    // The dedup diagnostic between exact-dup and near-dup: per document,
+    // what fraction of its distinct 8-grams appears in NO other document?
+    // Low novelty with no exact/near-dup match is the "stitched from
+    // common text" signal (template farms, boilerplate mosaics) that
+    // doc-level fingerprints miss. Integer basis points (the q192/q214
+    // ledger discipline); docs shorter than 8 tokens have no grams and no
+    // row — the honest answer.
+    //
+    // 100 TB shape: grams travel as fixed-width md5 hashes (the shuffle
+    // key never carries text); the df count and the per-doc fold are both
+    // map-side-combined aggs; the join back is keyed on the same hash.
+    // Unlike the near-dup pair path there is NO self-join — novelty needs
+    // df only, so the heaviest object is the gram-count table.
+    QueryDef(
+      "q233_ngram_novelty",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, gh FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(tk) - 6),
+        |        i -> md5(array_to_string(tk[i:i+7], ' ')))) AS gh
+        |    FROM t WHERE len(tk) >= 8)),
+        |df AS (SELECT gh, COUNT(*) AS dfc FROM g GROUP BY gh)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  CAST(10000 * SUM(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) // COUNT(*)
+        |    AS BIGINT) AS novelty_bp
+        |FROM g JOIN df USING (gh)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tk = col("tk")
+      val g = Tables.documentsSpread(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(tk) >= 8)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(tk) - 7), i =>
+            md5(concat_ws(" ", slice(tk, i, lit(8)))))).as("gh"))
+        .distinct()
+        .persist()
+      val df = g.groupBy("gh").agg(count(lit(1)).as("dfc"))
+      g.join(df, "gh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("dfc") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .select(col("doc_id"), col("n_grams"), col("n_unique"),
+          expr("10000 * n_unique div n_grams").as("novelty_bp"))
+        .orderBy("doc_id")
+    },
+
     // ---- q228: multi-phrase blocklist scan -----------------------------------
     // q220 generalized from one phrase to a phrase TABLE — the deny-list
     // filter every corpus runs (toxic phrases, banned boilerplate,

@@ -390,6 +390,52 @@ class DedupSpec extends AnyFunSuite {
     assert(batch.nonEmpty && batch == stream)
   }
 
+  test("q232 quota keeps exactly the K lowest-priority docs per domain") {
+    val got = SparkEntry.byName("q232_domain_quota").run(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    def md5hex(x: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val ids = docs.select("doc_id").as[Long].collect().toSeq
+    def regdom(id: Long) = s"site${id % 40}." +
+      ((id % 3) match { case 0 => "com"; case 1 => "co.uk"; case _ => "org" })
+    def prio(id: Long) = java.lang.Long.parseLong(md5hex(s"q232:$id").take(12), 16)
+    val expect = ids.groupBy(regdom).flatMap { case (rd, members) =>
+      members.map(m => (prio(m), m)).sorted.take(3).zipWithIndex
+        .map { case ((p, m), i) => (rd, i + 1L, m, p) }
+    }.toSet
+    assert(got.toSet == expect)
+    // the quota must actually drop someone at this sf
+    val sizes = ids.groupBy(regdom).map(_._2.size)
+    assert(sizes.exists(_ > 3) && got.count(_._2 == 3L) > 0)
+  }
+
+  test("q233 novelty re-derives from plain Scala 8-gram sets") {
+    val got = SparkEntry.byName("q233_ngram_novelty").run(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val gramsOf = texts.toMap.map { case (id, t) =>
+      id -> t.sliding(8).filter(_.size == 8).map(_.mkString(" ")).toSet
+    }
+    val dfm = gramsOf.values.flatten.groupBy(identity)
+      .map { case (g, occ) => g -> occ.size }
+    val expect = gramsOf.collect { case (id, gs) if gs.nonEmpty =>
+      val nu = gs.count(dfm(_) == 1).toLong
+      id -> (gs.size.toLong, nu, 10000L * nu / gs.size)
+    }
+    assert(got.map(_._1).toSet == expect.keySet)
+    got.foreach { case (id, ng, nu, bp) =>
+      assert((ng, nu, bp) == expect(id), s"doc $id")
+    }
+    // both ends of the novelty spectrum occur (the corpus plants dups)
+    assert(got.exists(_._4 == 10000L) && got.exists(_._4 < 10000L))
+  }
+
   test("q226 longest-suffix match beats the naive TLD split on every ccTLD host") {
     val got = SparkEntry.byName("q226_registered_domain").run(spark, sf)
       .collect()
