@@ -86,7 +86,8 @@ object Bench {
       // q150/q193's Lloyd rounds are checkpoint-backed (r14) — same
       // GC+ContextCleaner-freed-blocks criterion as the CC family above
       "q195", "q198", "q201", "q206", "q208", "q150",
-      "q210", "q219") // q210/q219 run a full CC (per-round localCheckpoint), as q67
+      "q210", "q219", // q210/q219 run a full CC (per-round localCheckpoint), as q67
+      "q234", "q238") // q234 runs the CC; q238 peels with per-round checkpoints
     def quiesce(heavy: Boolean): Unit =
       if (heavy) {
         System.gc(); Thread.sleep(50)

@@ -716,6 +716,165 @@ object MultimodalPack {
           when(col("ok"), when(col("nf") > 1, 1L).otherwise(0L))
             .otherwise(-1L).as("animated"))
         .orderBy("doc_id")
+    },
+
+    // ---- q236: FLAC STREAMINFO decode + metadata-block walk ----------------
+    // The audio-side q230: everything an ingest pipeline needs to triage a
+    // FLAC file — sample rate, channels, bit depth, duration-in-samples,
+    // tag presence — WITHOUT an audio-frame decode. Two real parsing
+    // problems compose: (a) the STREAMINFO fields are BIT-packed, not
+    // byte-aligned (20-bit sample rate, 3-bit channels-1, 5-bit bps-1,
+    // 36-bit total-samples inside 8 bytes) — decoded by ONE conv of the
+    // 16-hex-digit window plus shift/mask arithmetic, no per-bit string
+    // surgery; (b) the metadata block list is a length-prefixed walk with
+    // an is-last FLAG BIT carried in the same byte as the 7-bit block
+    // type (VORBIS_COMMENT / PADDING hops, planted in 4 layouts so the
+    // flag moves between blocks). The walk demands the final position
+    // land exactly on end-of-blob — a hop arithmetic error of one byte
+    // fails the row. Bounded 3-step unroll, positions STAGED via
+    // withColumn (the q187/q230 discipline); raw-text must-fail class.
+    // The oracle rebuilds the identical blob and CHECKS magic, the
+    // STREAMINFO header + 34-length, each planted tail-block header byte
+    // at its computed offset, and the total byte length before answering
+    // from the plant.
+    QueryDef(
+      "q236_flac_streaminfo", {
+        s"""WITH plant AS (
+           |  SELECT doc_id, text,
+           |    doc_id % 7 = 3 AS raw,
+           |    CAST(CASE doc_id % 6 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+           |      WHEN 2 THEN 22050 WHEN 3 THEN 44100 WHEN 4 THEN 48000
+           |      ELSE 96000 END AS BIGINT) AS sr,
+           |    CAST(1 + doc_id % 4 AS BIGINT) AS ch,
+           |    CAST(CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 16
+           |      ELSE 24 END AS BIGINT) AS bps,
+           |    CAST(1000 + doc_id % 100000 AS BIGINT) AS ts,
+           |    CAST(doc_id % 4 AS BIGINT) AS lay,
+           |    CAST(4 + doc_id % 9 AS BIGINT) AS vl,
+           |    CAST(1 + doc_id % 7 AS BIGINT) AS pl
+           |  FROM documents),
+           |packed AS (
+           |  SELECT *,
+           |    sr * 17592186044416 + (ch - 1) * 2199023255552 +
+           |      (bps - 1) * 68719476736 + ts AS pkv,
+           |    CASE lay WHEN 0 THEN 1 WHEN 3 THEN 3 ELSE 2 END AS nb,
+           |    CASE lay WHEN 1 THEN TRUE WHEN 3 THEN TRUE ELSE FALSE END
+           |      AS haspad,
+           |    CASE lay WHEN 2 THEN TRUE WHEN 3 THEN TRUE ELSE FALSE END
+           |      AS hasvc
+           |  FROM plant),
+           |hexes AS (
+           |  SELECT *,
+           |    '664C6143' ||
+           |    (CASE WHEN lay = 0 THEN '80' ELSE '00' END) || '000022' ||
+           |    '1000' || '1000' || '000000' || '000000' ||
+           |    lpad(to_hex(pkv), 16, '0') || repeat('00', 16) ||
+           |    (CASE WHEN hasvc THEN
+           |      (CASE WHEN lay = 2 THEN '84' ELSE '04' END) ||
+           |      lpad(to_hex(vl), 6, '0') || repeat('56', CAST(vl AS INT))
+           |     ELSE '' END) ||
+           |    (CASE WHEN haspad THEN
+           |      '81' || lpad(to_hex(pl), 6, '0') || repeat('00', CAST(pl AS INT))
+           |     ELSE '' END) AS fhex
+           |  FROM packed),
+           |blobs AS (
+           |  SELECT *,
+           |    CASE WHEN raw THEN encode(text) ELSE unhex(fhex) END AS content
+           |  FROM hexes),
+           |chk AS (
+           |  SELECT *, hex(content) AS hx,
+           |    42 + (CASE WHEN hasvc THEN 4 + vl ELSE 0 END) +
+           |         (CASE WHEN haspad THEN 4 + pl ELSE 0 END) AS tot,
+           |    43 + (CASE WHEN hasvc THEN 4 + vl ELSE 0 END) AS padp
+           |  FROM blobs),
+           |ok AS (
+           |  SELECT doc_id, sr, ch, bps, ts, nb, hasvc, haspad, pl,
+           |    NOT raw
+           |    AND substring(hx, 1, 8) = '664C6143'
+           |    AND substring(hx, 9, 8) =
+           |      (CASE WHEN lay = 0 THEN '80' ELSE '00' END) || '000022'
+           |    AND (NOT hasvc OR substring(hx, 85, 2) =
+           |      (CASE WHEN lay = 2 THEN '84' ELSE '04' END))
+           |    AND (NOT haspad OR substring(hx, CAST(2*padp - 1 AS INT), 2)
+           |      = '81')
+           |    AND octet_length(content) = tot AS good
+           |  FROM chk)
+           |SELECT doc_id,
+           |  CAST(CASE WHEN good THEN sr ELSE -1 END AS BIGINT) AS sample_rate,
+           |  CAST(CASE WHEN good THEN ch ELSE -1 END AS BIGINT) AS channels,
+           |  CAST(CASE WHEN good THEN bps ELSE -1 END AS BIGINT)
+           |    AS bits_per_sample,
+           |  CAST(CASE WHEN good THEN ts ELSE -1 END AS BIGINT)
+           |    AS total_samples,
+           |  CAST(CASE WHEN good THEN nb ELSE -1 END AS BIGINT) AS n_blocks,
+           |  CAST(CASE WHEN good THEN (CASE WHEN hasvc THEN 1 ELSE 0 END)
+           |    ELSE -1 END AS BIGINT) AS has_comment,
+           |  CAST(CASE WHEN good THEN (CASE WHEN haspad THEN pl ELSE 0 END)
+           |    ELSE -1 END AS BIGINT) AS padding_bytes
+           |FROM ok
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      def byteAt(p: org.apache.spark.sql.Column) =
+        conv(col("hx").substr(p * 2 - 1, lit(2)), 16, 10).cast("long")
+      def step(df: DataFrame): DataFrame = df
+        .withColumn("fin", col("last") || col("bad"))
+        .withColumn("hb", byteAt(col("p")))
+        .withColumn("bl",
+          conv(col("hx").substr((col("p") + 1) * 2 - 1, lit(6)), 16, 10)
+            .cast("long"))
+        .withColumn("btype", pmod(col("hb"), lit(128L)))
+        .withColumn("hc",
+          col("hc") || (!col("fin") && col("btype") === 4L))
+        .withColumn("pad",
+          col("pad") + when(!col("fin") && col("btype") === 1L, col("bl"))
+            .otherwise(0L))
+        .withColumn("nb",
+          col("nb") + when(!col("fin"), 1L).otherwise(0L))
+        .withColumn("bad",
+          col("bad") || (!col("fin") && !col("btype").isin(1L, 3L, 4L)))
+        .withColumn("last",
+          col("last") || (!col("fin") && col("hb") >= 128L))
+        .withColumn("p",
+          when(col("fin"), col("p")).otherwise(col("p") + 4 + col("bl")))
+      val base = flacBlobs(s, d)
+        .withColumn("hx", hex(col("content")))
+        .withColumn("magic_ok", substring(col("hx"), 1, 8) === "664C6143")
+        .withColumn("sihdr", conv(substring(col("hx"), 9, 2), 16, 10)
+          .cast("long"))
+        .withColumn("silen", conv(substring(col("hx"), 11, 6), 16, 10)
+          .cast("long"))
+        .withColumn("si_ok",
+          col("magic_ok") && pmod(col("sihdr"), lit(128L)) === 0L &&
+            col("silen") === 34L)
+        // the 8 bit-packed bytes (STREAMINFO offset 10) as ONE integer:
+        // sr:20 | ch-1:3 | bps-1:5 | total:36 — < 2^61, exact in a long
+        .withColumn("pkv", conv(substring(col("hx"), 2 * 19 - 1, 16), 16, 10)
+          .cast("long"))
+        .withColumn("sr", shiftright(col("pkv"), 44))
+        .withColumn("ch", pmod(shiftright(col("pkv"), 41), lit(8L)) + 1L)
+        .withColumn("bps", pmod(shiftright(col("pkv"), 36), lit(32L)) + 1L)
+        .withColumn("ts", pmod(col("pkv"), lit(68719476736L)))
+        .withColumn("p", lit(43L))
+        .withColumn("nb", lit(1L))
+        .withColumn("hc", lit(false))
+        .withColumn("pad", lit(0L))
+        .withColumn("last", col("sihdr") >= 128L)
+        .withColumn("bad", !col("si_ok"))
+      val walked = (1 to 3).foldLeft(base)((df, _) => step(df))
+      walked
+        .withColumn("ok",
+          col("si_ok") && col("last") && !col("bad") &&
+            col("p") === length(col("content")) + 1)
+        .select(col("doc_id"),
+          when(col("ok"), col("sr")).otherwise(-1L).as("sample_rate"),
+          when(col("ok"), col("ch")).otherwise(-1L).as("channels"),
+          when(col("ok"), col("bps")).otherwise(-1L).as("bits_per_sample"),
+          when(col("ok"), col("ts")).otherwise(-1L).as("total_samples"),
+          when(col("ok"), col("nb")).otherwise(-1L).as("n_blocks"),
+          when(col("ok"), when(col("hc"), 1L).otherwise(0L))
+            .otherwise(-1L).as("has_comment"),
+          when(col("ok"), col("pad")).otherwise(-1L).as("padding_bytes"))
+        .orderBy("doc_id")
     }
   )
 
@@ -763,6 +922,54 @@ object MultimodalPack {
       .select(did,
         when(raw, encode(col("text"), "UTF-8"))
           .otherwise(unhex(col("ghex"))).as("content"))
+  }
+
+  /** q236 fixture: minimal-but-real FLAC metadata streams derived from
+    * doc_id — "fLaC" magic, a 34-byte STREAMINFO whose 8 packed bytes
+    * carry the planted (sample rate, channels, bps, total samples) in
+    * their real bit positions, then one of 4 tail layouts (none /
+    * PADDING / VORBIS_COMMENT / both) moving the is-last flag between
+    * blocks; doc_id%7==3 rows are raw text (the must-fail class).
+    * Mirrors the oracle's `hexes` CTE byte-for-byte. */
+  private[graft] def flacBlobs(s: SparkSession, d: String): DataFrame = {
+    val did = col("doc_id")
+    val raw = pmod(did, lit(7)) === 3
+    val sr = when(pmod(did, lit(6)) === 0, 8000L)
+      .when(pmod(did, lit(6)) === 1, 16000L)
+      .when(pmod(did, lit(6)) === 2, 22050L)
+      .when(pmod(did, lit(6)) === 3, 44100L)
+      .when(pmod(did, lit(6)) === 4, 48000L)
+      .otherwise(96000L)
+    val ch = lit(1L) + pmod(did, lit(4))
+    val bps = when(pmod(did, lit(3)) === 0, 8L)
+      .when(pmod(did, lit(3)) === 1, 16L).otherwise(24L)
+    val ts = lit(1000L) + pmod(did, lit(100000))
+    val lay = pmod(did, lit(4))
+    val vl = lit(4L) + pmod(did, lit(9))
+    val pl = lit(1L) + pmod(did, lit(7))
+    val pkv = sr * lit(17592186044416L) + (ch - 1L) * lit(2199023255552L) +
+      (bps - 1L) * lit(68719476736L) + ts
+    val hasvc = lay === 2 || lay === 3
+    val haspad = lay === 1 || lay === 3
+    Tables.documentsSpread(s, d)
+      .withColumn("fhex", concat(
+        lit("664C6143"),
+        when(lay === 0, lit("80")).otherwise(lit("00")), lit("000022"),
+        lit("1000"), lit("1000"), lit("000000"), lit("000000"),
+        lpad(hex(pkv), 16, "0"),
+        call_function("repeat", lit("00"), lit(16)),
+        when(hasvc, concat(
+          when(lay === 2, lit("84")).otherwise(lit("04")),
+          lpad(hex(vl), 6, "0"),
+          call_function("repeat", lit("56"), vl.cast("int"))))
+          .otherwise(lit("")),
+        when(haspad, concat(
+          lit("81"), lpad(hex(pl), 6, "0"),
+          call_function("repeat", lit("00"), pl.cast("int"))))
+          .otherwise(lit(""))))
+      .select(did,
+        when(raw, encode(col("text"), "UTF-8"))
+          .otherwise(unhex(col("fhex"))).as("content"))
   }
 
   /** Spark-side q196 fixture: JPEG SOI ++ APP1("Exif\0\0" + TIFF) ++ text

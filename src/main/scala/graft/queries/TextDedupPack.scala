@@ -114,6 +114,11 @@ object TextDedupPack {
   /** q144's synchronous label-propagation round count. */
   private val LPA_ROUNDS = 3
 
+  /** q238's fixed peel-round count (the q109 fixed-point discipline: both
+    * engines unroll EXACTLY this many rounds — the result is the round-4
+    * peel state, converged or not, so the replay is structural). */
+  private val KCORE_ROUNDS = 4
+
   /** q145's personalized-PageRank iteration count. */
   private val PPR_ITERS = 4
 
@@ -2302,6 +2307,80 @@ object TextDedupPack {
         .orderBy("community")
     },
 
+    // ---- q238: 2-core peel over the near-dup graph ---------------------------
+    // Core decomposition — the graph-side spam/template-farm detector the
+    // corpus graph family still lacked: nodes that survive iterated
+    // "drop everything with degree < 2" sit in dense duplication
+    // structure (rings and mats of near-dups), while chain/star periphery
+    // peels away. KCORE_ROUNDS is FIXED (the q109/q144 discipline): both
+    // engines unroll exactly 4 peel rounds — degrees over the surviving
+    // edge set, drop nodes under 2, keep edges with both ends alive — and
+    // report the round-4 state (in_core + residual degree), converged or
+    // not, so the replay is structural, never a convergence race.
+    //
+    // 100 TB shape: each round is one map-side-combined degree agg + two
+    // keyed semi-joins on the edge list — edge-linear, node-sized state,
+    // per-round localCheckpoint truncating lineage (the q195 ladder);
+    // all rounds run inside the conf-isolated narrowClone at measured
+    // width, result rebound node-sized. No windows, no driver graph.
+    QueryDef(
+      "q238_kcore_peel", {
+        val rounds = (1 to KCORE_ROUNDS).map { r =>
+          s"""d$r AS (SELECT u, COUNT(*) AS c FROM e${r - 1} GROUP BY u),
+             |a$r AS (SELECT u FROM d$r WHERE c >= 2),
+             |e$r AS (SELECT e.u, e.v FROM e${r - 1} e
+             |        JOIN a$r x ON x.u = e.u JOIN a$r y ON y.u = e.v)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $PAIRS_SQL,
+           |e0 AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
+           |       UNION ALL SELECT doc_b, doc_a FROM jpairs),
+           |n0 AS (SELECT DISTINCT u FROM e0),
+           |$rounds,
+           |fd AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS c
+           |       FROM e$KCORE_ROUNDS GROUP BY u)
+           |SELECT n0.u AS node_id,
+           |  CAST(CASE WHEN a$KCORE_ROUNDS.u IS NOT NULL THEN 1 ELSE 0 END
+           |    AS BIGINT) AS in_core,
+           |  CAST(COALESCE(fd.c, 0) AS BIGINT) AS core_deg
+           |FROM n0
+           |LEFT JOIN a$KCORE_ROUNDS ON a$KCORE_ROUNDS.u = n0.u
+           |LEFT JOIN fd ON fd.u = n0.u
+           |ORDER BY node_id""".stripMargin
+      }) { (s, d) =>
+      val jp = jaccardPairs(s, d)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val ed = jp.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(jp.select(col("b").as("u"), col("a").as("v")))
+        .localCheckpoint()
+      val peeled = try {
+        val nEdges = ed.count()
+        val w = graft.operators.Components.roundWidth(
+          s.conf.get("spark.sql.shuffle.partitions").toInt, nEdges)
+        val s2 = graft.operators.Components.narrowClone(s, w)
+        val nodes0 = graft.operators.Components.rebind(ed, s2)
+          .select("u").distinct().localCheckpoint()
+        var e = graft.operators.Components.rebind(ed, s2)
+          .repartition(col("u"))
+        var alive = nodes0
+        for (_ <- 1 to KCORE_ROUNDS) {
+          alive = e.groupBy("u").agg(count(lit(1)).as("c"))
+            .filter(col("c") >= 2).select("u").localCheckpoint()
+          e = e.join(alive, "u")
+            .join(alive.select(col("u").as("v")), "v")
+            .select("u", "v").localCheckpoint()
+        }
+        val fd = e.groupBy("u").agg(count(lit(1)).as("c"))
+        val out = nodes0
+          .join(alive.select(col("u"), lit(1L).as("in_core")), Seq("u"), "left")
+          .join(fd, Seq("u"), "left")
+          .select(col("u").as("node_id"),
+            coalesce(col("in_core"), lit(0L)).as("in_core"),
+            coalesce(col("c"), lit(0L)).as("core_deg"))
+        graft.operators.Components.rebind(out.localCheckpoint(), s)
+      } finally ed.unpersist(blocking = false)
+      peeled.orderBy("node_id")
+    },
+
     // ---- q139: streaming top-k via per-batch partial top-k merge -----------
     // q136's exact-mergeability, exercised by the streaming engine: each
     // micro-batch computes its own per-source top-5 (k rows of state per
@@ -4290,38 +4369,46 @@ object TextDedupPack {
     // tiebreak (score desc = priority asc, doc_id) replays the oracle's
     // ORDER BY bit-for-bit.
     QueryDef(
-      "q232_domain_quota",
-      """WITH r AS (
-        |  SELECT doc_id,
-        |    'site' || CAST(doc_id % 40 AS VARCHAR) || '.' ||
-        |    (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
-        |          ELSE 'org' END) AS regdom,
-        |    ('0x' || substring(md5('q232:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
-        |      AS prio
-        |  FROM documents),
-        |rk AS (
-        |  SELECT regdom, doc_id, prio,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY regdom
-        |      ORDER BY prio, doc_id) AS BIGINT) AS rk
-        |  FROM r)
-        |SELECT regdom, rk, doc_id, prio
-        |FROM rk WHERE rk <= 3
-        |ORDER BY regdom, rk""".stripMargin) { (s, d) =>
-      val did = col("doc_id")
-      val regdom = concat(lit("site"), (did % 40).cast("string"), lit("."),
-        when(did % 3 === 0, lit("com")).when(did % 3 === 1, lit("co.uk"))
-          .otherwise(lit("org")))
-      val prio = conv(substring(md5(concat(lit("q232:"), did.cast("string"))),
-        1, 12), 16, 10).cast("long")
-      val topk = udaf(new graft.functions.TopKRows(3))
-      Tables.documentsSpread(s, d)
-        .select(regdom.as("regdom"), did, prio.as("prio"))
-        .groupBy("regdom")
-        .agg(topk((-col("prio")).cast("double"), col("doc_id"), col("prio"))
-          .as("tk"))
-        .select(col("regdom"), posexplode(col("tk")).as(Seq("pos", "row")))
-        .select(col("regdom"), (col("pos") + 1).cast("long").as("rk"),
-          col("row._2").as("doc_id"), col("row._3").as("prio"))
+      "q232_domain_quota", DOMAIN_QUOTA_ORACLE) { (s, d) =>
+      quotaTopK(quotaProject(Tables.documentsSpread(s, d)))
+        .orderBy("regdom", "rk")
+    },
+
+    // ---- q235: streaming incremental per-domain crawl quota -------------------
+    // q232 maintained as the crawl streams in — the q225/q227 shared-oracle
+    // pairing applied to the quota: fixed-K selection is MERGEABLE
+    // (top-K of a union == top-K of per-part top-Ks), so each micro-batch
+    // reduces to ≤ K candidate rows per domain (its own TopKRows pass),
+    // persisted under batch_id (idempotent dynamic overwrite under
+    // foreachBatch's at-least-once replay); the final fold re-takes top-K
+    // over the candidate store. Hash-matches batch q232's oracle VERBATIM
+    // no matter how ingest was batched — the scheduler's keep-set is
+    // stable across restarts by construction (same salted priority, same
+    // merge identity).
+    //
+    // 100 TB shape: state is ≤ K rows per (domain, batch) — the quota's
+    // own output asymptotics, never the crawl history; both the per-batch
+    // pass and the final fold are map-side-combined TopKRows aggs (no
+    // window, no per-domain sort anywhere — the window formulation is the
+    // oracle, not the engine path).
+    QueryDef(
+      "q235_stream_domain_quota", DOMAIN_QUOTA_ORACLE) { (s, d) =>
+      val srcDir = stagedDocBatches(s, d)
+      val store = clearedStore(d, "graft-q235-quota-")
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) =>
+        quotaTopK(quotaProject(batch))
+          .select(col("regdom"), col("doc_id"), col("prio"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(store.toString))
+      quotaTopK(s.read.parquet(store.toString)
+          .select("regdom", "doc_id", "prio"))
         .orderBy("regdom", "rk")
     },
 
@@ -4612,6 +4699,230 @@ object TextDedupPack {
           .distinct()
           .persist())
     },
+
+    // ---- q234: cluster-aware leakage-free train/val split --------------------
+    // q68 splits at the DOCUMENT level; with near-duplicates in the corpus
+    // that leaks: a doc in train and its 0.9-Jaccard twin in val inflates
+    // every eval number. The split policy corpus builds actually need
+    // assigns whole NEAR-DUP CLUSTERS (q67's CC over the exact-Jaccard
+    // pair graph) to a side: split = md5₆₀(salt:cluster_id) mod 10 < 8 →
+    // train, else val. The ledger proves the property instead of assuming
+    // it: leaked_pairs joins every near-dup pair against the CLUSTER
+    // assignment (0 by construction — but computed, not asserted) while
+    // naive_leaked_pairs runs the SAME pairs against the doc-level rule
+    // with the same salt — the measured cost of splitting naively, the
+    // q192/q214 "make the policy a measurement" discipline.
+    //
+    // 100 TB shape: cluster structure is operators.Components (O(log² n)
+    // keyed rounds, node-sized state); the assignment is one LEFT join
+    // against the node-sized cluster table + pure map-side hashing (docs
+    // outside any pair default to singleton clusters); the leak audit is
+    // two keyed joins on the pair ends; the per-split ledger is a
+    // map-side-combined agg + one broadcast scalar row. Pair history is
+    // scanned once, never re-read after the CC.
+    QueryDef(
+      "q234_cluster_split",
+      s"""WITH RECURSIVE $PAIRS_SQL,
+         |und AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |        UNION ALL
+         |        SELECT doc_b AS u, doc_a AS v FROM jpairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM und
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, least(u, MIN(v)) AS cluster_id
+         |         FROM reach GROUP BY u),
+         |asg AS (
+         |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         |    CASE WHEN ('0x' || substring(md5('$CAS_SALT:' ||
+         |        CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 15))::BIGINT
+         |        % 10 < 8 THEN 'train' ELSE 'val' END AS split,
+         |    CASE WHEN ('0x' || substring(md5('$CAS_SALT:' ||
+         |        CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |        % 10 < 8 THEN 'train' ELSE 'val' END AS naive_split
+         |  FROM documents d
+         |  LEFT JOIN comp c ON c.doc_id = d.doc_id),
+         |lk AS (
+         |  SELECT
+         |    CAST(COALESCE(SUM(CASE WHEN a.split <> b.split
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS leaked_pairs,
+         |    CAST(COALESCE(SUM(CASE WHEN a.naive_split <> b.naive_split
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS naive_leaked_pairs
+         |  FROM jpairs p
+         |  JOIN asg a ON a.doc_id = p.doc_a
+         |  JOIN asg b ON b.doc_id = p.doc_b)
+         |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+         |  leaked_pairs, naive_leaked_pairs
+         |FROM asg CROSS JOIN lk
+         |GROUP BY split, leaked_pairs, naive_leaked_pairs
+         |ORDER BY split""".stripMargin) { (s, d) =>
+      // pairs feed the CC *and* the leak audit — persisted once
+      val pairs = jaccardPairs(s, d).select("doc_a", "doc_b").persist()
+      val clusters = graft.operators.Components
+        .connectedComponents(pairs, "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("component").as("cid"))
+      def h(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(lit(s"$CAS_SALT:"),
+          c.cast("string"))), 1, 15), 16, 10).cast("long")
+      val sideOf = (c: org.apache.spark.sql.Column) =>
+        when(h(c) % 10 < 8, "train").otherwise("val")
+      val asg = Tables.documents(s, d).select("doc_id")
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cid"), col("doc_id")).as("cluster_id"))
+        .withColumn("split", sideOf(col("cluster_id")))
+        .withColumn("naive_split", sideOf(col("doc_id")))
+        .persist()
+      val lk = pairs
+        .join(asg.select(col("doc_id").as("doc_a"), col("split").as("sa"),
+          col("naive_split").as("nsa")), "doc_a")
+        .join(asg.select(col("doc_id").as("doc_b"), col("split").as("sb"),
+          col("naive_split").as("nsb")), "doc_b")
+        .agg(
+          coalesce(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)),
+            lit(0L)).as("leaked_pairs"),
+          coalesce(sum(when(col("nsa") =!= col("nsb"), 1L).otherwise(0L)),
+            lit(0L)).as("naive_leaked_pairs"))
+      asg.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"))
+        .crossJoin(broadcast(lk))
+        .orderBy("split")
+    },
+
+    // ---- q239: HLL inclusion-exclusion overlap vs q224's exact ledger --------
+    // The calibration that decides whether the corpus-composition audit
+    // can run on sketches: q224's exact |A∩B| costs a vocabulary-sized
+    // shuffle per audit; the sketch path keeps 256 registers per source
+    // (mergeable, the q204/q205 state) and estimates the intersection by
+    // inclusion-exclusion — est(A) + est(B) − est(A∪B), where the union
+    // sketch is just the per-bucket register MAX of the two sides (the
+    // HLL property that makes this exact over sketches). Both the exact
+    // ledger and the estimate are computed in ONE query and the signed
+    // error lands in basis points — the q192/q214/q231 "measure the
+    // policy" discipline applied to the sketch-vs-exact decision. Every
+    // register is integer-replayed (the q204 rho discipline), every
+    // estimate the same fixed IEEE expression, so even the ERROR column
+    // hash-matches.
+    //
+    // 100 TB shape: the exact side is q224's (token-keyed pair join,
+    // source-dimension-bounded fan-out); the sketch side is one map-side-
+    // combined register max (≤ 256 rows per source survive any shuffle),
+    // a catalog-bounded pair×register union fold, and broadcast attaches.
+    // At audit time the production pipeline keeps ONLY the sketch path —
+    // this query is the measured license for that substitution.
+    QueryDef(
+      "q239_hll_overlap_calibration",
+      """WITH d AS (
+        |  SELECT DISTINCT source, tok FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)),
+        |sz AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY source),
+        |pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM d a JOIN d b ON b.tok = a.tok AND a.source < b.source
+        |  GROUP BY a.source, b.source),
+        |hx AS (
+        |  SELECT source, ('0x' || substring(md5(tok), 1, 2))::BIGINT AS j,
+        |    ltrim(substring(md5(tok), 3, 12), '0') AS st
+        |  FROM d),
+        |reg AS (
+        |  SELECT source, j, MAX(CASE WHEN st = '' THEN 49
+        |    ELSE (12 - length(st)) * 4 +
+        |      CASE WHEN instr('0123456789abcdef', substring(st, 1, 1)) - 1 >= 8 THEN 0
+        |           WHEN instr('0123456789abcdef', substring(st, 1, 1)) - 1 >= 4 THEN 1
+        |           WHEN instr('0123456789abcdef', substring(st, 1, 1)) - 1 >= 2 THEN 2
+        |           ELSE 3 END + 1 END) AS m
+        |  FROM hx GROUP BY source, j),
+        |agg AS (
+        |  SELECT source, CAST(256 - COUNT(*) AS BIGINT) AS v_zero,
+        |    CAST(SUM(CAST(power(2, 49 - m) AS BIGINT))
+        |      + (256 - COUNT(*)) * 562949953421312 AS BIGINT) AS s_reg
+        |  FROM reg GROUP BY source),
+        |hll AS (
+        |  SELECT source,
+        |    CAST(CAST(CASE WHEN e_raw <= CAST(640.0 AS DOUBLE) AND v_zero > 0
+        |      THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) / CAST(v_zero AS DOUBLE))
+        |      ELSE e_raw END AS DECIMAL(28,6)) AS DOUBLE) AS est_hll
+        |  FROM (SELECT source, v_zero, s_reg,
+        |      CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+        |          + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
+        |        * CAST(65536.0 AS DOUBLE) * CAST(562949953421312.0 AS DOUBLE)
+        |        / CAST(s_reg AS DOUBLE) AS e_raw
+        |    FROM agg)),
+        |ureg AS (
+        |  SELECT p.src_a, p.src_b, r.j, MAX(r.m) AS m
+        |  FROM pairs p JOIN reg r
+        |    ON r.source = p.src_a OR r.source = p.src_b
+        |  GROUP BY p.src_a, p.src_b, r.j),
+        |uagg AS (
+        |  SELECT src_a, src_b, CAST(256 - COUNT(*) AS BIGINT) AS v_zero,
+        |    CAST(SUM(CAST(power(2, 49 - m) AS BIGINT))
+        |      + (256 - COUNT(*)) * 562949953421312 AS BIGINT) AS s_reg
+        |  FROM ureg GROUP BY src_a, src_b),
+        |uhll AS (
+        |  SELECT src_a, src_b,
+        |    CAST(CAST(CASE WHEN e_raw <= CAST(640.0 AS DOUBLE) AND v_zero > 0
+        |      THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) / CAST(v_zero AS DOUBLE))
+        |      ELSE e_raw END AS DECIMAL(28,6)) AS DOUBLE) AS est_u
+        |  FROM (SELECT src_a, src_b, v_zero, s_reg,
+        |      CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+        |          + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
+        |        * CAST(65536.0 AS DOUBLE) * CAST(562949953421312.0 AS DOUBLE)
+        |        / CAST(s_reg AS DOUBLE) AS e_raw
+        |    FROM uagg)),
+        |est AS (
+        |  SELECT p.src_a, p.src_b, p.n_common, sa.n AS n_a, sb.n AS n_b,
+        |    ha.est_hll AS est_a, hb.est_hll AS est_b, u.est_u,
+        |    CAST(CAST((ha.est_hll + hb.est_hll) - u.est_u AS DECIMAL(28,6))
+        |      AS DOUBLE) AS est_common
+        |  FROM pairs p
+        |  JOIN sz sa ON sa.source = p.src_a
+        |  JOIN sz sb ON sb.source = p.src_b
+        |  JOIN hll ha ON ha.source = p.src_a
+        |  JOIN hll hb ON hb.source = p.src_b
+        |  JOIN uhll u ON u.src_a = p.src_a AND u.src_b = p.src_b)
+        |SELECT src_a, src_b, n_a, n_b, n_common, est_a, est_b, est_u,
+        |  est_common,
+        |  CAST(FLOOR(CAST(10000.0 AS DOUBLE)
+        |    * (est_common - CAST(n_common AS DOUBLE))
+        |    / CAST(n_common AS DOUBLE)) AS BIGINT) AS err_bp
+        |FROM est
+        |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+      val dd = Tables.documentsSpread(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .distinct()
+        .persist() // feeds the exact ledger AND the register build
+      val ex = overlapMatrix(dd)
+        .select("src_a", "src_b", "n_common", "n_a", "n_b")
+      val regs = hllRegistersOf(dd, md5(col("tok"))).persist()
+      val perSrc = hllFinalize(regs).select("source", "est_hll")
+      val pl = ex.select("src_a", "src_b")
+      val ureg = regs.join(broadcast(pl),
+          col("source") === col("src_a") || col("source") === col("src_b"))
+        .groupBy("src_a", "src_b", "j").agg(max(col("m")).as("m"))
+      val uhll = hllFinalizeKeyed(ureg, Seq("src_a", "src_b"))
+        .select(col("src_a"), col("src_b"), col("est_hll").as("est_u"))
+      ex
+        .join(broadcast(perSrc.select(col("source").as("src_a"),
+          col("est_hll").as("est_a"))), "src_a")
+        .join(broadcast(perSrc.select(col("source").as("src_b"),
+          col("est_hll").as("est_b"))), "src_b")
+        .join(broadcast(uhll), Seq("src_a", "src_b"))
+        .withColumn("est_common",
+          ((col("est_a") + col("est_b")) - col("est_u"))
+            .cast(DecimalType(28, 6)).cast("double"))
+        .withColumn("err_bp",
+          floor(lit(10000.0) * (col("est_common") - col("n_common").cast("double"))
+            / col("n_common").cast("double")).cast("long"))
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+          col("n_common"), col("est_a"), col("est_b"), col("est_u"),
+          col("est_common"), col("err_bp"))
+        .orderBy("src_a", "src_b")
+    },
   )
 
   /** q214's banding sweep: every (bands, rows) factorization of the
@@ -4818,6 +5129,56 @@ object TextDedupPack {
     * md5-derandomized query over doc_id (q129's threshold draw included). */
   private val DWS_SALT = "q210"
 
+  /** q234's split salt — shared by the cluster-level rule and the naive
+    * doc-level rule so the two policies differ only in WHAT is hashed. */
+  private val CAS_SALT = "q234"
+
+  /** q232/q235's shared oracle: per registered domain, the K=3 docs with
+    * the lowest 48-bit salted-md5 priority. The window formulation is the
+    * ORACLE's; the engine path is the mergeable TopKRows aggregator. */
+  private val DOMAIN_QUOTA_ORACLE =
+    """WITH r AS (
+      |  SELECT doc_id,
+      |    'site' || CAST(doc_id % 40 AS VARCHAR) || '.' ||
+      |    (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+      |          ELSE 'org' END) AS regdom,
+      |    ('0x' || substring(md5('q232:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+      |      AS prio
+      |  FROM documents),
+      |rk AS (
+      |  SELECT regdom, doc_id, prio,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY regdom
+      |      ORDER BY prio, doc_id) AS BIGINT) AS rk
+      |  FROM r)
+      |SELECT regdom, rk, doc_id, prio
+      |FROM rk WHERE rk <= 3
+      |ORDER BY regdom, rk""".stripMargin
+
+  /** q232/q235's candidate projection: registered domain + 48-bit salted
+    * priority, both pure functions of doc_id (map-side, rides the scan). */
+  private def quotaProject(df: org.apache.spark.sql.DataFrame) = {
+    val did = col("doc_id")
+    val regdom = concat(lit("site"), (did % 40).cast("string"), lit("."),
+      when(did % 3 === 0, lit("com")).when(did % 3 === 1, lit("co.uk"))
+        .otherwise(lit("org")))
+    val prio = conv(substring(md5(concat(lit("q232:"), did.cast("string"))),
+      1, 12), 16, 10).cast("long")
+    df.select(regdom.as("regdom"), did, prio.as("prio"))
+  }
+
+  /** q232/q235's shared selection: the K=3 lowest-priority docs per domain
+    * via the mergeable TopKRows aggregator — ≤ K rows per group per map
+    * partition cross the shuffle, never a per-domain sort. */
+  private def quotaTopK(cand: org.apache.spark.sql.DataFrame) = {
+    val topk = udaf(new graft.functions.TopKRows(3))
+    cand.groupBy("regdom")
+      .agg(topk((-col("prio")).cast("double"), col("doc_id"), col("prio"))
+        .as("tk"))
+      .select(col("regdom"), posexplode(col("tk")).as(Seq("pos", "row")))
+      .select(col("regdom"), (col("pos") + 1).cast("long").as("rk"),
+        col("row._2").as("doc_id"), col("row._3").as("prio"))
+  }
+
   /** Negative draws per positive pair in q208 (word2vec's k). */
   private val K_NEG = 3
 
@@ -4878,8 +5239,15 @@ object TextDedupPack {
     * suffix (all 48 bits zero) pins rho = 49. Map-side combinable: the
     * (source, j) max shuffles at most 256 rows per source. */
   private def hllRegisters(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    hllRegistersOf(docs, docFp)
+
+  /** [[hllRegisters]] generalized to any md5-hex fingerprint column —
+    * q239 sketches the token vocabulary (fp = md5(tok)) with the same
+    * register construction the document sketch replays. */
+  private def hllRegistersOf(docs: org.apache.spark.sql.DataFrame,
+                             fp: org.apache.spark.sql.Column)
       : org.apache.spark.sql.DataFrame = {
-    val fp = docFp
     val st = ltrim(substring(fp, 3, 12), "0")
     val idx = instr2(lit("0123456789abcdef"), substring(st, 1, 1)) - 1
     val rho = when(length(st) === 0, 49)
@@ -4899,19 +5267,26 @@ object TextDedupPack {
     * expression the oracle uses; the final DECIMAL(28,6) rounding is the
     * q93 ln discipline. */
   private def hllFinalize(regs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    hllFinalizeKeyed(regs, Seq("source"))
+
+  /** [[hllFinalize]] generalized to any grouping key — q239 finalizes
+    * pair-union register tables keyed (src_a, src_b). */
+  private def hllFinalizeKeyed(regs: org.apache.spark.sql.DataFrame,
+                               keys: Seq[String])
       : org.apache.spark.sql.DataFrame = {
-    val agg0 = regs.groupBy("source").agg(
+    val agg0 = regs.groupBy(keys.map(col): _*).agg(
       (lit(256L) - count(lit(1))).as("v_zero"),
       (sum(pow(lit(2.0), lit(49) - col("m")).cast("long")) +
         (lit(256L) - count(lit(1))) * lit(562949953421312L)).as("s_reg"))
     val eRaw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
       lit(65536.0) * lit(562949953421312.0) / col("s_reg").cast("double")
     agg0.withColumn("e_raw", eRaw)
-      .select(col("source"), col("v_zero"), col("s_reg"),
+      .select(keys.map(col) ++ Seq(col("v_zero"), col("s_reg"),
         when(col("e_raw") <= lit(640.0) && col("v_zero") > 0,
           lit(256.0) * log(lit(256.0) / col("v_zero").cast("double")))
           .otherwise(col("e_raw"))
-          .cast(DecimalType(28, 6)).cast("double").as("est_hll"))
+          .cast(DecimalType(28, 6)).cast("double").as("est_hll")): _*)
   }
 
   /** Shared oracle CTE chain for q204/q205, ending in

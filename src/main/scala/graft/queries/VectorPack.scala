@@ -1045,6 +1045,137 @@ object VectorPack {
         .orderBy("qid", "rk")
     },
 
+    // ---- q237: margin-based bitext mining ------------------------------------
+    // The parallel-pair miner behind CCMatrix/LASER-style corpora (Artetxe
+    // & Schwenk, ACL 2019 — public literature): plain cosine over-mines
+    // hub vectors, so the score is the RATIO MARGIN — cos(x,y) normalized
+    // by the mean of both ends' k-NN cosines — and a pair survives only if
+    // it is each end's best match (the forward-backward "intersection"
+    // filter). Sides are vec_id parity (even = source block, bounded at
+    // 10 queries; odd = target corpus). Every number replays exactly:
+    // cosines are the q35 DECIMAL(18,8) discipline carried as integer
+    // 1e-8 units, the k-NN means stay INTEGER sums (never a float
+    // accumulation), and the margin is one double division of identical
+    // integers, rounded DECIMAL(18,8) before ranking.
+    //
+    // 100 TB shape: production mines block × block per language pair with
+    // ANN candidate generation (the q58/q193 IVF path); this is the exact
+    // scorer one block runs — queries broadcast, target corpus scanned in
+    // place, never shuffled; both k-NN sums and both argmaxes are
+    // mergeable TopKRows folds (map-side, no window, no corpus sort — the
+    // window formulation is the oracle's); the margin attach is one
+    // broadcast (kx) + one keyed (ky) join, linear in the pair stream.
+    QueryDef(
+      "q237_bitext_margin",
+      s"""WITH src AS (
+         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id % 2 = 0 AND vec_id < 20),
+         |tgt AS (
+         |  SELECT vec_id AS nid, embedding AS ne FROM embeddings
+         |  WHERE vec_id % 2 = 1),
+         |sn AS (SELECT qid, list_sum(list_transform(qe, x ->
+         |    CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,20))))
+         |  AS nq FROM src),
+         |tn AS (SELECT nid, list_sum(list_transform(ne, x ->
+         |    CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,20))))
+         |  AS nn FROM tgt),
+         |pairs AS (
+         |  SELECT qid, nid, list_sum(list_transform(range(1,65), i ->
+         |    CAST(CAST(qe[i] AS DOUBLE)*CAST(ne[i] AS DOUBLE)
+         |      AS DECIMAL(38,20)))) AS dot
+         |  FROM src CROSS JOIN tgt),
+         |scored AS (
+         |  SELECT qid, nid,
+         |    CAST(CAST(CAST(dot AS DOUBLE)/sqrt(CAST(nq AS DOUBLE)*CAST(nn AS DOUBLE)) AS DECIMAL(18,8)) * 100000000 AS BIGINT) AS c8
+         |  FROM pairs JOIN sn USING (qid) JOIN tn USING (nid)),
+         |kx AS (SELECT qid, CAST(SUM(c8) AS BIGINT) AS sx FROM (
+         |    SELECT qid, c8, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY c8 DESC, nid) AS rk FROM scored)
+         |  WHERE rk <= 4 GROUP BY qid),
+         |ky AS (SELECT nid, CAST(SUM(c8) AS BIGINT) AS sy FROM (
+         |    SELECT nid, c8, ROW_NUMBER() OVER (PARTITION BY nid
+         |      ORDER BY c8 DESC, qid) AS rk FROM scored)
+         |  WHERE rk <= 4 GROUP BY nid),
+         |m AS (
+         |  SELECT s.qid, s.nid, s.c8,
+         |    CAST(CAST(CAST(s.c8 * 8 AS DOUBLE) / CAST(kx.sx + ky.sy AS DOUBLE)
+         |      AS DECIMAL(18,8)) AS DOUBLE) AS margin
+         |  FROM scored s JOIN kx USING (qid) JOIN ky USING (nid)),
+         |bx AS (
+         |  SELECT qid, nid, c8, margin,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY margin DESC, nid) AS rk
+         |  FROM m QUALIFY rk = 1),
+         |brev AS (
+         |  SELECT qid, nid,
+         |    ROW_NUMBER() OVER (PARTITION BY nid
+         |      ORDER BY margin DESC, qid) AS rk
+         |  FROM m QUALIFY rk = 1)
+         |SELECT bx.qid, bx.nid,
+         |  CAST(bx.c8 AS DOUBLE) / 100000000.0 AS cos_sim,
+         |  bx.margin,
+         |  CAST(CASE WHEN brev.qid IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         |    AS mutual
+         |FROM bx LEFT JOIN brev ON brev.qid = bx.qid AND brev.nid = bx.nid
+         |ORDER BY bx.qid""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val src = emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          dotDec(col("embedding"), col("embedding")).as("nq"))
+      val tgt = emb.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("nid"), col("embedding").as("ne"),
+          dotDec(col("embedding"), col("embedding")).as("nn"))
+      // cosine in exact 1e-8 integer units (DECIMAL(18,8) · 1e8)
+      val scored = tgt.crossJoin(broadcast(src))
+        .select(col("qid"), col("nid"),
+          ((dotDec(col("qe"), col("ne")).cast("double") /
+            sqrt(col("nq").cast("double") * col("nn").cast("double")))
+            .cast(DecimalType(18, 8)) * lit(100000000L)).cast("long")
+            .as("c8"))
+        .persist() // feeds kx, ky, and the margin attach
+      val topk4 = udaf(new graft.functions.TopKRows(4))
+      val top1 = udaf(new graft.functions.TopKRows(1))
+      def sumTop(tk: Column) =
+        aggregate(tk, lit(0L), (a, r) => a + r.getField("_3"))
+      val kx = scored.groupBy("qid")
+        .agg(topk4(col("c8").cast("double"), col("nid"), col("c8")).as("tk"))
+        .select(col("qid"), sumTop(col("tk")).as("sx"))
+      val ky = scored.groupBy("nid")
+        .agg(topk4(col("c8").cast("double"), col("qid"), col("c8")).as("tk"))
+        .select(col("nid"), sumTop(col("tk")).as("sy"))
+      val m = scored
+        .join(broadcast(kx), "qid")
+        .join(ky, "nid")
+        .select(col("qid"), col("nid"), col("c8"),
+          ((col("c8") * 8).cast("double") /
+            (col("sx") + col("sy")).cast("double"))
+            .cast(DecimalType(18, 8)).cast("double").as("margin"))
+        .persist() // feeds both argmax folds
+      // margin exact in a double (≤ ~8e8, integer-derived) — safe TopKRows key
+      val bx = m.groupBy("qid")
+        .agg(top1(col("margin"), col("nid"), col("c8")).as("tk"))
+        .select(col("qid"), col("tk")(0).getField("_2").as("nid"),
+          col("tk")(0).getField("_3").as("c8"),
+          col("tk")(0).getField("_1").as("margin"))
+      val brev = m.groupBy("nid")
+        .agg(top1(col("margin"), col("qid"), lit(0L)).as("tk"))
+        .select(col("nid").as("rnid"), col("tk")(0).getField("_2").as("rqid"))
+      // brev is target-corpus-sized; only bx's ≤10 nids matter — the
+      // broadcast semi-join reduces it to ≤10 rows, and the final attach
+      // joins two probe-sized frames (left unhinted: its boundedness is
+      // the semi-join's OUTPUT property, which the static hint audit
+      // can't certify — AQE broadcasts it at runtime)
+      val brevSmall = brev.join(
+        broadcast(bx.select(col("nid").as("rnid"))), Seq("rnid"), "left_semi")
+      bx.join(brevSmall,
+          col("rnid") === col("nid") && col("rqid") === col("qid"), "left")
+        .select(col("qid"), col("nid"),
+          (col("c8").cast("double") / lit(100000000.0)).as("cos_sim"),
+          col("margin"),
+          when(col("rqid").isNotNull, 1L).otherwise(0L).as("mutual"))
+        .orderBy("qid")
+    },
+
     // ---- q231: Matryoshka dimension-truncation audit -------------------------
     // The measurement behind MRL-style embedding serving (Kusupati et al.,
     // NeurIPS 2022 — public literature): if retrieval reads only a PREFIX

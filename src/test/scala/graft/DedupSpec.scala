@@ -412,6 +412,16 @@ class DedupSpec extends AnyFunSuite {
     assert(sizes.exists(_ > 3) && got.count(_._2 == 3L) > 0)
   }
 
+  test("q235 streaming quota equals batch q232 row-for-row") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val batch = SparkEntry.byName("q232_domain_quota").run(spark, sf)
+      .collect().map(key).toSeq
+    val stream = SparkEntry.byName("q235_stream_domain_quota").run(spark, sf)
+      .collect().map(key).toSeq
+    assert(batch.nonEmpty && batch == stream)
+  }
+
   test("q233 novelty re-derives from plain Scala 8-gram sets") {
     val got = SparkEntry.byName("q233_ngram_novelty").run(spark, sf)
       .collect()
@@ -434,6 +444,119 @@ class DedupSpec extends AnyFunSuite {
     }
     // both ends of the novelty spectrum occur (the corpus plants dups)
     assert(got.exists(_._4 == 10000L) && got.exists(_._4 < 10000L))
+  }
+
+  test("q234 split ledger replays from q67 clusters + q27 pairs in plain Scala") {
+    val got = SparkEntry.byName("q234_cluster_split").run(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.map(_._1).toSeq.sorted == Seq("train", "val"))
+    def md5hex(x: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    def side(x: Long): String =
+      if (java.lang.Long.parseLong(md5hex(s"q234:$x").take(15), 16) % 10 < 8)
+        "train" else "val"
+    val cl = SparkEntry.byName("q67_dedup_clusters").run(spark, sf)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val asg = docs.select("doc_id").as[Long].collect().toSeq
+      .map(id => id -> cl.getOrElse(id, id))
+    val byS = asg.groupBy { case (_, c) => side(c) }
+    val pairs = SparkEntry.byName("q27_ngram_jaccard").run(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val naiveLeak = pairs.count { case (a, b) => side(a) != side(b) }.toLong
+    got.foreach { case (s0, nd, nc, lk, nlk) =>
+      assert(nd == byS(s0).size.toLong, s"n_docs $s0")
+      assert(nc == byS(s0).map(_._2).distinct.size.toLong, s"n_clusters $s0")
+      assert(lk == 0L, "cluster-level split must never straddle a pair")
+      assert(nlk == naiveLeak, "naive straddle count")
+    }
+    // the measurement is non-vacuous at this sf: a naive split DOES leak
+    assert(naiveLeak > 0L)
+  }
+
+  test("q238 2-core peel replays in plain Scala from q27 pairs") {
+    val got = SparkEntry.byName("q238_kcore_peel").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairs = SparkEntry.byName("q27_ngram_jaccard").run(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var edges: Seq[(Long, Long)] =
+      pairs.toSeq ++ pairs.toSeq.map { case (a, b) => (b, a) }
+    val nodes0 = edges.map(_._1).distinct
+    var alive = nodes0.toSet
+    for (_ <- 1 to 4) {
+      val deg = edges.groupBy(_._1).map { case (u, es) => u -> es.size }
+      alive = deg.collect { case (u, c) if c >= 2 => u }.toSet
+      edges = edges.filter { case (u, v) => alive(u) && alive(v) }
+    }
+    val fd = edges.groupBy(_._1).map { case (u, es) => u -> es.size.toLong }
+    val expect = nodes0.map(u =>
+      (u, if (alive(u)) 1L else 0L, fd.getOrElse(u, 0L))).toSet
+    assert(got.toSet == expect)
+    // the peel must both drop periphery and keep a core at this sf
+    assert(got.exists(_._2 == 0L) && got.exists(_._2 == 1L))
+  }
+
+  test("q239 sketch estimates and error ledger replay in plain Scala") {
+    val got = SparkEntry.byName("q239_hll_overlap_calibration").run(spark, sf)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7), r.getDouble(8), r.getLong(9))))
+      .toMap
+    assert(got.nonEmpty)
+    def md5hex(x: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val vocab = docs.select("source", "text").collect()
+      .flatMap(r => r.getString(1).split(" ").map(r.getString(0) -> _))
+      .distinct.groupBy(_._1).map { case (s0, ts) => s0 -> ts.map(_._2).toSet }
+    def regsOf(toks: Set[String]): Map[Long, Int] =
+      toks.groupBy(t => java.lang.Long.parseLong(md5hex(t).take(2), 16))
+        .map { case (j, ts) =>
+          j -> ts.map { t =>
+            val st = md5hex(t).slice(2, 14).dropWhile(_ == '0')
+            if (st.isEmpty) 49
+            else {
+              val idx = "0123456789abcdef".indexOf(st.head)
+              (12 - st.length) * 4 +
+                (if (idx >= 8) 0 else if (idx >= 4) 1 else if (idx >= 2) 2
+                 else 3) + 1
+            }
+          }.max
+        }
+    def est(regs: Map[Long, Int]): Double = {
+      val vz = 256L - regs.size
+      val s = regs.values.map(m => math.pow(2.0, 49 - m).toLong).sum +
+        vz * 562949953421312L
+      val eRaw = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 *
+        562949953421312.0 / s.toDouble
+      val e = if (eRaw <= 640.0 && vz > 0) 256.0 * math.log(256.0 / vz.toDouble)
+              else eRaw
+      BigDecimal(e).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    got.foreach { case ((a, b), (na, nb, nc, ea, eb, eu, ec, err)) =>
+      val (ta, tb) = (vocab(a), vocab(b))
+      assert(na == ta.size.toLong && nb == tb.size.toLong &&
+        nc == ta.intersect(tb).size.toLong, s"$a/$b exact")
+      val (ra, rb) = (regsOf(ta), regsOf(tb))
+      val ru = (ra.keySet ++ rb.keySet).map(j =>
+        j -> math.max(ra.getOrElse(j, 0), rb.getOrElse(j, 0))).toMap
+      assert(ea == est(ra) && eb == est(rb) && eu == est(ru), s"$a/$b ests")
+      val expEc = BigDecimal((est(ra) + est(rb)) - est(ru))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(ec == expEc, s"$a/$b est_common")
+      assert(err == math.floor(10000.0 * (ec - nc.toDouble) / nc.toDouble)
+        .toLong, s"$a/$b err_bp")
+      // the estimate is in the right ballpark (HLL at m=256 is ~6.5% rse;
+      // inclusion-exclusion compounds it — a loose 10× band still catches
+      // a broken register path)
+      assert(math.abs(ec - nc.toDouble) < 0.65 * nc.toDouble, s"$a/$b band")
+    }
   }
 
   test("q226 longest-suffix match beats the naive TLD split on every ccTLD host") {

@@ -317,4 +317,50 @@ class MultimodalSpec extends AnyFunSuite {
       rows.values.collect { case (Some("89a"), _, _, _, n, _) => n }.toSet))
     assert(rows.values.exists(_._1.contains("87a")))
   }
+
+  test("q236 FLAC walk agrees with an independent per-byte JVM bit-parser") {
+    val rows = SparkEntry.byName("q236_flac_streaminfo").run(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(rows.nonEmpty)
+    val blobs = graft.queries.MultimodalPack.flacBlobs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    assert(blobs.length == rows.size)
+    blobs.foreach { case (id, bytes) =>
+      if (id % 7 == 3) {
+        assert(rows(id)._1 == -1L, s"doc $id raw not refused")
+      } else {
+        // independent decode route: per-byte shifts over the raw bytes
+        // (the query does ONE conv of the 16-hex window + shift/mask)
+        def u(i: Int) = bytes(i) & 0xff
+        assert(new String(bytes.take(4), "ISO-8859-1") == "fLaC", s"doc $id")
+        val hdr = u(4)
+        assert((hdr & 0x7f) == 0 &&
+          ((u(5) << 16) | (u(6) << 8) | u(7)) == 34, s"doc $id streaminfo")
+        val q = 18 // 0-based offset of the 8 packed bytes
+        val sr = (u(q) << 12) | (u(q + 1) << 4) | (u(q + 2) >> 4)
+        val ch = ((u(q + 2) >> 1) & 7) + 1
+        val bps = (((u(q + 2) & 1) << 4) | (u(q + 3) >> 4)) + 1
+        val ts = ((u(q + 3) & 0xf).toLong << 32) |
+          (u(q + 4).toLong << 24) | (u(q + 5) << 16) | (u(q + 6) << 8) | u(q + 7)
+        var p = 42; var nb = 1L; var last = (hdr & 0x80) != 0
+        var hc = false; var pad = 0L
+        while (!last) {
+          val b = u(p); val t = b & 0x7f
+          val l = (u(p + 1) << 16) | (u(p + 2) << 8) | u(p + 3)
+          if (t == 4) hc = true
+          if (t == 1) pad += l
+          nb += 1; last = (b & 0x80) != 0; p += 4 + l
+        }
+        assert(p == bytes.length, s"doc $id walk end")
+        assert(rows(id) == ((sr.toLong, ch.toLong, bps.toLong, ts, nb,
+          if (hc) 1L else 0L, pad)), s"doc $id")
+      }
+    }
+    // all 4 tail layouts and several sample rates occur
+    assert(rows.values.map(_._5).toSet.intersect(Set(1L, 2L, 3L)) ==
+      Set(1L, 2L, 3L))
+    assert(rows.values.map(_._1).filter(_ > 0).toSet.size >= 4)
+  }
 }

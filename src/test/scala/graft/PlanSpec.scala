@@ -317,8 +317,11 @@ class PlanSpec extends AnyFunSuite {
       "q59_stream_stream_join", "q60_stream_static_join")
     val lifecycle = Set("q36_etl_lifecycle")
     // value domains that are bounded vocabularies regardless of data volume
+    // (src_a/src_b are the source-pair aliases of q224/q227/q239's ledgers;
+    // qid is the PROBE-side id, everywhere derived from a literal-bounded
+    // query subset — vec_id < 10/20 — never a corpus id)
     val boundedKeys = Set("lang", "source", "event_type", "split", "r", "c",
-      "tok", "token", "band", "cid")
+      "tok", "token", "band", "cid", "src_a", "src_b", "qid")
     // "foldable" rather than bare Literal: the analyzer wraps literals in
     // casts (vec_id < CAST(10 AS BIGINT)). Only EQUALITIES and UPPER
     // bounds certify a subset — a lower bound (attr > lit / lit < attr)
@@ -437,6 +440,28 @@ class PlanSpec extends AnyFunSuite {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
     assert(windows.isEmpty, s"q213 planned a window sort:\n$p")
+  }
+
+  test("q237's k-NN sums and argmaxes plan as aggregation — no window on the pair stream") {
+    // the bitext miner's k-NN means, best-target and best-source folds
+    // must all come from the mergeable TopKRows shape; a rank window
+    // would sort every query's pair partition at mining-block scale
+    val p = plan(q("q237_bitext_margin"))
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"q237 planned a window sort:\n$p")
+  }
+
+  test("q235's streaming quota final fold plans as aggregation, never a window") {
+    // the merged candidate store must re-fold through TopKRows — the
+    // oracle's ROW_NUMBER formulation appearing in the ENGINE plan would
+    // reintroduce the per-domain sort the quota exists to avoid
+    val p = plan(q("q235_stream_domain_quota"))
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"q235 planned a window sort:\n$p")
   }
 
   test("q212's difficulty rank plans without a one-reducer window") {

@@ -362,4 +362,47 @@ class SimilaritySpec extends AnyFunSuite {
     // measures nothing at this sf
     assert(got.exists(_._2 < 5L))
   }
+
+  test("q237 margins, best pairs and mutual flags re-derive in plain Scala") {
+    val got = SparkEntry.byName("q237_bitext_margin").run(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4)))
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val srcs = vecs.keys.filter(k => k % 2 == 0 && k < 20).toSeq.sorted
+    val tgts = vecs.keys.filter(_ % 2 == 1).toSeq.sorted
+    assert(got.length == srcs.length && tgts.size >= 4)
+    def round20(x: Double) =
+      BigDecimal(x).setScale(20, BigDecimal.RoundingMode.HALF_UP)
+    // cosine as exact 1e-8 integer units (the engine's c8)
+    def c8(a: Array[Float], b: Array[Float]): Long = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        (0 until 64).map(i => round20(x(i).toDouble * y(i).toDouble)).sum
+      (BigDecimal(dot(a, b).toDouble /
+        math.sqrt(dot(a, a).toDouble * dot(b, b).toDouble))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+        * BigDecimal(100000000L)).toLongExact
+    }
+    val scored = (for (q <- srcs; n <- tgts)
+      yield (q, n) -> c8(vecs(q), vecs(n))).toMap
+    def sx(q: Long) = tgts.map(n => (scored((q, n)), n))
+      .sortBy { case (c, n) => (-c, n) }.take(4).map(_._1).sum
+    def sy(n: Long) = srcs.map(q => (scored((q, n)), q))
+      .sortBy { case (c, q) => (-c, q) }.take(4).map(_._1).sum
+    def margin(q: Long, n: Long): Double =
+      BigDecimal((scored((q, n)) * 8).toDouble / (sx(q) + sy(n)).toDouble)
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def best(q: Long): Long = tgts.map(n => (margin(q, n), n))
+      .sortBy { case (m, n) => (-m, n) }.head._2
+    def bestRev(n: Long): Long = srcs.map(q => (margin(q, n), q))
+      .sortBy { case (m, q) => (-m, q) }.head._2
+    got.foreach { case (q, n, cs, mg, mu) =>
+      assert(n == best(q), s"q$q best target")
+      assert(cs == scored((q, n)).toDouble / 100000000.0, s"q$q cos")
+      assert(mg == margin(q, n), s"q$q margin")
+      assert(mu == (if (bestRev(n) == q) 1L else 0L), s"q$q mutual")
+      assert(mg > 0.5, s"q$q margin sane")
+    }
+  }
 }
