@@ -87,7 +87,9 @@ object Bench {
       // GC+ContextCleaner-freed-blocks criterion as the CC family above
       "q195", "q198", "q201", "q206", "q208", "q150",
       "q210", "q219", // q210/q219 run a full CC (per-round localCheckpoint), as q67
-      "q234", "q238") // q234 runs the CC; q238 peels with per-round checkpoints
+      "q234", "q238", // q234 runs the CC; q238 peels with per-round checkpoints
+      "q241", // q241 re-runs checkpointed LPA rounds per micro-batch
+      "q242") // q242's waterfall runs the survivor-graph CC
     def quiesce(heavy: Boolean): Unit =
       if (heavy) {
         System.gc(); Thread.sleep(50)

@@ -875,6 +875,166 @@ object MultimodalPack {
             .otherwise(-1L).as("has_comment"),
           when(col("ok"), col("pad")).otherwise(-1L).as("padding_bytes"))
         .orderBy("doc_id")
+    },
+
+    // ---- q240: MP3 frame-sync census with ID3v2 syncsafe skip ---------------
+    // The lossy-audio triage q236's FLAC walk can't cover: an MP3 has no
+    // global header — duration and bitrate come from walking FRAME
+    // HEADERS, each frame's length computed from its own header fields
+    // (len = 144·bitrate/samplerate + padding, the MPEG1 Layer III
+    // formula), optionally after skipping an ID3v2 tag whose size is a
+    // SYNCSAFE integer (four 7-BIT bytes — 130 encodes as 0x01 0x02, so
+    // an 8-bit reader breaks on any tag over 127 bytes; the planted
+    // sizes cross that boundary both ways). The walk: detect 'ID3',
+    // decode the syncsafe size, hop the tag, then 3 bounded frame steps —
+    // demand the 0xFFFB sync at each computed offset, decode
+    // bitrate/samplerate indices from the packed byte (bit shifts on ONE
+    // conv), add the per-frame padding bit, and land exactly on
+    // end-of-blob. Per-frame padding ALTERNATES (doc_id+frame parity), so
+    // identical headers still produce different frame lengths — a walk
+    // that assumes constant stride fails the position check. Raw-text
+    // must-fail class; the oracle rebuilds the blob and checks the sync
+    // word at every plant-derived frame offset before answering.
+    QueryDef(
+      "q240_mp3_sync_census", {
+        s"""WITH plant AS (
+           |  SELECT doc_id, text,
+           |    doc_id % 7 = 3 AS raw,
+           |    doc_id % 4 <> 0 AS hasid3,
+           |    CAST(CASE doc_id % 3 WHEN 0 THEN 60 WHEN 1 THEN 130
+           |      ELSE 300 END AS BIGINT) AS ts,
+           |    CAST(1 + doc_id % 5 AS BIGINT) AS bi,
+           |    CAST(doc_id % 3 AS BIGINT) AS si,
+           |    CAST(1 + doc_id % 3 AS BIGINT) AS nf
+           |  FROM documents),
+           |derived AS (
+           |  SELECT *,
+           |    CAST(32 + 8 * (bi - 1) AS BIGINT) AS kbps,
+           |    CAST(CASE si WHEN 0 THEN 44100 WHEN 1 THEN 48000
+           |      ELSE 32000 END AS BIGINT) AS sr
+           |  FROM plant),
+           |lens AS (
+           |  SELECT *,
+           |    144 * (kbps * 1000) // sr AS flbase,
+           |    CASE WHEN hasid3 THEN 10 + ts ELSE 0 END AS tagtot
+           |  FROM derived),
+           |fr AS (
+           |  SELECT *,
+           |    flbase + (doc_id + 1) % 2 AS fl1,
+           |    flbase + (doc_id + 2) % 2 AS fl2,
+           |    flbase + (doc_id + 3) % 2 AS fl3
+           |  FROM lens),
+           |hexes AS (
+           |  SELECT *,
+           |    (CASE WHEN hasid3 THEN
+           |      '494433' || '0300' || '00' || '0000' ||
+           |      lpad(to_hex(ts // 128), 2, '0') || lpad(to_hex(ts % 128), 2, '0') ||
+           |      repeat('54', CAST(ts AS INT))
+           |     ELSE '' END) ||
+           |    'FFFB' || lpad(to_hex(bi * 16 + si * 4 + (doc_id + 1) % 2 * 2), 2, '0')
+           |      || '00' || repeat('4D', CAST(fl1 - 4 AS INT)) ||
+           |    (CASE WHEN nf >= 2 THEN
+           |      'FFFB' || lpad(to_hex(bi * 16 + si * 4 + (doc_id + 2) % 2 * 2), 2, '0')
+           |        || '00' || repeat('4D', CAST(fl2 - 4 AS INT)) ELSE '' END) ||
+           |    (CASE WHEN nf >= 3 THEN
+           |      'FFFB' || lpad(to_hex(bi * 16 + si * 4 + (doc_id + 3) % 2 * 2), 2, '0')
+           |        || '00' || repeat('4D', CAST(fl3 - 4 AS INT)) ELSE '' END)
+           |    AS mhex
+           |  FROM fr),
+           |blobs AS (
+           |  SELECT *,
+           |    CASE WHEN raw THEN encode(text) ELSE unhex(mhex) END AS content
+           |  FROM hexes),
+           |chk AS (
+           |  SELECT *, hex(content) AS hx,
+           |    tagtot + 1 AS o1,
+           |    tagtot + 1 + fl1 AS o2,
+           |    tagtot + 1 + fl1 + fl2 AS o3,
+           |    tagtot + fl1 + (CASE WHEN nf >= 2 THEN fl2 ELSE 0 END) +
+           |      (CASE WHEN nf >= 3 THEN fl3 ELSE 0 END) AS tot
+           |  FROM blobs),
+           |ok AS (
+           |  SELECT doc_id, hasid3, ts, nf, kbps, sr,
+           |    NOT raw
+           |    AND (NOT hasid3 OR substring(hx, 1, 6) = '494433')
+           |    AND substring(hx, CAST(2*o1 - 1 AS INT), 4) = 'FFFB'
+           |    AND (nf < 2 OR substring(hx, CAST(2*o2 - 1 AS INT), 4) = 'FFFB')
+           |    AND (nf < 3 OR substring(hx, CAST(2*o3 - 1 AS INT), 4) = 'FFFB')
+           |    AND octet_length(content) = tot AS good
+           |  FROM chk)
+           |SELECT doc_id,
+           |  CAST(CASE WHEN good THEN (CASE WHEN hasid3 THEN 1 ELSE 0 END)
+           |    ELSE -1 END AS BIGINT) AS has_id3,
+           |  CAST(CASE WHEN good THEN (CASE WHEN hasid3 THEN ts ELSE 0 END)
+           |    ELSE -1 END AS BIGINT) AS tag_bytes,
+           |  CAST(CASE WHEN good THEN nf ELSE -1 END AS BIGINT) AS n_frames,
+           |  CAST(CASE WHEN good THEN kbps ELSE -1 END AS BIGINT)
+           |    AS bitrate_kbps,
+           |  CAST(CASE WHEN good THEN sr ELSE -1 END AS BIGINT)
+           |    AS sample_rate
+           |FROM ok
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      def byteAt(p: org.apache.spark.sql.Column) =
+        conv(col("hx").substr(p * 2 - 1, lit(2)), 16, 10).cast("long")
+      def word(p: org.apache.spark.sql.Column) =
+        col("hx").substr(p * 2 - 1, lit(4))
+      def step(df: DataFrame): DataFrame = df
+        .withColumn("fin", col("bad") || col("p") > col("blen"))
+        .withColumn("sync_ok", !col("fin") && word(col("p")) === "FFFB")
+        .withColumn("b3",
+          when(col("sync_ok"), byteAt(col("p") + 2)).otherwise(0L))
+        .withColumn("fbr",
+          when(col("sync_ok"), lit(32L) + (shiftright(col("b3"), 4) - 1L) * 8L))
+        .withColumn("fsr",
+          when(col("sync_ok"),
+            when(pmod(shiftright(col("b3"), 2), lit(4L)) === 0L, 44100L)
+              .when(pmod(shiftright(col("b3"), 2), lit(4L)) === 1L, 48000L)
+              .otherwise(32000L)))
+        // first frame pins the stream params; later frames must agree
+        .withColumn("bad",
+          col("bad") ||
+            (!col("fin") && !col("sync_ok")) ||
+            (col("sync_ok") && col("kbps").isNotNull &&
+              (col("fbr") =!= col("kbps") || col("fsr") =!= col("sr"))))
+        .withColumn("kbps", coalesce(col("kbps"), col("fbr")))
+        .withColumn("sr", coalesce(col("sr"), col("fsr")))
+        .withColumn("nf",
+          col("nf") + when(col("sync_ok") && !col("bad"), 1L).otherwise(0L))
+        .withColumn("p",
+          when(col("fin") || col("bad"), col("p"))
+            .otherwise(col("p") + expr("144 * (fbr * 1000) div fsr")
+              + pmod(shiftright(col("b3"), 1), lit(2L))))
+      val base = mp3Blobs(s, d)
+        .withColumn("hx", hex(col("content")))
+        .withColumn("blen", length(col("content")).cast("long"))
+        .withColumn("hasid3", substring(col("hx"), 1, 6) === "494433")
+        // ID3v2 size: four SYNCSAFE bytes (7 bits each) at offsets 7-10
+        .withColumn("ts",
+          when(col("hasid3"),
+            pmod(byteAt(lit(7L)), lit(128L)) * 2097152L +
+              pmod(byteAt(lit(8L)), lit(128L)) * 16384L +
+              pmod(byteAt(lit(9L)), lit(128L)) * 128L +
+              pmod(byteAt(lit(10L)), lit(128L))))
+        .withColumn("p",
+          when(col("hasid3"), lit(11L) + col("ts")).otherwise(1L))
+        .withColumn("nf", lit(0L))
+        .withColumn("kbps", lit(null).cast("long"))
+        .withColumn("sr", lit(null).cast("long"))
+        .withColumn("bad", lit(false))
+      val walked = (1 to 3).foldLeft(base)((df, _) => step(df))
+      walked
+        .withColumn("ok",
+          !col("bad") && col("nf") >= 1 && col("p") === col("blen") + 1)
+        .select(col("doc_id"),
+          when(col("ok"), when(col("hasid3"), 1L).otherwise(0L))
+            .otherwise(-1L).as("has_id3"),
+          when(col("ok"), when(col("hasid3"), col("ts")).otherwise(0L))
+            .otherwise(-1L).as("tag_bytes"),
+          when(col("ok"), col("nf")).otherwise(-1L).as("n_frames"),
+          when(col("ok"), col("kbps")).otherwise(-1L).as("bitrate_kbps"),
+          when(col("ok"), col("sr")).otherwise(-1L).as("sample_rate"))
+        .orderBy("doc_id")
     }
   )
 
@@ -970,6 +1130,49 @@ object MultimodalPack {
       .select(did,
         when(raw, encode(col("text"), "UTF-8"))
           .otherwise(unhex(col("fhex"))).as("content"))
+  }
+
+  /** q240 fixture: minimal-but-real MPEG1 Layer III streams derived from
+    * doc_id — an optional ID3v2 tag whose size field is a real SYNCSAFE
+    * integer (planted sizes 60/130/300 cross the 7-bit byte boundary both
+    * ways), then 1–3 frames whose headers carry the planted
+    * bitrate/samplerate indices and an ALTERNATING padding bit, each body
+    * sized by the 144·bitrate/samplerate+padding formula; doc_id%7==3
+    * rows are raw text (the must-fail class). Mirrors the oracle's
+    * `hexes` CTE byte-for-byte. */
+  private[graft] def mp3Blobs(s: SparkSession, d: String): DataFrame = {
+    val did = col("doc_id")
+    val raw = pmod(did, lit(7)) === 3
+    val hasid3 = pmod(did, lit(4)) =!= 0
+    val ts = when(pmod(did, lit(3)) === 0, 60L)
+      .when(pmod(did, lit(3)) === 1, 130L).otherwise(300L)
+    val bi = lit(1L) + pmod(did, lit(5))
+    val si = pmod(did, lit(3))
+    val nf = lit(1L) + pmod(did, lit(3))
+    val kbps = lit(32L) + (bi - 1L) * 8L
+    val sr = when(si === 0, 44100L).when(si === 1, 48000L).otherwise(32000L)
+    val flbase = (lit(144L) * (kbps * 1000L)).cast("long").divide(sr)
+      .cast("long")
+    def frame(idx: Int): org.apache.spark.sql.Column = {
+      val pad = pmod(did + idx, lit(2))
+      concat(lit("FFFB"),
+        lpad(hex(bi * 16L + si * 4L + pad * 2L), 2, "0"), lit("00"),
+        call_function("repeat", lit("4D"), (flbase + pad - 4L).cast("int")))
+    }
+    Tables.documentsSpread(s, d)
+      .withColumn("mhex", concat(
+        when(hasid3, concat(
+          lit("494433"), lit("0300"), lit("00"), lit("0000"),
+          lpad(hex((ts / 128L).cast("long")), 2, "0"),
+          lpad(hex(pmod(ts, lit(128L))), 2, "0"),
+          call_function("repeat", lit("54"), ts.cast("int"))))
+          .otherwise(lit("")),
+        frame(1),
+        when(nf >= 2, frame(2)).otherwise(lit("")),
+        when(nf >= 3, frame(3)).otherwise(lit(""))))
+      .select(did,
+        when(raw, encode(col("text"), "UTF-8"))
+          .otherwise(unhex(col("mhex"))).as("content"))
   }
 
   /** Spark-side q196 fixture: JPEG SOI ++ APP1("Exif\0\0" + TIFF) ++ text

@@ -119,6 +119,61 @@ object TextDedupPack {
     * peel state, converged or not, so the replay is structural). */
   private val KCORE_ROUNDS = 4
 
+  /** q144/q241 shared oracle: LPA_ROUNDS unrolled majority-vote label
+    * rounds over the symmetric Jaccard match graph — q241's streaming
+    * answer must hash-match the identical batch formulation. */
+  private lazy val LPA_MATCH_ORACLE: String = {
+    val rounds = (1 to LPA_ROUNDS).map { r =>
+      s"""l$r AS (SELECT v AS id, lab FROM (
+         |    SELECT e.v, l.lab, COUNT(*) AS c,
+         |      ROW_NUMBER() OVER (PARTITION BY e.v
+         |        ORDER BY COUNT(*) DESC, l.lab) AS rn
+         |    FROM ed e JOIN l${r - 1} l ON l.id = e.u
+         |    GROUP BY e.v, l.lab) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $PAIRS_SQL,
+       |ed AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
+       |       UNION ALL SELECT doc_b, doc_a FROM jpairs),
+       |l0 AS (SELECT DISTINCT u AS id, u AS lab FROM ed),
+       |$rounds
+       |SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |  MIN(id) AS min_member
+       |FROM l$LPA_ROUNDS
+       |GROUP BY lab
+       |ORDER BY community""".stripMargin
+  }
+
+  /** q144/q241 shared LPA core over a checkpointed symmetric edge list
+    * `ed(u, v)`: LPA_ROUNDS majority-vote rounds (ties to the smallest
+    * label) from singleton labels, run inside a conf-isolated
+    * Components.narrowClone at the measured width (one reused narrow
+    * repartition over the edge list; the vote count's partial agg runs
+    * map-side inside the join stage, the label-choice groupBy plans its
+    * own narrow partial-combined exchange; the caller session's conf is
+    * never touched). Returns the node-sized (id, lab) table checkpointed
+    * and rebound to the caller's session. */
+  private def lpaLabels(s: org.apache.spark.sql.SparkSession,
+                        ed: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val nEdges = ed.count()
+    val w = graft.operators.Components.roundWidth(
+      s.conf.get("spark.sql.shuffle.partitions").toInt, nEdges)
+    val s2 = graft.operators.Components.narrowClone(s, w)
+    val edP = graft.operators.Components.rebind(ed, s2)
+      .repartition(col("u"))
+    var l = edP.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("lab"))
+    for (_ <- 1 to LPA_ROUNDS) {
+      l = edP.join(l, col("u") === col("id"))
+        .select(col("v"), col("lab"))
+        .groupBy(col("v"), col("lab")).agg(count(lit(1)).as("c"))
+        .groupBy(col("v"))
+        .agg(max_by(col("lab"), struct(col("c"), lit(0L) - col("lab"))).as("lab"))
+        .select(col("v").as("id"), col("lab"))
+    }
+    graft.operators.Components.rebind(l.localCheckpoint(), s)
+  }
+
   /** q145's personalized-PageRank iteration count. */
   private val PPR_ITERS = 4
 
@@ -2243,26 +2298,7 @@ object TextDedupPack {
     // splits chains that CC merges, which is exactly the moderation a
     // dedup reviewer wants next to q67.
     QueryDef(
-      "q144_label_propagation", {
-        val rounds = (1 to LPA_ROUNDS).map { r =>
-          s"""l$r AS (SELECT v AS id, lab FROM (
-             |    SELECT e.v, l.lab, COUNT(*) AS c,
-             |      ROW_NUMBER() OVER (PARTITION BY e.v
-             |        ORDER BY COUNT(*) DESC, l.lab) AS rn
-             |    FROM ed e JOIN l${r - 1} l ON l.id = e.u
-             |    GROUP BY e.v, l.lab) WHERE rn = 1)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH $PAIRS_SQL,
-           |ed AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
-           |       UNION ALL SELECT doc_b, doc_a FROM jpairs),
-           |l0 AS (SELECT DISTINCT u AS id, u AS lab FROM ed),
-           |$rounds
-           |SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
-           |  MIN(id) AS min_member
-           |FROM l$LPA_ROUNDS
-           |GROUP BY lab
-           |ORDER BY community""".stripMargin
-      }) { (s, d) =>
+      "q144_label_propagation", LPA_MATCH_ORACLE) { (s, d) =>
       val jp = jaccardPairs(s, d)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
       // eager checkpoint, not persist: the LPA rounds run in a session
@@ -2272,39 +2308,79 @@ object TextDedupPack {
       val ed = jp.select(col("a").as("u"), col("b").as("v"))
         .unionAll(jp.select(col("b").as("u"), col("a").as("v")))
         .localCheckpoint()
-      // same eager measured-width discipline as Graph.fixedPointPageRank:
-      // the LPA rounds run over the contracted match graph inside a
-      // conf-isolated Components.narrowClone sized from the measured edge
-      // count (one reused narrow repartition over the edge list; the vote
-      // count's partial agg — the map-side combine over (v, lab) repeats
-      // — runs inside the join stage before its exchange, and the
-      // label-choice groupBy plans its own narrow, partial-combined
-      // exchange; the caller session's conf is never touched) and the
-      // result is checkpointed node-sized and rebound to the caller's
-      // session (also releasing ed — no cache leak)
-      val labels = try {
-        val nEdges = ed.count()
-        val w = graft.operators.Components.roundWidth(
-          s.conf.get("spark.sql.shuffle.partitions").toInt, nEdges)
-        val s2 = graft.operators.Components.narrowClone(s, w)
-        val edP = graft.operators.Components.rebind(ed, s2)
-          .repartition(col("u"))
-        var l = edP.select(col("u").as("id")).distinct()
-          .select(col("id"), col("id").as("lab"))
-        for (_ <- 1 to LPA_ROUNDS) {
-          l = edP.join(l, col("u") === col("id"))
-            .select(col("v"), col("lab"))
-            .groupBy(col("v"), col("lab")).agg(count(lit(1)).as("c"))
-            .groupBy(col("v"))
-            .agg(max_by(col("lab"), struct(col("c"), lit(0L) - col("lab"))).as("lab"))
-            .select(col("v").as("id"), col("lab"))
-        }
-        graft.operators.Components.rebind(l.localCheckpoint(), s)
-      } finally ed.unpersist(blocking = false) // checkpoint blocks free on dereference; no-op kept for clarity
+      val labels =
+        try lpaLabels(s, ed)
+        finally ed.unpersist(blocking = false) // checkpoint blocks free on dereference; no-op kept for clarity
       labels.groupBy("lab")
         .agg(count(lit(1)).as("n_members"), min(col("id")).as("min_member"))
         .select(col("lab").as("community"), col("n_members"), col("min_member"))
         .orderBy("community")
+    },
+
+    // ---- q241: streaming incremental label propagation ---------------------
+    // The q194/q200 versioned-state pattern applied to the community
+    // view: match edges arrive (the staged Jaccard-pair files,
+    // maxFilesPerTrigger=1) and every micro-batch re-derives the
+    // LPA_ROUNDS community assignment of the graph seen so far — the
+    // ingest-time shape of topic/community tracking over a growing
+    // near-dup graph. State is the accumulated edge list in versioned
+    // parquet (write v{batchId}, read previous — idempotent under
+    // micro-batch replay); per batch the FULL fixed-round LPA re-runs
+    // from singleton labels over state ∪ batch inside the narrow clone
+    // (label warm-starting is deliberately NOT used — q144's contract is
+    // exactly-LPA_ROUNDS-from-singletons, the fixed-round replay that
+    // makes the iterative answer hash-checkable; a warm-started label
+    // table over a grown edge set answers a different recurrence). The
+    // final batch's communities hash-match batch q144's oracle VERBATIM.
+    // Like q200 (and unlike q194's compressing CC state), LPA votes need
+    // every edge each round — the honest per-batch cost is bounded
+    // rounds over the current graph.
+    QueryDef(
+      "q241_stream_incremental_lpa", LPA_MATCH_ORACLE) { (s, d) =>
+      val srcDir = stagedPairBatches(s, d)
+      val store = clearedStore(d, "graft-q241-lpa-")
+      val latestEdges =
+        new java.util.concurrent.atomic.AtomicReference[String](null)
+      val latestLabels =
+        new java.util.concurrent.atomic.AtomicReference[String](null)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) => {
+        val ss = batch.sparkSession
+        val merged = Option(latestEdges.get()) match {
+          case Some(prev) => ss.read.parquet(prev).unionByName(
+            batch.select(col("doc_a"), col("doc_b")))
+          case None => batch.select(col("doc_a"), col("doc_b"))
+        }
+        val edgesV = s"$store/edges_v$batchId"
+        merged.write.mode("overwrite").parquet(edgesV)
+        latestEdges.set(edgesV)
+        val mp = ss.read.parquet(edgesV)
+        val sym = mp.select(col("doc_a").as("u"), col("doc_b").as("v"))
+          .unionAll(mp.select(col("doc_b").as("u"), col("doc_a").as("v")))
+          .localCheckpoint()
+        val labels =
+          try lpaLabels(ss, sym)
+          finally sym.unpersist(blocking = false)
+        val labelsV = s"$store/labels_v$batchId"
+        labels.write.mode("overwrite").parquet(labelsV)
+        latestLabels.set(labelsV)
+      })
+      Option(latestLabels.get()) match {
+        case Some(last) =>
+          s.read.parquet(last)
+            .groupBy("lab")
+            .agg(count(lit(1)).as("n_members"), min(col("id")).as("min_member"))
+            .select(col("lab").as("community"), col("n_members"),
+              col("min_member"))
+            .orderBy("community")
+        case None =>
+          // zero micro-batches fired — match batch q144's empty answer
+          s.range(0).select(col("id").as("community"),
+            col("id").as("n_members"), col("id").as("min_member"))
+      }
     },
 
     // ---- q238: 2-core peel over the near-dup graph ---------------------------
@@ -2325,14 +2401,18 @@ object TextDedupPack {
     // width, result rebound node-sized. No windows, no driver graph.
     QueryDef(
       "q238_kcore_peel", {
+        // each e_{r-1} is referenced three times per round (degree agg +
+        // both semi-join sides); DuckDB inlines CTEs by default, so the
+        // plan re-expands the whole jpairs pipeline 3^r times and
+        // exhausts spill at sf0.1 — MATERIALIZED pins each round once
         val rounds = (1 to KCORE_ROUNDS).map { r =>
-          s"""d$r AS (SELECT u, COUNT(*) AS c FROM e${r - 1} GROUP BY u),
-             |a$r AS (SELECT u FROM d$r WHERE c >= 2),
-             |e$r AS (SELECT e.u, e.v FROM e${r - 1} e
+          s"""d$r AS MATERIALIZED (SELECT u, COUNT(*) AS c FROM e${r - 1} GROUP BY u),
+             |a$r AS MATERIALIZED (SELECT u FROM d$r WHERE c >= 2),
+             |e$r AS MATERIALIZED (SELECT e.u, e.v FROM e${r - 1} e
              |        JOIN a$r x ON x.u = e.u JOIN a$r y ON y.u = e.v)""".stripMargin
         }.mkString(",\n")
         s"""WITH $PAIRS_SQL,
-           |e0 AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
+           |e0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM jpairs
            |       UNION ALL SELECT doc_b, doc_a FROM jpairs),
            |n0 AS (SELECT DISTINCT u FROM e0),
            |$rounds,
@@ -3822,13 +3902,20 @@ object TextDedupPack {
     QueryDef(
       "q208_sgns_negatives", {
         val negIds = (1 to K_NEG).map(n => s"($n)").mkString(", ")
-        s"""WITH $WALKS_SQL_CTES,
+        // DuckDB inlines CTEs: `walks` (whose own chain re-expands the
+        // jpairs pipeline per step) is referenced by BOTH the unigram
+        // count and the context CTE, and wts by three consumers — at
+        // sf0.1 the re-expanded plan exhausts spill. MATERIALIZED pins
+        // the walk corpus, the weights, and the pair set once each.
+        val walksM =
+          WALKS_SQL_CTES.replace("walks AS (", "walks AS MATERIALIZED (")
+        s"""WITH $walksM,
            |$SKIPGRAM_CTX_CTE,
-           |pairs AS (SELECT center, context FROM ctx GROUP BY center, context),
+           |pairs AS MATERIALIZED (SELECT center, context FROM ctx GROUP BY center, context),
            |cnt AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS c FROM walks GROUP BY node),
            |wt0 AS (SELECT node, c*c*c AS c3,
            |    CAST(floor(power(c*c*c, 0.25)) AS BIGINT) AS r0 FROM cnt),
-           |wts AS (SELECT node,
+           |wts AS MATERIALIZED (SELECT node,
            |    CASE WHEN (r0+1)*(r0+1)*(r0+1)*(r0+1) <= c3 THEN r0+1
            |         WHEN r0*r0*r0*r0 > c3 THEN r0-1 ELSE r0 END AS w
            |  FROM wt0),
@@ -4700,6 +4787,130 @@ object TextDedupPack {
           .persist())
     },
 
+    // ---- q244: prefix-fingerprint truncation sweep ----------------------------
+    // The ingest-cost policy q214 doesn't measure: at 100 TB, hashing
+    // every document's FULL text for MinHash is a real fraction of the
+    // ingest bill, and the standing shortcut is to fingerprint only the
+    // document HEAD. This query measures what that costs: for each
+    // truncation level (first 32 / 64 / 128 tokens), run the q28
+    // construction (16 salted-md5 minhashes, 4 bands, occupancy-capped
+    // buckets) over the TRUNCATED text and score its candidates against
+    // the FULL-TEXT exact-Jaccard truth (PAIRS_SQL verbatim) — candidate
+    // volume, recall and precision in exact integer basis points, one
+    // row per level. Truncated fingerprints use uncapped distinct grams
+    // (a ≤L-token prefix carries ≤L-2 grams; the df cap is a full-corpus
+    // cost guard, and bucket occupancy is capped separately, per level).
+    //
+    // 100 TB shape: the sweep costs 3 gram projections bounded by the
+    // truncation levels (the 32-token pass reads ~3% of the text bytes —
+    // the actual payoff being measured), one unioned band build with the
+    // (lvl, band, bh)-keyed occupancy cap, the keyed bucket self-join,
+    // and a keyed truth join; the ledger is one map-side-combined count
+    // per level. Nothing quadratic, nothing uncapped.
+    QueryDef(
+      "q244_prefix_fingerprint_sweep", {
+        val mhCols = (0 until 16).map(i =>
+          s"MIN(substring(md5('${i / 4}:' || gram), ${(i % 4) * 8 + 1}, 8)) AS mh$i")
+          .mkString(",\n    ")
+        val lvlBlocks = PREFIX_FP_LEVELS.map { l =>
+          val bandSel = (0 until 4).map { b =>
+            val cat = (b * 4 until b * 4 + 4).map(k => s"mh$k").mkString(" || ")
+            s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM mh$l"
+          }.mkString("\n  UNION ALL\n  ")
+          s"""g$l AS (
+             |  SELECT DISTINCT doc_id,
+             |    unnest(list_transform(range(1, len(tk4) - 1),
+             |      i -> tk4[i] || ' ' || tk4[i+1] || ' ' || tk4[i+2])) AS gram
+             |  FROM (SELECT doc_id, tk[1:$l] AS tk4 FROM tkt)
+             |  WHERE len(tk4) >= 3),
+             |mh$l AS (SELECT doc_id,
+             |    $mhCols
+             |  FROM g$l GROUP BY doc_id),
+             |sb$l AS (
+             |  $bandSel),
+             |sbc$l AS (SELECT doc_id, band, bh FROM (
+             |            SELECT *, COUNT(*) OVER (PARTITION BY band, bh) AS n
+             |            FROM sb$l)
+             |          WHERE n <= $MAX_BUCKET),
+             |cand$l AS (SELECT DISTINCT CAST($l AS BIGINT) AS lvl,
+             |             s1.doc_id AS doc_a, s2.doc_id AS doc_b
+             |           FROM sbc$l s1 JOIN sbc$l s2
+             |             ON s1.band = s2.band AND s1.bh = s2.bh
+             |            AND s1.doc_id < s2.doc_id)""".stripMargin
+        }.mkString(",\n")
+        val candUnion = PREFIX_FP_LEVELS
+          .map(l => s"SELECT * FROM cand$l").mkString(" UNION ALL ")
+        s"""WITH $PAIRS_SQL,
+           |tkt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+           |$lvlBlocks,
+           |cand AS ($candUnion),
+           |tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM jpairs),
+           |per AS (
+           |  SELECT lvl, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           |    CAST(SUM(CASE WHEN j.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_caught
+           |  FROM cand c LEFT JOIN jpairs j
+           |    ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+           |  GROUP BY lvl)
+           |SELECT lvl, n_candidates, n_truth, n_caught,
+           |  CAST(CASE WHEN n_truth = 0 THEN 0
+           |    ELSE 10000 * n_caught // n_truth END AS BIGINT) AS recall_bp,
+           |  CAST(CASE WHEN n_candidates = 0 THEN 0
+           |    ELSE 10000 * n_caught // n_candidates END AS BIGINT)
+           |    AS precision_bp
+           |FROM per CROSS JOIN tr
+           |ORDER BY lvl""".stripMargin
+      }) { (s, d) =>
+      val tk = split(col("text"), " ")
+      val mhAggs = (0 until 16).map(i =>
+        min(substring(md5(concat(lit(s"${i / 4}:"), col("gram"))),
+          (i % 4) * 8 + 1, 8)).as(s"mh$i"))
+      val sb = PREFIX_FP_LEVELS.map { l =>
+        val tk4 = col("tk4")
+        val mh = Tables.documentsSpread(s, d)
+          .select(col("doc_id"), slice(tk, 1, l).as("tk4"))
+          .filter(size(tk4) >= 3)
+          .select(col("doc_id"),
+            explode(array_distinct(transform(
+              sequence(lit(1), size(tk4) - 2),
+              i => concat_ws(" ", element_at(tk4, i), element_at(tk4, i + 1),
+                element_at(tk4, i + 2))))).as("gram"))
+          .groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+        (0 until 4).map { b =>
+          mh.select(lit(l.toLong).as("lvl"), col("doc_id"),
+            lit(b.toLong).as("band"),
+            md5(concat((b * 4 until b * 4 + 4).map(k => col(s"mh$k")): _*))
+              .as("bh"))
+        }.reduce(_ unionByName _)
+      }.reduce(_ unionByName _)
+      val sbc = graft.operators.Occupancy.cap(
+        sb, Seq("lvl", "band", "bh"), MAX_BUCKET, persistResult = true)
+      val cand = sbc.as("s1")
+        .join(sbc.as("s2"),
+          col("s1.lvl") === col("s2.lvl") && col("s1.band") === col("s2.band")
+            && col("s1.bh") === col("s2.bh")
+            && col("s1.doc_id") < col("s2.doc_id"))
+        .select(col("s1.lvl").as("lvl"), col("s1.doc_id").as("doc_a"),
+          col("s2.doc_id").as("doc_b"))
+        .distinct()
+      val truth = jaccardPairs(s, d).select("doc_a", "doc_b").persist()
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      cand
+        .join(truth.withColumn("hit", lit(1L)), Seq("doc_a", "doc_b"), "left")
+        .groupBy("lvl")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_caught"))
+        .crossJoin(broadcast(nTruth))
+        .select(col("lvl"), col("n_candidates"), col("n_truth"),
+          col("n_caught"),
+          when(col("n_truth") === 0, 0L)
+            .otherwise(expr("10000 * n_caught div n_truth")).as("recall_bp"),
+          when(col("n_candidates") === 0, 0L)
+            .otherwise(expr("10000 * n_caught div n_candidates"))
+            .as("precision_bp"))
+        .orderBy("lvl")
+    },
+
     // ---- q234: cluster-aware leakage-free train/val split --------------------
     // q68 splits at the DOCUMENT level; with near-duplicates in the corpus
     // that leaks: a doc in train and its 0.9-Jaccard twin in val inflates
@@ -4789,6 +5000,129 @@ object TextDedupPack {
           countDistinct(col("cluster_id")).as("n_clusters"))
         .crossJoin(broadcast(lk))
         .orderBy("split")
+    },
+
+    // ---- q242: corpus-assembly waterfall with per-doc drop attribution ------
+    // The three keep/drop policies this pack proves in isolation — exact
+    // dedup (q22's min-id-per-md5), near-dup cluster sampling (q210's
+    // 1/|cluster| derandomized rule), per-domain quota (q232's salted-
+    // priority top-K) — composed in the order a corpus build actually
+    // runs them, with every document attributed to the FIRST stage that
+    // dropped it. This is the waterfall table every dataset card reports
+    // ("started with N, exact dedup removed X, near-dup sampling Y,
+    // domain caps Z"), as one auditable per-doc plan: later stages see
+    // only earlier stages' survivors (the near-dup graph is built over
+    // exact-dedup survivors; the quota ranks only sampling survivors),
+    // so the attribution is causal, not three independent flags.
+    //
+    // 100 TB shape: stage 1 is one map-side-combined min per content
+    // hash; stage 2 is the q210 CC (node-sized state) + map-side draw;
+    // stage 3 is the q232 mergeable TopKRows selection over the
+    // already-thinned survivor set; the final attribution is three keyed
+    // LEFT joins against node-sized flag tables. Nothing rescans pair
+    // history after the CC; the quota never sorts a domain.
+    QueryDef(
+      "q242_corpus_waterfall",
+      s"""WITH RECURSIVE keep1 AS (
+         |  SELECT doc_id, md5(text) AS fp,
+         |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+         |  FROM documents),
+         |survivors AS (
+         |  SELECT d.* FROM documents d
+         |  JOIN keep1 k ON k.doc_id = d.doc_id AND k.doc_id = k.keep),
+         |${pairsSql("survivors")},
+         |und AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |        UNION ALL
+         |        SELECT doc_b AS u, doc_a AS v FROM jpairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM und
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, least(u, MIN(v)) AS cluster_id
+         |         FROM reach GROUP BY u),
+         |csz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS csize
+         |        FROM comp GROUP BY cluster_id),
+         |f2 AS (
+         |  SELECT s.doc_id,
+         |    CASE WHEN ('0x' || substring(md5('q242:' ||
+         |        CAST(s.doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |      % CAST(COALESCE(z.csize, 1) AS BIGINT) = 0
+         |    THEN 1 ELSE 0 END AS kept2
+         |  FROM survivors s
+         |  LEFT JOIN comp c ON c.doc_id = s.doc_id
+         |  LEFT JOIN csz z ON z.cluster_id = c.cluster_id),
+         |s2 AS (SELECT doc_id FROM f2 WHERE kept2 = 1),
+         |q3 AS (
+         |  SELECT doc_id,
+         |    'site' || CAST(doc_id % 40 AS VARCHAR) || '.' ||
+         |    (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+         |          ELSE 'org' END) AS regdom,
+         |    ('0x' || substring(md5('q242q:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+         |      AS prio
+         |  FROM s2),
+         |rk3 AS (
+         |  SELECT doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY regdom ORDER BY prio, doc_id)
+         |      AS rk
+         |  FROM q3),
+         |f3 AS (SELECT doc_id FROM rk3 WHERE rk <= 3)
+         |SELECT d.doc_id,
+         |  CASE WHEN k.doc_id <> k.keep THEN 'exact_dup'
+         |       WHEN f2.kept2 = 0 THEN 'cluster_sample'
+         |       WHEN f3.doc_id IS NULL THEN 'domain_quota'
+         |       ELSE 'kept' END AS status
+         |FROM documents d
+         |JOIN keep1 k ON k.doc_id = d.doc_id
+         |LEFT JOIN f2 ON f2.doc_id = d.doc_id
+         |LEFT JOIN f3 ON f3.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val base = Tables.documentsSpread(s, d)
+      val keep1 = base.select(col("doc_id"), md5(col("text")).as("fp"))
+        .withColumn("keep", min(col("doc_id"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      // the min-per-fp window partitions by a content hash — group size =
+      // copies-per-text, fixture-bounded; the oracle states the same form
+      val surv = keep1.filter(col("doc_id") === col("keep"))
+        .select("doc_id")
+      val survDocs = base.join(surv, "doc_id").persist()
+      val clusters = graft.operators.Components
+        .connectedComponents(
+          jaccardPairsOf(survDocs).select("doc_a", "doc_b"),
+          "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("component").as("cid"))
+      val csz = clusters.groupBy("cid").agg(count(lit(1)).as("csize"))
+      val h2 = conv(substring(md5(concat(lit("q242:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+      val f2 = surv
+        .join(clusters, Seq("doc_id"), "left")
+        .join(csz, Seq("cid"), "left")
+        .select(col("doc_id"),
+          when(h2 % coalesce(col("csize"), lit(1L)) === 0L, 1L)
+            .otherwise(0L).as("kept2"))
+        .persist() // feeds the quota stage AND the final attribution
+      val s2 = f2.filter(col("kept2") === 1L).select("doc_id")
+      val regdom = concat(lit("site"), (col("doc_id") % 40).cast("string"),
+        lit("."),
+        when(col("doc_id") % 3 === 0, lit("com"))
+          .when(col("doc_id") % 3 === 1, lit("co.uk")).otherwise(lit("org")))
+      val prio = conv(substring(md5(concat(lit("q242q:"),
+        col("doc_id").cast("string"))), 1, 12), 16, 10).cast("long")
+      val topk = udaf(new graft.functions.TopKRows(3))
+      val f3 = s2.select(regdom.as("regdom"), col("doc_id"), prio.as("prio"))
+        .groupBy("regdom")
+        .agg(topk((-col("prio")).cast("double"), col("doc_id"), lit(0L))
+          .as("tk"))
+        .select(explode(col("tk")).as("row"))
+        .select(col("row._2").as("doc_id"), lit(1L).as("kept3"))
+      keep1.select(col("doc_id"), col("keep"))
+        .join(f2, Seq("doc_id"), "left")
+        .join(f3, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") =!= col("keep"), "exact_dup")
+            .when(col("kept2") === 0L, "cluster_sample")
+            .when(col("kept3").isNull, "domain_quota")
+            .otherwise("kept").as("status"))
+        .orderBy("doc_id")
     },
 
     // ---- q239: HLL inclusion-exclusion overlap vs q224's exact ledger --------
@@ -4928,6 +5262,9 @@ object TextDedupPack {
   /** q214's banding sweep: every (bands, rows) factorization of the
     * 16-minhash signature, the b·r = 16 ladder. */
   private val SWEEP_CONFIGS = Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+
+  /** q244's truncation ladder: fingerprint only the first N tokens. */
+  private val PREFIX_FP_LEVELS = Seq(32, 64, 128)
 
   /** q217's planted-wedge id offsets (prefix / suffix variant). Disjoint
     * from base doc ids and [[NATIVE_TWIN_OFFSET]] plants only while

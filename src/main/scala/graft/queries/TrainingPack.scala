@@ -2016,6 +2016,118 @@ object TrainingPack {
         .orderBy("doc_id")
     },
 
+    // ---- q243: IBAN mod-97 gate ----------------------------------------------
+    // The second checksum-class PII gate (q207 is Luhn/PAN): IBANs
+    // validate by ISO 7064 mod-97 — move the country+check prefix to the
+    // end, expand letters to two-digit codes (A=10..Z=35), and the
+    // resulting (up to ~34-digit) number must be ≡ 1 (mod 97). That
+    // number exceeds BIGINT, so both engines run the SAME chunked
+    // remainder: expand (per-char CASE), left-pad with zeros to 36
+    // digits (leading zeros don't change the value), then fold four
+    // 9-digit chunks — rem = (rem·10⁹ + chunk) mod 97, every
+    // intermediate < 9.8·10¹⁰, exact in BIGINT. Plants: valid DE (18-
+    // digit BBAN) and ES (20-digit) IBANs with check digits COMPUTED by
+    // the same algebra (98 − mod97(rearranged·100)), plus a
+    // check-digits+1 class — off by exactly 1 in the rearranged number,
+    // so mod 97 lands on 2, never accidentally valid.
+    //
+    // 100 TB shape: pure map-side — regex candidate extraction, a
+    // per-char expansion bounded by IBAN length (≤ 34), four integer
+    // chunk steps, one md5 of the redacted text; the only shuffle is
+    // the output sort. The gate composes with q69's redaction plan the
+    // same way q207 does.
+    QueryDef(
+      "q243_iban_gate", {
+        def expandSql(v: String) =
+          s"""array_to_string(list_transform(range(1, length($v) + 1), i ->
+             |      CASE WHEN substring($v, CAST(i AS INT), 1) BETWEEN 'A' AND 'Z'
+             |        THEN CAST(ascii(substring($v, CAST(i AS INT), 1)) - 55 AS VARCHAR)
+             |        ELSE substring($v, CAST(i AS INT), 1) END), '')""".stripMargin
+        def mod97Sql(p: String) =
+          s"""((((((CAST(substring($p, 1, 9) AS BIGINT) % 97) * 1000000000
+             |      + CAST(substring($p, 10, 9) AS BIGINT)) % 97) * 1000000000
+             |      + CAST(substring($p, 19, 9) AS BIGINT)) % 97) * 1000000000
+             |      + CAST(substring($p, 28, 9) AS BIGINT)) % 97""".stripMargin
+        s"""WITH bban AS (
+           |  SELECT doc_id, text,
+           |    doc_id % 3 = 2 AS es,
+           |    CASE WHEN doc_id % 3 = 2
+           |      THEN '210004184500' || lpad(CAST(doc_id * 104729 % 100000000 AS VARCHAR), 8, '0')
+           |      ELSE '37040044' || lpad(CAST(doc_id * 7919 % 10000000000 AS VARCHAR), 10, '0')
+           |    END AS bb,
+           |    CASE WHEN doc_id % 3 = 2 THEN 'ES' ELSE 'DE' END AS cc
+           |  FROM documents),
+           |ck AS (
+           |  SELECT *, lpad(CAST(98 - (
+           |      ${mod97Sql(s"lpad(${expandSql("(bb || cc || '00')")}, 36, '0')")}
+           |    ) + (CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END) AS VARCHAR),
+           |    2, '0') AS ckd
+           |  FROM bban),
+           |planted AS (
+           |  SELECT doc_id,
+           |    text || ' acct ' || cc || ckd || bb || ' ref XX1' AS t
+           |  FROM ck),
+           |runs AS (
+           |  SELECT doc_id, t,
+           |    regexp_extract_all(t, '[A-Z]{2}[0-9]{2}[0-9A-Z]{10,30}') AS rs
+           |  FROM planted),
+           |vals AS (
+           |  SELECT doc_id, t, rs,
+           |    list_filter(rs, r -> (
+           |      ${mod97Sql(s"lpad(${expandSql("(substring(r, 5) || substring(r, 1, 4))")}, 36, '0')")}
+           |    ) = 1) AS ok
+           |  FROM runs)
+           |SELECT doc_id,
+           |  CAST(len(rs) AS BIGINT) AS n_candidates,
+           |  CAST(len(ok) AS BIGINT) AS n_iban_valid,
+           |  md5(regexp_replace(t, '[A-Z]{2}[0-9]{2}[0-9A-Z]{10,30}', '<IBAN>', 'g'))
+           |    AS redacted_md5
+           |FROM vals
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.Column
+      def expand(v: Column): Column =
+        concat_ws("", transform(sequence(lit(1), length(v)), i => {
+          val ch = v.substr(i, lit(1))
+          when(ch.between("A", "Z"), (ascii(ch) - 55).cast("string"))
+            .otherwise(ch)
+        }))
+      def mod97(p: Column): Column = {
+        def chunk(o: Int) = substring(p, o, 9).cast("long")
+        ((((chunk(1) % 97) * 1000000000L + chunk(10)) % 97 * 1000000000L
+          + chunk(19)) % 97 * 1000000000L + chunk(28)) % 97
+      }
+      val did = col("doc_id")
+      val es = did % 3 === 2
+      val bb = when(es,
+        concat(lit("210004184500"),
+          lpad((did * 104729 % 100000000L).cast("string"), 8, "0")))
+        .otherwise(concat(lit("37040044"),
+          lpad((did * 7919 % 10000000000L).cast("string"), 10, "0")))
+      val cc = when(es, "ES").otherwise(lit("DE"))
+      val ckd = lpad((lit(98) -
+        mod97(lpad(expand(concat(col("bb"), col("cc"), lit("00"))), 36, "0"))
+        + when(did % 3 === 1, 1).otherwise(0)).cast("string"), 2, "0")
+      val pat = "[A-Z]{2}[0-9]{2}[0-9A-Z]{10,30}"
+      Tables.documents(s, d)
+        .select(did, col("text"), bb.as("bb"), cc.as("cc"))
+        .withColumn("ckd", ckd)
+        .select(did,
+          concat(col("text"), lit(" acct "), col("cc"), col("ckd"),
+            col("bb"), lit(" ref XX1")).as("t"))
+        .select(did,
+          regexp_extract_all(col("t"), lit(pat), lit(0)).as("rs"),
+          col("t"))
+        .select(did,
+          size(col("rs")).cast("long").as("n_candidates"),
+          size(filter(col("rs"), r =>
+            mod97(lpad(expand(concat(r.substr(lit(5), length(r) - 4),
+              r.substr(lit(1), lit(4)))), 36, "0")) === 1))
+            .cast("long").as("n_iban_valid"),
+          md5(regexp_replace(col("t"), pat, "<IBAN>")).as("redacted_md5"))
+        .orderBy("doc_id")
+    },
+
     // ---- q209: interpolated Kneser-Ney bigram model -------------------------
     // The LM-smoothing capstone over q162's bigram machinery: add-one
     // smoothing (q93/q162) over-weights unseen mass; production n-gram

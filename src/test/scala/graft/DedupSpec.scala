@@ -478,6 +478,106 @@ class DedupSpec extends AnyFunSuite {
     assert(naiveLeak > 0L)
   }
 
+  test("q244 truncation-sweep ledger replays in plain Scala") {
+    val got = SparkEntry.byName("q244_prefix_fingerprint_sweep").run(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got.keySet == Set(32L, 64L, 128L))
+    def md5hex(x: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val truth = SparkEntry.byName("q27_ngram_jaccard").run(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.foreach { case (lvl, (nc, nt, ng, rbp, pbp)) =>
+      // replay: truncate, distinct 3-grams, 16 salted minhashes, 4 bands,
+      // occupancy cap, bucket self-join
+      val bands = texts.flatMap { case (id, tk) =>
+        val tk4 = tk.take(lvl.toInt)
+        if (tk4.size < 3) Seq.empty
+        else {
+          val grams = tk4.sliding(3).map(_.mkString(" ")).toSet
+          val mh = (0 until 16).map(i =>
+            grams.map(g => md5hex(s"${i / 4}:$g")
+              .substring((i % 4) * 8, (i % 4) * 8 + 8)).min)
+          (0 until 4).map(b =>
+            (id, b, md5hex((b * 4 until b * 4 + 4).map(mh).mkString)))
+        }
+      }
+      val capped = bands.groupBy(x => (x._2, x._3))
+        .filter(_._2.length <= 100).values.flatten.toSeq
+      val cands = capped.groupBy(x => (x._2, x._3)).values.flatMap { g =>
+        val ids = g.map(_._1).sorted
+        for (a <- ids; b <- ids if a < b) yield (a, b)
+      }.toSet
+      assert(nc == cands.size.toLong, s"lvl $lvl candidates")
+      assert(nt == truth.size.toLong, s"lvl $lvl truth")
+      assert(ng == cands.count(truth).toLong, s"lvl $lvl caught")
+      assert(rbp == (if (nt == 0) 0L else 10000L * ng / nt), s"lvl $lvl recall")
+      assert(pbp == (if (nc == 0) 0L else 10000L * ng / nc), s"lvl $lvl prec")
+    }
+    // non-vacuous: there is truth to catch and the 128-token pass emits
+    // candidates. The three levels CAN legitimately coincide at small sf
+    // (twin pairs share their prefixes, so the same buckets collide) —
+    // the per-level replay equality above is the actual check.
+    assert(got(128L)._2 > 0L && got(128L)._1 > 0L)
+  }
+
+  test("q242 waterfall: stage-1 and stage-3 attributions replay in plain Scala") {
+    val got = SparkEntry.byName("q242_corpus_waterfall").run(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.size == texts.length)
+    def md5hex(x: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    // stage 1: exact_dup iff not the min doc_id of its content-hash group
+    val keepOf = texts.groupBy(t => md5hex(t._2)).toSeq
+      .flatMap { case (_, g) =>
+        val m = g.map(_._1).min; g.toSeq.map(t => t._1 -> m)
+      }.toMap
+    texts.foreach { case (id, _) =>
+      assert((got(id) == "exact_dup") == (id != keepOf(id)), s"doc $id stage1")
+    }
+    // stage 3: within each domain, the kept docs are exactly the ≤3
+    // lowest-(prio, doc_id) members of the quota's INPUT set (kept ∪
+    // domain_quota — stage-2 survivors by construction)
+    val s2 = got.collect {
+      case (id, st) if st == "kept" || st == "domain_quota" => id
+    }.toSeq
+    def regdom(id: Long) = s"site${id % 40}." +
+      ((id % 3) match { case 0 => "com"; case 1 => "co.uk"; case _ => "org" })
+    def prio(id: Long) =
+      java.lang.Long.parseLong(md5hex(s"q242q:$id").take(12), 16)
+    s2.groupBy(regdom).foreach { case (rd, members) =>
+      val expKept = members.map(m => (prio(m), m)).sorted.take(3)
+        .map(_._2).toSet
+      val gotKept = members.filter(got(_) == "kept").toSet
+      assert(gotKept == expKept, s"domain $rd")
+    }
+    // every structurally-reachable status occurs; exact_dup only exists
+    // when the fixture actually carries identical texts (it does not at
+    // the smallest sf)
+    val hasDup = texts.groupBy(t => md5hex(t._2)).exists(_._2.length > 1)
+    val want = Set("kept", "cluster_sample", "domain_quota") ++
+      (if (hasDup) Set("exact_dup") else Set.empty[String])
+    assert(got.values.toSet == want)
+  }
+
+  test("q241 streaming LPA equals batch q144 row-for-row") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val batch = SparkEntry.byName("q144_label_propagation").run(spark, sf)
+      .collect().map(key).toSeq
+    val stream = SparkEntry.byName("q241_stream_incremental_lpa").run(spark, sf)
+      .collect().map(key).toSeq
+    assert(batch.nonEmpty && batch == stream)
+  }
+
   test("q238 2-core peel replays in plain Scala from q27 pairs") {
     val got = SparkEntry.byName("q238_kcore_peel").run(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -363,4 +363,55 @@ class MultimodalSpec extends AnyFunSuite {
       Set(1L, 2L, 3L))
     assert(rows.values.map(_._1).filter(_ > 0).toSet.size >= 4)
   }
+
+  test("q240 MP3 walk agrees with an independent per-byte JVM frame parser") {
+    val rows = SparkEntry.byName("q240_mp3_sync_census").run(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(rows.nonEmpty)
+    val blobs = graft.queries.MultimodalPack.mp3Blobs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    assert(blobs.length == rows.size)
+    val brTable = Map(1 -> 32L, 2 -> 40L, 3 -> 48L, 4 -> 56L, 5 -> 64L)
+    val srTable = Map(0 -> 44100L, 1 -> 48000L, 2 -> 32000L)
+    blobs.foreach { case (id, bytes) =>
+      if (id % 7 == 3) {
+        assert(rows(id)._1 == -1L, s"doc $id raw not refused")
+      } else {
+        def u(i: Int) = bytes(i) & 0xff
+        var p = 0
+        var hasId3 = 0L; var tagB = 0L
+        if (bytes.length >= 10 &&
+            new String(bytes.take(3), "ISO-8859-1") == "ID3") {
+          hasId3 = 1L
+          // syncsafe: 7 bits per byte, MSB-first
+          tagB = ((u(6) & 0x7f) << 21) | ((u(7) & 0x7f) << 14) |
+            ((u(8) & 0x7f) << 7) | (u(9) & 0x7f)
+          p = 10 + tagB.toInt
+        }
+        var nf = 0L; var kb = -1L; var sr0 = -1L; var ok = true
+        while (ok && p < bytes.length) {
+          if (u(p) == 0xff && u(p + 1) == 0xfb) {
+            val b3 = u(p + 2)
+            val kbf = brTable(b3 >> 4); val srf = srTable((b3 >> 2) & 3)
+            if (kb < 0) { kb = kbf; sr0 = srf }
+            else ok = ok && kbf == kb && srf == sr0
+            nf += 1
+            p += (144 * (kbf * 1000) / srf + ((b3 >> 1) & 1)).toInt
+          } else ok = false
+        }
+        ok = ok && p == bytes.length && nf >= 1
+        assert(ok, s"doc $id independent parse failed")
+        assert(rows(id) == ((hasId3, tagB, nf, kb, sr0)), s"doc $id")
+      }
+    }
+    // both syncsafe boundary classes occur (>127 needs the 2-byte form)
+    val tags = rows.values.map(_._2).filter(_ > 0).toSet
+    assert(tags.exists(_ <= 127L) && tags.exists(_ > 127L), tags)
+    // all three frame counts and an ID3-absent class occur
+    assert(rows.values.map(_._3).toSet.intersect(Set(1L, 2L, 3L)) ==
+      Set(1L, 2L, 3L))
+    assert(rows.values.exists(_._1 == 0L))
+  }
 }

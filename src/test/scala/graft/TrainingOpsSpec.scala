@@ -401,6 +401,44 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rows.exists(_._3 == 1L) && rows.exists(_._3 == 0L))
   }
 
+  test("q243 IBAN gate agrees with an independent BigInteger mod-97 on every plant") {
+    // reference implementation: full-precision BigInteger remainder over
+    // the expanded rearranged number — no chunking, written independently
+    // of the SQL's 9-digit fold
+    def ibanOk(iban: String): Boolean = {
+      val re = iban.substring(4) + iban.substring(0, 4)
+      val digits = re.flatMap(c =>
+        if (c.isLetter) (c - 'A' + 10).toString else c.toString)
+      new java.math.BigInteger(digits).mod(java.math.BigInteger.valueOf(97))
+        .intValue == 1
+    }
+    // a published example: the ISO 13616 illustrative GB IBAN
+    assert(ibanOk("GB82WEST12345698765432"))
+    assert(!ibanOk("GB82WEST12345698765433"))
+    val rows = SparkEntry.byName("q243_iban_gate").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (docId, nCand, nValid) =>
+      assert(nCand == 1L, s"doc $docId: n_candidates=$nCand")
+      val es = docId % 3 == 2
+      val bb =
+        if (es) "210004184500" + f"${docId * 104729 % 100000000L}%08d"
+        else "37040044" + f"${docId * 7919 % 10000000000L}%010d"
+      val cc = if (es) "ES" else "DE"
+      // recompute the check digits the fixture's way, independently
+      val pre = (bb + cc.flatMap(c => (c - 'A' + 10).toString) + "00")
+      val m = new java.math.BigInteger(pre)
+        .mod(java.math.BigInteger.valueOf(97)).intValue
+      val ck = 98 - m + (if (docId % 3 == 1) 1 else 0)
+      val iban = cc + f"$ck%02d" + bb
+      val expected = if (ibanOk(iban)) 1L else 0L
+      assert(nValid == expected, s"doc $docId iban=$iban")
+      // the invalid class is invalid BY CONSTRUCTION, never by luck
+      if (docId % 3 == 1) assert(expected == 0L, s"doc $docId")
+    }
+    assert(rows.exists(_._3 == 1L) && rows.exists(_._3 == 0L))
+  }
+
   test("q218 flags every planted key, passes every planted run, entropy re-derives") {
     val rows = SparkEntry.byName("q218_secret_scan").run(spark, sf)
       .collect()
