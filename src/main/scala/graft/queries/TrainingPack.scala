@@ -2128,6 +2128,93 @@ object TrainingPack {
         .orderBy("doc_id")
     },
 
+    // ---- q245: excess-loss domain reweighting (one MW round) -----------------
+    // The mixture-update step behind DoReMi-style domain reweighting (Xie
+    // et al., NeurIPS 2023 — public literature): domains whose loss under
+    // the reference model exceeds the corpus average get MORE weight next
+    // round. Reference loss = q93's add-one unigram NLL (the model comes
+    // from unigramNllTokens VERBATIM, so the reweighter and the per-doc
+    // scorer cannot drift); excess_i = mean-NLL(domain) − mean-NLL(corpus),
+    // both DECIMAL(18,8)-rounded under the q93 ln discipline. The
+    // multiplicative-weights update is LINEARIZED so it stays replayable:
+    // delta_bp = floor(2500·excess) — an exp() step would reintroduce a
+    // libm surface for no semantic gain at one round — applied to the
+    // token-proportional baseline, floored at 1 bp (no domain starves to
+    // zero), renormalized to basis points by integer division. The output
+    // IS the next sampling plan: a q215/q97-style mixture table, now
+    // loss-aware.
+    //
+    // 100 TB shape: one scored-token pass (the q93 shape: bounded-vocab
+    // model broadcast onto the token stream, map-side-combined per-domain
+    // sums), then a catalog-sized domain ledger — the global scalar and
+    // the renormalizer are broadcast one-row frames. Nothing iterates at
+    // corpus scale; one MW round per corpus pass is exactly the DoReMi
+    // loop's per-epoch cost.
+    QueryDef(
+      "q245_domain_reweight",
+      s"""WITH $UNIGRAM_NLL_CTES,
+         |dom AS (SELECT doc_id, source FROM documents),
+         |sd AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tok, SUM(nll) AS snll
+         |  FROM scored JOIN dom USING (doc_id) GROUP BY source),
+         |gl AS (
+         |  SELECT CAST(SUM(n_tok) AS BIGINT) AS gt,
+         |    CAST(CAST(CAST(SUM(snll) AS DOUBLE) / SUM(n_tok)
+         |      AS DECIMAL(18,8)) AS DOUBLE) AS gmean
+         |  FROM sd),
+         |ex AS (
+         |  SELECT source, n_tok,
+         |    CAST(CAST(CAST(snll AS DOUBLE) / n_tok AS DECIMAL(18,8))
+         |      AS DOUBLE) AS mean_nll,
+         |    gt, gmean
+         |  FROM sd CROSS JOIN gl),
+         |upd AS (
+         |  SELECT source, n_tok, mean_nll,
+         |    CAST(CAST(mean_nll - gmean AS DECIMAL(18,8)) AS DOUBLE) AS excess,
+         |    CAST(10000 * n_tok // gt AS BIGINT) AS base_bp,
+         |    CAST(FLOOR(CAST(2500.0 AS DOUBLE) *
+         |      CAST(CAST(mean_nll - gmean AS DECIMAL(18,8)) AS DOUBLE))
+         |      AS BIGINT) AS delta_bp
+         |  FROM ex),
+         |raws AS (
+         |  SELECT *, GREATEST(base_bp + delta_bp, 1) AS rw FROM upd),
+         |tot AS (SELECT CAST(SUM(rw) AS BIGINT) AS tr FROM raws)
+         |SELECT source, n_tok, mean_nll, excess, base_bp, delta_bp,
+         |  CAST(10000 * rw // tr AS BIGINT) AS new_bp
+         |FROM raws CROSS JOIN tot
+         |ORDER BY source""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val dom = Tables.documents(s, d).select("doc_id", "source")
+      val sd = unigramNllTokens(s, d)
+        .join(dom, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tok"), sum(col("nll")).as("snll"))
+        .persist() // feeds the global scalar AND the per-domain ledger
+      val gl = sd.agg(sum(col("n_tok")).as("gt"),
+        (sum(col("snll")).cast("double") / sum(col("n_tok")))
+          .cast(DecimalType(18, 8)).cast("double").as("gmean"))
+      val upd = sd.crossJoin(broadcast(gl))
+        .select(col("source"), col("n_tok"),
+          (col("snll").cast("double") / col("n_tok"))
+            .cast(DecimalType(18, 8)).cast("double").as("mean_nll"),
+          col("gt"), col("gmean"))
+        .withColumn("excess",
+          (col("mean_nll") - col("gmean"))
+            .cast(DecimalType(18, 8)).cast("double"))
+        .withColumn("base_bp", expr("10000 * n_tok div gt"))
+        .withColumn("delta_bp",
+          floor(lit(2500.0) * col("excess")).cast("long"))
+        .withColumn("rw",
+          greatest(col("base_bp") + col("delta_bp"), lit(1L)))
+        .persist() // feeds the renormalizer AND the output
+      val tot = upd.agg(sum(col("rw")).as("tr"))
+      upd.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tok"), col("mean_nll"), col("excess"),
+          col("base_bp"), col("delta_bp"),
+          expr("10000 * rw div tr").as("new_bp"))
+        .orderBy("source")
+    },
+
     // ---- q209: interpolated Kneser-Ney bigram model -------------------------
     // The LM-smoothing capstone over q162's bigram machinery: add-one
     // smoothing (q93/q162) over-weights unseen mass; production n-gram
@@ -2714,6 +2801,22 @@ object TrainingPack {
   private def unigramNllPerDoc(s: org.apache.spark.sql.SparkSession,
                                d: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    unigramNllTokens(s, d).groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum(col("oov")).as("n_oov"),
+        (sum(col("nll")).cast("double") / count(lit(1)))
+          .cast(DecimalType(18, 8)).cast("double").as("avg_nll"))
+  }
+
+  /** Spark mirror of [[UNIGRAM_NLL_CTES]]'s `scored`: the per-token
+    * (doc_id, oov, nll) stream under the add-one-smoothed corpus-fit
+    * unigram LM, nll as exact DECIMAL(38,20) terms. Shared by q93's
+    * per-doc fold and q245's per-domain reweighting so the model cannot
+    * drift between them. */
+  private def unigramNllTokens(s: org.apache.spark.sql.SparkSession,
+                               d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
       "[^a-z ]", ""), "  *", " "))
     // token stream scanned twice (count-model pass + scoring pass) —
@@ -2725,18 +2828,12 @@ object TrainingPack {
     val vocab = cnt.filter(col("c") >= LM_MIN_COUNT)
     val scal = cnt.agg(sum(col("c")).as("T"))
       .crossJoin(vocab.agg(count(lit(1)).as("V")))
-    val scored = tok
+    tok
       .join(vocab, Seq("tok"), "left")
       .crossJoin(broadcast(scal))
       .select(col("doc_id"),
         when(col("c").isNull, 1L).otherwise(0L).as("oov"),
         (-log((coalesce(col("c"), lit(0L)) + lit(1.0)) /
           (col("T") + col("V") + lit(1.0)))).cast(DecimalType(38, 20)).as("nll"))
-    scored.groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_tok"),
-        sum(col("oov")).as("n_oov"),
-        (sum(col("nll")).cast("double") / count(lit(1)))
-          .cast(DecimalType(18, 8)).cast("double").as("avg_nll"))
   }
 }

@@ -439,6 +439,47 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rows.exists(_._3 == 1L) && rows.exists(_._3 == 0L))
   }
 
+  test("q245 reweighting ledger replays from a plain Scala unigram model") {
+    val got = SparkEntry.byName("q245_domain_reweight").run(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got.nonEmpty)
+    val rows = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).toLowerCase.replaceAll("[^a-z ]", "")
+          .replaceAll("  *", " ").trim.split(" ").filter(_.nonEmpty).toSeq))
+    val all = rows.flatMap(_._2)
+    val cnt = all.groupBy(identity).map { case (t, o) => t -> o.length.toLong }
+    val vocab = cnt.filter(_._2 >= 5)
+    val bigT = all.length.toLong; val v = vocab.size.toLong
+    def round8(x: Double) =
+      BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def nll(t: String) = BigDecimal(-math.log(
+      (vocab.getOrElse(t, 0L) + 1.0) / (bigT + v + 1.0)))
+      .setScale(20, BigDecimal.RoundingMode.HALF_UP)
+    val sd = rows.groupBy(_._1).map { case (src, g) =>
+      val toks = g.flatMap(_._2)
+      src -> (toks.length.toLong, toks.map(nll).sum)
+    }
+    val gt = sd.values.map(_._1).sum
+    val gmean = round8(sd.values.map(_._2).sum.toDouble / gt)
+    val raws = sd.map { case (src, (n, s0)) =>
+      val mean = round8(s0.toDouble / n)
+      val excess = round8(mean - gmean)
+      val base = 10000L * n / gt
+      val delta = math.floor(2500.0 * excess).toLong
+      src -> (n, mean, excess, base, delta, math.max(base + delta, 1L))
+    }
+    val tr = raws.values.map(_._6).sum
+    raws.foreach { case (src, (n, mean, excess, base, delta, rw)) =>
+      assert(got(src) == ((n, mean, excess, base, delta, 10000L * rw / tr)),
+        s"source $src")
+    }
+    // the update must actually move weight somewhere at this sf
+    assert(got.values.exists(v0 => v0._6 != v0._4))
+  }
+
   test("q218 flags every planted key, passes every planted run, entropy re-derives") {
     val rows = SparkEntry.byName("q218_secret_scan").run(spark, sf)
       .collect()
