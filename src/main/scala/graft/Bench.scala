@@ -191,7 +191,24 @@ object Bench {
     val detail = results
       .map { case (k, _, rs) => "\"" + k + "\":" + rs.map(r3).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    println(s"""{"bench_detail":$detail,"fixture":"$fixtureHash","fixture_files":$fixtureDetail,"sf":"$sfDir"}""")
+    val detailLine =
+      s"""{"bench_detail":$detail,"fixture":"$fixtureHash","fixture_files":$fixtureDetail,"sf":"$sfDir"}"""
+    println(detailLine)
+    // The summary line folds sub-0.65 s queries into one aggregate to stay
+    // under the driver's ~1800-char tail cap — at 245 queries that hides
+    // ~120 per-query times from the parsed view. Persist the FULL detail as
+    // a file artifact so per-query regression visibility never depends on
+    // the tail (r15, verdict item 3). Best-effort: a read-only cwd must not
+    // discard the run's stdout output.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT", "bench_detail.json")),
+        (detailLine + "\n").getBytes("UTF-8"))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] detail artifact write failed: ${e.getMessage}")
+    }
     def shortId(n: String): String = n.takeWhile(_ != '_')
     // Sub-0.65 s queries sit below this VM's run-to-run noise floor and are
     // never perf-graded individually; folding them into one {"n","sum"}

@@ -286,6 +286,20 @@ object Multimodal {
     coalesce(hits: _*)
   }
 
+  /** True when IFD0 parsed but carries MORE entries than the bounded
+    * prefix scan walks (n > 4): a tag yielding null may be absent OR
+    * sitting past the scan horizon. Real IFD0s carry ~10 entries, so a
+    * pipeline ingesting real JPEGs should route truncated rows to a
+    * full parser instead of reading null as "no Orientation/GPS tag"
+    * (r15, ADVICE — absent-vs-unscanned made distinguishable without
+    * raising the unroll bound, which would double the byte-walk subtree
+    * everywhere: the q187/q199 expression-tree lesson). */
+  def exifScanTruncated(bin: Column): Column = {
+    val le = tiffLe(bin)
+    val ifd = lit(13L) + uintAt(bin, lit(17L), 4, le)
+    tiffIfdOk(bin) && uintAt(bin, ifd, 2, le) > 4L
+  }
+
   def exifOrientation(bin: Column): Column = {
     // Orientation (0x0112), type SHORT (3), count 1; value in the entry's
     // first 2 value bytes, valid range 1-8

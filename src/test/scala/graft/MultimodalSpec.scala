@@ -274,6 +274,23 @@ class MultimodalSpec extends AnyFunSuite {
       blob(le = true, pad = 1, orient = 7, decoys = 3))  // tag at scan position 4
     assert(got == Seq(Some(6L), Some(3L), None, None, None, None, None,
       None, None, None, None, None, None, None, Some(7L)), got)
+
+    // absent-vs-unscanned (r15, ADVICE): the count-over-scan-bound blob
+    // (n=5 > 4) yields a null orientation ABOVE — exifScanTruncated is the
+    // flag that distinguishes that null from a genuinely absent tag
+    def truncated(bs: Array[Byte]*): Seq[Boolean] = {
+      val df = bs.zipWithIndex.map { case (b, i) => (i, b) }.toDF("i", "content")
+      df.select(col("i"),
+          Multimodal.exifScanTruncated(col("content")).as("t"))
+        .orderBy("i").collect()
+        .map(r => !r.isNullAt(1) && r.getBoolean(1)).toSeq
+    }
+    assert(truncated(
+      blob(le = true, pad = 0, orient = 6, decoys = 5), // 6 entries: tag past horizon
+      blob(le = true, pad = 3, orient = 6),             // 2 entries: fully scanned
+      blob(le = true, pad = 1, orient = 7, decoys = 3), // 4 entries: at the bound
+      "just some text bytes".getBytes("UTF-8")          // unparsed != truncated
+    ) == Seq(true, false, false, false))
   }
 
   test("q230 GIF census agrees with the JDK's own ImageIO GIF reader") {
