@@ -209,8 +209,114 @@ object EtlPack {
     // corpus can migrate parquet↔ORC without a semantic diff.
     QueryDef("q138_orc_source", FidelityOracle) { (s, d) =>
       fidelityAgg(s.read.schema(DocsSchema).orc(stagedDocs(s, d, "orc")))
+    },
+
+    // ---- q246: the §2.9 VARIANT's stats report ------------------------------
+    // The second batch job (`spark-jars/spark_airports_final.py:40-70`)
+    // differs from the canonical one in four graded ways, all exercised
+    // here: (1) typed parse — lat/lon DoubleType INSIDE from_json, no
+    // cleaning step (`:40-44`; bad/missing coords silently null, cf.
+    // EtlSpec "typed-parse variant"); (2) the distinct key is
+    // countDistinct("icao"), not "id" (`:58`); (3) stats delivery is
+    // collect()[0] to the driver (`:65`) — reproduced literally: ONE
+    // bounded row crosses to the driver and the report is assembled
+    // there, the A2-action shape; (4) the report is the driver's
+    // f-string prints (`:66-70`), emitted as (line, report) rows with
+    // the variant's own %.4f formatting. Because the NiFi wire quotes
+    // coords (which the typed path nulls — pinned by EtlSpec), this
+    // fixture carries lat/lon as JSON NUMBER tokens: the wire the typed
+    // variant is designed for. %7 rows omit `lat` (the null path), %11
+    // omit `icao`, %17 are truncated to invalid JSON — which still COUNT
+    // in total_records, exactly as the variant's count over df_parsed
+    // counts from_json's all-null rows.
+    //
+    // Determinism: coords are integer-valued doubles, so every partial
+    // sum is exact in IEEE whatever the partition order, and avg =
+    // exact_integer_sum / count is one shared rounding. The %.4f
+    // rendering can't straddle a half-tie: avg has exact denominator
+    // 3 after reduction (10^4/n_customer ∈ {20/3, 2/3, ...·10^k}), so
+    // the 5th decimal is never exactly 5 and Java HALF_UP == C
+    // round-half-even on every reachable value.
+    QueryDef(
+      "q246_etl_variant_stats",
+      s"""WITH $VARIANT_WIRE_SQL,
+         |parsed AS (
+         |  SELECT CASE WHEN json_valid(value) THEN json_extract_string(value, '$$.icao') END AS icao,
+         |         CASE WHEN json_valid(value) THEN TRY_CAST(json_extract_string(value, '$$.lat') AS DOUBLE) END AS lat,
+         |         CASE WHEN json_valid(value) THEN TRY_CAST(json_extract_string(value, '$$.lon') AS DOUBLE) END AS lon
+         |  FROM vwire),
+         |st AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS total_records,
+         |         CAST(COUNT(DISTINCT icao) AS BIGINT) AS unique_airports,
+         |         AVG(lat) AS avg_lat, AVG(lon) AS avg_lon,
+         |         MIN(lat) AS min_lat, MAX(lat) AS max_lat
+         |  FROM parsed)
+         |SELECT line, report FROM (
+         |  SELECT CAST(1 AS BIGINT) AS line,
+         |    concat('Total enregistrements: ', CAST(total_records AS VARCHAR)) AS report FROM st
+         |  UNION ALL SELECT 2, concat('Aeroports uniques: ', CAST(unique_airports AS VARCHAR)) FROM st
+         |  UNION ALL SELECT 3, concat('Latitude moyenne: ', printf('%.4f', avg_lat)) FROM st
+         |  UNION ALL SELECT 4, concat('Longitude moyenne: ', printf('%.4f', avg_lon)) FROM st
+         |  UNION ALL SELECT 5, concat('Latitude min/max: ', printf('%.4f', min_lat),
+         |    ' / ', printf('%.4f', max_lat)) FROM st)
+         |ORDER BY line""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val parsed = Etl.parse(variantWire(s, d), Etl.airportSchemaTyped)
+      // the variant's collect()[0]: one bounded row to the driver
+      val st = parsed.agg(
+        count(lit(1)).as("total_records"),
+        countDistinct(col("icao")).as("unique_airports"),
+        avg(col("lat")).as("avg_lat"),
+        avg(col("lon")).as("avg_lon"),
+        min(col("lat")).as("min_lat"),
+        max(col("lat")).as("max_lat")).collect()(0)
+      def f4(i: Int) = String.format(java.util.Locale.ROOT, "%.4f",
+        Double.box(st.getDouble(i)))
+      Seq(
+        (1L, s"Total enregistrements: ${st.getLong(0)}"),
+        (2L, s"Aeroports uniques: ${st.getLong(1)}"),
+        (3L, s"Latitude moyenne: ${f4(2)}"),
+        (4L, s"Longitude moyenne: ${f4(3)}"),
+        (5L, s"Latitude min/max: ${f4(4)} / ${f4(5)}"))
+        .toDF("line", "report").orderBy("line")
     }
   )
+
+  /** q246's wire: same derivation as [[jsonBody]] but lat/lon as JSON
+    * NUMBER tokens (the shape the typed schema parses), `lat` absent on
+    * %7 rows, `icao` absent on %11, %17 truncated to invalid JSON. */
+  private def variantWire(s: SparkSession, d: String): DataFrame = {
+    val k = col("c_custkey")
+    val icaoPart = when(k % 11 === 0, lit(""))
+      .otherwise(concat(lit(",\"icao\":\""), upper(substring(md5(col("c_name")), 1, 4)), lit("\"")))
+    val latPart = when(k % 7 === 0, lit(""))
+      .otherwise(concat(lit(",\"lat\":"), (k % 180 - 90).cast("string")))
+    val body = concat(
+      lit("{\"id\":\""), k.cast("string"), lit("\""),
+      icaoPart,
+      lit(",\"name\":\""), col("c_name"), lit("\""),
+      latPart,
+      lit(",\"lon\":"), (k % 360 - 180).cast("string"), lit("}"))
+    Tables.customer(s, d)
+      .select(encode(
+        when(k % 17 === 0, substring(body, 1, 20)).otherwise(body),
+        "UTF-8").as("value"))
+  }
+
+  /** DuckDB replay of [[variantWire]]. */
+  private val VARIANT_WIRE_SQL =
+    """vwire AS (
+      |  SELECT CASE WHEN c_custkey % 17 = 0 THEN substring(j, 1, 20) ELSE j END AS value
+      |  FROM (
+      |    SELECT c_custkey,
+      |      concat('{"id":"', CAST(c_custkey AS VARCHAR), '"',
+      |        CASE WHEN c_custkey % 11 = 0 THEN ''
+      |             ELSE concat(',"icao":"', upper(substring(md5(c_name), 1, 4)), '"') END,
+      |        ',"name":"', c_name, '"',
+      |        CASE WHEN c_custkey % 7 = 0 THEN ''
+      |             ELSE concat(',"lat":', CAST(c_custkey % 180 - 90 AS VARCHAR)) END,
+      |        ',"lon":', CAST(c_custkey % 360 - 180 AS VARCHAR), '}') AS j
+      |    FROM customer))""".stripMargin
 
   /** The shared source-fidelity contract (q132/q137/q138): per-source
     * counts + token mass + a 52-bit-md5 content checksum. The oracle

@@ -1035,6 +1035,149 @@ object MultimodalPack {
           when(col("ok"), col("kbps")).otherwise(-1L).as("bitrate_kbps"),
           when(col("ok"), col("sr")).otherwise(-1L).as("sample_rate"))
         .orderBy("doc_id")
+    },
+
+    // ---- q251: ID3v2 text-frame extraction (audio metadata → columns) -----
+    // q240 walks the AUDIO frames past the tag; this walks the TAG
+    // itself — the metadata-extraction op an audio-corpus pipeline runs
+    // to get title/artist columns out of ID3v2.3 (informal standard,
+    // id3.org): 10-byte header with a SYNCSAFE size, then a frame walk —
+    // 4-char frame id, big-endian uint32 size, 2 flag bytes, then an
+    // encoding byte (0x00 = ISO-8859-1) and the text — terminated by
+    // zero-padding. The fixture plants TIT2 (+ TPE1 on %3≠0 docs) with
+    // doc-derived text and padding that crosses the 7-bit syncsafe
+    // boundary both ways (150 vs <9 bytes); %7==3 rows are raw text (the
+    // must-fail class). The walk is blind: frame offsets, sizes, the
+    // padding run, and the blob-length/tag-size consistency are all READ
+    // from bytes and cross-checked, so any drift between build and parse
+    // fails the oracle.
+    //
+    // 100 TB shape: pure codegen'd expressions riding the scan (hex
+    // substring walk, staged via withColumn — the q187/q199
+    // expression-tree lesson); zero shuffles beyond the output sort,
+    // zero UDFs.
+    QueryDef(
+      "q251_id3v2_frames",
+      """WITH lt AS (
+        |  SELECT doc_id, regexp_replace(text, '[^a-z]', '', 'g') AS letters
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    doc_id % 7 = 3 AS raw,
+        |    substring(letters, 1, CAST(8 + doc_id % 7 AS INT)) AS title,
+        |    substring(letters, 21, CAST(6 + doc_id % 5 AS INT)) AS artist,
+        |    doc_id % 3 <> 0 AS hasart,
+        |    CASE WHEN doc_id % 2 = 0 THEN 150 ELSE doc_id % 9 END AS pad
+        |  FROM lt),
+        |r AS (
+        |  SELECT *,
+        |    10 + 1 + length(title) +
+        |      CASE WHEN hasart THEN 10 + 1 + length(artist) ELSE 0 END + pad AS tagsz,
+        |    CASE WHEN hasart THEN 2 ELSE 1 END AS nfr
+        |  FROM p)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN raw THEN 0 ELSE 1 END AS BIGINT) AS valid,
+        |  CASE WHEN raw THEN NULL ELSE title END AS title,
+        |  CASE WHEN raw OR NOT hasart THEN NULL ELSE artist END AS artist,
+        |  CAST(CASE WHEN raw THEN -1 ELSE nfr END AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN raw THEN -1 ELSE tagsz END AS BIGINT) AS tag_bytes,
+        |  CAST(CASE WHEN raw THEN -1 ELSE pad END AS BIGINT) AS pad_bytes
+        |FROM r
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val did = col("doc_id")
+      // ---- fixture: ID3v2.3 tag blob (or raw text on the %7==3 rows) ----
+      val raw = pmod(did, lit(7)) === 3
+      val letters = regexp_replace(col("text"), "[^a-z]", "")
+      val title = letters.substr(lit(1), (lit(8L) + pmod(did, lit(7))).cast("int"))
+      val artist = letters.substr(lit(21), (lit(6L) + pmod(did, lit(5))).cast("int"))
+      val hasArt = pmod(did, lit(3)) =!= 0
+      val pad = when(pmod(did, lit(2)) === 0, 150L).otherwise(pmod(did, lit(9)))
+      def frame(fidHex: String, txt: org.apache.spark.sql.Column) = concat(
+        lit(fidHex), lpad(hex(length(txt) + 1L), 8, "0"), lit("0000"),
+        lit("00"), hex(encode(txt, "UTF-8")))
+      val blobs = Tables.documentsSpread(s, d)
+        .withColumn("__t1", title).withColumn("__t2", artist)
+        .withColumn("__tagsz",
+          lit(11L) + length(col("__t1")) +
+            when(hasArt, lit(11L) + length(col("__t2"))).otherwise(0L) + pad)
+        .withColumn("mhex", concat(
+          lit("494433030000"), lit("0000"),
+          lpad(hex((col("__tagsz") / 128L).cast("long")), 2, "0"),
+          lpad(hex(pmod(col("__tagsz"), lit(128L))), 2, "0"),
+          frame("54495432", col("__t1")),
+          when(hasArt, frame("54504531", col("__t2"))).otherwise(lit("")),
+          call_function("repeat", lit("00"), pad.cast("int"))))
+        .select(did,
+          when(raw, encode(col("text"), "UTF-8"))
+            .otherwise(unhex(col("mhex"))).as("content"))
+      // ---- the parse side sees ONLY (doc_id, content) from here on ----
+      def byteAt(p: org.apache.spark.sql.Column) =
+        conv(col("hx").substr(p * 2 - 1, lit(2)), 16, 10).cast("long")
+      def step(df: DataFrame): DataFrame = df
+        .withColumn("fin", col("done") || col("bad") || col("p") > col("tagend"))
+        .withColumn("ispad",
+          !col("fin") && col("hx").substr(col("p") * 2 - 1, lit(2)) === "00")
+        .withColumn("done", col("fin") || col("ispad"))
+        .withColumn("fid", col("hx").substr(col("p") * 2 - 1, lit(8)))
+        .withColumn("fsz",
+          conv(col("hx").substr((col("p") + 4L) * 2 - 1, lit(8)), 16, 10)
+            .cast("long"))
+        .withColumn("fok", !col("done") &&
+          (col("fid") === "54495432" || col("fid") === "54504531") &&
+          col("hx").substr((col("p") + 10L) * 2 - 1, lit(2)) === "00" &&
+          col("fsz") >= 1L &&
+          col("p") + 10L + col("fsz") - 1L <= col("tagend"))
+        .withColumn("bad", col("bad") || (!col("done") && !col("fok")))
+        .withColumn("ftxt", when(col("fok"),
+          decode(unhex(col("hx").substr((col("p") + 11L) * 2 - 1,
+            ((col("fsz") - 1L) * 2L).cast("int"))), "UTF-8")))
+        .withColumn("title",
+          when(col("fok") && col("fid") === "54495432", col("ftxt"))
+            .otherwise(col("title")))
+        .withColumn("artist",
+          when(col("fok") && col("fid") === "54504531", col("ftxt"))
+            .otherwise(col("artist")))
+        .withColumn("nfr", col("nfr") + when(col("fok"), 1L).otherwise(0L))
+        .withColumn("p",
+          when(col("fok"), col("p") + 10L + col("fsz")).otherwise(col("p")))
+        .drop("fin", "ispad", "fid", "fsz", "fok", "ftxt")
+      val base = blobs
+        .withColumn("hx", hex(col("content")))
+        .withColumn("blen", length(col("content")).cast("long"))
+        .withColumn("hasid3",
+          substring(col("hx"), 1, 6) === "494433" && col("blen") >= 10L)
+        .withColumn("verok", col("hasid3") && byteAt(lit(4L)) === 3L)
+        // ID3v2 size: four SYNCSAFE bytes (7 bits each) at offsets 7-10
+        .withColumn("ts", when(col("hasid3"),
+          pmod(byteAt(lit(7L)), lit(128L)) * 2097152L +
+            pmod(byteAt(lit(8L)), lit(128L)) * 16384L +
+            pmod(byteAt(lit(9L)), lit(128L)) * 128L +
+            pmod(byteAt(lit(10L)), lit(128L))))
+        .withColumn("tagend", lit(10L) + col("ts"))
+        .withColumn("p", lit(11L))
+        .withColumn("nfr", lit(0L))
+        .withColumn("title", lit(null).cast("string"))
+        .withColumn("artist", lit(null).cast("string"))
+        .withColumn("bad", !col("verok"))
+        .withColumn("done", !col("verok"))
+      val walked = (1 to 2).foldLeft(base)((df, _) => step(df))
+      walked
+        .withColumn("remhex", col("hx").substr(col("p") * 2 - 1,
+          greatest((col("tagend") - col("p") + 1L) * 2L, lit(0L)).cast("int")))
+        .withColumn("ok",
+          col("hasid3") && !col("bad") && col("nfr") >= 1L &&
+            col("remhex").rlike("^(00)*$") && col("blen") === col("tagend"))
+        .select(did,
+          when(col("ok"), 1L).otherwise(0L).as("valid"),
+          when(col("ok"), col("title")).otherwise(lit(null).cast("string"))
+            .as("title"),
+          when(col("ok"), col("artist")).otherwise(lit(null).cast("string"))
+            .as("artist"),
+          when(col("ok"), col("nfr")).otherwise(-1L).as("n_frames"),
+          when(col("ok"), col("ts")).otherwise(-1L).as("tag_bytes"),
+          when(col("ok"), col("tagend") - col("p") + 1L).otherwise(-1L)
+            .as("pad_bytes"))
+        .orderBy("doc_id")
     }
   )
 

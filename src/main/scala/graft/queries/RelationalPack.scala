@@ -1789,6 +1789,141 @@ object RelationalPack {
           coalesce(col(s"${l}_docs"), lit(0L)).as(s"${l}_docs"),
           coalesce(col(s"${l}_chars"), lit(0L)).as(s"${l}_chars"))): _*)
         .orderBy("source")
+    },
+
+    // ---- q253: streaming incremental HITS over arriving event edges --------
+    // The q194/q200/q241 versioned-state pattern applied to q247: the
+    // user→item edges ARRIVE (staged 4-file parquet, maxFilesPerTrigger=1)
+    // and every micro-batch re-derives hub/authority scores of the graph
+    // seen so far. State is the accumulated DISTINCT edge list in
+    // versioned parquet — read v{batchId-1}, write v{batchId} (keyed
+    // store reads, idempotent under at-least-once replay — the q200/q241
+    // discipline; HITS sums are multiplicity-sensitive, hence the
+    // distinct on merge); per batch the full 4 mutual-reinforcement
+    // rounds re-run from uniform inside the narrow clone. The final
+    // batch's output hash-matches batch q247's oracle VERBATIM (mutual
+    // reinforcement from uniform is a function of the edge SET, so any
+    // batch split yields the same final scores).
+    QueryDef(
+      "q253_stream_hits", HITS_ORACLE) { (s, d) =>
+      val srcDir = stagedEventEdgeBatches(s, d)
+      val store = TextDedupPack.clearedStore(d, "graft-q253-hits-")
+      val latest = new java.util.concurrent.atomic.AtomicReference[String](null)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) => {
+        val ss = batch.sparkSession
+        val prevV = s"$store/edges_v${batchId - 1}"
+        val merged =
+          (if (batchId > 0 && new java.io.File(prevV).isDirectory)
+             ss.read.parquet(prevV).unionByName(batch.select("u", "v"))
+           else batch.select("u", "v")).distinct()
+        val edgesV = s"$store/edges_v$batchId"
+        merged.write.mode("overwrite").parquet(edgesV)
+        val mp = ss.read.parquet(edgesV)
+        val (h, a) = graft.operators.Graph.hits(mp, "u", "v", 4)
+        val scores = a
+          .select(lit("authority").as("kind"), col("id"), col("s").as("score"))
+          .unionByName(h.select(lit("hub").as("kind"), col("id"),
+            col("s").as("score")))
+        val scoresV = s"$store/scores_v$batchId"
+        scores.write.mode("overwrite").parquet(scoresV)
+        latest.set(scoresV)
+      })
+      Option(latest.get()) match {
+        case Some(last) =>
+          s.read.parquet(last).orderBy("kind", "id")
+        case None =>
+          // zero micro-batches fired — match batch q247's empty answer
+          s.range(0).select(col("id").cast("string").as("kind"),
+            col("id"), col("id").as("score"))
+      }
+    },
+
+    // ---- q247: HITS hubs & authorities over the user→item event graph ------
+    // The centrality family's directed member (q109 PageRank, q145
+    // personalized PR, q144 LPA are the others): Kleinberg's HITS (JACM
+    // 1999) on the bipartite graph of users acting on items
+    // (events.user_id → props.k) — hubs are users whose attention spans
+    // the important items, authorities are items drawing the attention
+    // of important users. Four mutual-reinforcement rounds in the integer
+    // fixed-point discipline (Graph.hitsRounds): each vector
+    // re-normalized to mean ≈ 1e6 by a DIVISION-ONLY integer step
+    // (multiply-then-divide would overflow Long at ~1e5 nodes), so every
+    // round is exact integer arithmetic both engines replay bit-for-bit.
+    //
+    // 100 TB shape: per round two keyed joins of the (deduplicated,
+    // checkpointed) edge list against node-sized score tables, two
+    // map-side-combined sums, and two 1-row normalization aggregates
+    // broadcast back — the Pregel-as-join shape ×2, zero driver-side
+    // actions, iterations at the measured narrow-clone width.
+    QueryDef(
+      "q247_hits_scores", HITS_ORACLE) { (s, d) =>
+      val (h, a) = graft.operators.Graph.hits(eventEdges(s, d), "u", "v", 4)
+      a.select(lit("authority").as("kind"), col("id"), col("s").as("score"))
+        .unionByName(h.select(lit("hub").as("kind"), col("id"),
+          col("s").as("score")))
+        .orderBy("kind", "id")
     }
   )
+
+  /** The q247/q253 user→item edge list: distinct (user_id, props.k)
+    * pairs from `events` — users acting on items, the bipartite graph
+    * HITS was designed for. */
+  private def eventEdges(s: SparkSession, d: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    Tables.events(s, d)
+      .select(col("user_id").as("u"), k.as("v"))
+      .filter(col("v").isNotNull)
+      .distinct()
+  }
+
+  /** One staged 4-file copy of [[eventEdges]] per sf dir — q253's edge
+    * stream (the q247 graph arriving incrementally); cf.
+    * TextDedupPack.stagedPairBatches. */
+  private val eventEdgeStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedEventEdgeBatches(s: SparkSession, d: String): String =
+    eventEdgeStages.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q253-src-")
+      sys.addShutdownHook(graft.streaming.Streams.deleteRecursively(dir))
+      eventEdges(s, d).repartition(4)
+        .write.mode("overwrite").parquet(dir.toString)
+      dir.toString
+    })
+
+  /** Shared oracle for q247 (batch HITS) and q253 (streaming incremental
+    * HITS — same final edge set ⇒ same scores): 4 mutual-reinforcement
+    * rounds, each vector re-normalized to mean ≈ 1e6 by the
+    * division-only integer step (see Graph.hitsRounds). */
+  private lazy val HITS_ORACLE: String = {
+    val rounds = (1 to 4).map { t =>
+      s"""a${t}r AS (SELECT e.v AS id, CAST(SUM(h.s) AS BIGINT) AS s
+         |  FROM edges e JOIN h${t - 1} h ON e.u = h.id GROUP BY e.v),
+         |a${t}t AS (SELECT CAST(SUM(s) AS BIGINT) AS tot,
+         |  CAST(COUNT(*) AS BIGINT) AS n FROM a${t}r),
+         |a$t AS (SELECT id, s // greatest(tot // (n * 1000000), 1) AS s
+         |  FROM a${t}r, a${t}t),
+         |h${t}r AS (SELECT e.u AS id, CAST(SUM(a.s) AS BIGINT) AS s
+         |  FROM edges e JOIN a$t a ON e.v = a.id GROUP BY e.u),
+         |h${t}t AS (SELECT CAST(SUM(s) AS BIGINT) AS tot,
+         |  CAST(COUNT(*) AS BIGINT) AS n FROM h${t}r),
+         |h$t AS (SELECT id, s // greatest(tot // (n * 1000000), 1) AS s
+         |  FROM h${t}r, h${t}t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT user_id AS u,
+       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS v
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+       |h0 AS (SELECT u AS id, CAST(1000000 AS BIGINT) AS s
+       |  FROM (SELECT DISTINCT u FROM edges)),
+       |$rounds
+       |SELECT kind, id, score FROM (
+       |  SELECT 'authority' AS kind, id, s AS score FROM a4
+       |  UNION ALL SELECT 'hub', id, s FROM h4)
+       |ORDER BY kind, id""".stripMargin
+  }
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.operators.{Occupancy, Packing, Redact, Sampling}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -2708,6 +2709,318 @@ object TrainingPack {
           when(col("n_mixed") === expMixed && col("n_cyr") === expCyr, 1L)
             .otherwise(0L).as("recovered"))
         .orderBy("doc_id")
+    },
+
+    // ---- q248: fill-in-the-middle (FIM) span transformation ----------------
+    // The FIM data transformation (Bavarian et al. 2022, "Efficient
+    // Training of Language Models to Fill in the Middle" — public
+    // literature): split each document at two uniform character
+    // positions into (prefix, middle, suffix) and re-emit with sentinel
+    // tokens so the model learns infilling — PSM order
+    // [PRE]p[SUF]s[MID]m or SPM order [SUF]s[PRE]p[MID]m, applied at the
+    // paper's 90% FIM rate (every 10th doc passes through unchanged).
+    // All randomness is the portable 60-bit md5 draw (the q195/q68
+    // discipline): split points are md5('fim1:'/'fim2:'||doc_id) mod
+    // (n+1) — order-normalized so p1 ≤ p2 — and the PSM/SPM coin is its
+    // own hash, so the transformed corpus replays byte-for-byte and the
+    // oracle hash-checks the per-doc md5 of the ACTUAL training string.
+    //
+    // 100 TB shape: pure map-side string work riding the scan — zero
+    // shuffles, zero UDFs (substr/md5/concat are codegen'd); the output
+    // is corpus-sized rows of bounded metadata + one digest, never a
+    // second copy of the text.
+    QueryDef(
+      "q248_fim_spans",
+      """WITH drawn AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    ('0x' || substring(md5('fim1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % (length(text) + 1) AS h1,
+        |    ('0x' || substring(md5('fim2:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % (length(text) + 1) AS h2,
+        |    ('0x' || substring(md5('fimm:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 2 AS coin
+        |  FROM documents),
+        |cut AS (
+        |  SELECT doc_id, text, n, least(h1, h2) AS p1, greatest(h1, h2) AS p2,
+        |    CASE WHEN doc_id % 10 = 0 THEN 'none'
+        |         WHEN coin = 0 THEN 'psm' ELSE 'spm' END AS mode
+        |  FROM drawn),
+        |parts AS (
+        |  SELECT doc_id, mode, n, p1, p2,
+        |    substring(text, 1, CAST(p1 AS INT)) AS pre,
+        |    substring(text, CAST(p1 + 1 AS INT), CAST(p2 - p1 AS INT)) AS mid,
+        |    substring(text, CAST(p2 + 1 AS INT), CAST(n - p2 AS INT)) AS suf,
+        |    text
+        |  FROM cut)
+        |SELECT doc_id, mode,
+        |  CAST(CASE WHEN mode = 'none' THEN -1 ELSE p1 END AS BIGINT) AS p1,
+        |  CAST(CASE WHEN mode = 'none' THEN -1 ELSE p2 END AS BIGINT) AS p2,
+        |  CAST(CASE WHEN mode = 'none' THEN -1 ELSE length(mid) END AS BIGINT) AS len_mid,
+        |  md5(CASE mode
+        |    WHEN 'psm' THEN '<|fim_pre|>' || pre || '<|fim_suf|>' || suf || '<|fim_mid|>' || mid
+        |    WHEN 'spm' THEN '<|fim_suf|>' || suf || '<|fim_pre|>' || pre || '<|fim_mid|>' || mid
+        |    ELSE text END) AS sample_md5
+        |FROM parts
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val did = col("doc_id")
+      val n = length(col("text")).cast("long")
+      def draw(salt: String) =
+        conv(substring(md5(concat(lit(s"$salt:"), did.cast("string"))), 1, 15),
+          16, 10).cast("long")
+      val h1 = draw("fim1") % (n + 1L)
+      val h2 = draw("fim2") % (n + 1L)
+      val coin = draw("fimm") % 2L
+      Tables.documents(s, d)
+        .withColumn("n", n)
+        .withColumn("p1", least(h1, h2))
+        .withColumn("p2", greatest(h1, h2))
+        .withColumn("mode",
+          when(did % 10 === 0, "none")
+            .when(coin === 0, "psm").otherwise("spm"))
+        // staged withColumns (the q187/q199 expression-tree lesson): the
+        // three parts are built once, the sample string reuses them
+        .withColumn("pre", col("text").substr(lit(1L), col("p1")))
+        .withColumn("mid",
+          col("text").substr(col("p1") + 1L, col("p2") - col("p1")))
+        .withColumn("suf",
+          col("text").substr(col("p2") + 1L, col("n") - col("p2")))
+        .select(did, col("mode"),
+          when(col("mode") === "none", -1L).otherwise(col("p1")).as("p1"),
+          when(col("mode") === "none", -1L).otherwise(col("p2")).as("p2"),
+          when(col("mode") === "none", -1L)
+            .otherwise(length(col("mid")).cast("long")).as("len_mid"),
+          md5(when(col("mode") === "psm",
+              concat(lit("<|fim_pre|>"), col("pre"), lit("<|fim_suf|>"),
+                col("suf"), lit("<|fim_mid|>"), col("mid")))
+            .when(col("mode") === "spm",
+              concat(lit("<|fim_suf|>"), col("suf"), lit("<|fim_pre|>"),
+                col("pre"), lit("<|fim_mid|>"), col("mid")))
+            .otherwise(col("text"))).as("sample_md5"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q250: SRT subtitle cue parsing + timed-text QC gates --------------
+    // Video-caption corpora arrive as SRT/VTT timed text; training prep
+    // needs the cues PARSED (index / start / end / text) and gated on the
+    // published timed-text style rules (reading speed in chars-per-second
+    // and no overlapping cues — cf. the BBC/Netflix timed-text style
+    // guides' ~17 cps ceiling). The SRT fixture is synthesized
+    // deterministically per document (cue text = 40-char slices of the
+    // letters-only text, durations 600+30·len ms, planted OVERLAPS on %6
+    // docs via a -250 ms gap) and then the engine must parse the actual
+    // SRT STRING back — block split on blank lines, 'HH:MM:SS,mmm -->
+    // HH:MM:SS,mmm' timestamp regexp, per-cue integer cps — with the
+    // fixture's own srt md5 hash-pinned so the built artifact can't
+    // drift from the oracle's construction. Cues are single-line by
+    // construction (multi-line cue text would join lines 3.. — out of
+    // fixture scope, documented).
+    //
+    // 100 TB shape: generation and parse are both map-side string work
+    // riding the scan (split/regexp_extract/integer math — all
+    // codegen'd); the only shuffle is the per-document window over the
+    // cue list (partitions bounded by cues-per-doc, = 3 here, bounded by
+    // video length in production) + the final keyed agg. No UDFs.
+    QueryDef(
+      "q250_srt_cues", {
+        def fmt(x: String) =
+          s"""lpad(CAST($x // 3600000 AS VARCHAR), 2, '0') || ':' ||
+             |    lpad(CAST(($x % 3600000) // 60000 AS VARCHAR), 2, '0') || ':' ||
+             |    lpad(CAST(($x % 60000) // 1000 AS VARCHAR), 2, '0') || ',' ||
+             |    lpad(CAST($x % 1000 AS VARCHAR), 3, '0')""".stripMargin
+        def block(i: Int) =
+          s"""CAST($i AS VARCHAR) || chr(10) || ${fmt(s"s$i")} ||
+             |    ' --> ' || ${fmt(s"e$i")} || chr(10) || t$i || chr(10) || chr(10)""".stripMargin
+        s"""WITH cl AS (
+           |  SELECT doc_id, regexp_replace(text, '[^a-z ]', '', 'g') AS clean
+           |  FROM documents),
+           |p AS (
+           |  SELECT doc_id,
+           |    least(3, greatest(1, length(clean) // 40)) AS c,
+           |    trim(substring(clean, 1, 40)) AS t1,
+           |    trim(substring(clean, 41, 40)) AS t2,
+           |    trim(substring(clean, 81, 40)) AS t3,
+           |    ('0x' || substring(md5('srt:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5000 AS base,
+           |    CASE WHEN doc_id % 6 = 0 THEN -250
+           |         ELSE 350 + (doc_id + 1) % 200 END AS gap1,
+           |    CASE WHEN doc_id % 6 = 0 THEN -250
+           |         ELSE 350 + (doc_id + 2) % 200 END AS gap2
+           |  FROM cl),
+           |q AS (
+           |  SELECT *, 600 + 30 * length(t1) AS d1, 600 + 30 * length(t2) AS d2,
+           |    600 + 30 * length(t3) AS d3
+           |  FROM p),
+           |r AS (
+           |  SELECT *, base AS s1, base + d1 AS e1,
+           |    base + d1 + gap1 AS s2, base + d1 + gap1 + d2 AS e2,
+           |    base + d1 + gap1 + d2 + gap2 AS s3,
+           |    base + d1 + gap1 + d2 + gap2 + d3 AS e3
+           |  FROM q)
+           |SELECT doc_id,
+           |  CAST(c AS BIGINT) AS n_cues,
+           |  CAST(d1 + CASE WHEN c >= 2 THEN d2 ELSE 0 END +
+           |       CASE WHEN c >= 3 THEN d3 ELSE 0 END AS BIGINT) AS speech_ms,
+           |  CAST(s1 AS BIGINT) AS first_ms,
+           |  CAST(CASE WHEN c = 1 THEN e1 WHEN c = 2 THEN e2 ELSE e3 END AS BIGINT) AS last_ms,
+           |  CAST((CASE WHEN (length(t1) * 100000) // d1 > 1700 THEN 1 ELSE 0 END) +
+           |       (CASE WHEN c >= 2 AND (length(t2) * 100000) // d2 > 1700 THEN 1 ELSE 0 END) +
+           |       (CASE WHEN c >= 3 AND (length(t3) * 100000) // d3 > 1700 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_fast,
+           |  CAST((CASE WHEN c >= 2 AND s2 < e1 THEN 1 ELSE 0 END) +
+           |       (CASE WHEN c >= 3 AND s3 < e2 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+           |  md5(${block(1)} ||
+           |    CASE WHEN c >= 2 THEN ${block(2)} ELSE '' END ||
+           |    CASE WHEN c >= 3 THEN ${block(3)} ELSE '' END) AS srt_md5
+           |FROM r
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      val did = col("doc_id")
+      val nl = lit("\n")
+      def fmtMs(x: String) = concat(
+        lpad(expr(s"CAST($x div 3600000 AS STRING)"), 2, "0"), lit(":"),
+        lpad(expr(s"CAST(($x % 3600000) div 60000 AS STRING)"), 2, "0"), lit(":"),
+        lpad(expr(s"CAST(($x % 60000) div 1000 AS STRING)"), 2, "0"), lit(","),
+        lpad(expr(s"CAST($x % 1000 AS STRING)"), 3, "0"))
+      def block(i: Int) = concat(lit(i.toString), nl,
+        fmtMs(s"s$i"), lit(" --> "), fmtMs(s"e$i"), nl, col(s"t$i"), nl, nl)
+      val gen = Tables.documents(s, d)
+        .withColumn("clean", regexp_replace(col("text"), "[^a-z ]", ""))
+        .withColumn("c",
+          least(lit(3L), greatest(lit(1L),
+            expr("CAST(length(clean) AS BIGINT) div 40"))))
+        .withColumn("t1", trim(substring(col("clean"), 1, 40)))
+        .withColumn("t2", trim(substring(col("clean"), 41, 40)))
+        .withColumn("t3", trim(substring(col("clean"), 81, 40)))
+        .withColumn("base",
+          conv(substring(md5(concat(lit("srt:"), did.cast("string"))), 1, 15),
+            16, 10).cast("long") % 5000L)
+        .withColumn("gap1", when(did % 6 === 0, -250L)
+          .otherwise(lit(350L) + pmod(did + 1L, lit(200L))))
+        .withColumn("gap2", when(did % 6 === 0, -250L)
+          .otherwise(lit(350L) + pmod(did + 2L, lit(200L))))
+        .withColumn("d1", lit(600L) + length(col("t1")).cast("long") * 30L)
+        .withColumn("d2", lit(600L) + length(col("t2")).cast("long") * 30L)
+        .withColumn("d3", lit(600L) + length(col("t3")).cast("long") * 30L)
+        .withColumn("s1", col("base"))
+        .withColumn("e1", col("s1") + col("d1"))
+        .withColumn("s2", col("e1") + col("gap1"))
+        .withColumn("e2", col("s2") + col("d2"))
+        .withColumn("s3", col("e2") + col("gap2"))
+        .withColumn("e3", col("s3") + col("d3"))
+        .withColumn("srt", concat(block(1),
+          when(col("c") >= 2, block(2)).otherwise(lit("")),
+          when(col("c") >= 3, block(3)).otherwise(lit(""))))
+        .select(did, col("srt"))
+      // ---- the parse side sees ONLY (doc_id, srt) from here on ----
+      val tsRe =
+        "^(\\d{2}):(\\d{2}):(\\d{2}),(\\d{3}) --> (\\d{2}):(\\d{2}):(\\d{2}),(\\d{3})$"
+      def grp(g: Int) = regexp_extract(col("tsl"), tsRe, g).cast("long")
+      val cues = gen
+        .withColumn("smd5", md5(col("srt")))
+        .select(did, col("smd5"),
+          explode(filter(split(col("srt"), "\n\n"), b => length(b) > 0))
+            .as("block"))
+        .withColumn("lines", split(col("block"), "\n"))
+        .withColumn("idx", element_at(col("lines"), 1).cast("long"))
+        .withColumn("tsl", element_at(col("lines"), 2))
+        .withColumn("txt", element_at(col("lines"), 3))
+        .withColumn("s_ms",
+          grp(1) * 3600000L + grp(2) * 60000L + grp(3) * 1000L + grp(4))
+        .withColumn("e_ms",
+          grp(5) * 3600000L + grp(6) * 60000L + grp(7) * 1000L + grp(8))
+        .withColumn("dur", col("e_ms") - col("s_ms"))
+        .withColumn("cps100", expr("(length(txt) * 100000) div dur"))
+        .withColumn("prev_e",
+          lag(col("e_ms"), 1).over(Window.partitionBy("doc_id").orderBy("idx")))
+      cues.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_cues"),
+          sum(col("dur")).as("speech_ms"),
+          min(col("s_ms")).as("first_ms"),
+          max(col("e_ms")).as("last_ms"),
+          sum(when(col("cps100") > 1700L, 1L).otherwise(0L)).as("n_fast"),
+          sum(when(col("prev_e").isNotNull && col("s_ms") < col("prev_e"), 1L)
+            .otherwise(0L)).as("n_overlap"),
+          max(col("smd5")).as("srt_md5"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q252: chat-transcript → SFT training-pair assembly ----------------
+    // Instruction-tuning corpora arrive as JSON chat transcripts; SFT
+    // prep flattens each into (context, response) pairs — one per
+    // ASSISTANT turn, context = all prior turns joined — with per-pair
+    // token budgets (the standard supervised-fine-tuning formatting
+    // step, e.g. the public chat-template pipelines). The transcript
+    // fixture is synthesized deterministically (2–4 alternating
+    // user/assistant turns, content = 30-char slices of the
+    // letters-and-spaces text), then the engine must parse the actual
+    // JSON STRING back — from_json with an explicit
+    // ARRAY<STRUCT<role,content>> schema (no inference scan — the 100 TB
+    // discipline), posexplode, and an ordered per-doc window
+    // accumulating prior turns — so the parse, not the plant, produces
+    // every output. The oracle pins the pair md5s, so any drift in JSON
+    // escaping, turn order, or context assembly breaks the hash.
+    //
+    // 100 TB shape: parse and explode are map-side; the only shuffle is
+    // the per-document window (partitions bounded by turns-per-doc) —
+    // conversations are short next to the corpus, never corpus-wide.
+    QueryDef(
+      "q252_chat_sft_pairs",
+      """WITH cl AS (
+        |  SELECT doc_id, regexp_replace(text, '[^a-z ]', '', 'g') AS clean
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, 2 + doc_id % 3 AS nt,
+        |    trim(substring(clean, 1, 30)) AS t1,
+        |    trim(substring(clean, 31, 30)) AS t2,
+        |    trim(substring(clean, 61, 30)) AS t3,
+        |    trim(substring(clean, 91, 30)) AS t4
+        |  FROM cl),
+        |pairs AS (
+        |  SELECT doc_id, CAST(2 AS BIGINT) AS turn, t1 AS ctx, t2 AS resp
+        |  FROM p
+        |  UNION ALL
+        |  SELECT doc_id, CAST(4 AS BIGINT),
+        |    t1 || chr(10) || t2 || chr(10) || t3, t4
+        |  FROM p WHERE nt >= 4)
+        |SELECT doc_id, turn,
+        |  CAST(len(string_split(ctx, ' ')) AS BIGINT) AS ctx_tokens,
+        |  CAST(len(string_split(resp, ' ')) AS BIGINT) AS resp_tokens,
+        |  md5(ctx || '##' || resp) AS pair_md5
+        |FROM pairs
+        |ORDER BY doc_id, turn""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types._
+      val did = col("doc_id")
+      // ---- fixture: the JSON chat transcript string ----
+      val clean = regexp_replace(col("text"), "[^a-z ]", "")
+      def chunk(i: Int) = trim(substring(clean, (i - 1) * 30 + 1, 30))
+      def jturn(i: Int) = concat(
+        lit("{\"role\":\"" + (if (i % 2 == 1) "user" else "assistant")
+          + "\",\"content\":\""),
+        chunk(i), lit("\"}"))
+      val nt = lit(2L) + pmod(did, lit(3))
+      val gen = Tables.documents(s, d)
+        .withColumn("chat", concat(
+          lit("["), jturn(1), lit(","), jturn(2),
+          when(nt >= 3, concat(lit(","), jturn(3))).otherwise(lit("")),
+          when(nt >= 4, concat(lit(","), jturn(4))).otherwise(lit("")),
+          lit("]")))
+        .select(did, col("chat"))
+      // ---- the parse side sees ONLY (doc_id, chat) from here on ----
+      val turnSchema = ArrayType(StructType(Seq(
+        StructField("role", StringType), StructField("content", StringType))))
+      val w = Window.partitionBy("doc_id").orderBy("turn")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      gen
+        .select(did, posexplode(from_json(col("chat"), turnSchema))
+          .as(Seq("pos", "t")))
+        .select(did, (col("pos") + 1L).as("turn"),
+          col("t.role").as("role"), col("t.content").as("content"))
+        .withColumn("ctx", concat_ws("\n", collect_list(col("content")).over(w)))
+        .filter(col("role") === "assistant")
+        .select(did, col("turn"),
+          size(split(col("ctx"), " ")).cast("long").as("ctx_tokens"),
+          size(split(col("content"), " ")).cast("long").as("resp_tokens"),
+          md5(concat(col("ctx"), lit("##"), col("content"))).as("pair_md5"))
+        .orderBy("doc_id", "turn")
     }
   )
 
