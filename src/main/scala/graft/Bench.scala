@@ -89,7 +89,11 @@ object Bench {
       "q210", "q219", // q210/q219 run a full CC (per-round localCheckpoint), as q67
       "q234", "q238", // q234 runs the CC; q238 peels with per-round checkpoints
       "q241", // q241 re-runs checkpointed LPA rounds per micro-batch
-      "q242") // q242's waterfall runs the survivor-graph CC
+      "q242", // q242's waterfall runs the survivor-graph CC
+      // HITS/TextRank iterate with per-round checkpoints (q247/q249), and
+      // q253 re-runs the checkpointed HITS rounds per micro-batch — same
+      // GC+ContextCleaner-freed-blocks criterion as the CC/PR family
+      "q247", "q249", "q253")
     def quiesce(heavy: Boolean): Unit =
       if (heavy) {
         System.gc(); Thread.sleep(50)

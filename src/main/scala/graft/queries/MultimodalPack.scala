@@ -1178,6 +1178,178 @@ object MultimodalPack {
           when(col("ok"), col("tagend") - col("p") + 1L).otherwise(-1L)
             .as("pad_bytes"))
         .orderBy("doc_id")
+    },
+
+    // ---- q256: ZIP central-directory census (archive ingest) ---------------
+    // Corpora ship as archives; the ingest layer's first pass is the ZIP
+    // central-directory walk (PKWARE APPNOTE, public format): find the
+    // end-of-central-directory record at the blob tail (sig PK\x05\x06),
+    // read entry count / CD size / CD offset (all little-endian), walk
+    // the CD entries (sig PK\x01\x02, LE u16/u32 fields, variable-length
+    // name/extra/comment), and CROSS-CHECK each entry's local-file-header
+    // sig and name at its recorded offset — the member listing
+    // (names/sizes/checksums) without touching file data, which is
+    // exactly how an archive reader plans extraction. The fixture builds
+    // 1–3 STORED members per doc with doc-derived names/sizes/CRCs and
+    // both single- and multi-member layouts; %7==3 rows are raw text
+    // (the must-fail class). The walk is blind — every offset, length,
+    // and name is READ from bytes, and blob-length/CD-extent consistency
+    // is asserted — so a drifted builder or parser fails the oracle's
+    // plant-pinned member ledger.
+    //
+    // 100 TB shape: pure codegen'd hex-substring expressions riding the
+    // scan (the q240/q251 discipline), zero shuffles, zero UDFs. Real
+    // archives put the EOCD within a bounded tail window — the same
+    // fixed-position reads, found by a bounded scan.
+    QueryDef(
+      "q256_zip_census",
+      """WITH lt AS (
+        |  SELECT doc_id, regexp_replace(text, '[^a-z]', '', 'g') AS letters
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, doc_id % 7 = 3 AS raw, 1 + doc_id % 3 AS nf,
+        |    length(substring(letters, 1, CAST(10 + (doc_id+1) % 11 AS INT))) AS l1,
+        |    length(substring(letters, 21, CAST(10 + (doc_id+2) % 11 AS INT))) AS l2,
+        |    length(substring(letters, 41, CAST(10 + (doc_id+3) % 11 AS INT))) AS l3,
+        |    ('0x' || substring(md5('crc:' || CAST(doc_id AS VARCHAR) || ':1'), 1, 15))::BIGINT % 4294967296 AS c1,
+        |    ('0x' || substring(md5('crc:' || CAST(doc_id AS VARCHAR) || ':2'), 1, 15))::BIGINT % 4294967296 AS c2,
+        |    ('0x' || substring(md5('crc:' || CAST(doc_id AS VARCHAR) || ':3'), 1, 15))::BIGINT % 4294967296 AS c3
+        |  FROM lt)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN raw THEN 0 ELSE 1 END AS BIGINT) AS valid,
+        |  CAST(CASE WHEN raw THEN -1 ELSE nf END AS BIGINT) AS n_files,
+        |  CAST(CASE WHEN raw THEN -1
+        |    WHEN nf = 1 THEN l1 WHEN nf = 2 THEN l1 + l2
+        |    ELSE l1 + l2 + l3 END AS BIGINT) AS total_bytes,
+        |  CASE WHEN raw THEN NULL
+        |    WHEN nf = 1 THEN 'f1.txt' WHEN nf = 2 THEN 'f1.txt,f2.txt'
+        |    ELSE 'f1.txt,f2.txt,f3.txt' END AS names,
+        |  CAST(CASE WHEN raw THEN -1
+        |    WHEN nf = 1 THEN c1 WHEN nf = 2 THEN c1 + c2
+        |    ELSE c1 + c2 + c3 END AS BIGINT) AS crc_sum
+        |FROM p
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val did = col("doc_id")
+      // ---- fixture: a STORED-member ZIP per doc ----
+      def le2(x: org.apache.spark.sql.Column) = concat(
+        lpad(hex(pmod(x, lit(256L))), 2, "0"),
+        lpad(hex(pmod((x / 256L).cast("long"), lit(256L))), 2, "0"))
+      def le4(x: org.apache.spark.sql.Column) = concat(
+        le2(pmod(x, lit(65536L))), le2((x / 65536L).cast("long")))
+      val raw = pmod(did, lit(7)) === 3
+      val letters = regexp_replace(col("text"), "[^a-z]", "")
+      val nf = lit(1L) + pmod(did, lit(3))
+      def dat(i: Int) = letters.substr(lit((i - 1) * 20 + 1),
+        (lit(10L) + pmod(did + i, lit(11))).cast("int"))
+      def crc(i: Int) = pmod(
+        conv(substring(md5(concat(lit("crc:"), did.cast("string"),
+          lit(s":$i"))), 1, 15), 16, 10).cast("long"),
+        lit(4294967296L))
+      def nameHex(i: Int) = hexLit(s"f$i.txt".getBytes("UTF-8"))
+      val blobs0 = Tables.documentsSpread(s, d)
+        .withColumn("l1", length(dat(1)).cast("long"))
+        .withColumn("l2", length(dat(2)).cast("long"))
+        .withColumn("l3", length(dat(3)).cast("long"))
+      def lfh(i: Int) = concat(
+        lit("504B0304" + "1400" + "0000000000000000"),
+        le4(crc(i)), le4(col(s"l$i")), le4(col(s"l$i")),
+        lit("0600" + "0000"), lit(nameHex(i)), hex(encode(dat(i), "UTF-8")))
+      def off(i: Int): org.apache.spark.sql.Column = i match {
+        case 1 => lit(0L)
+        case n => off(n - 1) + lit(36L) + col(s"l${n - 1}")
+      }
+      def cd(i: Int) = concat(
+        lit("504B0102" + "1400" + "1400" + "0000000000000000"),
+        le4(crc(i)), le4(col(s"l$i")), le4(col(s"l$i")),
+        lit("0600" + "0000" + "0000" + "0000" + "0000" + "00000000"),
+        le4(off(i)), lit(nameHex(i)))
+      val blobs = blobs0
+        .withColumn("cdoff",
+          lit(36L) + col("l1") +
+            when(nf >= 2, lit(36L) + col("l2")).otherwise(0L) +
+            when(nf >= 3, lit(36L) + col("l3")).otherwise(0L))
+        .withColumn("mhex", concat(
+          lfh(1),
+          when(nf >= 2, lfh(2)).otherwise(lit("")),
+          when(nf >= 3, lfh(3)).otherwise(lit("")),
+          cd(1),
+          when(nf >= 2, cd(2)).otherwise(lit("")),
+          when(nf >= 3, cd(3)).otherwise(lit("")),
+          lit("504B0506" + "0000" + "0000"),
+          le2(nf), le2(nf), le4(nf * 52L), le4(col("cdoff")),
+          lit("0000")))
+        .select(did,
+          when(raw, encode(col("text"), "UTF-8"))
+            .otherwise(unhex(col("mhex"))).as("content"))
+      // ---- the parse side sees ONLY (doc_id, content) from here on ----
+      def byteAt(p: org.apache.spark.sql.Column) =
+        conv(col("hx").substr(p * 2 - 1, lit(2)), 16, 10).cast("long")
+      def rd2(p: org.apache.spark.sql.Column) = byteAt(p) + byteAt(p + 1L) * 256L
+      def rd4(p: org.apache.spark.sql.Column) =
+        rd2(p) + rd2(p + 2L) * 65536L
+      def sig(p: org.apache.spark.sql.Column, n: Int) =
+        col("hx").substr(p * 2 - 1, lit(2 * n))
+      def step(i: Int)(df: DataFrame): DataFrame = df
+        .withColumn("fin", col("bad") || lit(i.toLong) > col("pnf"))
+        .withColumn("nmlen", rd2(col("q") + 28L))
+        .withColumn("exlen", rd2(col("q") + 30L))
+        .withColumn("cmlen", rd2(col("q") + 32L))
+        .withColumn("lfo", rd4(col("q") + 42L))
+        .withColumn("cdnm", when(!col("fin"),
+          decode(unhex(col("hx").substr((col("q") + 46L) * 2 - 1,
+            (col("nmlen") * 2L).cast("int"))), "UTF-8")))
+        .withColumn("lfnm", when(!col("fin"),
+          decode(unhex(col("hx").substr((col("lfo") + 31L) * 2 - 1,
+            (rd2(col("lfo") + 27L) * 2L).cast("int"))), "UTF-8")))
+        .withColumn("entok", !col("fin") &&
+          sig(col("q"), 4) === "504B0102" &&
+          sig(col("lfo") + 1L, 4) === "504B0304" &&
+          col("cdnm") === col("lfnm") && col("nmlen") >= 1L)
+        .withColumn("bad", col("bad") || (!col("fin") && !col("entok")))
+        .withColumn("tot",
+          col("tot") + when(col("entok"), rd4(col("q") + 24L)).otherwise(0L))
+        .withColumn("crcs",
+          col("crcs") + when(col("entok"), rd4(col("q") + 16L)).otherwise(0L))
+        .withColumn("names", when(!col("entok"), col("names"))
+          .otherwise(when(col("names") === "", col("cdnm"))
+            .otherwise(concat(col("names"), lit(","), col("cdnm")))))
+        .withColumn("q",
+          when(col("entok"),
+            col("q") + 46L + col("nmlen") + col("exlen") + col("cmlen"))
+            .otherwise(col("q")))
+        .drop("fin", "nmlen", "exlen", "cmlen", "lfo", "cdnm", "lfnm", "entok")
+      val base = blobs
+        .withColumn("hx", hex(col("content")))
+        .withColumn("blen", length(col("content")).cast("long"))
+        .withColumn("e", col("blen") - 21L)
+        .withColumn("haszip",
+          col("blen") >= 22L && sig(col("e"), 4) === "504B0506")
+        .withColumn("pnf", when(col("haszip"), rd2(col("e") + 10L))
+          .otherwise(0L))
+        .withColumn("cdsz", when(col("haszip"), rd4(col("e") + 12L)))
+        .withColumn("cdoff", when(col("haszip"), rd4(col("e") + 16L)))
+        .withColumn("q", col("cdoff") + 1L)
+        .withColumn("tot", lit(0L))
+        .withColumn("crcs", lit(0L))
+        .withColumn("names", lit(""))
+        // the walker is 3-entry-bounded (the fixture's max); a count
+        // beyond the bound is out of scope, not silently truncated
+        .withColumn("bad",
+          !col("haszip") || col("pnf") < 1L || col("pnf") > 3L ||
+            col("blen") =!= col("cdoff") + col("cdsz") + 22L)
+      val walked = (1 to 3).foldLeft(base)((df, i) => step(i)(df))
+      walked
+        .withColumn("ok",
+          col("haszip") && !col("bad") &&
+            col("q") === col("cdoff") + col("cdsz") + 1L)
+        .select(did,
+          when(col("ok"), 1L).otherwise(0L).as("valid"),
+          when(col("ok"), col("pnf")).otherwise(-1L).as("n_files"),
+          when(col("ok"), col("tot")).otherwise(-1L).as("total_bytes"),
+          when(col("ok"), col("names")).otherwise(lit(null).cast("string"))
+            .as("names"),
+          when(col("ok"), col("crcs")).otherwise(-1L).as("crc_sum"))
+        .orderBy("doc_id")
     }
   )
 

@@ -5405,6 +5405,102 @@ object TextDedupPack {
         .select(col("rk"), col("id").as("word"), col("r").as("score"))
         .orderBy("rk")
     },
+
+    // ---- q255: robots.txt REP evaluation (RFC 9309 longest-match) ----------
+    // The crawl-side gate every web corpus passes before ingest: parse
+    // each domain's robots.txt (one `User-agent: *` group — multi-group
+    // UA selection is out of fixture scope) into Allow/Disallow prefix
+    // rules, then decide every URL by the Robots Exclusion Protocol's
+    // published rule (RFC 9309 §2.2.2): the rule with the LONGEST
+    // matching prefix wins; an Allow/Disallow tie at equal length goes
+    // to Allow; no matching rule means allowed. The fixture plants all
+    // five verdict classes per domain (Allow override under a broader
+    // Disallow, plain Disallow hits on two prefixes, the exact-prefix
+    // boundary case, and a rule-free path), and the ENGINE parses the
+    // actual robots TEXT — line split + directive regexp — so the rule
+    // table comes from the parse, not the plant.
+    //
+    // 100 TB shape: the rule table is domain-catalog-sized → broadcast;
+    // matching is one broadcast theta-join (fan-out bounded by
+    // rules-per-domain, ~handfuls in practice) + one max_by keyed agg
+    // (mergeable — ≤1 row per URL per partition crosses the shuffle);
+    // the verdict is a left join back. No windows over the corpus.
+    QueryDef(
+      "q255_robots_rep_gate",
+      """WITH o AS (
+        |  SELECT doc_id, source, substring(source, 4) AS ord FROM documents),
+        |urls AS (
+        |  SELECT doc_id, source,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN '/private/ok' || ord || '/p' || CAST(doc_id AS VARCHAR)
+        |      WHEN 1 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+        |      WHEN 2 THEN '/tmp' || ord || '/y' || CAST(doc_id AS VARCHAR)
+        |      WHEN 3 THEN '/public/z' || CAST(doc_id AS VARCHAR)
+        |      ELSE '/private' END AS path
+        |  FROM o),
+        |doms AS (SELECT DISTINCT source, substring(source, 4) AS ord
+        |         FROM documents),
+        |rules AS (
+        |  SELECT source, '/private' AS prefix, 0 AS allow FROM doms
+        |  UNION ALL SELECT source, '/private/ok' || ord, 1 FROM doms
+        |  UNION ALL SELECT source, '/tmp' || ord, 0 FROM doms),
+        |m AS (
+        |  SELECT u.doc_id, r.prefix, r.allow,
+        |    ROW_NUMBER() OVER (PARTITION BY u.doc_id
+        |      ORDER BY length(r.prefix) DESC, r.allow DESC, r.prefix DESC) AS rk
+        |  FROM urls u JOIN rules r
+        |    ON r.source = u.source AND starts_with(u.path, r.prefix))
+        |SELECT u.doc_id, u.source, u.path,
+        |  CAST(COALESCE(m.allow, 1) AS BIGINT) AS allowed,
+        |  m.prefix AS rule,
+        |  CAST(COALESCE(length(m.prefix), -1) AS BIGINT) AS rule_len
+        |FROM urls u LEFT JOIN (SELECT * FROM m WHERE rk = 1) m USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val did = col("doc_id")
+      val ord = substring(col("source"), 4, 10)
+      val urls = Tables.documents(s, d)
+        .select(did, col("source"),
+          when(did % 5 === 0,
+            concat(lit("/private/ok"), ord, lit("/p"), did.cast("string")))
+            .when(did % 5 === 1, concat(lit("/private/x"), did.cast("string")))
+            .when(did % 5 === 2,
+              concat(lit("/tmp"), ord, lit("/y"), did.cast("string")))
+            .when(did % 5 === 3, concat(lit("/public/z"), did.cast("string")))
+            .otherwise(lit("/private")).as("path"))
+      // ---- fixture: the robots.txt TEXT per domain ----
+      val robots = Tables.documents(s, d)
+        .select(col("source"), substring(col("source"), 4, 10).as("ord"))
+        .distinct()
+        .select(col("source"), concat(
+          lit("User-agent: *\n"),
+          lit("Disallow: /private\n"),
+          lit("Allow: /private/ok"), col("ord"), lit("\n"),
+          lit("Disallow: /tmp"), col("ord"), lit("\n")).as("txt"))
+      // ---- the parse side sees ONLY (source, txt) from here on ----
+      val lineRe = "^(Allow|Disallow): (.*)$"
+      val rules = robots
+        .select(col("source"), explode(split(col("txt"), "\n")).as("line"))
+        .withColumn("dir", regexp_extract(col("line"), lineRe, 1))
+        .withColumn("prefix", regexp_extract(col("line"), lineRe, 2))
+        .filter(col("dir") =!= "")
+        .select(col("source").as("rsource"), col("prefix"),
+          when(col("dir") === "Allow", 1L).otherwise(0L).as("allow"))
+      val best = urls
+        .join(broadcast(rules),
+          col("source") === col("rsource") &&
+            col("path").startsWith(col("prefix")))
+        .groupBy("doc_id")
+        .agg(max_by(struct(col("allow"), col("prefix")),
+          struct(length(col("prefix")), col("allow"), col("prefix")))
+          .as("m"))
+      urls.join(best, Seq("doc_id"), "left")
+        .select(did, col("source"), col("path"),
+          coalesce(col("m.allow"), lit(1L)).as("allowed"),
+          col("m.prefix").as("rule"),
+          coalesce(length(col("m.prefix")).cast("long"), lit(-1L))
+            .as("rule_len"))
+        .orderBy("doc_id")
+    },
   )
 
   /** q214's banding sweep: every (bands, rows) factorization of the

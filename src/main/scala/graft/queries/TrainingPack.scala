@@ -3021,6 +3021,86 @@ object TrainingPack {
           size(split(col("content"), " ")).cast("long").as("resp_tokens"),
           md5(concat(col("ctx"), lit("##"), col("content"))).as("pair_md5"))
         .orderBy("doc_id", "turn")
+    },
+
+    // ---- q254: CCNet-style per-language perplexity bucketing ---------------
+    // The published pretraining filter (Wenzek et al., LREC 2020 — CCNet):
+    // score every document with a language model, split each LANGUAGE's
+    // distribution into head/middle/tail perplexity terciles, and keep
+    // head+middle. The score is q93's add-one unigram avg-NLL (shared
+    // VERBATIM via the UNIGRAM_NLL_CTES twin, so the filter cannot drift
+    // from the audited scorer), quantized to an exact integer
+    // (round(avg_nll·1e8) — the DECIMAL(18,8)-rounded double is within
+    // 1e-7 of the integer, so both engines recover it exactly). Tercile
+    // CUTS come from the q166 exact grouped-quantile refinement engine
+    // (driver state O(langs×2), no per-language sort); assignment is by
+    // VALUE threshold — ties land in one bucket deterministically, the
+    // CCNet behavior — so the bucket pass is pure map-side against the
+    // broadcast cut table.
+    //
+    // 100 TB shape: one scored-token pass (the q93 shape), two grouped
+    // refinement passes over the doc-sized score table, a langs-sized
+    // broadcast, one keyed agg. The oracle's per-language window sort is
+    // the test-scale replay of the refinement's answer.
+    QueryDef(
+      "q254_ccnet_ppl_buckets",
+      s"""WITH $UNIGRAM_NLL_CTES,
+         |j AS (
+         |  SELECT d.lang, d.n_chars,
+         |    CAST(round(pd.avg_nll * 100000000.0) AS BIGINT) AS lnll
+         |  FROM pd JOIN documents d USING (doc_id)),
+         |n AS (SELECT lang, COUNT(*) AS n FROM j GROUP BY lang),
+         |r AS (SELECT lang, lnll,
+         |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY lnll) AS rn
+         |      FROM j),
+         |c1 AS (SELECT n.lang, r.lnll AS cut1
+         |       FROM n JOIN r ON r.lang = n.lang
+         |         AND r.rn = GREATEST(1, (n.n * 33 + 99) // 100)),
+         |c2 AS (SELECT n.lang, r.lnll AS cut2
+         |       FROM n JOIN r ON r.lang = n.lang
+         |         AND r.rn = GREATEST(1, (n.n * 67 + 99) // 100)),
+         |b AS (
+         |  SELECT j.lang, j.n_chars, j.lnll,
+         |    CASE WHEN j.lnll <= c1.cut1 THEN 'head'
+         |         WHEN j.lnll <= c2.cut2 THEN 'middle'
+         |         ELSE 'tail' END AS bucket
+         |  FROM j JOIN c1 USING (lang) JOIN c2 USING (lang))
+         |SELECT lang, bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(MIN(lnll) AS BIGINT) AS lo_nll,
+         |  CAST(MAX(lnll) AS BIGINT) AS hi_nll,
+         |  CAST(CASE WHEN bucket = 'tail' THEN 0 ELSE 1 END AS BIGINT) AS kept
+         |FROM b
+         |GROUP BY lang, bucket
+         |ORDER BY lang, bucket""".stripMargin) { (s, d) =>
+      import s.implicits._
+      // doc-sized score table feeds the refinement AND the bucket pass
+      val pd = unigramNllPerDoc(s, d).select("doc_id", "avg_nll")
+        .join(Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+          "doc_id")
+        .withColumn("lnll", round(col("avg_nll") * 1e8).cast("long"))
+        .persist()
+      val cuts = graft.operators.Quantiles.exactGroupPercentiles(
+        pd.select(col("lang"), col("lnll").as("x")), "lang", "x", Seq(33, 67))
+      val cutDf = cuts.groupBy(_._1).map { case (g, rows) =>
+        val byP = rows.map(r => r._2 -> r._4).toMap
+        (g, byP(33), byP(67))
+      }.toSeq.toDF("lang", "cut1", "cut2")
+      val out = pd.join(broadcast(cutDf), "lang")
+        .withColumn("bucket",
+          when(col("lnll") <= col("cut1"), "head")
+            .when(col("lnll") <= col("cut2"), "middle")
+            .otherwise("tail"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("lnll")).as("lo_nll"),
+          max(col("lnll")).as("hi_nll"))
+        .withColumn("kept",
+          when(col("bucket") === "tail", 0L).otherwise(1L))
+        .orderBy("lang", "bucket")
+      out
     }
   )
 
