@@ -1350,6 +1350,134 @@ object MultimodalPack {
             .as("names"),
           when(col("ok"), col("crcs")).otherwise(-1L).as("crc_sum"))
         .orderBy("doc_id")
+    },
+
+    // ---- q257: WARC record walk (the web-crawl container) ------------------
+    // Common Crawl — the largest public LLM-pretraining source — ships
+    // as WARC (ISO 28500): concatenated records, each a version line +
+    // named header fields + CRLFCRLF + a Content-Length-delimited
+    // payload + CRLFCRLF. The ingest pass walks records by
+    // Content-Length (never by scanning payload bytes — payloads may
+    // contain anything), extracts the header fields (WARC-Type,
+    // WARC-Target-URI), and ledgers the payloads. The walk here is
+    // blind: header-block end found by locate(CRLFCRLF), payload sliced
+    // by the PARSED Content-Length, cursor advanced by it, final-cursor
+    // == blob-end asserted — and the per-doc md5 of the concatenated
+    // payloads is plant-pinned, so a mis-sliced payload fails the hash.
+    // Fixture: 1–3 records per doc (response/metadata/response), %7==3
+    // rows raw text (the must-fail class).
+    //
+    // 100 TB shape: pure map-side string expressions riding the scan
+    // (locate/substr/regexp are codegen'd), zero shuffles, zero UDFs —
+    // the WARC-splitting pass a crawl pipeline fuses into ingest.
+    QueryDef(
+      "q257_warc_records",
+      """WITH lt AS (
+        |  SELECT doc_id, source,
+        |    regexp_replace(text, '[^a-z ]', '', 'g') AS letters
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, doc_id % 7 = 3 AS raw, 1 + doc_id % 3 AS nr,
+        |    substring(letters, 1, CAST(12 + (doc_id+1) % 17 AS INT)) AS b1,
+        |    substring(letters, 31, CAST(12 + (doc_id+2) % 17 AS INT)) AS b2,
+        |    substring(letters, 61, CAST(12 + (doc_id+3) % 17 AS INT)) AS b3
+        |  FROM lt)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN raw THEN 0 ELSE 1 END AS BIGINT) AS valid,
+        |  CAST(CASE WHEN raw THEN -1 ELSE nr END AS BIGINT) AS n_records,
+        |  CAST(CASE WHEN raw THEN -1
+        |    WHEN nr >= 3 THEN 2 ELSE 1 END AS BIGINT) AS n_response,
+        |  CAST(CASE WHEN raw THEN -1
+        |    WHEN nr = 1 THEN length(b1) WHEN nr = 2 THEN length(b1) + length(b2)
+        |    ELSE length(b1) + length(b2) + length(b3) END AS BIGINT)
+        |    AS content_bytes,
+        |  CASE WHEN raw THEN NULL
+        |    WHEN nr = 1 THEN md5(b1) WHEN nr = 2 THEN md5(b1 || b2)
+        |    ELSE md5(b1 || b2 || b3) END AS payload_md5
+        |FROM p
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val did = col("doc_id")
+      // ---- fixture: the concatenated WARC text ----
+      val raw = pmod(did, lit(7)) === 3
+      val letters = regexp_replace(col("text"), "[^a-z ]", "")
+      val nr = lit(1L) + pmod(did, lit(3))
+      val crlf = "\r\n"
+      def body(i: Int) = letters.substr(lit((i - 1) * 30 + 1),
+        (lit(12L) + pmod(did + i, lit(17))).cast("int"))
+      def rec(i: Int, typ: String) = concat(
+        lit("WARC/1.0" + crlf),
+        lit(s"WARC-Type: $typ$crlf"),
+        lit("WARC-Target-URI: http://"), col("source"),
+        lit(".ex/p"), did.cast("string"), lit(s"/$i$crlf"),
+        lit("Content-Length: "), length(body(i)).cast("string"),
+        lit(crlf + crlf), body(i), lit(crlf + crlf))
+      // plain scan, not documentsSpread: the walk is pure map-side work,
+      // so the plan stays shuffle-free (PlanSpec pins it) — at real scale
+      // the input is many files and parallelism comes from the layout
+      val gen = Tables.documents(s, d)
+        .withColumn("w",
+          when(raw, col("text")).otherwise(concat(
+            rec(1, "response"),
+            when(nr >= 2, rec(2, "metadata")).otherwise(lit("")),
+            when(nr >= 3, rec(3, "response")).otherwise(lit("")))))
+        .select(did, col("w"))
+      // ---- the parse side sees ONLY (doc_id, w) from here on ----
+      def step(df: DataFrame): DataFrame = df
+        .withColumn("fin", col("bad") || col("p") > col("wlen"))
+        // header block: version line + fields, ended by CRLFCRLF
+        .withColumn("he",
+          expr("locate('\\r\\n\\r\\n', w, CAST(p AS INT))").cast("long"))
+        .withColumn("hdr", when(!col("fin") && col("he") > 0L,
+          col("w").substr(col("p"), col("he") - col("p"))))
+        .withColumn("vok", !col("fin") && col("he") > 0L &&
+          col("hdr").startsWith("WARC/1.0\r\n"))
+        .withColumn("rtyp",
+          regexp_extract(col("hdr"), "WARC-Type: ([a-z]+)\r", 1))
+        // Content-Length is the header block's LAST line (no trailing CR
+        // inside hdr — the block was cut just before CRLFCRLF)
+        .withColumn("clen",
+          regexp_extract(col("hdr"), "Content-Length: ([0-9]+)", 1)
+            .cast("long"))
+        .withColumn("rok", col("vok") && col("rtyp") =!= "" &&
+          col("clen").isNotNull &&
+          // next cursor he+clen+8 must land at most one past blob end
+          col("he") + col("clen") + 7L <= col("wlen"))
+        .withColumn("bad", col("bad") || (!col("fin") && !col("rok")))
+        .withColumn("pay", when(col("rok"),
+          col("w").substr(col("he") + 4L, col("clen"))))
+        .withColumn("paycat", when(col("rok"),
+          concat(col("paycat"), col("pay"))).otherwise(col("paycat")))
+        .withColumn("nrec",
+          col("nrec") + when(col("rok"), 1L).otherwise(0L))
+        .withColumn("nresp", col("nresp") +
+          when(col("rok") && col("rtyp") === "response", 1L).otherwise(0L))
+        .withColumn("cbytes",
+          col("cbytes") + when(col("rok"), col("clen")).otherwise(0L))
+        .withColumn("p", when(col("rok"),
+          col("he") + 4L + col("clen") + 4L).otherwise(col("p")))
+        .drop("fin", "he", "hdr", "vok", "rtyp", "clen", "rok", "pay")
+      val base = gen
+        .withColumn("wlen", length(col("w")).cast("long"))
+        .withColumn("p", lit(1L))
+        .withColumn("nrec", lit(0L))
+        .withColumn("nresp", lit(0L))
+        .withColumn("cbytes", lit(0L))
+        .withColumn("paycat", lit(""))
+        .withColumn("bad", !col("w").startsWith("WARC/1.0\r\n"))
+      // the walker is 3-record-bounded (the fixture's max); real WARCs
+      // split per record upstream — the bound is fixture scope, not a cap
+      val walked = (1 to 3).foldLeft(base)((df, _) => step(df))
+      walked
+        .withColumn("ok",
+          !col("bad") && col("nrec") >= 1L && col("p") === col("wlen") + 1L)
+        .select(did,
+          when(col("ok"), 1L).otherwise(0L).as("valid"),
+          when(col("ok"), col("nrec")).otherwise(-1L).as("n_records"),
+          when(col("ok"), col("nresp")).otherwise(-1L).as("n_response"),
+          when(col("ok"), col("cbytes")).otherwise(-1L).as("content_bytes"),
+          when(col("ok"), md5(col("paycat")))
+            .otherwise(lit(null).cast("string")).as("payload_md5"))
+        .orderBy("doc_id")
     }
   )
 

@@ -1791,6 +1791,62 @@ object RelationalPack {
         .orderBy("source")
     },
 
+    // ---- q258: Laplace-mechanism noisy count release ------------------------
+    // The differential-privacy release shape (Dwork et al., TCC 2006 —
+    // the Laplace mechanism): per-group counts published as
+    // n + Lap(sensitivity/epsilon), here sensitivity 1 (one doc moves
+    // one count) and epsilon 0.25 → scale b = 4. The draw is the
+    // standard inverse-CDF transform of one uniform: u ∈ (0,1),
+    // noise = −b·sgn(u−1/2)·ln(1−2|u−1/2|). For the oracle the uniform
+    // is SEEDED (the portable 60-bit md5 keyed on the group →
+    // u = (2m+1)/2^53, exact in IEEE by construction, never 0 or 1), so
+    // the mechanism's arithmetic replays bit-for-bit — the ln is the
+    // only libm call and follows the q93 DECIMAL(18,8) discipline. A
+    // production release swaps the seeded draw for a secret RNG; the
+    // seeding is what makes the RELEASE PIPELINE auditable, it is not a
+    // privacy guarantee (documented, not hidden).
+    //
+    // 100 TB shape: one map-side-combined keyed count; the noise is
+    // per-GROUP scalar arithmetic on the catalog-sized ledger — free.
+    QueryDef(
+      "q258_dp_noisy_counts",
+      """WITH c AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY source),
+        |u AS (
+        |  SELECT source, n,
+        |    (2 * (('0x' || substring(md5('dp:' || source), 1, 15))::BIGINT
+        |      % 4503599627370496) + 1) / 9007199254740992.0 AS uu
+        |  FROM c),
+        |t AS (SELECT source, n, uu - 0.5 AS tt FROM u),
+        |nz AS (
+        |  SELECT source, n,
+        |    -4.0 * (CASE WHEN tt < 0 THEN -1.0 ELSE 1.0 END) *
+        |      CAST(CAST(ln(1.0 - 2.0 * abs(tt)) AS DECIMAL(18,8)) AS DOUBLE)
+        |      AS noise
+        |  FROM t)
+        |SELECT source, n AS n_true, CAST(25 AS BIGINT) AS eps_x100,
+        |  noise, n + noise AS noisy_count
+        |FROM nz
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      val m = pmod(
+        conv(substring(md5(concat(lit("dp:"), col("source"))), 1, 15), 16, 10)
+          .cast("long"),
+        lit(4503599627370496L))
+      val uu = (m * 2L + 1L).cast("double") / lit(9007199254740992.0)
+      Tables.documents(s, d)
+        .groupBy("source").agg(count(lit(1)).as("n"))
+        .withColumn("tt", uu - 0.5)
+        .withColumn("noise",
+          lit(-4.0) * when(col("tt") < 0, -1.0).otherwise(1.0) *
+            log(lit(1.0) - lit(2.0) * abs(col("tt")))
+              .cast(DecimalType(18, 8)).cast("double"))
+        .select(col("source"), col("n").as("n_true"),
+          lit(25L).as("eps_x100"), col("noise"),
+          (col("n") + col("noise")).as("noisy_count"))
+        .orderBy("source")
+    },
+
     // ---- q253: streaming incremental HITS over arriving event edges --------
     // The q194/q200/q241 versioned-state pattern applied to q247: the
     // user→item edges ARRIVE (staged 4-file parquet, maxFilesPerTrigger=1)

@@ -516,6 +516,35 @@ class PlanSpec extends AnyFunSuite {
     assert(globalSorts.size <= 1, s"q155 global-sorts the corpus:\n$p")
   }
 
+  test("q248/q257 transform-on-scan queries shuffle only for their output sort") {
+    // FIM assembly and the WARC record walk are pure map-side string
+    // work riding the scan — the 100 TB story is that they fuse into
+    // ingest for free. Any exchange beyond the single output-ordering
+    // range shuffle means a regression introduced a shuffle into a
+    // shuffle-free transformation.
+    Seq("q248_fim_spans", "q257_warc_records").foreach { name =>
+      val p = plan(q(name))
+      val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
+      assert(shuffles.size <= 1, s"$name grew extra shuffles:\n$p")
+    }
+  }
+
+  test("q255's rule match broadcasts the rule table — the URL corpus never shuffles for it") {
+    // REP evaluation joins corpus-sized URLs against a domain-catalog-
+    // sized rule table on (domain equality AND prefix match): Catalyst
+    // plans it as a broadcast HASH join on the domain key with
+    // StartsWith as the residual condition (better than the nested-loop
+    // fallback) — either broadcast shape is fine, a shuffle of the URL
+    // side for the match is not
+    val p = plan(q("q255_robots_rep_gate"))
+    val bcast = collectAll(p) {
+      case j: BroadcastHashJoinExec
+        if j.condition.exists(_.toString.contains("StartsWith")) => j
+      case j: BroadcastNestedLoopJoinExec => j
+    }
+    assert(bcast.nonEmpty, s"q255 lost its broadcast rule join:\n$p")
+  }
+
   test("Spark's runtime bloom filter injects on a selective shuffle join") {
     // The 100 TB fact-fact shape: a selectively-filtered side joined to a
     // large side on a shuffle join. Spark 4's InjectRuntimeFilter builds a
