@@ -3197,9 +3197,31 @@ object TrainingPack {
   /** Spark mirror of [[UNIGRAM_NLL_CTES]]'s `pd`: per-doc
     * (doc_id, n_tok, n_oov, avg_nll) under the add-one-smoothed
     * corpus-fit unigram LM, with the q93 decimal ledger (exact
-    * DECIMAL(38,20) sums, one DECIMAL(18,8) round). */
+    * DECIMAL(38,20) sums, one DECIMAL(18,8) round).
+    *
+    * STAGED once per (JVM, sf dir) and shared by its three consumers —
+    * q93 (the score ledger itself), q212 (curriculum ranking) and q254
+    * (CCNet bucketing) each paid the full scored-token pass (~2.5-3 s at
+    * sf0.1) before r15; the table is doc-sized with exactly
+    * parquet-round-trippable columns (LONGs + the already-DECIMAL-rounded
+    * avg_nll DOUBLE), so every consumer stays hash-identical. q245 keeps
+    * the TOKEN-level stream (per-domain sums need it) — cf.
+    * TextDedupPack's staged walk corpus for the pattern. */
+  private val nllPerDocStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def unigramNllPerDoc(s: org.apache.spark.sql.SparkSession,
                                d: String): org.apache.spark.sql.DataFrame = {
+    val dir = nllPerDocStages.computeIfAbsent(d, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-nllpd-")
+      sys.addShutdownHook(graft.streaming.Streams.deleteRecursively(p))
+      unigramNllPerDocBuild(s, d).write.mode("overwrite").parquet(p.toString)
+      p.toString
+    })
+    s.read.parquet(dir)
+  }
+
+  private def unigramNllPerDocBuild(s: org.apache.spark.sql.SparkSession,
+                                    d: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     unigramNllTokens(s, d).groupBy("doc_id")
       .agg(
