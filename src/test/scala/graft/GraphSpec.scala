@@ -93,6 +93,44 @@ class GraphSpec extends AnyFunSuite {
     assert(warmN(2) == warm2r)
   }
 
+  test("q247 HITS matches a Scala replay of the division-only integer recurrence") {
+    // bipartite user→item toy graph: hub 0 touches every item, items 10/11
+    // are popular, 12 is touched only by the hub
+    val g = Seq((0L, 10L), (0L, 11L), (0L, 12L),
+      (1L, 10L), (1L, 11L), (2L, 10L), (3L, 11L))
+    def replay(edges: Seq[(Long, Long)], iters: Int)
+        : (Map[Long, Long], Map[Long, Long]) = {
+      def norm(m: Map[Long, Long]): Map[Long, Long] = {
+        val d = math.max(m.values.sum / (m.size * 1000000L), 1L)
+        m.view.mapValues(_ / d).toMap
+      }
+      var h = edges.map(_._1).distinct.map(_ -> 1000000L).toMap
+      var a = Map.empty[Long, Long]
+      for (_ <- 1 to iters) {
+        a = norm(edges.filter(e => h.contains(e._1))
+          .groupBy(_._2).view.mapValues(_.map(e => h(e._1)).sum).toMap)
+        h = norm(edges.filter(e => a.contains(e._2))
+          .groupBy(_._1).view.mapValues(_.map(e => a(e._2)).sum).toMap)
+      }
+      (h, a)
+    }
+    val (hd, ad) = graft.operators.Graph.hits(g.toDF("u", "v"), "u", "v", 4)
+    val hub = hd.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val auth = ad.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (hRef, aRef) = replay(g, 4)
+    assert(hub == hRef, s"hubs $hub vs replay $hRef")
+    assert(auth == aRef, s"authorities $auth vs replay $aRef")
+    // structure: the all-items hub outranks single-item users; popular
+    // items outrank the hub-only item
+    assert(hub(0L) > hub(2L))
+    assert(auth(10L) > auth(12L) && auth(11L) > auth(12L))
+    // duplicate edges must not change the answer (hits() deduplicates)
+    val (hd2, ad2) = graft.operators.Graph
+      .hits((g ++ g).toDF("u", "v"), "u", "v", 4)
+    assert(hd2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == hRef)
+    assert(ad2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == aRef)
+  }
+
   test("q145 personalized PageRank matches a Scala replay; non-seeds-only islands stay 0") {
     import TestSpark.sf
     val got = SparkEntry.byName("q145_personalized_pagerank").run(spark, sf)
