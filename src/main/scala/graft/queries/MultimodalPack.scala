@@ -1478,6 +1478,88 @@ object MultimodalPack {
           when(col("ok"), md5(col("paycat")))
             .otherwise(lit(null).cast("string")).as("payload_md5"))
         .orderBy("doc_id")
+    },
+
+    // ---- q259: UTF-8 structural validity gate over raw bytes ---------------
+    // The FIRST gate on crawl bytes, before any decode: a single-pass
+    // UTF-8 state machine (RFC 3629 structure — lead-byte class C2-DF/1,
+    // E0-EF/2, F0-F4/3 continuation bytes 80-BF; 80-C1 and F5-FF are
+    // never valid leads) counting structural violations: stray
+    // continuations, broken sequences (a non-continuation where one was
+    // expected — the byte is re-classified as a lead, the bounded
+    // deterministic recovery), invalid leads, and end-of-blob
+    // truncation. Overlong/surrogate RANGE checks are deliberately out
+    // of scope (structural validity only — documented, the q179 mojibake
+    // gate covers post-decode damage). The machine runs as ONE
+    // `aggregate()` fold over byte positions — a codegen'd scalar loop,
+    // no explode, no per-byte rows. The fixture appends one planted
+    // violation class per doc_id%4 (dangling lead / stray continuation /
+    // a VALID 2-byte char / nothing) to the doc's own UTF-8 bytes, so
+    // multi-byte text exercises the transitions and the oracle pins the
+    // exact error count per class.
+    //
+    // 100 TB shape: pure map-side scan work; state is two integers per
+    // row inside the fold. The gate fuses into ingest.
+    QueryDef(
+      "q259_utf8_gate",
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) +
+        |    CASE doc_id % 4 WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 3 THEN 2
+        |      ELSE 0 END AS BIGINT) AS n_bytes,
+        |  CAST(CASE doc_id % 4 WHEN 1 THEN 1 WHEN 2 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_errors,
+        |  CAST(CASE doc_id % 4 WHEN 1 THEN 0 WHEN 2 THEN 0 ELSE 1 END
+        |    AS BIGINT) AS utf8_ok
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val did = col("doc_id")
+      // ---- fixture: the doc's UTF-8 bytes + one planted tail class ----
+      val extraHex = when(did % 4 === 1, "C3")       // dangling lead
+        .when(did % 4 === 2, "80")                   // stray continuation
+        .when(did % 4 === 3, "C3A9")                 // valid 2-byte char
+        .otherwise("")
+      val blobs = Tables.documents(s, d)
+        .select(did,
+          concat(encode(col("text"), "UTF-8"), unhex(extraHex)).as("content"))
+      // ---- the gate sees ONLY (doc_id, content) from here on ----
+      import org.apache.spark.sql.Column
+      def byteAt(i: Column) =
+        conv(col("hx").substr(i * 2 - 1, lit(2)), 16, 10).cast("int")
+      val stepped = blobs
+        .withColumn("hx", hex(col("content")))
+        .withColumn("n_bytes", length(col("content")).cast("long"))
+        .withColumn("st", aggregate(
+          sequence(lit(1), col("n_bytes").cast("int")),
+          struct(lit(0).as("exp"), lit(0L).as("err")),
+          (acc, i) => {
+            val b = byteAt(i)
+            val isCont = b >= 128 && b <= 191
+            val leadExp = when(b <= 127, 0)
+              .when(b >= 194 && b <= 223, 1)
+              .when(b >= 224 && b <= 239, 2)
+              .when(b >= 240 && b <= 244, 3)
+              .otherwise(-1) // 80-C1 / F5-FF: never a valid lead
+            val exp = acc.getField("exp")
+            val err = acc.getField("err")
+            when(exp > 0,
+              when(isCont, struct((exp - 1).as("exp"), err.as("err")))
+                // broken sequence: count it, re-classify this byte as a
+                // lead (another error if it isn't a valid one either)
+                .otherwise(struct(greatest(leadExp, lit(0)).as("exp"),
+                  (err + 1L + when(leadExp === -1, 1L).otherwise(0L))
+                    .as("err"))))
+              .otherwise(
+                when(leadExp === -1,
+                  struct(lit(0).as("exp"), (err + 1L).as("err")))
+                  .otherwise(struct(leadExp.as("exp"), err.as("err"))))
+          },
+          acc => acc.getField("err") +
+            // a blob ending mid-sequence is truncated
+            when(acc.getField("exp") > 0, 1L).otherwise(0L)))
+      stepped.select(did, col("n_bytes"),
+          col("st").as("n_errors"),
+          when(col("st") === 0L, 1L).otherwise(0L).as("utf8_ok"))
+        .orderBy("doc_id")
     }
   )
 
