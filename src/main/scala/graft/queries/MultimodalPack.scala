@@ -1528,7 +1528,10 @@ object MultimodalPack {
       val stepped = blobs
         .withColumn("hx", hex(col("content")))
         .withColumn("n_bytes", length(col("content")).cast("long"))
-        .withColumn("st", aggregate(
+        // Empty-blob guard (r16, ADVICE): sequence(1, 0) steps DOWN ([1, 0]),
+        // so a zero-byte blob would be "scanned" at two phantom positions
+        // and report 2 errors; an empty blob is trivially valid — 0 errors.
+        .withColumn("st", when(col("n_bytes") === 0L, 0L).otherwise(aggregate(
           sequence(lit(1), col("n_bytes").cast("int")),
           struct(lit(0).as("exp"), lit(0L).as("err")),
           (acc, i) => {
@@ -1555,7 +1558,7 @@ object MultimodalPack {
           },
           acc => acc.getField("err") +
             // a blob ending mid-sequence is truncated
-            when(acc.getField("exp") > 0, 1L).otherwise(0L)))
+            when(acc.getField("exp") > 0, 1L).otherwise(0L))))
       stepped.select(did, col("n_bytes"),
           col("st").as("n_errors"),
           when(col("st") === 0L, 1L).otherwise(0L).as("utf8_ok"))

@@ -5457,7 +5457,9 @@ object TextDedupPack {
         |FROM urls u LEFT JOIN (SELECT * FROM m WHERE rk = 1) m USING (doc_id)
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val did = col("doc_id")
-      val ord = substring(col("source"), 4, 10)
+      // to end-of-string, mirroring the oracle's substring(source, 4) —
+      // a 10-char cap would silently diverge on long source ids (r16, ADVICE)
+      val ord = expr("substring(source, 4)")
       val urls = Tables.documents(s, d)
         .select(did, col("source"),
           when(did % 5 === 0,
@@ -5469,7 +5471,7 @@ object TextDedupPack {
             .otherwise(lit("/private")).as("path"))
       // ---- fixture: the robots.txt TEXT per domain ----
       val robots = Tables.documents(s, d)
-        .select(col("source"), substring(col("source"), 4, 10).as("ord"))
+        .select(col("source"), expr("substring(source, 4)").as("ord"))
         .distinct()
         .select(col("source"), concat(
           lit("User-agent: *\n"),

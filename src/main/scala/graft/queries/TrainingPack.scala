@@ -2836,9 +2836,12 @@ object TrainingPack {
            |p AS (
            |  SELECT doc_id,
            |    least(3, greatest(1, length(clean) // 40)) AS c,
-           |    trim(substring(clean, 1, 40)) AS t1,
-           |    trim(substring(clean, 41, 40)) AS t2,
-           |    trim(substring(clean, 81, 40)) AS t3,
+           |    CASE WHEN trim(substring(clean, 1, 40)) = '' THEN 'x'
+           |         ELSE trim(substring(clean, 1, 40)) END AS t1,
+           |    CASE WHEN trim(substring(clean, 41, 40)) = '' THEN 'x'
+           |         ELSE trim(substring(clean, 41, 40)) END AS t2,
+           |    CASE WHEN trim(substring(clean, 81, 40)) = '' THEN 'x'
+           |         ELSE trim(substring(clean, 81, 40)) END AS t3,
            |    ('0x' || substring(md5('srt:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5000 AS base,
            |    CASE WHEN doc_id % 6 = 0 THEN -250
            |         ELSE 350 + (doc_id + 1) % 200 END AS gap1,
@@ -2887,9 +2890,18 @@ object TrainingPack {
         .withColumn("c",
           least(lit(3L), greatest(lit(1L),
             expr("CAST(length(clean) AS BIGINT) div 40"))))
-        .withColumn("t1", trim(substring(col("clean"), 1, 40)))
-        .withColumn("t2", trim(substring(col("clean"), 41, 40)))
-        .withColumn("t3", trim(substring(col("clean"), 81, 40)))
+        // empty-cue sentinel (r16, ADVICE): a slice that trims to '' would
+        // emit "idx\nts\n\n\n" — three consecutive newlines — and the
+        // "\n\n" block split would mis-segment every later cue. Empty cue
+        // text is invalid SRT, so the fixture guarantees non-empty text
+        // (sentinel 'x', mirrored in the oracle's p CTE); durations and
+        // cps derive from the guarded text, so both engines stay aligned.
+        .withColumn("t1", when(trim(substring(col("clean"), 1, 40)) === "",
+          lit("x")).otherwise(trim(substring(col("clean"), 1, 40))))
+        .withColumn("t2", when(trim(substring(col("clean"), 41, 40)) === "",
+          lit("x")).otherwise(trim(substring(col("clean"), 41, 40))))
+        .withColumn("t3", when(trim(substring(col("clean"), 81, 40)) === "",
+          lit("x")).otherwise(trim(substring(col("clean"), 81, 40))))
         .withColumn("base",
           conv(substring(md5(concat(lit("srt:"), did.cast("string"))), 1, 15),
             16, 10).cast("long") % 5000L)
@@ -3081,12 +3093,20 @@ object TrainingPack {
           "doc_id")
         .withColumn("lnll", round(col("avg_nll") * 1e8).cast("long"))
         .persist()
-      val cuts = graft.operators.Quantiles.exactGroupPercentiles(
-        pd.select(col("lang"), col("lnll").as("x")), "lang", "x", Seq(33, 67))
-      val cutDf = cuts.groupBy(_._1).map { case (g, rows) =>
-        val byP = rows.map(r => r._2 -> r._4).toMap
-        (g, byP(33), byP(67))
-      }.toSeq.toDF("lang", "cut1", "cut2")
+      // The persist serves the refinement's multiple scans, which are all
+      // EAGER (exactGroupPercentiles returns a driver Seq) — release it
+      // before returning so repeated invocations in a long-lived session
+      // don't accumulate cached blocks (r16, ADVICE). The one lazy scan
+      // below recomputes pd from the staged per-doc NLL parquet — cheap.
+      val cutDf =
+        try {
+          val cuts = graft.operators.Quantiles.exactGroupPercentiles(
+            pd.select(col("lang"), col("lnll").as("x")), "lang", "x", Seq(33, 67))
+          cuts.groupBy(_._1).map { case (g, rows) =>
+            val byP = rows.map(r => r._2 -> r._4).toMap
+            (g, byP(33), byP(67))
+          }.toSeq.toDF("lang", "cut1", "cut2")
+        } finally pd.unpersist(blocking = false)
       val out = pd.join(broadcast(cutDf), "lang")
         .withColumn("bucket",
           when(col("lnll") <= col("cut1"), "head")
