@@ -22,6 +22,88 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ---- fixture fingerprint, computed FIRST ------------------------------
+    // The driver regenerated /root/testdata between rounds twice now (r9→r10
+    // events.ts type change; r14→r15 ded8c644→0572d512) — both times silently,
+    // invalidating cross-round per-query comparisons until a human noticed the
+    // hash flip. So the fingerprint is computed at STARTUP and diffed against
+    // the last recorded run's detail artifact (which carries the full
+    // per-file listing), and any change is printed LOUDLY — files added,
+    // removed, resized, or retimestamped — before a single query runs
+    // (r16, verdict item 8).
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT", "bench_detail.json")
+    val fixtureFiles = {
+      // Option-guard: listFiles() returns null on I/O error or if the dir
+      // vanishes mid-walk (e.g. a fixture regeneration — the very event
+      // this fingerprint detects); an NPE here would discard the whole
+      // run's output
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+            .toSeq.sortBy(_.getName).flatMap(walk)
+        else Seq(f)
+      val root = new java.io.File(sfDir)
+      if (root.isDirectory)
+        walk(root).filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getPath.stripPrefix(root.getPath).stripPrefix("/"),
+                     f.length(), f.lastModified()))
+      else Seq.empty
+    }
+    val fixtureHash = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      fixtureFiles.foreach { case (p, len, mt) =>
+        md.update(s"$p:$len:$mt;".getBytes("UTF-8"))
+      }
+      md.digest().take(4).map(b => f"${b & 0xff}%02x").mkString
+    }
+    try {
+      val prevFile = new java.io.File(detailPath)
+      if (prevFile.isFile) {
+        val prev = new String(
+          java.nio.file.Files.readAllBytes(prevFile.toPath), "UTF-8")
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(prev)
+        val prevHash = Option(node.get("fixture")).map(_.asText()).getOrElse("")
+        val prevSf = Option(node.get("sf")).map(_.asText()).getOrElse("")
+        if (prevSf == sfDir && prevHash.nonEmpty && prevHash != fixtureHash) {
+          val prevFiles = Option(node.get("fixture_files")).map { ff =>
+            val it = ff.fields()
+            val b = Map.newBuilder[String, (Long, Long)]
+            while (it.hasNext) {
+              val e = it.next()
+              b += e.getKey -> (e.getValue.get(0).asLong(),
+                e.getValue.get(1).asLong())
+            }
+            b.result()
+          }.getOrElse(Map.empty[String, (Long, Long)])
+          val curFiles = fixtureFiles.map { case (p, l, m) => p -> (l, m) }.toMap
+          val added = (curFiles.keySet -- prevFiles.keySet).toSeq.sorted
+          val removed = (prevFiles.keySet -- curFiles.keySet).toSeq.sorted
+          val common = (curFiles.keySet & prevFiles.keySet).toSeq.sorted
+          val resized = common.filter(p => curFiles(p)._1 != prevFiles(p)._1)
+            .map(p => s"$p ${prevFiles(p)._1}->${curFiles(p)._1}")
+          val retimed = common.count(p =>
+            curFiles(p)._1 == prevFiles(p)._1 && curFiles(p)._2 != prevFiles(p)._2)
+          val msg =
+            s"""[bench] ############################################################
+               |[bench] # FIXTURE CHANGED since last recorded run: $prevHash -> $fixtureHash
+               |[bench] #   sf dir: $sfDir
+               |[bench] #   added (${added.size}): ${added.take(10).mkString(", ")}
+               |[bench] #   removed (${removed.size}): ${removed.take(10).mkString(", ")}
+               |[bench] #   resized (${resized.size}): ${resized.take(10).mkString(", ")}
+               |[bench] #   mtime-only changes: $retimed
+               |[bench] # Cross-round per-query deltas against the previous round
+               |[bench] # carry fixture noise -- re-baseline before adjudicating.
+               |[bench] ############################################################""".stripMargin
+          println(msg); System.err.println(msg)
+        } else if (prevSf == sfDir && prevHash == fixtureHash) {
+          println(s"[bench] fixture unchanged since last recorded run: $fixtureHash")
+        }
+      }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] fixture-diff check failed: ${e.getMessage}")
+    }
     // Session warm-up: one join+agg to initialize the scan/exchange/hash-agg
     // machinery and the JVM itself. Per-query first-touch codegen/JIT cost is
     // handled structurally below (each query's attempt 0 is untimed), so the
@@ -159,36 +241,9 @@ object Bench {
     // is far below this VM's run-to-run noise anyway
     def r2(v: Double): String =
       BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    // Fixture fingerprint: the driver regenerated /root/testdata between r9
-    // and r10 (events.ts physical type changed), silently confounding the
-    // cross-round bench comparison. Hash every parquet file's (relative
-    // path, size, mtime) so any regeneration flips a visible 8-hex token in
-    // both the detail and summary lines; the full listing stays on the
-    // detail line for forensics.
-    val fixtureFiles = {
-      // Option-guard: listFiles() returns null on I/O error or if the dir
-      // vanishes mid-walk (e.g. a fixture regeneration — the very event
-      // this fingerprint detects); an NPE here would discard the whole
-      // run's output AFTER every query was timed
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-            .toSeq.sortBy(_.getName).flatMap(walk)
-        else Seq(f)
-      val root = new java.io.File(sfDir)
-      if (root.isDirectory)
-        walk(root).filter(_.getName.endsWith(".parquet"))
-          .map(f => (f.getPath.stripPrefix(root.getPath).stripPrefix("/"),
-                     f.length(), f.lastModified()))
-      else Seq.empty
-    }
-    val fixtureHash = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      fixtureFiles.foreach { case (p, len, mt) =>
-        md.update(s"$p:$len:$mt;".getBytes("UTF-8"))
-      }
-      md.digest().take(4).map(b => f"${b & 0xff}%02x").mkString
-    }
+    // Fixture fingerprint: computed once at startup (see the loud-diff block
+    // above); the full listing goes on the detail line for forensics and is
+    // what the NEXT run's startup diff reads back.
     val fixtureDetail = fixtureFiles
       .map { case (p, len, mt) => "\"" + p + "\":[" + len + "," + mt + "]" }
       .mkString("{", ",", "}")

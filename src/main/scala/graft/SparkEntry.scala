@@ -13,6 +13,12 @@ object SparkEntry {
   def packs: Seq[QueryDef] =
     _root_.graft.queries.RelationalPack.all ++
       _root_.graft.queries.TextDedupPack.all ++
+      _root_.graft.queries.GraphPack.all ++
+      _root_.graft.queries.CrawlPack.all ++
+      _root_.graft.queries.AssemblyPack.all ++
+      _root_.graft.queries.LinkagePack.all ++
+      _root_.graft.queries.TokenizerPack.all ++
+      _root_.graft.queries.SafetyPack.all ++
       _root_.graft.queries.EtlPack.all ++
       _root_.graft.queries.StreamingPack.all ++
       _root_.graft.queries.VectorPack.all ++

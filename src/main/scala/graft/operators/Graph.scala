@@ -100,6 +100,33 @@ object Graph {
   private[graft] def hitsRounds(e: DataFrame, iters: Int)
       : (DataFrame, DataFrame) = {
     val eP = e.repartition(col("u")).localCheckpoint()
+    val h0 = eP.select(col("u").as("id")).distinct()
+      .select(col("id"), lit(1000000L).as("s")).localCheckpoint()
+    hitsLoop(eP, h0, iters)
+  }
+
+  /** [[hitsRounds]] from a WARM initial hub table — hubs present in
+    * `prevHubs` start from their previous score, new hubs at the uniform
+    * 1e6 (authorities carry no state: round 1 recomputes a_t from
+    * h_{t-1}, so the hub vector IS the whole HITS state — half the state
+    * of PageRank-style (rank) + (edge) carrying). Same division-only
+    * integer normalization, bit-identical under any partitioning. */
+  private[graft] def warmHitsRounds(e: DataFrame, prevHubs: DataFrame,
+                                    iters: Int): (DataFrame, DataFrame) = {
+    val eP = e.repartition(col("u")).localCheckpoint()
+    val h0 = eP.select(col("u").as("id")).distinct()
+      .join(prevHubs.select(col("id").as("pid"), col("s").as("ps")),
+        col("id") === col("pid"), "left")
+      .select(col("id"), coalesce(col("ps"), lit(1000000L)).as("s"))
+      .localCheckpoint()
+    hitsLoop(eP, h0, iters)
+  }
+
+  /** The shared mutual-reinforcement loop over the u-partitioned edge
+    * list and an initial hub table `h0(id, s)` — see [[hitsRounds]] for
+    * the normalization and checkpoint discipline. */
+  private def hitsLoop(eP: DataFrame, h0: DataFrame, iters: Int)
+      : (DataFrame, DataFrame) = {
     def normMean(raw: DataFrame): DataFrame = {
       val tot = raw.agg(sum(col("s")).as("tot"), count(lit(1)).as("n"))
       raw.crossJoin(broadcast(tot))
@@ -107,8 +134,7 @@ object Graph {
           expr("s div greatest(tot div (n * 1000000L), 1L)").as("s"))
         .localCheckpoint()
     }
-    var h = eP.select(col("u").as("id")).distinct()
-      .select(col("id"), lit(1000000L).as("s")).localCheckpoint()
+    var h = h0
     var a: DataFrame = h // replaced in round 1 (iters >= 1)
     for (_ <- 1 to iters) {
       a = normMean(eP.join(h, col("u") === col("id"))
@@ -134,6 +160,34 @@ object Graph {
       spark.conf.get("spark.sql.shuffle.partitions").toInt, nEdges)
     val s2 = Components.narrowClone(spark, w)
     val (h, a) = hitsRounds(Components.rebind(e, s2), iters)
+    (Components.rebind(h, spark), Components.rebind(a, spark))
+  }
+
+  /** [[hits]] warm-started from a previous hub table `prevHubs(id, s)` —
+    * the production flag for HITS-on-ingest pipelines (q253's scale
+    * path, the sibling of [[warmStartPageRank]]): carry the node-sized
+    * hub vector as state alongside the edge store and run a SMALL
+    * bounded round count per ingest batch instead of the full
+    * from-uniform ladder (per-batch cost rounds×O(E) with rounds
+    * ~constant — the hub vector is already near the grown graph's fixed
+    * point when a batch adds few edges). Hubs absent from `prevHubs`
+    * (first seen this batch) start at the uniform 1e6; authorities are
+    * recomputed from hubs in round 1, so hubs are the complete state.
+    * Deterministic (integer fixed point) but a different recurrence than
+    * from-uniform — spec-audited (GraphSpec), not oracle-hashed; q253
+    * keeps the from-uniform replay as its oracle contract. */
+  def warmStartHits(edges: DataFrame, src: String, dst: String,
+                    prevHubs: DataFrame, iters: Int)
+      : (DataFrame, DataFrame) = {
+    val spark = edges.sparkSession
+    val e = edges.select(col(src).as("u"), col(dst).as("v")).distinct()
+      .localCheckpoint()
+    val nEdges = e.count()
+    val w = Components.roundWidth(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt, nEdges)
+    val s2 = Components.narrowClone(spark, w)
+    val (h, a) = warmHitsRounds(Components.rebind(e, s2),
+      Components.rebind(prevHubs.localCheckpoint(), s2), iters)
     (Components.rebind(h, spark), Components.rebind(a, spark))
   }
 

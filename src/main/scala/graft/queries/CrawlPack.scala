@@ -1,0 +1,841 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+// Shared text-dedup primitives (gram/pair SQL, HLL register helpers,
+// staged batch sources, stores) live in TextDedupPack and are visible
+// package-wide; the crawl family consumes them unqualified via this import.
+import TextDedupPack._
+
+/** Crawl-side operators — the CrawlPack family split out of TextDedupPack
+  * along its family seam (r16, verdict item 7; zero query renames): URL
+  * canonicalization dedup (q221 + streaming q225), per-domain crawl
+  * quotas (q232 + streaming q235), registered-domain rollup (q226),
+  * multi-phrase blocklist scan (q228), cross-source overlap (q224 +
+  * streaming q227 + q239's HLL inclusion-exclusion audit), and the
+  * robots.txt REP gate (q255, RFC 9309 longest-match).
+  */
+object CrawlPack {
+
+  /** q224's oracle — and, verbatim, q227's: distinct (source, token)
+    * pairs merge by set union, so the streamed audit equals the one-pass
+    * scan however ingest was batched. */
+  private[queries] val SRC_OVERLAP_ORACLE: String =
+    """WITH d AS (
+        |  SELECT DISTINCT source, tok FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)),
+        |sz AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY source),
+        |pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM d a JOIN d b ON b.tok = a.tok AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT src_a, src_b, n_common,
+        |  sa.n AS n_a, sb.n AS n_b,
+        |  CAST(10000 * n_common // (sa.n + sb.n - n_common) AS BIGINT)
+        |    AS jaccard_bp,
+        |  CAST(10000 * n_common //
+        |    (CASE WHEN sa.n < sb.n THEN sa.n ELSE sb.n END) AS BIGINT)
+        |    AS containment_bp
+        |FROM pairs
+        |JOIN sz sa ON sa.source = src_a
+        |JOIN sz sb ON sb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin
+
+  /** q224's pair-ledger over a distinct (source, token) projection —
+    * shared with q227's merged increment store. Caller persists the
+    * projection (it feeds the size agg and both join sides). */
+  private[queries] def overlapMatrix(dd: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sz = dd.groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = dd.select(col("source").as("src_a"), col("tok"))
+      .join(dd.select(col("source").as("src_b"), col("tok")), "tok")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(broadcast(sz.select(col("source").as("src_a"), col("n").as("n_a"))),
+        "src_a")
+      .join(broadcast(sz.select(col("source").as("src_b"), col("n").as("n_b"))),
+        "src_b")
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        col("n_a"), col("n_b"),
+        expr("10000 * n_common div (n_a + n_b - n_common)").as("jaccard_bp"),
+        expr("10000 * n_common div (case when n_a < n_b then n_a else n_b end)")
+          .as("containment_bp"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** q221's oracle — and, verbatim, q225's: the per-(canonical, url)
+    * increments merge by sum/min, so the streamed ledger equals the
+    * one-pass scan however ingest was batched. */
+  private[queries] val URL_DEDUP_ORACLE: String =
+    """WITH b AS (
+          |  SELECT doc_id, doc_id % 200 AS g,
+          |    'example' || CAST((doc_id % 200) % 50 AS VARCHAR) || '.com' AS hb
+          |  FROM documents),
+          |h AS (
+          |  SELECT doc_id, g,
+          |    CASE WHEN doc_id % 4 < 2 THEN 'www.' || hb ELSE hb END AS hp,
+          |    CASE WHEN doc_id % 2 = 0
+          |      THEN 'utm_source=feed&utm_campaign=c' || CAST(doc_id % 9 AS VARCHAR) END AS t1,
+          |    CASE WHEN doc_id % 3 = 1
+          |      THEN 'gclid=g' || CAST(doc_id % 11 AS VARCHAR) END AS t2,
+          |    'id=' || CAST(g AS VARCHAR) AS kp,
+          |    'v=' || CAST(g % 3 AS VARCHAR) AS kp2
+          |  FROM b),
+          |raw AS (
+          |  SELECT doc_id, g,
+          |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+          |    (CASE WHEN doc_id % 2 = 0 THEN upper(hp) ELSE hp END) ||
+          |    (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END) ||
+          |    '/articles/item-' || CAST(g AS VARCHAR) ||
+          |    (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+          |    '?' ||
+          |    (CASE WHEN doc_id % 2 = 0 THEN concat_ws('&', t1, kp2, t2, kp)
+          |          ELSE concat_ws('&', kp, t1, t2, kp2) END) ||
+          |    (CASE WHEN doc_id % 3 = 2 THEN '#sec-' || CAST(doc_id % 4 AS VARCHAR)
+          |          ELSE '' END) AS url
+          |  FROM h),
+          |nf AS (
+          |  SELECT doc_id, g, url, regexp_replace(url, '#.*$', '') AS nofrag FROM raw),
+          |parts AS (
+          |  SELECT doc_id, g, url,
+          |    lower(regexp_extract(nofrag, '^([a-zA-Z]+)://', 1)) AS sch,
+          |    regexp_replace(regexp_replace(
+          |      lower(regexp_extract(nofrag, '^[a-zA-Z]+://([^/]+)', 1)),
+          |      ':(443|80)$', ''), '^www\.', '') AS hostc,
+          |    regexp_replace(
+          |      regexp_extract(nofrag, '^[a-zA-Z]+://[^/]+([^?]*)', 1),
+          |      '/+$', '') AS pathc,
+          |    array_to_string(list_sort(list_filter(
+          |      string_split(regexp_extract(nofrag, '\?(.*)$', 1), '&'),
+          |      x -> NOT (starts_with(x, 'utm_') OR starts_with(x, 'gclid=')
+          |                OR starts_with(x, 'fbclid=')))), '&') AS qc
+          |  FROM nf),
+          |canon AS (
+          |  SELECT doc_id, url,
+          |    sch || '://' || hostc || pathc ||
+          |      (CASE WHEN qc = '' THEN '' ELSE '?' || qc END) AS canonical_url,
+          |    'https://example' || CAST(g % 50 AS VARCHAR) || '.com/articles/item-' ||
+          |      CAST(g AS VARCHAR) || '?id=' || CAST(g AS VARCHAR) ||
+          |      '&v=' || CAST(g % 3 AS VARCHAR) AS expected
+          |  FROM parts)
+          |SELECT canonical_url,
+          |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  MIN(doc_id) AS keep_id,
+          |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw,
+          |  CAST(MIN(CASE WHEN canonical_url = expected THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS recovered
+          |FROM canon
+          |GROUP BY canonical_url
+          |ORDER BY canonical_url""".stripMargin
+
+  /** q221's raw-URL plant + canonicalizer over any documents slice —
+    * emits (doc_id, url, expected, canonical_url). Shared with q225's
+    * per-batch increments so the streaming gate replays the batch
+    * semantics on each micro-batch. */
+  private[queries] def canonicalUrls(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val did = col("doc_id")
+      val g = did % 200
+      val hb = concat(lit("example"), (g % 50).cast("string"), lit(".com"))
+      val hp = when(did % 4 < 2, concat(lit("www."), hb)).otherwise(hb)
+      val t1 = when(did % 2 === 0,
+        concat(lit("utm_source=feed&utm_campaign=c"), (did % 9).cast("string")))
+      val t2 = when(did % 3 === 1,
+        concat(lit("gclid=g"), (did % 11).cast("string")))
+      val kp = concat(lit("id="), g.cast("string"))
+      val kp2 = concat(lit("v="), (g % 3).cast("string"))
+      val url = concat(
+        when(did % 2 === 0, lit("HTTPS")).otherwise(lit("https")), lit("://"),
+        when(did % 2 === 0, upper(hp)).otherwise(hp),
+        when(did % 7 === 0, lit(":443")).otherwise(lit("")),
+        lit("/articles/item-"), g.cast("string"),
+        when(did % 5 === 0, lit("/")).otherwise(lit("")),
+        lit("?"),
+        when(did % 2 === 0, concat_ws("&", t1, kp2, t2, kp))
+          .otherwise(concat_ws("&", kp, t1, t2, kp2)),
+        when(did % 3 === 2, concat(lit("#sec-"), (did % 4).cast("string")))
+          .otherwise(lit("")))
+      val nofrag = regexp_replace(col("url"), "#.*$", "")
+      val sch = lower(regexp_extract(nofrag, "^([a-zA-Z]+)://", 1))
+      val hostc = regexp_replace(regexp_replace(
+        lower(regexp_extract(nofrag, "^[a-zA-Z]+://([^/]+)", 1)),
+        ":(443|80)$", ""), "^www\\.", "")
+      val pathc = regexp_replace(
+        regexp_extract(nofrag, "^[a-zA-Z]+://[^/]+([^?]*)", 1), "/+$", "")
+      val qc = array_join(array_sort(filter(
+        split(regexp_extract(nofrag, "\\?(.*)$", 1), "&"),
+        x => !(x.startsWith("utm_") || x.startsWith("gclid=")
+          || x.startsWith("fbclid=")))), "&")
+      val expected = concat(lit("https://example"), (g % 50).cast("string"),
+        lit(".com/articles/item-"), g.cast("string"),
+        lit("?id="), g.cast("string"), lit("&v="), (g % 3).cast("string"))
+      docs
+        .select(did, url.as("url"), expected.as("expected"))
+        .select(col("doc_id"), col("url"), col("expected"),
+          concat(sch, lit("://"), hostc, pathc,
+            when(qc === "", lit("")).otherwise(concat(lit("?"), qc)))
+            .as("canonical_url"))
+  }
+
+  /** q232/q235's shared oracle: per registered domain, the K=3 docs with
+    * the lowest 48-bit salted-md5 priority. The window formulation is the
+    * ORACLE's; the engine path is the mergeable TopKRows aggregator. */
+  private[queries] val DOMAIN_QUOTA_ORACLE =
+    """WITH r AS (
+      |  SELECT doc_id,
+      |    'site' || CAST(doc_id % 40 AS VARCHAR) || '.' ||
+      |    (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+      |          ELSE 'org' END) AS regdom,
+      |    ('0x' || substring(md5('q232:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+      |      AS prio
+      |  FROM documents),
+      |rk AS (
+      |  SELECT regdom, doc_id, prio,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY regdom
+      |      ORDER BY prio, doc_id) AS BIGINT) AS rk
+      |  FROM r)
+      |SELECT regdom, rk, doc_id, prio
+      |FROM rk WHERE rk <= 3
+      |ORDER BY regdom, rk""".stripMargin
+
+  /** q232/q235's candidate projection: registered domain + 48-bit salted
+    * priority, both pure functions of doc_id (map-side, rides the scan). */
+  private[queries] def quotaProject(df: org.apache.spark.sql.DataFrame) = {
+    val did = col("doc_id")
+    val regdom = concat(lit("site"), (did % 40).cast("string"), lit("."),
+      when(did % 3 === 0, lit("com")).when(did % 3 === 1, lit("co.uk"))
+        .otherwise(lit("org")))
+    val prio = conv(substring(md5(concat(lit("q232:"), did.cast("string"))),
+      1, 12), 16, 10).cast("long")
+    df.select(regdom.as("regdom"), did, prio.as("prio"))
+  }
+
+  /** q232/q235's shared selection: the K=3 lowest-priority docs per domain
+    * via the mergeable TopKRows aggregator — ≤ K rows per group per map
+    * partition cross the shuffle, never a per-domain sort. */
+  private[queries] def quotaTopK(cand: org.apache.spark.sql.DataFrame) = {
+    val topk = udaf(new graft.functions.TopKRows(3))
+    cand.groupBy("regdom")
+      .agg(topk((-col("prio")).cast("double"), col("doc_id"), col("prio"))
+        .as("tk"))
+      .select(col("regdom"), posexplode(col("tk")).as(Seq("pos", "row")))
+      .select(col("regdom"), (col("pos") + 1).cast("long").as("rk"),
+        col("row._2").as("doc_id"), col("row._3").as("prio"))
+  }
+
+  def all: Seq[QueryDef] = Seq(
+    // ---- q221: URL canonicalization dedup ------------------------------------
+    // Crawl dedup's FIRST line of defense, upstream of any content hash:
+    // the same page arrives under many URL spellings (scheme/host case,
+    // www. prefix, default :443 port, trailing slash, tracking params in
+    // varying order, fragments). Each doc gets a deterministically-varied
+    // raw URL over a planted canonical identity (g = doc_id % 200 drives
+    // host+path+kept-param, so every variant class collides back to one
+    // known form); the canonicalizer then lowercases scheme+host ONLY
+    // (path case is significant in real URLs), strips the default port /
+    // www. prefix / fragment / trailing slash, drops utm_*/gclid/fbclid
+    // params and sorts the survivors. Self-verifying like q82: recovered=1
+    // iff the canonical equals the planted expected form, group-wide.
+    //
+    // 100 TB shape: canonicalization is pure map-side string work riding
+    // the scan; the only shuffle is the groupBy on the canonical key (the
+    // dedup aggregation itself, partially aggregated map-side except the
+    // exact DISTINCT raw count, which needs the group's rows — acceptable
+    // because group size = variants-per-page, not corpus-sized). No joins,
+    // no windows.
+    QueryDef(
+      "q221_url_canonical_dedup", URL_DEDUP_ORACLE) { (s, d) =>
+      canonicalUrls(Tables.documentsSpread(s, d))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("keep_id"),
+          countDistinct(col("url")).as("n_raw"),
+          min(when(col("canonical_url") === col("expected"), 1L).otherwise(0L))
+            .as("recovered"))
+        .orderBy("canonical_url")
+    },
+
+    // ---- q225: streaming incremental URL dedup -------------------------------
+    // q221 made incremental — the q216/q205 shared-oracle pairing applied
+    // to crawl ingest: each micro-batch of documents reduces to its own
+    // (canonical_url, url) increment rows — cnt / min_id / recovered are
+    // all mergeable (sum, min, min) — persisted under batch_id (idempotent
+    // dynamic overwrite under foreachBatch's at-least-once replay). The
+    // final ledger sum/min-merges the stored increments per (canonical,
+    // url), then folds to canonical groups, so the streaming gate
+    // hash-matches batch q221's oracle VERBATIM no matter how ingest was
+    // batched. The n_raw distinct count — NOT sum-mergeable — is what
+    // forces the two-level state: distinct raw spellings are the state
+    // rows themselves (bounded by variants-per-page), and the count falls
+    // out of the final per-canonical fold for free.
+    //
+    // 100 TB shape: O(distinct (canonical,url) in batch) state written per
+    // batch, O(batches · variants) total, zero re-reads of ingest
+    // history; the merge is two keyed aggs over the increment store.
+    QueryDef(
+      "q225_stream_url_dedup", URL_DEDUP_ORACLE) { (s, d) =>
+      val srcDir = stagedDocBatches(s, d)
+      val store = clearedStore(d, "graft-q225-url-")
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) =>
+        canonicalUrls(batch)
+          .groupBy("canonical_url", "url")
+          .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_id"),
+            min(when(col("canonical_url") === col("expected"), 1L)
+              .otherwise(0L)).as("rec"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(store.toString))
+      s.read.parquet(store.toString)
+        .groupBy("canonical_url", "url")
+        .agg(sum(col("cnt")).as("cnt"), min(col("min_id")).as("min_id"),
+          min(col("rec")).as("rec"))
+        .groupBy("canonical_url")
+        .agg(sum(col("cnt")).as("n_docs"), min(col("min_id")).as("keep_id"),
+          count(lit(1)).as("n_raw"), min(col("rec")).as("recovered"))
+        .orderBy("canonical_url")
+    },
+
+
+    // ---- q232: per-domain crawl quota ----------------------------------------
+    // The politeness/diversity cap a crawl scheduler enforces over q226's
+    // registered domains: keep at most K documents per domain, survivors
+    // chosen by a deterministic salted-hash priority (so re-runs and
+    // re-partitions elect the SAME survivors — a crawl quota that churns
+    // its keep-set re-crawls the diff every time). K=3 binds at every SF
+    // (the fixture's domain classes carry ≥4 docs).
+    //
+    // 100 TB shape: the selection is the q136/TopKRows discipline —
+    // fixed-k mergeable state per (domain, map partition), shuffle
+    // carries ≤ K rows per group per partition, NEVER a per-domain sort
+    // (the window formulation is the oracle, not the engine path). The
+    // 48-bit md5-prefix priority is exact in a double, so the aggregator
+    // tiebreak (score desc = priority asc, doc_id) replays the oracle's
+    // ORDER BY bit-for-bit.
+    QueryDef(
+      "q232_domain_quota", DOMAIN_QUOTA_ORACLE) { (s, d) =>
+      quotaTopK(quotaProject(Tables.documentsSpread(s, d)))
+        .orderBy("regdom", "rk")
+    },
+
+    // ---- q235: streaming incremental per-domain crawl quota -------------------
+    // q232 maintained as the crawl streams in — the q225/q227 shared-oracle
+    // pairing applied to the quota: fixed-K selection is MERGEABLE
+    // (top-K of a union == top-K of per-part top-Ks), so each micro-batch
+    // reduces to ≤ K candidate rows per domain (its own TopKRows pass),
+    // persisted under batch_id (idempotent dynamic overwrite under
+    // foreachBatch's at-least-once replay); the final fold re-takes top-K
+    // over the candidate store. Hash-matches batch q232's oracle VERBATIM
+    // no matter how ingest was batched — the scheduler's keep-set is
+    // stable across restarts by construction (same salted priority, same
+    // merge identity).
+    //
+    // 100 TB shape: state is ≤ K rows per (domain, batch) — the quota's
+    // own output asymptotics, never the crawl history; both the per-batch
+    // pass and the final fold are map-side-combined TopKRows aggs (no
+    // window, no per-domain sort anywhere — the window formulation is the
+    // oracle, not the engine path).
+    QueryDef(
+      "q235_stream_domain_quota", DOMAIN_QUOTA_ORACLE) { (s, d) =>
+      val srcDir = stagedDocBatches(s, d)
+      val store = clearedStore(d, "graft-q235-quota-")
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) =>
+        quotaTopK(quotaProject(batch))
+          .select(col("regdom"), col("doc_id"), col("prio"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(store.toString))
+      quotaTopK(s.read.parquet(store.toString)
+          .select("regdom", "doc_id", "prio"))
+        .orderBy("regdom", "rk")
+    },
+
+
+    // ---- q228: multi-phrase blocklist scan -----------------------------------
+    // q220 generalized from one phrase to a phrase TABLE — the deny-list
+    // filter every corpus runs (toxic phrases, banned boilerplate,
+    // known-leak strings): find every positional occurrence of ANY listed
+    // phrase in one pass. Self-tuning like q220: the blocklist is the
+    // corpus's own top-5 word bigrams (count-desc/lexicographic top-5),
+    // so the query is meaningful at any SF without planted literals. The
+    // match is the positional-index shape: postings pre-filter against
+    // the BROADCAST blocklist's first words (a semi-join, not a literal
+    // — the part q220's single phrase couldn't exercise), then one keyed
+    // (doc_id, pos) adjacency join verifies the second word. Policy: a
+    // doc with ≥ 2 hits is blocked.
+    //
+    // 100 TB shape: postings are one map-side posexplode (persisted —
+    // the bigram model and both match streams share it); the blocklist
+    // model is a map-side-combined count + 5-row broadcast; match
+    // streams are first-word-selective before the adjacency equi-join;
+    // the per-doc agg is map-side combined. No windows, no corpus sort.
+    QueryDef(
+      "q228_phrase_blocklist",
+      """WITH toksrc AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |toks AS (
+        |  SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(t) + 1),
+        |        i -> {pos: i, tok: t[i]})) AS u
+        |    FROM toksrc)),
+        |bi AS (
+        |  SELECT unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM toksrc WHERE len(t) >= 2),
+        |bl AS (
+        |  SELECT g, string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2
+        |  FROM (SELECT g, COUNT(*) AS c FROM bi GROUP BY g
+        |        ORDER BY c DESC, g LIMIT 5)),
+        |hits AS (
+        |  SELECT a.doc_id, bl.g FROM toks a
+        |  JOIN bl ON a.tok = bl.w1
+        |  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |             AND b.tok = bl.w2)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_hits,
+        |  CAST(COUNT(DISTINCT g) AS BIGINT) AS n_phrases,
+        |  MIN(g) AS top_phrase,
+        |  CAST(CASE WHEN COUNT(*) >= 2 THEN 1 ELSE 0 END AS BIGINT) AS blocked
+        |FROM hits
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = Tables.documentsSpread(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+        .persist()
+      val tarr = col("t")
+      val bl = Tables.documentsSpread(s, d)
+        .select(split(col("text"), " ").as("t"))
+        .filter(size(tarr) >= 2)
+        .select(explode(transform(sequence(lit(1), size(tarr) - 1), i =>
+          concat_ws(" ", element_at(tarr, i), element_at(tarr, i + 1))))
+          .as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("g")).limit(5)
+        .select(col("g"),
+          element_at(split(col("g"), " "), 1).as("w1"),
+          element_at(split(col("g"), " "), 2).as("w2"))
+      val a = toks.join(broadcast(bl), col("tok") === col("w1"))
+        .select(col("doc_id"), col("pos"), col("w2"), col("g"))
+      val b = toks.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"),
+        col("tok").as("tok_b"))
+      a.join(b, col("doc_b") === col("doc_id") && col("pos_b") === col("pos") + 1
+          && col("tok_b") === col("w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"),
+          countDistinct(col("g")).as("n_phrases"),
+          min(col("g")).as("top_phrase"))
+        .select(col("doc_id"), col("n_hits"), col("n_phrases"),
+          col("top_phrase"),
+          when(col("n_hits") >= 2, 1L).otherwise(0L).as("blocked"))
+        .orderBy("doc_id")
+    },
+
+
+    // ---- q226: registered-domain rollup with longest-suffix match ------------
+    // The eTLD+1 grouping every crawl pipeline needs before per-domain
+    // quotas or blocklists: 'cdn.assets.site3.co.uk' belongs to
+    // 'site3.co.uk', and deriving that requires LONGEST-match against a
+    // public-suffix list ('co.uk' must beat its own suffix 'uk' — naive
+    // TLD split yields the wrong registrant for every ccTLD-second-level
+    // host). Hosts are planted over 4 subdomain classes × 3 suffix
+    // classes with the expected registered domain carried alongside
+    // (recovered=1 iff derivation matches the plant, group-wide); a
+    // 3-entry blocklist marks domains the corpus must drop.
+    //
+    // 100 TB shape: the suffix list is a tiny broadcast (the real PSL is
+    // ~9k rows — still broadcast-sized); the longest-match is a
+    // broadcast nested-loop ends_with join + one per-doc struct-max agg
+    // (no window, no corpus sort); the rollup is one keyed agg on the
+    // registered domain. Blocklist membership is a literal IN over the
+    // broadcast list.
+    QueryDef(
+      "q226_registered_domain",
+      """WITH hosts AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 7 < 2 THEN ''
+        |          WHEN doc_id % 7 < 4 THEN 'www.'
+        |          WHEN doc_id % 7 < 6 THEN 'cdn.assets.'
+        |          ELSE 'm.' END) ||
+        |    'site' || CAST(doc_id % 40 AS VARCHAR) || '.' ||
+        |    (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+        |          ELSE 'org' END) AS host,
+        |    'site' || CAST(doc_id % 40 AS VARCHAR) || '.' ||
+        |    (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+        |          ELSE 'org' END) AS expected
+        |  FROM documents),
+        |sfx(s) AS (VALUES ('com'), ('org'), ('uk'), ('co.uk')),
+        |m AS (
+        |  SELECT doc_id, host, expected, s,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY len(s) DESC, s) AS rk
+        |  FROM hosts JOIN sfx ON ends_with(host, '.' || s)),
+        |reg AS (
+        |  SELECT doc_id, host, expected,
+        |    regexp_extract(substring(host, 1, len(host) - len(s) - 1),
+        |      '([^.]+)$', 1) || '.' || s AS regdom,
+        |    s AS suffix
+        |  FROM m WHERE rk = 1)
+        |SELECT regdom, MIN(suffix) AS suffix,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+        |  CAST(CASE WHEN regdom IN ('site7.com', 'site13.co.uk', 'site21.org')
+        |    THEN 1 ELSE 0 END AS BIGINT) AS blocked,
+        |  CAST(MIN(CASE WHEN regdom = expected THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS recovered
+        |FROM reg
+        |GROUP BY regdom
+        |ORDER BY regdom""".stripMargin) { (s, d) =>
+      val did = col("doc_id")
+      val suffix = when(did % 3 === 0, lit("com"))
+        .when(did % 3 === 1, lit("co.uk")).otherwise(lit("org"))
+      val expected = concat(lit("site"), (did % 40).cast("string"),
+        lit("."), suffix)
+      val host = concat(
+        when(did % 7 < 2, lit("")).when(did % 7 < 4, lit("www."))
+          .when(did % 7 < 6, lit("cdn.assets.")).otherwise(lit("m.")),
+        expected)
+      import s.implicits._
+      val sfx = Seq("com", "org", "uk", "co.uk").toDF("s")
+      val m = Tables.documentsSpread(s, d)
+        .select(did, host.as("host"), expected.as("expected"))
+        .join(broadcast(sfx),
+          col("host").endsWith(concat(lit("."), col("s"))))
+      val best = m.groupBy("doc_id", "host", "expected")
+        .agg(max(struct(length(col("s")).as("l"), col("s").as("s"))).as("b"))
+        .select(col("doc_id"), col("host"), col("expected"),
+          col("b").getField("s").as("s"))
+      val regdom = concat(
+        regexp_extract(
+          expr("substring(host, 1, length(host) - length(s) - 1)"),
+          "([^.]+)$", 1),
+        lit("."), col("s"))
+      best
+        .select(col("host"), col("expected"), col("s").as("suffix"),
+          regdom.as("regdom"))
+        .groupBy("regdom")
+        .agg(min(col("suffix")).as("suffix"),
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("host")).as("n_hosts"),
+          min(when(col("regdom") === col("expected"), 1L).otherwise(0L))
+            .as("recovered"))
+        .select(col("regdom"), col("suffix"), col("n_docs"), col("n_hosts"),
+          when(col("regdom").isin("site7.com", "site13.co.uk", "site21.org"),
+            1L).otherwise(0L).as("blocked"),
+          col("recovered"))
+        .orderBy("regdom")
+    },
+
+
+    // ---- q224: cross-source token-overlap matrix -----------------------------
+    // The corpus-composition audit run before mixing sources into one
+    // training set: for every source pair, how much vocabulary do they
+    // share? Emits exact |A∩B| plus Jaccard and containment
+    // (overlap-coefficient) as integer basis points — the all-integer
+    // ledger discipline of q192/q214, so both engines agree bit-for-bit.
+    // High containment of a small source inside a big one is the
+    // "this source is a subset crawl of that one" signal that pure
+    // doc-level dedup misses.
+    //
+    // 100 TB shape: the distinct (source, token) projection is one
+    // map-side-combined aggregation; the pair join is keyed on token with
+    // per-key fan-out bounded by the SOURCE dimension (≤ C(|sources|,2)
+    // pairs per token — a catalog-bounded constant, never corpus-sized);
+    // per-source vocabulary sizes are a tiny broadcast into the final
+    // 190-row ledger. The projection is persisted — it feeds the size agg
+    // and both join sides from one computation.
+    QueryDef(
+      "q224_source_overlap_matrix", SRC_OVERLAP_ORACLE) { (s, d) =>
+      overlapMatrix(
+        Tables.documentsSpread(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .distinct()
+          .persist())
+    },
+
+    // ---- q227: streaming incremental source-overlap matrix -------------------
+    // q224 made incremental — the corpus-composition audit maintained as
+    // sources stream in: each micro-batch writes its own DISTINCT
+    // (source, token) projection under batch_id (idempotent dynamic
+    // overwrite; distinct is NOT sum-mergeable, so — as in q225 — the
+    // state rows ARE the distinct pairs and the merge is a set union,
+    // i.e. one more distinct over the increment store). The final matrix
+    // then runs the identical pair-join ledger, so the streamed audit
+    // hash-matches batch q224's oracle VERBATIM however ingest was
+    // batched. State is vocabulary-sized — the same asymptotics as the
+    // batch audit's own intermediate, never corpus-sized.
+    QueryDef(
+      "q227_stream_overlap_matrix", SRC_OVERLAP_ORACLE) { (s, d) =>
+      val srcDir = stagedDocBatches(s, d)
+      val store = clearedStore(d, "graft-q227-ovl-")
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) =>
+        batch
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .distinct()
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(store.toString))
+      overlapMatrix(
+        s.read.parquet(store.toString)
+          .select(col("source"), col("tok"))
+          .distinct()
+          .persist())
+    },
+
+
+    // ---- q239: HLL inclusion-exclusion overlap vs q224's exact ledger --------
+    // The calibration that decides whether the corpus-composition audit
+    // can run on sketches: q224's exact |A∩B| costs a vocabulary-sized
+    // shuffle per audit; the sketch path keeps 256 registers per source
+    // (mergeable, the q204/q205 state) and estimates the intersection by
+    // inclusion-exclusion — est(A) + est(B) − est(A∪B), where the union
+    // sketch is just the per-bucket register MAX of the two sides (the
+    // HLL property that makes this exact over sketches). Both the exact
+    // ledger and the estimate are computed in ONE query and the signed
+    // error lands in basis points — the q192/q214/q231 "measure the
+    // policy" discipline applied to the sketch-vs-exact decision. Every
+    // register is integer-replayed (the q204 rho discipline), every
+    // estimate the same fixed IEEE expression, so even the ERROR column
+    // hash-matches.
+    //
+    // 100 TB shape: the exact side is q224's (token-keyed pair join,
+    // source-dimension-bounded fan-out); the sketch side is one map-side-
+    // combined register max (≤ 256 rows per source survive any shuffle),
+    // a catalog-bounded pair×register union fold, and broadcast attaches.
+    // At audit time the production pipeline keeps ONLY the sketch path —
+    // this query is the measured license for that substitution.
+    QueryDef(
+      "q239_hll_overlap_calibration",
+      """WITH d AS (
+        |  SELECT DISTINCT source, tok FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)),
+        |sz AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY source),
+        |pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM d a JOIN d b ON b.tok = a.tok AND a.source < b.source
+        |  GROUP BY a.source, b.source),
+        |hx AS (
+        |  SELECT source, ('0x' || substring(md5(tok), 1, 2))::BIGINT AS j,
+        |    ltrim(substring(md5(tok), 3, 12), '0') AS st
+        |  FROM d),
+        |reg AS (
+        |  SELECT source, j, MAX(CASE WHEN st = '' THEN 49
+        |    ELSE (12 - length(st)) * 4 +
+        |      CASE WHEN instr('0123456789abcdef', substring(st, 1, 1)) - 1 >= 8 THEN 0
+        |           WHEN instr('0123456789abcdef', substring(st, 1, 1)) - 1 >= 4 THEN 1
+        |           WHEN instr('0123456789abcdef', substring(st, 1, 1)) - 1 >= 2 THEN 2
+        |           ELSE 3 END + 1 END) AS m
+        |  FROM hx GROUP BY source, j),
+        |agg AS (
+        |  SELECT source, CAST(256 - COUNT(*) AS BIGINT) AS v_zero,
+        |    CAST(SUM(CAST(power(2, 49 - m) AS BIGINT))
+        |      + (256 - COUNT(*)) * 562949953421312 AS BIGINT) AS s_reg
+        |  FROM reg GROUP BY source),
+        |hll AS (
+        |  SELECT source,
+        |    CAST(CAST(CASE WHEN e_raw <= CAST(640.0 AS DOUBLE) AND v_zero > 0
+        |      THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) / CAST(v_zero AS DOUBLE))
+        |      ELSE e_raw END AS DECIMAL(28,6)) AS DOUBLE) AS est_hll
+        |  FROM (SELECT source, v_zero, s_reg,
+        |      CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+        |          + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
+        |        * CAST(65536.0 AS DOUBLE) * CAST(562949953421312.0 AS DOUBLE)
+        |        / CAST(s_reg AS DOUBLE) AS e_raw
+        |    FROM agg)),
+        |ureg AS (
+        |  SELECT p.src_a, p.src_b, r.j, MAX(r.m) AS m
+        |  FROM pairs p JOIN reg r
+        |    ON r.source = p.src_a OR r.source = p.src_b
+        |  GROUP BY p.src_a, p.src_b, r.j),
+        |uagg AS (
+        |  SELECT src_a, src_b, CAST(256 - COUNT(*) AS BIGINT) AS v_zero,
+        |    CAST(SUM(CAST(power(2, 49 - m) AS BIGINT))
+        |      + (256 - COUNT(*)) * 562949953421312 AS BIGINT) AS s_reg
+        |  FROM ureg GROUP BY src_a, src_b),
+        |uhll AS (
+        |  SELECT src_a, src_b,
+        |    CAST(CAST(CASE WHEN e_raw <= CAST(640.0 AS DOUBLE) AND v_zero > 0
+        |      THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) / CAST(v_zero AS DOUBLE))
+        |      ELSE e_raw END AS DECIMAL(28,6)) AS DOUBLE) AS est_u
+        |  FROM (SELECT src_a, src_b, v_zero, s_reg,
+        |      CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+        |          + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
+        |        * CAST(65536.0 AS DOUBLE) * CAST(562949953421312.0 AS DOUBLE)
+        |        / CAST(s_reg AS DOUBLE) AS e_raw
+        |    FROM uagg)),
+        |est AS (
+        |  SELECT p.src_a, p.src_b, p.n_common, sa.n AS n_a, sb.n AS n_b,
+        |    ha.est_hll AS est_a, hb.est_hll AS est_b, u.est_u,
+        |    CAST(CAST((ha.est_hll + hb.est_hll) - u.est_u AS DECIMAL(28,6))
+        |      AS DOUBLE) AS est_common
+        |  FROM pairs p
+        |  JOIN sz sa ON sa.source = p.src_a
+        |  JOIN sz sb ON sb.source = p.src_b
+        |  JOIN hll ha ON ha.source = p.src_a
+        |  JOIN hll hb ON hb.source = p.src_b
+        |  JOIN uhll u ON u.src_a = p.src_a AND u.src_b = p.src_b)
+        |SELECT src_a, src_b, n_a, n_b, n_common, est_a, est_b, est_u,
+        |  est_common,
+        |  CAST(FLOOR(CAST(10000.0 AS DOUBLE)
+        |    * (est_common - CAST(n_common AS DOUBLE))
+        |    / CAST(n_common AS DOUBLE)) AS BIGINT) AS err_bp
+        |FROM est
+        |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+      val dd = Tables.documentsSpread(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .distinct()
+        .persist() // feeds the exact ledger AND the register build
+      val ex = overlapMatrix(dd)
+        .select("src_a", "src_b", "n_common", "n_a", "n_b")
+      val regs = hllRegistersOf(dd, md5(col("tok"))).persist()
+      val perSrc = hllFinalize(regs).select("source", "est_hll")
+      val pl = ex.select("src_a", "src_b")
+      val ureg = regs.join(broadcast(pl),
+          col("source") === col("src_a") || col("source") === col("src_b"))
+        .groupBy("src_a", "src_b", "j").agg(max(col("m")).as("m"))
+      val uhll = hllFinalizeKeyed(ureg, Seq("src_a", "src_b"))
+        .select(col("src_a"), col("src_b"), col("est_hll").as("est_u"))
+      ex
+        .join(broadcast(perSrc.select(col("source").as("src_a"),
+          col("est_hll").as("est_a"))), "src_a")
+        .join(broadcast(perSrc.select(col("source").as("src_b"),
+          col("est_hll").as("est_b"))), "src_b")
+        .join(broadcast(uhll), Seq("src_a", "src_b"))
+        .withColumn("est_common",
+          ((col("est_a") + col("est_b")) - col("est_u"))
+            .cast(DecimalType(28, 6)).cast("double"))
+        .withColumn("err_bp",
+          floor(lit(10000.0) * (col("est_common") - col("n_common").cast("double"))
+            / col("n_common").cast("double")).cast("long"))
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+          col("n_common"), col("est_a"), col("est_b"), col("est_u"),
+          col("est_common"), col("err_bp"))
+        .orderBy("src_a", "src_b")
+    },
+
+
+    // ---- q255: robots.txt REP evaluation (RFC 9309 longest-match) ----------
+    // The crawl-side gate every web corpus passes before ingest: parse
+    // each domain's robots.txt (one `User-agent: *` group — multi-group
+    // UA selection is out of fixture scope) into Allow/Disallow prefix
+    // rules, then decide every URL by the Robots Exclusion Protocol's
+    // published rule (RFC 9309 §2.2.2): the rule with the LONGEST
+    // matching prefix wins; an Allow/Disallow tie at equal length goes
+    // to Allow; no matching rule means allowed. The fixture plants all
+    // five verdict classes per domain (Allow override under a broader
+    // Disallow, plain Disallow hits on two prefixes, the exact-prefix
+    // boundary case, and a rule-free path), and the ENGINE parses the
+    // actual robots TEXT — line split + directive regexp — so the rule
+    // table comes from the parse, not the plant.
+    //
+    // 100 TB shape: the rule table is domain-catalog-sized → broadcast;
+    // matching is one broadcast theta-join (fan-out bounded by
+    // rules-per-domain, ~handfuls in practice) + one max_by keyed agg
+    // (mergeable — ≤1 row per URL per partition crosses the shuffle);
+    // the verdict is a left join back. No windows over the corpus.
+    QueryDef(
+      "q255_robots_rep_gate",
+      """WITH o AS (
+        |  SELECT doc_id, source, substring(source, 4) AS ord FROM documents),
+        |urls AS (
+        |  SELECT doc_id, source,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN '/private/ok' || ord || '/p' || CAST(doc_id AS VARCHAR)
+        |      WHEN 1 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+        |      WHEN 2 THEN '/tmp' || ord || '/y' || CAST(doc_id AS VARCHAR)
+        |      WHEN 3 THEN '/public/z' || CAST(doc_id AS VARCHAR)
+        |      ELSE '/private' END AS path
+        |  FROM o),
+        |doms AS (SELECT DISTINCT source, substring(source, 4) AS ord
+        |         FROM documents),
+        |rules AS (
+        |  SELECT source, '/private' AS prefix, 0 AS allow FROM doms
+        |  UNION ALL SELECT source, '/private/ok' || ord, 1 FROM doms
+        |  UNION ALL SELECT source, '/tmp' || ord, 0 FROM doms),
+        |m AS (
+        |  SELECT u.doc_id, r.prefix, r.allow,
+        |    ROW_NUMBER() OVER (PARTITION BY u.doc_id
+        |      ORDER BY length(r.prefix) DESC, r.allow DESC, r.prefix DESC) AS rk
+        |  FROM urls u JOIN rules r
+        |    ON r.source = u.source AND starts_with(u.path, r.prefix))
+        |SELECT u.doc_id, u.source, u.path,
+        |  CAST(COALESCE(m.allow, 1) AS BIGINT) AS allowed,
+        |  m.prefix AS rule,
+        |  CAST(COALESCE(length(m.prefix), -1) AS BIGINT) AS rule_len
+        |FROM urls u LEFT JOIN (SELECT * FROM m WHERE rk = 1) m USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val did = col("doc_id")
+      // to end-of-string, mirroring the oracle's substring(source, 4) —
+      // a 10-char cap would silently diverge on long source ids (r16, ADVICE)
+      val ord = expr("substring(source, 4)")
+      val urls = Tables.documents(s, d)
+        .select(did, col("source"),
+          when(did % 5 === 0,
+            concat(lit("/private/ok"), ord, lit("/p"), did.cast("string")))
+            .when(did % 5 === 1, concat(lit("/private/x"), did.cast("string")))
+            .when(did % 5 === 2,
+              concat(lit("/tmp"), ord, lit("/y"), did.cast("string")))
+            .when(did % 5 === 3, concat(lit("/public/z"), did.cast("string")))
+            .otherwise(lit("/private")).as("path"))
+      // ---- fixture: the robots.txt TEXT per domain ----
+      val robots = Tables.documents(s, d)
+        .select(col("source"), expr("substring(source, 4)").as("ord"))
+        .distinct()
+        .select(col("source"), concat(
+          lit("User-agent: *\n"),
+          lit("Disallow: /private\n"),
+          lit("Allow: /private/ok"), col("ord"), lit("\n"),
+          lit("Disallow: /tmp"), col("ord"), lit("\n")).as("txt"))
+      // ---- the parse side sees ONLY (source, txt) from here on ----
+      val lineRe = "^(Allow|Disallow): (.*)$"
+      val rules = robots
+        .select(col("source"), explode(split(col("txt"), "\n")).as("line"))
+        .withColumn("dir", regexp_extract(col("line"), lineRe, 1))
+        .withColumn("prefix", regexp_extract(col("line"), lineRe, 2))
+        .filter(col("dir") =!= "")
+        .select(col("source").as("rsource"), col("prefix"),
+          when(col("dir") === "Allow", 1L).otherwise(0L).as("allow"))
+      val best = urls
+        .join(broadcast(rules),
+          col("source") === col("rsource") &&
+            col("path").startsWith(col("prefix")))
+        .groupBy("doc_id")
+        .agg(max_by(struct(col("allow"), col("prefix")),
+          struct(length(col("prefix")), col("allow"), col("prefix")))
+          .as("m"))
+      urls.join(best, Seq("doc_id"), "left")
+        .select(did, col("source"), col("path"),
+          coalesce(col("m.allow"), lit(1L)).as("allowed"),
+          col("m.prefix").as("rule"),
+          coalesce(length(col("m.prefix")).cast("long"), lit(-1L))
+            .as("rule_len"))
+        .orderBy("doc_id")
+    },
+  )
+}

@@ -578,23 +578,63 @@ object RelationalPack {
         .orderBy("l_returnflag")
     },
 
-    // ---- q64: approx percentiles next to the exact answer ------------------
+    // ---- q64: approx percentiles, rank-audited against the exact answer ----
     // approx_percentile is the 100 TB path for quantiles (KLL/GK-style
     // sketch — fixed-size state, map-side mergeable); exact percentile
     // (q49) buffers EVERY value of the group in aggregation state, which is
-    // OOM-bait on a skewed 100 TB group (see SCALE.md). Sketch contents are
-    // engine-specific, so no DuckDB hash oracle: rows-only here, with the
-    // exact columns alongside and the rank-error bound asserted in
-    // PercentileSpec — the q43 exact-vs-HLL pattern.
-    QueryDef.rowsOnly("q64_approx_percentiles") { (s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
+    // OOM-bait on a skewed 100 TB group (see SCALE.md). Sketch VALUES are
+    // engine-specific (merge-order-dependent), so the hashable output is
+    // the sketch's CONTRACT, not its contents (the q204 upgrade pattern,
+    // r16 verdict item 6): for each group the approx value's exact rank —
+    // one keyed count pass against the broadcast 5-row percentile table —
+    // must land within the published (p ± 1/accuracy)·n band (±1 for
+    // floor/ceil convention), and the value must be an actual group
+    // element (GK returns data values, never interpolations). The oracle
+    // pins the exact columns and the audit booleans to 1, so a sketch
+    // regression flips the hash. PercentileSpec holds the same bound in
+    // rank space against fully sorted ground truth at test scale.
+    QueryDef(
+      "q64_approx_percentiles",
+      """SELECT l_returnflag,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  CAST(1 AS BIGINT) AS approx_median_ok,
+        |  CAST(1 AS BIGINT) AS approx_p90_ok,
+        |  CAST(1 AS BIGINT) AS member_ok
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val g = li.groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n"),
           percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
           percentile(col("l_quantity"), lit(0.9)).as("p90_qty"),
-          approx_percentile(col("l_quantity"), lit(0.5), lit(1000)).as("approx_median_qty"),
-          approx_percentile(col("l_quantity"), lit(0.9), lit(1000)).as("approx_p90_qty"))
+          approx_percentile(col("l_quantity"), lit(0.5), lit(1000)).as("am"),
+          approx_percentile(col("l_quantity"), lit(0.9), lit(1000)).as("ap"))
+      // exact ranks of the approx values: one map-side-combined pass over
+      // lineitem against the broadcast group-sized percentile table
+      val ranks = li.select(col("l_returnflag"), col("l_quantity"))
+        .join(broadcast(g.select(col("l_returnflag"), col("am"), col("ap"))),
+          "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("l_quantity") < col("am"), 1L).otherwise(0L)).as("lt_m"),
+          sum(when(col("l_quantity") <= col("am"), 1L).otherwise(0L)).as("le_m"),
+          sum(when(col("l_quantity") < col("ap"), 1L).otherwise(0L)).as("lt_p"),
+          sum(when(col("l_quantity") <= col("ap"), 1L).otherwise(0L)).as("le_p"))
+      def bandOk(lt: String, le: String, p: Double) =
+        (col(lt) <= (lit(p + 0.001) * col("n") + 1.0)) &&
+          (col(le) >= (lit(p - 0.001) * col("n") - 1.0))
+      g.join(ranks, "l_returnflag")
+        .select(col("l_returnflag"), col("n"), col("median_qty"), col("p90_qty"),
+          when(bandOk("lt_m", "le_m", 0.5), 1L).otherwise(0L)
+            .as("approx_median_ok"),
+          when(bandOk("lt_p", "le_p", 0.9), 1L).otherwise(0L)
+            .as("approx_p90_ok"),
+          when(col("le_m") > col("lt_m") && col("le_p") > col("lt_p"), 1L)
+            .otherwise(0L).as("member_ok"))
         .orderBy("l_returnflag")
     },
 
@@ -1113,11 +1153,24 @@ object RelationalPack {
     // cut points (fixed-size mergeable sketch, ONE aggregation — no global
     // sort) collected as the driver-held model (10 doubles, the Ivf
     // pattern), then bucket assignment is a pure map-side expression on
-    // the scan. Rows-only by design — sketch cut points are
-    // engine-specific — with AnalyticsSpec holding the rank-error band
-    // against q119's exact deciles: every approx bucket count within
-    // 2·N/accuracy of N/10, rows and mass conserved.
-    QueryDef.rowsOnly("q140_quantile_bucket_join") { (s, d) =>
+    // the scan. Sketch cut points are engine-specific, so — as q64 — the
+    // hashable output is the bucketing's CONTRACT (r16 verdict item 6):
+    // per decile bucket, its count within the 2·N/accuracy rank band of
+    // N/10 (the bound AnalyticsSpec holds against fully sorted ground
+    // truth), buckets ordered and non-overlapping (hi(b) ≤ lo(b+1)), and
+    // rows + value mass conserved exactly (decimal sums — sum of
+    // per-bucket decimal sums equals the global decimal sum exactly).
+    // The oracle pins 10 bucket rows of audit booleans to 1; an empty or
+    // out-of-band bucket flips the hash.
+    QueryDef(
+      "q140_quantile_bucket_join",
+      """SELECT CAST(range + 1 AS BIGINT) AS bin,
+        |  CAST(1 AS BIGINT) AS band_ok,
+        |  CAST(1 AS BIGINT) AS mono_ok,
+        |  CAST(1 AS BIGINT) AS rows_ok,
+        |  CAST(1 AS BIGINT) AS mass_ok
+        |FROM range(0, 10)
+        |ORDER BY bin""".stripMargin) { (s, d) =>
       val li = Tables.lineitem(s, d)
       // the model: 9 interior cut points at accuracy 10000
       val cuts = li.agg(expr(
@@ -1126,10 +1179,36 @@ object RelationalPack {
       val bucket = cuts.zipWithIndex.foldLeft(lit(1L)) { case (acc, (cut, i)) =>
         when(col("l_extendedprice") > cut, lit(i.toLong + 2)).otherwise(acc)
       }
-      li.select(col("l_extendedprice").as("x"), bucket.as("bin"))
+      val perBucket = li
+        .select(col("l_extendedprice").as("x"), bucket.as("bin"))
         .groupBy("bin")
         .agg(count(lit(1)).as("n"), min(col("x")).as("lo"), max(col("x")).as("hi"),
-          sum(col("x").cast(DecimalType(18, 4))).cast("double").as("total"))
+          sum(col("x").cast(DecimalType(18, 4))).as("total"))
+      val tot = li.agg(count(lit(1)).as("n_all"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 4))).as("mass"))
+      // audit over the 10-row decile frame: a dropped (empty) bucket must
+      // surface as a 0-audit row, not a missing row — hence the left join
+      // from the literal bin universe
+      val bins = s.range(1, 11).select(col("id").as("bin"))
+      val w = Window.orderBy("bin")
+      bins.join(perBucket, Seq("bin"), "left")
+        .select(col("bin"), coalesce(col("n"), lit(0L)).as("n"),
+          col("lo"), col("hi"), coalesce(col("total"),
+            lit(0).cast(DecimalType(18, 4))).as("total"))
+        .withColumn("next_lo", lead(col("lo"), 1).over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("bin"),
+          when(abs(col("n") - col("n_all") / 10.0) <=
+            lit(2.0) * col("n_all") / 10000.0 + 2.0, 1L).otherwise(0L)
+            .as("band_ok"),
+          when(col("next_lo").isNull || col("hi") <= col("next_lo"), 1L)
+            .otherwise(0L).as("mono_ok"),
+          when(sum(col("n")).over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+            === col("n_all"), 1L).otherwise(0L).as("rows_ok"),
+          when(sum(col("total")).over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+            === col("mass"), 1L).otherwise(0L).as("mass_ok"))
         .orderBy("bin")
     },
 

@@ -165,21 +165,34 @@ class AnalyticsSpec extends AnyFunSuite {
   }
 
   test("q140 approx buckets track the exact deciles within the sketch band") {
-    val rows = SparkEntry.byName("q140_quantile_bucket_join").run(spark, sf).collect()
-    val n = Tables.lineitem(spark, sf).count()
-    assert(rows.map(_.getLong(1)).sum == n, "rows not conserved")
+    // ground truth, independent of the query's own in-plan audit: rebuild
+    // the bucket counts from the same cut model and hold the band directly
+    val li = Tables.lineitem(spark, sf)
+    val n = li.count()
+    val cuts = li.agg(expr(
+      "approx_percentile(l_extendedprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 10000)")
+      .as("c")).head().getSeq[Double](0)
+    val bucket = cuts.zipWithIndex.foldLeft(lit(1L)) { case (acc, (cut, i)) =>
+      when(col("l_extendedprice") > cut, lit(i.toLong + 2)).otherwise(acc)
+    }
+    val counts = li.select(bucket.as("bin")).groupBy("bin").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == n, "rows not conserved")
     // approx_percentile(accuracy=10000): rank error <= n/accuracy per cut,
     // so each bucket count sits within 2n/accuracy (+slack) of n/10
     val tol = 2.0 * n / 10000 + 2
-    rows.foreach { r =>
-      assert(math.abs(r.getLong(1) - n / 10.0) <= tol,
-        s"bin ${r.getLong(0)}: ${r.getLong(1)} vs ${n / 10.0} (tol $tol)")
+    (1L to 10L).foreach { b =>
+      assert(math.abs(counts.getOrElse(b, 0L) - n / 10.0) <= tol,
+        s"bin $b: ${counts.getOrElse(b, 0L)} vs ${n / 10.0} (tol $tol)")
     }
-    // buckets are ordered, non-overlapping ranges
-    val sorted = rows.sortBy(_.getLong(0))
-    sorted.sliding(2).foreach {
-      case Array(a, b) => assert(a.getDouble(3) <= b.getDouble(2))
-      case _ =>
+    // and the registered query's hash-pinned audits agree: all booleans 1
+    val rows = SparkEntry.byName("q140_quantile_bucket_join").run(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L).toSeq)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 1L, s"bin ${r.getLong(0)}: band_ok")
+      assert(r.getLong(2) == 1L, s"bin ${r.getLong(0)}: mono_ok")
+      assert(r.getLong(3) == 1L, s"bin ${r.getLong(0)}: rows_ok")
+      assert(r.getLong(4) == 1L, s"bin ${r.getLong(0)}: mass_ok")
     }
   }
 

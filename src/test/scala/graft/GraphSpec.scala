@@ -131,6 +131,76 @@ class GraphSpec extends AnyFunSuite {
     assert(ad2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == aRef)
   }
 
+  test("warm-started HITS: same fixed point as from-uniform, fewer rounds after ingest") {
+    // the q253 production flag (SCALE.md), sibling of warmStartPageRank:
+    // carry the node-sized HUB vector as state (authorities are
+    // recomputed from hubs in round 1, so hubs are the complete state)
+    // and run a small bounded round count per ingest batch. Graph:
+    // bipartite users→items, one broad hub (user 0 touches every item)
+    // plus 12 users touching 2 items each; batch = ONE new user touching
+    // one popular item — the real ingest shape (a small batch barely
+    // moves the fixed point, so previous hubs beat the uniform init).
+    val g0 = (0 until 4).map(i => (0L, 10L + i)) ++
+      (1L to 12L).map(u => (u, 10L + u % 3)) ++
+      (1L to 12L).map(u => (u, 13L))
+    val batch = Seq((50L, 10L))
+    val g2 = g0 ++ batch
+    def replay(edges: Seq[(Long, Long)], h0: Map[Long, Long], iters: Int)
+        : (Map[Long, Long], Map[Long, Long]) = {
+      def norm(m: Map[Long, Long]): Map[Long, Long] = {
+        val d = math.max(m.values.sum / (m.size * 1000000L), 1L)
+        m.view.mapValues(_ / d).toMap
+      }
+      var h = h0
+      var a = Map.empty[Long, Long]
+      for (_ <- 1 to iters) {
+        a = norm(edges.filter(e => h.contains(e._1))
+          .groupBy(_._2).view.mapValues(_.map(e => h(e._1)).sum).toMap)
+        h = norm(edges.filter(e => a.contains(e._2))
+          .groupBy(_._1).view.mapValues(_.map(e => a(e._2)).sum).toMap)
+      }
+      (h, a)
+    }
+    def uniform(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      edges.map(_._1).distinct.map(_ -> 1000000L).toMap
+    // near-converged hub state over the pre-ingest graph
+    val (prevHubs, _) = Graph.hits(g0.toDF("u", "v"), "u", "v", 12)
+    def warmN(n: Int): (Map[Long, Long], Map[Long, Long]) = {
+      val (hd, ad) = Graph.warmStartHits(g2.toDF("u", "v"), "u", "v",
+        prevHubs.toDF("id", "s"), n)
+      (hd.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+        ad.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    }
+    // the grown graph's fixed point (long cold run, Scala replay)
+    val (hFixed, aFixed) = replay(g2, uniform(g2), 40)
+    val (wh2, wa2) = warmN(2)
+    assert(wh2.keySet == hFixed.keySet)
+    // new hub 50 (absent from prev) was seeded at uniform and scored
+    assert(wh2.contains(50L))
+    def err(m: Map[Long, Long], fixed: Map[Long, Long]): Long =
+      m.map { case (id, s) => math.abs(s - fixed(id)) }.max
+    // the Spark warm path IS the replayed warm recurrence, bit-for-bit
+    val prevMap = prevHubs.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h0Warm = g2.map(_._1).distinct
+      .map(u => u -> prevMap.getOrElse(u, 1000000L)).toMap
+    val (whRef, waRef) = replay(g2, h0Warm, 2)
+    assert(wh2 == whRef, s"hubs $wh2 vs warm replay $whRef")
+    assert(wa2 == waRef, s"authorities $wa2 vs warm replay $waRef")
+    // 2 warm rounds land at least as close to the fixed point as 2 cold
+    // rounds, on both vectors (warm starting buys rounds)
+    val (ch2, ca2) = replay(g2, uniform(g2), 2)
+    assert(err(wh2, hFixed) <= err(ch2, hFixed))
+    assert(err(wa2, aFixed) <= err(ca2, aFixed))
+    assert(err(wh2, hFixed) + err(wa2, aFixed) <
+      err(ch2, hFixed) + err(ca2, aFixed))
+    // warm iteration keeps converging toward the same fixed point
+    val (wh4, _) = warmN(4)
+    assert(err(wh4, hFixed) <= err(wh2, hFixed))
+    // deterministic: integer fixed point replays bit-identically
+    assert(warmN(2)._1 == wh2)
+  }
+
   test("q145 personalized PageRank matches a Scala replay; non-seeds-only islands stay 0") {
     import TestSpark.sf
     val got = SparkEntry.byName("q145_personalized_pagerank").run(spark, sf)

@@ -41,11 +41,20 @@ class PercentileSpec extends AnyFunSuite {
     }
   }
 
-  test("q64 emits both exact and approx columns per group") {
+  test("q64 emits exact columns plus all-green sketch-contract audits per group") {
     val df = SparkEntry.byName("q64_approx_percentiles").run(spark, sf)
     assert(df.columns.toSeq ==
-      Seq("l_returnflag", "n", "median_qty", "p90_qty", "approx_median_qty", "approx_p90_qty"))
-    assert(df.count() > 0)
+      Seq("l_returnflag", "n", "median_qty", "p90_qty",
+        "approx_median_ok", "approx_p90_ok", "member_ok"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // the audits the oracle pins to 1 — the in-query rank check must agree
+    // with this spec's ground-truth rank-band test above
+    rows.foreach { r =>
+      assert(r.getLong(4) == 1L, s"group ${r.getString(0)}: approx_median_ok")
+      assert(r.getLong(5) == 1L, s"group ${r.getString(0)}: approx_p90_ok")
+      assert(r.getLong(6) == 1L, s"group ${r.getString(0)}: member_ok")
+    }
   }
 
   test("Quantiles.exactRanks matches sorted ground truth on adversarial data (q156)") {

@@ -320,8 +320,10 @@ class PlanSpec extends AnyFunSuite {
     // (src_a/src_b are the source-pair aliases of q224/q227/q239's ledgers;
     // qid is the PROBE-side id, everywhere derived from a literal-bounded
     // query subset — vec_id < 10/20 — never a corpus id)
+    // l_returnflag: TPC-H's 3-value flag enum — a group-by on it is
+    // catalog-bounded (q64 broadcasts its per-flag percentile table)
     val boundedKeys = Set("lang", "source", "event_type", "split", "r", "c",
-      "tok", "token", "band", "cid", "src_a", "src_b", "qid")
+      "tok", "token", "band", "cid", "src_a", "src_b", "qid", "l_returnflag")
     // "foldable" rather than bare Literal: the analyzer wraps literals in
     // casts (vec_id < CAST(10 AS BIGINT)). Only EQUALITIES and UPPER
     // bounds certify a subset — a lower bound (attr > lit / lit < attr)
