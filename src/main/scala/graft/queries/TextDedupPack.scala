@@ -2662,6 +2662,209 @@ object TextDedupPack {
         .orderBy("lvl")
     },
 
+
+    // ---- q260: b-bit minwise signatures (1-bit) vs exact Jaccard -----------
+    // The sketch-COMPRESSION step on top of q28 (Li & Konig, CACM 2011 —
+    // public literature): keep only the LOWEST BIT of each of the 16
+    // minhash values, so a document's near-dup signature is 16 BITS (2
+    // bytes) instead of 16x32 bits — at 100 TB the candidate-scoring pass
+    // reads 32x less signature data, and scoring a pair is one XOR +
+    // popcount instead of 16 integer compares. The price is estimator
+    // variance, and THIS query measures it: for every q28 capped-bucket
+    // candidate pair, the bit-collision count (0..16), the b=1 minwise
+    // Jaccard estimate 2C-1 (clamped at 0, integer basis points), the
+    // exact Jaccard over the capped gram sets, and the absolute error —
+    // the variance ledger that decides whether 2-byte signatures are
+    // tolerable for a given corpus. All integer arithmetic on md5-derived
+    // bits, so DuckDB replays the whole ledger bit-for-bit.
+    //
+    // 100 TB shape: bits ride the q28 minhash aggregation (zero extra
+    // passes); the pair ledger joins candidates to two node-sized bit
+    // tables and one keyed gram-overlap count — the q28 plan with a
+    // 2-byte payload.
+    QueryDef(
+      "q260_bbit_minwise", {
+        val bitCols = (0 until 16).map(i =>
+          s"('0x' || substring(mh$i, 8, 1))::BIGINT % 2 AS b$i").mkString(",\n    ")
+        val collSum = (0 until 16).map(i =>
+          s"CASE WHEN a.b$i = b.b$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH $GRAMS_SQL,
+           |$minhashBandsSql,
+           |bandsc AS (SELECT doc_id, band, bh FROM (
+           |             SELECT doc_id, band, bh,
+           |               COUNT(*) OVER (PARTITION BY band, bh) AS n
+           |             FROM bands)
+           |           WHERE n <= $MAX_BUCKET),
+           |cand AS (SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+           |         FROM bandsc b1 JOIN bandsc b2
+           |           ON b1.band = b2.band AND b1.bh = b2.bh
+           |          AND b1.doc_id < b2.doc_id),
+           |bits AS (SELECT doc_id,
+           |    $bitCols
+           |  FROM mh),
+           |coll AS (SELECT c.doc_a, c.doc_b,
+           |           CAST($collSum AS BIGINT) AS bit_coll
+           |         FROM cand c
+           |         JOIN bits a ON a.doc_id = c.doc_a
+           |         JOIN bits b ON b.doc_id = c.doc_b),
+           |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+           |common AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+           |           FROM cand c
+           |           JOIN grams g1 ON g1.doc_id = c.doc_a
+           |           JOIN grams g2 ON g2.doc_id = c.doc_b AND g2.gram = g1.gram
+           |           GROUP BY c.doc_a, c.doc_b)
+           |SELECT k.doc_a, k.doc_b, k.bit_coll,
+           |  GREATEST(0, ((2 * k.bit_coll - 16) * 10000) // 16) AS jest_bp,
+           |  (COALESCE(cm.common, 0) * 10000) //
+           |    (sa.n + sb.n - COALESCE(cm.common, 0)) AS j_bp,
+           |  ABS(GREATEST(0, ((2 * k.bit_coll - 16) * 10000) // 16) -
+           |    (COALESCE(cm.common, 0) * 10000) //
+           |      (sa.n + sb.n - COALESCE(cm.common, 0))) AS err_bp
+           |FROM coll k
+           |LEFT JOIN common cm ON cm.doc_a = k.doc_a AND cm.doc_b = k.doc_b
+           |JOIN sizes sa ON sa.doc_id = k.doc_a
+           |JOIN sizes sb ON sb.doc_id = k.doc_b
+           |ORDER BY k.doc_a, k.doc_b""".stripMargin
+      }) { (s, d) =>
+      val grams = sparkGrams(s, d)
+      val mhAggs = (0 until 16).map(i =>
+        min(substring(md5(concat(lit(s"${i / 4}:"), col("gram"))),
+          (i % 4) * 8 + 1, 8)).as(s"mh$i"))
+      // persisted: the band build and the bit projection both scan mh
+      val mh = grams.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*).persist()
+      val bands = (0 until 4).map { b =>
+        mh.select(col("doc_id"), lit(b).as("band"),
+          md5(concat((b * 4 until b * 4 + 4).map(i => col(s"mh$i")): _*)).as("bh"))
+      }.reduce(_ unionByName _)
+      val bandsc = graft.operators.Occupancy.cap(
+        bands, Seq("band", "bh"), MAX_BUCKET, persistResult = true)
+      val cand = bandsc.as("b1")
+        .join(bandsc.as("b2"),
+          col("b1.band") === col("b2.band") && col("b1.bh") === col("b2.bh")
+            && col("b1.doc_id") < col("b2.doc_id"))
+        .select(col("b1.doc_id").as("doc_a"), col("b2.doc_id").as("doc_b"))
+        .distinct()
+      // the 2-byte signature: lowest bit of each minhash (hex parity)
+      val bits = mh.select(col("doc_id") +:
+        (0 until 16).map(i =>
+          (conv(substring(col(s"mh$i"), 8, 1), 16, 10).cast("long") % 2L)
+            .as(s"b$i")): _*)
+      val collExpr = (0 until 16).map(i =>
+        when(col(s"a.b$i") === col(s"b.b$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val coll = cand
+        .join(bits.as("a"), col("a.doc_id") === col("doc_a"))
+        .join(bits.as("b"), col("b.doc_id") === col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), collExpr.as("bit_coll"))
+      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val common = cand
+        .join(grams.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
+        .join(grams.select(col("doc_id").as("doc_b"), col("gram")),
+          Seq("doc_b", "gram"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+      val jestBp = greatest(lit(0L),
+        expr("((2 * bit_coll - 16) * 10000) div 16"))
+      val jBp = expr("(common * 10000) div (na + nb - common)")
+      coll
+        .join(common, Seq("doc_a", "doc_b"), "left")
+        .na.fill(0L, Seq("common"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("bit_coll"),
+          jestBp.as("jest_bp"), jBp.as("j_bp"),
+          abs(jestBp - jBp).as("err_bp"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- q262: content-defined chunking (CDC) dedup ledger ------------------
+    // The storage/transfer-dedup primitive (LBFS, Muthitacharoen et al.
+    // SOSP'01 — public literature) applied to corpus text: chunk
+    // boundaries are declared where a ROLLING HASH of the last 4 token
+    // codes (q41's Karp-Rabin shape, P=1000003 mod 2^31-1) hits
+    // h % 16 == 0, so boundaries are a function of CONTENT, not offsets —
+    // insert a sentence at the front of a near-dup and every chunk after
+    // the edit still aligns, which is exactly what fixed-width chunking
+    // (q86's 16-token segments) loses. Per source: total chunks, distinct
+    // chunk signatures, and the duplicated-chunk mass in integer basis
+    // points — the dedup ratio a chunk-store would achieve on the corpus.
+    // All integer rolling-hash arithmetic + md5 signatures, replayed
+    // bit-for-bit by the oracle.
+    //
+    // 100 TB shape: one per-token explode (rows = corpus tokens), one
+    // doc-partitioned running-sum window (partitions bounded by doc
+    // length), one keyed chunk agg, one (source, md5)-keyed distinct —
+    // no self-joins, no corpus-wide windows.
+    QueryDef(
+      "q262_cdc_chunk_dedup", {
+        def code(x: String) =
+          s"CAST(length($x) * 31 + ascii(substring($x, 1, 1)) AS BIGINT)"
+        s"""WITH tk AS (
+           |  SELECT doc_id, source, string_split(text, ' ') AS t,
+           |    len(string_split(text, ' ')) AS n
+           |  FROM documents),
+           |pos AS (
+           |  SELECT doc_id, source, t, n, unnest(range(1, n + 1)) AS i
+           |  FROM tk),
+           |hb AS (
+           |  SELECT doc_id, source, i, t[i] AS tok,
+           |    CASE WHEN i >= 4
+           |      AND (((((${code("t[i-3]")} * 1000003 + ${code("t[i-2]")})
+           |         % 2147483647) * 1000003 + ${code("t[i-1]")})
+           |         % 2147483647) * 1000003 + ${code("t[i]")})
+           |         % 2147483647 % 16 = 0
+           |      THEN 1 ELSE 0 END AS b
+           |  FROM pos),
+           |cid AS (
+           |  SELECT doc_id, source, i, tok,
+           |    COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+           |  FROM hb),
+           |chunks AS (
+           |  SELECT doc_id, source, c,
+           |    md5(string_agg(tok, ' ' ORDER BY i)) AS sig
+           |  FROM cid GROUP BY doc_id, source, c)
+           |SELECT source,
+           |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           |  CAST(COUNT(DISTINCT sig) AS BIGINT) AS n_unique,
+           |  CAST(10000 - (COUNT(DISTINCT sig) * 10000) // COUNT(*) AS BIGINT)
+           |    AS dup_bp
+           |FROM chunks
+           |GROUP BY source
+           |ORDER BY source""".stripMargin
+      }) { (s, d) =>
+      val t = col("t")
+      def codeAt(off: Int) = {
+        // clamped: when i < 4 the hash value is unused (b = 0), but
+        // element_at(t, 0) throws even under the unfired when() branch
+        val w = element_at(t, greatest(lit(1), col("i") - lit(off)))
+        (length(w) * 31 + ascii(substring(w, 1, 1))).cast("long")
+      }
+      val P = 1000003L; val M = 2147483647L
+      val hFull = (((((codeAt(3) * P + codeAt(2)) % M) * P + codeAt(1)) % M)
+        * P + codeAt(0)) % M
+      val w = Window.partitionBy("doc_id").orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cid = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), col("source"), t,
+          explode(sequence(lit(1), size(t))).as("i"))
+        .select(col("doc_id"), col("source"), col("i"),
+          element_at(t, col("i")).as("tok"),
+          when(col("i") >= 4 && hFull % 16L === 0L, 1L).otherwise(0L).as("b"))
+        .withColumn("c", coalesce(sum(col("b")).over(w), lit(0L)))
+      cid
+        .groupBy("doc_id", "source", "c")
+        .agg(md5(array_join(transform(
+          array_sort(collect_list(struct(col("i"), col("tok")))),
+          x => x.getField("tok")), " ")).as("sig"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("sig")).as("n_unique"))
+        .select(col("source"), col("n_chunks"), col("n_unique"),
+          (lit(10000L) - expr("(n_unique * 10000) div n_chunks")).as("dup_bp"))
+        .orderBy("source")
+    },
+
   )
 
   /** q214's banding sweep: every (bands, rows) factorization of the

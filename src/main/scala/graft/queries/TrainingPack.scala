@@ -2727,6 +2727,57 @@ object TrainingPack {
           when(col("bucket") === "tail", 0L).otherwise(1L))
         .orderBy("lang", "bucket")
       out
+    },
+
+    // ---- q261: classifier calibration bins (reliability ledger) ------------
+    // q141 classifies, q148 scores the confusion matrix at ONE cut; this
+    // is the RELIABILITY view every model-based filter deploy checks
+    // before trusting the scores as sampling weights (q129-style): bin
+    // the linear logit into unit-width bins clamped to [-5, 5) and, per
+    // non-empty bin, report volume, the rule-gate base rate (q70's
+    // pass-all as truth, the q148 convention), and the gate rate in
+    // integer basis points. A well-calibrated score is monotone in
+    // pass_rate_bp across bins; a flat or inverted run of bins says the
+    // logit is mis-scaled AS A WEIGHT even if its sign classifies well.
+    // Binning is floor() on the same e-notation IEEE double logit both
+    // engines evaluate identically (the q141 discipline), so bin edges
+    // cannot drift cross-engine.
+    //
+    // 100 TB shape: one map-side score+gate pass riding the scan, one
+    // 10-row keyed agg. The ledger is catalog-sized.
+    QueryDef(
+      "q261_calibration_bins",
+      s"""WITH f AS (
+         |  SELECT source, $qualityExprsSql
+         |  FROM documents),
+         |scored AS (
+         |  SELECT
+         |    -3e0 + 2e-2 * ntok + 6e-1 * awl - 25e0 * symratio + 8e-1 * nstop AS logit,
+         |    CASE WHEN $QualityCondSql THEN 1 ELSE 0 END AS truth
+         |  FROM f),
+         |binned AS (
+         |  SELECT CAST(LEAST(9, GREATEST(0, FLOOR(logit + 5e0))) AS BIGINT) AS bin,
+         |    truth
+         |  FROM scored)
+         |SELECT bin,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(truth) AS BIGINT) AS n_pass,
+         |  CAST((SUM(truth) * 10000) // COUNT(*) AS BIGINT) AS pass_rate_bp,
+         |  CAST(CASE WHEN bin >= 5 THEN 1 ELSE 0 END AS BIGINT) AS pred_pos
+         |FROM binned
+         |GROUP BY bin
+         |ORDER BY bin""".stripMargin) { (s, d) =>
+      val bin = least(lit(9.0), greatest(lit(0.0),
+        floor(qualityLogitCol + lit(5.0)))).cast("long")
+      Tables.documentsSpread(s, d)
+        .select(bin.as("bin"),
+          when(qualityPassAll, 1L).otherwise(0L).as("truth"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("truth")).as("n_pass"))
+        .select(col("bin"), col("n_docs"), col("n_pass"),
+          expr("(n_pass * 10000) div n_docs").as("pass_rate_bp"),
+          when(col("bin") >= 5L, 1L).otherwise(0L).as("pred_pos"))
+        .orderBy("bin")
     }
   )
 
