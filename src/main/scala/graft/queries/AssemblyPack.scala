@@ -369,5 +369,82 @@ object AssemblyPack {
         .orderBy("doc_id")
     },
 
+
+    // ---- q263: corpus-version delta dedup (crawl-refresh triage) -----------
+    // The operation every recurring crawl runs between snapshots: classify
+    // each NEW-snapshot document against the previous snapshot as CARRIED
+    // (same normalized content fingerprint — skip reprocessing), MUTATED
+    // (no exact match but a >= 0.5-Jaccard near-dup of some old doc — the
+    // re-extraction/boilerplate-drift class that should reuse the old
+    // doc's lineage), or NEW (process from scratch). Snapshots are the
+    // doc_id parity halves (the portable stand-in for crawl ids); exact
+    // carry uses q43's normalized md5 fingerprint, mutation uses the
+    // q27 capped-gram exact-Jaccard pairs (PAIRS_SQL verbatim) restricted
+    // to cross-parity pairs. Priority carried > mutated > new.
+    //
+    // 100 TB shape: the exact class is one fingerprint semi-join (keyed
+    // on md5); the mutated class rides the existing capped near-dup pair
+    // machinery (never all-pairs); the ledger is one keyed agg per
+    // source. This is the pass that turns a 100 TB re-crawl into an
+    // incremental job.
+    QueryDef(
+      "q263_version_delta",
+      s"""WITH $PAIRS_SQL,
+         |fp AS (
+         |  SELECT doc_id, source,
+         |    md5(trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^a-z ]', '', 'g'), '  *', ' ', 'g'))) AS fp,
+         |    doc_id % 2 AS par
+         |  FROM documents),
+         |v1fp AS (SELECT DISTINCT fp FROM fp WHERE par = 0),
+         |xp AS (
+         |  SELECT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END AS vid
+         |  FROM jpairs
+         |  WHERE doc_a % 2 <> doc_b % 2),
+         |cls AS (
+         |  SELECT f.source,
+         |    CASE WHEN v1.fp IS NOT NULL THEN 'carried'
+         |         WHEN x.vid IS NOT NULL THEN 'mutated'
+         |         ELSE 'new' END AS cls
+         |  FROM fp f
+         |  LEFT JOIN v1fp v1 ON v1.fp = f.fp
+         |  LEFT JOIN (SELECT DISTINCT vid FROM xp) x ON x.vid = f.doc_id
+         |  WHERE f.par = 1)
+         |SELECT source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_v2,
+         |  CAST(SUM(CASE WHEN cls = 'carried' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_carried,
+         |  CAST(SUM(CASE WHEN cls = 'mutated' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_mutated,
+         |  CAST(SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_new
+         |FROM cls
+         |GROUP BY source
+         |ORDER BY source""".stripMargin) { (s, d) =>
+      val fp = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), docFp.as("fp"),
+          (col("doc_id") % 2).as("par"))
+      val v1fp = fp.filter(col("par") === 0)
+        .select(col("fp").as("fp1")).distinct()
+      val xp = jaccardPairs(s, d)
+        .filter(col("doc_a") % 2 =!= col("doc_b") % 2)
+        .select(when(col("doc_a") % 2 === 1, col("doc_a"))
+          .otherwise(col("doc_b")).as("vid"))
+        .distinct()
+      fp.filter(col("par") === 1)
+        .join(v1fp, col("fp") === col("fp1"), "left")
+        .join(xp, col("vid") === col("doc_id"), "left")
+        .select(col("source"),
+          when(col("fp1").isNotNull, "carried")
+            .when(col("vid").isNotNull, "mutated")
+            .otherwise("new").as("cls"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_v2"),
+          sum(when(col("cls") === "carried", 1L).otherwise(0L)).as("n_carried"),
+          sum(when(col("cls") === "mutated", 1L).otherwise(0L)).as("n_mutated"),
+          sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"))
+        .orderBy("source")
+    },
+
   )
 }

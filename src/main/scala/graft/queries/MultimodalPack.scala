@@ -1564,6 +1564,268 @@ object MultimodalPack {
           when(col("st") === 0L, 1L).otherwise(0L).as("utf8_ok"))
         .orderBy("doc_id")
     }
+
+    ,
+    // ---- q266: WebP container probe (RIFF + VP8X extended header) ----------
+    // The remaining major web-image container next to PNG/JPEG/GIF
+    // (q230/q236/q240): WebP is a RIFF file ('RIFF' + u32LE riff-size +
+    // 'WEBP') whose extended form carries a VP8X chunk — 1 flag byte
+    // (alpha bit 0x10, animation bit 0x02), 3 reserved bytes, then
+    // canvas width-1 and height-1 as 24-bit little-endian — followed by
+    // the image-data chunk, with RIFF's odd-size pad byte rule. The
+    // probe is blind (the q240/q251/q256 discipline): both magics
+    // checked, riff-size cross-checked against the blob length, the
+    // VP8X fourcc/size asserted, dimensions and flags READ from bytes,
+    // the data chunk walked by its size field (+pad), and the final
+    // cursor must land exactly at blob end. Fixture: VP8X + 'VP8 ' stub
+    // per doc with doc-derived dims/flags/payload length (both size
+    // parities, exercising the pad byte); %7==3 rows raw text (the
+    // must-fail class). Oracle pins the planted ledger.
+    //
+    // 100 TB shape: fixed-position codegen'd hex-substring reads riding
+    // the scan; zero shuffles, zero UDFs.
+    QueryDef(
+      "q266_webp_probe",
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 7 = 3 THEN 0 ELSE 1 END AS BIGINT) AS valid,
+        |  CAST(CASE WHEN doc_id % 7 = 3 THEN -1
+        |    ELSE 1 + doc_id % 1000 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN doc_id % 7 = 3 THEN -1
+        |    ELSE 1 + doc_id % 600 END AS BIGINT) AS height,
+        |  CAST(CASE WHEN doc_id % 7 = 3 THEN -1
+        |    WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS has_alpha,
+        |  CAST(CASE WHEN doc_id % 7 = 3 THEN -1
+        |    WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS has_anim,
+        |  CAST(CASE WHEN doc_id % 7 = 3 THEN -1
+        |    ELSE 10 + doc_id % 21 END AS BIGINT) AS payload_bytes
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val did = col("doc_id")
+      // ---- fixture: RIFF/WEBP + VP8X + 'VP8 ' stub per doc ----
+      def le3(x: org.apache.spark.sql.Column) = concat(
+        lpad(hex(pmod(x, lit(256L))), 2, "0"),
+        lpad(hex(pmod((x / 256L).cast("long"), lit(256L))), 2, "0"),
+        lpad(hex(pmod((x / 65536L).cast("long"), lit(256L))), 2, "0"))
+      def le4(x: org.apache.spark.sql.Column) = concat(
+        le3(x), lpad(hex(pmod((x / 16777216L).cast("long"), lit(256L))), 2, "0"))
+      val raw = pmod(did, lit(7)) === 3
+      val w = lit(1L) + pmod(did, lit(1000L))
+      val h = lit(1L) + pmod(did, lit(600L))
+      val flags = when(pmod(did, lit(2)) === 0, 16L).otherwise(0L) +
+        when(pmod(did, lit(5)) === 0, 2L).otherwise(0L)
+      val plen = lit(10L) + pmod(did, lit(21L))
+      val pad = pmod(plen, lit(2L))
+      // riff-size = 'WEBP'(4) + VP8X chunk(8+10) + data chunk(8+plen+pad)
+      val riffsz = lit(4L + 18L + 8L) + plen + pad
+      val payloadHex = {
+        // deterministic stub payload: 'A' x plen (hex 41), padded with 00
+        concat(repeat(lit("41"), plen.cast("int")),
+          when(pad === 1L, lit("00")).otherwise(lit("")))
+      }
+      val whex = concat(
+        lit("52494646"), le4(riffsz), lit("57454250"),       // RIFF sz WEBP
+        lit("56503858"), le4(lit(10L)),                      // VP8X sz=10
+        lpad(hex(flags), 2, "0"), lit("000000"),             // flags + rsv
+        le3(w - 1L), le3(h - 1L),                            // canvas-1 LE24
+        lit("56503820"), le4(plen), payloadHex)              // 'VP8 ' sz data
+      val blobs = Tables.documents(s, d)
+        .select(did,
+          when(raw, encode(col("text"), "UTF-8"))
+            .otherwise(unhex(whex)).as("content"))
+      // ---- the probe sees ONLY (doc_id, content) from here on ----
+      def byteAt(p: org.apache.spark.sql.Column) =
+        conv(col("hx").substr(p * 2 - 1, lit(2)), 16, 10).cast("long")
+      def rd3(p: org.apache.spark.sql.Column) =
+        byteAt(p) + byteAt(p + 1L) * 256L + byteAt(p + 2L) * 65536L
+      def rd4(p: org.apache.spark.sql.Column) = rd3(p) + byteAt(p + 3L) * 16777216L
+      def sig(p: Long, n: Int) = col("hx").substr((p * 2 - 1).toInt, 2 * n)
+      val probed = blobs
+        .withColumn("hx", hex(col("content")))
+        .withColumn("blen", length(col("content")).cast("long"))
+        .withColumn("isriff", col("blen") >= 30L &&
+          sig(1, 4) === "52494646" && sig(9, 4) === "57454250")
+        .withColumn("szok", col("isriff") && rd4(lit(5L)) + 8L === col("blen"))
+        .withColumn("vp8x", col("szok") &&
+          sig(13, 4) === "56503858" && rd4(lit(17L)) === 10L)
+        .withColumn("pflags", byteAt(lit(21L)))
+        .withColumn("pw", lit(1L) + rd3(lit(25L)))
+        .withColumn("ph", lit(1L) + rd3(lit(28L)))
+        .withColumn("dsz", rd4(lit(35L)))
+        // cursor after the data chunk (incl. RIFF pad) must hit blob end
+        .withColumn("ok", col("vp8x") &&
+          lit(38L) + col("dsz") + pmod(col("dsz"), lit(2L)) === col("blen"))
+      probed.select(did,
+          when(col("ok"), 1L).otherwise(0L).as("valid"),
+          when(col("ok"), col("pw")).otherwise(-1L).as("width"),
+          when(col("ok"), col("ph")).otherwise(-1L).as("height"),
+          when(col("ok"), (col("pflags") / 16L).cast("long") % 2L)
+            .otherwise(-1L).as("has_alpha"),
+          when(col("ok"), (col("pflags") / 2L).cast("long") % 2L)
+            .otherwise(-1L).as("has_anim"),
+          when(col("ok"), col("dsz")).otherwise(-1L).as("payload_bytes"))
+        .orderBy("doc_id")
+    }
+
+
+    ,
+    // ---- q267: TAR (ustar) member walk — the WebDataset shard container ----
+    // Large multimodal training sets ship as WebDataset shards: plain
+    // POSIX ustar archives streamed sequentially (IEEE 1003.1 — public
+    // format). The shard-ingest pass walks 512-byte headers: NUL-padded
+    // name, OCTAL-ASCII size field, typeflag, 'ustar' magic, and the
+    // 8-byte checksum — defined as the byte sum of the header with the
+    // checksum field read as 8 spaces — then skips ceil(size/512) data
+    // blocks and expects two zero blocks at the tail. The walk here is
+    // blind and the checksum is RECOMPUTED per entry (a 512-byte
+    // codegen'd fold, the q259 byte-walk discipline) and compared to the
+    // stored value, so a corrupted header fails the member ledger even
+    // when magic and sizes look sane. Fixture: 1-3 STORED members per
+    // doc with doc-derived sizes (q256's slices), proper octal
+    // size/checksum fields and end-of-archive blocks; %7==3 rows raw
+    // text (the must-fail class). Oracle pins the planted ledger.
+    //
+    // 100 TB shape: fixed-offset hex reads + one bounded 512-step fold
+    // per member, all riding the scan; zero shuffles, zero UDFs — the
+    // pass a shard indexer runs before any sample is decoded.
+    QueryDef(
+      "q267_tar_walk",
+      """WITH lt AS (
+        |  SELECT doc_id, regexp_replace(text, '[^a-z]', '', 'g') AS letters
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, doc_id % 7 = 3 AS raw, 1 + doc_id % 3 AS nf,
+        |    length(substring(letters, 1, CAST(10 + (doc_id+1) % 11 AS INT))) AS l1,
+        |    length(substring(letters, 21, CAST(10 + (doc_id+2) % 11 AS INT))) AS l2,
+        |    length(substring(letters, 41, CAST(10 + (doc_id+3) % 11 AS INT))) AS l3
+        |  FROM lt)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN raw THEN 0 ELSE 1 END AS BIGINT) AS valid,
+        |  CAST(CASE WHEN raw THEN -1 ELSE nf END AS BIGINT) AS n_members,
+        |  CAST(CASE WHEN raw THEN -1
+        |    WHEN nf = 1 THEN l1 WHEN nf = 2 THEN l1 + l2
+        |    ELSE l1 + l2 + l3 END AS BIGINT) AS total_bytes,
+        |  CASE WHEN raw THEN NULL
+        |    WHEN nf = 1 THEN 'f1.txt' WHEN nf = 2 THEN 'f1.txt,f2.txt'
+        |    ELSE 'f1.txt,f2.txt,f3.txt' END AS names
+        |FROM p
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val did = col("doc_id")
+      import org.apache.spark.sql.Column
+      // ---- fixture: a 1-3 member ustar archive per doc ----
+      def hexStr(t: String) = t.getBytes("UTF-8").map("%02X".format(_)).mkString
+      val zeros512 = "00" * 512
+      val raw = pmod(did, lit(7)) === 3
+      val nf = lit(1L) + pmod(did, lit(3))
+      val letters = regexp_replace(col("text"), "[^a-z]", "")
+      def dat(i: Int) = letters.substr(lit((i - 1) * 20 + 1),
+        (lit(10L) + pmod(did + i, lit(11))).cast("int"))
+      def octDigit(x: Column) = lpad(hex(lit(48L) + x), 2, "0")
+      def header(i: Int): Column = {
+        val l = col(s"l$i")
+        // size field: 9 zeros + 2 octal digits (sizes are 10..20) + NUL
+        val sizeHex = concat(lit(hexStr("0" * 9)),
+          octDigit(expr(s"l$i div 8")), octDigit(l % 8L), lit("00"))
+        // checksum: byte sum of the header with the chksum field as
+        // spaces. Constant part (name fN.txt, mode/uid/gid/mtime fields,
+        // 8 spaces, typeflag '0', "ustar\u0000" + "00") = 3585 + N;
+        // variable part = the size field's two live octal digits.
+        val ck = lit(3585L + i) + expr(s"l$i div 8") + l % 8L
+        val ckHex = concat(
+          (5 to 0 by -1).map(k => octDigit((ck / math.pow(8, k).toLong) % 8L)): _*)
+        concat(
+          lit(hexStr(s"f$i.txt")), lit("00" * 94),            // name[100]
+          lit(hexStr("0000644") + "00"),                      // mode[8]
+          lit(hexStr("0000000") + "00"),                      // uid[8]
+          lit(hexStr("0000000") + "00"),                      // gid[8]
+          sizeHex,                                            // size[12]
+          lit(hexStr("0" * 11) + "00"),                       // mtime[12]
+          ckHex, lit("0020"),                                 // chksum[8]
+          lit("30"),                                          // typeflag '0'
+          lit("00" * 100),                                    // linkname
+          lit(hexStr("ustar") + "00"), lit(hexStr("00")),     // magic+version
+          lit("00" * 32), lit("00" * 32),                     // uname gname
+          lit("00" * 8), lit("00" * 8),                       // devmajor/minor
+          lit("00" * 155), lit("00" * 12))                    // prefix + pad
+      }
+      def member(i: Int): Column = concat(header(i),
+        rpad(hex(encode(dat(i), "UTF-8")), 1024, "0"))        // data + NUL pad
+      val blobs = Tables.documentsSpread(s, d)
+        .withColumn("l1", length(dat(1)).cast("long"))
+        .withColumn("l2", length(dat(2)).cast("long"))
+        .withColumn("l3", length(dat(3)).cast("long"))
+        .withColumn("thex", concat(
+          member(1),
+          when(nf >= 2, member(2)).otherwise(lit("")),
+          when(nf >= 3, member(3)).otherwise(lit("")),
+          lit(zeros512), lit(zeros512)))
+        .select(did,
+          when(raw, encode(col("text"), "UTF-8"))
+            .otherwise(unhex(col("thex"))).as("content"))
+      // ---- the walk sees ONLY (doc_id, content) from here on ----
+      def byteAt(p: Column) =
+        conv(col("hx").substr(p * 2 - 1, lit(2)), 16, 10).cast("long")
+      def step(i: Int)(df: DataFrame): DataFrame = df
+        .withColumn("fin", col("bad") || lit(i.toLong) > col("pn"))
+        .withColumn("magic", when(!col("fin"),
+          col("hx").substr((col("q") + 257L) * 2 - 1, lit(12))))
+        // stored checksum: 6 octal digits at q+148 (NUL+space tail)
+        .withColumn("ckstored", when(!col("fin"),
+          conv(decode(unhex(col("hx").substr((col("q") + 148L) * 2 - 1,
+            lit(12))), "UTF-8"), 8, 10).cast("long")))
+        // recomputed: fold the 512 header bytes, chksum field as spaces
+        .withColumn("cksum", when(!col("fin"),
+          aggregate(sequence(lit(0), lit(511)), lit(0L),
+            (acc, k) => acc + when(k >= 148 && k <= 155, 32L)
+              .otherwise(byteAt(col("q") + k.cast("long"))))))
+        .withColumn("sz", when(!col("fin"),
+          conv(regexp_replace(decode(unhex(col("hx")
+            .substr((col("q") + 124L) * 2 - 1, lit(22))), "UTF-8"),
+            "\u0000", ""), 8, 10).cast("long")))
+        .withColumn("nm", when(!col("fin"),
+          substring_index(decode(unhex(col("hx")
+            .substr(col("q") * 2 - 1, lit(20))), "UTF-8"), "\u0000", 1)))
+        .withColumn("entok", !col("fin") &&
+          col("magic") === "757374617200" &&
+          byteAt(col("q") + 156L) === 48L &&
+          col("cksum") === col("ckstored") &&
+          col("sz").isNotNull && col("sz") >= 0L)
+        .withColumn("bad", col("bad") || (!col("fin") && !col("entok")))
+        .withColumn("tot", col("tot") + when(col("entok"), col("sz")).otherwise(0L))
+        .withColumn("names", when(!col("entok"), col("names"))
+          .otherwise(when(col("names") === "", col("nm"))
+            .otherwise(concat(col("names"), lit(","), col("nm")))))
+        .withColumn("q", when(col("entok"),
+          col("q") + 512L + ((col("sz") + 511L) / 512L).cast("long") * 512L)
+          .otherwise(col("q")))
+        .drop("fin", "magic", "ckstored", "cksum", "sz", "nm", "entok")
+      val base = blobs
+        .withColumn("hx", hex(col("content")))
+        .withColumn("blen", length(col("content")).cast("long"))
+        // member count is discovered by the walk itself; the fixture max
+        // is 3 (bound = fixture scope, not a format cap). pn = upper
+        // bound tried; entries stop at the zero block via the magic test
+        .withColumn("pn",
+          when(col("blen") >= 1536L && (col("blen") % 512L) === 0L,
+            least(lit(3L), expr("(blen - 1024) div 1024"))).otherwise(0L))
+        .withColumn("q", lit(1L))
+        .withColumn("tot", lit(0L))
+        .withColumn("names", lit(""))
+        .withColumn("bad", col("pn") < 1L)
+      val walked = (1 to 3).foldLeft(base)((df, i) => step(i)(df))
+      walked
+        // the two end-of-archive zero blocks: cursor lands 1024 short of
+        // the end and the next byte is NUL
+        .withColumn("ok", !col("bad") &&
+          col("q") + 1024L === col("blen") + 1L && byteAt(col("q")) === 0L)
+        .select(did,
+          when(col("ok"), 1L).otherwise(0L).as("valid"),
+          when(col("ok"), col("pn")).otherwise(-1L).as("n_members"),
+          when(col("ok"), col("tot")).otherwise(-1L).as("total_bytes"),
+          when(col("ok"), col("names")).otherwise(lit(null).cast("string"))
+            .as("names"))
+        .orderBy("doc_id")
+    }
+
   )
 
   /** q230 fixture: minimal-but-real GIFs derived from doc_id — version

@@ -275,5 +275,72 @@ object TokenizerPack {
           substring(col("nfc"), -10, 10).as("norm_tail"))
         .orderBy("doc_id")
     },
+
+    // ---- q264: language-ID confidence margin (top-2 profile gap) -----------
+    // q26 predicts a language; a ROUTING decision (which tokenizer, which
+    // quality model, which per-language quota) additionally needs to know
+    // HOW SURE the profile is — the standard margin heuristic: the gap
+    // between the best and second-best stopword-profile scores. A doc
+    // with margin 0 matched two profiles equally (mixed/quoted text); a
+    // doc with best = 0 matched nothing ('und'). The gate emitted here
+    // (margin >= 2 AND best > 0) is the route/hold-for-review split.
+    // Second-best is computed by sorting the 4-score array — identical
+    // integer sort in both engines, no branchy max-of-rest arithmetic.
+    //
+    // 100 TB shape: pure map-side token-set scoring riding the scan
+    // (the q26 plan with two more array ops); no shuffle at all before
+    // the final per-doc projection.
+    QueryDef(
+      "q264_lang_margin", {
+        def cnt(words: Seq[String]) =
+          s"len(list_filter(string_split(text, ' '), x -> x IN (${words.map("'" + _ + "'").mkString(",")})))"
+        s"""WITH scores AS (
+           |  SELECT doc_id,
+           |    ${cnt(STOP_EN)} AS s_en, ${cnt(STOP_FR)} AS s_fr,
+           |    ${cnt(STOP_DE)} AS s_de, ${cnt(STOP_ES)} AS s_es
+           |  FROM documents),
+           |srt AS (
+           |  SELECT doc_id, s_en, s_fr, s_de, s_es,
+           |    list_sort([s_en, s_fr, s_de, s_es]) AS srtd
+           |  FROM scores)
+           |SELECT doc_id,
+           |  CASE WHEN s_en = 0 AND s_fr = 0 AND s_de = 0 AND s_es = 0 THEN 'und'
+           |       WHEN s_en >= greatest(s_fr, s_de, s_es) THEN 'en'
+           |       WHEN s_fr >= greatest(s_de, s_es) THEN 'fr'
+           |       WHEN s_de >= s_es THEN 'de'
+           |       ELSE 'es' END AS pred_lang,
+           |  CAST(srtd[4] AS BIGINT) AS best_hits,
+           |  CAST(srtd[3] AS BIGINT) AS second_hits,
+           |  CAST(srtd[4] - srtd[3] AS BIGINT) AS margin,
+           |  CAST(CASE WHEN srtd[4] - srtd[3] >= 2 AND srtd[4] > 0
+           |    THEN 1 ELSE 0 END AS BIGINT) AS confident
+           |FROM srt
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      val toks = split(col("text"), " ")
+      def cnt(words: Seq[String]) =
+        size(filter(toks, x => x.isin(words: _*))).cast("long")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          cnt(STOP_EN).as("s_en"), cnt(STOP_FR).as("s_fr"),
+          cnt(STOP_DE).as("s_de"), cnt(STOP_ES).as("s_es"))
+        .withColumn("srtd",
+          array_sort(array(col("s_en"), col("s_fr"), col("s_de"), col("s_es"))))
+        .select(col("doc_id"),
+          when(col("s_en") === 0 && col("s_fr") === 0 &&
+            col("s_de") === 0 && col("s_es") === 0, "und")
+            .when(col("s_en") >= greatest(col("s_fr"), col("s_de"), col("s_es")), "en")
+            .when(col("s_fr") >= greatest(col("s_de"), col("s_es")), "fr")
+            .when(col("s_de") >= col("s_es"), "de")
+            .otherwise("es").as("pred_lang"),
+          element_at(col("srtd"), 4).as("best_hits"),
+          element_at(col("srtd"), 3).as("second_hits"),
+          (element_at(col("srtd"), 4) - element_at(col("srtd"), 3)).as("margin"),
+          when(element_at(col("srtd"), 4) - element_at(col("srtd"), 3) >= 2L
+            && element_at(col("srtd"), 4) > 0L, 1L).otherwise(0L)
+            .as("confident"))
+        .orderBy("doc_id")
+    },
+
   )
 }

@@ -1269,7 +1269,95 @@ object VectorPack {
           when(col("top1_rank_trunc") >= 1, 1L).otherwise(0L)
             .as("top1_kept"))
         .orderBy("qid")
-    }
+    },
+
+    // ---- q265: binary (sign-bit) embedding compression recall audit --------
+    // The 1-bit extreme of the compression ladder (float32 -> SQ8 q191 ->
+    // PQ q94 -> THIS): keep only the SIGN of each dimension, so a 64-dim
+    // float vector becomes 8 BYTES and candidate scoring is XOR+popcount —
+    // the layout binary-quantized vector stores ship because a 100 TB
+    // embedding column drops to ~1.6 TB and the first-stage scan goes
+    // memory-resident. The price is ranking fidelity, and this query
+    // measures it the q95/q193 way: binary-Hamming top-5 per query vs the
+    // exact decimal-scored cosine top-5 (the q35 contract), overlap per
+    // query in integer counts + basis points. Sign and Hamming are exact
+    // integer work both engines replay bit-for-bit; ties break by nid.
+    //
+    // 100 TB shape: signs ride the embedding scan map-side; the Hamming
+    // pass is the q35 broadcast-query shape over 8-byte payloads; the
+    // exact re-rank runs only on the 10-query audit slice.
+    QueryDef(
+      "q265_binary_embedding_recall",
+      """WITH bits AS (
+        |  SELECT vec_id, list_transform(embedding, x ->
+        |    CASE WHEN CAST(x AS DOUBLE) >= 0 THEN 1 ELSE 0 END) AS b
+        |  FROM embeddings),
+        |qb AS (SELECT vec_id AS qid, b AS qbits FROM bits WHERE vec_id < 10),
+        |ham AS (
+        |  SELECT qid, n.vec_id AS nid,
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      CASE WHEN qbits[i] = n.b[i] THEN 1 ELSE 0 END)) AS h
+        |  FROM qb JOIN bits n ON n.vec_id <> qid),
+        |btop AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY h DESC, nid) AS rk
+        |    FROM ham) WHERE rk <= 5),
+        |norms AS (
+        |  SELECT vec_id, list_sum(list_transform(embedding, x ->
+        |    CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,20)))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |pairs AS (
+        |  SELECT qid, e.vec_id AS nid,
+        |    list_sum(list_transform(range(1,65), i ->
+        |      CAST(CAST(qe[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(38,20)))) AS dot
+        |  FROM q JOIN embeddings e ON e.vec_id <> qid),
+        |scored AS (
+        |  SELECT qid, nid,
+        |    CAST(CAST(CAST(dot AS DOUBLE)/sqrt(CAST(nq.nrm AS DOUBLE)*CAST(nn.nrm AS DOUBLE)) AS DECIMAL(18,8)) AS DOUBLE) AS cos_sim
+        |  FROM pairs JOIN norms nq ON nq.vec_id = qid JOIN norms nn ON nn.vec_id = nid),
+        |etop AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rk
+        |    FROM scored) WHERE rk <= 5)
+        |SELECT b.qid,
+        |  CAST(SUM(CASE WHEN e.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_overlap,
+        |  CAST(SUM(CASE WHEN e.nid IS NOT NULL THEN 1 ELSE 0 END) * 2000
+        |    AS BIGINT) AS recall_bp
+        |FROM btop b LEFT JOIN etop e ON e.qid = b.qid AND e.nid = b.nid
+        |GROUP BY b.qid
+        |ORDER BY b.qid""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val bits = emb.select(col("vec_id"),
+        transform(col("embedding"),
+          x => when(x.cast("double") >= 0d, 1L).otherwise(0L)).as("b"))
+      val qb = bits.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("b").as("qbits"))
+      val ham = bits.select(col("vec_id").as("nid"), col("b").as("nb"))
+        .crossJoin(broadcast(qb))
+        .filter(col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"),
+          aggregate(zip_with(col("qbits"), col("nb"),
+            (a, b) => when(a === b, 1L).otherwise(0L)), lit(0L), _ + _).as("h"))
+      val wb = Window.partitionBy("qid").orderBy(col("h").desc, col("nid"))
+      val btop = ham.withColumn("rk", row_number().over(wb))
+        .filter(col("rk") <= 5).select("qid", "nid")
+      val etop = exactTopKDec(s, d, maxQid = 10, k = 5)
+        .select(col("qid").as("eqid"), col("nid").as("enid"))
+      btop
+        .join(etop, col("qid") === col("eqid") && col("nid") === col("enid"),
+          "left")
+        .select(col("qid"), col("enid"))
+        .groupBy("qid")
+        .agg(sum(when(col("enid").isNotNull, 1L).otherwise(0L)).as("n_overlap"))
+        .select(col("qid"), col("n_overlap"),
+          (col("n_overlap") * 2000L).as("recall_bp"))
+        .orderBy("qid")
+    },
+
   )
 
   /** q213's negatives per (query, positive) — the K of triplet mining. */
