@@ -19,6 +19,7 @@ object SparkEntry {
       _root_.graft.queries.LinkagePack.all ++
       _root_.graft.queries.TokenizerPack.all ++
       _root_.graft.queries.SafetyPack.all ++
+      _root_.graft.queries.CurationPack.all ++
       _root_.graft.queries.EtlPack.all ++
       _root_.graft.queries.StreamingPack.all ++
       _root_.graft.queries.VectorPack.all ++

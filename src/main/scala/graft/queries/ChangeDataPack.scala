@@ -2,7 +2,9 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.operators.Changes
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import java.util.concurrent.ConcurrentHashMap
 
@@ -309,6 +311,114 @@ object ChangeDataPack {
             && col("mn") === col("dmn") && col("mx") === col("dmx"), 1L)
             .otherwise(0L).as("consistent"))
         .orderBy("month")
+    },
+
+    // ---- q272: positional deletion-vector build + merge-on-read apply ------
+    // The lakehouse delete path (Iceberg v2 positional deletes / Delta
+    // deletion vectors — public specs): deletes are recorded as (file,
+    // position) WITHOUT rewriting data files, packed into per-file
+    // bitmaps, and applied at read time. Modeled exactly: lineitem is
+    // laid out as 16 "files" (l_orderkey mod), a row's position is its
+    // rank within the file (unique (l_orderkey, l_linenumber) order), and
+    // the planted delete set is md5-derived (~10%). The DV is packed 32
+    // positions per BIGINT word — build is ONE keyed agg (positions are
+    // unique, so SUM of 2^bit == OR) — and the merge-on-read scan applies
+    // it with a (file_id, word_idx) equi-join + an integer bit test
+    // ((word div 2^bit) mod 2 — non-negative, so div == //). The output
+    // cross-checks the applied result against the plant: deleted_applied
+    // must equal file_rows − live_rows, and live_qty_sum is the exact
+    // decimal mass that survives.
+    //
+    // 100 TB shape: the DV table is ~rows/32 words ONLY for files that
+    // have deletes; the apply join is keyed on (file, word) — co-partition
+    // with the scan and it's map-side. No row-level anti-join against a
+    // positional list (32× more rows), no file rewrite.
+    QueryDef(
+      "q272_deletion_vectors",
+      """WITH pos AS (
+        |  SELECT l_orderkey % 16 AS file_id, l_quantity,
+        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey % 16
+        |      ORDER BY l_orderkey, l_linenumber) - 1 AS pos,
+        |    ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+        |      CAST(l_linenumber AS VARCHAR)), 1, 13))::BIGINT % 10 = 0 AS del
+        |  FROM lineitem),
+        |dv AS (
+        |  SELECT file_id, pos // 32 AS widx,
+        |    SUM((1::BIGINT << CAST(pos % 32 AS INT))) AS word
+        |  FROM pos WHERE del GROUP BY 1, 2),
+        |applied AS (
+        |  SELECT p.file_id, p.l_quantity,
+        |    CASE WHEN dv.word IS NULL THEN 0
+        |         ELSE (dv.word // (1::BIGINT << CAST(p.pos % 32 AS INT))) % 2
+        |    END AS dead
+        |  FROM pos p LEFT JOIN dv
+        |    ON dv.file_id = p.file_id AND dv.widx = p.pos // 32),
+        |files AS (
+        |  SELECT file_id, COUNT(*) AS file_rows,
+        |    SUM(1 - dead) AS live_rows,
+        |    SUM(dead) AS deleted_applied,
+        |    SUM(CASE WHEN dead = 0
+        |      THEN CAST(l_quantity AS DECIMAL(18,4)) ELSE 0 END) AS lq
+        |  FROM applied GROUP BY 1),
+        |words AS (
+        |  SELECT file_id, COUNT(*) AS dv_words, SUM(word) AS dv_mass
+        |  FROM dv GROUP BY 1),
+        |planted AS (
+        |  SELECT file_id, COUNT(*) AS n_planted FROM pos WHERE del GROUP BY 1)
+        |SELECT f.file_id, CAST(f.file_rows AS BIGINT) AS file_rows,
+        |  CAST(f.live_rows AS BIGINT) AS live_rows,
+        |  CAST(f.deleted_applied AS BIGINT) AS deleted_applied,
+        |  CAST(f.lq AS DOUBLE) AS live_qty_sum,
+        |  CAST(w.dv_words AS BIGINT) AS dv_words,
+        |  CAST(w.dv_mass AS BIGINT) AS dv_mass,
+        |  CAST(CASE WHEN f.deleted_applied = p.n_planted THEN 1 ELSE 0 END
+        |    AS BIGINT) AS roundtrip_ok
+        |FROM files f JOIN words w ON w.file_id = f.file_id
+        |JOIN planted p ON p.file_id = f.file_id
+        |ORDER BY f.file_id""".stripMargin) { (s, d) =>
+      val wf = Window.partitionBy("file_id")
+        .orderBy("l_orderkey", "l_linenumber")
+      val pos = Tables.lineitem(s, d)
+        .select((col("l_orderkey") % 16).as("file_id"),
+          col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+        .withColumn("pos", row_number().over(wf).cast("long") - 1)
+        .withColumn("del",
+          conv(substring(md5(concat(col("l_orderkey").cast("string"),
+            lit("-"), col("l_linenumber").cast("string"))), 1, 13), 16, 10)
+            .cast("long") % 10 === 0)
+      val dv = pos.filter(col("del"))
+        .groupBy(col("file_id"), expr("pos div 32").as("widx"))
+        .agg(sum(expr("shiftleft(1L, cast(pos % 32 as int))")).as("word"))
+      val dvR = dv.select(col("file_id").as("dv_fid"),
+        col("widx"), col("word"))
+      val applied = pos.join(dvR,
+          col("file_id") === col("dv_fid") &&
+            col("widx") === expr("pos div 32"),
+          "left")
+        .select(col("file_id"), col("l_quantity"),
+          when(col("word").isNull, 0L)
+            .otherwise(expr(
+              "(word div shiftleft(1L, cast(pos % 32 as int))) % 2"))
+            .as("dead"))
+      val files = applied.groupBy("file_id").agg(
+        count(lit(1)).as("file_rows"),
+        sum(lit(1L) - col("dead")).as("live_rows"),
+        sum(col("dead")).as("deleted_applied"),
+        sum(when(col("dead") === 0L,
+          col("l_quantity").cast(DecimalType(18, 4)))
+          .otherwise(lit(0).cast(DecimalType(18, 4)))).as("lq"))
+      val words = dv.groupBy("file_id").agg(
+        count(lit(1)).as("dv_words"), sum(col("word")).as("dv_mass"))
+      val planted = pos.filter(col("del"))
+        .groupBy("file_id").agg(count(lit(1)).as("n_planted"))
+      files.join(words, Seq("file_id")).join(planted, Seq("file_id"))
+        .select(col("file_id"), col("file_rows"), col("live_rows"),
+          col("deleted_applied"),
+          col("lq").cast("double").as("live_qty_sum"),
+          col("dv_words"), col("dv_mass"),
+          when(col("deleted_applied") === col("n_planted"), 1L)
+            .otherwise(0L).as("roundtrip_ok"))
+        .orderBy("file_id")
     }
   )
 }

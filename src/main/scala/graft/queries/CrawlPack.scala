@@ -837,5 +837,57 @@ object CrawlPack {
             .as("rule_len"))
         .orderBy("doc_id")
     },
+
+    // ---- q277: sitemap ingest via the native XML parser ---------------------
+    // The crawl frontier's seed list is sitemap.org XML (public format);
+    // this pins Spark 4's built-in `from_xml` on a REAL repeated-element
+    // document: one planted <urlset> per source (urls in doc_id order,
+    // assembled with the q32 deterministic collect_list+array_sort wire
+    // discipline), parsed back with an explicit ARRAY<STRUCT> schema —
+    // no inference scan — then exploded and aggregated. The per-source
+    // checksum is computed from the PARSED <loc> values, so any parser
+    // loss (element order, entity handling, numeric widths) breaks the
+    // hash against the oracle's direct derivation from `documents`.
+    //
+    // 100 TB shape: sitemaps are per-HOST documents (bounded each, many
+    // of them) — the parse is map-side per sitemap, the explode fans out
+    // content-proportionally, and the rollup is one keyed agg.
+    QueryDef(
+      "q277_sitemap_xml",
+      """SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sz_sum,
+        |  CAST(SUM(('0x' || substring(md5(
+        |    'https://' || source || '.example.com/doc/' ||
+        |    CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT) AS BIGINT)
+        |    AS loc_checksum
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      val frag = concat(
+        lit("<url><loc>https://"), col("source"),
+        lit(".example.com/doc/"), col("doc_id").cast("string"),
+        lit("</loc><sz>"), col("n_chars").cast("string"), lit("</sz></url>"))
+      val sitemaps = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(concat(lit("<urlset>"),
+          concat_ws("", transform(
+            array_sort(collect_list(struct(col("doc_id"), frag.as("f")))),
+            x => x.getField("f"))),
+          lit("</urlset>")).as("xml"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "url ARRAY<STRUCT<loc: STRING, sz: BIGINT>>")
+      sitemaps
+        .select(col("source"),
+          from_xml(col("xml"), schema,
+            new java.util.HashMap[String, String]()).as("p"))
+        .select(col("source"), explode(col("p.url")).as("u"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_urls"),
+          sum(col("u.sz")).as("sz_sum"),
+          sum(conv(substring(md5(col("u.loc")), 1, 13), 16, 10).cast("long"))
+            .as("loc_checksum"))
+        .orderBy("source")
+    },
   )
 }

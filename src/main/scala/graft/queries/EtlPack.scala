@@ -203,12 +203,77 @@ object EtlPack {
         sum(when(col("probe") =!= CsvProbe, 1L).otherwise(0L)).as("n_probe_bad"))
     },
 
+    // ---- q268: binaryFile source + parquet physical-structure probe --------
+    // The raw-bytes ingest path (`spark.read.format("binaryFile")`) that
+    // multimodal shards and foreign blobs arrive through, pointed at the
+    // engine's OWN staged parquet so the probe has ground truth on two
+    // independent axes: (1) physical — every staged file must carry the
+    // PAR1 head/tail magic and a footer-length word that fits inside the
+    // file (read little-endian from the 8 trailing bytes, the q267
+    // byte-walk discipline on a REAL file rather than a planted blob);
+    // (2) logical — the same staged directory read back as parquet must
+    // reproduce the q132/q137/q138 fidelity checksum. A writer bug shows
+    // up on exactly one axis: corrupt framing breaks (1), value/encoding
+    // drift breaks (2).
+    //
+    // 100 TB shape: binaryFile is a normal FileFormat scan — file-parallel,
+    // column-pruned to (length, content) — and the probe touches 12 bytes
+    // per file; the file-level rollup is 4 rows crossed onto the
+    // per-source aggregate.
+    QueryDef(
+      "q268_binaryfile_parquet_probe",
+      FidelityOracle.replace(
+        "AS text_checksum",
+        """AS text_checksum,
+          |  CAST(4 AS BIGINT) AS n_files,
+          |  CAST(4 AS BIGINT) AS n_magic_ok,
+          |  CAST(4 AS BIGINT) AS n_footer_sane""".stripMargin)) { (s, d) =>
+      val dir = stagedDocs(s, d, "parquet")
+      val bin = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet").load(dir)
+        .select(col("length").cast("long").as("blen"), col("content"))
+      // LE32 footer length from the 8 trailing bytes [len-8 .. len-5]
+      val tail8 = hex(expr("substring(content, blen - 7, 8)"))
+      def le(b: Int) = // byte b (0-based) of the trailing 8, as a long
+        conv(expr(s"substring(t8, ${2 * b + 1}, 2)"), 16, 10).cast("long")
+      val probed = bin
+        .withColumn("t8", tail8)
+        .withColumn("magic_ok",
+          hex(substring(col("content"), 1, 4)) === "50415231" &&
+            expr("substring(t8, 9, 8)") === "50415231")
+        .withColumn("flen", le(0) + le(1) * 256L + le(2) * 65536L +
+          le(3) * 16777216L)
+        .withColumn("footer_sane", col("flen") + 8L < col("blen"))
+      val fileSummary = probed.agg(
+        count(lit(1)).as("n_files"),
+        sum(when(col("magic_ok"), 1L).otherwise(0L)).as("n_magic_ok"),
+        sum(when(col("magic_ok") && col("footer_sane"), 1L).otherwise(0L))
+          .as("n_footer_sane"))
+      fidelityAgg(s.read.schema(DocsSchema).parquet(dir))
+        .crossJoin(broadcast(fileSummary))
+        .orderBy("source")
+    },
+
     // ---- q138: ORC source ingest parity ------------------------------------
     // Spark's second native columnar format: the same contract proves the
     // reader/writer pair preserves types and content byte-for-byte, so a
     // corpus can migrate parquet↔ORC without a semantic diff.
     QueryDef("q138_orc_source", FidelityOracle) { (s, d) =>
       fidelityAgg(s.read.schema(DocsSchema).orc(stagedDocs(s, d, "orc")))
+    },
+
+    // ---- q278: XML source ingest parity -------------------------------------
+    // Spark 4's built-in XML file source (the spark-xml lineage) under the
+    // same fidelity contract as q132/q137/q138: stage `documents` as
+    // row-tagged XML with the engine's own writer, read back with an
+    // explicit schema, and the per-source checksum must survive the
+    // element round trip (entity escaping, integer widths, unicode). The
+    // fixture text carries no surrounding whitespace, so the reader's
+    // default space trimming is exercised as a no-op — documented here
+    // because a corpus that DOES pad must set ignoreSurroundingSpaces.
+    QueryDef("q278_xml_source", FidelityOracle) { (s, d) =>
+      fidelityAgg(s.read.schema(DocsSchema).option("rowTag", "doc")
+        .format("xml").load(stagedDocs(s, d, "xml")))
     },
 
     // ---- q246: the §2.9 VARIANT's stats report ------------------------------
@@ -370,6 +435,9 @@ object EtlPack {
         case "csv" => base.withColumn("probe", CsvProbe)
           .write.mode("overwrite").option("header", "true").csv(dir.toString)
         case "orc" => base.write.mode("overwrite").orc(dir.toString)
+        case "parquet" => base.write.mode("overwrite").parquet(dir.toString)
+        case "xml" => base.write.mode("overwrite").option("rowTag", "doc")
+          .format("xml").save(dir.toString)
       }
       dir.toString
     })

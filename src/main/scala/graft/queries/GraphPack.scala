@@ -1411,5 +1411,74 @@ object GraphPack {
         .orderBy("rk")
     },
 
+    // ---- q271: functional-graph SCC census (pointer doubling) --------------
+    // The directed-components gap next to q67/q194's undirected CC: a
+    // FUNCTIONAL graph (one out-edge per node — dedup first-occurrence
+    // chains, `canonical-of` pointers, parent manifests are all this
+    // shape) decomposes into rho-trees hanging off cycles, and the cycles
+    // are exactly its non-trivial SCCs. [[graft.operators.Successor]]
+    // runs K=16 pointer-doubling rounds (2^16 ≥ every fixture N; extra
+    // rounds are idempotent, so one K serves all SFs bit-identically):
+    // p(v) = the node 2^16 ahead — always ON v's terminal cycle — and
+    // mn(v) = min id over the 2^16-window. Cycle set = distinct p-image;
+    // cycle id = mn at a cycle node; basin = how many nodes drain into
+    // each cycle. The oracle REPLAYS the doubling — 16 unrolled self-join
+    // CTEs — so every intermediate pointer matches, not just the census.
+    //
+    // The successor function is md5-derived mod N over the contiguous
+    // doc_id domain (a planted but adversarially-shaped rho forest).
+    //
+    // 100 TB shape: K·N join rows at measured width vs the O(N·path)
+    // sequential chase; no collect, no windows over the corpus.
+    QueryDef(
+      "q271_functional_scc", {
+        // AS MATERIALIZED: DuckDB inlines plain CTEs, so 16 self-joining
+        // levels would expand to 2^16 copies of s0
+        val rounds = (1 to 16).map(k =>
+          s"""s$k AS MATERIALIZED (
+             |  SELECT a.v, b.p AS p, LEAST(a.mn, b.mn) AS mn
+             |  FROM s${k - 1} a JOIN s${k - 1} b ON b.v = a.p)""".stripMargin)
+          .mkString(",\n")
+        s"""WITH n AS (SELECT COUNT(*) AS n FROM documents),
+           |s0 AS MATERIALIZED (
+           |  SELECT doc_id AS v,
+           |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+           |      % n.n AS p,
+           |    doc_id AS mn
+           |  FROM documents CROSS JOIN n),
+           |$rounds,
+           |anch AS (SELECT v, p AS anchor FROM s16),
+           |cyc AS (SELECT DISTINCT anchor AS cv FROM anch),
+           |cmin AS (
+           |  SELECT s.v AS c, s.mn AS cycle_id
+           |  FROM s16 s JOIN cyc ON cyc.cv = s.v),
+           |clen AS (SELECT cycle_id, COUNT(*) AS cycle_len FROM cmin GROUP BY 1),
+           |basin AS (
+           |  SELECT cm.cycle_id, COUNT(*) AS basin_nodes
+           |  FROM anch a JOIN cmin cm ON cm.c = a.anchor GROUP BY 1)
+           |SELECT cl.cycle_id, CAST(cl.cycle_len AS BIGINT) AS cycle_len,
+           |  CAST(b.basin_nodes AS BIGINT) AS basin_nodes
+           |FROM clen cl JOIN basin b ON b.cycle_id = cl.cycle_id
+           |ORDER BY cl.cycle_id""".stripMargin
+      }) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id").as("v"))
+      val nRow = docs.agg(count(lit(1)).as("n"))
+      val succ = docs.crossJoin(broadcast(nRow))
+        .select(col("v"),
+          (conv(substring(md5(col("v").cast("string")), 1, 13), 16, 10)
+            .cast("long") % col("n")).as("p"))
+      val st = graft.operators.Successor.doubled(succ, 16)
+      val anch = st.select(col("v"), col("p").as("anchor"))
+      // the cycle set is O(N) worst-case (one giant cycle) — no broadcast
+      // hint; AQE picks broadcast at runtime when it measures small
+      val cyc = anch.select(col("anchor").as("cv")).distinct()
+      val cmin = st.join(cyc, st("v") === col("cv"))
+        .select(col("cv").as("c"), col("mn").as("cycle_id"))
+      val clen = cmin.groupBy("cycle_id").agg(count(lit(1)).as("cycle_len"))
+      val basin = anch.join(cmin, anch("anchor") === col("c"))
+        .groupBy("cycle_id").agg(count(lit(1)).as("basin_nodes"))
+      clen.join(basin, Seq("cycle_id")).orderBy("cycle_id")
+    },
+
   )
 }

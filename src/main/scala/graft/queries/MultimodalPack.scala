@@ -1747,8 +1747,14 @@ object MultimodalPack {
           lit("00" * 8), lit("00" * 8),                       // devmajor/minor
           lit("00" * 155), lit("00" * 12))                    // prefix + pad
       }
+      // data + NUL pad to one 512-byte block — EXCEPT a 0-size member,
+      // which per ustar has ceil(0/512) = ZERO data blocks (an empty slice
+      // happens when a doc's letter pool runs out before member 3; an
+      // unconditional pad block would read as a spurious end-of-archive
+      // marker and fail the final-cursor check)
       def member(i: Int): Column = concat(header(i),
-        rpad(hex(encode(dat(i), "UTF-8")), 1024, "0"))        // data + NUL pad
+        when(col(s"l$i") === 0L, lit(""))
+          .otherwise(rpad(hex(encode(dat(i), "UTF-8")), 1024, "0")))
       val blobs = Tables.documentsSpread(s, d)
         .withColumn("l1", length(dat(1)).cast("long"))
         .withColumn("l2", length(dat(2)).cast("long"))
@@ -1765,7 +1771,13 @@ object MultimodalPack {
       def byteAt(p: Column) =
         conv(col("hx").substr(p * 2 - 1, lit(2)), 16, 10).cast("long")
       def step(i: Int)(df: DataFrame): DataFrame = df
-        .withColumn("fin", col("bad") || lit(i.toLong) > col("pn"))
+        // end-of-archive: the next 512-block starts with a NUL name byte.
+        // Discovered by the WALK (not inferred from blob length — members
+        // are 512 bytes + ceil(size/512) blocks, so a 0-size member makes
+        // lengths non-uniform)
+        .withColumn("done", col("done") ||
+          (!col("bad") && byteAt(col("q")) === 0L))
+        .withColumn("fin", col("bad") || col("done"))
         .withColumn("magic", when(!col("fin"),
           col("hx").substr((col("q") + 257L) * 2 - 1, lit(12))))
         // stored checksum: 6 octal digits at q+148 (NUL+space tail)
@@ -1788,8 +1800,12 @@ object MultimodalPack {
           col("magic") === "757374617200" &&
           byteAt(col("q") + 156L) === 48L &&
           col("cksum") === col("ckstored") &&
-          col("sz").isNotNull && col("sz") >= 0L)
+          col("sz").isNotNull && col("sz") >= 0L &&
+          // header + data blocks must fit before the two end blocks
+          col("q") + 512L + ((col("sz") + 511L) / 512L).cast("long") * 512L +
+            1024L <= col("blen") + 1L)
         .withColumn("bad", col("bad") || (!col("fin") && !col("entok")))
+        .withColumn("nmem", col("nmem") + when(col("entok"), 1L).otherwise(0L))
         .withColumn("tot", col("tot") + when(col("entok"), col("sz")).otherwise(0L))
         .withColumn("names", when(!col("entok"), col("names"))
           .otherwise(when(col("names") === "", col("nm"))
@@ -1801,32 +1817,342 @@ object MultimodalPack {
       val base = blobs
         .withColumn("hx", hex(col("content")))
         .withColumn("blen", length(col("content")).cast("long"))
-        // member count is discovered by the walk itself; the fixture max
-        // is 3 (bound = fixture scope, not a format cap). pn = upper
-        // bound tried; entries stop at the zero block via the magic test
-        .withColumn("pn",
-          when(col("blen") >= 1536L && (col("blen") % 512L) === 0L,
-            least(lit(3L), expr("(blen - 1024) div 1024"))).otherwise(0L))
         .withColumn("q", lit(1L))
         .withColumn("tot", lit(0L))
+        .withColumn("nmem", lit(0L))
         .withColumn("names", lit(""))
-        .withColumn("bad", col("pn") < 1L)
-      val walked = (1 to 3).foldLeft(base)((df, i) => step(i)(df))
+        .withColumn("done", lit(false))
+        // smallest well-formed archive: 1 header + 2 end blocks
+        .withColumn("bad",
+          col("blen") < 1536L || (col("blen") % 512L) =!= 0L)
+      // fixture bound is 3 members; the 4th step only consumes the
+      // end-of-archive marker (sets `done`) for 3-member archives
+      val walked = (1 to 4).foldLeft(base)((df, i) => step(i)(df))
       walked
-        // the two end-of-archive zero blocks: cursor lands 1024 short of
-        // the end and the next byte is NUL
-        .withColumn("ok", !col("bad") &&
+        // the walk must have SEEN the zero block, with the two
+        // end-of-archive blocks exactly filling the remainder
+        .withColumn("ok", !col("bad") && col("done") &&
           col("q") + 1024L === col("blen") + 1L && byteAt(col("q")) === 0L)
         .select(did,
           when(col("ok"), 1L).otherwise(0L).as("valid"),
-          when(col("ok"), col("pn")).otherwise(-1L).as("n_members"),
+          when(col("ok"), col("nmem")).otherwise(-1L).as("n_members"),
           when(col("ok"), col("tot")).otherwise(-1L).as("total_bytes"),
           when(col("ok"), col("names")).otherwise(lit(null).cast("string"))
             .as("names"))
         .orderBy("doc_id")
     }
 
+    ,
+    // ---- q273: gzip member walk with CRC32 round-trip ----------------------
+    // Common Crawl's WET/WAT shards are CONCATENATED gzip members (RFC
+    // 1952 allows it; the crawl tooling relies on it for record-level
+    // random access). The shard-index pass walks members blind: header
+    // fields + optional FNAME, the stored-deflate block framing (RFC 1951
+    // BTYPE=00 — LEN/NLEN complement check), then RECOMPUTES CRC32 over
+    // the extracted payload with the engine's codegen'd `crc32` and
+    // demands it match the trailer, plus ISIZE == LEN. A flipped payload
+    // byte, a lying LEN, or a truncated trailer all fail the ledger. The
+    // fixture ([[gzipBlobs]]) plants real streams — GzipWalkSpec decodes
+    // the same bytes with java.util.zip.GZIPInputStream (an independent
+    // production decoder) and matches payloads byte-for-byte.
+    //
+    // 100 TB shape: fixed-offset hex reads + one crc32 per member riding
+    // the scan; zero shuffles, zero UDFs (the q259/q267 byte-walk
+    // discipline). On real shards this pass builds the member index
+    // WITHOUT inflating non-stored blocks (those route to a decode stage).
+    QueryDef(
+      "q273_gzip_member_walk",
+      """WITH lt AS (
+        |  SELECT doc_id, regexp_replace(text, '[^a-z]', '', 'g') AS letters
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, doc_id % 7 = 3 AS raw, 1 + doc_id % 2 AS nm,
+        |    doc_id % 3 <> 0 AS fn,
+        |    length(substring(letters, 1, CAST(8 + (doc_id+1) % 9 AS INT))) AS l1,
+        |    length(substring(letters, 31, CAST(8 + (doc_id+2) % 9 AS INT))) AS l2
+        |  FROM lt)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN raw THEN 0 ELSE 1 END AS BIGINT) AS valid,
+        |  CAST(CASE WHEN raw THEN -1 ELSE nm END AS BIGINT) AS n_members,
+        |  CAST(CASE WHEN raw THEN -1
+        |    WHEN nm = 1 THEN l1 ELSE l1 + l2 END AS BIGINT) AS total_bytes,
+        |  CASE WHEN raw THEN NULL
+        |       WHEN NOT fn THEN ''
+        |       WHEN nm = 1 THEN 'm1.txt' ELSE 'm1.txt,m2.txt' END AS names
+        |FROM p
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val did = col("doc_id")
+      import org.apache.spark.sql.Column
+      def byteAt(p: Column) =
+        conv(col("hx").substr(p * 2 - 1, lit(2)), 16, 10).cast("long")
+      def le4At(p: Column) = byteAt(p) + byteAt(p + 1L) * 256L +
+        byteAt(p + 2L) * 65536L + byteAt(p + 3L) * 16777216L
+      def step(df: DataFrame): DataFrame = df
+        .withColumn("done", col("done") ||
+          (!col("bad") && col("q") === col("blen") + 1L))
+        .withColumn("fin", col("bad") || col("done"))
+        .withColumn("flg", byteAt(col("q") + 3L))
+        .withColumn("fnb", (col("flg") / 8L).cast("long") % 2L)
+        // bounded name scan: fixture names are ≤ 16 bytes incl. NUL.
+        // ISO-8859-1, not UTF-8: the 16-byte slice can run into the
+        // stored-block payload (arbitrary bytes — UTF-8 decode THROWS on
+        // malformed sequences); latin-1 maps every byte 1:1 and the
+        // planted names are ASCII, identical in both charsets
+        .withColumn("nmraw", when(col("fnb") === 1L, substring_index(
+          decode(unhex(col("hx").substr((col("q") + 10L) * 2 - 1, lit(32))),
+            "ISO-8859-1"), "\u0000", 1)).otherwise(lit("")))
+        .withColumn("qd", col("q") + 10L +
+          col("fnb") * (length(col("nmraw")).cast("long") + 1L))
+        .withColumn("len",
+          byteAt(col("qd") + 1L) + byteAt(col("qd") + 2L) * 256L)
+        .withColumn("qt", col("qd") + 5L + col("len"))
+        .withColumn("pay",
+          unhex(col("hx").substr((col("qd") + 5L) * 2 - 1, col("len") * 2L)))
+        // every read above may run off the blob (conv of '' → NULL);
+        // coalesce the whole conjunction so truncation reads as ¬entry
+        .withColumn("entok", coalesce(
+          !col("fin") &&
+            col("hx").substr(col("q") * 2 - 1, lit(6)) === "1F8B08" &&
+            col("flg") === col("fnb") * 8L &&            // only FNAME known
+            byteAt(col("qd")) === 1L &&                  // BFINAL=1 BTYPE=00
+            byteAt(col("qd") + 3L) === lit(255L) - byteAt(col("qd") + 1L) &&
+            byteAt(col("qd") + 4L) === lit(255L) - byteAt(col("qd") + 2L) &&
+            col("qt") + 8L <= col("blen") + 1L &&        // trailer fits
+            crc32(col("pay")) === le4At(col("qt")) &&    // CRC round-trip
+            le4At(col("qt") + 4L) === col("len"),        // ISIZE
+          lit(false)))
+        .withColumn("bad", col("bad") || (!col("fin") && !col("entok")))
+        .withColumn("nmem",
+          col("nmem") + when(col("entok"), 1L).otherwise(0L))
+        .withColumn("tot",
+          col("tot") + when(col("entok"), col("len")).otherwise(0L))
+        .withColumn("names", when(!col("entok") || col("fnb") === 0L, col("names"))
+          .otherwise(when(col("names") === "", col("nmraw"))
+            .otherwise(concat(col("names"), lit(","), col("nmraw")))))
+        .withColumn("q",
+          when(col("entok"), col("qt") + 8L).otherwise(col("q")))
+        .drop("fin", "flg", "fnb", "nmraw", "qd", "len", "qt", "pay", "entok")
+      val base = gzipBlobs(s, d)
+        .withColumn("hx", hex(col("content")))
+        .withColumn("blen", length(col("content")).cast("long"))
+        .withColumn("q", lit(1L))
+        .withColumn("tot", lit(0L))
+        .withColumn("nmem", lit(0L))
+        .withColumn("names", lit(""))
+        .withColumn("done", lit(false))
+        .withColumn("bad", col("blen") < 23L) // smallest member: 10+5+8
+      val walked = (1 to 2).foldLeft(base)((df, _) => step(df))
+      walked
+        .withColumn("ok", !col("bad") &&
+          col("q") === col("blen") + 1L && col("nmem") >= 1L)
+        .select(did,
+          when(col("ok"), 1L).otherwise(0L).as("valid"),
+          when(col("ok"), col("nmem")).otherwise(-1L).as("n_members"),
+          when(col("ok"), col("tot")).otherwise(-1L).as("total_bytes"),
+          when(col("ok"), col("names")).otherwise(lit(null).cast("string"))
+            .as("names"))
+        .orderBy("doc_id")
+    }
+
+    ,
+    // ---- q280: zstd frame walk (raw blocks + skippable frames) -------------
+    // The third shard container after gzip (q273) and tar (q267): modern
+    // crawl/WebDataset tooling ships zstd (RFC 8878), and seekable-zstd
+    // interleaves SKIPPABLE frames (the seek table) between data frames.
+    // The index pass walks frames blind: data-frame magic FD2FB528(LE),
+    // a Single_Segment descriptor with a 1-byte Frame_Content_Size, then
+    // the 3-byte LE block header — Last_Block bit set, Block_Type=Raw —
+    // whose size must equal FCS; skippable-frame magics 184D2A50..5F with
+    // a LE32 length. Raw blocks are exactly what the pass can index
+    // WITHOUT entropy decoding (compressed blocks route to a decode
+    // stage). Fixture: optional skippable frame (doc_id%5==0), then 1-2
+    // single-raw-block data frames with doc-derived payloads (LEN=0
+    // legal); %7==3 rows raw text. ZstdWalkSpec decodes every planted
+    // stream with zstd-jni's ZstdInputStream (the production decoder
+    // Spark itself ships) and matches payloads byte-for-byte.
+    //
+    // 100 TB shape: fixed-offset hex reads riding the scan; zero
+    // shuffles, zero UDFs — the q259/q267/q273 byte-walk discipline.
+    QueryDef(
+      "q280_zstd_frame_walk",
+      """WITH lt AS (
+        |  SELECT doc_id, regexp_replace(text, '[^a-z]', '', 'g') AS letters
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, doc_id % 7 = 3 AS raw, 1 + doc_id % 2 AS nf,
+        |    doc_id % 5 = 0 AS skip,
+        |    length(substring(letters, 1, CAST(8 + (doc_id+1) % 9 AS INT))) AS l1,
+        |    length(substring(letters, 31, CAST(8 + (doc_id+2) % 9 AS INT))) AS l2
+        |  FROM lt)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN raw THEN 0 ELSE 1 END AS BIGINT) AS valid,
+        |  CAST(CASE WHEN raw THEN -1 ELSE nf END AS BIGINT) AS n_data_frames,
+        |  CAST(CASE WHEN raw THEN -1 WHEN skip THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_skippable,
+        |  CAST(CASE WHEN raw THEN -1
+        |    WHEN nf = 1 THEN l1 ELSE l1 + l2 END AS BIGINT) AS content_bytes
+        |FROM p
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val did = col("doc_id")
+      import org.apache.spark.sql.Column
+      def byteAt(p: Column) =
+        conv(col("hx").substr(p * 2 - 1, lit(2)), 16, 10).cast("long")
+      def le4At(p: Column) = byteAt(p) + byteAt(p + 1L) * 256L +
+        byteAt(p + 2L) * 65536L + byteAt(p + 3L) * 16777216L
+      def le3At(p: Column) = byteAt(p) + byteAt(p + 1L) * 256L +
+        byteAt(p + 2L) * 65536L
+      def step(df: DataFrame): DataFrame = df
+        .withColumn("done", col("done") ||
+          (!col("bad") && col("q") === col("blen") + 1L))
+        .withColumn("fin", col("bad") || col("done"))
+        .withColumn("mg", le4At(col("q")))
+        .withColumn("isdata", coalesce(col("mg") === 0xFD2FB528L, lit(false)))
+        // skippable magics: 0x184D2A50 .. 0x184D2A5F
+        .withColumn("isskip", coalesce(
+          col("mg") >= 0x184D2A50L && col("mg") <= 0x184D2A5FL, lit(false)))
+        // data frame: descriptor 0x20 = Single_Segment, FCS 1 byte, no
+        // dict, no checksum; block header bit0=Last, bits1-2=Raw
+        .withColumn("fcs", byteAt(col("q") + 5L))
+        .withColumn("bh", le3At(col("q") + 6L))
+        .withColumn("dataok", coalesce(
+          col("isdata") && !col("fin") &&
+            byteAt(col("q") + 4L) === 0x20L &&
+            col("bh") % 2L === 1L && ((col("bh") / 2L).cast("long") % 4L) === 0L &&
+            expr("bh div 8") === col("fcs") &&
+            col("q") + 9L + col("fcs") <= col("blen") + 1L,
+          lit(false)))
+        .withColumn("sksz", le4At(col("q") + 4L))
+        .withColumn("skipok", coalesce(
+          col("isskip") && !col("fin") &&
+            col("q") + 8L + col("sksz") <= col("blen") + 1L,
+          lit(false)))
+        .withColumn("bad", col("bad") ||
+          (!col("fin") && !col("dataok") && !col("skipok")))
+        .withColumn("ndata",
+          col("ndata") + when(col("dataok"), 1L).otherwise(0L))
+        .withColumn("nskip",
+          col("nskip") + when(col("skipok"), 1L).otherwise(0L))
+        .withColumn("tot",
+          col("tot") + when(col("dataok"), col("fcs")).otherwise(0L))
+        .withColumn("q",
+          when(col("dataok"), col("q") + 9L + col("fcs"))
+            .when(col("skipok"), col("q") + 8L + col("sksz"))
+            .otherwise(col("q")))
+        .drop("fin", "mg", "isdata", "isskip", "fcs", "bh", "dataok",
+          "sksz", "skipok")
+      val base = zstdBlobs(s, d)
+        .withColumn("hx", hex(col("content")))
+        .withColumn("blen", length(col("content")).cast("long"))
+        .withColumn("q", lit(1L))
+        .withColumn("tot", lit(0L))
+        .withColumn("ndata", lit(0L))
+        .withColumn("nskip", lit(0L))
+        .withColumn("done", lit(false))
+        .withColumn("bad", col("blen") < 9L) // smallest data frame: 6+3+0
+      val walked = (1 to 4).foldLeft(base)((df, _) => step(df))
+      walked
+        .withColumn("ok", !col("bad") &&
+          col("q") === col("blen") + 1L && col("ndata") >= 1L)
+        .select(did,
+          when(col("ok"), 1L).otherwise(0L).as("valid"),
+          when(col("ok"), col("ndata")).otherwise(-1L).as("n_data_frames"),
+          when(col("ok"), col("nskip")).otherwise(-1L).as("n_skippable"),
+          when(col("ok"), col("tot")).otherwise(-1L).as("content_bytes"))
+        .orderBy("doc_id")
+    }
+
   )
+
+  /** q273 fixture: 1-2 REAL multi-member gzip streams per doc (RFC 1952 +
+    * RFC 1951 stored blocks — the WET/WAT shard shape Common Crawl ships):
+    * per member, a 10-byte header (ID1 ID2 CM=8, FLG carries FNAME on
+    * doc_id%3≠0 rows, zero mtime, XFL 0, OS 255), the optional
+    * NUL-terminated name "mI.txt", ONE stored deflate block (BFINAL=1
+    * BTYPE=00 → byte 0x01, LEN/NLEN LE16 with NLEN = LEN⊕FFFF), the
+    * doc-derived payload, then the CRC32(payload) + ISIZE LE32 trailer —
+    * the CRC planted with Spark's own `crc32` so the probe's RECOMPUTED
+    * value must round-trip. Payload slices may truncate to empty on short
+    * docs (LEN=0 is a legal stored block). doc_id%7==3 rows are raw text
+    * (the must-fail class). */
+  private[graft] def gzipBlobs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val did = col("doc_id")
+    def hexStr(t: String) = t.getBytes("UTF-8").map("%02X".format(_)).mkString
+    val raw = pmod(did, lit(7)) === 3
+    val nm = lit(1L) + pmod(did, lit(2))
+    val fn = pmod(did, lit(3)) =!= 0
+    val letters = regexp_replace(col("text"), "[^a-z]", "")
+    def dat(i: Int) = letters.substr(lit((i - 1) * 30 + 1),
+      (lit(8L) + pmod(did + i, lit(9))).cast("int"))
+    def le2(x: Column) = concat(
+      lpad(hex(pmod(x, lit(256L))), 2, "0"),
+      lpad(hex(pmod((x / 256L).cast("long"), lit(256L))), 2, "0"))
+    def le4(x: Column) = concat(le2(x),
+      lpad(hex(pmod((x / 65536L).cast("long"), lit(256L))), 2, "0"),
+      lpad(hex(pmod((x / 16777216L).cast("long"), lit(256L))), 2, "0"))
+    def member(i: Int): Column = {
+      val bytes = encode(dat(i), "UTF-8")
+      val l = length(bytes).cast("long")
+      concat(
+        lit("1F8B08"),
+        when(fn, lit("08")).otherwise(lit("00")),        // FLG: FNAME or none
+        lit("00000000"), lit("00"), lit("FF"),           // mtime, XFL, OS
+        when(fn, lit(hexStr(s"m$i.txt") + "00")).otherwise(lit("")),
+        lit("01"), le2(l), le2(lit(65535L) - l),         // stored block hdr
+        hex(bytes),
+        le4(crc32(bytes)), le4(l))                       // trailer
+    }
+    Tables.documentsSpread(s, d)
+      .withColumn("ghex", concat(member(1),
+        when(nm >= 2, member(2)).otherwise(lit(""))))
+      .select(did,
+        when(raw, encode(col("text"), "UTF-8"))
+          .otherwise(unhex(col("ghex"))).as("content"))
+  }
+
+  /** q280 fixture: REAL zstd streams (RFC 8878) — optional skippable
+    * frame (doc_id%5==0: magic 0x184D2A50, LE32 length, 4-byte payload),
+    * then 1-2 data frames each a Single_Segment header (descriptor 0x20,
+    * 1-byte Frame_Content_Size) with ONE raw block (Last_Block=1,
+    * Block_Type=Raw, Block_Size == FCS) carrying a doc-derived payload.
+    * Raw-block zstd is legal output of any compliant encoder (level-0 /
+    * incompressible path), so zstd-jni decodes these verbatim
+    * (ZstdWalkSpec). doc_id%7==3 rows are raw text (the must-fail
+    * class). */
+  private[graft] def zstdBlobs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val did = col("doc_id")
+    val raw = pmod(did, lit(7)) === 3
+    val nf = lit(1L) + pmod(did, lit(2))
+    val skip = pmod(did, lit(5)) === 0
+    val letters = regexp_replace(col("text"), "[^a-z]", "")
+    def dat(i: Int) = letters.substr(lit((i - 1) * 30 + 1),
+      (lit(8L) + pmod(did + i, lit(9))).cast("int"))
+    def le3(x: Column) = concat(
+      lpad(hex(pmod(x, lit(256L))), 2, "0"),
+      lpad(hex(pmod((x / 256L).cast("long"), lit(256L))), 2, "0"),
+      lpad(hex(pmod((x / 65536L).cast("long"), lit(256L))), 2, "0"))
+    def frame(i: Int): Column = {
+      val bytes = encode(dat(i), "UTF-8")
+      val l = length(bytes).cast("long")
+      concat(
+        lit("28B52FFD"),              // magic 0xFD2FB528 LE
+        lit("20"),                    // Single_Segment, FCS = 1 byte
+        lpad(hex(l), 2, "0"),         // Frame_Content_Size
+        le3(lit(1L) + l * 8L),        // block: Last=1, Raw, size
+        hex(bytes))
+    }
+    // skippable frame: seek-table stand-in, 4-byte payload "SKIP"
+    val skippable = lit("502A4D18" + "04000000" + "534B4950")
+    Tables.documentsSpread(s, d)
+      .withColumn("zhex", concat(
+        when(skip, skippable).otherwise(lit("")),
+        frame(1),
+        when(nf >= 2, frame(2)).otherwise(lit(""))))
+      .select(did,
+        when(raw, encode(col("text"), "UTF-8"))
+          .otherwise(unhex(col("zhex"))).as("content"))
+  }
 
   /** q230 fixture: minimal-but-real GIFs derived from doc_id — version
     * 87a/89a, optional global color table (two sizes), optional NETSCAPE

@@ -418,5 +418,97 @@ object SafetyPack {
         .orderBy("doc_id")
     },
 
+    // ---- q270: t-closeness audit over quasi-identifier classes --------------
+    // Completes the release-audit ladder k-anonymity (q169) → l-diversity
+    // (q175) → t-closeness (Li, Li, Venkatasubramanian 2007): a class of
+    // identical quasi-identifiers can be large (k ok) and diverse (l ok)
+    // yet still leak — when its DISTRIBUTION over a sensitive attribute
+    // differs from the corpus-wide one. For an ORDERED sensitive attribute
+    // the paper's distance is the Earth Mover's Distance with unit ground
+    // distances: EMD(P,Q) = Σᵢ|cumsumᵢ(P−Q)| / (m−1). Classes here are
+    // (source, lang); the sensitive attribute is the length decile (q169's
+    // exact cuts, replayed verbatim).
+    //
+    // Determinism: P−Q is kept as the exact integer cnt·N − g·ct (scale by
+    // both totals instead of dividing); the EMD numerator is a BIGINT and
+    // the reported emd_e6 is ONE floor division of non-negative ints. The
+    // t=0.2 gate is an integer cross-multiplication — no doubles. Bounds:
+    // |cum| ≤ N·ct so emd_num·1e6 ≤ 10·N·ct·1e6 — fits BIGINT to ~30M-row
+    // classes; beyond that drop the 1e6 scale a decade.
+    //
+    // 100 TB shape: one keyed count per (class, bucket) — partial-agg
+    // friendly — then all math on the class×10 grid (catalog-sized).
+    // The decile cuts come from the exact-percentile refinement engine
+    // (no global sort); the grid cross-join is against a 10-row literal.
+    QueryDef(
+      "q270_t_closeness",
+      """WITH v AS (SELECT source, lang, n_chars AS x FROM documents),
+        |n AS (SELECT COUNT(*) AS n FROM v),
+        |r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM v),
+        |cuts AS (
+        |  SELECT t.p, r.x AS cut
+        |  FROM (VALUES (10), (20), (30), (40), (50), (60), (70), (80), (90)) AS t(p)
+        |  CROSS JOIN n JOIN r ON r.rn = GREATEST(1, (n.n * t.p + 99) // 100)),
+        |q AS (SELECT source, lang,
+        |        (SELECT COUNT(*) FROM cuts c WHERE c.cut < v.x) AS bkt
+        |      FROM v),
+        |cls AS (SELECT source, lang, bkt, COUNT(*) AS cnt FROM q GROUP BY 1, 2, 3),
+        |tot AS (SELECT source, lang, SUM(cnt) AS ct FROM cls GROUP BY 1, 2),
+        |gtot AS (SELECT bkt, SUM(cnt) AS g FROM cls GROUP BY 1),
+        |grid AS (
+        |  SELECT t.source, t.lang, t.ct, b.bkt,
+        |    COALESCE(c.cnt, 0) AS cnt, COALESCE(gl.g, 0) AS g
+        |  FROM tot t
+        |  CROSS JOIN (SELECT UNNEST(range(0, 10)) AS bkt) b
+        |  LEFT JOIN cls c ON c.source = t.source AND c.lang = t.lang AND c.bkt = b.bkt
+        |  LEFT JOIN gtot gl ON gl.bkt = b.bkt),
+        |cum AS (
+        |  SELECT source, lang, ct, bkt,
+        |    SUM(cnt * n.n - g * ct) OVER (PARTITION BY source, lang ORDER BY bkt) AS dcum
+        |  FROM grid CROSS JOIN n),
+        |e AS (SELECT source, lang, ct, SUM(ABS(dcum)) AS emd_num
+        |      FROM cum GROUP BY 1, 2, 3)
+        |SELECT source, lang, CAST(ct AS BIGINT) AS class_rows,
+        |  CAST(emd_num AS BIGINT) AS emd_num,
+        |  CAST((emd_num * 1000000) // (n.n * ct * 9) AS BIGINT) AS emd_e6,
+        |  CAST(CASE WHEN emd_num * 5 > n.n * ct * 9 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS violates_t02
+        |FROM e CROSS JOIN n
+        |ORDER BY source, lang""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("lang"), col("n_chars").cast("long").as("x"))
+      val cuts = graft.operators.Quantiles
+        .exactPercentiles(docs, "x", (1 to 9).map(_ * 10))
+        .map(_._3)
+      val bkt = cuts.map(c => when(col("x") > lit(c), 1L).otherwise(0L))
+        .reduce(_ + _).as("bkt")
+      val cls = docs.select(col("source"), col("lang"), bkt)
+        .groupBy("source", "lang", "bkt").agg(count(lit(1)).as("cnt"))
+        .persist()
+      val tot = cls.groupBy("source", "lang").agg(sum(col("cnt")).as("ct"))
+      val glob = cls.groupBy("bkt").agg(sum(col("cnt")).as("g"))
+      val n = cls.agg(sum(col("cnt")).as("n"))
+      val buckets = s.range(0, 10).select(col("id").as("bkt"))
+      val grid = tot.crossJoin(broadcast(buckets))
+        .join(cls, Seq("source", "lang", "bkt"), "left")
+        .join(broadcast(glob), Seq("bkt"), "left")
+        .select(col("source"), col("lang"), col("ct"), col("bkt"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"),
+          coalesce(col("g"), lit(0L)).as("g"))
+      val wc = Window.partitionBy("source", "lang").orderBy("bkt")
+      val out = grid.crossJoin(broadcast(n))
+        .withColumn("dcum",
+          sum(col("cnt") * col("n") - col("g") * col("ct")).over(wc))
+        .groupBy("source", "lang", "ct", "n")
+        .agg(sum(abs(col("dcum"))).as("emd_num"))
+        .select(col("source"), col("lang"),
+          col("ct").as("class_rows"), col("emd_num"),
+          expr("(emd_num * 1000000) div (n * ct * 9)").as("emd_e6"),
+          when(col("emd_num") * 5 > col("n") * col("ct") * 9, 1L)
+            .otherwise(0L).as("violates_t02"))
+        .orderBy("source", "lang")
+      out
+    },
+
   )
 }

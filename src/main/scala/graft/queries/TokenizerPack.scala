@@ -342,5 +342,151 @@ object TokenizerPack {
         .orderBy("doc_id")
     },
 
+    // ---- q274: WordPiece greedy longest-match-first encode ------------------
+    // The second tokenizer family next to BPE (q134/q135): WordPiece (Wu
+    // et al. 2016, the BERT tokenizer) encodes each word by repeatedly
+    // taking the LONGEST vocab piece matching at the cursor, emitting
+    // "##"-marked continuations, and collapsing the whole word to [UNK]
+    // if any position has no match (or the word exceeds the length cap —
+    // 15 here, BERT ships 100). Vocab here is derived from the corpus:
+    // the 26 letters plus the top-120 bigrams and top-60 trigrams by
+    // occurrence-weighted frequency (ties by gram) — then COLLECTED and
+    // inlined as literal arrays, because a learned tokenizer vocab is a
+    // bounded artifact you ship to every executor, not a join side: the
+    // encode loop is 15 rounds of pure codegen'd expressions (3
+    // array_contains probes per round), zero joins, zero shuffles on the
+    // hot path. One simplification vs BERT, documented: a single shared
+    // vocab for initial and continuation pieces (the ## mark is
+    // presentation). The oracle re-derives the vocab and replays the
+    // greedy cursor as a recursive CTE, so every piece boundary is
+    // hash-checked.
+    //
+    // 100 TB shape: the encode is per-row bounded work riding the scan;
+    // the vocab derivation is two keyed gram counts (partial-agg
+    // friendly) + a top-K cut. Words table capped at the top 300 by
+    // frequency (the working set a fertility audit reads).
+    QueryDef(
+      "q274_wordpiece_encode",
+      """WITH w0 AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |  FROM documents),
+        |wc AS (SELECT word, COUNT(*) AS cnt FROM w0 GROUP BY word),
+        |g2 AS (
+        |  SELECT g, SUM(cnt) AS w FROM (
+        |    SELECT cnt, unnest(list_transform(range(1, length(word)),
+        |      i -> substring(word, CAST(i AS INT), 2))) AS g
+        |    FROM wc WHERE length(word) >= 2)
+        |  GROUP BY g),
+        |v2 AS (SELECT g FROM g2
+        |       QUALIFY ROW_NUMBER() OVER (ORDER BY w DESC, g) <= 120),
+        |g3 AS (
+        |  SELECT g, SUM(cnt) AS w FROM (
+        |    SELECT cnt, unnest(list_transform(range(1, length(word) - 1),
+        |      i -> substring(word, CAST(i AS INT), 3))) AS g
+        |    FROM wc WHERE length(word) >= 3)
+        |  GROUP BY g),
+        |v3 AS (SELECT g FROM g3
+        |       QUALIFY ROW_NUMBER() OVER (ORDER BY w DESC, g) <= 60),
+        |ws AS (SELECT word, cnt FROM wc
+        |       QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, word) <= 300),
+        |enc AS (
+        |  WITH RECURSIVE st(word, cnt, pos, np, pieces, unk) AS (
+        |    SELECT word, cnt, 1, 0, '', length(word) > 15 FROM ws
+        |    UNION ALL
+        |    SELECT e.word, e.cnt,
+        |      e.pos + CASE WHEN m3.g IS NOT NULL THEN 3
+        |                   WHEN m2.g IS NOT NULL THEN 2
+        |                   WHEN ascii(substring(e.word, CAST(e.pos AS INT), 1))
+        |                     BETWEEN 97 AND 122 THEN 1 ELSE 0 END,
+        |      e.np + 1,
+        |      e.pieces ||
+        |        CASE WHEN e.pieces = '' THEN '' ELSE ' ' END ||
+        |        CASE WHEN e.pos > 1 THEN '##' ELSE '' END ||
+        |        CASE WHEN m3.g IS NOT NULL
+        |               THEN substring(e.word, CAST(e.pos AS INT), 3)
+        |             WHEN m2.g IS NOT NULL
+        |               THEN substring(e.word, CAST(e.pos AS INT), 2)
+        |             WHEN ascii(substring(e.word, CAST(e.pos AS INT), 1))
+        |               BETWEEN 97 AND 122
+        |               THEN substring(e.word, CAST(e.pos AS INT), 1)
+        |             ELSE '' END,
+        |      NOT (m3.g IS NOT NULL OR m2.g IS NOT NULL OR
+        |        ascii(substring(e.word, CAST(e.pos AS INT), 1))
+        |          BETWEEN 97 AND 122)
+        |    FROM st e
+        |    LEFT JOIN v3 m3 ON m3.g = substring(e.word, CAST(e.pos AS INT), 3)
+        |    LEFT JOIN v2 m2 ON m2.g = substring(e.word, CAST(e.pos AS INT), 2)
+        |    WHERE e.pos <= length(e.word) AND NOT e.unk)
+        |  SELECT * FROM st),
+        |fin AS (
+        |  SELECT word, cnt, pos, np, pieces, unk,
+        |    ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos DESC, np DESC) AS rk
+        |  FROM enc)
+        |SELECT word, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(CASE WHEN unk THEN 1 ELSE 0 END AS BIGINT) AS is_unk,
+        |  CAST(CASE WHEN unk THEN -1 ELSE np END AS BIGINT) AS n_pieces,
+        |  CASE WHEN unk THEN NULL ELSE pieces END AS pieces
+        |FROM fin WHERE rk = 1
+        |ORDER BY word""".stripMargin) { (s, d) =>
+      val words0 = Tables.documents(s, d)
+        .select(explode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+"), lit(0))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .persist()
+      def topGrams(glen: Int, k: Int): Seq[String] = {
+        val exploded = words0.filter(length(col("word")) >= glen)
+          .select(col("cnt"), explode(expr(
+            s"transform(sequence(1, length(word) - ${glen - 1})," +
+              s" i -> substring(word, i, $glen))")).as("g"))
+          .groupBy("g").agg(sum(col("cnt")).as("w"))
+        val win = Window.orderBy(col("w").desc, col("g"))
+        exploded.withColumn("rk", row_number().over(win))
+          .filter(col("rk") <= k)
+          .select("g").collect().map(_.getString(0)).toSeq
+      }
+      // the learned artifact: bounded by the literal top-K cuts
+      val v2 = topGrams(2, 120)
+      val v3 = topGrams(3, 60)
+      val winW = Window.orderBy(col("cnt").desc, col("word"))
+      val ws = words0.withColumn("rk", row_number().over(winW))
+        .filter(col("rk") <= 300)
+        .select(col("word"), col("cnt"),
+          lit(1).as("pos"), lit(0L).as("np"), lit("").as("pieces"),
+          (length(col("word")) > 15).as("unk"))
+      val a2 = typedlit(v2)
+      val a3 = typedlit(v3)
+      val encoded = (1 to 15).foldLeft(ws) { (df, _) =>
+        df.withColumn("active", !col("unk") && col("pos") <= length(col("word")))
+          .withColumn("c3", col("word").substr(col("pos"), lit(3)))
+          .withColumn("c2", col("word").substr(col("pos"), lit(2)))
+          .withColumn("c1", col("word").substr(col("pos"), lit(1)))
+          .withColumn("m3", array_contains(a3, col("c3")))
+          .withColumn("m2", array_contains(a2, col("c2")))
+          .withColumn("m1", ascii(col("c1")).between(97, 122))
+          .withColumn("adv", when(!col("active"), 0)
+            .when(col("m3"), 3).when(col("m2"), 2).when(col("m1"), 1)
+            .otherwise(0))
+          .withColumn("piece", when(col("m3"), col("c3"))
+            .when(col("m2"), col("c2")).otherwise(col("c1")))
+          .withColumn("pieces", when(!col("active") || col("adv") === 0,
+            col("pieces")).otherwise(concat(col("pieces"),
+              when(col("pieces") === "", "").otherwise(" "),
+              when(col("pos") > 1, "##").otherwise(""), col("piece"))))
+          .withColumn("np", col("np") +
+            when(col("active") && col("adv") > 0, 1L).otherwise(0L))
+          .withColumn("unk", col("unk") ||
+            (col("active") && col("adv") === 0))
+          .withColumn("pos", col("pos") + when(col("active"), col("adv"))
+            .otherwise(lit(0)))
+          .drop("active", "c3", "c2", "c1", "m3", "m2", "m1", "adv", "piece")
+      }
+      encoded.select(col("word"), col("cnt"),
+          when(col("unk"), 1L).otherwise(0L).as("is_unk"),
+          when(col("unk"), -1L).otherwise(col("np")).as("n_pieces"),
+          when(col("unk"), lit(null).cast("string"))
+            .otherwise(col("pieces")).as("pieces"))
+        .orderBy("word")
+    },
+
   )
 }

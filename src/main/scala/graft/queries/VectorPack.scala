@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.operators.Similarity
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -1358,7 +1358,152 @@ object VectorPack {
         .orderBy("qid")
     },
 
+    // ---- q276: semantic (embedding-space) benchmark decontamination --------
+    // The embedding-space complement to q72/q92/q153's n-gram decontam:
+    // paraphrased eval leakage shares no 13-gram but sits at high cosine.
+    // Benchmark set = vec_id < 25 (eval suites are SMALL — the broadcast
+    // side, same boundedness argument as q35's query side); corpus =
+    // the rest ∪ planted twins of the benchmark (the leaked paraphrases,
+    // cos ≈ 0.998 by [[graft.operators.Similarity.plantTwins]]'s closed
+    // form). Every corpus row is scored against all 25 benchmark vectors
+    // with the shared decimal-exact cosine and reports its best match +
+    // the ≥ 0.9 contamination flag — on the planted corpus the flag set
+    // is exactly the twins (raw-corpus max cos ≈ 0.5), so the oracle
+    // pins both the scores and the decision boundary.
+    //
+    // 100 TB shape: corpus scans once, benchmark side broadcast; per-row
+    // work is 25 decimal dots; the per-row argmax is a window over 25
+    // candidates keyed by the corpus id (never a corpus-wide sort). At
+    // larger eval suites the LSH/IVF paths (q55/q58) prune candidates
+    // first — this is the exact verifier those feed.
+    QueryDef(
+      "q276_semantic_decontamination", Q276_ORACLE) { (s, d) =>
+      decontamBest(decontamCorpus(s, d), decontamBench(s, d))
+        .orderBy("cid")
+    },
+
+    // ---- q279: streaming incremental semantic decontamination ---------------
+    // q276 maintained as the corpus streams in — the q225/q227/q235
+    // shared-oracle pairing applied to a VECTOR workload: the benchmark
+    // side is static (bounded, broadcast into every micro-batch), scoring
+    // is STATELESS per batch (each corpus row's verdict depends only on
+    // itself and the static side — the q188 stream-static gate shape, no
+    // StateStore, no watermark), per-batch verdicts persist under
+    // batch_id (idempotent dynamic overwrite under foreachBatch's
+    // at-least-once replay), and the final fold is a plain union — rows
+    // are disjoint across batches. Hash-matches batch q276's oracle
+    // VERBATIM no matter how ingest was batched.
+    //
+    // 100 TB shape: per-batch cost is batch_rows × |bench| decimal dots +
+    // a batch-local argmax — flat per batch (the incremental-cost ledger
+    // family's stateless member; no state growth term at all).
+    QueryDef(
+      "q279_stream_semantic_decontam", Q276_ORACLE) { (s, d) =>
+      val srcDir = stagedDecontamBatches(s, d)
+      val store = TextDedupPack.clearedStore(d, "graft-q279-decontam-")
+      val bench = decontamBench(s, d)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) =>
+        decontamBest(batch, bench)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(store.toString))
+      s.read.parquet(store.toString)
+        .select("cid", "best_bid", "max_sim", "contaminated")
+        .orderBy("cid")
+    },
+
   )
+
+  /** q276/q279's benchmark side: eval suites are SMALL by nature — the
+    * broadcast side, same boundedness argument as q35's query side. */
+  private def decontamBench(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") < 25)
+      .select(col("vec_id").as("bid"), col("embedding").as("be"))
+
+  /** q276/q279's corpus: the non-benchmark rows ∪ planted twins of the
+    * benchmark (the leaked paraphrases, cos ≈ 0.998). */
+  private def decontamCorpus(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity
+      .plantTwins(emb.filter(col("vec_id") < 25), "vec_id", "embedding",
+        TWIN_OFFSET)
+      .filter(col("vec_id") >= TWIN_OFFSET)
+      .unionByName(emb.filter(col("vec_id") >= 25)
+        .select(col("vec_id"), col("embedding")))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+  }
+
+  /** Shared scorer: every corpus row against the full (broadcast) bench
+    * side with the decimal-exact cosine; per-row argmax via a window over
+    * |bench| candidates keyed by the corpus id — never a corpus-wide
+    * sort. Used identically by batch q276 and per-micro-batch by q279 so
+    * the two cannot drift. */
+  private def decontamBest(corpus: DataFrame, bench: DataFrame): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(bench))
+      .select(col("cid"), col("bid"), cosineDec(col("ce"), col("be")).as("sim"))
+    val w = Window.partitionBy("cid").orderBy(col("sim").desc, col("bid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cid"), col("bid").as("best_bid"),
+        col("sim").as("max_sim"),
+        when(col("sim") >= 0.9, 1L).otherwise(0L).as("contaminated"))
+  }
+
+  /** One staged 4-file copy of q276's corpus per sf dir — q279's ingest
+    * stream; cf. TextDedupPack.stagedDocBatches. */
+  private val decontamStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedDecontamBatches(s: SparkSession, d: String): String =
+    decontamStages.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q279-src-")
+      sys.addShutdownHook(graft.streaming.Streams.deleteRecursively(dir))
+      decontamCorpus(s, d).repartition(4)
+        .write.mode("overwrite").parquet(dir.toString)
+      dir.toString
+    })
+
+  /** q276/q279's shared oracle — the corpus CTE replays the twin plant,
+    * scoring is the q35/q87 decimal-exact cosine, and the ≥0.9 flag is
+    * compared on the identically rounded DECIMAL(18,8) score. */
+  private lazy val Q276_ORACLE =
+      s"""WITH bench AS (
+         |  SELECT vec_id AS bid, embedding AS be FROM embeddings
+         |  WHERE vec_id < 25),
+         |corpus AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  WHERE vec_id >= 25
+         |  UNION ALL
+         |  SELECT vec_id + $TWIN_OFFSET AS cid,
+         |    list_concat([CAST(CAST(embedding[1] AS DOUBLE)/2 AS FLOAT)],
+         |                embedding[2:]) AS ce
+         |  FROM embeddings WHERE vec_id < 25),
+         |scored AS (
+         |  SELECT cid, bid,
+         |    CAST(CAST(CAST(
+         |      list_sum(list_transform(range(1,65), i ->
+         |        CAST(CAST(ce[i] AS DOUBLE)*CAST(be[i] AS DOUBLE) AS DECIMAL(38,20)))) AS DOUBLE)
+         |      / sqrt(
+         |        CAST(list_sum(list_transform(ce, x ->
+         |          CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,20)))) AS DOUBLE)
+         |        * CAST(list_sum(list_transform(be, x ->
+         |          CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,20)))) AS DOUBLE))
+         |      AS DECIMAL(18,8)) AS DOUBLE) AS sim
+         |  FROM corpus CROSS JOIN bench),
+         |best AS (
+         |  SELECT cid, bid, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY cid ORDER BY sim DESC, bid) AS rk
+         |  FROM scored)
+         |SELECT cid, bid AS best_bid, sim AS max_sim,
+         |  CAST(CASE WHEN sim >= 0.9 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS contaminated
+         |FROM best WHERE rk = 1
+         |ORDER BY cid""".stripMargin
 
   /** q213's negatives per (query, positive) — the K of triplet mining. */
   private val HN_K = 3

@@ -322,8 +322,11 @@ class PlanSpec extends AnyFunSuite {
     // query subset — vec_id < 10/20 — never a corpus id)
     // l_returnflag: TPC-H's 3-value flag enum — a group-by on it is
     // catalog-bounded (q64 broadcasts its per-flag percentile table)
+    // "bkt" = decile/bucket index (q169/q270): a sum of ≤9 literal-cut
+    // indicator CASEs, domain 0..9 by construction
     val boundedKeys = Set("lang", "source", "event_type", "split", "r", "c",
-      "tok", "token", "band", "cid", "src_a", "src_b", "qid", "l_returnflag")
+      "tok", "token", "band", "cid", "src_a", "src_b", "qid", "l_returnflag",
+      "bkt")
     // "foldable" rather than bare Literal: the analyzer wraps literals in
     // casts (vec_id < CAST(10 AS BIGINT)). Only EQUALITIES and UPPER
     // bounds certify a subset — a lower bound (attr > lit / lit < attr)
