@@ -53,6 +53,34 @@ object TemporalJoins {
       .drop("__k", "__t", "__p", "__side")
   }
 
+  /** Forward as-of join: for each left row, the EARLIEST right payload
+    * whose `rTs` ≥ the left row's `lTs` (the mirror of [[asofJoin]];
+    * equal timestamps match). Same single-exchange union-window shape —
+    * right rows sort AFTER left rows at equal timestamps and the frame
+    * looks forward. Pre-dedup the right side to one row per (key, ts). */
+  def asofJoinForward(left: DataFrame, lKey: String, lTs: String,
+                      right: DataFrame, rKey: String, rTs: String,
+                      payload: Column, asofCol: String = "asof"): DataFrame = {
+    val reserved = Seq("__k", "__t", "__p", "__side", asofCol)
+    val clash = reserved.filter(left.columns.contains)
+    require(clash.isEmpty,
+      s"asofJoinForward: left columns ${clash.mkString(", ")} collide with " +
+        s"reserved internal/output names (${reserved.mkString(", ")})")
+    val r = right.select(col(rKey).as("__k"), col(rTs).cast("timestamp").as("__t"),
+      payload.as("__p"), lit(2).as("__side"))
+    val l = left
+      .withColumn("__k", col(lKey))
+      .withColumn("__t", col(lTs).cast("timestamp"))
+      .withColumn("__side", lit(1))
+    // left rows sort before right rows at equal timestamps → ties match
+    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn(asofCol, first(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__k", "__t", "__p", "__side")
+  }
+
   /** Bounded range-join count: for each left row (identified by `leftId`),
     * the number of right rows with the same key and `rTs` in
     * [`lTs`, `lTs` + windowSec). Time is quantized into window-sized

@@ -262,6 +262,109 @@ object EtlPack {
       fidelityAgg(s.read.schema(DocsSchema).orc(stagedDocs(s, d, "orc")))
     },
 
+    // ---- q286: JSON schema-drift census over an ingest wire -----------------
+    // The audit that catches producer-side schema changes BEFORE a typed
+    // pipeline silently nulls them (the failure mode q30's permissive
+    // parse tolerates and q246's typed variant hides): per FIELD, how
+    // many wire records carry it, with what JSON token class, against
+    // the declared schema. Keys are discovered by the real JSON parser
+    // (json_object_keys / json_keys — new fields surface by themselves);
+    // the token class probes the raw wire at the key's position (first
+    // value char: '"' string, t/f bool, n null, else number). Planted
+    // drift: %7 records carry id as a STRING token, %9 omit txt, %11
+    // null it, %5 add an undeclared `extra` field — each lands in a
+    // different census cell.
+    //
+    // 100 TB shape: per-record key explode (bounded by fields/record) +
+    // ONE keyed count per (field, class) — partial-agg friendly; the
+    // declared-schema join is a literal broadcast.
+    QueryDef(
+      "q286_json_schema_drift",
+      """WITH wire AS (
+        |  SELECT doc_id,
+        |    concat('{"id":',
+        |      CASE WHEN doc_id % 7 = 0
+        |        THEN concat('"', CAST(doc_id AS VARCHAR), '"')
+        |        ELSE CAST(doc_id AS VARCHAR) END,
+        |      ',"src":"', source, '"',
+        |      CASE WHEN doc_id % 9 = 0 THEN ''
+        |           WHEN doc_id % 11 = 0 THEN ',"txt":null'
+        |           ELSE concat(',"txt":"', substring(text, 1, 40), '"') END,
+        |      CASE WHEN doc_id % 5 = 0 THEN ',"extra":true' ELSE '' END,
+        |      '}') AS j
+        |  FROM documents),
+        |ks AS (
+        |  SELECT doc_id, j, unnest(json_keys(j)) AS k FROM wire),
+        |cls AS (
+        |  SELECT k,
+        |    substring(j, strpos(j, concat('"', k, '":')) + length(k) + 3, 1)
+        |      AS ch
+        |  FROM ks),
+        |cen AS (
+        |  SELECT k AS field, COUNT(*) AS n_present,
+        |    SUM(CASE WHEN ch = '"' THEN 1 ELSE 0 END) AS n_string,
+        |    SUM(CASE WHEN ch IN ('t', 'f') THEN 1 ELSE 0 END) AS n_bool,
+        |    SUM(CASE WHEN ch = 'n' THEN 1 ELSE 0 END) AS n_null,
+        |    SUM(CASE WHEN ch NOT IN ('"', 't', 'f', 'n') THEN 1 ELSE 0 END)
+        |      AS n_number
+        |  FROM cls GROUP BY k),
+        |dec AS (SELECT * FROM (VALUES ('id', 'number'), ('src', 'string'),
+        |        ('txt', 'string')) AS t(field, declared_type))
+        |SELECT c.field, CAST(c.n_present AS BIGINT) AS n_present,
+        |  CAST(c.n_number AS BIGINT) AS n_number,
+        |  CAST(c.n_string AS BIGINT) AS n_string,
+        |  CAST(c.n_bool AS BIGINT) AS n_bool,
+        |  CAST(c.n_null AS BIGINT) AS n_null,
+        |  d.declared_type,
+        |  CAST(CASE WHEN d.field IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_new,
+        |  CAST(CASE WHEN d.field IS NULL THEN 0
+        |    ELSE c.n_present - c.n_null -
+        |      (CASE WHEN d.declared_type = 'number' THEN c.n_number
+        |            WHEN d.declared_type = 'string' THEN c.n_string
+        |            ELSE 0 END) END AS BIGINT) AS n_type_drift
+        |FROM cen c LEFT JOIN dec d ON d.field = c.field
+        |ORDER BY c.field""".stripMargin) { (s, d) =>
+      val j = concat(
+        lit("{\"id\":"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit("\""), col("doc_id").cast("string"), lit("\"")))
+          .otherwise(col("doc_id").cast("string")),
+        lit(",\"src\":\""), col("source"), lit("\""),
+        when(col("doc_id") % 9 === 0, "")
+          .when(col("doc_id") % 11 === 0, ",\"txt\":null")
+          .otherwise(concat(lit(",\"txt\":\""),
+            substring(col("text"), 1, 40), lit("\""))),
+        when(col("doc_id") % 5 === 0, ",\"extra\":true").otherwise(""),
+        lit("}"))
+      val wire = Tables.documents(s, d).select(col("doc_id"), j.as("j"))
+      val ks = wire.select(col("j"),
+        explode(json_object_keys(col("j"))).as("k"))
+      val cls = ks.select(col("k"),
+        expr("substring(j, position(concat('\"', k, '\":') IN j)" +
+          " + length(k) + 3, 1)").as("ch"))
+      val cen = cls.groupBy(col("k").as("field")).agg(
+        count(lit(1)).as("n_present"),
+        sum(when(col("ch") === "\"", 1L).otherwise(0L)).as("n_string"),
+        sum(when(col("ch").isin("t", "f"), 1L).otherwise(0L)).as("n_bool"),
+        sum(when(col("ch") === "n", 1L).otherwise(0L)).as("n_null"),
+        sum(when(!col("ch").isin("\"", "t", "f", "n"), 1L).otherwise(0L))
+          .as("n_number"))
+      val dec = s.createDataFrame(Seq(
+        ("id", "number"), ("src", "string"), ("txt", "string")))
+        .toDF("dfield", "declared_type")
+      cen.join(broadcast(dec), col("field") === col("dfield"), "left")
+        .select(col("field"), col("n_present"), col("n_number"),
+          col("n_string"), col("n_bool"), col("n_null"),
+          col("declared_type"),
+          when(col("dfield").isNull, 1L).otherwise(0L).as("is_new"),
+          when(col("dfield").isNull, 0L).otherwise(
+            col("n_present") - col("n_null") -
+              when(col("declared_type") === "number", col("n_number"))
+                .when(col("declared_type") === "string", col("n_string"))
+                .otherwise(0L)).as("n_type_drift"))
+        .orderBy("field")
+    },
+
     // ---- q278: XML source ingest parity -------------------------------------
     // Spark 4's built-in XML file source (the spark-xml lineage) under the
     // same fidelity contract as q132/q137/q138: stage `documents` as

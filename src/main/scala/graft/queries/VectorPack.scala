@@ -1382,6 +1382,239 @@ object VectorPack {
         .orderBy("cid")
     },
 
+    // ---- q281: rank-biased overlap between the two retrieval arms ----------
+    // The top-weighted rank-similarity metric (Webber, Moffat & Zobel,
+    // TOIS 2010) between q182's lexical (BM25) and dense (cosine)
+    // rankings — the diagnostic a hybrid-retrieval deploy watches to see
+    // HOW MUCH the arms actually disagree (RBO ≈ 1 ⇒ fusion adds
+    // nothing; ≈ 0 ⇒ the arms see different corpora). Truncated RBO@10,
+    // p = 0.9, computed EXACTLY: every term ov_d·p^(d−1)/d is scaled by
+    // lcm(1..10)=2520 and 10^9 into one BIGINT sum (9^(d−1)·10^(10−d)
+    // are exact in a double → exact cast), so the score needs no float
+    // summation at all. Both rank arms are shared verbatim with
+    // q182/q185 (the SQL CTEs and the Spark TakeOrdered cuts), so the
+    // metric can never drift from the rankings it audits.
+    //
+    // 100 TB shape: the arms are TakeOrdered cuts (no global sort); the
+    // RBO fold runs on ≤ 2·depth rows crossed with a 10-row literal.
+    QueryDef(
+      "q281_rbo", {
+        s"""WITH ${hybridSqlCtes("embeddings")},
+           |j AS (
+           |  SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id, t.rt AS ra, v.rv AS rb
+           |  FROM (SELECT * FROM trank WHERE rt <= 10) t
+           |  FULL OUTER JOIN (SELECT * FROM vrank WHERE rv <= 10) v
+           |    ON v.doc_id = t.doc_id),
+           |ov AS (
+           |  SELECT dd.d,
+           |    COUNT(*) FILTER (WHERE ra <= dd.d AND rb <= dd.d) AS ovd
+           |  FROM (SELECT UNNEST(range(1, 11)) AS d) dd
+           |  CROSS JOIN j
+           |  GROUP BY dd.d),
+           |sc AS (
+           |  SELECT SUM(ovd * (2520 // d) * CAST(power(9, d - 1) AS BIGINT)
+           |    * CAST(power(10, 10 - d) AS BIGINT)) AS s
+           |  FROM ov)
+           |SELECT CAST(ov.d AS BIGINT) AS d, CAST(ov.ovd AS BIGINT) AS overlap,
+           |  CAST((ov.ovd * 10000) // ov.d AS BIGINT) AS agreement_e4,
+           |  CAST(sc.s AS BIGINT) AS rbo_num,
+           |  CAST(sc.s // 25200000 AS BIGINT) AS rbo_e6
+           |FROM ov CROSS JOIN sc
+           |ORDER BY d""".stripMargin
+      }) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val arms = rrfArms(s, d, emb)
+      val j = arms._1.filter(col("rt") <= 10)
+        .join(arms._2.filter(col("rv") <= 10), Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("rt").as("ra"), col("rv").as("rb"))
+      val ov = j
+        .crossJoin(broadcast(s.range(1, 11).select(col("id").as("d"))))
+        .groupBy("d")
+        .agg(sum(when(col("ra") <= col("d") && col("rb") <= col("d"), 1L)
+          .otherwise(0L)).as("ovd"))
+      val sc = ov.agg(sum(
+        col("ovd") * expr("2520 div d") *
+          expr("cast(pow(9, d - 1) as bigint)") *
+          expr("cast(pow(10, 10 - d) as bigint)")).as("s"))
+      ov.crossJoin(broadcast(sc))
+        .select(col("d"), col("ovd").as("overlap"),
+          expr("(ovd * 10000) div d").as("agreement_e4"),
+          col("s").as("rbo_num"),
+          expr("s div 25200000").as("rbo_e6"))
+        .orderBy("d")
+    },
+
+    // ---- q282: per-label embedding-centroid drift between snapshots --------
+    // The embedding-space monitoring pass a retrain pipeline runs when a
+    // new encoder version (or a new corpus snapshot) lands: per label,
+    // the cosine between the OLD snapshot's centroid and the NEW one's.
+    // Snapshots here are the vec_id parity halves. The count factors of
+    // the two means CANCEL in the cosine, so the whole metric runs on
+    // exact per-(label, snapshot, dimension) DECIMAL SUM vectors (one
+    // keyed agg over corpus×64 posexploded rows — the dimension-parallel
+    // shape); the cross-snapshot dot/norms re-aggregate the
+    // 64-row-per-label grid in DECIMAL (associative), rounded once to
+    // DECIMAL(18,8) like every cosine in this pack. No division ever
+    // happens before the single rounded one.
+    //
+    // 100 TB shape: the heavy agg carries (label, snap, dim) partials —
+    // map-side combined, catalog×64-sized state; everything after is
+    // label-grid arithmetic. No vector ever crosses whole.
+    QueryDef(
+      "q282_embedding_drift",
+      """WITH ex AS (
+        |  SELECT label, vec_id % 2 AS snap, t.i AS dim,
+        |    CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS x
+        |  FROM embeddings
+        |  CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) t),
+        |cells AS (
+        |  SELECT label, snap, dim,
+        |    SUM(CAST(x AS DECIMAL(38,20))) AS sv, COUNT(*) AS n
+        |  FROM ex GROUP BY 1, 2, 3),
+        |grid AS (
+        |  SELECT a.label, a.dim, a.sv AS sa, b.sv AS sb, a.n AS na, b.n AS nb
+        |  FROM cells a JOIN cells b
+        |    ON b.label = a.label AND b.dim = a.dim
+        |  WHERE a.snap = 0 AND b.snap = 1),
+        |agg AS (
+        |  SELECT label, MIN(na) AS n_a, MIN(nb) AS n_b,
+        |    SUM(CAST(CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+        |      AS DECIMAL(38,20))) AS dot,
+        |    SUM(CAST(CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+        |      AS DECIMAL(38,20))) AS nra,
+        |    SUM(CAST(CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+        |      AS DECIMAL(38,20))) AS nrb
+        |  FROM grid GROUP BY label),
+        |cosr AS (
+        |  SELECT label, n_a, n_b,
+        |    CAST(CAST(CAST(dot AS DOUBLE)
+        |      / sqrt(CAST(nra AS DOUBLE) * CAST(nrb AS DOUBLE))
+        |      AS DECIMAL(18,8)) AS DOUBLE) AS c
+        |  FROM agg)
+        |SELECT CAST(label AS BIGINT) AS label,
+        |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  c AS centroid_cos,
+        |  CAST(CASE WHEN c < 0.8 THEN 1 ELSE 0 END AS BIGINT) AS drifted
+        |FROM cosr
+        |ORDER BY label""".stripMargin) { (s, d) =>
+      val ex = Tables.embeddings(s, d)
+        .select(col("label"), (col("vec_id") % 2).as("snap"),
+          posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("label"), col("snap"),
+          (col("i") + 1).cast("long").as("dim"),
+          col("x").cast("double").as("x"))
+      val cells = ex.groupBy("label", "snap", "dim")
+        .agg(sum(col("x").cast(DecimalType(38, 20))).as("sv"),
+          count(lit(1)).as("n"))
+      val a = cells.filter(col("snap") === 0)
+        .select(col("label"), col("dim"), col("sv").as("sa"), col("n").as("na"))
+      val b = cells.filter(col("snap") === 1)
+        .select(col("label").as("lb"), col("dim").as("db"),
+          col("sv").as("sb"), col("n").as("nb"))
+      val grid = a.join(b, col("label") === col("lb") && col("dim") === col("db"))
+      def prodDec(x: Column, y: Column) =
+        (x.cast("double") * y.cast("double")).cast(DecimalType(38, 20))
+      val agg = grid.groupBy("label")
+        .agg(min(col("na")).as("n_a"), min(col("nb")).as("n_b"),
+          sum(prodDec(col("sa"), col("sb"))).as("dot"),
+          sum(prodDec(col("sa"), col("sa"))).as("nra"),
+          sum(prodDec(col("sb"), col("sb"))).as("nrb"))
+      val cosv = (col("dot").cast("double") /
+        sqrt(col("nra").cast("double") * col("nrb").cast("double")))
+        .cast(DecimalType(18, 8)).cast("double")
+      agg.select(col("label").cast("long").as("label"),
+          col("n_a"), col("n_b"),
+          cosv.as("centroid_cos"),
+          when(cosv < 0.8, 1L).otherwise(0L).as("drifted"))
+        .orderBy("label")
+    },
+
+    // ---- q287: MaxSim late-interaction retrieval (ColBERT scoring) ---------
+    // The third retrieval-scoring family after single-vector cosine (q35)
+    // and lexical BM25 (q104): late interaction (Khattab & Zaharia,
+    // SIGIR'20) scores a pair as Σᵢ maxⱼ cos(qᵢ, dⱼ) over TOKEN vectors.
+    // Token vectors here are the 8 8-dim slices of each 64-d embedding
+    // (the fixture's multi-vector layout); queries = vec_id < 5 (the
+    // bounded broadcast side, as q35/q276). Pipeline: ONE sub-vector
+    // table (vec, slot, slice, decimal norm) built by a literal-range
+    // explode, pair scoring = one decimal 8-dim dot per (corpus-slot ×
+    // query-slot), then max-per-query-slot and a DECIMAL re-sum of the 8
+    // rounded maxes (each max is exactly a DECIMAL(18,8) value, so the
+    // re-cast is lossless and the sum associative — no double SUM
+    // anywhere). Top-5 per query by the usual window.
+    //
+    // 100 TB shape: corpus slices scan once (8 rows per vector,
+    // content-proportional); per-pair work is 64 8-dim dots against a
+    // broadcast 40-row query side; the two folds are keyed aggs. At real
+    // multi-vector scale the IVF/LSH paths prune candidates first — this
+    // is the exact late-interaction scorer they feed (the q276 pattern).
+    QueryDef(
+      "q287_maxsim_retrieval",
+      """WITH subs AS (
+        |  SELECT vec_id, t.i AS slot,
+        |    embedding[CAST(t.i*8+1 AS INT):CAST(t.i*8+8 AS INT)] AS sv
+        |  FROM embeddings
+        |  CROSS JOIN (SELECT UNNEST(range(0, 8)) AS i) t),
+        |nsubs AS (
+        |  SELECT vec_id, slot, sv,
+        |    list_sum(list_transform(sv, x ->
+        |      CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,20)))) AS nrm
+        |  FROM subs),
+        |q AS (SELECT vec_id AS qid, slot AS qi, sv AS qv, nrm AS qn
+        |      FROM nsubs WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS cid, slot AS cj, sv AS cv, nrm AS cn
+        |      FROM nsubs WHERE vec_id >= 5),
+        |pairs AS (
+        |  SELECT qid, qi, cid,
+        |    CAST(CAST(CAST(
+        |      list_sum(list_transform(range(1, 9), i ->
+        |        CAST(CAST(qv[i] AS DOUBLE)*CAST(cv[i] AS DOUBLE)
+        |          AS DECIMAL(38,20)))) AS DOUBLE)
+        |      / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE))
+        |      AS DECIMAL(18,8)) AS DOUBLE) AS sc
+        |  FROM c CROSS JOIN q),
+        |mx AS (
+        |  SELECT qid, cid, qi, MAX(sc) AS mc
+        |  FROM pairs GROUP BY 1, 2, 3),
+        |ms AS (
+        |  SELECT qid, cid,
+        |    CAST(SUM(CAST(mc AS DECIMAL(18,8))) AS DOUBLE) AS maxsim
+        |  FROM mx GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT qid, cid, maxsim,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY maxsim DESC, cid) AS rk
+        |  FROM ms)
+        |SELECT qid, cid, maxsim, CAST(rk AS BIGINT) AS rk
+        |FROM rk WHERE rk <= 5
+        |ORDER BY qid, rk""".stripMargin) { (s, d) =>
+      val subs = Tables.embeddings(s, d)
+        .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("slot"),
+          col("embedding"))
+        .select(col("vec_id"), col("slot"),
+          slice(col("embedding"), col("slot") * 8 + 1, lit(8)).as("sv"))
+        .withColumn("nrm", dotDec(col("sv"), col("sv")))
+      val q = subs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("slot").as("qi"),
+          col("sv").as("qv"), col("nrm").as("qn"))
+      val c = subs.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("cid"), col("sv").as("cv"),
+          col("nrm").as("cn"))
+      val pairs = c.crossJoin(broadcast(q))
+        .select(col("qid"), col("qi"), col("cid"),
+          (dotDec(col("qv"), col("cv")).cast("double") /
+            sqrt(col("qn").cast("double") * col("cn").cast("double")))
+            .cast(DecimalType(18, 8)).cast("double").as("sc"))
+      val mx = pairs.groupBy("qid", "cid", "qi").agg(max(col("sc")).as("mc"))
+      val ms = mx.groupBy("qid", "cid")
+        .agg(sum(col("mc").cast(DecimalType(18, 8))).cast("double")
+          .as("maxsim"))
+      val w = Window.partitionBy("qid").orderBy(col("maxsim").desc, col("cid"))
+      ms.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .orderBy("qid", "rk")
+    },
+
     // ---- q279: streaming incremental semantic decontamination ---------------
     // q276 maintained as the corpus streams in — the q225/q227/q235
     // shared-oracle pairing applied to a VECTOR workload: the benchmark
@@ -1445,8 +1678,17 @@ object VectorPack {
     * sort. Used identically by batch q276 and per-micro-batch by q279 so
     * the two cannot drift. */
   private def decontamBest(corpus: DataFrame, bench: DataFrame): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(bench))
-      .select(col("cid"), col("bid"), cosineDec(col("ce"), col("be")).as("sim"))
+    // norms ONCE per vector (the q35 exactTopKDec discipline), not per
+    // pair — cosineDec inline would re-fold both self-dots for every
+    // (corpus, bench) pair: 3× the decimal work (measured 9→~3 s at
+    // sf0.1). Same values, same DECIMAL(18,8) rounding.
+    val benchN = bench.withColumn("nb", dotDec(col("be"), col("be")))
+    val corpusN = corpus.withColumn("nc", dotDec(col("ce"), col("ce")))
+    val scored = corpusN.crossJoin(broadcast(benchN))
+      .select(col("cid"), col("bid"),
+        (dotDec(col("ce"), col("be")).cast("double") /
+          sqrt(col("nc").cast("double") * col("nb").cast("double")))
+          .cast(DecimalType(18, 8)).cast("double").as("sim"))
     val w = Window.partitionBy("cid").orderBy(col("sim").desc, col("bid"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
@@ -1641,8 +1883,12 @@ object VectorPack {
     * global sort — and the rank windows then run over ≤ [[HY_DEPTH]]
     * rows. Absent ranks fuse as 0 contribution (standard RRF over the
     * union of rankings). */
-  private def rrfFused(s: SparkSession, d: String,
-                       emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  /** The two ranking arms (BM25 rt, cosine rv), each a TakeOrdered cut to
+    * [[HY_DEPTH]] — shared by the RRF fusion (q182/q185) and the RBO
+    * disagreement audit (q281) so the metric can't drift from the
+    * rankings it measures. */
+  private def rrfArms(s: SparkSession, d: String,
+                      emb: DataFrame): (DataFrame, DataFrame) = {
     val wT = Window.orderBy(col("bm25").desc, col("doc_id"))
     val trank = TextDedupPack.bm25Scores(s, d)
       .orderBy(col("bm25").desc, col("doc_id")).limit(HY_DEPTH)
@@ -1657,6 +1903,12 @@ object VectorPack {
     val vrank = cscored.orderBy(col("cos_sim").desc, col("doc_id")).limit(HY_DEPTH)
       .withColumn("rv", row_number().over(wV).cast("long"))
       .select("doc_id", "rv")
+    (trank, vrank)
+  }
+
+  private def rrfFused(s: SparkSession, d: String,
+                       emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val (trank, vrank) = rrfArms(s, d, emb)
     val fused = trank.join(vrank, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         (coalesce(expr("1000000000 div (60 + rt)"), lit(0L)) +

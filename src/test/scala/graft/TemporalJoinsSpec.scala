@@ -37,6 +37,28 @@ class TemporalJoinsSpec extends AnyFunSuite {
       13L -> Some(200.0), 14L -> None))
   }
 
+  test("asofJoinForward: earliest following payload, ties match, none after → null") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 11:00:00"), 110.0),
+      (2L, ts("2024-01-01 12:00:00"), 200.0))
+      .toDF("k", "qts", "px")
+    val trades = Seq(
+      (10L, 1L, ts("2024-01-01 10:30:00")),  // between quotes → 110
+      (11L, 1L, ts("2024-01-01 11:00:00")),  // tie with quote → 110
+      (12L, 1L, ts("2024-01-01 11:30:00")),  // after all      → null
+      (13L, 2L, ts("2024-01-01 11:00:00")),  // other key      → 200
+      (14L, 3L, ts("2024-01-01 11:00:00")))  // unseen key     → null
+      .toDF("trade_id", "k", "tts")
+    val got = TemporalJoins.asofJoinForward(trades, "k", "tts", quotes, "k", "qts",
+      struct(col("px")), asofCol = "q")
+      .select(col("trade_id"), col("q.px"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got == Map(
+      10L -> Some(110.0), 11L -> Some(110.0), 12L -> None,
+      13L -> Some(200.0), 14L -> None))
+  }
+
   test("rangeJoinCount: inclusive start, exclusive end, bucket-boundary windows") {
     val anchors = Seq((1L, 7L, ts("2024-01-01 10:30:00"))).toDF("aid", "k", "ats")
     val others = Seq(
