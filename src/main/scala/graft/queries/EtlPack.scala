@@ -279,90 +279,43 @@ object EtlPack {
     // ONE keyed count per (field, class) — partial-agg friendly; the
     // declared-schema join is a literal broadcast.
     QueryDef(
-      "q286_json_schema_drift",
-      """WITH wire AS (
-        |  SELECT doc_id,
-        |    concat('{"id":',
-        |      CASE WHEN doc_id % 7 = 0
-        |        THEN concat('"', CAST(doc_id AS VARCHAR), '"')
-        |        ELSE CAST(doc_id AS VARCHAR) END,
-        |      ',"src":"', source, '"',
-        |      CASE WHEN doc_id % 9 = 0 THEN ''
-        |           WHEN doc_id % 11 = 0 THEN ',"txt":null'
-        |           ELSE concat(',"txt":"', substring(text, 1, 40), '"') END,
-        |      CASE WHEN doc_id % 5 = 0 THEN ',"extra":true' ELSE '' END,
-        |      '}') AS j
-        |  FROM documents),
-        |ks AS (
-        |  SELECT doc_id, j, unnest(json_keys(j)) AS k FROM wire),
-        |cls AS (
-        |  SELECT k,
-        |    substring(j, strpos(j, concat('"', k, '":')) + length(k) + 3, 1)
-        |      AS ch
-        |  FROM ks),
-        |cen AS (
-        |  SELECT k AS field, COUNT(*) AS n_present,
-        |    SUM(CASE WHEN ch = '"' THEN 1 ELSE 0 END) AS n_string,
-        |    SUM(CASE WHEN ch IN ('t', 'f') THEN 1 ELSE 0 END) AS n_bool,
-        |    SUM(CASE WHEN ch = 'n' THEN 1 ELSE 0 END) AS n_null,
-        |    SUM(CASE WHEN ch NOT IN ('"', 't', 'f', 'n') THEN 1 ELSE 0 END)
-        |      AS n_number
-        |  FROM cls GROUP BY k),
-        |dec AS (SELECT * FROM (VALUES ('id', 'number'), ('src', 'string'),
-        |        ('txt', 'string')) AS t(field, declared_type))
-        |SELECT c.field, CAST(c.n_present AS BIGINT) AS n_present,
-        |  CAST(c.n_number AS BIGINT) AS n_number,
-        |  CAST(c.n_string AS BIGINT) AS n_string,
-        |  CAST(c.n_bool AS BIGINT) AS n_bool,
-        |  CAST(c.n_null AS BIGINT) AS n_null,
-        |  d.declared_type,
-        |  CAST(CASE WHEN d.field IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_new,
-        |  CAST(CASE WHEN d.field IS NULL THEN 0
-        |    ELSE c.n_present - c.n_null -
-        |      (CASE WHEN d.declared_type = 'number' THEN c.n_number
-        |            WHEN d.declared_type = 'string' THEN c.n_string
-        |            ELSE 0 END) END AS BIGINT) AS n_type_drift
-        |FROM cen c LEFT JOIN dec d ON d.field = c.field
-        |ORDER BY c.field""".stripMargin) { (s, d) =>
-      val j = concat(
-        lit("{\"id\":"),
-        when(col("doc_id") % 7 === 0,
-          concat(lit("\""), col("doc_id").cast("string"), lit("\"")))
-          .otherwise(col("doc_id").cast("string")),
-        lit(",\"src\":\""), col("source"), lit("\""),
-        when(col("doc_id") % 9 === 0, "")
-          .when(col("doc_id") % 11 === 0, ",\"txt\":null")
-          .otherwise(concat(lit(",\"txt\":\""),
-            substring(col("text"), 1, 40), lit("\""))),
-        when(col("doc_id") % 5 === 0, ",\"extra\":true").otherwise(""),
-        lit("}"))
-      val wire = Tables.documents(s, d).select(col("doc_id"), j.as("j"))
-      val ks = wire.select(col("j"),
-        explode(json_object_keys(col("j"))).as("k"))
-      val cls = ks.select(col("k"),
-        expr("substring(j, position(concat('\"', k, '\":') IN j)" +
-          " + length(k) + 3, 1)").as("ch"))
-      val cen = cls.groupBy(col("k").as("field")).agg(
-        count(lit(1)).as("n_present"),
-        sum(when(col("ch") === "\"", 1L).otherwise(0L)).as("n_string"),
-        sum(when(col("ch").isin("t", "f"), 1L).otherwise(0L)).as("n_bool"),
-        sum(when(col("ch") === "n", 1L).otherwise(0L)).as("n_null"),
-        sum(when(!col("ch").isin("\"", "t", "f", "n"), 1L).otherwise(0L))
-          .as("n_number"))
-      val dec = s.createDataFrame(Seq(
-        ("id", "number"), ("src", "string"), ("txt", "string")))
-        .toDF("dfield", "declared_type")
-      cen.join(broadcast(dec), col("field") === col("dfield"), "left")
-        .select(col("field"), col("n_present"), col("n_number"),
-          col("n_string"), col("n_bool"), col("n_null"),
-          col("declared_type"),
-          when(col("dfield").isNull, 1L).otherwise(0L).as("is_new"),
-          when(col("dfield").isNull, 0L).otherwise(
-            col("n_present") - col("n_null") -
-              when(col("declared_type") === "number", col("n_number"))
-                .when(col("declared_type") === "string", col("n_string"))
-                .otherwise(0L)).as("n_type_drift"))
-        .orderBy("field")
+      "q286_json_schema_drift", Q286_ORACLE) { (s, d) =>
+      driftFinalize(s, driftCounts(driftWire(Tables.documents(s, d))))
+    },
+
+    // ---- q290: streaming JSON schema-drift gate -----------------------------
+    // q286 maintained as records stream in — the gate a live ingest runs
+    // so a producer deploy that changes the wire is caught within a
+    // micro-batch, not at the next full audit. The census is a count
+    // grid (sums — a commutative monoid), so each batch persists its own
+    // ≤ fields×1 increment idempotently (dynamic overwrite under
+    // foreachBatch's at-least-once replay) and the gate's answer
+    // sum-merges the stored increments before the declared-schema join.
+    // Hash-matches batch q286's oracle VERBATIM however ingest was
+    // batched (the q105/q130/q180/q216 shared-oracle pairing).
+    QueryDef(
+      "q290_stream_schema_drift", Q286_ORACLE) { (s, d) =>
+      val srcDir = TextDedupPack.stagedDocBatches(s, d)
+      val store = TextDedupPack.clearedStore(d, "graft-q290-drift-")
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) =>
+        driftCounts(driftWire(batch))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(store.toString))
+      val merged = s.read.parquet(store.toString)
+        .groupBy("field")
+        .agg(sum(col("n_present")).as("n_present"),
+          sum(col("n_string")).as("n_string"),
+          sum(col("n_bool")).as("n_bool"),
+          sum(col("n_null")).as("n_null"),
+          sum(col("n_number")).as("n_number"))
+      driftFinalize(s, merged)
     },
 
     // ---- q278: XML source ingest parity -------------------------------------
@@ -485,6 +438,107 @@ object EtlPack {
       |             ELSE concat(',"lat":', CAST(c_custkey % 180 - 90 AS VARCHAR)) END,
       |        ',"lon":', CAST(c_custkey % 360 - 180 AS VARCHAR), '}') AS j
       |    FROM customer))""".stripMargin
+
+  /** q286/q290's shared oracle (see q286's comment). */
+  private val Q286_ORACLE =
+      """WITH wire AS (
+        |  SELECT doc_id,
+        |    concat('{"id":',
+        |      CASE WHEN doc_id % 7 = 0
+        |        THEN concat('"', CAST(doc_id AS VARCHAR), '"')
+        |        ELSE CAST(doc_id AS VARCHAR) END,
+        |      ',"src":"', source, '"',
+        |      CASE WHEN doc_id % 9 = 0 THEN ''
+        |           WHEN doc_id % 11 = 0 THEN ',"txt":null'
+        |           ELSE concat(',"txt":"', substring(text, 1, 40), '"') END,
+        |      CASE WHEN doc_id % 5 = 0 THEN ',"extra":true' ELSE '' END,
+        |      '}') AS j
+        |  FROM documents),
+        |ks AS (
+        |  SELECT doc_id, j, unnest(json_keys(j)) AS k FROM wire),
+        |cls AS (
+        |  SELECT k,
+        |    substring(j, strpos(j, concat('"', k, '":')) + length(k) + 3, 1)
+        |      AS ch
+        |  FROM ks),
+        |cen AS (
+        |  SELECT k AS field, COUNT(*) AS n_present,
+        |    SUM(CASE WHEN ch = '"' THEN 1 ELSE 0 END) AS n_string,
+        |    SUM(CASE WHEN ch IN ('t', 'f') THEN 1 ELSE 0 END) AS n_bool,
+        |    SUM(CASE WHEN ch = 'n' THEN 1 ELSE 0 END) AS n_null,
+        |    SUM(CASE WHEN ch NOT IN ('"', 't', 'f', 'n') THEN 1 ELSE 0 END)
+        |      AS n_number
+        |  FROM cls GROUP BY k),
+        |dec AS (SELECT * FROM (VALUES ('id', 'number'), ('src', 'string'),
+        |        ('txt', 'string')) AS t(field, declared_type))
+        |SELECT c.field, CAST(c.n_present AS BIGINT) AS n_present,
+        |  CAST(c.n_number AS BIGINT) AS n_number,
+        |  CAST(c.n_string AS BIGINT) AS n_string,
+        |  CAST(c.n_bool AS BIGINT) AS n_bool,
+        |  CAST(c.n_null AS BIGINT) AS n_null,
+        |  d.declared_type,
+        |  CAST(CASE WHEN d.field IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_new,
+        |  CAST(CASE WHEN d.field IS NULL THEN 0
+        |    ELSE c.n_present - c.n_null -
+        |      (CASE WHEN d.declared_type = 'number' THEN c.n_number
+        |            WHEN d.declared_type = 'string' THEN c.n_string
+        |            ELSE 0 END) END AS BIGINT) AS n_type_drift
+        |FROM cen c LEFT JOIN dec d ON d.field = c.field
+        |ORDER BY c.field""".stripMargin
+
+  /** q286/q290's wire: JSON per doc with planted drift classes (%7 id as
+    * STRING token, %9 txt omitted, %11 txt null, %5 undeclared `extra`). */
+  private def driftWire(docs: DataFrame): DataFrame = {
+    val j = concat(
+      lit("{\"id\":"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit("\""), col("doc_id").cast("string"), lit("\"")))
+        .otherwise(col("doc_id").cast("string")),
+      lit(",\"src\":\""), col("source"), lit("\""),
+      when(col("doc_id") % 9 === 0, "")
+        .when(col("doc_id") % 11 === 0, ",\"txt\":null")
+        .otherwise(concat(lit(",\"txt\":\""),
+          substring(col("text"), 1, 40), lit("\""))),
+      when(col("doc_id") % 5 === 0, ",\"extra\":true").otherwise(""),
+      lit("}"))
+    docs.select(col("doc_id"), j.as("j"))
+  }
+
+  /** Per-field (presence, token-class) count grid — keys via the real
+    * JSON parser, class probed at the key's wire position. Sums, hence
+    * mergeable across micro-batches (q290). */
+  private def driftCounts(wire: DataFrame): DataFrame = {
+    val ks = wire.select(col("j"),
+      explode(json_object_keys(col("j"))).as("k"))
+    val cls = ks.select(col("k"),
+      expr("substring(j, position(concat('\"', k, '\":') IN j)" +
+        " + length(k) + 3, 1)").as("ch"))
+    cls.groupBy(col("k").as("field")).agg(
+      count(lit(1)).as("n_present"),
+      sum(when(col("ch") === "\"", 1L).otherwise(0L)).as("n_string"),
+      sum(when(col("ch").isin("t", "f"), 1L).otherwise(0L)).as("n_bool"),
+      sum(when(col("ch") === "n", 1L).otherwise(0L)).as("n_null"),
+      sum(when(!col("ch").isin("\"", "t", "f", "n"), 1L).otherwise(0L))
+        .as("n_number"))
+  }
+
+  /** Declared-schema join + drift arithmetic over a count grid. */
+  private def driftFinalize(s: SparkSession, cen: DataFrame): DataFrame = {
+    val dec = s.createDataFrame(Seq(
+      ("id", "number"), ("src", "string"), ("txt", "string")))
+      .toDF("dfield", "declared_type")
+    cen.join(broadcast(dec), col("field") === col("dfield"), "left")
+      .select(col("field"), col("n_present"), col("n_number"),
+        col("n_string"), col("n_bool"), col("n_null"),
+        col("declared_type"),
+        when(col("dfield").isNull, 1L).otherwise(0L).as("is_new"),
+        when(col("dfield").isNull, 0L).otherwise(
+          col("n_present") - col("n_null") -
+            when(col("declared_type") === "number", col("n_number"))
+              .when(col("declared_type") === "string", col("n_string"))
+              .otherwise(0L)).as("n_type_drift"))
+      .orderBy("field")
+  }
 
   /** The shared source-fidelity contract (q132/q137/q138): per-source
     * counts + token mass + a 52-bit-md5 content checksum. The oracle

@@ -2061,6 +2061,110 @@ object MultimodalPack {
         .orderBy("doc_id")
     }
 
+    ,
+    // ---- q288: OGG page walk (RFC 3533) -------------------------------------
+    // The page-structured audio container (Vorbis/Opus ship in it): each
+    // page is "OggS", version 0, a header-type byte (0x02 BOS on the
+    // first page, 0x04 EOS on the last), a 64-bit granule position, the
+    // stream serial, a page sequence number, CRC, then a segment count
+    // and lacing table whose SUM is the payload length. The index pass
+    // walks pages blind, checks the BOS/EOS bracketing, that the
+    // sequence numbers increment from 0, that the serial stays constant,
+    // and that the lacing-driven cursor lands exactly on blob end — the
+    // page map a seeking/streaming player builds before decoding a
+    // single audio packet. Fixture pages carry 1-segment lacing tables
+    // (payloads ≤ 255 B, the q273/q280 doc-derived slices); %7==3 rows
+    // are raw text (the must-fail class).
+    //
+    // 100 TB shape: fixed-offset hex reads riding the scan — zero
+    // shuffles, zero UDFs (the byte-walk discipline, sixth container).
+    QueryDef(
+      "q288_ogg_page_walk",
+      """WITH lt AS (
+        |  SELECT doc_id, regexp_replace(text, '[^a-z]', '', 'g') AS letters
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, doc_id % 7 = 3 AS raw, 2 + doc_id % 2 AS np,
+        |    length(substring(letters, 1, CAST(8 + (doc_id+1) % 9 AS INT))) AS l1,
+        |    length(substring(letters, 31, CAST(8 + (doc_id+2) % 9 AS INT))) AS l2,
+        |    length(substring(letters, 61, CAST(8 + (doc_id+3) % 9 AS INT))) AS l3
+        |  FROM lt)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN raw THEN 0 ELSE 1 END AS BIGINT) AS valid,
+        |  CAST(CASE WHEN raw THEN -1 ELSE np END AS BIGINT) AS n_pages,
+        |  CAST(CASE WHEN raw THEN -1
+        |    WHEN np = 2 THEN l1 + l2 ELSE l1 + l2 + l3 END AS BIGINT)
+        |    AS content_bytes,
+        |  CAST(CASE WHEN raw THEN -1 ELSE doc_id % 100000 END AS BIGINT)
+        |    AS serial
+        |FROM p
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val did = col("doc_id")
+      import org.apache.spark.sql.Column
+      def byteAt(p: Column) =
+        conv(col("hx").substr(p * 2 - 1, lit(2)), 16, 10).cast("long")
+      def le4At(p: Column) = byteAt(p) + byteAt(p + 1L) * 256L +
+        byteAt(p + 2L) * 65536L + byteAt(p + 3L) * 16777216L
+      def step(i: Int)(df: DataFrame): DataFrame = df
+        .withColumn("done", col("done") ||
+          (!col("bad") && col("q") === col("blen") + 1L))
+        .withColumn("fin", col("bad") || col("done"))
+        .withColumn("htyp", byteAt(col("q") + 5L))
+        .withColumn("ser", le4At(col("q") + 14L))
+        .withColumn("seq", le4At(col("q") + 18L))
+        .withColumn("nseg", byteAt(col("q") + 26L))
+        // fixture pages are single-segment; a general walk would fold the
+        // lacing table — 1 byte here keeps the fold trivial and honest
+        .withColumn("plen", byteAt(col("q") + 27L))
+        .withColumn("pgok", coalesce(
+          !col("fin") &&
+            col("hx").substr(col("q") * 2 - 1, lit(8)) === "4F676753" &&
+            byteAt(col("q") + 4L) === 0L &&
+            // page 1 must be BOS; later pages are mid-stream (0) or the
+            // EOS page — the final `eos` flag enforces EOS-at-end
+            (if (i == 1) col("htyp") === 2L
+             else col("htyp") === 0L || col("htyp") === 4L) &&
+            col("nseg") === 1L &&
+            col("seq") === lit((i - 1).toLong) &&
+            (if (i == 1) lit(true) else col("ser") === col("serial")) &&
+            col("q") + 28L + col("plen") <= col("blen") + 1L,
+          lit(false)))
+        .withColumn("serial",
+          when(lit(i) === 1 && col("pgok"), col("ser"))
+            .otherwise(col("serial")))
+        .withColumn("eos", when(col("pgok"), col("htyp") === 4L)
+          .otherwise(col("eos")))
+        .withColumn("bad", col("bad") || (!col("fin") && !col("pgok")))
+        .withColumn("npg",
+          col("npg") + when(col("pgok"), 1L).otherwise(0L))
+        .withColumn("tot",
+          col("tot") + when(col("pgok"), col("plen")).otherwise(0L))
+        .withColumn("q",
+          when(col("pgok"), col("q") + 28L + col("plen"))
+            .otherwise(col("q")))
+        .drop("fin", "htyp", "ser", "seq", "nseg", "plen", "pgok")
+      val base = oggBlobs(s, d)
+        .withColumn("hx", hex(col("content")))
+        .withColumn("blen", length(col("content")).cast("long"))
+        .withColumn("q", lit(1L))
+        .withColumn("tot", lit(0L))
+        .withColumn("npg", lit(0L))
+        .withColumn("serial", lit(-1L))
+        .withColumn("eos", lit(false))
+        .withColumn("done", lit(false))
+        .withColumn("bad", col("blen") < 28L)
+      val walked = (1 to 4).foldLeft(base)((df, i) => step(i)(df))
+      walked
+        .withColumn("ok", !col("bad") && col("eos") &&
+          col("q") === col("blen") + 1L && col("npg") >= 2L)
+        .select(did,
+          when(col("ok"), 1L).otherwise(0L).as("valid"),
+          when(col("ok"), col("npg")).otherwise(-1L).as("n_pages"),
+          when(col("ok"), col("tot")).otherwise(-1L).as("content_bytes"),
+          when(col("ok"), col("serial")).otherwise(-1L).as("serial"))
+        .orderBy("doc_id")
+    }
+
   )
 
   /** q273 fixture: 1-2 REAL multi-member gzip streams per doc (RFC 1952 +
@@ -2152,6 +2256,47 @@ object MultimodalPack {
       .select(did,
         when(raw, encode(col("text"), "UTF-8"))
           .otherwise(unhex(col("zhex"))).as("content"))
+  }
+
+  /** q288 fixture: OGG (RFC 3533) page sequences — 2-3 pages per doc,
+    * BOS type on the first, EOS on the last, zero granule/CRC (the walk
+    * is structural; no public-domain OGG CRC table is assumed), stream
+    * serial = doc_id mod 1e5, incrementing page sequence numbers,
+    * 1-segment lacing tables with doc-derived payloads. doc_id%7==3 rows
+    * are raw text (the must-fail class). */
+  private[graft] def oggBlobs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val did = col("doc_id")
+    val raw = pmod(did, lit(7)) === 3
+    val np = lit(2L) + pmod(did, lit(2))
+    val serial = pmod(did, lit(100000L))
+    val letters = regexp_replace(col("text"), "[^a-z]", "")
+    def dat(i: Int) = letters.substr(lit((i - 1) * 30 + 1),
+      (lit(8L) + pmod(did + i, lit(9))).cast("int"))
+    def le4(x: Column) = concat(
+      lpad(hex(pmod(x, lit(256L))), 2, "0"),
+      lpad(hex(pmod((x / 256L).cast("long"), lit(256L))), 2, "0"),
+      lpad(hex(pmod((x / 65536L).cast("long"), lit(256L))), 2, "0"),
+      lpad(hex(pmod((x / 16777216L).cast("long"), lit(256L))), 2, "0"))
+    def page(i: Int): Column = {
+      val bytes = encode(dat(i), "UTF-8")
+      val l = length(bytes).cast("long")
+      val htyp = if (i == 1) lit("02")
+        else when(np === i.toLong, lit("04")).otherwise(lit("00"))
+      concat(
+        lit("4F676753"), lit("00"), htyp,   // "OggS", version, header type
+        lit("00" * 8),                      // granule position (unused)
+        le4(serial), le4(lit((i - 1).toLong)),
+        lit("00" * 4),                      // CRC (structural walk)
+        lit("01"), lpad(hex(l), 2, "0"),    // nseg=1, lacing[0]=len
+        hex(bytes))
+    }
+    Tables.documentsSpread(s, d)
+      .withColumn("ohex", concat(page(1), page(2),
+        when(np >= 3, page(3)).otherwise(lit(""))))
+      .select(did,
+        when(raw, encode(col("text"), "UTF-8"))
+          .otherwise(unhex(col("ohex"))).as("content"))
   }
 
   /** q230 fixture: minimal-but-real GIFs derived from doc_id — version

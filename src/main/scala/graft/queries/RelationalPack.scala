@@ -1832,6 +1832,95 @@ object RelationalPack {
           when(abs(col("zs")) > 1.96, 1L).otherwise(0L).as("significant"))
     },
 
+    // ---- q289: Welch's unequal-variance t-test on a continuous metric ------
+    // q184's z-test compares proportions; the release gate for a
+    // CONTINUOUS metric (doc length between the English and non-English
+    // slices here) is Welch's t (1947 — no equal-variance assumption,
+    // the safe default). Sufficient statistics are EXACT BIGINTs — n,
+    // Σx, Σx² per group from one conditional agg — and the t statistic
+    // + Welch–Satterthwaite df are a FIXED tree of correctly-rounded
+    // IEEE ops over them (the q168/q184 discipline: identical operand
+    // trees in both engines ⇒ identical doubles, no float aggregation
+    // anywhere).
+    //
+    // 100 TB shape: one map-side-combined scan produces six longs; all
+    // float math is driver-free scalar arithmetic on a 1-row frame.
+    QueryDef(
+      "q289_welch_ttest",
+      """WITH g AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS grp,
+        |    COUNT(*) AS n, SUM(n_chars) AS sx,
+        |    SUM(n_chars * n_chars) AS sxx
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT
+        |    MAX(CASE WHEN grp = 0 THEN n END) AS n0,
+        |    MAX(CASE WHEN grp = 0 THEN sx END) AS sx0,
+        |    MAX(CASE WHEN grp = 0 THEN sxx END) AS sxx0,
+        |    MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+        |    MAX(CASE WHEN grp = 1 THEN sx END) AS sx1,
+        |    MAX(CASE WHEN grp = 1 THEN sxx END) AS sxx1
+        |  FROM g),
+        |v AS (SELECT n0, sx0, n1, sx1,
+        |    (CAST(sxx0 AS DOUBLE) - CAST(sx0 AS DOUBLE) * CAST(sx0 AS DOUBLE)
+        |      / n0) / (n0 - 1) AS v0,
+        |    (CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)
+        |      / n1) / (n1 - 1) AS v1
+        |  FROM w),
+        |t AS (SELECT n0, sx0, n1, sx1, v0, v1,
+        |    (CAST(sx1 AS DOUBLE) / n1 - CAST(sx0 AS DOUBLE) / n0) /
+        |      NULLIF(sqrt(v1 / n1 + v0 / n0), 0) AS ts,
+        |    (v1 / n1 + v0 / n0) * (v1 / n1 + v0 / n0) /
+        |      NULLIF((v1 / n1) * (v1 / n1) / (n1 - 1)
+        |        + (v0 / n0) * (v0 / n0) / (n0 - 1), 0) AS df
+        |  FROM v)
+        |SELECT CAST(n0 AS BIGINT) AS n_other,
+        |  CAST(sx0 AS DOUBLE) / n0 AS mean_other,
+        |  CAST(n1 AS BIGINT) AS n_en,
+        |  CAST(sx1 AS DOUBLE) / n1 AS mean_en,
+        |  v0 AS var_other, v1 AS var_en,
+        |  ts AS t_stat, df AS welch_df,
+        |  CAST(CASE WHEN abs(ts) > 1.96 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS significant
+        |FROM t""".stripMargin) { (s, d) =>
+      val g = Tables.documents(s, d)
+        .select(when(col("lang") === "en", 1L).otherwise(0L).as("grp"),
+          col("n_chars").cast("long").as("x"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+      val w = g.agg(
+        max(when(col("grp") === 0, col("n"))).as("n0"),
+        max(when(col("grp") === 0, col("sx"))).as("sx0"),
+        max(when(col("grp") === 0, col("sxx"))).as("sxx0"),
+        max(when(col("grp") === 1, col("n"))).as("n1"),
+        max(when(col("grp") === 1, col("sx"))).as("sx1"),
+        max(when(col("grp") === 1, col("sxx"))).as("sxx1"))
+      def vexpr(sxx: String, sx: String, n: String) =
+        (col(sxx).cast("double") - col(sx).cast("double") *
+          col(sx).cast("double") / col(n)) / (col(n) - 1)
+      val v = w.select(col("n0"), col("sx0"), col("n1"), col("sx1"),
+        vexpr("sxx0", "sx0", "n0").as("v0"),
+        vexpr("sxx1", "sx1", "n1").as("v1"))
+      val se2 = col("v1") / col("n1") + col("v0") / col("n0")
+      val t = v.select(col("n0"), col("sx0"), col("n1"), col("sx1"),
+        col("v0"), col("v1"),
+        ((col("sx1").cast("double") / col("n1") -
+          col("sx0").cast("double") / col("n0")) /
+          nullif(sqrt(se2), lit(0d))).as("ts"),
+        (se2 * se2 /
+          nullif((col("v1") / col("n1")) * (col("v1") / col("n1")) /
+            (col("n1") - 1) +
+            (col("v0") / col("n0")) * (col("v0") / col("n0")) /
+            (col("n0") - 1), lit(0d))).as("df"))
+      t.select(col("n0").as("n_other"),
+        (col("sx0").cast("double") / col("n0")).as("mean_other"),
+        col("n1").as("n_en"),
+        (col("sx1").cast("double") / col("n1")).as("mean_en"),
+        col("v0").as("var_other"), col("v1").as("var_en"),
+        col("ts").as("t_stat"), col("df").as("welch_df"),
+        when(abs(col("ts")) > 1.96, 1L).otherwise(0L).as("significant"))
+    },
+
     // ---- q189: pivot with EXPLICIT values (the scale-safe form) ------------
     // The long-to-wide reshape every BI layer asks for: per-source doc
     // counts and char volumes pivoted into one column pair per language.
