@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Live-service specs (PostgresLiveSpec/KafkaLiveSpec) need a JDBC/client
+// driver that is deliberately NOT a dependency (zero-egress build, and
+// the engine itself never links it — Sinks speak plain JDBC). Deploy-day
+// recipe (LIVE.md): point this at a driver jar on disk; unset, it's a
+// no-op and the specs cancel as before.
+Test / unmanagedClasspath ++=
+  sys.env.get("SPARK_GRAFT_PG_DRIVER").map(p => Attributed.blank(file(p))).toSeq
 // Forked run output normally routes through sbt's logger, which prefixes
 // every line with "[info] " — that prefix is why the bench harness's
 // tail-parser never found a clean JSON line (r6-r9 "parsed": null: the

@@ -2165,6 +2165,129 @@ object MultimodalPack {
         .orderBy("doc_id")
     }
 
+    ,
+    // ---- q292: PCM sample analytics from raw WAV bytes ----------------------
+    // The q66 family stops at header metadata; this goes INTO the data
+    // chunk — real signal statistics (peak, energy, zero/silence count,
+    // RMS) computed from the LE16 signed samples themselves, because
+    // 16-bit PCM "decode" is just byte math: no codec, no stub (contrast
+    // the documented decode stubs for compressed media). The audio-side
+    // quality gates a speech-corpus pipeline runs (clipping detection =
+    // peak at full scale, silence ratio, loudness) are exactly these
+    // aggregates. Fixture: canonical 8 kHz mono 16-bit WAVs, 50-99
+    // samples from an integer generator, a planted 10-sample silence
+    // stretch on %5 docs; %7==3 rows raw text. The walk validates the
+    // full RIFF/fmt/data framing (sizes must tie out to the byte) and
+    // folds the samples in ONE codegen'd aggregate with a struct
+    // accumulator.
+    //
+    // 100 TB shape: per-row bounded byte work riding the scan; energy/
+    // peak/zero are the map-side features a downstream gate consumes.
+    QueryDef(
+      "q292_pcm_stats",
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 7 = 3 AS raw, doc_id % 5 = 0 AS sil,
+        |    50 + doc_id % 50 AS n
+        |  FROM documents),
+        |sm AS (
+        |  SELECT doc_id, n,
+        |    list_transform(range(0, n), k ->
+        |      CASE WHEN sil AND k >= 10 AND k < 20 THEN 0
+        |           ELSE ((doc_id * 31 + k * 97) % 4001) - 2000 END) AS ss
+        |  FROM p WHERE NOT raw)
+        |SELECT doc_id, CAST(1 AS BIGINT) AS valid,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(list_max(list_transform(ss, s -> abs(s))) AS BIGINT)
+        |    AS peak_abs,
+        |  CAST(list_sum(list_transform(ss, s -> s * s)) AS BIGINT) AS sum_sq,
+        |  CAST(len(list_filter(ss, s -> s = 0)) AS BIGINT) AS n_zero,
+        |  sqrt(CAST(list_sum(list_transform(ss, s -> s * s)) AS DOUBLE) / n)
+        |    AS rms
+        |FROM sm
+        |UNION ALL
+        |SELECT doc_id, 0, -1, -1, -1, -1, CAST(-1 AS DOUBLE)
+        |FROM p WHERE raw
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val did = col("doc_id")
+      import org.apache.spark.sql.Column
+      val raw = pmod(did, lit(7)) === 3
+      val sil = pmod(did, lit(5)) === 0
+      val n = lit(50L) + pmod(did, lit(50))
+      def le2h(x: Column) = concat(
+        lpad(hex(pmod(x, lit(256L))), 2, "0"),
+        lpad(hex(pmod((x / 256L).cast("long"), lit(256L))), 2, "0"))
+      def le4h(x: Column) = concat(le2h(pmod(x, lit(65536L))),
+        le2h((x / 65536L).cast("long")))
+      // sample k (signed), and its LE16 wire form
+      def sampleAt(k: Column): Column =
+        when(sil && k >= 10 && k < 20, 0L)
+          .otherwise((did * 31 + k * 97) % 4001 - 2000)
+      val samplesHex = concat_ws("", transform(sequence(lit(0L), n - 1),
+        k => {
+          val sv = sampleAt(k)
+          le2h(when(sv < 0, sv + 65536L).otherwise(sv))
+        }))
+      val whex = concat(
+        lit("52494646"), le4h(lit(36L) + n * 2L), lit("57415645"),
+        lit("666D7420"), le4h(lit(16L)),
+        le2h(lit(1L)), le2h(lit(1L)),                   // PCM, mono
+        le4h(lit(8000L)), le4h(lit(16000L)),            // rate, byterate
+        le2h(lit(2L)), le2h(lit(16L)),                  // align, bits
+        lit("64617461"), le4h(n * 2L), samplesHex)
+      val blobs = Tables.documentsSpread(s, d)
+        .select(did,
+          when(raw, encode(col("text"), "UTF-8"))
+            .otherwise(unhex(whex)).as("content"))
+      // ---- the probe sees ONLY (doc_id, content) from here on ----
+      def byteAt(p: Column) =
+        conv(col("hx").substr(p * 2 - 1, lit(2)), 16, 10).cast("long")
+      def le4At(p: Column) = byteAt(p) + byteAt(p + 1L) * 256L +
+        byteAt(p + 2L) * 65536L + byteAt(p + 3L) * 16777216L
+      def le2At(p: Column) = byteAt(p) + byteAt(p + 1L) * 256L
+      def sig(p: Int, hexs: String) =
+        col("hx").substr(p * 2 - 1, hexs.length) === hexs
+      val probed = blobs
+        .withColumn("hx", hex(col("content")))
+        .withColumn("blen", length(col("content")).cast("long"))
+        .withColumn("hdrok", coalesce(
+          col("blen") >= 46L &&
+            sig(1, "52494646") && sig(9, "57415645") &&
+            sig(13, "666D7420") && le4At(lit(17L)) === 16L &&
+            le2At(lit(21L)) === 1L && le2At(lit(23L)) === 1L &&
+            le4At(lit(25L)) === 8000L && le2At(lit(35L)) === 16L &&
+            sig(37, "64617461") &&
+            le4At(lit(5L)) === col("blen") - 8L &&
+            le4At(lit(41L)) === col("blen") - 44L &&
+            (col("blen") - 44L) % 2L === 0L,
+          lit(false)))
+        .withColumn("ns", when(col("hdrok"), (col("blen") - 44L) / 2L)
+          .otherwise(lit(-1L)).cast("long"))
+        // one codegen'd fold over the samples: (sum_sq, peak, n_zero)
+        .withColumn("st", when(col("hdrok"),
+          aggregate(sequence(lit(0L), col("ns") - 1L),
+            struct(lit(0L).as("sq"), lit(0L).as("pk"), lit(0L).as("nz")),
+            (acc, k) => {
+              val u = byteAt(lit(45L) + k * 2L) +
+                byteAt(lit(46L) + k * 2L) * 256L
+              val sv = u - when(u >= 32768L, 65536L).otherwise(0L)
+              struct(
+                (acc.getField("sq") + sv * sv).as("sq"),
+                greatest(acc.getField("pk"), abs(sv)).as("pk"),
+                (acc.getField("nz") + when(sv === 0L, 1L).otherwise(0L))
+                  .as("nz"))
+            })))
+      probed.select(did,
+          when(col("hdrok"), 1L).otherwise(0L).as("valid"),
+          col("ns").as("n_samples"),
+          when(col("hdrok"), col("st.pk")).otherwise(-1L).as("peak_abs"),
+          when(col("hdrok"), col("st.sq")).otherwise(-1L).as("sum_sq"),
+          when(col("hdrok"), col("st.nz")).otherwise(-1L).as("n_zero"),
+          when(col("hdrok"),
+            sqrt(col("st.sq").cast("double") / col("ns")))
+            .otherwise(lit(-1d)).as("rms"))
+        .orderBy("doc_id")
+    }
+
   )
 
   /** q273 fixture: 1-2 REAL multi-member gzip streams per doc (RFC 1952 +

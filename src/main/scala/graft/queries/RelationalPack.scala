@@ -1921,6 +1921,71 @@ object RelationalPack {
         when(abs(col("ts")) > 1.96, 1L).otherwise(0L).as("significant"))
     },
 
+    // ---- q293: grouped OLS — per-source chars~tokens trend ------------------
+    // The per-group least-squares fit every profiling layer ships (trend
+    // per segment, calibration slope per source): y = token count on
+    // x = n_chars, per source. The five sufficient statistics (n, Σx,
+    // Σy, Σxy, Σx², Σy²) are exact BIGINTs from ONE keyed agg — the
+    // closed-form slope (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is ONE IEEE
+    // division of exact integers, the intercept one more, and r² is a
+    // double ratio of exact-integer cross terms (the numerator squared
+    // would overflow BIGINT, so both sides convert to double FIRST —
+    // fixed tree, identical both engines). Degenerate groups (constant
+    // x) NULLIF to null slope identically.
+    //
+    // 100 TB shape: one map-side-combined keyed agg; the fit itself is
+    // group-grid scalar math. Never a per-group collect or solver.
+    QueryDef(
+      "q293_grouped_ols",
+      """WITH g AS (
+        |  SELECT source, COUNT(*) AS n,
+        |    SUM(n_chars) AS sx,
+        |    SUM(len(string_split(text, ' '))) AS sy,
+        |    SUM(n_chars * len(string_split(text, ' '))) AS sxy,
+        |    SUM(n_chars * n_chars) AS sxx,
+        |    SUM(len(string_split(text, ' ')) * len(string_split(text, ' ')))
+        |      AS syy
+        |  FROM documents GROUP BY source)
+        |SELECT source, CAST(n AS BIGINT) AS n,
+        |  CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+        |  CAST(n * sxx - sx * sx AS BIGINT) AS var_num,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0) AS slope,
+        |  (CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0)
+        |    * CAST(sx AS DOUBLE)) / n AS intercept,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    * CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE)
+        |      * CAST(n * syy - sy * sy AS DOUBLE), 0) AS r2
+        |FROM g
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      val toks = size(split(col("text"), " ")).cast("long")
+      val g = Tables.documents(s, d)
+        .select(col("source"), col("n_chars").cast("long").as("x"),
+          toks.as("y"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      val covNum = col("n") * col("sxy") - col("sx") * col("sy")
+      val varNum = col("n") * col("sxx") - col("sx") * col("sx")
+      val varDen = nullif(varNum.cast("double"), lit(0d))
+      val slope = covNum.cast("double") / varDen
+      g.select(col("source"), col("n"),
+          covNum.as("cov_num"), varNum.as("var_num"),
+          slope.as("slope"),
+          ((col("sy").cast("double") - covNum.cast("double") / varDen *
+            col("sx").cast("double")) / col("n")).as("intercept"),
+          (covNum.cast("double") * covNum.cast("double") /
+            nullif(varNum.cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double"),
+              lit(0d))).as("r2"))
+        .orderBy("source")
+    },
+
     // ---- q189: pivot with EXPLICIT values (the scale-safe form) ------------
     // The long-to-wide reshape every BI layer asks for: per-source doc
     // counts and char volumes pivoted into one column pair per language.

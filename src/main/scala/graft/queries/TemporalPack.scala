@@ -380,6 +380,55 @@ object TemporalPack {
       s.read.parquet(store.toString)
         .select("event_id", "user_id", "last_orderkey", "last_totalprice")
         .orderBy("event_id")
+    },
+
+    // ---- q291: point-in-time rolling features per event ---------------------
+    // The feature-backfill pass a feature store runs: for EVERY event,
+    // the user's trailing-7-day activity (count + exact cent-sum of
+    // `value`) as of THAT event — point-in-time correct by construction
+    // (the window frame ends at the current row, so no future leakage;
+    // the training-serving-skew bug this pass exists to prevent), plus
+    // the event index and seconds since the previous event. All three
+    // features are one window pass per user: a numeric RANGE frame over
+    // epoch-micros for the trailing aggregates (both engines define
+    // RANGE frames over the sort value identically) and a ROWS lag for
+    // the gap. Sums are exact BIGINT cents — no float aggregation.
+    //
+    // 100 TB shape: ONE exchange on user_id, then per-user sorted window
+    // work; at real volumes this is the backfill shape (partition by
+    // entity, time-sorted scan), never a self-join per event.
+    QueryDef(
+      "q291_rolling_features",
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(ROW_NUMBER() OVER w_rows AS BIGINT) AS event_idx,
+        |  CAST((us - LAG(us) OVER w_rows) // 1000000 AS BIGINT)
+        |    AS secs_since_prev,
+        |  CAST(COUNT(*) OVER w_range AS BIGINT) AS cnt_7d,
+        |  CAST(SUM(cents) OVER w_range AS BIGINT) AS sum_7d_cents
+        |FROM e
+        |WINDOW
+        |  w_rows AS (PARTITION BY user_id ORDER BY us, event_id),
+        |  w_range AS (PARTITION BY user_id ORDER BY us
+        |    RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      val wRows = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val wRange = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(-604800000000L, Window.currentRow)
+      e.select(col("event_id"), col("user_id"),
+          row_number().over(wRows).cast("long").as("event_idx"),
+          expr("(us - lag(us) over (partition by user_id order by us, event_id))" +
+            " div 1000000").as("secs_since_prev"),
+          count(lit(1)).over(wRange).as("cnt_7d"),
+          sum(col("cents")).over(wRange).as("sum_7d_cents"))
+        .orderBy("event_id")
     }
   )
 }
