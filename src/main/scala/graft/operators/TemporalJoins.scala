@@ -21,6 +21,41 @@ import org.apache.spark.sql.functions._
   */
 object TemporalJoins {
 
+  /** The shared union-window core of both as-of directions: tag the two
+    * sides, union, ONE (key, time, side) window pass, keep left rows.
+    * `rightSide` orders right rows before (0) or after (2) left rows (1)
+    * at equal timestamps — ties match in BOTH directions; `pick` is
+    * last-ignoreNulls over a backward frame or first-ignoreNulls over a
+    * forward one. One copy of the reserved-name guard and the cast/tie
+    * discipline so the two directions cannot desynchronize (they are
+    * composed as mirrors by q283). */
+  private def asofCore(name: String,
+                       left: DataFrame, lKey: String, lTs: String,
+                       right: DataFrame, rKey: String, rTs: String,
+                       payload: Column, asofCol: String,
+                       rightSide: Int,
+                       frame: org.apache.spark.sql.expressions.WindowSpec,
+                       pick: Column => Column): DataFrame = {
+    // the left side keeps all its columns, so neither the internal working
+    // names nor the OUTPUT column may collide — silently overwriting a
+    // caller's column would corrupt its data (r3 advice)
+    val reserved = Seq("__k", "__t", "__p", "__side", asofCol)
+    val clash = reserved.filter(left.columns.contains)
+    require(clash.isEmpty,
+      s"$name: left columns ${clash.mkString(", ")} collide with reserved " +
+        s"internal/output names (${reserved.mkString(", ")}) — rename them first")
+    val r = right.select(col(rKey).as("__k"), col(rTs).cast("timestamp").as("__t"),
+      payload.as("__p"), lit(rightSide).as("__side"))
+    val l = left
+      .withColumn("__k", col(lKey))
+      .withColumn("__t", col(lTs).cast("timestamp"))
+      .withColumn("__side", lit(1))
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn(asofCol, pick(col("__p")).over(frame))
+      .filter(col("__side") === 1)
+      .drop("__k", "__t", "__p", "__side")
+  }
+
   /** As-of join: for each left row, the latest right payload whose
     * `rTs` ≤ the left row's `lTs`, matched on key (null when no prior
     * right row exists). `payload` should be a struct of the right columns
@@ -29,29 +64,13 @@ object TemporalJoins {
     */
   def asofJoin(left: DataFrame, lKey: String, lTs: String,
                right: DataFrame, rKey: String, rTs: String,
-               payload: Column, asofCol: String = "asof"): DataFrame = {
-    // the left side keeps all its columns, so neither the internal working
-    // names nor the OUTPUT column may collide — silently overwriting a
-    // caller's column would corrupt its data (r3 advice)
-    val reserved = Seq("__k", "__t", "__p", "__side", asofCol)
-    val clash = reserved.filter(left.columns.contains)
-    require(clash.isEmpty,
-      s"asofJoin: left columns ${clash.mkString(", ")} collide with reserved " +
-        s"internal/output names (${reserved.mkString(", ")}) — rename them first")
-    val r = right.select(col(rKey).as("__k"), col(rTs).cast("timestamp").as("__t"),
-      payload.as("__p"), lit(0).as("__side"))
-    val l = left
-      .withColumn("__k", col(lKey))
-      .withColumn("__t", col(lTs).cast("timestamp"))
-      .withColumn("__side", lit(1))
+               payload: Column, asofCol: String = "asof"): DataFrame =
     // right rows sort before left rows at equal timestamps → ties match
-    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r, allowMissingColumns = true)
-      .withColumn(asofCol, last(col("__p"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-      .drop("__k", "__t", "__p", "__side")
-  }
+    asofCore("asofJoin", left, lKey, lTs, right, rKey, rTs, payload, asofCol,
+      rightSide = 0,
+      frame = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow),
+      pick = p => last(p, ignoreNulls = true))
 
   /** Forward as-of join: for each left row, the EARLIEST right payload
     * whose `rTs` ≥ the left row's `lTs` (the mirror of [[asofJoin]];
@@ -60,26 +79,13 @@ object TemporalJoins {
     * looks forward. Pre-dedup the right side to one row per (key, ts). */
   def asofJoinForward(left: DataFrame, lKey: String, lTs: String,
                       right: DataFrame, rKey: String, rTs: String,
-                      payload: Column, asofCol: String = "asof"): DataFrame = {
-    val reserved = Seq("__k", "__t", "__p", "__side", asofCol)
-    val clash = reserved.filter(left.columns.contains)
-    require(clash.isEmpty,
-      s"asofJoinForward: left columns ${clash.mkString(", ")} collide with " +
-        s"reserved internal/output names (${reserved.mkString(", ")})")
-    val r = right.select(col(rKey).as("__k"), col(rTs).cast("timestamp").as("__t"),
-      payload.as("__p"), lit(2).as("__side"))
-    val l = left
-      .withColumn("__k", col(lKey))
-      .withColumn("__t", col(lTs).cast("timestamp"))
-      .withColumn("__side", lit(1))
+                      payload: Column, asofCol: String = "asof"): DataFrame =
     // left rows sort before right rows at equal timestamps → ties match
-    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    l.unionByName(r, allowMissingColumns = true)
-      .withColumn(asofCol, first(col("__p"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-      .drop("__k", "__t", "__p", "__side")
-  }
+    asofCore("asofJoinForward", left, lKey, lTs, right, rKey, rTs, payload,
+      asofCol, rightSide = 2,
+      frame = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing),
+      pick = p => first(p, ignoreNulls = true))
 
   /** Bounded range-join count: for each left row (identified by `leftId`),
     * the number of right rows with the same key and `rTs` in

@@ -859,7 +859,7 @@ object CrawlPack {
         |  CAST(SUM(n_chars) AS BIGINT) AS sz_sum,
         |  CAST(SUM(('0x' || substring(md5(
         |    'https://' || source || '.example.com/doc/' ||
-        |    CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT) AS BIGINT)
+        |    CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT) AS BIGINT)
         |    AS loc_checksum
         |FROM documents
         |GROUP BY source
@@ -885,7 +885,10 @@ object CrawlPack {
         .groupBy("source")
         .agg(count(lit(1)).as("n_urls"),
           sum(col("u.sz")).as("sz_sum"),
-          sum(conv(substring(md5(col("u.loc")), 1, 13), 16, 10).cast("long"))
+          // 40-bit prefix, not the 52-bit convention: the SUM must stay
+          // inside BIGINT — 2^40 ≈ 1.1e12 × even 10^6 docs/source ≈ 1.1e18
+          // < 2^63 (the 52-bit prefix had only ~15× headroom at sf0.1)
+          sum(conv(substring(md5(col("u.loc")), 1, 10), 16, 10).cast("long"))
             .as("loc_checksum"))
         .orderBy("source")
     },

@@ -1722,7 +1722,8 @@ object MultimodalPack {
       def octDigit(x: Column) = lpad(hex(lit(48L) + x), 2, "0")
       def header(i: Int): Column = {
         val l = col(s"l$i")
-        // size field: 9 zeros + 2 octal digits (sizes are 10..20) + NUL
+        // size field: 9 zeros + 2 octal digits (sizes are 0..20 — a doc
+        // whose letter pool runs out yields a legal 0-size member) + NUL
         val sizeHex = concat(lit(hexStr("0" * 9)),
           octDigit(expr(s"l$i div 8")), octDigit(l % 8L), lit("00"))
         // checksum: byte sum of the header with the chksum field as
@@ -1770,7 +1771,7 @@ object MultimodalPack {
       // ---- the walk sees ONLY (doc_id, content) from here on ----
       def byteAt(p: Column) =
         conv(col("hx").substr(p * 2 - 1, lit(2)), 16, 10).cast("long")
-      def step(i: Int)(df: DataFrame): DataFrame = df
+      def step(df: DataFrame): DataFrame = df
         // end-of-archive: the next 512-block starts with a NUL name byte.
         // Discovered by the WALK (not inferred from blob length — members
         // are 512 bytes + ceil(size/512) blocks, so a 0-size member makes
@@ -1827,7 +1828,7 @@ object MultimodalPack {
           col("blen") < 1536L || (col("blen") % 512L) =!= 0L)
       // fixture bound is 3 members; the 4th step only consumes the
       // end-of-archive marker (sets `done`) for 3-member archives
-      val walked = (1 to 4).foldLeft(base)((df, i) => step(i)(df))
+      val walked = (1 to 4).foldLeft(base)((df, _) => step(df))
       walked
         // the walk must have SEEN the zero block, with the two
         // end-of-archive blocks exactly filling the remainder
@@ -1883,10 +1884,8 @@ object MultimodalPack {
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val did = col("doc_id")
       import org.apache.spark.sql.Column
-      def byteAt(p: Column) =
-        conv(col("hx").substr(p * 2 - 1, lit(2)), 16, 10).cast("long")
-      def le4At(p: Column) = byteAt(p) + byteAt(p + 1L) * 256L +
-        byteAt(p + 2L) * 65536L + byteAt(p + 3L) * 16777216L
+      def byteAt(p: Column) = Bytes.byteAt(col("hx"), p)
+      def le4At(p: Column) = Bytes.le4At(col("hx"), p)
       def step(df: DataFrame): DataFrame = df
         .withColumn("done", col("done") ||
           (!col("bad") && col("q") === col("blen") + 1L))
@@ -1995,12 +1994,9 @@ object MultimodalPack {
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val did = col("doc_id")
       import org.apache.spark.sql.Column
-      def byteAt(p: Column) =
-        conv(col("hx").substr(p * 2 - 1, lit(2)), 16, 10).cast("long")
-      def le4At(p: Column) = byteAt(p) + byteAt(p + 1L) * 256L +
-        byteAt(p + 2L) * 65536L + byteAt(p + 3L) * 16777216L
-      def le3At(p: Column) = byteAt(p) + byteAt(p + 1L) * 256L +
-        byteAt(p + 2L) * 65536L
+      def byteAt(p: Column) = Bytes.byteAt(col("hx"), p)
+      def le4At(p: Column) = Bytes.le4At(col("hx"), p)
+      def le3At(p: Column) = Bytes.le3At(col("hx"), p)
       def step(df: DataFrame): DataFrame = df
         .withColumn("done", col("done") ||
           (!col("bad") && col("q") === col("blen") + 1L))
@@ -2101,10 +2097,8 @@ object MultimodalPack {
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val did = col("doc_id")
       import org.apache.spark.sql.Column
-      def byteAt(p: Column) =
-        conv(col("hx").substr(p * 2 - 1, lit(2)), 16, 10).cast("long")
-      def le4At(p: Column) = byteAt(p) + byteAt(p + 1L) * 256L +
-        byteAt(p + 2L) * 65536L + byteAt(p + 3L) * 16777216L
+      def byteAt(p: Column) = Bytes.byteAt(col("hx"), p)
+      def le4At(p: Column) = Bytes.le4At(col("hx"), p)
       def step(i: Int)(df: DataFrame): DataFrame = df
         .withColumn("done", col("done") ||
           (!col("bad") && col("q") === col("blen") + 1L))
@@ -2213,11 +2207,8 @@ object MultimodalPack {
       val raw = pmod(did, lit(7)) === 3
       val sil = pmod(did, lit(5)) === 0
       val n = lit(50L) + pmod(did, lit(50))
-      def le2h(x: Column) = concat(
-        lpad(hex(pmod(x, lit(256L))), 2, "0"),
-        lpad(hex(pmod((x / 256L).cast("long"), lit(256L))), 2, "0"))
-      def le4h(x: Column) = concat(le2h(pmod(x, lit(65536L))),
-        le2h((x / 65536L).cast("long")))
+      def le2h(x: Column) = Bytes.le2h(x)
+      def le4h(x: Column) = Bytes.le4h(x)
       // sample k (signed), and its LE16 wire form
       def sampleAt(k: Column): Column =
         when(sil && k >= 10 && k < 20, 0L)
@@ -2239,13 +2230,11 @@ object MultimodalPack {
           when(raw, encode(col("text"), "UTF-8"))
             .otherwise(unhex(whex)).as("content"))
       // ---- the probe sees ONLY (doc_id, content) from here on ----
-      def byteAt(p: Column) =
-        conv(col("hx").substr(p * 2 - 1, lit(2)), 16, 10).cast("long")
-      def le4At(p: Column) = byteAt(p) + byteAt(p + 1L) * 256L +
-        byteAt(p + 2L) * 65536L + byteAt(p + 3L) * 16777216L
-      def le2At(p: Column) = byteAt(p) + byteAt(p + 1L) * 256L
+      def byteAt(p: Column) = Bytes.byteAt(col("hx"), p)
+      def le4At(p: Column) = Bytes.le4At(col("hx"), p)
+      def le2At(p: Column) = Bytes.le2At(col("hx"), p)
       def sig(p: Int, hexs: String) =
-        col("hx").substr(p * 2 - 1, hexs.length) === hexs
+        Bytes.sigAt(col("hx"), lit(p.toLong), hexs.length / 2) === hexs
       val probed = blobs
         .withColumn("hx", hex(col("content")))
         .withColumn("blen", length(col("content")).cast("long"))
@@ -2311,12 +2300,8 @@ object MultimodalPack {
     val letters = regexp_replace(col("text"), "[^a-z]", "")
     def dat(i: Int) = letters.substr(lit((i - 1) * 30 + 1),
       (lit(8L) + pmod(did + i, lit(9))).cast("int"))
-    def le2(x: Column) = concat(
-      lpad(hex(pmod(x, lit(256L))), 2, "0"),
-      lpad(hex(pmod((x / 256L).cast("long"), lit(256L))), 2, "0"))
-    def le4(x: Column) = concat(le2(x),
-      lpad(hex(pmod((x / 65536L).cast("long"), lit(256L))), 2, "0"),
-      lpad(hex(pmod((x / 16777216L).cast("long"), lit(256L))), 2, "0"))
+    def le2(x: Column) = Bytes.le2h(x)
+    def le4(x: Column) = Bytes.le4h(x)
     def member(i: Int): Column = {
       val bytes = encode(dat(i), "UTF-8")
       val l = length(bytes).cast("long")
@@ -2355,10 +2340,7 @@ object MultimodalPack {
     val letters = regexp_replace(col("text"), "[^a-z]", "")
     def dat(i: Int) = letters.substr(lit((i - 1) * 30 + 1),
       (lit(8L) + pmod(did + i, lit(9))).cast("int"))
-    def le3(x: Column) = concat(
-      lpad(hex(pmod(x, lit(256L))), 2, "0"),
-      lpad(hex(pmod((x / 256L).cast("long"), lit(256L))), 2, "0"),
-      lpad(hex(pmod((x / 65536L).cast("long"), lit(256L))), 2, "0"))
+    def le3(x: Column) = Bytes.le3h(x)
     def frame(i: Int): Column = {
       val bytes = encode(dat(i), "UTF-8")
       val l = length(bytes).cast("long")
@@ -2396,11 +2378,7 @@ object MultimodalPack {
     val letters = regexp_replace(col("text"), "[^a-z]", "")
     def dat(i: Int) = letters.substr(lit((i - 1) * 30 + 1),
       (lit(8L) + pmod(did + i, lit(9))).cast("int"))
-    def le4(x: Column) = concat(
-      lpad(hex(pmod(x, lit(256L))), 2, "0"),
-      lpad(hex(pmod((x / 256L).cast("long"), lit(256L))), 2, "0"),
-      lpad(hex(pmod((x / 65536L).cast("long"), lit(256L))), 2, "0"),
-      lpad(hex(pmod((x / 16777216L).cast("long"), lit(256L))), 2, "0"))
+    def le4(x: Column) = Bytes.le4h(x)
     def page(i: Int): Column = {
       val bytes = encode(dat(i), "UTF-8")
       val l = length(bytes).cast("long")
