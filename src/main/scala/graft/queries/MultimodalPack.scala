@@ -2178,102 +2178,39 @@ object MultimodalPack {
     // 100 TB shape: per-row bounded byte work riding the scan; energy/
     // peak/zero are the map-side features a downstream gate consumes.
     QueryDef(
-      "q292_pcm_stats",
-      """WITH p AS (
-        |  SELECT doc_id, doc_id % 7 = 3 AS raw, doc_id % 5 = 0 AS sil,
-        |    50 + doc_id % 50 AS n
-        |  FROM documents),
-        |sm AS (
-        |  SELECT doc_id, n,
-        |    list_transform(range(0, n), k ->
-        |      CASE WHEN sil AND k >= 10 AND k < 20 THEN 0
-        |           ELSE ((doc_id * 31 + k * 97) % 4001) - 2000 END) AS ss
-        |  FROM p WHERE NOT raw)
-        |SELECT doc_id, CAST(1 AS BIGINT) AS valid,
-        |  CAST(n AS BIGINT) AS n_samples,
-        |  CAST(list_max(list_transform(ss, s -> abs(s))) AS BIGINT)
-        |    AS peak_abs,
-        |  CAST(list_sum(list_transform(ss, s -> s * s)) AS BIGINT) AS sum_sq,
-        |  CAST(len(list_filter(ss, s -> s = 0)) AS BIGINT) AS n_zero,
-        |  sqrt(CAST(list_sum(list_transform(ss, s -> s * s)) AS DOUBLE) / n)
-        |    AS rms
-        |FROM sm
-        |UNION ALL
-        |SELECT doc_id, 0, -1, -1, -1, -1, CAST(-1 AS DOUBLE)
-        |FROM p WHERE raw
-        |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val did = col("doc_id")
-      import org.apache.spark.sql.Column
-      val raw = pmod(did, lit(7)) === 3
-      val sil = pmod(did, lit(5)) === 0
-      val n = lit(50L) + pmod(did, lit(50))
-      def le2h(x: Column) = Bytes.le2h(x)
-      def le4h(x: Column) = Bytes.le4h(x)
-      // sample k (signed), and its LE16 wire form
-      def sampleAt(k: Column): Column =
-        when(sil && k >= 10 && k < 20, 0L)
-          .otherwise((did * 31 + k * 97) % 4001 - 2000)
-      val samplesHex = concat_ws("", transform(sequence(lit(0L), n - 1),
-        k => {
-          val sv = sampleAt(k)
-          le2h(when(sv < 0, sv + 65536L).otherwise(sv))
-        }))
-      val whex = concat(
-        lit("52494646"), le4h(lit(36L) + n * 2L), lit("57415645"),
-        lit("666D7420"), le4h(lit(16L)),
-        le2h(lit(1L)), le2h(lit(1L)),                   // PCM, mono
-        le4h(lit(8000L)), le4h(lit(16000L)),            // rate, byterate
-        le2h(lit(2L)), le2h(lit(16L)),                  // align, bits
-        lit("64617461"), le4h(n * 2L), samplesHex)
-      val blobs = Tables.documentsSpread(s, d)
-        .select(did,
-          when(raw, encode(col("text"), "UTF-8"))
-            .otherwise(unhex(whex)).as("content"))
-      // ---- the probe sees ONLY (doc_id, content) from here on ----
-      def byteAt(p: Column) = Bytes.byteAt(col("hx"), p)
-      def le4At(p: Column) = Bytes.le4At(col("hx"), p)
-      def le2At(p: Column) = Bytes.le2At(col("hx"), p)
-      def sig(p: Int, hexs: String) =
-        Bytes.sigAt(col("hx"), lit(p.toLong), hexs.length / 2) === hexs
-      val probed = blobs
-        .withColumn("hx", hex(col("content")))
-        .withColumn("blen", length(col("content")).cast("long"))
-        .withColumn("hdrok", coalesce(
-          col("blen") >= 46L &&
-            sig(1, "52494646") && sig(9, "57415645") &&
-            sig(13, "666D7420") && le4At(lit(17L)) === 16L &&
-            le2At(lit(21L)) === 1L && le2At(lit(23L)) === 1L &&
-            le4At(lit(25L)) === 8000L && le2At(lit(35L)) === 16L &&
-            sig(37, "64617461") &&
-            le4At(lit(5L)) === col("blen") - 8L &&
-            le4At(lit(41L)) === col("blen") - 44L &&
-            (col("blen") - 44L) % 2L === 0L,
-          lit(false)))
-        .withColumn("ns", when(col("hdrok"), (col("blen") - 44L) / 2L)
-          .otherwise(lit(-1L)).cast("long"))
-        // one codegen'd fold over the samples: (sum_sq, peak, n_zero)
-        .withColumn("st", when(col("hdrok"),
-          aggregate(sequence(lit(0L), col("ns") - 1L),
-            struct(lit(0L).as("sq"), lit(0L).as("pk"), lit(0L).as("nz")),
-            (acc, k) => {
-              val u = byteAt(lit(45L) + k * 2L) +
-                byteAt(lit(46L) + k * 2L) * 256L
-              val sv = u - when(u >= 32768L, 65536L).otherwise(0L)
-              struct(
-                (acc.getField("sq") + sv * sv).as("sq"),
-                greatest(acc.getField("pk"), abs(sv)).as("pk"),
-                (acc.getField("nz") + when(sv === 0L, 1L).otherwise(0L))
-                  .as("nz"))
-            })))
-      probed.select(did,
-          when(col("hdrok"), 1L).otherwise(0L).as("valid"),
-          col("ns").as("n_samples"),
-          when(col("hdrok"), col("st.pk")).otherwise(-1L).as("peak_abs"),
-          when(col("hdrok"), col("st.sq")).otherwise(-1L).as("sum_sq"),
-          when(col("hdrok"), col("st.nz")).otherwise(-1L).as("n_zero"),
-          when(col("hdrok"),
-            sqrt(col("st.sq").cast("double") / col("ns")))
-            .otherwise(lit(-1d)).as("rms"))
+      "q292_pcm_stats", Q292_ORACLE) { (s, d) =>
+      pcmWalk(pcmBlobs(Tables.documentsSpread(s, d))).orderBy("doc_id")
+    }
+
+    ,
+    // ---- q294: streaming PCM quality gate ------------------------------------
+    // q292 as the shards stream in — the first streaming×multimodal
+    // member: an audio-ingest gate scoring each arriving blob's samples
+    // within its micro-batch. Per-doc verdicts are row-independent
+    // (stateless — the q188/q279/q285 stream-static gate shape, no
+    // StateStore), batch slices persist idempotently under batch_id, the
+    // fold is a plain union, and the result hash-matches batch q292's
+    // oracle VERBATIM however ingest was batched. The fixture builder
+    // and walk are the SHARED pcmBlobs/pcmWalk helpers, so batch and
+    // stream cannot drift.
+    QueryDef(
+      "q294_stream_pcm_gate", Q292_ORACLE) { (s, d) =>
+      val srcDir = TextDedupPack.stagedDocBatches(s, d)
+      val store = TextDedupPack.clearedStore(d, "graft-q294-pcm-")
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) =>
+        pcmWalk(pcmBlobs(batch))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(store.toString))
+      s.read.parquet(store.toString)
+        .select("doc_id", "valid", "n_samples", "peak_abs", "sum_sq",
+          "n_zero", "rms")
         .orderBy("doc_id")
     }
 
@@ -2362,6 +2299,116 @@ object MultimodalPack {
         when(raw, encode(col("text"), "UTF-8"))
           .otherwise(unhex(col("zhex"))).as("content"))
   }
+
+
+  /** q292/q294's WAV fixture over any documents slice: canonical 8 kHz
+    * mono 16-bit PCM, 50-99 generator samples, planted silence stretch
+    * on %5 docs, %7==3 rows raw text. */
+  private def pcmBlobs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    val did = col("doc_id")
+    val raw = pmod(did, lit(7)) === 3
+    val sil = pmod(did, lit(5)) === 0
+    val n = lit(50L) + pmod(did, lit(50))
+    def le2h(x: Column) = Bytes.le2h(x)
+    def le4h(x: Column) = Bytes.le4h(x)
+    def sampleAt(k: Column): Column =
+      when(sil && k >= 10 && k < 20, 0L)
+        .otherwise((did * 31 + k * 97) % 4001 - 2000)
+    val samplesHex = concat_ws("", transform(sequence(lit(0L), n - 1),
+      k => {
+        val sv = sampleAt(k)
+        le2h(when(sv < 0, sv + 65536L).otherwise(sv))
+      }))
+    val whex = concat(
+      lit("52494646"), le4h(lit(36L) + n * 2L), lit("57415645"),
+      lit("666D7420"), le4h(lit(16L)),
+      le2h(lit(1L)), le2h(lit(1L)),                   // PCM, mono
+      le4h(lit(8000L)), le4h(lit(16000L)),            // rate, byterate
+      le2h(lit(2L)), le2h(lit(16L)),                  // align, bits
+      lit("64617461"), le4h(n * 2L), samplesHex)
+    docs.select(did,
+      when(raw, encode(col("text"), "UTF-8"))
+        .otherwise(unhex(whex)).as("content"))
+  }
+
+  /** q292/q294's blind walk: full RIFF/fmt/data framing validation (sizes
+    * tied out to the byte), then ONE codegen'd struct-accumulator fold
+    * over the LE16 signed samples → (valid, n_samples, peak_abs, sum_sq,
+    * n_zero, rms). Sees ONLY (doc_id, content). */
+  private def pcmWalk(blobs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    def byteAt(p: Column) = Bytes.byteAt(col("hx"), p)
+    def le4At(p: Column) = Bytes.le4At(col("hx"), p)
+    def le2At(p: Column) = Bytes.le2At(col("hx"), p)
+    def sig(p: Int, hexs: String) =
+      Bytes.sigAt(col("hx"), lit(p.toLong), hexs.length / 2) === hexs
+    val probed = blobs
+      .withColumn("hx", hex(col("content")))
+      .withColumn("blen", length(col("content")).cast("long"))
+      .withColumn("hdrok", coalesce(
+        col("blen") >= 46L &&
+          sig(1, "52494646") && sig(9, "57415645") &&
+          sig(13, "666D7420") && le4At(lit(17L)) === 16L &&
+          le2At(lit(21L)) === 1L && le2At(lit(23L)) === 1L &&
+          le4At(lit(25L)) === 8000L && le2At(lit(35L)) === 16L &&
+          sig(37, "64617461") &&
+          le4At(lit(5L)) === col("blen") - 8L &&
+          le4At(lit(41L)) === col("blen") - 44L &&
+          (col("blen") - 44L) % 2L === 0L,
+        lit(false)))
+      .withColumn("ns", when(col("hdrok"), (col("blen") - 44L) / 2L)
+        .otherwise(lit(-1L)).cast("long"))
+      // one codegen'd fold over the samples: (sum_sq, peak, n_zero)
+      .withColumn("st", when(col("hdrok"),
+        aggregate(sequence(lit(0L), col("ns") - 1L),
+          struct(lit(0L).as("sq"), lit(0L).as("pk"), lit(0L).as("nz")),
+          (acc, k) => {
+            val u = byteAt(lit(45L) + k * 2L) +
+              byteAt(lit(46L) + k * 2L) * 256L
+            val sv = u - when(u >= 32768L, 65536L).otherwise(0L)
+            struct(
+              (acc.getField("sq") + sv * sv).as("sq"),
+              greatest(acc.getField("pk"), abs(sv)).as("pk"),
+              (acc.getField("nz") + when(sv === 0L, 1L).otherwise(0L))
+                .as("nz"))
+          })))
+    probed.select(col("doc_id"),
+      when(col("hdrok"), 1L).otherwise(0L).as("valid"),
+      col("ns").as("n_samples"),
+      when(col("hdrok"), col("st.pk")).otherwise(-1L).as("peak_abs"),
+      when(col("hdrok"), col("st.sq")).otherwise(-1L).as("sum_sq"),
+      when(col("hdrok"), col("st.nz")).otherwise(-1L).as("n_zero"),
+      when(col("hdrok"),
+        sqrt(col("st.sq").cast("double") / col("ns")))
+        .otherwise(lit(-1d)).as("rms"))
+  }
+
+  /** q292/q294's shared oracle (see q292's comment). */
+  private val Q292_ORACLE =
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 7 = 3 AS raw, doc_id % 5 = 0 AS sil,
+        |    50 + doc_id % 50 AS n
+        |  FROM documents),
+        |sm AS (
+        |  SELECT doc_id, n,
+        |    list_transform(range(0, n), k ->
+        |      CASE WHEN sil AND k >= 10 AND k < 20 THEN 0
+        |           ELSE ((doc_id * 31 + k * 97) % 4001) - 2000 END) AS ss
+        |  FROM p WHERE NOT raw)
+        |SELECT doc_id, CAST(1 AS BIGINT) AS valid,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(list_max(list_transform(ss, s -> abs(s))) AS BIGINT)
+        |    AS peak_abs,
+        |  CAST(list_sum(list_transform(ss, s -> s * s)) AS BIGINT) AS sum_sq,
+        |  CAST(len(list_filter(ss, s -> s = 0)) AS BIGINT) AS n_zero,
+        |  sqrt(CAST(list_sum(list_transform(ss, s -> s * s)) AS DOUBLE) / n)
+        |    AS rms
+        |FROM sm
+        |UNION ALL
+        |SELECT doc_id, 0, -1, -1, -1, -1, CAST(-1 AS DOUBLE)
+        |FROM p WHERE raw
+        |ORDER BY doc_id""".stripMargin
 
   /** q288 fixture: OGG (RFC 3533) page sequences — 2-3 pages per doc,
     * BOS type on the first, EOS on the last, zero granule/CRC (the walk
