@@ -139,7 +139,12 @@ object CurationPack {
           " div size(split(text, ' '))").as("reward"))
       // argmax/argmin by the packed key reward·1e6 − doc_id: unique (doc_id
       // is), so reward ties go to the SMALLER doc_id on the max side and
-      // the LARGER on the min side — identically in both engines
+      // the LARGER on the min side — identically in both engines.
+      // PRECONDITION (ADVICE r16): the pack is order-correct only while the
+      // within-group doc_id spread is < 1e6 — here prompt_id = doc_id div 4
+      // bounds it at 3. If the grouping key ever changes to admit wider
+      // groups, rank within the group by doc_id first and pack THAT rank
+      // instead, or rewards differing by 1 invert against doc_id gaps >1e6.
       val keyed = scored.withColumn("ok",
         col("reward") * 1000000L - col("doc_id"))
       val pairs = keyed.groupBy("prompt_id").agg(

@@ -232,17 +232,15 @@ object EtlPack {
       val bin = s.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet").load(dir)
         .select(col("length").cast("long").as("blen"), col("content"))
-      // LE32 footer length from the 8 trailing bytes [len-8 .. len-5]
+      // LE32 footer length from the 8 trailing bytes [len-8 .. len-5] —
+      // t8 is plain hex, so the shared Bytes readers apply (ADVICE r16)
       val tail8 = hex(expr("substring(content, blen - 7, 8)"))
-      def le(b: Int) = // byte b (0-based) of the trailing 8, as a long
-        conv(expr(s"substring(t8, ${2 * b + 1}, 2)"), 16, 10).cast("long")
       val probed = bin
         .withColumn("t8", tail8)
         .withColumn("magic_ok",
           hex(substring(col("content"), 1, 4)) === "50415231" &&
-            expr("substring(t8, 9, 8)") === "50415231")
-        .withColumn("flen", le(0) + le(1) * 256L + le(2) * 65536L +
-          le(3) * 16777216L)
+            Bytes.sigAt(col("t8"), lit(5L), 4) === "50415231")
+        .withColumn("flen", Bytes.le4At(col("t8"), lit(1L)))
         .withColumn("footer_sane", col("flen") + 8L < col("blen"))
       val fileSummary = probed.agg(
         count(lit(1)).as("n_files"),
@@ -450,7 +448,9 @@ object EtlPack {
         |      ',"src":"', source, '"',
         |      CASE WHEN doc_id % 9 = 0 THEN ''
         |           WHEN doc_id % 11 = 0 THEN ',"txt":null'
-        |           ELSE concat(',"txt":"', substring(text, 1, 40), '"') END,
+        |           ELSE concat(',"txt":"',
+        |             regexp_replace(substring(text, 1, 40), '[^a-z ]', '', 'g'),
+        |             '"') END,
         |      CASE WHEN doc_id % 5 = 0 THEN ',"extra":true' ELSE '' END,
         |      '}') AS j
         |  FROM documents),
@@ -497,8 +497,14 @@ object EtlPack {
       lit(",\"src\":\""), col("source"), lit("\""),
       when(col("doc_id") % 9 === 0, "")
         .when(col("doc_id") % 11 === 0, ",\"txt\":null")
+        // [a-z ]-restricted slice (ADVICE r16): a raw text slice could
+        // embed a quote (invalid wire JSON) or a literal '"extra":' that
+        // the first-occurrence token probe would misclassify; restricting
+        // the embedded value keeps the planted wire valid with unambiguous
+        // key positions whatever the fixture text contains
         .otherwise(concat(lit(",\"txt\":\""),
-          substring(col("text"), 1, 40), lit("\""))),
+          regexp_replace(substring(col("text"), 1, 40),
+            "[^a-z ]", ""), lit("\""))),
       when(col("doc_id") % 5 === 0, ",\"extra\":true").otherwise(""),
       lit("}"))
     docs.select(col("doc_id"), j.as("j"))

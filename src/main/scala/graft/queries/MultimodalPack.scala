@@ -2214,6 +2214,53 @@ object MultimodalPack {
         .orderBy("doc_id")
     }
 
+    ,
+    // ---- q295: G.711 µ-law decode + signal stats -----------------------------
+    // The q292 family's first COMPANDED codec: telephony/call-center audio
+    // ships as 8-bit µ-law (WAVE_FORMAT_MULAW, fmt code 7 with the
+    // 18-byte extended fmt chunk real encoders write), and its decode is
+    // the ITU-T G.711 integer expansion — pure arithmetic, no codec
+    // library: c = 255 − b; t = (8·(c mod 16) + 132) · 2^((c div 16) mod 8);
+    // pcm = 132 − t when the sign bit is set, t − 132 otherwise. Both
+    // engines replay the exact formula on the exact generator bytes, so
+    // the decoded signal statistics (peak, energy, clip count at the
+    // ±32124 full-scale magnitude) are hash-green end to end — and
+    // MulawSpec validates the SAME expansion against the JDK's own
+    // javax.sound µ-law decoder on real bytes (the external-decoder
+    // discipline of the gzip/zstd/PNG walks). Framing: full RIFF/fmt-18/
+    // data tie-out to the byte; %7==3 rows raw text (must-fail).
+    //
+    // 100 TB shape: identical to q292 post-rebuild — explode the sample
+    // index, decode with codegen'd arithmetic, hash-aggregate per doc
+    // (map-side partial; one row per doc crosses the exchange).
+    QueryDef(
+      "q295_mulaw_decode_stats", Q295_ORACLE) { (s, d) =>
+      mulawWalk(mulawBlobs(Tables.documentsSpread(s, d))).orderBy("doc_id")
+    }
+
+    ,
+    // ---- q296: PDF container probe -------------------------------------------
+    // The document-corpus container the multimodal family lacked: per
+    // blob, a REAL minimal PDF (header %PDF-1.m, catalog/pages/page
+    // object chain, byte-exact xref table, trailer with /Size, startxref
+    // pointer, %%EOF) whose xref offset is DATA-DEPENDENT (a variable-
+    // length comment precedes the xref, so a fixed-substring "parser"
+    // cannot fake the probe). The walk is blind — (doc_id, content) only
+    // — and must parse the version digit, follow startxref to the xref
+    // keyword, tie the 20-byte/entry table to /Size, and count objects;
+    // the oracle replays the generator's parameters, so the hash proves
+    // the walk extracted exactly what was planted. %7==3 rows raw text
+    // (must-fail). This is the triage a 100 TB document-ingest pipeline
+    // runs before handing blobs to a heavyweight renderer.
+    //
+    // 100 TB shape: per-row bounded string probes riding the scan (two
+    // anchored regexes + positional slices), zero shuffle before the
+    // final orderBy-for-dump.
+    QueryDef(
+      "q296_pdf_probe", Q296_ORACLE) { (s, d) =>
+      pdfWalk(pdfBlobs(Tables.documentsSpread(s, d))).orderBy("doc_id")
+    }
+
   )
 
   /** q273 fixture: 1-2 REAL multi-member gzip streams per doc (RFC 1952 +
@@ -2304,7 +2351,7 @@ object MultimodalPack {
   /** q292/q294's WAV fixture over any documents slice: canonical 8 kHz
     * mono 16-bit PCM, 50-99 generator samples, planted silence stretch
     * on %5 docs, %7==3 rows raw text. */
-  private def pcmBlobs(docs: DataFrame): DataFrame = {
+  private[graft] def pcmBlobs(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.Column
     val did = col("doc_id")
     val raw = pmod(did, lit(7)) === 3
@@ -2315,11 +2362,20 @@ object MultimodalPack {
     def sampleAt(k: Column): Column =
       when(sil && k >= 10 && k < 20, 0L)
         .otherwise((did * 31 + k * 97) % 4001 - 2000)
+    // Sample-to-LE16-hex via a literal lookup table (r17): the generator
+    // range is exactly [-2000, 2000], so the 4-hex-char little-endian
+    // encoding of every possible sample is precomputed ONCE driver-side
+    // (4001 strings, ~16 KB in the plan) and the per-element lambda is a
+    // single element_at — the previous per-element le2h (two hex/pmod/
+    // lpad chains inside an interpreted HOF lambda) was ~0.5 ms/doc of
+    // fixture-build cost, the dominant q292/q294 term after the walk
+    // fold moved to a hash aggregate.
+    val le16Lut = typedlit((-2000 to 2000).map { s =>
+      val v = if (s < 0) s + 65536 else s
+      f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X"
+    }.toArray)
     val samplesHex = concat_ws("", transform(sequence(lit(0L), n - 1),
-      k => {
-        val sv = sampleAt(k)
-        le2h(when(sv < 0, sv + 65536L).otherwise(sv))
-      }))
+      k => element_at(le16Lut, (sampleAt(k) + 2001L).cast("int"))))
     val whex = concat(
       lit("52494646"), le4h(lit(36L) + n * 2L), lit("57415645"),
       lit("666D7420"), le4h(lit(16L)),
@@ -2336,7 +2392,7 @@ object MultimodalPack {
     * tied out to the byte), then ONE codegen'd struct-accumulator fold
     * over the LE16 signed samples → (valid, n_samples, peak_abs, sum_sq,
     * n_zero, rms). Sees ONLY (doc_id, content). */
-  private def pcmWalk(blobs: DataFrame): DataFrame = {
+  private[graft] def pcmWalk(blobs: DataFrame): DataFrame = {
     import org.apache.spark.sql.Column
     def byteAt(p: Column) = Bytes.byteAt(col("hx"), p)
     def le4At(p: Column) = Bytes.le4At(col("hx"), p)
@@ -2359,30 +2415,248 @@ object MultimodalPack {
         lit(false)))
       .withColumn("ns", when(col("hdrok"), (col("blen") - 44L) / 2L)
         .otherwise(lit(-1L)).cast("long"))
-      // one codegen'd fold over the samples: (sum_sq, peak, n_zero)
-      .withColumn("st", when(col("hdrok"),
-        aggregate(sequence(lit(0L), col("ns") - 1L),
-          struct(lit(0L).as("sq"), lit(0L).as("pk"), lit(0L).as("nz")),
-          (acc, k) => {
-            val u = byteAt(lit(45L) + k * 2L) +
-              byteAt(lit(46L) + k * 2L) * 256L
-            val sv = u - when(u >= 32768L, 65536L).otherwise(0L)
-            struct(
-              (acc.getField("sq") + sv * sv).as("sq"),
-              greatest(acc.getField("pk"), abs(sv)).as("pk"),
-              (acc.getField("nz") + when(sv === 0L, 1L).otherwise(0L))
-                .as("nz"))
-          })))
-    probed.select(col("doc_id"),
-      when(col("hdrok"), 1L).otherwise(0L).as("valid"),
-      col("ns").as("n_samples"),
-      when(col("hdrok"), col("st.pk")).otherwise(-1L).as("peak_abs"),
-      when(col("hdrok"), col("st.sq")).otherwise(-1L).as("sum_sq"),
-      when(col("hdrok"), col("st.nz")).otherwise(-1L).as("n_zero"),
-      when(col("hdrok"),
-        sqrt(col("st.sq").cast("double") / col("ns")))
-        .otherwise(lit(-1d)).as("rms"))
+    // Sample fold, r17 rebuild: the original struct-accumulator
+    // `aggregate(sequence(...))` was an interpreted higher-order function
+    // — ~4 ms/doc at 50-99 samples (substr+conv+struct allocation per
+    // element, HOFs never enter whole-stage codegen), and count()-based
+    // bench numbers HID it because the fold columns prune away under
+    // count (q292 "0.35 s" never evaluated a sample; q294's per-batch
+    // write did, at ~3 s/micro-batch). Spark-native shape instead:
+    // explode the sample index, decode each LE16 sample with codegen'd
+    // substr/conv arithmetic, and fold with a hash aggregate — map-side
+    // partial agg means exactly one row per doc crosses the exchange,
+    // the 100 TB contract. Invalid blobs ride along as a single k=-1
+    // row (null sample → masked to the -1 outputs), so every doc still
+    // lands exactly once without a second pass over the blob subtree.
+    // Semantics identical: exact integer sums, order-independent.
+    val u = byteAt(lit(45L) + col("k") * 2L) +
+      byteAt(lit(46L) + col("k") * 2L) * 256L
+    val sv = u - when(u >= 32768L, 65536L).otherwise(0L)
+    probed
+      .select(col("doc_id"), col("hdrok"), col("ns"), col("hx"),
+        explode(when(col("hdrok") && col("ns") > 0L,
+          sequence(lit(0L), col("ns") - 1L))
+          .otherwise(array(lit(-1L)))).as("k"))
+      .select(col("doc_id"), col("hdrok"), col("ns"),
+        when(col("k") >= 0L, sv).as("sv"))
+      .groupBy("doc_id", "hdrok", "ns")
+      .agg(sum(col("sv") * col("sv")).as("sq"),
+        max(abs(col("sv"))).as("pk"),
+        sum(when(col("sv") === 0L, 1L).otherwise(0L)).as("nz"))
+      .select(col("doc_id"),
+        when(col("hdrok"), 1L).otherwise(0L).as("valid"),
+        col("ns").as("n_samples"),
+        when(col("hdrok"), col("pk")).otherwise(-1L).as("peak_abs"),
+        when(col("hdrok"), col("sq")).otherwise(-1L).as("sum_sq"),
+        when(col("hdrok"), col("nz")).otherwise(-1L).as("n_zero"),
+        when(col("hdrok"),
+          sqrt(col("sq").cast("double") / col("ns")))
+          .otherwise(lit(-1d)).as("rms"))
   }
+
+  /** q295 fixture: canonical 8 kHz mono 8-bit µ-law WAV (fmt code 7,
+    * 18-byte fmt chunk with cbSize 0 — the WAVE_FORMAT_MULAW shape), 40-79
+    * generator bytes (doc_id·37 + k·101 mod 256, full byte range), %7==3
+    * rows raw text. Header is 46 bytes: RIFF(12) + fmt(8+18) + data(8). */
+  private[graft] def mulawBlobs(docs: DataFrame): DataFrame = {
+    val did = col("doc_id")
+    val raw = pmod(did, lit(7)) === 3
+    val n = lit(40L) + pmod(did, lit(40))
+    // byte-to-hex literal LUT (cf. pcmBlobs' LE16 LUT)
+    val hexLut = typedlit((0 until 256).map(b => f"$b%02X").toArray)
+    val samplesHex = concat_ws("", transform(sequence(lit(0L), n - 1),
+      k => element_at(hexLut,
+        (pmod(did * 37 + k * 101, lit(256)) + 1L).cast("int"))))
+    val whex = concat(
+      lit("52494646"), Bytes.le4h(lit(38L) + n), lit("57415645"),
+      lit("666D7420"), Bytes.le4h(lit(18L)),
+      Bytes.le2h(lit(7L)), Bytes.le2h(lit(1L)),      // µ-law, mono
+      Bytes.le4h(lit(8000L)), Bytes.le4h(lit(8000L)), // rate, byterate
+      Bytes.le2h(lit(1L)), Bytes.le2h(lit(8L)),      // align, bits
+      Bytes.le2h(lit(0L)),                           // cbSize
+      lit("64617461"), Bytes.le4h(n), samplesHex)
+    docs.select(did,
+      when(raw, encode(col("text"), "UTF-8"))
+        .otherwise(unhex(whex)).as("content"))
+  }
+
+  /** q295's blind walk: RIFF/fmt-18/data framing tie-out, then the G.711
+    * integer expansion per sample via the q292 explode + hash-agg shape.
+    * Sees ONLY (doc_id, content). */
+  private[graft] def mulawWalk(blobs: DataFrame): DataFrame = {
+    def byteAt(p: org.apache.spark.sql.Column) = Bytes.byteAt(col("hx"), p)
+    def le4At(p: org.apache.spark.sql.Column) = Bytes.le4At(col("hx"), p)
+    def le2At(p: org.apache.spark.sql.Column) = Bytes.le2At(col("hx"), p)
+    def sig(p: Int, hexs: String) =
+      Bytes.sigAt(col("hx"), lit(p.toLong), hexs.length / 2) === hexs
+    val probed = blobs
+      .withColumn("hx", hex(col("content")))
+      .withColumn("blen", length(col("content")).cast("long"))
+      .withColumn("hdrok", coalesce(
+        col("blen") >= 47L &&
+          sig(1, "52494646") && sig(9, "57415645") &&
+          sig(13, "666D7420") && le4At(lit(17L)) === 18L &&
+          le2At(lit(21L)) === 7L && le2At(lit(23L)) === 1L &&
+          le4At(lit(25L)) === 8000L && le4At(lit(29L)) === 8000L &&
+          le2At(lit(33L)) === 1L && le2At(lit(35L)) === 8L &&
+          le2At(lit(37L)) === 0L &&
+          sig(39, "64617461") &&
+          le4At(lit(5L)) === col("blen") - 8L &&
+          le4At(lit(43L)) === col("blen") - 46L,
+        lit(false)))
+      .withColumn("ns", when(col("hdrok"), col("blen") - 46L)
+        .otherwise(lit(-1L)).cast("long"))
+    // G.711 µ-law expansion, codegen'd integer arithmetic per sample row
+    val pow2 = typedlit(Array(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L))
+    val c = lit(255L) - byteAt(lit(47L) + col("k"))
+    val mag = ((c % 16L) * 8L + 132L) *
+      element_at(pow2, ((c / 16L).cast("long") % 8L + 1L).cast("int"))
+    val pcm = when(c >= 128L, lit(132L) - mag).otherwise(mag - 132L)
+    probed
+      .select(col("doc_id"), col("hdrok"), col("ns"), col("hx"),
+        explode(when(col("hdrok") && col("ns") > 0L,
+          sequence(lit(0L), col("ns") - 1L))
+          .otherwise(array(lit(-1L)))).as("k"))
+      .select(col("doc_id"), col("hdrok"), col("ns"),
+        when(col("k") >= 0L, pcm).as("sv"))
+      .groupBy("doc_id", "hdrok", "ns")
+      .agg(sum(col("sv") * col("sv")).as("sq"),
+        max(abs(col("sv"))).as("pk"),
+        sum(when(abs(col("sv")) === 32124L, 1L).otherwise(0L)).as("nc"))
+      .select(col("doc_id"),
+        when(col("hdrok"), 1L).otherwise(0L).as("valid"),
+        col("ns").as("n_samples"),
+        when(col("hdrok"), col("pk")).otherwise(-1L).as("peak_abs"),
+        when(col("hdrok"), col("sq")).otherwise(-1L).as("sum_sq"),
+        when(col("hdrok"), col("nc")).otherwise(-1L).as("n_clipped"),
+        when(col("hdrok"),
+          sqrt(col("sq").cast("double") / col("ns")))
+          .otherwise(lit(-1d)).as("rms"))
+  }
+
+  /** q295's oracle: replays the byte generator and the G.711 expansion
+    * as the same integer arithmetic (DuckDB `//` = Spark truncating
+    * div-then-cast on these non-negatives; `<<` on an 0-7 exponent). */
+  private val Q295_ORACLE =
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 7 = 3 AS raw, 40 + doc_id % 40 AS n
+        |  FROM documents),
+        |sm AS (
+        |  SELECT doc_id, n,
+        |    list_transform(range(0, n), k ->
+        |      (doc_id * 37 + k * 101) % 256) AS bs
+        |  FROM p WHERE NOT raw),
+        |dec AS (
+        |  SELECT doc_id, n,
+        |    list_transform(bs, b -> CASE
+        |      WHEN (255 - b) >= 128 THEN
+        |        132 - (((255 - b) % 16) * 8 + 132) * (1 << (((255 - b) // 16) % 8))
+        |      ELSE
+        |        (((255 - b) % 16) * 8 + 132) * (1 << (((255 - b) // 16) % 8)) - 132
+        |      END) AS ss
+        |  FROM sm)
+        |SELECT doc_id, CAST(1 AS BIGINT) AS valid,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(list_max(list_transform(ss, s -> abs(s))) AS BIGINT)
+        |    AS peak_abs,
+        |  CAST(list_sum(list_transform(ss, s -> s * s)) AS BIGINT) AS sum_sq,
+        |  CAST(len(list_filter(ss, s -> abs(s) = 32124)) AS BIGINT)
+        |    AS n_clipped,
+        |  sqrt(CAST(list_sum(list_transform(ss, s -> s * s)) AS DOUBLE) / n)
+        |    AS rms
+        |FROM dec
+        |UNION ALL
+        |SELECT doc_id, 0, -1, -1, -1, -1, CAST(-1 AS DOUBLE)
+        |FROM p WHERE raw
+        |ORDER BY doc_id""".stripMargin
+
+  // ---- q296 PDF fixture/walk ------------------------------------------------
+  // Fixed object chain; lengths computed HERE so the xref offsets can never
+  // desynchronize from the bytes (no hand-counted constants).
+  private val PdfObj1 = "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+  private val PdfObj2 = "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+  private val PdfObj3 =
+    "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] >>\nendobj\n"
+  private val PdfOff1 = 9 // after "%PDF-1.m\n"
+  private val PdfOff2 = PdfOff1 + PdfObj1.length
+  private val PdfOff3 = PdfOff2 + PdfObj2.length
+  private val PdfFixedEnd = PdfOff3 + PdfObj3.length // the comment starts here
+  private val PdfXrefBody = {
+    def ent(off: Int) = f"$off%010d 00000 n \n"
+    "xref\n0 4\n" + "0000000000 65535 f \n" +
+      ent(PdfOff1) + ent(PdfOff2) + ent(PdfOff3)
+  }
+
+  /** q296 fixture: a real minimal PDF per doc — version minor = doc_id%8,
+    * a "%ppp…\n" comment of 2+doc_id%17 bytes before the xref (so the
+    * startxref value varies per doc), byte-exact xref offsets. %7==3 rows
+    * raw text. */
+  private[graft] def pdfBlobs(docs: DataFrame): DataFrame = {
+    val did = col("doc_id")
+    val raw = pmod(did, lit(7)) === 3
+    val minor = pmod(did, lit(8))
+    val padN = pmod(did, lit(17)).cast("int")
+    val xrefOff = lit(PdfFixedEnd.toLong + 2L) + padN.cast("long")
+    val pdf = concat(
+      lit("%PDF-1."), minor.cast("string"), lit("\n"),
+      lit(PdfObj1 + PdfObj2 + PdfObj3),
+      lit("%"), call_function("repeat", lit("p"), padN), lit("\n"),
+      lit(PdfXrefBody),
+      lit("trailer\n<< /Size 4 /Root 1 0 R >>\nstartxref\n"),
+      xrefOff.cast("string"), lit("\n%%EOF"))
+    docs.select(did,
+      encode(when(raw, col("text")).otherwise(pdf), "UTF-8").as("content"))
+  }
+
+  /** q296's blind walk: header version, startxref → xref keyword tie-out,
+    * 20-byte/entry table length vs /Size, object count. Sees ONLY
+    * (doc_id, content); ISO-8859-1 decode (1:1 bytes, never malformed). */
+  private[graft] def pdfWalk(blobs: DataFrame): DataFrame = {
+    val probed = blobs
+      .withColumn("s", decode(col("content"), "ISO-8859-1"))
+      .withColumn("ver",
+        when(substring(col("s"), 1, 7) === "%PDF-1." &&
+          substring(col("s"), 8, 1).rlike("^[0-9]$"),
+          substring(col("s"), 8, 1).cast("long")))
+      .withColumn("sx",
+        regexp_extract(col("s"), "startxref\n([0-9]+)\n%%EOF", 1)
+          .cast("long"))
+      .withColumn("xrefok", coalesce(
+        col("s").substr(col("sx") + 1L, lit(9L)) === "xref\n0 4\n",
+        lit(false)))
+      // 4 entries × 20 bytes, then the trailer keyword — ties /Size to the
+      // physical table length
+      .withColumn("tblok", coalesce(
+        col("s").substr(col("sx") + 10L + 80L, lit(8L)) === "trailer\n",
+        lit(false)))
+      .withColumn("size4",
+        regexp_extract(col("s"), "/Size ([0-9]+)", 1) === "4")
+      .withColumn("eofok",
+        expr("substring(s, length(s) - 4, 5)") === "%%EOF")
+      .withColumn("nobj", regexp_count(col("s"), lit(" 0 obj\n")))
+      .withColumn("ok", coalesce(
+        col("ver").isNotNull && col("eofok") && col("xrefok") &&
+          col("tblok") && col("size4"), lit(false)))
+    probed.select(col("doc_id"),
+      when(col("ok"), 1L).otherwise(0L).as("valid"),
+      when(col("ok"), col("ver")).otherwise(-1L).as("version_minor"),
+      when(col("ok"), col("nobj").cast("long")).otherwise(-1L).as("n_objects"),
+      when(col("ok"), col("sx")).otherwise(-1L).as("xref_at"),
+      when(col("ok"), 4L).otherwise(-1L).as("xref_size"))
+  }
+
+  /** q296's oracle: replays the generator parameters (the walk must
+    * extract exactly what was planted, incl. the per-doc xref offset). */
+  private val Q296_ORACLE =
+    s"""SELECT doc_id, CAST(1 AS BIGINT) AS valid,
+       |  CAST(doc_id % 8 AS BIGINT) AS version_minor,
+       |  CAST(3 AS BIGINT) AS n_objects,
+       |  CAST($PdfFixedEnd + 2 + doc_id % 17 AS BIGINT) AS xref_at,
+       |  CAST(4 AS BIGINT) AS xref_size
+       |FROM documents WHERE doc_id % 7 <> 3
+       |UNION ALL
+       |SELECT doc_id, 0, -1, -1, -1, -1 FROM documents WHERE doc_id % 7 = 3
+       |ORDER BY doc_id""".stripMargin
 
   /** q292/q294's shared oracle (see q292's comment). */
   private val Q292_ORACLE =

@@ -50,6 +50,9 @@ object TextDedupPack {
 
   /** doc_id offset distinguishing q65's planted simhash twins. */
   private[queries] val SIMHASH_TWIN_OFFSET = 1000000L
+  /** q52/q74 planted-twin offset (r17): twin DOCS (exact text copies of
+    * doc_id < 50) live at doc_id + this, far above any fixture doc_id. */
+  private[queries] val NATIVE_TWIN_OFF = 10000000L
 
   /** doc_id offset distinguishing q88/q89's planted exact-copy twins. */
   private[queries] val NATIVE_TWIN_OFFSET = 1000000L
@@ -445,7 +448,7 @@ object TextDedupPack {
     children.foreach(graft.streaming.Streams.deleteRecursively)
     p
   }
-  private[queries] def stagedDocBatches(s: org.apache.spark.sql.SparkSession, d: String): String =
+  private[graft] def stagedDocBatches(s: org.apache.spark.sql.SparkSession, d: String): String =
     docBatchStages.computeIfAbsent(d, _ => {
       val dir = java.nio.file.Files.createTempDirectory("graft-q85-src-")
       sys.addShutdownHook(graft.streaming.Streams.deleteRecursively(dir))
@@ -1104,6 +1107,61 @@ object TextDedupPack {
         .orderBy("source")
     },
 
+    // ---- q297: KMV (k-minimum-values) distinct sketch ----------------------
+    // The distinct-sketch family's third member (exact ledger q85,
+    // replayed-register HLL q204/q205) — and the one whose ESTIMATE both
+    // engines replay exactly: KMV keeps the k smallest distinct 60-bit
+    // hash values per group (functions.BottomKLongs — fixed mergeable
+    // set-semantics state, the same Aggregator discipline as TopKRows)
+    // and estimates |D| = (k−1)·2^60 / h_(k), pure integer order
+    // statistics on the portable md5-prefix hash. No band pin needed:
+    // the estimate VALUE is hash-checked, alongside the exact count and
+    // the integer-basis-point error — the variance ledger that decides
+    // whether 64 longs of state suffice for a corpus's dedup accounting.
+    //
+    // 100 TB shape: one keyed agg with ≤64 longs of map-side state per
+    // (group, partition); the estimate math touches k rows per group.
+    QueryDef(
+      "q297_kmv_distinct", KMV_SQL) { (s, d) =>
+      val bk = udaf(new graft.functions.BottomKLongs(64))
+      kmvFinalize(s, d,
+        Tables.documents(s, d)
+          .select(col("source"), kmvHash.as("h"))
+          .groupBy("source")
+          .agg(bk(col("h")).as("mins")))
+    },
+
+    // ---- q298: streaming KMV — per-batch sketch union ----------------------
+    // q297 as the shards stream in (the q205 pattern for KMV): each
+    // micro-batch aggregates ITS OWN bottom-64 per source and appends the
+    // values under batch_id (idempotent dynamic overwrite); the final
+    // merge re-runs BottomKLongs over the stored union. Capped sorted-set
+    // union is associative/commutative/IDEMPOTENT, so min-k(∪ batch
+    // min-k) = single-pass min-k whatever the batching — and the result
+    // hash-matches q297's oracle VERBATIM (the q116-vs-q105 trick).
+    QueryDef(
+      "q298_stream_kmv", KMV_SQL) { (s, d) =>
+      val bk = udaf(new graft.functions.BottomKLongs(64))
+      val srcDir = stagedDocBatches(s, d)
+      val store = clearedStore(d, "graft-q298-kmv-")
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) =>
+        batch.select(col("source"), kmvHash.as("h"))
+          .groupBy("source").agg(bk(col("h")).as("mins"))
+          .select(col("source"), explode(col("mins")).as("h"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(store.toString))
+      kmvFinalize(s, d,
+        s.read.parquet(store.toString)
+          .groupBy("source").agg(bk(col("h")).as("mins")))
+    },
+
     // ---- q47: heavy-hitter tokens — MG sketch prune, then exact verify -----
     // The 100 TB shape for "which tokens exceed 1/(k+1) of a language's
     // volume": pass 1 builds a Misra-Gries sketch per lang (fixed k-counter
@@ -1143,28 +1201,96 @@ object TextDedupPack {
         .orderBy("lang", "token")
     },
 
-    // ---- native xxhash64 scale-path variants (rows-only checks) ------------
+    // ---- native xxhash64 scale-path variants --------------------------------
     QueryDef.rowsOnly("q51_dedup_minhash_native") { (s, d) =>
       Dedup.nearDuplicates(Tables.documentsSpread(s, d), "doc_id", "text")
     },
-    QueryDef.rowsOnly("q52_dedup_simhash_native") { (s, d) =>
-      val sim = Dedup.simHash64(Tables.documentsSpread(s, d), "doc_id", "text")
-      Dedup.simHashNearDup(sim, "doc_id", maxDist = 8).orderBy("id_a", "id_b")
+    // q52, upgraded r17 (verdict item 6) from rows-only to a planted-twin
+    // CONTRACT oracle — the q65 pattern extended from the blocking operator
+    // to the FULL native pipeline: 50 twin docs (exact text copies at
+    // doc_id + 10M) are planted into the corpus; identical token multisets
+    // force identical xxhash64 SimHashes, so every twin pair sits at
+    // hamming distance 0 and the pigeonhole blocking MUST surface it (all
+    // 9 chunks equal). The output is one row per planted doc with the
+    // found/distance contract plus a pair-shape audit over the WHOLE
+    // organic pair list (id_a < id_b, distances within maxDist, no
+    // duplicate pairs) — every value portable or pinned, so the entry is
+    // hash-green while the signatures stay native. A planted doc whose
+    // twin pair goes missing drops its row (inner join) → row-count red.
+    QueryDef(
+      "q52_dedup_simhash_native",
+      """SELECT doc_id, CAST(1 AS BIGINT) AS twin_found,
+        |  CAST(1 AS BIGINT) AS twin_hamming_zero,
+        |  CAST(1 AS BIGINT) AS pair_shape_ok
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documentsSpread(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + NATIVE_TWIN_OFF).as("doc_id"), col("text")))
+      val sim = Dedup.simHash64(corpus, "doc_id", "text")
+      val pairs = graft.operators.CacheScope.sessionManaged.persist(
+        Dedup.simHashNearDup(sim, "doc_id", maxDist = 8)
+      ) // two consumers (twin probe + shape audit); harness clearCache releases
+      val twins = pairs
+        .filter(col("id_a") < 50 && col("id_b") === col("id_a") + NATIVE_TWIN_OFF)
+        .select(col("id_a").as("doc_id"),
+          lit(1L).as("twin_found"),
+          when(col("hamming") === 0L, 1L).otherwise(0L).as("twin_hamming_zero"))
+      val shape = pairs.agg(
+        sum(when(col("id_a") < col("id_b") && col("hamming") <= 8L, 0L)
+          .otherwise(1L)).as("bad"),
+        (count(lit(1)) - countDistinct(col("id_a"), col("id_b"))).as("dups"))
+      twins.crossJoin(broadcast(shape))
+        .select(col("doc_id"), col("twin_found"), col("twin_hamming_zero"),
+          when(col("bad") === 0L && col("dups") === 0L, 1L).otherwise(0L)
+            .as("pair_shape_ok"))
+        .orderBy("doc_id")
     },
     // q67's clustered endpoint for the 100 TB path: connected components
     // over the NATIVE xxhash64 MinHash-LSH pairs (q51) instead of the
     // portable md5 pairs — the full scale pipeline shingle → sign → band →
-    // verify → cluster with numeric signatures end to end. Rows-only (the
-    // signatures have no DuckDB twin); the clustering operator itself is
-    // hash-checked via q67 and ComponentsSpec, and q51 ⊇ q27 pair recall is
-    // asserted in DedupSpec.
-    QueryDef.rowsOnly("q74_dedup_clusters_native") { (s, d) =>
-      val pairs = Dedup.nearDuplicates(Tables.documentsSpread(s, d), "doc_id", "text")
-      graft.operators.Components
-        .connectedComponents(pairs.select("id_a", "id_b"), "id_a", "id_b")
-        .select(col("component").as("cluster_id"), col("id").as("doc_id"),
-          when(col("id") === col("component"), 1L).otherwise(0L).as("is_canonical"))
-        .orderBy("cluster_id", "doc_id")
+    // verify → cluster with numeric signatures end to end. Upgraded r17
+    // (verdict item 6) from rows-only to a planted-twin contract oracle,
+    // same construction as q52: 50 exact-copy twins (identical shingle
+    // SETS → identical 32-hash MinHash signatures → every band collides →
+    // Jaccard 1 ≥ 0.5 survives verify), so each twin pair is a GUARANTEED
+    // edge and twin co-membership in the clustering is a hard invariant.
+    // The canonical contract (exactly one canonical per cluster, canonical
+    // = min member) is audited over the whole clustering and pinned. The
+    // clustering operator itself stays hash-checked via q67/ComponentsSpec,
+    // and q51 ⊇ q27 pair recall in DedupSpec.
+    QueryDef(
+      "q74_dedup_clusters_native",
+      """SELECT doc_id, CAST(1 AS BIGINT) AS twin_coclustered,
+        |  CAST(1 AS BIGINT) AS canonical_contract
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documentsSpread(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + NATIVE_TWIN_OFF).as("doc_id"), col("text")))
+      val pairs = Dedup.nearDuplicates(corpus, "doc_id", "text")
+      val cc = graft.operators.CacheScope.sessionManaged.persist(
+        graft.operators.Components
+          .connectedComponents(pairs.select("id_a", "id_b"), "id_a", "id_b")
+      ) // three consumers below; harness clearCache releases (cf. q47)
+      val a = cc.filter(col("id") < 50)
+        .select(col("id").as("doc_id"), col("component").as("ca"))
+      val b = cc.filter(col("id") >= NATIVE_TWIN_OFF)
+        .select((col("id") - NATIVE_TWIN_OFF).as("doc_id"),
+          col("component").as("cb"))
+      val canon = cc.groupBy("component").agg(
+        sum(when(col("id") === col("component"), 1L).otherwise(0L))
+          .as("n_canon"),
+        min(col("id")).as("min_id"))
+      val audit = canon.agg(
+        sum(when(col("n_canon") === 1L && col("min_id") === col("component"),
+          0L).otherwise(1L)).as("bad"))
+      a.join(b, "doc_id") // inner: a twin missing from the clustering → row-count red
+        .crossJoin(broadcast(audit))
+        .select(col("doc_id"),
+          when(col("ca") === col("cb"), 1L).otherwise(0L).as("twin_coclustered"),
+          when(col("bad") === 0L, 1L).otherwise(0L).as("canonical_contract"))
+        .orderBy("doc_id")
     },
     // ---- q65: simhash blocking with PLANTED hamming-distance ground truth --
     // q52's xxhash64 signatures have no DuckDB twin, so the blocking
@@ -2880,6 +3006,64 @@ object TextDedupPack {
   private[queries] def docFp: org.apache.spark.sql.Column =
     md5(trim(regexp_replace(regexp_replace(lower(col("text")),
       "[^a-z ]", ""), "  *", " ")))
+
+  /** q297/q298's portable 60-bit KMV hash over [[docFp]] (the q65 md5-
+    * prefix-to-BIGINT construction). */
+  private def kmvHash: org.apache.spark.sql.Column =
+    conv(substring(docFp, 1, 15), 16, 10).cast("long")
+
+  /** q297/q298's shared finalize: estimate |D| = (k−1)·2^60 / h_(k) from
+    * the bottom-64 sketch (exact distinct count when fewer than 64
+    * distinct hashes exist), against the exact ledger. 63·2^60 needs
+    * DECIMAL(38,0)/HUGEINT — both engines floor-divide on positives. */
+  private def kmvFinalize(s: org.apache.spark.sql.SparkSession, d: String,
+                          sketch: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val exact = Tables.documents(s, d)
+      .groupBy("source").agg(countDistinct(docFp).as("n_exact"))
+    sketch
+      .withColumn("kth", element_at(col("mins"), 64))
+      .withColumn("kmv_estimate",
+        when(size(col("mins")) < 64, size(col("mins")).cast("long"))
+          .otherwise(expr(
+            "CAST(floor(CAST('72634054790231359488' AS DECIMAL(38,0)) / kth) AS BIGINT)")))
+      .join(exact, "source")
+      .select(col("source"), col("n_exact"), lit(64L).as("kmv_k"),
+        col("kmv_estimate"),
+        expr("CAST(abs(kmv_estimate - n_exact) * 10000 div n_exact AS BIGINT)")
+          .as("err_bp"))
+      .orderBy("source")
+  }
+
+  /** q297/q298's shared oracle: the full KMV replay — distinct 60-bit
+    * hashes ranked per source, the 64th order statistic, the HUGEINT
+    * floor-divide estimate, exact count and integer error. */
+  private val KMV_SQL =
+    """WITH fp AS (
+      |  SELECT source, md5(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z ]', '', 'g'), '  *', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |hs AS (SELECT DISTINCT source,
+      |         ('0x' || substring(fp, 1, 15))::BIGINT AS h FROM fp),
+      |rk AS (SELECT source, h,
+      |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+      |       FROM hs),
+      |nh AS (SELECT source, COUNT(*) AS n_h FROM hs GROUP BY source),
+      |kth AS (SELECT source, h AS hk FROM rk WHERE rn = 64),
+      |ex AS (SELECT source, COUNT(DISTINCT fp) AS n_exact FROM fp
+      |       GROUP BY source),
+      |est AS (
+      |  SELECT e.source, e.n_exact,
+      |    CASE WHEN a.n_h < 64 THEN a.n_h
+      |         ELSE 72634054790231359488 // k.hk END AS est
+      |  FROM ex e JOIN nh a ON a.source = e.source
+      |  LEFT JOIN kth k ON k.source = e.source)
+      |SELECT source, CAST(n_exact AS BIGINT) AS n_exact,
+      |  CAST(64 AS BIGINT) AS kmv_k,
+      |  CAST(est AS BIGINT) AS kmv_estimate,
+      |  CAST(abs(est - n_exact) * 10000 // n_exact AS BIGINT) AS err_bp
+      |FROM est
+      |ORDER BY source""".stripMargin
 
   /** q204/q205 register table: (source, j, m) with j = md5 first byte
     * (256 buckets) and m = max over docs of rho(next 48 bits). The rho

@@ -902,11 +902,27 @@ object TrainingPack {
           sequence(lit(1), size(t) - (DECON_N - 1)),
           i => concat_ws(" ", (0 until DECON_N).map(k => element_at(t, i + k)): _*)
         ))).as("gram"))
-      val grams = Occupancy.cap(gramsAll, Seq("gram"), DECON_MAX_DF,
-        persistResult = true)
-      val te = grams.filter(col("split") === "test")
+      val grams = Occupancy.cap(gramsAll, Seq("gram"), DECON_MAX_DF)
+      // Eval side STAGED to parquet, not persisted (r17, the q153 spike
+      // adjudication): the previous te.persist() made every micro-batch's
+      // stream-static confirm join depend on executor cache retention —
+      // under eviction each remaining micro-batch re-derives the corpus
+      // gram-cap (scan + explode + df-cap window). Measured with
+      // ProfileOne's evict simulation at sf0.1: the persisted shape
+      // degrades 5.4-6.0 → 7.6-8.5 s warm (+40%, and the rebuild term
+      // grows with corpus size — the driver's 63 s iteration is this
+      // mechanism amplified by driver-VM contention); the staged shape is
+      // IDENTICAL with and without eviction (5.8-6.7 s both ways).
+      // Materializing te once per invocation pins the per-batch cost to a
+      // small parquet read whatever the cache does — the 100 TB
+      // discipline: derived eval-side state lives in storage, not cache.
+      // The build cost is the same one pass the persist materialization
+      // paid.
+      val teDir = TextDedupPack.clearedStore(d, "graft-q153-te-")
+      grams.filter(col("split") === "test")
         .select(col("doc_id").as("test_doc_id"), col("gram"))
-        .persist() // probed by every micro-batch
+        .write.mode("overwrite").parquet(teDir.toString)
+      val te = s.read.parquet(teDir.toString)
       val bloom = graft.functions.BloomFuncs.build(
         te, col("gram"), expectedItems = 1000000L)
       val srcDir = TextDedupPack.stagedDocBatches(s, d)
