@@ -18,6 +18,73 @@ object CurationPack {
 
   def all: Seq[QueryDef] = Seq(
 
+    // ---- q300: corpus datasheet ---------------------------------------------
+    // The registry's capstone composition: the per-source "datasheet for
+    // datasets" row (Gebru et al. 2021 — the documentation artifact every
+    // released corpus ships) assembled in ONE query from the machinery
+    // the registry already trusts — volume (docs, tokens), exact dedup
+    // accounting (the q85 fingerprint), language spread + dominant
+    // language, and length distribution (exact interpolated percentiles,
+    // the q49 discipline). One pass over the corpus feeds one keyed agg;
+    // the top-language pick is a per-source window bounded by the
+    // language dimension; the join is source-keyed on 20 rows.
+    //
+    // Determinism: integer counts and floor-div basis points; the only
+    // doubles are the percentile interpolation (q49's cross-engine
+    // precedent) and ONE division tok_sum/n_docs on exact integers.
+    QueryDef(
+      "q300_corpus_datasheet",
+      """WITH fp AS (
+        |  SELECT source, lang, n_chars,
+        |    len(string_split(text, ' ')) AS tk,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z ]', '', 'g'), '  *', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |b AS (
+        |  SELECT source, COUNT(*) AS n_docs, SUM(tk) AS tok_sum,
+        |    COUNT(DISTINCT fp) AS n_distinct, COUNT(DISTINCT lang) AS n_langs,
+        |    quantile_cont(n_chars, 0.5) AS p50, quantile_cont(n_chars, 0.9) AS p90
+        |  FROM fp GROUP BY source),
+        |lc AS (SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+        |tl AS (SELECT source, lang FROM (
+        |         SELECT source, lang,
+        |           ROW_NUMBER() OVER (PARTITION BY source
+        |             ORDER BY c DESC, lang) AS rn
+        |         FROM lc) WHERE rn = 1)
+        |SELECT b.source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(tok_sum AS BIGINT) AS tok_sum,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  CAST((n_docs - n_distinct) * 10000 // n_docs AS BIGINT)
+        |    AS dup_rate_bp,
+        |  CAST(n_langs AS BIGINT) AS n_langs, tl.lang AS top_lang,
+        |  p50 AS p50_chars, p90 AS p90_chars,
+        |  CAST(tok_sum AS DOUBLE) / n_docs AS mean_tokens
+        |FROM b JOIN tl ON tl.source = b.source
+        |ORDER BY b.source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val base = docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("tok_sum"),
+        countDistinct(TextDedupPack.docFp).as("n_distinct"),
+        countDistinct(col("lang")).as("n_langs"),
+        percentile(col("n_chars"), lit(0.5)).as("p50_chars"),
+        percentile(col("n_chars"), lit(0.9)).as("p90_chars"))
+      val lc = docs.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("source").orderBy(col("c").desc, col("lang"))
+      val top = lc.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("lang").as("top_lang"))
+      base.join(top, "source")
+        .select(col("source"), col("n_docs"), col("tok_sum"),
+          col("n_distinct"),
+          expr("CAST((n_docs - n_distinct) * 10000 div n_docs AS BIGINT)")
+            .as("dup_rate_bp"),
+          col("n_langs"), col("top_lang"),
+          col("p50_chars"), col("p90_chars"),
+          (col("tok_sum").cast("double") / col("n_docs")).as("mean_tokens"))
+        .orderBy("source")
+    },
+
     // ---- q269: Flesch-Kincaid readability bands -----------------------------
     // The classic readability screen (Kincaid et al. 1975 — public formula:
     // 0.39·W/S + 11.8·Y/W − 15.59) used by web-corpus curation to route

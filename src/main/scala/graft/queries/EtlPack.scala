@@ -316,6 +316,44 @@ object EtlPack {
       driftFinalize(s, merged)
     },
 
+    // ---- q299: parquet schema-evolution census (mergeSchema) ----------------
+    // The lakehouse mechanics q286 (wire drift) and q272 (deletion
+    // vectors) don't cover: a corpus directory written by two producer
+    // GENERATIONS — the second adds a `score` column — read back as ONE
+    // table with mergeSchema, the legacy generation's missing column
+    // surfacing as nulls. The census a migration runs before backfilling:
+    // per source, how many rows are legacy vs scored, and the scored
+    // mass. Staging is the q132 fidelity discipline (engine's own writer,
+    // partition-style generation dirs g=1/g=2, one copy per JVM+sf); the
+    // oracle replays the deterministic generation split and the score
+    // from `documents` directly, so a mergeSchema bug (dropped column,
+    // misaligned nulls, type clash) breaks rows or hash.
+    //
+    // 100 TB shape: schema merge is a FOOTER union, not a data pass;
+    // census is one keyed agg with map-side partials.
+    QueryDef(
+      "q299_schema_evolution_census",
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_legacy,
+        |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_scored,
+        |  CAST(SUM(CASE WHEN doc_id % 2 = 1
+        |    THEN n_chars % 97 + doc_id % 13 ELSE 0 END) AS BIGINT)
+        |    AS score_sum
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      val dir = stagedEvolution(s, d)
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("score").isNull, 1L).otherwise(0L)).as("n_legacy"),
+          sum(when(col("score").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+          sum(coalesce(col("score"), lit(0L))).as("score_sum"))
+        .orderBy("source")
+    },
+
     // ---- q278: XML source ingest parity -------------------------------------
     // Spark 4's built-in XML file source (the spark-xml lineage) under the
     // same fidelity contract as q132/q137/q138: stage `documents` as
@@ -588,6 +626,23 @@ object EtlPack {
     * as needed — exactly what the q137 read-back must survive. */
   private val docStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** q299's two-generation staged corpus: g=1 carries the legacy schema
+    * (even doc_ids), g=2 (odd doc_ids) adds the `score` column — one copy
+    * per (JVM, sf dir), deleted at exit (cf. [[stagedDocs]]). */
+  private def stagedEvolution(s: SparkSession, d: String): String =
+    docStages.computeIfAbsent(s"evolved:$d", _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-stage-evolved-")
+      sys.addShutdownHook(graft.streaming.Streams.deleteRecursively(dir))
+      val base = Tables.documents(s, d)
+      base.filter(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$dir/g=1")
+      base.filter(col("doc_id") % 2 === 1)
+        .withColumn("score",
+          col("n_chars").cast("long") % 97L + col("doc_id") % 13L)
+        .write.mode("overwrite").parquet(s"$dir/g=2")
+      dir.toString
+    })
+
   private def stagedDocs(s: SparkSession, d: String, format: String): String =
     docStages.computeIfAbsent(s"$format:$d", _ => {
       val dir = java.nio.file.Files.createTempDirectory(s"graft-stage-$format-")

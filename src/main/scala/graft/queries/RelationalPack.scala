@@ -934,6 +934,113 @@ object RelationalPack {
         .orderBy("event_id")
     },
 
+    // ---- q301: daily-volume autocorrelation (lag 1/2/3/7) -------------------
+    // The ops-side seasonality probe q21/q123 don't cover: how correlated
+    // is today's event volume with k days ago — the number a capacity
+    // planner reads before picking a weekly vs daily scaling policy. The
+    // day axis is an integer index from the corpus's own min date (no
+    // calendar-week ambiguity, fixture-robust); per lag k ∈ {1,2,3,7} the
+    // Pearson r over (count(d), count(d+k)) pairs is computed from exact
+    // BIGINT sufficient statistics with ONE fixed IEEE tree at the end —
+    // the q289/q293 discipline, so the double hash-matches cross-engine.
+    //
+    // 100 TB shape: the daily-count table is |days|-sized (tiny forever);
+    // the corpus pass is one keyed agg with map-side partials, the four
+    // lag self-joins run on the tiny table (persisted — 8 consumers).
+    QueryDef(
+      "q301_daily_autocorrelation",
+      """WITH e AS (SELECT CAST(ts AS DATE) AS dt FROM events),
+        |b AS (SELECT min(dt) AS d0 FROM e),
+        |dc AS (SELECT (dt - (SELECT d0 FROM b)) AS day, COUNT(*) AS c
+        |       FROM e GROUP BY 1),
+        |lg AS (SELECT unnest([1, 2, 3, 7]) AS lag),
+        |pr AS (SELECT l.lag, a.c AS x, bb.c AS y
+        |       FROM lg l JOIN dc a ON TRUE
+        |       JOIN dc bb ON bb.day = a.day + l.lag),
+        |st AS (SELECT lag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |       FROM pr GROUP BY lag)
+        |SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+        |  CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+        |  CAST(sxy AS BIGINT) AS sxy,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |         CAST(n * syy - sy * sy AS DOUBLE)) AS acf
+        |FROM st ORDER BY lag""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select(to_date(col("ts")).as("dt"))
+      val d0 = e.agg(min(col("dt")).as("d0"))
+      val dc = graft.operators.CacheScope.sessionManaged.persist(
+        e.crossJoin(broadcast(d0)) // 1-row aggregate: statically bounded
+          .select(datediff(col("dt"), col("d0")).cast("long").as("day"))
+          .groupBy("day").agg(count(lit(1)).as("c")))
+      Seq(1L, 2L, 3L, 7L).map { k =>
+        val a = dc.select(col("day"), col("c").as("x"))
+        val b = dc.select((col("day") - k).as("day"), col("c").as("y"))
+        a.join(b, "day").agg(
+          count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+          .select(lit(k).as("lag"), col("n").as("n_pairs"),
+            col("sx"), col("sy"), col("sxy"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+              .as("acf"))
+      }.reduce(_ unionByName _).orderBy("lag")
+    },
+
+    // ---- q302: MAD-based outlier census per event type ----------------------
+    // The robust-statistics anomaly screen (median absolute deviation —
+    // immune to the outliers it hunts, unlike z-scores): per event type,
+    // the median value, the MAD, and how many events sit outside
+    // median ± 3·MAD. Three passes — median, MAD (median of absolute
+    // deviations), flag count — each a keyed agg; the per-type medians
+    // ride back via broadcast joins on the BOUNDED event-type dimension.
+    // Doubles follow the q49 percentile-interpolation precedent plus one
+    // subtraction/multiply per comparison, identical trees both engines.
+    QueryDef(
+      "q302_mad_outliers",
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med,
+        |             COUNT(*) AS n
+        |           FROM events GROUP BY event_type),
+        |md AS (SELECT e.event_type,
+        |         quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |       FROM events e JOIN m ON m.event_type = e.event_type
+        |       GROUP BY e.event_type),
+        |fl AS (SELECT e.event_type,
+        |         SUM(CASE WHEN abs(e.value - m.med) > 3 * md.mad
+        |             THEN 1 ELSE 0 END) AS n_out
+        |       FROM events e
+        |       JOIN m ON m.event_type = e.event_type
+        |       JOIN md ON md.event_type = e.event_type
+        |       GROUP BY e.event_type)
+        |SELECT m.event_type, CAST(m.n AS BIGINT) AS n_events,
+        |  m.med AS med_value, md.mad AS mad_value,
+        |  CAST(fl.n_out AS BIGINT) AS n_outliers,
+        |  CAST(fl.n_out * 10000 // m.n AS BIGINT) AS outlier_bp
+        |FROM m JOIN md ON md.event_type = m.event_type
+        |JOIN fl ON fl.event_type = m.event_type
+        |ORDER BY m.event_type""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select(col("event_type"), col("value"))
+      val m = e.groupBy("event_type").agg(
+        percentile(col("value"), lit(0.5)).as("med"),
+        count(lit(1)).as("n"))
+      val withMed = e.join(broadcast(m), "event_type") // bounded type dim
+      val md = withMed.groupBy("event_type").agg(
+        percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
+      val fl = withMed.join(broadcast(md), "event_type")
+        .groupBy("event_type").agg(
+          sum(when(abs(col("value") - col("med")) > lit(3d) * col("mad"), 1L)
+            .otherwise(0L)).as("n_out"))
+      m.join(md, "event_type").join(fl, "event_type")
+        .select(col("event_type"), col("n").as("n_events"),
+          col("med").as("med_value"), col("mad").as("mad_value"),
+          col("n_out").as("n_outliers"),
+          expr("CAST(n_out * 10000 div n AS BIGINT)").as("outlier_bp"))
+        .orderBy("event_type")
+    },
+
     // ---- q122: funnel conversion (view → click → purchase) -----------------
     // Product-analytics funnel: for each view, the earliest same-user
     // click within 1 h; for each converted view, the earliest purchase
