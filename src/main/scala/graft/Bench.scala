@@ -175,7 +175,11 @@ object Bench {
       // HITS/TextRank iterate with per-round checkpoints (q247/q249), and
       // q253 re-runs the checkpointed HITS rounds per micro-batch — same
       // GC+ContextCleaner-freed-blocks criterion as the CC/PR family
-      "q247", "q249", "q253")
+      "q247", "q249", "q253",
+      // r18 warm-start streams checkpoint per micro-batch like their
+      // cold-replay twins (q303~q200, q304~q253); q305's final reconcile
+      // runs a full CC
+      "q303", "q304", "q305")
     def quiesce(heavy: Boolean): Unit =
       if (heavy) {
         System.gc(); Thread.sleep(50)
@@ -277,10 +281,14 @@ object Bench {
     // query from truncation; the 205-query registry pushed the 0.4 s cut
     // to 1739, and the 243-query registry pushed 0.5 to 1760 — a few
     // timing wobbles from overflow, hence 0.65; the 289-query registry
-    // hit 1628 at 0.65, hence 0.8). Their individual times stay on the
-    // bench_detail line, and a failed query (negative best) is always
-    // listed individually.
-    val (slow, fastQ) = results.partition { case (_, v, _) => v < 0 || v >= 0.8 }
+    // hit 1628 at 0.65, hence 0.8; the 301-query registry hit 1542 at
+    // 0.8 — ~40 more queries from overflow — hence 1.0 (r17 verdict item
+    // 6: measured on the r17 detail, the 1.0 cut lists 110 of 301 queries
+    // at ~1443 B, projecting ~1687 B at 350 queries — still under the
+    // ~1800 B cap; at ~340 live queries move to 1.2, projected ~1506 B).
+    // Their individual times stay on the bench_detail line, and a failed
+    // query (negative best) is always listed individually.
+    val (slow, fastQ) = results.partition { case (_, v, _) => v < 0 || v >= 1.0 }
     val qs = slow.map { case (k, v, _) => "\"" + shortId(k) + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val fastJson =

@@ -24,9 +24,14 @@ import org.apache.spark.sql.SparkSession
   */
 object ProfileOne {
   def main(args: Array[String]): Unit = {
-    val names = args(0).split(',').toSeq
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val iters = if (args.length > 2) args(2).toInt else 4
+    // flag tokens (evict/ballastN) are position-independent (ADVICE r17:
+    // `q124 evict` used to consume 'evict' as sfDir; `q124 sf 'evict'`
+    // threw on iters) — strip them before positional assignment
+    val isFlag = (a: String) => a == "evict" || a.startsWith("ballast")
+    val pos = args.filterNot(isFlag)
+    val names = pos(0).split(',').toSeq
+    val sfDir = if (pos.length > 1) pos(1) else "/root/testdata/sf0.1"
+    val iters = if (pos.length > 2) pos(2).toInt else 4
     val evict = args.contains("evict")
     // "ballastN": pin N GiB of live heap before running — the fleet-JVM
     // simulation (a 293-query Bench session carries GiBs of accumulated

@@ -182,6 +182,69 @@ object GraphPack {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q303's warm-round count per ingest batch — the production claim:
+    * a few warm rounds from the carried rank vector per batch instead of
+    * the full from-uniform ladder. */
+  private val WARM_PR_ROUNDS = 2
+
+  /** q303 oracle: FULL REPLAY of the warm-start ladder (r18, verdict
+    * item 3). The item asked the warm-start stream to hash-match q200's
+    * 5-rounds-from-uniform oracle at the final batch; that is MEASURABLY
+    * impossible on this recurrence — the integer damping iteration has no
+    * reachable exact fixed point on the fixture (per-round max |Δrank|
+    * decays ×0.85 per round, 443706 → 142241 over rounds 4→12, with 56 of
+    * 159 nodes still moving at round 12; exact stability would need ~90+
+    * rounds and may cycle below that), so a warm recurrence can never
+    * land bit-exactly on the round-5 snapshot. What IS exactly replayable
+    * is the warm recurrence itself: batch membership is portable
+    * (tag = pmod(id_a + id_b, 4)) and arrival-ordered (stagedTaggedBatches),
+    * batch 0 runs the cold 5-round ladder, every later batch runs
+    * WARM_PR_ROUNDS warm rounds from the carried rank table with
+    * first-seen nodes at the uniform 1e6 (Graph.warmStartPageRank's exact
+    * recurrence) — all integer arithmetic, unrolled here batch by batch.
+    * GraphSpec keeps the same-fixed-point CONVERGENCE evidence (warm
+    * error strictly below cold error at equal rounds). */
+  private lazy val WARM_PR_ORACLE: String = {
+    // chain CTEs are MATERIALIZED — DuckDB inlines plain CTEs, and every
+    // round CTE would re-inline the whole winnow chain through ed$b
+    // (cf. the q271 pointer-doubling lesson; q304's HITS ladder is the
+    // exponential case)
+    val w = WARM_PR_ROUNDS
+    def rounds(b: Int, n: Int) = (1 to n).map { k =>
+      val prev = if (k == 1) s"b${b}r0" else s"b${b}i${k - 1}"
+      s"""b${b}i$k AS MATERIALIZED (
+         |  SELECT ed.v AS id,
+         |    CAST(150000 + (85 * SUM(pr.r // ed.od)) // 100 AS BIGINT) AS r
+         |  FROM ed$b ed JOIN $prev pr ON pr.id = ed.u GROUP BY ed.v)""".stripMargin
+    }.mkString(",\n")
+    val batches = (0 to 3).map { b =>
+      val n = if (b == 0) 5 else w
+      val prevFinal = if (b == 1) "b0i5" else s"b${b - 1}i$w"
+      val graph =
+        s"""e$b AS MATERIALIZED (
+           |  SELECT id_a AS u, id_b AS v FROM tagged WHERE tag <= $b
+           |  UNION ALL SELECT id_b, id_a FROM tagged WHERE tag <= $b),
+           |deg$b AS MATERIALIZED (
+           |  SELECT u, CAST(COUNT(*) AS BIGINT) AS od FROM e$b GROUP BY u),
+           |ed$b AS MATERIALIZED (
+           |  SELECT e.u, e.v, d.od FROM e$b e JOIN deg$b d ON d.u = e.u)""".stripMargin
+      val init =
+        if (b == 0)
+          "b0r0 AS (SELECT u AS id, CAST(1000000 AS BIGINT) AS r FROM deg0)"
+        else
+          s"""b${b}r0 AS (SELECT d.u AS id,
+             |  CAST(COALESCE(p.r, 1000000) AS BIGINT) AS r
+             |  FROM deg$b d LEFT JOIN $prevFinal p ON p.id = d.u)""".stripMargin
+      s"$graph,\n$init,\n${rounds(b, n)}"
+    }.mkString(",\n")
+    s"""WITH $WinnowPairsSqlCtes,
+       |tagged AS MATERIALIZED (SELECT id_a, id_b,
+       |  ((id_a + id_b) % 4 + 4) % 4 AS tag FROM mpairs),
+       |$batches
+       |SELECT id AS doc_id, r AS pr_rank FROM b3i$w
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Shared walk-graph oracle CTEs: the symmetric Jaccard match edges
     * with per-node degree and dense neighbor rank — `und(u, v)`,
     * `deg(u, od)`, `rnk(u, v, r)`. Used by q195/q198 (first-order walks)
@@ -988,6 +1051,69 @@ object GraphPack {
             .orderBy("doc_id")
         case None =>
           // zero micro-batches fired — match batch q109's empty answer
+          s.range(0).select(col("id").as("doc_id"), col("id").as("pr_rank"))
+      }
+    },
+
+    // ---- q303: WARM-START streaming PageRank — the production rank path ----
+    // q200's sibling with the state carried as RANKS, not just edges: the
+    // scale answer to its O(rounds·E)-per-batch replay (verdict r17 item
+    // 3). Per ingest batch, Graph.warmStartPageRank runs WARM_PR_ROUNDS
+    // bounded rounds from the previous batch's rank table (first-seen
+    // nodes at uniform 1e6) instead of the full 5-round from-uniform
+    // ladder — the hub vector is already near the grown graph's fixed
+    // point when a batch adds few edges (GraphSpec: warm error < cold
+    // error at equal rounds). Because the integer recurrence has no
+    // reachable EXACT fixed point on the fixture (measured r18 — see
+    // WARM_PR_ORACLE), the oracle replays the warm ladder itself over the
+    // deterministic tagged batch split; both state tables are versioned
+    // parquet with keyed v{batchId-1} reads (the q200 idempotence
+    // discipline: a replayed micro-batch recomputes ranks_v{b} from
+    // exactly the same inputs). Per-batch cost: 2 keyed joins + 2
+    // map-side-combined aggs per round over the current graph, rounds
+    // CONSTANT — the O(E) term q200 pays per batch drops to
+    // O(E·W/5) with W=2, measured in INCREMENTAL_LEDGER.md.
+    QueryDef(
+      "q303_warm_stream_pagerank", WARM_PR_ORACLE) { (s, d) =>
+      val srcDir = stagedTaggedBatches("graft-q303-src-",
+        winnowMatchPairs(s, d).select("id_a", "id_b"), "id_a", "id_b", d)
+      val store = clearedStore(d, "graft-q303-warmpr-")
+      val latestRanks =
+        new java.util.concurrent.atomic.AtomicReference[String](null)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) => {
+        val ss = batch.sparkSession
+        val prevV = s"$store/edges_v${batchId - 1}"
+        val merged =
+          if (batchId > 0 && new java.io.File(prevV).isDirectory)
+            ss.read.parquet(prevV).unionByName(
+              batch.select(col("id_a"), col("id_b")))
+          else batch.select(col("id_a"), col("id_b"))
+        val edgesV = s"$store/edges_v$batchId"
+        merged.write.mode("overwrite").parquet(edgesV)
+        val mp = ss.read.parquet(edgesV)
+        val sym = mp.select(col("id_a").as("u"), col("id_b").as("v"))
+          .unionAll(mp.select(col("id_b").as("u"), col("id_a").as("v")))
+        val prevRanksV = s"$store/ranks_v${batchId - 1}"
+        val pr =
+          if (batchId > 0 && new java.io.File(prevRanksV).isDirectory)
+            graft.operators.Graph.warmStartPageRank(sym, "u", "v",
+              ss.read.parquet(prevRanksV), iters = WARM_PR_ROUNDS)
+          else
+            graft.operators.Graph.fixedPointPageRank(sym, "u", "v", iters = 5)
+        val ranksV = s"$store/ranks_v$batchId"
+        pr.write.mode("overwrite").parquet(ranksV)
+        latestRanks.set(ranksV)
+      })
+      Option(latestRanks.get()) match {
+        case Some(last) =>
+          s.read.parquet(last)
+            .select(col("id").as("doc_id"), col("r").as("pr_rank"))
+            .orderBy("doc_id")
+        case None =>
           s.range(0).select(col("id").as("doc_id"), col("id").as("pr_rank"))
       }
     },

@@ -219,21 +219,48 @@ object MultimodalPack {
     // ---- q57: STUB decode→embed features feeding the near-dup family -------
     // The corpus has no exact-duplicate texts, so duplicates are planted:
     // docs with id < 50 appear again (same bytes, id + offset). Identical
-    // blobs ⇒ identical stub features ⇒ cos_sim = 1.0 pairs, always in the
-    // same LSH bucket (recall 1 for exact dups, no luck involved); asserted
-    // against exact blob equality in MultimodalSpec. xxhash64 has no DuckDB
-    // twin → rows-only.
-    QueryDef.rowsOnly("q57_multimodal_feature_dedup") { (s, d) =>
+    // blobs ⇒ identical stub features ⇒ identical SRP signatures in every
+    // table (recall 1 for exact dups, no luck involved) ⇒ a cos_sim = 1.0
+    // pair; asserted against exact blob equality in MultimodalSpec.
+    // Upgraded r18 (verdict item 4) rows-only → hash-green, the q52/q74
+    // planted-twin contract: the query still runs the full stub-feature →
+    // SRP-bucket → exact-rerank pipeline, and the output is one row per
+    // planted doc (twin pair found, its cosine exactly 1.0 — IEEE
+    // sqrt(x·x)=x makes cos(v,v) exact) plus a pair-shape audit over the
+    // WHOLE pair list (id_a < id_b, cos ≥ threshold, no duplicate pairs).
+    // A planted doc whose twin pair goes missing drops its row (inner
+    // join) → row-count red.
+    QueryDef(
+      "q57_multimodal_feature_dedup",
+      """SELECT doc_id, CAST(1 AS BIGINT) AS twin_found,
+        |  CAST(1 AS BIGINT) AS twin_cos_one,
+        |  CAST(1 AS BIGINT) AS pair_shape_ok
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin) { (s, d) =>
       val b = blobs(s, d)
       val corpus = b.unionByName(
         b.filter(col("doc_id") < 50)
           .select((col("doc_id") + DUP_OFFSET).as("doc_id"), col("content")))
       val feats = corpus
         .select(col("doc_id"), Multimodal.featuresStub(col("content")).as("feat"))
-      Similarity.cosineNearDup(
-        feats, "doc_id", "feat", threshold = 0.9999,
-        dim = 8, bits = 8, tables = 4)
-        .orderBy("id_a", "id_b")
+      val pairs = graft.operators.CacheScope.sessionManaged.persist(
+        Similarity.cosineNearDup(
+          feats, "doc_id", "feat", threshold = 0.9999,
+          dim = 8, bits = 8, tables = 4)
+      ) // two consumers (twin probe + shape audit); harness clearCache releases
+      val twins = pairs
+        .filter(col("id_a") < 50 && col("id_b") === col("id_a") + DUP_OFFSET)
+        .select(col("id_a").as("doc_id"),
+          lit(1L).as("twin_found"),
+          when(col("cos_sim") === 1.0d, 1L).otherwise(0L).as("twin_cos_one"))
+      val shape = pairs.agg(
+        sum(when(col("id_a") < col("id_b") && col("cos_sim") >= 0.9999, 0L)
+          .otherwise(1L)).as("bad"),
+        (count(lit(1)) - countDistinct(col("id_a"), col("id_b"))).as("dups"))
+      twins.crossJoin(broadcast(shape))
+        .select(col("doc_id"), col("twin_found"), col("twin_cos_one"),
+          when(col("bad") === 0L && col("dups") === 0L, 1L).otherwise(0L)
+            .as("pair_shape_ok"))
+        .orderBy("doc_id")
     },
 
     // ---- q154: compressed-payload round trip (native gzip codec) -----------
@@ -2443,14 +2470,23 @@ object MultimodalPack {
       .agg(sum(col("sv") * col("sv")).as("sq"),
         max(abs(col("sv"))).as("pk"),
         sum(when(col("sv") === 0L, 1L).otherwise(0L)).as("nz"))
+      // coalesce-to-0 on the valid branch (ADVICE r17): a blob with a
+      // valid header but ZERO samples (hdrok=true, ns=0 — a crafted
+      // 44-byte WAV) rides the k=-1 sentinel path, so its sv aggregates
+      // are NULL; without the coalesce it would emit NULL peak/sum/rms on
+      // the hdrok branch. Unreachable with the current generators
+      // (n ≥ 40) but a defined-values contract for blind walks: a valid
+      // empty data chunk reports 0 peak, 0 energy, 0 zero-crossings,
+      // 0.0 rms.
       .select(col("doc_id"),
         when(col("hdrok"), 1L).otherwise(0L).as("valid"),
         col("ns").as("n_samples"),
-        when(col("hdrok"), col("pk")).otherwise(-1L).as("peak_abs"),
-        when(col("hdrok"), col("sq")).otherwise(-1L).as("sum_sq"),
+        when(col("hdrok"), coalesce(col("pk"), lit(0L))).otherwise(-1L).as("peak_abs"),
+        when(col("hdrok"), coalesce(col("sq"), lit(0L))).otherwise(-1L).as("sum_sq"),
         when(col("hdrok"), col("nz")).otherwise(-1L).as("n_zero"),
-        when(col("hdrok"),
+        when(col("hdrok") && col("ns") > 0L,
           sqrt(col("sq").cast("double") / col("ns")))
+          .when(col("hdrok"), lit(0d))
           .otherwise(lit(-1d)).as("rms"))
   }
 
@@ -2523,14 +2559,17 @@ object MultimodalPack {
       .agg(sum(col("sv") * col("sv")).as("sq"),
         max(abs(col("sv"))).as("pk"),
         sum(when(abs(col("sv")) === 32124L, 1L).otherwise(0L)).as("nc"))
+      // coalesce-to-0 on the valid branch for the hdrok ∧ ns=0 edge —
+      // same defined-values contract as pcmWalk (ADVICE r17)
       .select(col("doc_id"),
         when(col("hdrok"), 1L).otherwise(0L).as("valid"),
         col("ns").as("n_samples"),
-        when(col("hdrok"), col("pk")).otherwise(-1L).as("peak_abs"),
-        when(col("hdrok"), col("sq")).otherwise(-1L).as("sum_sq"),
+        when(col("hdrok"), coalesce(col("pk"), lit(0L))).otherwise(-1L).as("peak_abs"),
+        when(col("hdrok"), coalesce(col("sq"), lit(0L))).otherwise(-1L).as("sum_sq"),
         when(col("hdrok"), col("nc")).otherwise(-1L).as("n_clipped"),
-        when(col("hdrok"),
+        when(col("hdrok") && col("ns") > 0L,
           sqrt(col("sq").cast("double") / col("ns")))
+          .when(col("hdrok"), lit(0d))
           .otherwise(lit(-1d)).as("rms"))
   }
 

@@ -963,9 +963,10 @@ object RelationalPack {
         |SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
         |  CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
         |  CAST(sxy AS BIGINT) AS sxy,
-        |  CAST(n * sxy - sx * sy AS DOUBLE) /
-        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
-        |         CAST(n * syy - sy * sy AS DOUBLE)) AS acf
+        |  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+        |    THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |           CAST(n * syy - sy * sy AS DOUBLE)) END AS acf
         |FROM st ORDER BY lag""".stripMargin) { (s, d) =>
       val e = Tables.events(s, d).select(to_date(col("ts")).as("dt"))
       val d0 = e.agg(min(col("dt")).as("d0"))
@@ -981,11 +982,16 @@ object RelationalPack {
           sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
           sum(col("x") * col("x")).as("sxx"),
           sum(col("y") * col("y")).as("syy"))
+          // zero-variance guard (ADVICE r17): a lag with constant daily
+          // counts yields 0/0 — emit NULL identically in both engines
+          // instead of an engine-representation-dependent NaN
           .select(lit(k).as("lag"), col("n").as("n_pairs"),
             col("sx"), col("sy"), col("sxy"),
-            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-              sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
-                (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+            when((col("n") * col("sxx") - col("sx") * col("sx")) > 0L &&
+              (col("n") * col("syy") - col("sy") * col("sy")) > 0L,
+              (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                  (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
               .as("acf"))
       }.reduce(_ unionByName _).orderBy("lag")
     },
@@ -2238,6 +2244,63 @@ object RelationalPack {
       }
     },
 
+    // ---- q304: WARM-START streaming HITS — the production score path -------
+    // q253's sibling with the state carried as HUBS, not just edges (the
+    // q303 pattern on the directed bipartite graph): per ingest batch,
+    // Graph.warmStartHits runs WARM_HITS_ROUNDS bounded mutual-
+    // reinforcement rounds from the previous batch's hub table instead of
+    // q253's full 4-round from-uniform replay — the answer to the
+    // registry's heaviest bench line (q253 ~10 s = 4 micro-batches × full
+    // HITS over the accumulated store). The oracle replays the warm
+    // ladder over the deterministic tagged split (see WARM_HITS_ORACLE);
+    // state (edge set + hub vector, both versioned parquet with keyed
+    // v{batchId-1} reads) is idempotent under at-least-once replay.
+    // Per-batch cost: rounds CONSTANT at 2 — measured against q253 in
+    // INCREMENTAL_LEDGER.md.
+    QueryDef(
+      "q304_warm_stream_hits", WARM_HITS_ORACLE) { (s, d) =>
+      val srcDir = TextDedupPack.stagedTaggedBatches("graft-q304-src-",
+        eventEdges(s, d), "u", "v", d)
+      val store = TextDedupPack.clearedStore(d, "graft-q304-hits-")
+      val latest = new java.util.concurrent.atomic.AtomicReference[String](null)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) => {
+        val ss = batch.sparkSession
+        val prevV = s"$store/edges_v${batchId - 1}"
+        val merged =
+          (if (batchId > 0 && new java.io.File(prevV).isDirectory)
+             ss.read.parquet(prevV).unionByName(batch.select("u", "v"))
+           else batch.select("u", "v")).distinct()
+        val edgesV = s"$store/edges_v$batchId"
+        merged.write.mode("overwrite").parquet(edgesV)
+        val mp = ss.read.parquet(edgesV)
+        val prevHubsV = s"$store/hubs_v${batchId - 1}"
+        val (h, a) =
+          if (batchId > 0 && new java.io.File(prevHubsV).isDirectory)
+            graft.operators.Graph.warmStartHits(mp, "u", "v",
+              ss.read.parquet(prevHubsV), iters = WARM_HITS_ROUNDS)
+          else graft.operators.Graph.hits(mp, "u", "v", 4)
+        h.write.mode("overwrite").parquet(s"$store/hubs_v$batchId")
+        val scores = a
+          .select(lit("authority").as("kind"), col("id"), col("s").as("score"))
+          .unionByName(h.select(lit("hub").as("kind"), col("id"),
+            col("s").as("score")))
+        val scoresV = s"$store/scores_v$batchId"
+        scores.write.mode("overwrite").parquet(scoresV)
+        latest.set(scoresV)
+      })
+      Option(latest.get()) match {
+        case Some(last) =>
+          s.read.parquet(last).orderBy("kind", "id")
+        case None =>
+          s.range(0).select(col("id").cast("string").as("kind"),
+            col("id"), col("id").as("score"))
+      }
+    },
+
     // ---- q247: HITS hubs & authorities over the user→item event graph ------
     // The centrality family's directed member (q109 PageRank, q145
     // personalized PR, q144 LPA are the others): Kleinberg's HITS (JACM
@@ -2294,6 +2357,76 @@ object RelationalPack {
     * HITS — same final edge set ⇒ same scores): 4 mutual-reinforcement
     * rounds, each vector re-normalized to mean ≈ 1e6 by the
     * division-only integer step (see Graph.hitsRounds). */
+  /** q304's warm-round count per ingest batch (cf. GraphPack's
+    * WARM_PR_ROUNDS). */
+  private val WARM_HITS_ROUNDS = 2
+
+  /** q304 oracle: FULL REPLAY of the warm-start HITS ladder (r18,
+    * verdict item 3 — see GraphPack.WARM_PR_ORACLE for the measured
+    * impossibility of matching the from-uniform oracle: HITS is even
+    * stronger, the division-only mean renormalization drifts EVERY hub
+    * ~0.12% per extra round, so no two round counts ever agree). Batch
+    * membership is portable (tag = pmod(u + v, 4)), arrival is tag-
+    * ordered; batch 0 runs the cold 4-round ladder, later batches run
+    * WARM_HITS_ROUNDS warm rounds from the carried hub table with
+    * first-seen hubs at the uniform 1e6 (Graph.warmStartHits' exact
+    * recurrence — authorities are recomputed from hubs in round 1, so
+    * hubs are the complete state). */
+  private lazy val WARM_HITS_ORACLE: String = {
+    // every chain CTE is MATERIALIZED: DuckDB inlines plain CTEs, and the
+    // 10-round ladder references each half-round twice (raw + its 1-row
+    // normalizer) — inlined, that doubles per half-round into a 2^20
+    // expansion that exhausts file handles (same trap as q271's
+    // pointer-doubling; the memory-note fix)
+    val w = WARM_HITS_ROUNDS
+    def rounds(b: Int, n: Int) = (1 to n).map { t =>
+      val prevH = if (t == 1) s"b${b}h0" else s"b${b}h${t - 1}"
+      s"""b${b}a${t}r AS MATERIALIZED (
+         |  SELECT e.v AS id, CAST(SUM(h.s) AS BIGINT) AS s
+         |  FROM e$b e JOIN $prevH h ON e.u = h.id GROUP BY e.v),
+         |b${b}a${t}t AS MATERIALIZED (SELECT CAST(SUM(s) AS BIGINT) AS tot,
+         |  CAST(COUNT(*) AS BIGINT) AS n FROM b${b}a${t}r),
+         |b${b}a$t AS MATERIALIZED (
+         |  SELECT id, s // greatest(tot // (n * 1000000), 1) AS s
+         |  FROM b${b}a${t}r, b${b}a${t}t),
+         |b${b}h${t}r AS MATERIALIZED (
+         |  SELECT e.u AS id, CAST(SUM(a.s) AS BIGINT) AS s
+         |  FROM e$b e JOIN b${b}a$t a ON e.v = a.id GROUP BY e.u),
+         |b${b}h${t}t AS MATERIALIZED (SELECT CAST(SUM(s) AS BIGINT) AS tot,
+         |  CAST(COUNT(*) AS BIGINT) AS n FROM b${b}h${t}r),
+         |b${b}h$t AS MATERIALIZED (
+         |  SELECT id, s // greatest(tot // (n * 1000000), 1) AS s
+         |  FROM b${b}h${t}r, b${b}h${t}t)""".stripMargin
+    }.mkString(",\n")
+    val batches = (0 to 3).map { b =>
+      val n = if (b == 0) 4 else w
+      val prevFinal = if (b == 1) "b0h4" else s"b${b - 1}h$w"
+      val graph =
+        s"e$b AS MATERIALIZED (SELECT DISTINCT u, v FROM tagged WHERE tag <= $b)"
+      val init =
+        if (b == 0)
+          """b0h0 AS MATERIALIZED (SELECT u AS id, CAST(1000000 AS BIGINT) AS s
+            |  FROM (SELECT DISTINCT u FROM e0))""".stripMargin
+        else
+          s"""b${b}h0 AS MATERIALIZED (SELECT du.u AS id,
+             |  CAST(COALESCE(p.s, 1000000) AS BIGINT) AS s
+             |  FROM (SELECT DISTINCT u FROM e$b) du
+             |  LEFT JOIN $prevFinal p ON p.id = du.u)""".stripMargin
+      s"$graph,\n$init,\n${rounds(b, n)}"
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT user_id AS u,
+       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS v
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+       |tagged AS (SELECT u, v, ((u + v) % 4 + 4) % 4 AS tag FROM edges),
+       |$batches
+       |SELECT kind, id, score FROM (
+       |  SELECT 'authority' AS kind, id, s AS score FROM b3a$w
+       |  UNION ALL SELECT 'hub', id, s FROM b3h$w)
+       |ORDER BY kind, id""".stripMargin
+  }
+
   private lazy val HITS_ORACLE: String = {
     val rounds = (1 to 4).map { t =>
       s"""a${t}r AS (SELECT e.v AS id, CAST(SUM(h.s) AS BIGINT) AS s

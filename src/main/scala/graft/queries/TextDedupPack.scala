@@ -57,6 +57,30 @@ object TextDedupPack {
   /** doc_id offset distinguishing q88/q89's planted exact-copy twins. */
   private[queries] val NATIVE_TWIN_OFFSET = 1000000L
 
+  /** q52/q74 fixture-precondition guard (ADVICE r17): the planted-twin
+    * contracts silently depend on the fixture shape — a doc_id < 50 whose
+    * text yields no token (q52's simHash64) or no 3-token shingle (q74's
+    * nearDuplicates) vanishes from the pair pipeline and the inner join
+    * turns the query row-count red as a FALSE engine failure; likewise an
+    * organic doc_id ≥ NATIVE_TWIN_OFF would collide with a twin id. One
+    * bounded 1-row aggregate, failing loudly with a fixture message
+    * instead of as a spurious oracle mismatch. */
+  private[queries] def requireNativeTwinPreconditions(
+      docs: org.apache.spark.sql.DataFrame): Unit = {
+    val r = docs.agg(
+      max(col("doc_id")).as("max_id"),
+      sum(when(col("doc_id") < 50 &&
+        size(split(col("text"), " ")) < 3, 1L).otherwise(0L)).as("thin"),
+      sum(when(col("doc_id") < 50, 1L).otherwise(0L)).as("n50")).collect()(0)
+    require(r.getLong(1) == 0L && r.getLong(2) > 0L,
+      s"q52/q74 fixture precondition: every doc_id < 50 must have >= 3 " +
+        s"tokens (found ${r.getLong(1)} thinner of ${r.getLong(2)}) — " +
+        "the planted-twin contract would report a false engine failure")
+    require(r.getLong(0) < NATIVE_TWIN_OFF,
+      s"q52/q74 fixture precondition: max organic doc_id ${r.getLong(0)} " +
+        s"collides with the twin id space (NATIVE_TWIN_OFF=$NATIVE_TWIN_OFF)")
+  }
+
   /** Token width of q86's sub-document units. The fixture corpus is flat
     * word streams (no newlines), so fixed 16-token segments stand in for
     * the paragraph/line splitter a web corpus would use — the dedup
@@ -473,6 +497,45 @@ object TextDedupPack {
     })
 
 
+  /** Stage an edge list as 4 SINGLE-FILE parquet batches in DETERMINISTIC
+    * arrival order — the q303/q304 warm-recurrence streams are
+    * order-SENSITIVE (the carried rank/hub state makes each batch's
+    * output depend on every previous batch), unlike q194/q200/q253's
+    * set-semantics streams where repartition(4) suffices. Two guarantees:
+    * (a) batch membership is PORTABLE — tag = pmod(colA + colB, 4),
+    * replayed verbatim in the oracle's `tagged` CTE; (b) arrival order is
+    * tag order — one file per tag with strictly increasing mtimes
+    * (FileStreamSource sorts candidates by modification time). An empty
+    * tag still writes its one empty part file (coalesce(1) commits a
+    * single task), so batchId always equals tag. Built on first use per
+    * (prefix, sf dir), deleted at JVM exit; cf. [[stagedDocBatches]]. */
+  private[queries] val taggedBatchStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[queries] def stagedTaggedBatches(
+      prefix: String, pairs: org.apache.spark.sql.DataFrame,
+      ca: String, cb: String, d: String): String =
+    taggedBatchStages.computeIfAbsent(s"$prefix:$d", _ => {
+      val dir = java.nio.file.Files.createTempDirectory(prefix)
+      sys.addShutdownHook(graft.streaming.Streams.deleteRecursively(dir))
+      val tagged = pairs.select(col(ca), col(cb),
+        pmod(col(ca) + col(cb), lit(4)).as("__tag")).persist()
+      (0 until 4).foreach { b =>
+        val tmp = java.nio.file.Files.createTempDirectory(s"$prefix-tmp-")
+        tagged.filter(col("__tag") === b.toLong).select(ca, cb)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"stagedTaggedBatches: no part file for tag $b"))
+        val target = new java.io.File(dir.toFile, f"batch$b%02d.parquet")
+        java.nio.file.Files.move(part.toPath, target.toPath)
+        // strictly increasing, coarse-grained mtimes pin arrival order
+        target.setLastModified(1000000L * (b + 1))
+        graft.streaming.Streams.deleteRecursively(tmp)
+      }
+      tagged.unpersist(blocking = false)
+      dir.toString
+    })
+
   /** One staged 4-file copy of the WINNOW match-pair list per sf dir —
     * q200's edge stream (the q109 graph arriving incrementally); cf.
     * [[stagedPairBatches]] (which stages the q67/q194 Jaccard pairs). */
@@ -517,9 +580,9 @@ object TextDedupPack {
   /** UNCAPPED distinct word-3-grams (doc_id, gram) — q131 needs the full
     * gram sets (its pruning is the lossless prefix filter, not the df
     * cap). Persisted: prefix build + both verify sides + sizes scan it. */
-  private[queries] def uncappedGrams(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private[queries] def uncappedGramsOf(docs: org.apache.spark.sql.DataFrame) = {
     val t = col("t")
-    Tables.documentsSpread(s, d)
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(t) >= 3)
       .select(col("doc_id"),
@@ -527,8 +590,10 @@ object TextDedupPack {
           sequence(lit(1), size(t) - 2),
           i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))
         ))).as("gram"))
-      .persist()
   }
+
+  private[queries] def uncappedGrams(s: org.apache.spark.sql.SparkSession, d: String) =
+    uncappedGramsOf(Tables.documentsSpread(s, d)).persist()
 
   /** Candidate pairs from the prefix filter: per doc, keep the
     * n - ceil(θ·n) + 1 grams smallest in the GLOBAL (df, gram) order and
@@ -1224,6 +1289,7 @@ object TextDedupPack {
         |  CAST(1 AS BIGINT) AS pair_shape_ok
         |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documentsSpread(s, d).select(col("doc_id"), col("text"))
+      requireNativeTwinPreconditions(docs)
       val corpus = docs.unionByName(
         docs.filter(col("doc_id") < 50)
           .select((col("doc_id") + NATIVE_TWIN_OFF).as("doc_id"), col("text")))
@@ -1265,6 +1331,7 @@ object TextDedupPack {
         |  CAST(1 AS BIGINT) AS canonical_contract
         |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documentsSpread(s, d).select(col("doc_id"), col("text"))
+      requireNativeTwinPreconditions(docs)
       val corpus = docs.unionByName(
         docs.filter(col("doc_id") < 50)
           .select((col("doc_id") + NATIVE_TWIN_OFF).as("doc_id"), col("text")))
@@ -2989,6 +3056,168 @@ object TextDedupPack {
         .select(col("source"), col("n_chunks"), col("n_unique"),
           (lit(10000L) - expr("(n_unique * 10000) div n_chunks")).as("dup_bp"))
         .orderBy("source")
+    },
+
+    // ---- q305: incremental near-dup RECRAWL — persisted LSH bucket store ---
+    // The production recrawl member the registry lacked (r17 verdict item
+    // 5): each snapshot is deduped against the PERSISTED band-bucket
+    // store of every previous snapshot, and the store grows incrementally
+    // — old docs are NEVER re-shingled, re-hashed, or re-bucketed. The
+    // q194/q200 versioned-state pattern applied to MinHash-LSH buckets,
+    // with four append-only stores (q85's dynamic-partition-overwrite
+    // idempotence): uncapped grams, gram-set sizes, band buckets
+    // (Dedup.portableBandBuckets — UNCAPPED gram sets, so a doc's
+    // signature is a pure function of the doc and never changes as the
+    // corpus grows; the df cap q27/q67 carry is an all-pairs-join guard
+    // the banded pipeline replaces with the bucket-occupancy cap), and
+    // discovered pair EVENTS carrying the (band, bh) they collided in.
+    //
+    // Per batch: new docs' buckets join the accumulated store's
+    // under-cap-NOW buckets (occupancy only GROWS, so a bucket under cap
+    // at the final snapshot was under cap at every discovery — no batch
+    // pair can be missed), each new pair is exact-Jaccard-verified ONCE
+    // via keyed gram-store fetches. At the end, stored events are
+    // re-filtered by FINAL occupancy (a pair whose every collision bucket
+    // ended over-cap is dropped, exactly as the batch pipeline drops it)
+    // and the survivors' clusters come from connected components — so the
+    // final clustering hash-matches the BATCH oracle over the union
+    // corpus (q67's closure construction over this pipeline's pairs).
+    // INCREMENTAL_LEDGER.md carries the per-batch cost.
+    QueryDef(
+      "q305_recrawl_neardup", {
+        // oracle: one-shot batch replay over the union corpus — uncapped
+        // grams (`grams` here ≠ gramsSql's df-capped CTE), the portable
+        // 16-minhash/4-band construction, occupancy cap, exact verify,
+        // recursive closure (q67's shape)
+        s"""WITH RECURSIVE toks AS MATERIALIZED (
+           |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+           |  WHERE len(string_split(text, ' ')) >= 3),
+           |grams AS MATERIALIZED (SELECT DISTINCT doc_id,
+           |  unnest(list_transform(range(1, len(t) - 1),
+           |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+           |  FROM toks),
+           |$minhashBandsSql,
+           |bandsc AS MATERIALIZED (SELECT doc_id, band, bh FROM (
+           |    SELECT doc_id, band, bh,
+           |      COUNT(*) OVER (PARTITION BY band, bh) AS n
+           |    FROM bands)
+           |  WHERE n <= $MAX_BUCKET),
+           |cand AS MATERIALIZED (
+           |  SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+           |  FROM bandsc b1 JOIN bandsc b2
+           |    ON b1.band = b2.band AND b1.bh = b2.bh
+           |   AND b1.doc_id < b2.doc_id),
+           |sizes AS MATERIALIZED (
+           |  SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+           |co AS MATERIALIZED (SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+           |  FROM cand c
+           |  JOIN grams g1 ON g1.doc_id = c.doc_a
+           |  JOIN grams g2 ON g2.doc_id = c.doc_b AND g2.gram = g1.gram
+           |  GROUP BY c.doc_a, c.doc_b),
+           |jp AS MATERIALIZED (SELECT doc_a, doc_b
+           |  FROM co
+           |  JOIN sizes sa ON sa.doc_id = doc_a
+           |  JOIN sizes sb ON sb.doc_id = doc_b
+           |  WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5),
+           |und AS (SELECT doc_a AS u, doc_b AS v FROM jp
+           |        UNION ALL SELECT doc_b, doc_a FROM jp),
+           |reach(u, v) AS (
+           |  SELECT u, v FROM und
+           |  UNION
+           |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+           |comp AS (SELECT u AS doc_id, least(u, MIN(v)) AS cluster_id
+           |         FROM reach GROUP BY u)
+           |SELECT cluster_id, doc_id,
+           |  CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS BIGINT)
+           |    AS is_canonical
+           |FROM comp
+           |ORDER BY cluster_id, doc_id""".stripMargin
+      }) { (s, d) =>
+      val srcDir = stagedDocBatches(s, d)
+      val store = clearedStore(d, "graft-q305-recrawl-")
+      val latest = new java.util.concurrent.atomic.AtomicLong(-1L)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      def appendPart(df: org.apache.spark.sql.DataFrame, name: String,
+                     batchId: Long): Unit =
+        df.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(s"$store/$name")
+      graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) => {
+        val ss = batch.sparkSession
+        val docs = batch.select(col("doc_id"), col("text"))
+        // new docs' derived state, computed ONCE (never recomputed later)
+        val ng = uncappedGramsOf(docs).persist()
+        appendPart(ng, "grams", batchId)
+        appendPart(ng.groupBy("doc_id").agg(count(lit(1)).as("n")),
+          "sizes", batchId)
+        appendPart(
+          graft.operators.Dedup.portableBandBuckets(docs, "doc_id", "text"),
+          "buckets", batchId)
+        ng.unpersist(blocking = false)
+        // candidate events: new buckets × accumulated store, capped by
+        // CURRENT occupancy (monotone — see scaladoc)
+        val all = ss.read.parquet(s"$store/buckets")
+        val under = all.groupBy("band", "bh").agg(count(lit(1)).as("nb"))
+          .filter(col("nb") <= MAX_BUCKET).select("band", "bh")
+        val ev = all.filter(col("batch_id") === batchId)
+          .select(col("doc_id").as("nid"), col("band"), col("bh"))
+          .join(under, Seq("band", "bh"))
+          .join(all.select(col("doc_id").as("oid"), col("band"), col("bh")),
+            Seq("band", "bh"))
+          .filter(col("oid") =!= col("nid"))
+          .select(least(col("nid"), col("oid")).as("doc_a"),
+            greatest(col("nid"), col("oid")).as("doc_b"),
+            col("band"), col("bh"))
+          .distinct()
+          .persist()
+        appendPart(ev, "events", batchId)
+        // exact-verify each NEW pair once, by keyed gram-store fetch (a
+        // pair always involves a batch doc, so no pair verifies twice)
+        val np = ev.select("doc_a", "doc_b").distinct()
+        val g = ss.read.parquet(s"$store/grams")
+        val sz = ss.read.parquet(s"$store/sizes")
+        val common = np
+          .join(g.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
+          .join(g.select(col("doc_id").as("doc_b"), col("gram")),
+            Seq("doc_b", "gram"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+        val jc = col("common") * lit(1.0) /
+          (col("na") + col("nb") - col("common"))
+        appendPart(common
+          .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .filter(jc >= 0.5)
+          .select("doc_a", "doc_b"), "pairs", batchId)
+        ev.unpersist(blocking = false)
+        latest.set(batchId)
+      })
+      if (latest.get() < 0L) {
+        // zero micro-batches fired — match the batch oracle's empty answer
+        s.range(0).select(col("id").as("cluster_id"), col("id").as("doc_id"),
+          col("id").as("is_canonical"))
+      } else {
+        // final reconcile: FINAL occupancy re-filters the event store, the
+        // survivors' verified pairs feed the q67 closure
+        val allB = s.read.parquet(s"$store/buckets")
+        val under = allB.groupBy("band", "bh").agg(count(lit(1)).as("nb"))
+          .filter(col("nb") <= MAX_BUCKET).select("band", "bh")
+        val kept = s.read.parquet(s"$store/events")
+          .join(under, Seq("band", "bh"))
+          .select("doc_a", "doc_b").distinct()
+          .join(s.read.parquet(s"$store/pairs").select("doc_a", "doc_b"),
+            Seq("doc_a", "doc_b"))
+        graft.operators.Components
+          .connectedComponents(kept, "doc_a", "doc_b")
+          .select(col("component").as("cluster_id"), col("id").as("doc_id"),
+            when(col("id") === col("component"), 1L).otherwise(0L)
+              .as("is_canonical"))
+          .orderBy("cluster_id", "doc_id")
+      }
     },
 
   )

@@ -141,6 +141,39 @@ object VectorPack {
       |FROM embeddings
       |ORDER BY qid""".stripMargin
 
+  /** Probe-shaped planted-twin CONTRACT + shape audit (r18, verdict item
+    * 4 — the q52/q74 upgrade pattern applied to the ANN scale paths):
+    * over a (qid, nid, rk) top-k result, one row per query pinning (a)
+    * rank-1 is the planted twin — float-tie-proof, because the twin's
+    * cosine dominates every organic neighbor by construction — and (b)
+    * the top-k SHAPE is sound: AT MOST k rows (an ANN index returns up
+    * to k — a sparse query legitimately has fewer bucket candidates than
+    * k at test SF), all neighbors distinct, ranks dense 1..n. A query
+    * that returns no rows drops out of the group-by → row-count red; one
+    * that loses its twin or its shape goes hash-red. The underlying
+    * index path (SRP buckets / IVF pruned scan / PQ ADC) is untouched —
+    * the contract rides its output. */
+  private def probeContract(topK: org.apache.spark.sql.DataFrame,
+                            k: Int, off: Long) =
+    topK.groupBy("qid")
+      .agg(
+        max(when(col("rk") === 1L && col("nid") === col("qid") + off, 1L)
+          .otherwise(0L)).as("twin_rank1"),
+        when(count(lit(1)) <= k.toLong &&
+          countDistinct(col("nid")) === count(lit(1)) &&
+          countDistinct(col("rk")) === count(lit(1)) &&
+          min(col("rk")) === 1L && max(col("rk")) === count(lit(1)), 1L)
+          .otherwise(0L).as("shape_ok"))
+      .orderBy("qid")
+
+  /** [[probeContract]]'s expected answer over the 10 probe queries. */
+  private val PROBE_CONTRACT_ORACLE =
+    """SELECT vec_id AS qid,
+      |  CAST(1 AS BIGINT) AS twin_rank1,
+      |  CAST(1 AS BIGINT) AS shape_ok
+      |FROM embeddings WHERE vec_id < 10
+      |ORDER BY qid""".stripMargin
+
   /** One IVF cell-partitioned layout (+ its centroids) per sf dir, built on
     * first use and reused for the JVM's lifetime — Bench warms q58, so the
     * timed run pays only the pruned probe, which is the number the layout
@@ -295,35 +328,45 @@ object VectorPack {
         .orderBy("qid", "rk")
     },
 
-    // ---- q55: ANN top-k over the planted corpus (rows-only scale path) -----
+    // ---- q55: ANN top-k over the planted corpus (planted-twin contract) ----
     // Corpus = embeddings ∪ twins; each query's true nearest neighbor (its
-    // twin at cos ≈ 0.998) must surface through the bucket join — recall
-    // asserted in SimilaritySpec. Raw-corpus neighbors (cos ≈ 0.5) appear
-    // when they share a bucket; the top-k re-rank is exact either way.
-    QueryDef.rowsOnly("q55_ann_topk") { (s, d) =>
+    // twin at cos ≈ 0.998, nothing organic above ≈ 0.5) must surface
+    // through the bucket join. Upgraded r18 (verdict item 4) from
+    // rows-only to a planted-twin CONTRACT oracle, the q52/q74 pattern:
+    // the query still runs the full SRP-LSH probe path (same corpus, same
+    // params — q76 keeps the every-vector recall audit), and the output
+    // is the probeContract row per query — rank-1-is-twin plus the top-k
+    // shape audit — every value portable, so the entry is hash-green
+    // while the signatures stay native xxhash64.
+    QueryDef("q55_ann_topk", PROBE_CONTRACT_ORACLE) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val corpus = Similarity.plantTwins(emb, "vec_id", "embedding", TWIN_OFFSET)
-      Similarity.annTopK(
-        corpus, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, bits = 12, tables = 8)
-        .orderBy("qid", "rk")
+      probeContract(
+        Similarity.annTopK(
+          corpus, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, bits = 12, tables = 8),
+        k = 5, off = TWIN_OFFSET)
     },
 
-    // ---- q58: IVF ANN over the planted corpus (rows-only scale path) -------
+    // ---- q58: IVF ANN over the planted corpus (planted-twin contract) ------
     // Coarse-quantizer variant of q55: k-means cells + nprobe probing,
-    // exact re-rank. Twin recall asserted in SimilaritySpec. Runs the FULL
-    // 100 TB shape: the corpus is written cell-partitioned once (the
-    // write-time assignment a real deployment amortizes over every probe),
-    // then the probe reads it back with dynamic partition pruning — the
-    // benched number is the pruned-scan path, not the ad-hoc
-    // assign-and-shuffle variant (PlanSpec asserts the pruning).
-    QueryDef.rowsOnly("q58_ivf_topk") { (s, d) =>
+    // exact re-rank. Runs the FULL 100 TB shape: the corpus is written
+    // cell-partitioned once (the write-time assignment a real deployment
+    // amortizes over every probe), then the probe reads it back with
+    // dynamic partition pruning — the benched number is the pruned-scan
+    // path, not the ad-hoc assign-and-shuffle variant (PlanSpec asserts
+    // the pruning). Upgraded r18 (verdict item 4) rows-only → hash-green:
+    // same layout, same probe, output is the probeContract row per query
+    // (rank-1-is-twin + top-k shape; q77 keeps the every-vector audit on
+    // the unpartitioned path).
+    QueryDef("q58_ivf_topk", PROBE_CONTRACT_ORACLE) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val (layout, centroids) = ivfLayout(s, d)
-      graft.operators.Ivf.ivfTopKPartitioned(
-        s, layout, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, centroids, nprobe = 4)
-        .orderBy("qid", "rk")
+      probeContract(
+        graft.operators.Ivf.ivfTopKPartitioned(
+          s, layout, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, centroids, nprobe = 4),
+        k = 5, off = TWIN_OFFSET)
     },
 
     // ---- q150: k-means cluster profile — fixed-point, fully oracle-checked -
@@ -511,20 +554,28 @@ object VectorPack {
         .orderBy("qid")
     },
 
-    // ---- q94: product-quantization ANN (rows-only scale path) --------------
+    // ---- q94: product-quantization ANN (planted-twin contract) -------------
     // The compressed-domain third ANN path next to SRP-LSH (q55) and IVF
     // (q58): 8 subspace codebooks of 16 centroids quantize each 64-d vector
     // to 8 codes; the scan reads ONLY the code table with per-query ADC
     // lookup tables, and full vectors are fetched just for the top-32 ADC
-    // survivors, which an exact cosine pass re-ranks. Sketch-valued
-    // intermediate (codes/ADC are engine-specific) → rows-only; recall vs
-    // the exact scorer asserted in SimilaritySpec, and hash-audited by q95.
-    QueryDef.rowsOnly("q94_pq_topk") { (s, d) =>
+    // survivors, which an exact cosine pass re-ranks. Upgraded r18
+    // (verdict item 4) rows-only → hash-green: the corpus gains EXACT-copy
+    // twins (q95's construction — identical vectors take identical codes,
+    // so the twin's ADC distance is the candidate-set minimum and the
+    // exact re-rank pins it at rank 1 with cosine exactly 1.0, float-tie-
+    // proof), the books are the same "twinned" codebooks q95 trains, and
+    // the output is the probeContract row per query. The pure-ADC scan
+    // path stays distinct from q95's IVFADC composition.
+    QueryDef("q94_pq_topk", PROBE_CONTRACT_ORACLE) { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      graft.operators.Pq.pqTopK(
-        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, dim = 64, precomputed = Some(pqBooksFor(d, "raw", emb)))
-        .orderBy("qid", "rk")
+      val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(
+        emb.select((col("vec_id") + TWIN_OFFSET).as("vec_id"), col("embedding")))
+      probeContract(
+        graft.operators.Pq.pqTopK(
+          corpus, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, dim = 64, precomputed = Some(pqBooksFor(d, "twinned", corpus))),
+        k = 5, off = TWIN_OFFSET)
     },
 
     // ---- q95: IVFADC planted-recall audit (hash-green) ---------------------
