@@ -513,26 +513,42 @@ object TextDedupPack {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[queries] def stagedTaggedBatches(
       prefix: String, pairs: org.apache.spark.sql.DataFrame,
-      ca: String, cb: String, d: String): String =
+      ca: String, cb: String, d: String): String = {
+    var built: Option[org.apache.spark.sql.DataFrame] = None
+    lazy val tagged = {
+      val t = pairs.select(col(ca), col(cb),
+        pmod(col(ca) + col(cb), lit(4)).as("__tag")).persist()
+      built = Some(t); t
+    }
+    val dir = stagedOrderedBatches(prefix, d,
+      (0 until 4).map(b => () =>
+        tagged.filter(col("__tag") === b.toLong).select(ca, cb)))
+    built.foreach(_.unpersist(blocking = false))
+    dir
+  }
+
+  /** The general ordered-arrival staging under [[stagedTaggedBatches]]:
+    * each thunk's frame becomes one SINGLE-FILE parquet batch whose
+    * mtime pins its arrival slot. Thunks are only evaluated on first
+    * build (the stage is memoized per (prefix, sf dir)). */
+  private[queries] def stagedOrderedBatches(
+      prefix: String, d: String,
+      batches: Seq[() => org.apache.spark.sql.DataFrame]): String =
     taggedBatchStages.computeIfAbsent(s"$prefix:$d", _ => {
       val dir = java.nio.file.Files.createTempDirectory(prefix)
       sys.addShutdownHook(graft.streaming.Streams.deleteRecursively(dir))
-      val tagged = pairs.select(col(ca), col(cb),
-        pmod(col(ca) + col(cb), lit(4)).as("__tag")).persist()
-      (0 until 4).foreach { b =>
+      batches.zipWithIndex.foreach { case (mk, b) =>
         val tmp = java.nio.file.Files.createTempDirectory(s"$prefix-tmp-")
-        tagged.filter(col("__tag") === b.toLong).select(ca, cb)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        mk().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val part = Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
           .find(_.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"stagedTaggedBatches: no part file for tag $b"))
+          .getOrElse(sys.error(s"stagedOrderedBatches: no part file for batch $b"))
         val target = new java.io.File(dir.toFile, f"batch$b%02d.parquet")
         java.nio.file.Files.move(part.toPath, target.toPath)
         // strictly increasing, coarse-grained mtimes pin arrival order
         target.setLastModified(1000000L * (b + 1))
         graft.streaming.Streams.deleteRecursively(tmp)
       }
-      tagged.unpersist(blocking = false)
       dir.toString
     })
 
@@ -3213,6 +3229,221 @@ object TextDedupPack {
             Seq("doc_a", "doc_b"))
         graft.operators.Components
           .connectedComponents(kept, "doc_a", "doc_b")
+          .select(col("component").as("cluster_id"), col("id").as("doc_id"),
+            when(col("id") === col("component"), 1L).otherwise(0L)
+              .as("is_canonical"))
+          .orderBy("cluster_id", "doc_id")
+      }
+    },
+
+    // ---- q306: recrawl with UPDATES — versioned LSH store, retired rows ----
+    // q305 covers the recrawl case where snapshots only ADD docs; the
+    // harder production case is a re-crawled doc whose CONTENT CHANGED:
+    // the new version supersedes the old, so the old version's bucket
+    // rows must stop producing candidates and its previously-verified
+    // pairs must be RETIRED — while everything stays append-only.
+    // Fixture: batch 0 ships every doc at ver 0; batch b ∈ {1,2,3}
+    // re-crawls docs with doc_id % 4 == b as a deterministic revision
+    // (first (2n+2) div 3 tokens — the q217 variant recipe, so the oracle
+    // replays the text bytes); docs with doc_id % 4 == 0 are never
+    // revised. Store keys are uid = doc_id·4 + ver, so every per-version
+    // gram set / size / bucket row is immutable; a tiny (doc_id,
+    // batch_id) versions table makes "live" a max() lookup — tombstones
+    // as a view, not a rewrite.
+    //
+    // Cap semantics under retirement: a LIVE-rows occupancy cap would
+    // break replay (retirements can DECREASE occupancy, so a bucket
+    // over cap at discovery could end under cap — a missed pair). The
+    // contract is therefore the CUMULATIVE cap — occupancy counts every
+    // version's rows ever staged, which is monotone again (a hot-ever
+    // bucket stays suppressed; the cap is a hotness guard, not an
+    // accuracy knob), and the oracle replays it as bands over ALL
+    // versions while candidates/verify run on LATEST versions only.
+    // Discovery: a final pair (a@la, b@lb) is found at the batch of the
+    // LATER final version, when the earlier one is live — for any number
+    // of re-crawls per doc. Final reconcile keeps events whose bucket is
+    // finally under the cumulative cap AND whose BOTH endpoint versions
+    // are finally latest, then joins the verified-pair store — exactly
+    // the one-shot batch pipeline over the latest corpus.
+    QueryDef(
+      "q306_recrawl_updates", {
+        val mhCols = (0 until 16).map(i =>
+          s"MIN(substring(md5('${i / 4}:' || gram), ${(i % 4) * 8 + 1}, 8)) AS mh$i")
+          .mkString(",\n    ")
+        val bandSel = (0 until 4).map { b =>
+          val cat = (b * 4 until b * 4 + 4).map(i => s"mh$i").mkString(" || ")
+          s"SELECT doc_id, ver, $b AS band, md5($cat) AS bh FROM mhv"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH RECURSIVE rev AS MATERIALIZED (
+           |  SELECT doc_id, doc_id % 4 AS ver, string_split(text, ' ') AS t,
+           |    len(string_split(text, ' ')) AS n
+           |  FROM documents WHERE doc_id % 4 <> 0),
+           |allv AS MATERIALIZED (
+           |  SELECT doc_id, 0 AS ver, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id, ver,
+           |    array_to_string(list_slice(t, 1, (2 * n + 2) // 3), ' ')
+           |  FROM rev),
+           |lat AS MATERIALIZED (
+           |  SELECT doc_id, doc_id % 4 AS ver FROM documents),
+           |toksv AS MATERIALIZED (
+           |  SELECT doc_id, ver, string_split(text, ' ') AS t FROM allv
+           |  WHERE len(string_split(text, ' ')) >= 3),
+           |gramsv AS MATERIALIZED (SELECT DISTINCT doc_id, ver,
+           |  unnest(list_transform(range(1, len(t) - 1),
+           |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+           |  FROM toksv),
+           |mhv AS MATERIALIZED (SELECT doc_id, ver,
+           |    $mhCols
+           |  FROM gramsv GROUP BY doc_id, ver),
+           |bandsv AS MATERIALIZED (
+           |  $bandSel),
+           |occ AS MATERIALIZED (SELECT band, bh FROM (
+           |    SELECT band, bh, COUNT(*) AS n FROM bandsv GROUP BY band, bh)
+           |  WHERE n <= $MAX_BUCKET),
+           |lbands AS MATERIALIZED (
+           |  SELECT b.doc_id, b.band, b.bh FROM bandsv b
+           |  JOIN lat l ON l.doc_id = b.doc_id AND l.ver = b.ver),
+           |cand AS MATERIALIZED (
+           |  SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+           |  FROM lbands b1
+           |  JOIN occ o ON o.band = b1.band AND o.bh = b1.bh
+           |  JOIN lbands b2 ON b2.band = b1.band AND b2.bh = b1.bh
+           |   AND b1.doc_id < b2.doc_id),
+           |lgrams AS MATERIALIZED (
+           |  SELECT g.doc_id, g.gram FROM gramsv g
+           |  JOIN lat l ON l.doc_id = g.doc_id AND l.ver = g.ver),
+           |sizes AS MATERIALIZED (
+           |  SELECT doc_id, COUNT(*) AS n FROM lgrams GROUP BY doc_id),
+           |co AS MATERIALIZED (SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+           |  FROM cand c
+           |  JOIN lgrams g1 ON g1.doc_id = c.doc_a
+           |  JOIN lgrams g2 ON g2.doc_id = c.doc_b AND g2.gram = g1.gram
+           |  GROUP BY c.doc_a, c.doc_b),
+           |jp AS MATERIALIZED (SELECT doc_a, doc_b
+           |  FROM co
+           |  JOIN sizes sa ON sa.doc_id = doc_a
+           |  JOIN sizes sb ON sb.doc_id = doc_b
+           |  WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5),
+           |und AS (SELECT doc_a AS u, doc_b AS v FROM jp
+           |        UNION ALL SELECT doc_b, doc_a FROM jp),
+           |reach(u, v) AS (
+           |  SELECT u, v FROM und
+           |  UNION
+           |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+           |comp AS (SELECT u AS doc_id, least(u, MIN(v)) AS cluster_id
+           |         FROM reach GROUP BY u)
+           |SELECT cluster_id, doc_id,
+           |  CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS BIGINT)
+           |    AS is_canonical
+           |FROM comp
+           |ORDER BY cluster_id, doc_id""".stripMargin
+      }) { (s, d) =>
+      val srcDir = stagedOrderedBatches("graft-q306-src-", d, (0 until 4).map {
+        case 0 => () => Tables.documents(s, d).select(col("doc_id"), col("text"))
+        case b => () => {
+          val t = split(col("text"), " ")
+          Tables.documents(s, d)
+            .filter(pmod(col("doc_id"), lit(4)) === b.toLong)
+            .select(col("doc_id"), t.as("t"), size(t).cast("long").as("n"))
+            .select(col("doc_id"), concat_ws(" ",
+              slice(col("t"), lit(1), ((col("n") * 2L + 2L) / 3L).cast("int")))
+              .as("text"))
+        }
+      })
+      val store = clearedStore(d, "graft-q306-recrawl-")
+      val latest = new java.util.concurrent.atomic.AtomicLong(-1L)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      def appendPart(df: org.apache.spark.sql.DataFrame, name: String,
+                     batchId: Long): Unit =
+        df.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(s"$store/$name")
+      graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) => {
+        val ss = batch.sparkSession
+        // this batch's versions, keyed by uid = doc_id*4 + ver(=batchId)
+        val uidDocs = batch.select(
+          (col("doc_id") * 4L + lit(batchId)).as("doc_id"), col("text"))
+        val ng = uncappedGramsOf(uidDocs).persist()
+        appendPart(ng, "grams", batchId)
+        appendPart(ng.groupBy("doc_id").agg(count(lit(1)).as("n")),
+          "sizes", batchId)
+        appendPart(
+          graft.operators.Dedup.portableBandBuckets(uidDocs, "doc_id", "text"),
+          "buckets", batchId)
+        appendPart(batch.select("doc_id"), "versions", batchId)
+        ng.unpersist(blocking = false)
+        // live-NOW uids from the versions table (max batch per doc)
+        val liveUid = ss.read.parquet(s"$store/versions")
+          .groupBy("doc_id").agg(max(col("batch_id")).as("ver"))
+          .select((col("doc_id") * 4L + col("ver")).as("doc_id"))
+        val all = ss.read.parquet(s"$store/buckets")
+        // CUMULATIVE occupancy (every version ever staged — monotone)
+        val under = all.groupBy("band", "bh").agg(count(lit(1)).as("nb"))
+          .filter(col("nb") <= MAX_BUCKET).select("band", "bh")
+        val newB = all.filter(col("batch_id") === batchId)
+          .select(col("doc_id").as("nuid"), col("band"), col("bh"))
+        val liveB = all.join(liveUid, "doc_id")
+          .select(col("doc_id").as("ouid"), col("band"), col("bh"))
+        val nd = expr("nuid div 4")
+        val od = expr("ouid div 4")
+        val ev = newB
+          .join(under, Seq("band", "bh"))
+          .join(liveB, Seq("band", "bh"))
+          .filter(od =!= nd)
+          .select(least(nd, od).as("doc_a"), greatest(nd, od).as("doc_b"),
+            when(nd < od, col("nuid")).otherwise(col("ouid")).as("ua"),
+            when(nd < od, col("ouid")).otherwise(col("nuid")).as("ub"),
+            col("band"), col("bh"))
+          .distinct()
+          .persist()
+        appendPart(ev, "events", batchId)
+        // exact-verify each new (version-pair) once, by keyed uid fetches
+        val np = ev.select("doc_a", "doc_b", "ua", "ub").distinct()
+        val g = ss.read.parquet(s"$store/grams")
+        val sz = ss.read.parquet(s"$store/sizes")
+        val common = np
+          .join(g.select(col("doc_id").as("ua"), col("gram")), "ua")
+          .join(g.select(col("doc_id").as("ub"), col("gram")),
+            Seq("ub", "gram"))
+          .groupBy("doc_a", "doc_b", "ua", "ub")
+          .agg(count(lit(1)).as("common"))
+        val jc = col("common") * lit(1.0) /
+          (col("na") + col("nb") - col("common"))
+        appendPart(common
+          .join(sz.select(col("doc_id").as("ua"), col("n").as("na")), "ua")
+          .join(sz.select(col("doc_id").as("ub"), col("n").as("nb")), "ub")
+          .filter(jc >= 0.5)
+          .select("doc_a", "doc_b", "ua", "ub"), "pairs", batchId)
+        ev.unpersist(blocking = false)
+        latest.set(batchId)
+      })
+      if (latest.get() < 0L) {
+        s.range(0).select(col("id").as("cluster_id"), col("id").as("doc_id"),
+          col("id").as("is_canonical"))
+      } else {
+        // final reconcile: cumulative cap + both endpoint versions latest
+        val lat = s.read.parquet(s"$store/versions")
+          .groupBy("doc_id").agg(max(col("batch_id")).as("ver"))
+          .select((col("doc_id") * 4L + col("ver")).as("uid"))
+        val allB = s.read.parquet(s"$store/buckets")
+        val under = allB.groupBy("band", "bh").agg(count(lit(1)).as("nb"))
+          .filter(col("nb") <= MAX_BUCKET).select("band", "bh")
+        val kept = s.read.parquet(s"$store/events")
+          .join(under, Seq("band", "bh"))
+          .join(lat.select(col("uid").as("ua")), "ua")
+          .join(lat.select(col("uid").as("ub")), "ub")
+          .select("doc_a", "doc_b", "ua", "ub").distinct()
+          .join(s.read.parquet(s"$store/pairs")
+            .select("doc_a", "doc_b", "ua", "ub"),
+            Seq("doc_a", "doc_b", "ua", "ub"))
+        graft.operators.Components
+          .connectedComponents(kept.select("doc_a", "doc_b"), "doc_a", "doc_b")
           .select(col("component").as("cluster_id"), col("id").as("doc_id"),
             when(col("id") === col("component"), 1L).otherwise(0L)
               .as("is_canonical"))

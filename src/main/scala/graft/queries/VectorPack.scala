@@ -166,6 +166,57 @@ object VectorPack {
           .otherwise(0L).as("shape_ok"))
       .orderBy("qid")
 
+  /** q87's oracle, shared verbatim by q307's incremental run (the
+    * incremental-matches-batch contract). Like q56's oracle, a twin is
+    * expected dropped only when its decimal cosine clears the 0.99
+    * threshold (plantTwins guarantees ≈0.994-0.999, not ≥0.99 for every
+    * vector) — both engines compare the identically rounded
+    * DECIMAL(18,8) score, so the boundary cannot disagree. */
+  private lazy val Q87_ORACLE: String =
+    s"""WITH twins AS (
+       |  SELECT vec_id, embedding,
+       |    list_concat([CAST(CAST(embedding[1] AS DOUBLE)/2 AS FLOAT)],
+       |                embedding[2:]) AS twin
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT vec_id,
+       |    CAST(CAST(CAST(
+       |      list_sum(list_transform(range(1,65), i ->
+       |        CAST(CAST(embedding[i] AS DOUBLE)*CAST(twin[i] AS DOUBLE) AS DECIMAL(38,20)))) AS DOUBLE)
+       |      / sqrt(
+       |        CAST(list_sum(list_transform(embedding, x ->
+       |          CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,20)))) AS DOUBLE)
+       |        * CAST(list_sum(list_transform(twin, x ->
+       |          CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,20)))) AS DOUBLE))
+       |      AS DECIMAL(18,8)) AS DOUBLE) AS sim
+       |  FROM twins)
+       |SELECT vec_id, CAST(1 AS BIGINT) AS kept,
+       |  CAST(NULL AS BIGINT) AS dup_of, CAST(NULL AS DOUBLE) AS dup_sim
+       |FROM embeddings
+       |UNION ALL
+       |SELECT vec_id + $TWIN_OFFSET AS vec_id,
+       |  CAST(CASE WHEN sim >= 0.99 THEN 0 ELSE 1 END AS BIGINT) AS kept,
+       |  CASE WHEN sim >= 0.99 THEN vec_id END AS dup_of,
+       |  CASE WHEN sim >= 0.99 THEN sim END AS dup_sim
+       |FROM scored
+       |ORDER BY vec_id""".stripMargin
+
+  /** One staged 4-split copy of the PLANTED (twinned) corpus per sf dir —
+    * q307's arrival stream. The split is repartition(4)-arbitrary because
+    * q307's answer is split-INDEPENDENT (pair discovery at the later
+    * arrival, keep-lowest at the end); cf. TextDedupPack.stagedDocBatches. */
+  private val twinCorpusStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedTwinCorpusBatches(s: SparkSession, d: String): String =
+    twinCorpusStages.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q307-src-")
+      sys.addShutdownHook(graft.streaming.Streams.deleteRecursively(dir))
+      Similarity.plantTwins(Tables.embeddings(s, d), "vec_id", "embedding",
+        TWIN_OFFSET).repartition(4)
+        .write.mode("overwrite").parquet(dir.toString)
+      dir.toString
+    })
+
   /** [[probeContract]]'s expected answer over the 10 probe queries. */
   private val PROBE_CONTRACT_ORACLE =
     """SELECT vec_id AS qid,
@@ -460,38 +511,7 @@ object VectorPack {
     // that splits even one twin from its base should turn the board red,
     // because boundary recall is exactly what multi-probe buys.
     QueryDef(
-      "q87_semantic_dedup",
-      // like q56's oracle, a twin is expected dropped only when its decimal
-      // cosine clears the 0.99 threshold (plantTwins guarantees ≈0.994-0.999,
-      // not ≥0.99 for every vector) — both engines compare the identically
-      // rounded DECIMAL(18,8) score, so the boundary cannot disagree
-      s"""WITH twins AS (
-         |  SELECT vec_id, embedding,
-         |    list_concat([CAST(CAST(embedding[1] AS DOUBLE)/2 AS FLOAT)],
-         |                embedding[2:]) AS twin
-         |  FROM embeddings),
-         |scored AS (
-         |  SELECT vec_id,
-         |    CAST(CAST(CAST(
-         |      list_sum(list_transform(range(1,65), i ->
-         |        CAST(CAST(embedding[i] AS DOUBLE)*CAST(twin[i] AS DOUBLE) AS DECIMAL(38,20)))) AS DOUBLE)
-         |      / sqrt(
-         |        CAST(list_sum(list_transform(embedding, x ->
-         |          CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,20)))) AS DOUBLE)
-         |        * CAST(list_sum(list_transform(twin, x ->
-         |          CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,20)))) AS DOUBLE))
-         |      AS DECIMAL(18,8)) AS DOUBLE) AS sim
-         |  FROM twins)
-         |SELECT vec_id, CAST(1 AS BIGINT) AS kept,
-         |  CAST(NULL AS BIGINT) AS dup_of, CAST(NULL AS DOUBLE) AS dup_sim
-         |FROM embeddings
-         |UNION ALL
-         |SELECT vec_id + $TWIN_OFFSET AS vec_id,
-         |  CAST(CASE WHEN sim >= 0.99 THEN 0 ELSE 1 END AS BIGINT) AS kept,
-         |  CASE WHEN sim >= 0.99 THEN vec_id END AS dup_of,
-         |  CASE WHEN sim >= 0.99 THEN sim END AS dup_sim
-         |FROM scored
-         |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      "q87_semantic_dedup", Q87_ORACLE) { (s, d) =>
       val corpus = Similarity.plantTwins(
         Tables.embeddings(s, d), "vec_id", "embedding", TWIN_OFFSET)
       val centroids = graft.operators.Ivf.kmeansCentroids(
@@ -619,6 +639,92 @@ object VectorPack {
       recallAudit(graft.operators.Ivf.ivfTopKPartitioned(
         s, layout, emb, "vec_id", "embedding", k = 5, centroids, nprobe = 4,
         broadcastProbes = false))
+    },
+
+    // ---- q307: INCREMENTAL semantic dedup — the embedding-space recrawl ----
+    // q305/q306's pattern crossed into vector space (r18): vectors ARRIVE
+    // in micro-batches against a FROZEN coarse quantizer (the q98
+    // discipline), and the SemDeDup decision is maintained incrementally —
+    // per batch, only the NEW vectors are cell-assigned (probes=2
+    // multi-probe, appended to the cell store) and compared against the
+    // accumulated cell members; each new pair is exact-scored ONCE
+    // (double-cosine prescreen, decimal-exact verdict — semanticDedup's
+    // exact steps). Keep-lowest is computed at the END from the
+    // accumulated pair store, which handles the retroactive case a purely
+    // per-batch decision cannot: a LATE-arriving lower id demotes an
+    // already-kept higher id (canonical selection is order-independent
+    // because the pair SET is — a pair is discovered at the batch of its
+    // later arrival, whatever the split). Output and oracle are q87's
+    // VERBATIM: the incremental run must land on the one-shot batch
+    // SemDeDup answer over the planted corpus. Per-batch cost:
+    // O(new vectors + their cell candidates); state: cells + vectors +
+    // pairs, append-only (INCREMENTAL_LEDGER.md).
+    QueryDef(
+      "q307_incremental_semantic_dedup", Q87_ORACLE) { (s, d) =>
+      val corpus = Similarity.plantTwins(
+        Tables.embeddings(s, d), "vec_id", "embedding", TWIN_OFFSET)
+      val centroids = graft.operators.Ivf.kmeansCentroids(
+        corpus, "vec_id", "embedding", nlist = 16)
+      val srcDir = stagedTwinCorpusBatches(s, d)
+      val store = TextDedupPack.clearedStore(d, "graft-q307-semdedup-")
+      val latest = new java.util.concurrent.atomic.AtomicLong(-1L)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      def appendPart(df: org.apache.spark.sql.DataFrame, name: String,
+                     batchId: Long): Unit =
+        df.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(s"$store/$name")
+      graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) => {
+        val ss = batch.sparkSession
+        appendPart(batch.select("vec_id", "embedding"), "vectors", batchId)
+        appendPart(batch.select(col("vec_id"),
+          explode(graft.operators.Ivf.probeCells(
+            col("embedding"), centroids, 2)).as("cid")), "cells", batchId)
+        val cells = ss.read.parquet(s"$store/cells")
+        val newC = cells.filter(col("batch_id") === batchId)
+          .select(col("vec_id").as("nid"), col("cid"))
+        val cand = newC
+          .join(cells.select(col("vec_id").as("oid"), col("cid")), "cid")
+          .filter(col("oid") =!= col("nid"))
+          .select(least(col("nid"), col("oid")).as("id_a"),
+            greatest(col("nid"), col("oid")).as("id_b"))
+          .distinct()
+        val v = ss.read.parquet(s"$store/vectors")
+        appendPart(cand
+          .join(v.select(col("vec_id").as("id_a"), col("embedding").as("va")),
+            "id_a")
+          .join(v.select(col("vec_id").as("id_b"), col("embedding").as("vb")),
+            "id_b")
+          // semanticDedup's exact verify: cheap double prescreen with the
+          // ulp-safe margin, decimal-exact verdict
+          .filter(Similarity.cosine(col("va"), col("vb")) >= 0.99 - 0.005)
+          .select(col("id_a"), col("id_b"),
+            cosineDec(col("va"), col("vb")).as("s"))
+          .filter(col("s") >= 0.99), "pairs", batchId)
+        latest.set(batchId)
+      })
+      if (latest.get() < 0L) {
+        s.range(0).select(col("id").as("vec_id"), col("id").as("kept"),
+          col("id").as("dup_of"), col("id").cast("double").as("dup_sim"))
+      } else {
+        // keep-lowest over the ACCUMULATED pair set — q87's exact rule
+        val pairs = s.read.parquet(s"$store/pairs")
+        val dropped = pairs.groupBy("id_b")
+          .agg(min(struct(col("id_a"), col("s"))).as("m"))
+          .select(col("id_b").as("__did"), col("m.id_a").as("dup_of"),
+            col("m.s").as("dup_sim"))
+        corpus.select(col("vec_id"))
+          .join(dropped, col("vec_id") === col("__did"), "left")
+          .select(col("vec_id"),
+            when(col("dup_of").isNull, 1L).otherwise(0L).as("kept"),
+            col("dup_of"), col("dup_sim"))
+          .orderBy("vec_id")
+      }
     },
 
     // ---- q182: hybrid retrieval — BM25 + vector fusion via RRF -------------

@@ -201,6 +201,26 @@ class GraphSpec extends AnyFunSuite {
     assert(warmN(2)._1 == wh2)
   }
 
+  test("warm-from-empty reproduces the cold ladder bit-exactly (q303/q304's one-code-path claim)") {
+    // the q303/q304 oracles replay batch 0 as the COLD ladder and later
+    // batches as the warm recurrence; the Spark side uses the cold entry
+    // point for batch 0, so the two recurrences must coincide when the
+    // carried state is empty (warm seeds every node at the uniform 1e6 —
+    // exactly the cold init)
+    val g = Seq((0L, 1L), (1L, 0L), (0L, 2L), (2L, 0L), (1L, 3L), (3L, 1L),
+      (2L, 3L), (3L, 2L))
+    val empty = spark.range(0).selectExpr("id", "id AS r")
+    val warm = Graph.warmStartPageRank(g.toDF("u", "v"), "u", "v", empty, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(warm == ranks(g, 5))
+    val emptyH = spark.range(0).selectExpr("id", "id AS s")
+    val (wh, wa) = Graph.warmStartHits(g.toDF("u", "v"), "u", "v", emptyH, 4)
+    val (ch, ca) = Graph.hits(g.toDF("u", "v"), "u", "v", 4)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(wh) == m(ch) && m(wa) == m(ca))
+  }
+
   test("q145 personalized PageRank matches a Scala replay; non-seeds-only islands stay 0") {
     import TestSpark.sf
     val got = SparkEntry.byName("q145_personalized_pagerank").run(spark, sf)
