@@ -167,6 +167,29 @@ object Dedup {
     * their own projections (HOFs re-evaluate inline children per element —
     * the O(n²) pitfall shingles documents).
     */
+  /** [[portableBandBuckets]] from an ALREADY-EXTRACTED distinct gram
+    * table (id, gram) — the batch-side form the recrawl stores use
+    * (q305/q306 persist the uncapped gram table anyway, for the exact
+    * verify): codegen'd md5 per gram ROW folded by a map-side-combined
+    * min-aggregate, instead of the per-row interpreted array HOFs the
+    * streaming-legal form pays (~µs/element interpreted, never
+    * whole-stage codegen — the q292 lesson). Identical salts, slices and
+    * band hashes bit-for-bit (the q28 aggregate construction;
+    * equivalence pinned in DedupSpec). */
+  def portableBandBucketsOfGrams(grams: DataFrame, idCol: String,
+                                 gramCol: String = "gram"): DataFrame = {
+    val mhAggs = (0 until 16).map(i =>
+      min(substring(md5(concat(lit(s"${i / 4}:"), col(gramCol))),
+        (i % 4) * 8 + 1, 8)).as(s"mh$i"))
+    val mh = grams.groupBy(col(idCol)).agg(mhAggs.head, mhAggs.tail: _*)
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat((b * 4 until b * 4 + 4).map(i => col(s"mh$i")): _*)).as("bh"))
+    }
+    mh.select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
   def portableBandBuckets(df: DataFrame, idCol: String, textCol: String,
                           n: Int = 3): DataFrame = {
     val t = col("__t")

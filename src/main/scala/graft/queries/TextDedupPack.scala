@@ -3158,7 +3158,13 @@ object TextDedupPack {
         .parquet(srcDir)
       def appendPart(df: org.apache.spark.sql.DataFrame, name: String,
                      batchId: Long): Unit =
-        df.withColumn("batch_id", lit(batchId))
+        // coalesce(4): per-batch increments are small (<=65k rows); at
+        // session width each append would land 32 tiny part files PER
+        // table PER batch — 8x the file count every later store read
+        // lists. (Measured r18: bounds file sprawl; the per-batch cost
+        // itself is the 5 write jobs + joins, the honest streaming-store
+        // price, cf. q253.)
+        df.coalesce(4).withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
@@ -3171,8 +3177,11 @@ object TextDedupPack {
         appendPart(ng, "grams", batchId)
         appendPart(ng.groupBy("doc_id").agg(count(lit(1)).as("n")),
           "sizes", batchId)
+        // bands from the persisted gram rows (codegen'd md5 + map-side
+        // min-agg) — the text-side HOF form re-derives the grams AND runs
+        // interpreted (measured r18: ~2× per-batch cost on this store)
         appendPart(
-          graft.operators.Dedup.portableBandBuckets(docs, "doc_id", "text"),
+          graft.operators.Dedup.portableBandBucketsOfGrams(ng, "doc_id"),
           "buckets", batchId)
         ng.unpersist(blocking = false)
         // candidate events: new buckets × accumulated store, capped by
@@ -3359,7 +3368,13 @@ object TextDedupPack {
         .parquet(srcDir)
       def appendPart(df: org.apache.spark.sql.DataFrame, name: String,
                      batchId: Long): Unit =
-        df.withColumn("batch_id", lit(batchId))
+        // coalesce(4): per-batch increments are small (<=65k rows); at
+        // session width each append would land 32 tiny part files PER
+        // table PER batch — 8x the file count every later store read
+        // lists. (Measured r18: bounds file sprawl; the per-batch cost
+        // itself is the 5 write jobs + joins, the honest streaming-store
+        // price, cf. q253.)
+        df.coalesce(4).withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
@@ -3373,8 +3388,10 @@ object TextDedupPack {
         appendPart(ng, "grams", batchId)
         appendPart(ng.groupBy("doc_id").agg(count(lit(1)).as("n")),
           "sizes", batchId)
+        // bands from the persisted gram rows — cf. q305 (codegen'd agg
+        // form, not the interpreted text-side HOFs)
         appendPart(
-          graft.operators.Dedup.portableBandBuckets(uidDocs, "doc_id", "text"),
+          graft.operators.Dedup.portableBandBucketsOfGrams(ng, "doc_id"),
           "buckets", batchId)
         appendPart(batch.select("doc_id"), "versions", batchId)
         ng.unpersist(blocking = false)

@@ -674,7 +674,13 @@ object VectorPack {
         .parquet(srcDir)
       def appendPart(df: org.apache.spark.sql.DataFrame, name: String,
                      batchId: Long): Unit =
-        df.withColumn("batch_id", lit(batchId))
+        // coalesce(4): per-batch increments are small (<=65k rows); at
+        // session width each append would land 32 tiny part files PER
+        // table PER batch — 8x the file count every later store read
+        // lists. (Measured r18: bounds file sprawl; the per-batch cost
+        // itself is the 5 write jobs + joins, the honest streaming-store
+        // price, cf. q253.)
+        df.coalesce(4).withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")

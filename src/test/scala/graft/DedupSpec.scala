@@ -107,6 +107,11 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id", "band", "bh").as[(Long, Int, String)].collect().toSet
     assert(perRow == agg)
     assert(perRow.nonEmpty)
+    // and the batch-side grams-input form (q305/q306's store builder)
+    // lands on the same set — one construction, three faces
+    val ofGrams = Dedup.portableBandBucketsOfGrams(grams, "doc_id")
+      .select("doc_id", "band", "bh").as[(Long, Int, String)].collect().toSet
+    assert(ofGrams == perRow)
   }
 
   test("q43 approx distinct tracks the exact distinct within the HLL error bound") {
