@@ -177,9 +177,10 @@ object Bench {
       // GC+ContextCleaner-freed-blocks criterion as the CC/PR family
       "q247", "q249", "q253",
       // r18 warm-start streams checkpoint per micro-batch like their
-      // cold-replay twins (q303~q200, q304~q253); q305/q306's final
-      // reconcile runs a full CC; q307 trains the driver-held quantizer
-      "q303", "q304", "q305", "q306", "q307")
+      // cold-replay twins (q303~q200, q304~q253, q308~q241); q305/q306/
+      // q309's final reconcile runs a full CC; q307 trains the
+      // driver-held quantizer
+      "q303", "q304", "q305", "q306", "q307", "q308", "q309")
     def quiesce(heavy: Boolean): Unit =
       if (heavy) {
         System.gc(); Thread.sleep(50)

@@ -3360,7 +3360,112 @@ object TextDedupPack {
               .as("text"))
         }
       })
-      val store = clearedStore(d, "graft-q306-recrawl-")
+      versionedRecrawlClusters(s, srcDir, clearedStore(d, "graft-q306-recrawl-"))
+    },
+
+    // ---- q309: recrawl DELETIONS — right-to-be-forgotten propagation -------
+    // The third recrawl CRUD op (q305 adds, q306 updates, q309 deletes):
+    // a deletion notice arrives for a doc and the persisted dedup state
+    // must stop clustering it — its pairs retire, its partners' cluster
+    // memberships re-settle — without rewriting any store. Runs on the
+    // IDENTICAL versioned engine as q306: a deletion is a TOMBSTONE
+    // version (empty text → zero grams → zero bucket rows), so "latest =
+    // tombstone" makes the doc invisible to live candidate joins and the
+    // final endpoint-version reconcile retires every pair it ever
+    // verified; per-batch deletion cost is ~the store-append overhead
+    // (no grams to hash, no candidates to verify — deletes are CHEAP,
+    // as they should be). The cumulative occupancy cap keeps counting
+    // the deleted docs' retired bucket rows (monotone — see q306), which
+    // the oracle replays by banding ALL docs while pairing/verifying the
+    // SURVIVORS only. Fixture: batch b ∈ {1,2,3} deletes docs with
+    // doc_id % 5 == b; docs with doc_id % 5 ∈ {0, 4} survive.
+    QueryDef(
+      "q309_recrawl_deletions", {
+        val mhCols = (0 until 16).map(i =>
+          s"MIN(substring(md5('${i / 4}:' || gram), ${(i % 4) * 8 + 1}, 8)) AS mh$i")
+          .mkString(",\n    ")
+        val bandSel = (0 until 4).map { b =>
+          val cat = (b * 4 until b * 4 + 4).map(i => s"mh$i").mkString(" || ")
+          s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM mha"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH RECURSIVE toksa AS MATERIALIZED (
+           |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+           |  WHERE len(string_split(text, ' ')) >= 3),
+           |gramsa AS MATERIALIZED (SELECT DISTINCT doc_id,
+           |  unnest(list_transform(range(1, len(t) - 1),
+           |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+           |  FROM toksa),
+           |mha AS MATERIALIZED (SELECT doc_id,
+           |    $mhCols
+           |  FROM gramsa GROUP BY doc_id),
+           |bandsa AS MATERIALIZED (
+           |  $bandSel),
+           |occ AS MATERIALIZED (SELECT band, bh FROM (
+           |    SELECT band, bh, COUNT(*) AS n FROM bandsa GROUP BY band, bh)
+           |  WHERE n <= $MAX_BUCKET),
+           |surv AS MATERIALIZED (SELECT doc_id FROM documents
+           |  WHERE doc_id % 5 = 0 OR doc_id % 5 = 4),
+           |lbands AS MATERIALIZED (
+           |  SELECT b.doc_id, b.band, b.bh FROM bandsa b
+           |  JOIN surv v ON v.doc_id = b.doc_id),
+           |lgrams AS MATERIALIZED (
+           |  SELECT g.doc_id, g.gram FROM gramsa g
+           |  JOIN surv v ON v.doc_id = g.doc_id),
+           |cand AS MATERIALIZED (
+           |  SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+           |  FROM lbands b1
+           |  JOIN occ o ON o.band = b1.band AND o.bh = b1.bh
+           |  JOIN lbands b2 ON b2.band = b1.band AND b2.bh = b1.bh
+           |   AND b1.doc_id < b2.doc_id),
+           |sizes AS MATERIALIZED (
+           |  SELECT doc_id, COUNT(*) AS n FROM lgrams GROUP BY doc_id),
+           |co AS MATERIALIZED (SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+           |  FROM cand c
+           |  JOIN lgrams g1 ON g1.doc_id = c.doc_a
+           |  JOIN lgrams g2 ON g2.doc_id = c.doc_b AND g2.gram = g1.gram
+           |  GROUP BY c.doc_a, c.doc_b),
+           |jp AS MATERIALIZED (SELECT doc_a, doc_b
+           |  FROM co
+           |  JOIN sizes sa ON sa.doc_id = doc_a
+           |  JOIN sizes sb ON sb.doc_id = doc_b
+           |  WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5),
+           |und AS (SELECT doc_a AS u, doc_b AS v FROM jp
+           |        UNION ALL SELECT doc_b, doc_a FROM jp),
+           |reach(u, v) AS (
+           |  SELECT u, v FROM und
+           |  UNION
+           |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+           |comp AS (SELECT u AS doc_id, least(u, MIN(v)) AS cluster_id
+           |         FROM reach GROUP BY u)
+           |SELECT cluster_id, doc_id,
+           |  CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS BIGINT)
+           |    AS is_canonical
+           |FROM comp
+           |ORDER BY cluster_id, doc_id""".stripMargin
+      }) { (s, d) =>
+      val srcDir = stagedOrderedBatches("graft-q309-src-", d, (0 until 4).map {
+        case 0 => () => Tables.documents(s, d).select(col("doc_id"), col("text"))
+        case b => () =>
+          // deletion notices: a tombstone version with EMPTY text
+          Tables.documents(s, d)
+            .filter(pmod(col("doc_id"), lit(5)) === b.toLong)
+            .select(col("doc_id"), lit("").as("text"))
+      })
+      versionedRecrawlClusters(s, srcDir, clearedStore(d, "graft-q309-recrawl-"))
+    },
+
+  )
+
+  /** The shared versioned-recrawl engine under q306 (updates) and q309
+    * (deletions): an ordered (doc_id, text) batch stream where batch b's
+    * rows are version-b re-crawls of their doc (a tombstone = empty
+    * text). Append-only stores keyed by uid = doc_id·4 + ver, live as a
+    * max(batch) view, CUMULATIVE bucket-occupancy cap, one-time exact
+    * verify per version-pair, final endpoint-version reconcile + CC.
+    * See q306's scaladoc for the replay argument. */
+  private def versionedRecrawlClusters(
+      s: org.apache.spark.sql.SparkSession, srcDir: String,
+      store: java.nio.file.Path): org.apache.spark.sql.DataFrame = {
       val latest = new java.util.concurrent.atomic.AtomicLong(-1L)
       val schema = s.read.parquet(srcDir).schema
       val stream = s.readStream.schema(schema)
@@ -3466,9 +3571,7 @@ object TextDedupPack {
               .as("is_canonical"))
           .orderBy("cluster_id", "doc_id")
       }
-    },
-
-  )
+  }
 
   /** q214's banding sweep: every (bands, rows) factorization of the
     * 16-minhash signature, the b·r = 16 ladder. */
