@@ -757,9 +757,10 @@ object GraphPack {
       val ed = jp.select(col("a").as("u"), col("b").as("v"))
         .unionAll(jp.select(col("b").as("u"), col("a").as("v")))
         .localCheckpoint()
-      val labels =
-        try lpaLabels(s, ed)
-        finally ed.unpersist(blocking = false) // checkpoint blocks free on dereference; no-op kept for clarity
+      // no unpersist: ed is localCheckpoint-backed — its blocks are not in
+      // the CacheManager, so Dataset.unpersist releases nothing (ADVICE
+      // r18); the ContextCleaner frees checkpoint blocks on dereference
+      val labels = lpaLabels(s, ed)
       labels.groupBy("lab")
         .agg(count(lit(1)).as("n_members"), min(col("id")).as("min_member"))
         .select(col("lab").as("community"), col("n_members"), col("min_member"))
@@ -818,9 +819,8 @@ object GraphPack {
         val sym = mp.select(col("doc_a").as("u"), col("doc_b").as("v"))
           .unionAll(mp.select(col("doc_b").as("u"), col("doc_a").as("v")))
           .localCheckpoint()
-        val labels =
-          try lpaLabels(ss, sym)
-          finally sym.unpersist(blocking = false)
+        // no unpersist: sym is localCheckpoint-backed (cf. q144's note)
+        val labels = lpaLabels(ss, sym)
         val labelsV = s"$store/labels_v$batchId"
         labels.write.mode("overwrite").parquet(labelsV)
         latestLabels.set(labelsV)
@@ -879,13 +879,16 @@ object GraphPack {
           .unionAll(mp.select(col("doc_b").as("u"), col("doc_a").as("v")))
           .localCheckpoint()
         val prevLabV = s"$store/labels_v${batchId - 1}"
+        // no unpersist: sym is localCheckpoint-backed, whose blocks are
+        // not registered in the CacheManager — Dataset.unpersist was a
+        // no-op and the eager-release intent unachievable (ADVICE r18);
+        // blocks free via the ContextCleaner, which Bench's heavy
+        // quiesce already waits out
         val labels =
-          try {
-            if (batchId > 0 && new java.io.File(prevLabV).isDirectory)
-              lpaLabelsFrom(ss, sym,
-                Some(ss.read.parquet(prevLabV)), WARM_LPA_ROUNDS)
-            else lpaLabelsFrom(ss, sym, None, LPA_ROUNDS)
-          } finally sym.unpersist(blocking = false)
+          if (batchId > 0 && new java.io.File(prevLabV).isDirectory)
+            lpaLabelsFrom(ss, sym,
+              Some(ss.read.parquet(prevLabV)), WARM_LPA_ROUNDS)
+          else lpaLabelsFrom(ss, sym, None, LPA_ROUNDS)
         val labelsV = s"$store/labels_v$batchId"
         labels.write.mode("overwrite").parquet(labelsV)
         latestLabels.set(labelsV)
@@ -953,7 +956,8 @@ object GraphPack {
       val ed = jp.select(col("a").as("u"), col("b").as("v"))
         .unionAll(jp.select(col("b").as("u"), col("a").as("v")))
         .localCheckpoint()
-      val peeled = try {
+      // no unpersist of ed: localCheckpoint-backed (cf. q144's note)
+      val peeled = {
         val nEdges = ed.count()
         val w = graft.operators.Components.roundWidth(
           s.conf.get("spark.sql.shuffle.partitions").toInt, nEdges)
@@ -978,7 +982,7 @@ object GraphPack {
             coalesce(col("in_core"), lit(0L)).as("in_core"),
             coalesce(col("c"), lit(0L)).as("core_deg"))
         graft.operators.Components.rebind(out.localCheckpoint(), s)
-      } finally ed.unpersist(blocking = false)
+      }
       peeled.orderBy("node_id")
     },
 

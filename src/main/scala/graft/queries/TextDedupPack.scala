@@ -472,6 +472,59 @@ object TextDedupPack {
     children.foreach(graft.streaming.Streams.deleteRecursively)
     p
   }
+
+  /** Append one micro-batch's increments for SEVERAL logical store
+    * tables as ONE write job: the frames are null-padded to the union
+    * schema, tagged with a `kind` discriminator, unioned, and written
+    * partitioned by (batch_id, kind) — so each logical table reads back
+    * with a partition-PRUNED kind filter, at the cost of a single
+    * job-submit + commit + directory listing per batch instead of one
+    * per table. That fixed per-write constant × 4 micro-batches was the
+    * recrawl engines' driver-band lever (r18 verdict: q305 ran 5 write
+    * jobs per batch, q306/q309 ran 6 — now 2 each). Dynamic partition
+    * overwrite keeps the q85 idempotence under foreachBatch's
+    * at-least-once replay; coalesce(4) bounds file sprawl as before. An
+    * all-empty batch writes no partition directories (exactly as the
+    * per-table form did) — [[readKindOr]] guards the never-written-
+    * anything reads.
+    */
+  private[queries] def appendKinds(
+      store: String, batchId: Long,
+      parts: Seq[(String, org.apache.spark.sql.DataFrame)]): Unit = {
+    val cols = parts.flatMap(_._2.columns).distinct
+    val fieldType = parts.flatMap(_._2.schema.fields.map(f => f.name -> f.dataType)).toMap
+    parts.map { case (kind, df) =>
+      val have = df.columns.toSet
+      df.select(cols.map(c =>
+        (if (have(c)) col(c) else lit(null).cast(fieldType(c))).as(c)): _*)
+        .withColumn("kind", lit(kind))
+    }.reduce(_.unionByName(_))
+      .coalesce(4).withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "kind")
+      .parquet(store)
+  }
+
+  /** Read one logical table (`kind` partition) back from an
+    * [[appendKinds]] store — or, when the store directory holds no part
+    * file at all (EVERY append was empty, so there is nothing to infer a
+    * schema from and read.parquet would throw AnalysisException — the
+    * r18 ADVICE latent crash), fall back to the caller's typed empty
+    * frame. A store with files but no rows of this kind just filters to
+    * empty with the union schema. */
+  private[queries] def readKindOr(
+      s: org.apache.spark.sql.SparkSession, store: String, kind: String,
+      empty: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (hasParquetPart(new java.io.File(store)))
+      s.read.parquet(store).where(col("kind") === kind)
+    else empty
+
+  private[queries] def hasParquetPart(f: java.io.File): Boolean = {
+    val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+    kids.exists(k => k.isFile && k.getName.endsWith(".parquet")) ||
+      kids.exists(k => k.isDirectory && hasParquetPart(k))
+  }
   private[graft] def stagedDocBatches(s: org.apache.spark.sql.SparkSession, d: String): String =
     docBatchStages.computeIfAbsent(d, _ => {
       val dir = java.nio.file.Files.createTempDirectory("graft-q85-src-")
@@ -520,11 +573,13 @@ object TextDedupPack {
         pmod(col(ca) + col(cb), lit(4)).as("__tag")).persist()
       built = Some(t); t
     }
-    val dir = stagedOrderedBatches(prefix, d,
+    // try/finally: if a batch write throws mid-build, the persisted
+    // tagged frame must still release (ADVICE r18 — it leaked for the
+    // session on failure, alongside the computeIfAbsent mapping)
+    try stagedOrderedBatches(prefix, d,
       (0 until 4).map(b => () =>
         tagged.filter(col("__tag") === b.toLong).select(ca, cb)))
-    built.foreach(_.unpersist(blocking = false))
-    dir
+    finally built.foreach(_.unpersist(blocking = false))
   }
 
   /** The general ordered-arrival staging under [[stagedTaggedBatches]]:
@@ -545,8 +600,13 @@ object TextDedupPack {
           .getOrElse(sys.error(s"stagedOrderedBatches: no part file for batch $b"))
         val target = new java.io.File(dir.toFile, f"batch$b%02d.parquet")
         java.nio.file.Files.move(part.toPath, target.toPath)
-        // strictly increasing, coarse-grained mtimes pin arrival order
-        target.setLastModified(1000000L * (b + 1))
+        // strictly increasing, coarse-grained mtimes pin arrival order.
+        // Files.setLastModifiedTime THROWS where File.setLastModified
+        // returns false — on a filesystem that rejects mtime writes the
+        // order-sensitive streams (q303/q304/q308) must fail loudly as a
+        // staging error, not degrade into an oracle mismatch (ADVICE r18)
+        java.nio.file.Files.setLastModifiedTime(target.toPath,
+          java.nio.file.attribute.FileTime.fromMillis(1000000L * (b + 1)))
         graft.streaming.Streams.deleteRecursively(tmp)
       }
       dir.toString
@@ -1283,8 +1343,50 @@ object TextDedupPack {
     },
 
     // ---- native xxhash64 scale-path variants --------------------------------
-    QueryDef.rowsOnly("q51_dedup_minhash_native") { (s, d) =>
-      Dedup.nearDuplicates(Tables.documentsSpread(s, d), "doc_id", "text")
+    // q51, upgraded r19 (the verdict's no_oracle-tail-to-zero item) from
+    // rows-only to the q52/q74 planted-twin CONTRACT oracle — the last
+    // rows-only entry in the registry: 50 twin docs (exact text copies at
+    // doc_id + 10M) are planted into the corpus; identical shingle SETS
+    // force identical 32-hash xxhash64 MinHash signatures, so every twin
+    // pair collides in ALL 8 bands (float-tie-proof — the signatures are
+    // integers) and exact verification scores it at Jaccard EXACTLY 1.0
+    // (common = na = nb). The output is one row per planted doc with the
+    // found/score contract plus a pair-shape audit over the WHOLE organic
+    // pair list (id_a < id_b, 0.5 ≤ jaccard ≤ 1, no duplicate pairs) —
+    // every value portable or pinned, so the entry is hash-green while
+    // the signatures stay native. A twin pair the pipeline misses drops
+    // its row (inner-shaped filter) → row-count red; organic pair recall
+    // stays separately pinned by the q88/q89 audit twins and q51 ⊇ q27
+    // in DedupSpec.
+    QueryDef(
+      "q51_dedup_minhash_native",
+      """SELECT doc_id, CAST(1 AS BIGINT) AS twin_found,
+        |  CAST(1 AS BIGINT) AS twin_jaccard_one,
+        |  CAST(1 AS BIGINT) AS pair_shape_ok
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documentsSpread(s, d).select(col("doc_id"), col("text"))
+      requireNativeTwinPreconditions(docs)
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + NATIVE_TWIN_OFF).as("doc_id"), col("text")))
+      val pairs = graft.operators.CacheScope.sessionManaged.persist(
+        Dedup.nearDuplicates(corpus, "doc_id", "text")
+      ) // two consumers (twin probe + shape audit); harness clearCache releases
+      val twins = pairs
+        .filter(col("id_a") < 50 && col("id_b") === col("id_a") + NATIVE_TWIN_OFF)
+        .select(col("id_a").as("doc_id"),
+          lit(1L).as("twin_found"),
+          when(col("jaccard") === 1.0, 1L).otherwise(0L).as("twin_jaccard_one"))
+      val shape = pairs.agg(
+        sum(when(col("id_a") < col("id_b") &&
+          col("jaccard") >= 0.5 && col("jaccard") <= 1.0, 0L)
+          .otherwise(1L)).as("bad"),
+        (count(lit(1)) - countDistinct(col("id_a"), col("id_b"))).as("dups"))
+      twins.crossJoin(broadcast(shape))
+        .select(col("doc_id"), col("twin_found"), col("twin_jaccard_one"),
+          when(col("bad") === 0L && col("dups") === 0L, 1L).otherwise(0L)
+            .as("pair_shape_ok"))
+        .orderBy("doc_id")
     },
     // q52, upgraded r17 (verdict item 6) from rows-only to a planted-twin
     // CONTRACT oracle — the q65 pattern extended from the blocking operator
@@ -3080,8 +3182,11 @@ object TextDedupPack {
     // store of every previous snapshot, and the store grows incrementally
     // — old docs are NEVER re-shingled, re-hashed, or re-bucketed. The
     // q194/q200 versioned-state pattern applied to MinHash-LSH buckets,
-    // with four append-only stores (q85's dynamic-partition-overwrite
-    // idempotence): uncapped grams, gram-set sizes, band buckets
+    // with four append-only logical stores (q85's dynamic-partition-
+    // overwrite idempotence), physically packed into TWO appendKinds
+    // tables — doc-state and pair-state — so each micro-batch pays two
+    // write jobs, not five (r19 surgery): uncapped grams, gram-set
+    // sizes, band buckets
     // (Dedup.portableBandBuckets — UNCAPPED gram sets, so a doc's
     // signature is a pure function of the doc and never changes as the
     // corpus grows; the df cap q27/q67 carry is an all-pairs-join guard
@@ -3156,37 +3261,37 @@ object TextDedupPack {
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(srcDir)
-      def appendPart(df: org.apache.spark.sql.DataFrame, name: String,
-                     batchId: Long): Unit =
-        // coalesce(4): per-batch increments are small (<=65k rows); at
-        // session width each append would land 32 tiny part files PER
-        // table PER batch — 8x the file count every later store read
-        // lists. (Measured r18: bounds file sprawl; the per-batch cost
-        // itself is the 5 write jobs + joins, the honest streaming-store
-        // price, cf. q253.)
-        df.coalesce(4).withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(s"$store/$name")
+      // TWO appendKinds stores (r19 surgery — was 5 write jobs/batch):
+      // doc-state kinds gram|size|bucket, pair-state kinds event|pair
+      val docState = s"$store/docstate"
+      val pairState = s"$store/pairstate"
+      def emptyDocState(ss: org.apache.spark.sql.SparkSession) =
+        ss.range(0).select(col("id").as("doc_id"),
+          lit(null).cast("string").as("gram"), lit(null).cast("long").as("n"),
+          lit(null).cast("int").as("band"), lit(null).cast("string").as("bh"),
+          lit(0).as("batch_id"), lit("").as("kind"))
+      def emptyPairState(ss: org.apache.spark.sql.SparkSession) =
+        ss.range(0).select(col("id").as("doc_a"), col("id").as("doc_b"),
+          lit(null).cast("int").as("band"), lit(null).cast("string").as("bh"),
+          lit(0).as("batch_id"), lit("").as("kind"))
       graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) => {
         val ss = batch.sparkSession
         val docs = batch.select(col("doc_id"), col("text"))
-        // new docs' derived state, computed ONCE (never recomputed later)
+        // new docs' derived state, computed ONCE (never recomputed later),
+        // landed as ONE write job. Bands come from the persisted gram rows
+        // (codegen'd md5 + map-side min-agg) — the text-side HOF form
+        // re-derives the grams AND runs interpreted (measured r18: ~2×
+        // per-batch cost on this store)
         val ng = uncappedGramsOf(docs).persist()
-        appendPart(ng, "grams", batchId)
-        appendPart(ng.groupBy("doc_id").agg(count(lit(1)).as("n")),
-          "sizes", batchId)
-        // bands from the persisted gram rows (codegen'd md5 + map-side
-        // min-agg) — the text-side HOF form re-derives the grams AND runs
-        // interpreted (measured r18: ~2× per-batch cost on this store)
-        appendPart(
-          graft.operators.Dedup.portableBandBucketsOfGrams(ng, "doc_id"),
-          "buckets", batchId)
+        appendKinds(docState, batchId, Seq(
+          "gram" -> ng,
+          "size" -> ng.groupBy("doc_id").agg(count(lit(1)).as("n")),
+          "bucket" ->
+            graft.operators.Dedup.portableBandBucketsOfGrams(ng, "doc_id")))
         ng.unpersist(blocking = false)
         // candidate events: new buckets × accumulated store, capped by
         // CURRENT occupancy (monotone — see scaladoc)
-        val all = ss.read.parquet(s"$store/buckets")
+        val all = readKindOr(ss, docState, "bucket", emptyDocState(ss))
         val under = all.groupBy("band", "bh").agg(count(lit(1)).as("nb"))
           .filter(col("nb") <= MAX_BUCKET).select("band", "bh")
         val ev = all.filter(col("batch_id") === batchId)
@@ -3200,12 +3305,11 @@ object TextDedupPack {
             col("band"), col("bh"))
           .distinct()
           .persist()
-        appendPart(ev, "events", batchId)
         // exact-verify each NEW pair once, by keyed gram-store fetch (a
         // pair always involves a batch doc, so no pair verifies twice)
         val np = ev.select("doc_a", "doc_b").distinct()
-        val g = ss.read.parquet(s"$store/grams")
-        val sz = ss.read.parquet(s"$store/sizes")
+        val g = readKindOr(ss, docState, "gram", emptyDocState(ss))
+        val sz = readKindOr(ss, docState, "size", emptyDocState(ss))
         val common = np
           .join(g.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
           .join(g.select(col("doc_id").as("doc_b"), col("gram")),
@@ -3213,11 +3317,15 @@ object TextDedupPack {
           .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
         val jc = col("common") * lit(1.0) /
           (col("na") + col("nb") - col("common"))
-        appendPart(common
+        val verified = common
           .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
           .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
           .filter(jc >= 0.5)
-          .select("doc_a", "doc_b"), "pairs", batchId)
+          .select("doc_a", "doc_b")
+        // events + verified pairs land as the second (and last) write job
+        appendKinds(pairState, batchId, Seq(
+          "event" -> ev.select("doc_a", "doc_b", "band", "bh"),
+          "pair" -> verified))
         ev.unpersist(blocking = false)
         latest.set(batchId)
       })
@@ -3228,13 +3336,14 @@ object TextDedupPack {
       } else {
         // final reconcile: FINAL occupancy re-filters the event store, the
         // survivors' verified pairs feed the q67 closure
-        val allB = s.read.parquet(s"$store/buckets")
+        val allB = readKindOr(s, docState, "bucket", emptyDocState(s))
         val under = allB.groupBy("band", "bh").agg(count(lit(1)).as("nb"))
           .filter(col("nb") <= MAX_BUCKET).select("band", "bh")
-        val kept = s.read.parquet(s"$store/events")
+        val kept = readKindOr(s, pairState, "event", emptyPairState(s))
           .join(under, Seq("band", "bh"))
           .select("doc_a", "doc_b").distinct()
-          .join(s.read.parquet(s"$store/pairs").select("doc_a", "doc_b"),
+          .join(readKindOr(s, pairState, "pair", emptyPairState(s))
+            .select("doc_a", "doc_b"),
             Seq("doc_a", "doc_b"))
         graft.operators.Components
           .connectedComponents(kept, "doc_a", "doc_b")
@@ -3471,40 +3580,43 @@ object TextDedupPack {
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(srcDir)
-      def appendPart(df: org.apache.spark.sql.DataFrame, name: String,
-                     batchId: Long): Unit =
-        // coalesce(4): per-batch increments are small (<=65k rows); at
-        // session width each append would land 32 tiny part files PER
-        // table PER batch — 8x the file count every later store read
-        // lists. (Measured r18: bounds file sprawl; the per-batch cost
-        // itself is the 5 write jobs + joins, the honest streaming-store
-        // price, cf. q253.)
-        df.coalesce(4).withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(s"$store/$name")
+      // TWO appendKinds stores (r19 surgery — was 6 write jobs/batch):
+      // doc-state kinds gram|size|bucket|version (version rows carry the
+      // RAW doc_id; the uid-keyed kinds carry uid = doc_id·4 + ver in the
+      // same column), pair-state kinds event|pair
+      val docState = s"$store/docstate"
+      val pairState = s"$store/pairstate"
+      def emptyDocState(ss: org.apache.spark.sql.SparkSession) =
+        ss.range(0).select(col("id").as("doc_id"),
+          lit(null).cast("string").as("gram"), lit(null).cast("long").as("n"),
+          lit(null).cast("int").as("band"), lit(null).cast("string").as("bh"),
+          lit(0).as("batch_id"), lit("").as("kind"))
+      def emptyPairState(ss: org.apache.spark.sql.SparkSession) =
+        ss.range(0).select(col("id").as("doc_a"), col("id").as("doc_b"),
+          col("id").as("ua"), col("id").as("ub"),
+          lit(null).cast("int").as("band"), lit(null).cast("string").as("bh"),
+          lit(0).as("batch_id"), lit("").as("kind"))
       graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) => {
         val ss = batch.sparkSession
-        // this batch's versions, keyed by uid = doc_id*4 + ver(=batchId)
+        // this batch's versions, keyed by uid = doc_id*4 + ver(=batchId);
+        // derived state computed ONCE and landed as ONE write job (bands
+        // from the persisted gram rows — codegen'd agg form, not the
+        // interpreted text-side HOFs, cf. q305)
         val uidDocs = batch.select(
           (col("doc_id") * 4L + lit(batchId)).as("doc_id"), col("text"))
         val ng = uncappedGramsOf(uidDocs).persist()
-        appendPart(ng, "grams", batchId)
-        appendPart(ng.groupBy("doc_id").agg(count(lit(1)).as("n")),
-          "sizes", batchId)
-        // bands from the persisted gram rows — cf. q305 (codegen'd agg
-        // form, not the interpreted text-side HOFs)
-        appendPart(
-          graft.operators.Dedup.portableBandBucketsOfGrams(ng, "doc_id"),
-          "buckets", batchId)
-        appendPart(batch.select("doc_id"), "versions", batchId)
+        appendKinds(docState, batchId, Seq(
+          "gram" -> ng,
+          "size" -> ng.groupBy("doc_id").agg(count(lit(1)).as("n")),
+          "bucket" ->
+            graft.operators.Dedup.portableBandBucketsOfGrams(ng, "doc_id"),
+          "version" -> batch.select("doc_id")))
         ng.unpersist(blocking = false)
-        // live-NOW uids from the versions table (max batch per doc)
-        val liveUid = ss.read.parquet(s"$store/versions")
+        // live-NOW uids from the versions kind (max batch per doc)
+        val liveUid = readKindOr(ss, docState, "version", emptyDocState(ss))
           .groupBy("doc_id").agg(max(col("batch_id")).as("ver"))
           .select((col("doc_id") * 4L + col("ver")).as("doc_id"))
-        val all = ss.read.parquet(s"$store/buckets")
+        val all = readKindOr(ss, docState, "bucket", emptyDocState(ss))
         // CUMULATIVE occupancy (every version ever staged — monotone)
         val under = all.groupBy("band", "bh").agg(count(lit(1)).as("nb"))
           .filter(col("nb") <= MAX_BUCKET).select("band", "bh")
@@ -3524,11 +3636,10 @@ object TextDedupPack {
             col("band"), col("bh"))
           .distinct()
           .persist()
-        appendPart(ev, "events", batchId)
         // exact-verify each new (version-pair) once, by keyed uid fetches
         val np = ev.select("doc_a", "doc_b", "ua", "ub").distinct()
-        val g = ss.read.parquet(s"$store/grams")
-        val sz = ss.read.parquet(s"$store/sizes")
+        val g = readKindOr(ss, docState, "gram", emptyDocState(ss))
+        val sz = readKindOr(ss, docState, "size", emptyDocState(ss))
         val common = np
           .join(g.select(col("doc_id").as("ua"), col("gram")), "ua")
           .join(g.select(col("doc_id").as("ub"), col("gram")),
@@ -3537,11 +3648,15 @@ object TextDedupPack {
           .agg(count(lit(1)).as("common"))
         val jc = col("common") * lit(1.0) /
           (col("na") + col("nb") - col("common"))
-        appendPart(common
+        val verified = common
           .join(sz.select(col("doc_id").as("ua"), col("n").as("na")), "ua")
           .join(sz.select(col("doc_id").as("ub"), col("n").as("nb")), "ub")
           .filter(jc >= 0.5)
-          .select("doc_a", "doc_b", "ua", "ub"), "pairs", batchId)
+          .select("doc_a", "doc_b", "ua", "ub")
+        // events + verified version-pairs: the second (last) write job
+        appendKinds(pairState, batchId, Seq(
+          "event" -> ev.select("doc_a", "doc_b", "ua", "ub", "band", "bh"),
+          "pair" -> verified))
         ev.unpersist(blocking = false)
         latest.set(batchId)
       })
@@ -3550,18 +3665,18 @@ object TextDedupPack {
           col("id").as("is_canonical"))
       } else {
         // final reconcile: cumulative cap + both endpoint versions latest
-        val lat = s.read.parquet(s"$store/versions")
+        val lat = readKindOr(s, docState, "version", emptyDocState(s))
           .groupBy("doc_id").agg(max(col("batch_id")).as("ver"))
           .select((col("doc_id") * 4L + col("ver")).as("uid"))
-        val allB = s.read.parquet(s"$store/buckets")
+        val allB = readKindOr(s, docState, "bucket", emptyDocState(s))
         val under = allB.groupBy("band", "bh").agg(count(lit(1)).as("nb"))
           .filter(col("nb") <= MAX_BUCKET).select("band", "bh")
-        val kept = s.read.parquet(s"$store/events")
+        val kept = readKindOr(s, pairState, "event", emptyPairState(s))
           .join(under, Seq("band", "bh"))
           .join(lat.select(col("uid").as("ua")), "ua")
           .join(lat.select(col("uid").as("ub")), "ub")
           .select("doc_a", "doc_b", "ua", "ub").distinct()
-          .join(s.read.parquet(s"$store/pairs")
+          .join(readKindOr(s, pairState, "pair", emptyPairState(s))
             .select("doc_a", "doc_b", "ua", "ub"),
             Seq("doc_a", "doc_b", "ua", "ub"))
         graft.operators.Components

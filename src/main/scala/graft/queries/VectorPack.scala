@@ -672,26 +672,30 @@ object VectorPack {
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(srcDir)
-      def appendPart(df: org.apache.spark.sql.DataFrame, name: String,
-                     batchId: Long): Unit =
-        // coalesce(4): per-batch increments are small (<=65k rows); at
-        // session width each append would land 32 tiny part files PER
-        // table PER batch — 8x the file count every later store read
-        // lists. (Measured r18: bounds file sprawl; the per-batch cost
-        // itself is the 5 write jobs + joins, the honest streaming-store
-        // price, cf. q253.)
-        df.coalesce(4).withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(s"$store/$name")
+      // TWO write jobs per batch (r19 surgery, cf. q305): vectors + cell
+      // assignments land as kinds of ONE appendKinds doc-state table;
+      // verified pairs are the second write. readKindOr guards the
+      // never-written-anything reconcile (the r18 ADVICE latent crash).
+      val docState = s"$store/docstate"
+      val pairState = s"$store/pairstate"
+      def emptyDocState(ss: org.apache.spark.sql.SparkSession) =
+        ss.range(0).select(col("id").as("vec_id"),
+          lit(null).cast("array<float>").as("embedding"),
+          lit(null).cast("int").as("cid"),
+          lit(0).as("batch_id"), lit("").as("kind"))
+      def emptyPairState(ss: org.apache.spark.sql.SparkSession) =
+        ss.range(0).select(col("id").as("id_a"), col("id").as("id_b"),
+          lit(null).cast("double").as("s"),
+          lit(0).as("batch_id"), lit("").as("kind"))
       graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) => {
         val ss = batch.sparkSession
-        appendPart(batch.select("vec_id", "embedding"), "vectors", batchId)
-        appendPart(batch.select(col("vec_id"),
-          explode(graft.operators.Ivf.probeCells(
-            col("embedding"), centroids, 2)).as("cid")), "cells", batchId)
-        val cells = ss.read.parquet(s"$store/cells")
+        TextDedupPack.appendKinds(docState, batchId, Seq(
+          "vector" -> batch.select("vec_id", "embedding"),
+          "cell" -> batch.select(col("vec_id"),
+            explode(graft.operators.Ivf.probeCells(
+              col("embedding"), centroids, 2)).as("cid"))))
+        val cells = TextDedupPack.readKindOr(ss, docState, "cell",
+          emptyDocState(ss))
         val newC = cells.filter(col("batch_id") === batchId)
           .select(col("vec_id").as("nid"), col("cid"))
         val cand = newC
@@ -700,8 +704,9 @@ object VectorPack {
           .select(least(col("nid"), col("oid")).as("id_a"),
             greatest(col("nid"), col("oid")).as("id_b"))
           .distinct()
-        val v = ss.read.parquet(s"$store/vectors")
-        appendPart(cand
+        val v = TextDedupPack.readKindOr(ss, docState, "vector",
+          emptyDocState(ss))
+        TextDedupPack.appendKinds(pairState, batchId, Seq("pair" -> cand
           .join(v.select(col("vec_id").as("id_a"), col("embedding").as("va")),
             "id_a")
           .join(v.select(col("vec_id").as("id_b"), col("embedding").as("vb")),
@@ -711,7 +716,7 @@ object VectorPack {
           .filter(Similarity.cosine(col("va"), col("vb")) >= 0.99 - 0.005)
           .select(col("id_a"), col("id_b"),
             cosineDec(col("va"), col("vb")).as("s"))
-          .filter(col("s") >= 0.99), "pairs", batchId)
+          .filter(col("s") >= 0.99)))
         latest.set(batchId)
       })
       if (latest.get() < 0L) {
@@ -719,7 +724,8 @@ object VectorPack {
           col("id").as("dup_of"), col("id").cast("double").as("dup_sim"))
       } else {
         // keep-lowest over the ACCUMULATED pair set — q87's exact rule
-        val pairs = s.read.parquet(s"$store/pairs")
+        val pairs = TextDedupPack.readKindOr(s, pairState, "pair",
+          emptyPairState(s))
         val dropped = pairs.groupBy("id_b")
           .agg(min(struct(col("id_a"), col("s"))).as("m"))
           .select(col("id_b").as("__did"), col("m.id_a").as("dup_of"),
