@@ -789,8 +789,6 @@ object GraphPack {
       "q241_stream_incremental_lpa", LPA_MATCH_ORACLE) { (s, d) =>
       val srcDir = stagedPairBatches(s, d)
       val store = clearedStore(d, "graft-q241-lpa-")
-      val latestEdges =
-        new java.util.concurrent.atomic.AtomicReference[String](null)
       val latestLabels =
         new java.util.concurrent.atomic.AtomicReference[String](null)
       val schema = s.read.parquet(srcDir).schema
@@ -799,23 +797,19 @@ object GraphPack {
         .parquet(srcDir)
       graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) => {
         val ss = batch.sparkSession
-        // merge against the store version keyed by batchId-1, NOT the
-        // in-memory latest pointer: if foreachBatch (at-least-once)
-        // replays this batch after the pointer advanced, the pointer
-        // would union the batch's edges on top of a state that already
-        // contains them — and LPA votes are multiplicity-sensitive, so a
-        // doubled edge changes the answer. Reading v{batchId-1} makes the
-        // replay rewrite v{batchId} byte-identically instead (r15, ADVICE)
-        val prevV = s"$store/edges_v${batchId - 1}"
-        val merged =
-          if (batchId > 0 && new java.io.File(prevV).isDirectory)
-            ss.read.parquet(prevV).unionByName(
-              batch.select(col("doc_a"), col("doc_b")))
-          else batch.select(col("doc_a"), col("doc_b"))
-        val edgesV = s"$store/edges_v$batchId"
-        merged.write.mode("overwrite").parquet(edgesV)
-        latestEdges.set(edgesV)
-        val mp = ss.read.parquet(edgesV)
+        // append-only edge store (r19, cf. q303's surgery): O(batch)
+        // write per micro-batch instead of the O(E) full rewrite. LPA
+        // votes are multiplicity-sensitive, and dynamic partition
+        // overwrite keyed by batch_id keeps at-least-once replay
+        // idempotent (a replayed batch rewrites its own partition, never
+        // doubling edges — the same guarantee the old keyed
+        // v{batchId-1} reads bought, r15 ADVICE)
+        val edges = s"$store/edges"
+        TextDedupPack.appendIncrement(edges, batchId,
+          batch.select(col("doc_a"), col("doc_b")))
+        val mp = TextDedupPack.readStoreOr(ss, edges,
+            batch.select(col("doc_a"), col("doc_b")))
+          .select("doc_a", "doc_b")
         val sym = mp.select(col("doc_a").as("u"), col("doc_b").as("v"))
           .unionAll(mp.select(col("doc_b").as("u"), col("doc_a").as("v")))
           .localCheckpoint()
@@ -866,15 +860,14 @@ object GraphPack {
         .parquet(srcDir)
       graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) => {
         val ss = batch.sparkSession
-        val prevV = s"$store/edges_v${batchId - 1}"
-        val merged =
-          if (batchId > 0 && new java.io.File(prevV).isDirectory)
-            ss.read.parquet(prevV).unionByName(
-              batch.select(col("doc_a"), col("doc_b")))
-          else batch.select(col("doc_a"), col("doc_b"))
-        val edgesV = s"$store/edges_v$batchId"
-        merged.write.mode("overwrite").parquet(edgesV)
-        val mp = ss.read.parquet(edgesV)
+        // append-only edge store (r19, cf. q303): O(batch) write per
+        // micro-batch instead of the O(E) full rewrite
+        val edges = s"$store/edges"
+        TextDedupPack.appendIncrement(edges, batchId,
+          batch.select(col("doc_a"), col("doc_b")))
+        val mp = TextDedupPack.readStoreOr(ss, edges,
+            batch.select(col("doc_a"), col("doc_b")))
+          .select("doc_a", "doc_b")
         val sym = mp.select(col("doc_a").as("u"), col("doc_b").as("v"))
           .unionAll(mp.select(col("doc_b").as("u"), col("doc_a").as("v")))
           .localCheckpoint()
@@ -1152,8 +1145,6 @@ object GraphPack {
       "q200_stream_incremental_pagerank", PR_MATCH_ORACLE) { (s, d) =>
       val srcDir = stagedWinnowPairBatches(s, d)
       val store = clearedStore(d, "graft-q200-pr-")
-      val latestEdges =
-        new java.util.concurrent.atomic.AtomicReference[String](null)
       val latestRanks =
         new java.util.concurrent.atomic.AtomicReference[String](null)
       val schema = s.read.parquet(srcDir).schema
@@ -1162,21 +1153,18 @@ object GraphPack {
         .parquet(srcDir)
       graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) => {
         val ss = batch.sparkSession
-        // read v{batchId-1}, not the latest pointer: PR degrees are
-        // multiplicity-sensitive, so an at-least-once replay after the
-        // pointer advanced must not union the batch's edges twice —
-        // keyed store reads make the replay byte-identical (r15, ADVICE;
-        // same fix as q241)
-        val prevV = s"$store/edges_v${batchId - 1}"
-        val merged =
-          if (batchId > 0 && new java.io.File(prevV).isDirectory)
-            ss.read.parquet(prevV).unionByName(
-              batch.select(col("id_a"), col("id_b")))
-          else batch.select(col("id_a"), col("id_b"))
-        val edgesV = s"$store/edges_v$batchId"
-        merged.write.mode("overwrite").parquet(edgesV)
-        latestEdges.set(edgesV)
-        val mp = ss.read.parquet(edgesV)
+        // append-only edge store (r19, cf. q303's surgery): O(batch)
+        // write per micro-batch instead of the O(E) full rewrite. PR
+        // degrees are multiplicity-sensitive; dynamic partition
+        // overwrite keyed by batch_id keeps at-least-once replay
+        // idempotent (same guarantee as the old keyed v{batchId-1}
+        // reads, r15 ADVICE)
+        val edges = s"$store/edges"
+        TextDedupPack.appendIncrement(edges, batchId,
+          batch.select(col("id_a"), col("id_b")))
+        val mp = TextDedupPack.readStoreOr(ss, edges,
+            batch.select(col("id_a"), col("id_b")))
+          .select("id_a", "id_b")
         val sym = mp.select(col("id_a").as("u"), col("id_b").as("v"))
           .unionAll(mp.select(col("id_b").as("u"), col("id_a").as("v")))
         val pr = graft.operators.Graph
@@ -1227,15 +1215,16 @@ object GraphPack {
         .parquet(srcDir)
       graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) => {
         val ss = batch.sparkSession
-        val prevV = s"$store/edges_v${batchId - 1}"
-        val merged =
-          if (batchId > 0 && new java.io.File(prevV).isDirectory)
-            ss.read.parquet(prevV).unionByName(
-              batch.select(col("id_a"), col("id_b")))
-          else batch.select(col("id_a"), col("id_b"))
-        val edgesV = s"$store/edges_v$batchId"
-        merged.write.mode("overwrite").parquet(edgesV)
-        val mp = ss.read.parquet(edgesV)
+        // append-only edge store (r19): write THIS batch's edges under
+        // their batch_id partition, read the accumulated store back —
+        // same cumulative edge frame as the old full rewrite at O(batch)
+        // write cost instead of O(E) per micro-batch
+        val edges = s"$store/edges"
+        TextDedupPack.appendIncrement(edges, batchId,
+          batch.select(col("id_a"), col("id_b")))
+        val mp = TextDedupPack.readStoreOr(ss, edges,
+            batch.select(col("id_a"), col("id_b")))
+          .select("id_a", "id_b")
         val sym = mp.select(col("id_a").as("u"), col("id_b").as("v"))
           .unionAll(mp.select(col("id_b").as("u"), col("id_a").as("v")))
         val prevRanksV = s"$store/ranks_v${batchId - 1}"

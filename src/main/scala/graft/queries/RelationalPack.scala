@@ -2197,11 +2197,11 @@ object RelationalPack {
     // The q194/q200/q241 versioned-state pattern applied to q247: the
     // user→item edges ARRIVE (staged 4-file parquet, maxFilesPerTrigger=1)
     // and every micro-batch re-derives hub/authority scores of the graph
-    // seen so far. State is the accumulated DISTINCT edge list in
-    // versioned parquet — read v{batchId-1}, write v{batchId} (keyed
-    // store reads, idempotent under at-least-once replay — the q200/q241
-    // discipline; HITS sums are multiplicity-sensitive, hence the
-    // distinct on merge); per batch the full 4 mutual-reinforcement
+    // seen so far. State is the append-only edge store (per-batch
+    // increments under batch_id partitions, idempotent dynamic overwrite
+    // under at-least-once replay — r19, cf. q303; HITS sums are
+    // multiplicity-sensitive, hence the read-side distinct replacing the
+    // old merge-side one); per batch the full 4 mutual-reinforcement
     // rounds re-run from uniform inside the narrow clone. The final
     // batch's output hash-matches batch q247's oracle VERBATIM (mutual
     // reinforcement from uniform is a function of the edge SET, so any
@@ -2217,14 +2217,14 @@ object RelationalPack {
         .parquet(srcDir)
       graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) => {
         val ss = batch.sparkSession
-        val prevV = s"$store/edges_v${batchId - 1}"
-        val merged =
-          (if (batchId > 0 && new java.io.File(prevV).isDirectory)
-             ss.read.parquet(prevV).unionByName(batch.select("u", "v"))
-           else batch.select("u", "v")).distinct()
-        val edgesV = s"$store/edges_v$batchId"
-        merged.write.mode("overwrite").parquet(edgesV)
-        val mp = ss.read.parquet(edgesV)
+        // append-only edge store (r19, cf. q303's surgery): O(batch)
+        // write per micro-batch instead of the O(E) full rewrite; the
+        // read-side distinct() reproduces the old merge-side distinct
+        // exactly (HITS sums are multiplicity-sensitive)
+        val edges = s"$store/edges"
+        TextDedupPack.appendIncrement(edges, batchId, batch.select("u", "v"))
+        val mp = TextDedupPack.readStoreOr(ss, edges, batch.select("u", "v"))
+          .select("u", "v").distinct()
         val (h, a) = graft.operators.Graph.hits(mp, "u", "v", 4)
         val scores = a
           .select(lit("authority").as("kind"), col("id"), col("s").as("score"))
@@ -2253,8 +2253,8 @@ object RelationalPack {
     // registry's heaviest bench line (q253 ~10 s = 4 micro-batches × full
     // HITS over the accumulated store). The oracle replays the warm
     // ladder over the deterministic tagged split (see WARM_HITS_ORACLE);
-    // state (edge set + hub vector, both versioned parquet with keyed
-    // v{batchId-1} reads) is idempotent under at-least-once replay.
+    // state (append-only edge increments + versioned hub vector) is
+    // idempotent under at-least-once replay (r19, cf. q303).
     // Per-batch cost: rounds CONSTANT at 2 — measured against q253 in
     // INCREMENTAL_LEDGER.md.
     QueryDef(
@@ -2269,14 +2269,13 @@ object RelationalPack {
         .parquet(srcDir)
       graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) => {
         val ss = batch.sparkSession
-        val prevV = s"$store/edges_v${batchId - 1}"
-        val merged =
-          (if (batchId > 0 && new java.io.File(prevV).isDirectory)
-             ss.read.parquet(prevV).unionByName(batch.select("u", "v"))
-           else batch.select("u", "v")).distinct()
-        val edgesV = s"$store/edges_v$batchId"
-        merged.write.mode("overwrite").parquet(edgesV)
-        val mp = ss.read.parquet(edgesV)
+        // append-only edge store (r19, cf. q303/q253): O(batch) write per
+        // micro-batch instead of the O(E) full rewrite; read-side
+        // distinct() == the old merge-side distinct
+        val edges = s"$store/edges"
+        TextDedupPack.appendIncrement(edges, batchId, batch.select("u", "v"))
+        val mp = TextDedupPack.readStoreOr(ss, edges, batch.select("u", "v"))
+          .select("u", "v").distinct()
         val prevHubsV = s"$store/hubs_v${batchId - 1}"
         val (h, a) =
           if (batchId > 0 && new java.io.File(prevHubsV).isDirectory)

@@ -520,6 +520,32 @@ object TextDedupPack {
       s.read.parquet(store).where(col("kind") === kind)
     else empty
 
+  /** Single-table counterpart of [[appendKinds]]: append one
+    * micro-batch's increment under its `batch_id` partition (idempotent
+    * dynamic overwrite under foreachBatch's at-least-once replay, the
+    * q85 discipline; coalesce(1) — per-batch edge increments are small).
+    * The r19 warm-family surgery: q303/q304/q308 used to REWRITE their
+    * full accumulated edge set every micro-batch (O(E) write per batch —
+    * the replay-discipline artifact the r18 verdict named); appending
+    * O(batch) and reading the whole store back gives the identical
+    * cumulative edge frame at O(batch) write cost. */
+  private[queries] def appendIncrement(store: String, batchId: Long,
+      df: org.apache.spark.sql.DataFrame): Unit =
+    df.coalesce(1).withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(store)
+
+  /** Guarded read of an [[appendIncrement]] store — the caller's typed
+    * empty frame when no increment ever wrote a part file (cf.
+    * [[readKindOr]]). */
+  private[queries] def readStoreOr(
+      s: org.apache.spark.sql.SparkSession, store: String,
+      empty: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (hasParquetPart(new java.io.File(store))) s.read.parquet(store)
+    else empty
+
   private[queries] def hasParquetPart(f: java.io.File): Boolean = {
     val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
     kids.exists(k => k.isFile && k.getName.endsWith(".parquet")) ||

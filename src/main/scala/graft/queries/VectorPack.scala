@@ -217,6 +217,120 @@ object VectorPack {
       dir.toString
     })
 
+  /** q310's arrival stream: two ADD batches (vec_id parity split of the
+    * planted corpus — twin offset is even, so a twin lands in its base's
+    * batch) then two DELETE batches carrying tombstone ids only
+    * (deterministic id arithmetic: bases ≡3 and ≡6 mod 7, twins of
+    * bases ≡5 mod 11 — so the oracle replays the live set exactly).
+    * Order-sensitive (deletes refer to earlier adds) → mtime-pinned
+    * ordered staging. */
+  private def stagedSemDeleteBatches(s: SparkSession, d: String): String = {
+    def corpus = Similarity.plantTwins(
+      Tables.embeddings(s, d), "vec_id", "embedding", TWIN_OFFSET)
+    def adds(par: Int) = () => corpus
+      .filter(col("vec_id") % 2 === par)
+      .select(col("vec_id"), col("embedding"), lit("a").as("op"))
+    def dels(pred: Column) = () => corpus.filter(pred)
+      .select(col("vec_id"),
+        lit(null).cast("array<float>").as("embedding"), lit("d").as("op"))
+    TextDedupPack.stagedOrderedBatches("graft-q310-src-", d, Seq(
+      adds(0), adds(1),
+      dels(col("vec_id") < TWIN_OFFSET && col("vec_id") % 7 === 3 ||
+        col("vec_id") >= TWIN_OFFSET &&
+          (col("vec_id") - TWIN_OFFSET) % 11 === 5),
+      dels(col("vec_id") < TWIN_OFFSET && col("vec_id") % 7 === 6)))
+  }
+
+  /** q311's arrival stream: the full twinned corpus at version 0, then
+    * three revision batches — bases with vec_id ≡ b (mod 9) re-embedded
+    * in batch b with the list-expressible refresh (first component /8 —
+    * exact power-of-two float scaling, so both engines compute the
+    * identical revised vector). Order-sensitive (ver = batch id). */
+  private def stagedSemUpdateBatches(s: SparkSession, d: String): String = {
+    def rev(b: Int) = () => Tables.embeddings(s, d)
+      .filter(col("vec_id") % 9 === b)
+      .select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, (x.cast("double") / 8.0d).cast("float")).otherwise(x))
+          .as("embedding"))
+    TextDedupPack.stagedOrderedBatches("graft-q311-src-", d, Seq(
+      () => Similarity.plantTwins(Tables.embeddings(s, d), "vec_id",
+        "embedding", TWIN_OFFSET).select("vec_id", "embedding"),
+      rev(1), rev(2), rev(3)))
+  }
+
+  /** q310's oracle: q87's scored twins with the two deterministic
+    * deletion predicates applied to the live set — a twin is dropped
+    * only when its sim clears 0.99 AND its canonical base is still live
+    * (the resurrect rule); deleted rows vanish from the output. */
+  private lazy val Q310_ORACLE: String =
+    s"""WITH twins AS (
+       |  SELECT vec_id, embedding,
+       |    list_concat([CAST(CAST(embedding[1] AS DOUBLE)/2 AS FLOAT)],
+       |                embedding[2:]) AS twin
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT vec_id,
+       |    CAST(CAST(CAST(
+       |      list_sum(list_transform(range(1,65), i ->
+       |        CAST(CAST(embedding[i] AS DOUBLE)*CAST(twin[i] AS DOUBLE) AS DECIMAL(38,20)))) AS DOUBLE)
+       |      / sqrt(
+       |        CAST(list_sum(list_transform(embedding, x ->
+       |          CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,20)))) AS DOUBLE)
+       |        * CAST(list_sum(list_transform(twin, x ->
+       |          CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,20)))) AS DOUBLE))
+       |      AS DECIMAL(18,8)) AS DOUBLE) AS sim
+       |  FROM twins)
+       |SELECT vec_id, CAST(1 AS BIGINT) AS kept,
+       |  CAST(NULL AS BIGINT) AS dup_of, CAST(NULL AS DOUBLE) AS dup_sim
+       |FROM embeddings WHERE vec_id % 7 NOT IN (3, 6)
+       |UNION ALL
+       |SELECT vec_id + $TWIN_OFFSET AS vec_id,
+       |  CAST(CASE WHEN sim >= 0.99 AND vec_id % 7 NOT IN (3, 6)
+       |    THEN 0 ELSE 1 END AS BIGINT) AS kept,
+       |  CASE WHEN sim >= 0.99 AND vec_id % 7 NOT IN (3, 6)
+       |    THEN vec_id END AS dup_of,
+       |  CASE WHEN sim >= 0.99 AND vec_id % 7 NOT IN (3, 6)
+       |    THEN sim END AS dup_sim
+       |FROM scored WHERE vec_id % 11 <> 5
+       |ORDER BY vec_id""".stripMargin
+
+  /** q311's oracle: q87's decimal cosine evaluated between the twin and
+    * the LATEST base embedding — revised (first component /8) for bases
+    * ≡1..3 mod 9, original otherwise. */
+  private lazy val Q311_ORACLE: String =
+    s"""WITH tw AS (
+       |  SELECT vec_id,
+       |    CASE WHEN vec_id % 9 IN (1, 2, 3)
+       |      THEN list_concat([CAST(CAST(embedding[1] AS DOUBLE)/8 AS FLOAT)],
+       |                       embedding[2:])
+       |      ELSE embedding END AS lb,
+       |    list_concat([CAST(CAST(embedding[1] AS DOUBLE)/2 AS FLOAT)],
+       |                embedding[2:]) AS twin
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT vec_id,
+       |    CAST(CAST(CAST(
+       |      list_sum(list_transform(range(1,65), i ->
+       |        CAST(CAST(lb[i] AS DOUBLE)*CAST(twin[i] AS DOUBLE) AS DECIMAL(38,20)))) AS DOUBLE)
+       |      / sqrt(
+       |        CAST(list_sum(list_transform(lb, x ->
+       |          CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,20)))) AS DOUBLE)
+       |        * CAST(list_sum(list_transform(twin, x ->
+       |          CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,20)))) AS DOUBLE))
+       |      AS DECIMAL(18,8)) AS DOUBLE) AS sim
+       |  FROM tw)
+       |SELECT vec_id, CAST(1 AS BIGINT) AS kept,
+       |  CAST(NULL AS BIGINT) AS dup_of, CAST(NULL AS DOUBLE) AS dup_sim
+       |FROM embeddings
+       |UNION ALL
+       |SELECT vec_id + $TWIN_OFFSET AS vec_id,
+       |  CAST(CASE WHEN sim >= 0.99 THEN 0 ELSE 1 END AS BIGINT) AS kept,
+       |  CASE WHEN sim >= 0.99 THEN vec_id END AS dup_of,
+       |  CASE WHEN sim >= 0.99 THEN sim END AS dup_sim
+       |FROM scored
+       |ORDER BY vec_id""".stripMargin
+
   /** [[probeContract]]'s expected answer over the 10 probe queries. */
   private val PROBE_CONTRACT_ORACLE =
     """SELECT vec_id AS qid,
@@ -306,6 +420,30 @@ object VectorPack {
       zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(D)),
       lit(0).cast(D),
       (acc, p) => (acc + p).cast(D))
+
+  /** Fixed-order DOUBLE dot product of two 64-d float-array columns: a
+    * left-associated 64-term codegen'd expression chain —
+    * ((a₁b₁ + a₂b₂) + a₃b₃) + … — bit-exact reproducible in any IEEE-754
+    * engine that evaluates the same tree (the DuckDB oracle unrolls the
+    * identical left-assoc chain, so no decimal rounding is needed at
+    * all; q287's fixed-order-chain pattern applied to the dot product).
+    * Unlike [[dotDec]]'s aggregate/zip_with form, this is NOT a
+    * higher-order function, so it stays inside whole-stage codegen and
+    * allocates nothing per element — the r19 q276/q279 adjudication
+    * measured the HOF decimal form as both ~2× slower warm AND the
+    * registry's largest allocation-stall surface under a pinned live
+    * set (ballast16 walls 11–32 s with near-zero GC wall). */
+  private def dotChain(a: Column, b: Column): Column =
+    (1 to 64).map(i =>
+      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
+      .reduceLeft(_ + _)
+
+  /** The DuckDB mirror of [[dotChain]]: the same 64-term left-assoc
+    * chain, unrolled (SQL `+` is left-associative, so the parse tree is
+    * the identical fold). */
+  private def dotChainSql(a: String, b: String): String =
+    (1 to 64).map(i =>
+      s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)").mkString(" + ")
 
   /** Cross-engine-deterministic cosine (cf. the class scaladoc): decimal
     * dot/norms, one double division, rounded to DECIMAL(18,8), cast back
@@ -726,6 +864,217 @@ object VectorPack {
         // keep-lowest over the ACCUMULATED pair set — q87's exact rule
         val pairs = TextDedupPack.readKindOr(s, pairState, "pair",
           emptyPairState(s))
+        val dropped = pairs.groupBy("id_b")
+          .agg(min(struct(col("id_a"), col("s"))).as("m"))
+          .select(col("id_b").as("__did"), col("m.id_a").as("dup_of"),
+            col("m.s").as("dup_sim"))
+        corpus.select(col("vec_id"))
+          .join(dropped, col("vec_id") === col("__did"), "left")
+          .select(col("vec_id"),
+            when(col("dup_of").isNull, 1L).otherwise(0L).as("kept"),
+            col("dup_of"), col("dup_sim"))
+          .orderBy("vec_id")
+      }
+    },
+
+    // ---- q310: recrawl DELETIONS in embedding space (r19) ------------------
+    // q309's right-to-be-forgotten story crossed into vector space,
+    // completing the recrawl CRUD matrix (text add/update/delete =
+    // q305/q306/q309; embedding add = q307; this is embedding DELETE):
+    // vectors arrive as two add batches, then two batches of tombstone
+    // ids (deterministic id-arithmetic deletion sets, so DuckDB replays
+    // them). Deletions are O(delete-list) by construction — a tombstone
+    // row carries no embedding, assigns no cells, and generates no pair
+    // work. The final reconcile computes keep-lowest over pairs whose
+    // BOTH endpoints are live — which captures the ripple a per-batch
+    // decision cannot: deleting a canonical (base) vector RESURRECTS the
+    // twin that had been deduplicated against it (its dup_of vanishes,
+    // kept flips back to 1), exactly the semantics a
+    // right-to-be-forgotten pass over a deduped corpus must have.
+    // Oracle: q87's scored twins, with the two deterministic deletion
+    // predicates applied to the live set and the resurrect rule inline.
+    QueryDef(
+      "q310_semantic_recrawl_deletions", Q310_ORACLE) { (s, d) =>
+      val corpus = Similarity.plantTwins(
+        Tables.embeddings(s, d), "vec_id", "embedding", TWIN_OFFSET)
+      val centroids = graft.operators.Ivf.kmeansCentroids(
+        corpus, "vec_id", "embedding", nlist = 16)
+      val srcDir = stagedSemDeleteBatches(s, d)
+      val store = TextDedupPack.clearedStore(d, "graft-q310-semdel-")
+      val latest = new java.util.concurrent.atomic.AtomicLong(-1L)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      // q307's two appendKinds stores + a third doc-state kind: tomb
+      val docState = s"$store/docstate"
+      val pairState = s"$store/pairstate"
+      def emptyDocState(ss: org.apache.spark.sql.SparkSession) =
+        ss.range(0).select(col("id").as("vec_id"),
+          lit(null).cast("array<float>").as("embedding"),
+          lit(null).cast("int").as("cid"),
+          lit(0).as("batch_id"), lit("").as("kind"))
+      def emptyPairState(ss: org.apache.spark.sql.SparkSession) =
+        ss.range(0).select(col("id").as("id_a"), col("id").as("id_b"),
+          lit(null).cast("double").as("s"),
+          lit(0).as("batch_id"), lit("").as("kind"))
+      graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) => {
+        val ss = batch.sparkSession
+        val adds = batch.filter(col("op") === "a")
+          .select("vec_id", "embedding")
+        TextDedupPack.appendKinds(docState, batchId, Seq(
+          "vector" -> adds,
+          "cell" -> adds.select(col("vec_id"),
+            explode(graft.operators.Ivf.probeCells(
+              col("embedding"), centroids, 2)).as("cid")),
+          "tomb" -> batch.filter(col("op") === "d").select("vec_id")))
+        val cells = TextDedupPack.readKindOr(ss, docState, "cell",
+          emptyDocState(ss))
+        val newC = cells.filter(col("batch_id") === batchId)
+          .select(col("vec_id").as("nid"), col("cid"))
+        val cand = newC
+          .join(cells.select(col("vec_id").as("oid"), col("cid")), "cid")
+          .filter(col("oid") =!= col("nid"))
+          .select(least(col("nid"), col("oid")).as("id_a"),
+            greatest(col("nid"), col("oid")).as("id_b"))
+          .distinct()
+        val v = TextDedupPack.readKindOr(ss, docState, "vector",
+          emptyDocState(ss))
+        TextDedupPack.appendKinds(pairState, batchId, Seq("pair" -> cand
+          .join(v.select(col("vec_id").as("id_a"), col("embedding").as("va")),
+            "id_a")
+          .join(v.select(col("vec_id").as("id_b"), col("embedding").as("vb")),
+            "id_b")
+          .filter(Similarity.cosine(col("va"), col("vb")) >= 0.99 - 0.005)
+          .select(col("id_a"), col("id_b"),
+            cosineDec(col("va"), col("vb")).as("s"))
+          .filter(col("s") >= 0.99)))
+        latest.set(batchId)
+      })
+      if (latest.get() < 0L) {
+        s.range(0).select(col("id").as("vec_id"), col("id").as("kept"),
+          col("id").as("dup_of"), col("id").cast("double").as("dup_sim"))
+      } else {
+        val v = TextDedupPack.readKindOr(s, docState, "vector",
+          emptyDocState(s)).select("vec_id")
+        val tomb = TextDedupPack.readKindOr(s, docState, "tomb",
+          emptyDocState(s)).select(col("vec_id").as("tid"))
+        val live = v.join(tomb, col("vec_id") === col("tid"), "left_anti")
+        // keep-lowest over pairs with BOTH endpoints live — the
+        // resurrect rule falls out of the restriction
+        val pairs = TextDedupPack.readKindOr(s, pairState, "pair",
+          emptyPairState(s))
+          .join(live.select(col("vec_id").as("id_a")), "id_a")
+          .join(live.select(col("vec_id").as("id_b")), "id_b")
+        val dropped = pairs.groupBy("id_b")
+          .agg(min(struct(col("id_a"), col("s"))).as("m"))
+          .select(col("id_b").as("__did"), col("m.id_a").as("dup_of"),
+            col("m.s").as("dup_sim"))
+        live.join(dropped, col("vec_id") === col("__did"), "left")
+          .select(col("vec_id"),
+            when(col("dup_of").isNull, 1L).otherwise(0L).as("kept"),
+            col("dup_of"), col("dup_sim"))
+          .orderBy("vec_id")
+      }
+    },
+
+    // ---- q311: recrawl UPDATES in embedding space (r19) --------------------
+    // q306's versioned-update engine crossed into vector space — the last
+    // cell of the recrawl CRUD matrix. A re-embedded document arrives as
+    // a NEW VERSION of its vec_id (uid = vec_id·4 + ver, ver = batch id —
+    // immutable version rows, "latest" as a max() view, q306's
+    // discipline): batch 0 is the full twinned corpus at ver 0, batches
+    // 1–3 revise deterministic id-slices of the BASE vectors (vec_id % 9
+    // == b) with a list-expressible re-embedding (first component → /8 —
+    // an embedding-model refresh that moves the vector). Each revision is
+    // cell-assigned ONCE and pair-scored against the accumulated store at
+    // its arrival batch (original versions are never re-scanned); the
+    // final reconcile keeps only pairs whose both endpoints are the
+    // LATEST version of their vec_id, maps uids back to original ids, and
+    // applies q87's keep-lowest. A revision therefore RE-SCORES the
+    // (base, twin) decision on the new embedding — dup_sim moves, and a
+    // revision that breaks the near-dup resurrects its twin. Oracle:
+    // q87's decimal cosine evaluated against the LATEST base embedding
+    // (the revision function is pure id arithmetic + list surgery, so
+    // DuckDB computes both branches exactly).
+    QueryDef(
+      "q311_semantic_recrawl_updates", Q311_ORACLE) { (s, d) =>
+      val corpus = Similarity.plantTwins(
+        Tables.embeddings(s, d), "vec_id", "embedding", TWIN_OFFSET)
+      val centroids = graft.operators.Ivf.kmeansCentroids(
+        corpus, "vec_id", "embedding", nlist = 16)
+      val srcDir = stagedSemUpdateBatches(s, d)
+      val store = TextDedupPack.clearedStore(d, "graft-q311-semupd-")
+      val latest = new java.util.concurrent.atomic.AtomicLong(-1L)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      val docState = s"$store/docstate"
+      val pairState = s"$store/pairstate"
+      def emptyDocState(ss: org.apache.spark.sql.SparkSession) =
+        ss.range(0).select(col("id").as("vec_id"),
+          lit(null).cast("array<float>").as("embedding"),
+          lit(null).cast("int").as("cid"),
+          lit(0).as("batch_id"), lit("").as("kind"))
+      def emptyPairState(ss: org.apache.spark.sql.SparkSession) =
+        ss.range(0).select(col("id").as("id_a"), col("id").as("id_b"),
+          lit(null).cast("double").as("s"),
+          lit(0).as("batch_id"), lit("").as("kind"))
+      graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) => {
+        val ss = batch.sparkSession
+        // this batch's versions, keyed by uid = vec_id*4 + ver(=batchId);
+        // version rows carry the RAW vec_id (q306's layout)
+        val uidDocs = batch.select(
+          (col("vec_id") * 4L + lit(batchId)).as("vec_id"), col("embedding"))
+        TextDedupPack.appendKinds(docState, batchId, Seq(
+          "vector" -> uidDocs,
+          "cell" -> uidDocs.select(col("vec_id"),
+            explode(graft.operators.Ivf.probeCells(
+              col("embedding"), centroids, 2)).as("cid")),
+          "version" -> batch.select("vec_id")))
+        val cells = TextDedupPack.readKindOr(ss, docState, "cell",
+          emptyDocState(ss))
+        val newC = cells.filter(col("batch_id") === batchId)
+          .select(col("vec_id").as("nid"), col("cid"))
+        val cand = newC
+          .join(cells.select(col("vec_id").as("oid"), col("cid")), "cid")
+          // never pair two versions of the same vec_id (floorDiv: uid/4)
+          .filter(floor(col("oid") / 4L) =!= floor(col("nid") / 4L))
+          .select(least(col("nid"), col("oid")).as("id_a"),
+            greatest(col("nid"), col("oid")).as("id_b"))
+          .distinct()
+        val v = TextDedupPack.readKindOr(ss, docState, "vector",
+          emptyDocState(ss))
+        TextDedupPack.appendKinds(pairState, batchId, Seq("pair" -> cand
+          .join(v.select(col("vec_id").as("id_a"), col("embedding").as("va")),
+            "id_a")
+          .join(v.select(col("vec_id").as("id_b"), col("embedding").as("vb")),
+            "id_b")
+          .filter(Similarity.cosine(col("va"), col("vb")) >= 0.99 - 0.005)
+          .select(col("id_a"), col("id_b"),
+            cosineDec(col("va"), col("vb")).as("s"))
+          .filter(col("s") >= 0.99)))
+        latest.set(batchId)
+      })
+      if (latest.get() < 0L) {
+        s.range(0).select(col("id").as("vec_id"), col("id").as("kept"),
+          col("id").as("dup_of"), col("id").cast("double").as("dup_sim"))
+      } else {
+        // latest uid per vec_id from the versions kind (max batch wins)
+        val lat = TextDedupPack.readKindOr(s, docState, "version",
+          emptyDocState(s))
+          .groupBy("vec_id").agg(max(col("batch_id")).as("ver"))
+          .select((col("vec_id") * 4L + col("ver")).as("uid"))
+        val pairs = TextDedupPack.readKindOr(s, pairState, "pair",
+          emptyPairState(s))
+          .join(lat.select(col("uid").as("id_a")), "id_a")
+          .join(lat.select(col("uid").as("id_b")), "id_b")
+          // map uids back to ORIGINAL ids for the keep-lowest rule and
+          // the reported dup_of (uid order == id order, so least/greatest
+          // is preserved by the division)
+          .select(floor(col("id_a") / 4L).cast("long").as("id_a"),
+            floor(col("id_b") / 4L).cast("long").as("id_b"), col("s"))
         val dropped = pairs.groupBy("id_b")
           .agg(min(struct(col("id_a"), col("s"))).as("m"))
           .select(col("id_b").as("__did"), col("m.id_a").as("dup_of"),
@@ -1535,7 +1884,9 @@ object VectorPack {
     // the rest ∪ planted twins of the benchmark (the leaked paraphrases,
     // cos ≈ 0.998 by [[graft.operators.Similarity.plantTwins]]'s closed
     // form). Every corpus row is scored against all 25 benchmark vectors
-    // with the shared decimal-exact cosine and reports its best match +
+    // with the shared fixed-order double-chain cosine ([[dotChain]],
+    // bit-exact vs the oracle's identical unrolled tree — r19, replacing
+    // the interpreted decimal HOF) and reports its best match +
     // the ≥ 0.9 contamination flag — on the planted corpus the flag set
     // is exactly the twins (raw-corpus max cos ≈ 0.5), so the oracle
     // pins both the scores and the decision boundary.
@@ -1855,16 +2206,18 @@ object VectorPack {
     * the two cannot drift. */
   private def decontamBest(corpus: DataFrame, bench: DataFrame): DataFrame = {
     // norms ONCE per vector (the q35 exactTopKDec discipline), not per
-    // pair — cosineDec inline would re-fold both self-dots for every
-    // (corpus, bench) pair: 3× the decimal work (measured 9→~3 s at
-    // sf0.1). Same values, same DECIMAL(18,8) rounding.
-    val benchN = bench.withColumn("nb", dotDec(col("be"), col("be")))
-    val corpusN = corpus.withColumn("nc", dotDec(col("ce"), col("ce")))
+    // pair — an inline cosine would re-fold both self-dots for every
+    // (corpus, bench) pair: 3× the work (measured 9→~3 s at sf0.1).
+    // Scoring is the fixed-order double chain ([[dotChain]], r19): every
+    // add/mul/div/sqrt is IEEE-exact given the fixed tree, the oracle
+    // unrolls the identical tree, so sim is compared as a raw DOUBLE —
+    // no decimal rounding anywhere on this path.
+    val benchN = bench.withColumn("nb", dotChain(col("be"), col("be")))
+    val corpusN = corpus.withColumn("nc", dotChain(col("ce"), col("ce")))
     val scored = corpusN.crossJoin(broadcast(benchN))
       .select(col("cid"), col("bid"),
-        (dotDec(col("ce"), col("be")).cast("double") /
-          sqrt(col("nc").cast("double") * col("nb").cast("double")))
-          .cast(DecimalType(18, 8)).cast("double").as("sim"))
+        (dotChain(col("ce"), col("be")) /
+          sqrt(col("nc") * col("nb"))).as("sim"))
     val w = Window.partitionBy("cid").orderBy(col("sim").desc, col("bid"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
@@ -1903,15 +2256,9 @@ object VectorPack {
          |  FROM embeddings WHERE vec_id < 25),
          |scored AS (
          |  SELECT cid, bid,
-         |    CAST(CAST(CAST(
-         |      list_sum(list_transform(range(1,65), i ->
-         |        CAST(CAST(ce[i] AS DOUBLE)*CAST(be[i] AS DOUBLE) AS DECIMAL(38,20)))) AS DOUBLE)
-         |      / sqrt(
-         |        CAST(list_sum(list_transform(ce, x ->
-         |          CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,20)))) AS DOUBLE)
-         |        * CAST(list_sum(list_transform(be, x ->
-         |          CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,20)))) AS DOUBLE))
-         |      AS DECIMAL(18,8)) AS DOUBLE) AS sim
+         |    (${dotChainSql("ce", "be")})
+         |      / sqrt((${dotChainSql("ce", "ce")})
+         |        * (${dotChainSql("be", "be")})) AS sim
          |  FROM corpus CROSS JOIN bench),
          |best AS (
          |  SELECT cid, bid, sim,
