@@ -433,7 +433,7 @@ object VectorPack {
     * measured the HOF decimal form as both ~2× slower warm AND the
     * registry's largest allocation-stall surface under a pinned live
     * set (ballast16 walls 11–32 s with near-zero GC wall). */
-  private def dotChain(a: Column, b: Column): Column =
+  private[graft] def dotChain(a: Column, b: Column): Column =
     (1 to 64).map(i =>
       element_at(a, i).cast("double") * element_at(b, i).cast("double"))
       .reduceLeft(_ + _)

@@ -405,4 +405,31 @@ class SimilaritySpec extends AnyFunSuite {
       assert(mg > 0.5, s"q$q margin sane")
     }
   }
+
+  test("dotChain is the strict left-assoc IEEE fold (q276/q279's scorer)") {
+    // the cross-engine bit-exactness claim rests on BOTH engines
+    // evaluating the identical left-assoc double tree — pin the Spark
+    // side against a strict scala foldLeft over the same floats, with
+    // RAW double equality (no tolerance): any reassociation by codegen
+    // or a future refactor flips low bits and fails this
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+      .select("vec_id", "embedding").limit(64)
+    val twin = emb.select(col("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 0, (x.cast("double") / 2.0d).cast("float")).otherwise(x))
+        .as("e2"))
+    val got = emb.join(twin, "vec_id")
+      .select(col("vec_id"),
+        VectorPack.dotChain(col("embedding"), col("e2")).as("d"),
+        col("embedding"), col("e2"))
+      .as[(Long, Double, Seq[Float], Seq[Float])].collect()
+    assert(got.length == 64)
+    got.foreach { case (id, d, a, b) =>
+      val ref = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }
+        .reduceLeft(_ + _)
+      assert(java.lang.Double.doubleToLongBits(d) ==
+        java.lang.Double.doubleToLongBits(ref), s"vec $id chain reassociated")
+    }
+  }
 }
