@@ -286,10 +286,14 @@ object Bench {
     // 0.8 — ~40 more queries from overflow — hence 1.0 (r17 verdict item
     // 6: measured on the r17 detail, the 1.0 cut lists 110 of 301 queries
     // at ~1443 B, projecting ~1687 B at 350 queries — still under the
-    // ~1800 B cap; at ~340 live queries move to 1.2, projected ~1506 B).
+    // ~1800 B cap). The ~340-queries trigger the r17 plan set for the
+    // 1.2 escalation arrived EARLY: the 310-query r19 closing fleet
+    // measured 1778 B at the 1.0 cut (a hot fleet JVM pushes more
+    // queries over any fixed cut — the cut guards a byte budget, not a
+    // query count), so 1.2 landed in r19; that fleet re-measured ~1560 B.
     // Their individual times stay on the bench_detail line, and a failed
     // query (negative best) is always listed individually.
-    val (slow, fastQ) = results.partition { case (_, v, _) => v < 0 || v >= 1.0 }
+    val (slow, fastQ) = results.partition { case (_, v, _) => v < 0 || v >= 1.2 }
     val qs = slow.map { case (k, v, _) => "\"" + shortId(k) + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val fastJson =
