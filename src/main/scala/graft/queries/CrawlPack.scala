@@ -291,11 +291,12 @@ object CrawlPack {
           .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_id"),
             min(when(col("canonical_url") === col("expected"), 1L)
               .otherwise(0L)).as("rec"))
-          .withColumn("batch_id", lit(batchId))
+          // batch_id PATH-addressed (write into store/batch_id=N; no per-batch
+          // literal in the plan, so the write stages codegen-cache across
+          // micro-batches) — identical layout, read-back schema and replay
+          // idempotence; see TextDedupPack.appendIncrement
           .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(store.toString))
+          .parquet(s"${store}/batch_id=$batchId"))
       s.read.parquet(store.toString)
         .groupBy("canonical_url", "url")
         .agg(sum(col("cnt")).as("cnt"), min(col("min_id")).as("min_id"),
@@ -356,11 +357,12 @@ object CrawlPack {
       graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) =>
         quotaTopK(quotaProject(batch))
           .select(col("regdom"), col("doc_id"), col("prio"))
-          .withColumn("batch_id", lit(batchId))
+          // batch_id PATH-addressed (write into store/batch_id=N; no per-batch
+          // literal in the plan, so the write stages codegen-cache across
+          // micro-batches) — identical layout, read-back schema and replay
+          // idempotence; see TextDedupPack.appendIncrement
           .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(store.toString))
+          .parquet(s"${store}/batch_id=$batchId"))
       quotaTopK(s.read.parquet(store.toString)
           .select("regdom", "doc_id", "prio"))
         .orderBy("regdom", "rk")
@@ -593,11 +595,12 @@ object CrawlPack {
         batch
           .select(col("source"), explode(split(col("text"), " ")).as("tok"))
           .distinct()
-          .withColumn("batch_id", lit(batchId))
+          // batch_id PATH-addressed (write into store/batch_id=N; no per-batch
+          // literal in the plan, so the write stages codegen-cache across
+          // micro-batches) — identical layout, read-back schema and replay
+          // idempotence; see TextDedupPack.appendIncrement
           .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(store.toString))
+          .parquet(s"${store}/batch_id=$batchId"))
       overlapMatrix(
         s.read.parquet(store.toString)
           .select(col("source"), col("tok"))

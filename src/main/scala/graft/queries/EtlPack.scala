@@ -301,11 +301,12 @@ object EtlPack {
         .parquet(srcDir)
       graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) =>
         driftCounts(driftWire(batch))
-          .withColumn("batch_id", lit(batchId))
+          // batch_id PATH-addressed (write into store/batch_id=N; no per-batch
+          // literal in the plan, so the write stages codegen-cache across
+          // micro-batches) — identical layout, read-back schema and replay
+          // idempotence; see TextDedupPack.appendIncrement
           .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(store.toString))
+          .parquet(s"${store}/batch_id=$batchId"))
       val merged = s.read.parquet(store.toString)
         .groupBy("field")
         .agg(sum(col("n_present")).as("n_present"),

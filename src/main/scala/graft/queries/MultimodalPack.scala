@@ -2230,11 +2230,12 @@ object MultimodalPack {
         .parquet(srcDir)
       graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) =>
         pcmWalk(pcmBlobs(batch))
-          .withColumn("batch_id", lit(batchId))
+          // batch_id PATH-addressed (write into store/batch_id=N; no per-batch
+          // literal in the plan, so the write stages codegen-cache across
+          // micro-batches) — identical layout, read-back schema and replay
+          // idempotence; see TextDedupPack.appendIncrement
           .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(store.toString))
+          .parquet(s"${store}/batch_id=$batchId"))
       s.read.parquet(store.toString)
         .select("doc_id", "valid", "n_samples", "peak_abs", "sum_sq",
           "n_zero", "rms")

@@ -182,11 +182,12 @@ object TemporalPack {
       graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) =>
         batch.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
           .agg(count(lit(1)).as("c"))
-          .withColumn("batch_id", lit(batchId))
+          // batch_id PATH-addressed (write into store/batch_id=N; no per-batch
+          // literal in the plan, so the write stages codegen-cache across
+          // micro-batches) — identical layout, read-back schema and replay
+          // idempotence; see TextDedupPack.appendIncrement
           .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(store.toString))
+          .parquet(s"${store}/batch_id=$batchId"))
       cusumScore(s.read.parquet(store.toString)
         .groupBy("event_type", "h").agg(sum(col("c")).as("c")))
     },
@@ -372,11 +373,12 @@ object TemporalPack {
           .select(col("event_id"), col("user_id"),
             col("__asof.okey").as("last_orderkey"),
             col("__asof.oprice").as("last_totalprice"))
-          .withColumn("batch_id", lit(batchId))
+          // batch_id PATH-addressed (write into store/batch_id=N; no per-batch
+          // literal in the plan, so the write stages codegen-cache across
+          // micro-batches) — identical layout, read-back schema and replay
+          // idempotence; see TextDedupPack.appendIncrement
           .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(store.toString))
+          .parquet(s"${store}/batch_id=$batchId"))
       s.read.parquet(store.toString)
         .select("event_id", "user_id", "last_orderkey", "last_totalprice")
         .orderBy("event_id")

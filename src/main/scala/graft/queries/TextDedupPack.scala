@@ -499,11 +499,21 @@ object TextDedupPack {
         (if (have(c)) col(c) else lit(null).cast(fieldType(c))).as(c)): _*)
         .withColumn("kind", lit(kind))
     }.reduce(_.unionByName(_))
-      .coalesce(4).withColumn("batch_id", lit(batchId))
+      .coalesce(4)
+      // batch_id is PATH-addressed (write into store/batch_id=N, never a
+      // lit(batchId) column): a per-batch literal inlines into every
+      // generated whole-stage source above the write, so all of the write
+      // job's stages janino-recompiled on EVERY micro-batch of every run
+      // (ProfileOne r19: q305/q306/q309 paid 84-93 recompiles ≈ 1.6-1.9 s
+      // per WARM iteration). With the batch id out of the plan, the
+      // per-batch plans are byte-identical and the codegen cache holds.
+      // The directory layout (store/batch_id=N/kind=K), read-back schema
+      // (batch_id discovered as a partition column) and the dynamic-
+      // overwrite idempotence under at-least-once replay are unchanged.
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id", "kind")
-      .parquet(store)
+      .partitionBy("kind")
+      .parquet(s"$store/batch_id=$batchId")
   }
 
   /** Read one logical table (`kind` partition) back from an
@@ -531,11 +541,18 @@ object TextDedupPack {
     * cumulative edge frame at O(batch) write cost. */
   private[queries] def appendIncrement(store: String, batchId: Long,
       df: org.apache.spark.sql.DataFrame): Unit =
-    df.coalesce(1).withColumn("batch_id", lit(batchId))
+    // batch_id PATH-addressed, not a lit(batchId) column — see appendKinds:
+    // keeps the per-batch write plan byte-identical so whole-stage codegen
+    // caches across micro-batches AND iterations. Overwriting the batch's
+    // own directory preserves the replay idempotence the dynamic partition
+    // overwrite bought (a replayed batch rewrites exactly its own dir).
+    // One behavioral delta, strictly safer: an EMPTY increment now lands a
+    // zero-row part file (schema-ful) where the dynamic form wrote nothing,
+    // so sparse stores read back with a real schema instead of relying on
+    // the readStoreOr fallback.
+    df.coalesce(1)
       .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(store)
+      .parquet(s"$store/batch_id=$batchId")
 
   /** Guarded read of an [[appendIncrement]] store — the caller's typed
     * empty frame when no increment ever wrote a part file (cf.
@@ -1247,15 +1264,12 @@ object TextDedupPack {
         batch.select(col("source"), norm.as("fp"))
           .groupBy("source")
           .agg(hll_sketch_agg(col("fp")).as("sk"))
-          .withColumn("batch_id", lit(batchId))
-          // idempotent under micro-batch retry (foreachBatch is
-          // at-least-once): dynamic overwrite replaces ONLY this batch's
-          // partition, so a replayed batch can never double its rows into
-          // the store's cell-wise/union merge
+          // batch_id PATH-addressed (write into store/batch_id=N; no per-batch
+          // literal in the plan, so the write stages codegen-cache across
+          // micro-batches) — identical layout, read-back schema and replay
+          // idempotence; see TextDedupPack.appendIncrement
           .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(store.toString))
+          .parquet(s"${store}/batch_id=$batchId"))
       val merged = s.read.parquet(store.toString)
         .groupBy("source")
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_merged"))
@@ -1319,11 +1333,12 @@ object TextDedupPack {
         batch.select(col("source"), kmvHash.as("h"))
           .groupBy("source").agg(bk(col("h")).as("mins"))
           .select(col("source"), explode(col("mins")).as("h"))
-          .withColumn("batch_id", lit(batchId))
+          // batch_id PATH-addressed (write into store/batch_id=N; no per-batch
+          // literal in the plan, so the write stages codegen-cache across
+          // micro-batches) — identical layout, read-back schema and replay
+          // idempotence; see TextDedupPack.appendIncrement
           .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(store.toString))
+          .parquet(s"${store}/batch_id=$batchId"))
       kmvFinalize(s, d,
         s.read.parquet(store.toString)
           .groupBy("source").agg(bk(col("h")).as("mins")))
@@ -2212,15 +2227,12 @@ object TextDedupPack {
       graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) =>
         cmCells(batch.select(explode(split(col("text"), " ")).as("t")), "t")
           .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
-          .withColumn("batch_id", lit(batchId))
-          // idempotent under micro-batch retry (foreachBatch is
-          // at-least-once): dynamic overwrite replaces ONLY this batch's
-          // partition, so a replayed batch can never double its rows into
-          // the store's cell-wise/union merge
+          // batch_id PATH-addressed (write into store/batch_id=N; no per-batch
+          // literal in the plan, so the write stages codegen-cache across
+          // micro-batches) — identical layout, read-back schema and replay
+          // idempotence; see TextDedupPack.appendIncrement
           .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(store.toString))
+          .parquet(s"${store}/batch_id=$batchId"))
       val counters = s.read.parquet(store.toString)
         .groupBy("r", "c").agg(sum(col("cnt")).as("cnt"))
       val toks = Tables.documents(s, d)
@@ -2257,15 +2269,12 @@ object TextDedupPack {
           .agg(topk(col("n_chars").cast("double"), col("doc_id"), col("doc_id")).as("tk"))
           .select(col("source"), explode(col("tk")).as("row"))
           .select(col("source"), col("row._1").as("nch"), col("row._2").as("did"))
-          .withColumn("batch_id", lit(batchId))
-          // idempotent under micro-batch retry (foreachBatch is
-          // at-least-once): dynamic overwrite replaces ONLY this batch's
-          // partition, so a replayed batch can never double its rows into
-          // the store's cell-wise/union merge
+          // batch_id PATH-addressed (write into store/batch_id=N; no per-batch
+          // literal in the plan, so the write stages codegen-cache across
+          // micro-batches) — identical layout, read-back schema and replay
+          // idempotence; see TextDedupPack.appendIncrement
           .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(store.toString))
+          .parquet(s"${store}/batch_id=$batchId"))
       s.read.parquet(store.toString)
         .groupBy("source")
         .agg(topk(col("nch"), col("did"), col("did")).as("tk"))
@@ -2630,11 +2639,12 @@ object TextDedupPack {
         .parquet(srcDir)
       graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) =>
         hllRegisters(batch)
-          .withColumn("batch_id", lit(batchId))
+          // batch_id PATH-addressed (write into store/batch_id=N; no per-batch
+          // literal in the plan, so the write stages codegen-cache across
+          // micro-batches) — identical layout, read-back schema and replay
+          // idempotence; see TextDedupPack.appendIncrement
           .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(store.toString))
+          .parquet(s"${store}/batch_id=$batchId"))
       val merged = s.read.parquet(store.toString)
         .groupBy("source", "j").agg(max(col("m")).as("m"))
       hllFinalize(merged).orderBy("source")

@@ -947,11 +947,12 @@ object TrainingPack {
             countDistinct(col("gram")).as("n_shared_grams"),
             countDistinct(col("test_doc_id")).as("n_test_docs"),
             min(col("test_doc_id")).as("min_test_doc"))
-          .withColumn("batch_id", lit(batchId))
+          // batch_id PATH-addressed (write into store/batch_id=N; no per-batch
+          // literal in the plan, so the write stages codegen-cache across
+          // micro-batches) — identical layout, read-back schema and replay
+          // idempotence; see TextDedupPack.appendIncrement
           .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(store.toString))
+          .parquet(s"${store}/batch_id=$batchId"))
       s.read.parquet(store.toString)
         .select("train_doc_id", "n_shared_grams", "n_test_docs", "min_test_doc")
         .orderBy("train_doc_id")
@@ -1263,11 +1264,12 @@ object TrainingPack {
         prioDraw(batch)
           .orderBy(col("prio").desc, col("doc_id"))
           .limit(PRIO_K + 1)
-          .withColumn("batch_id", lit(batchId))
+          // batch_id PATH-addressed (write into store/batch_id=N; no per-batch
+          // literal in the plan, so the write stages codegen-cache across
+          // micro-batches) — identical layout, read-back schema and replay
+          // idempotence; see TextDedupPack.appendIncrement
           .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(store.toString))
+          .parquet(s"${store}/batch_id=$batchId"))
       val top = s.read.parquet(store.toString)
         .orderBy(col("prio").desc, col("doc_id"))
         .limit(PRIO_K + 1)
@@ -1790,11 +1792,12 @@ object TrainingPack {
         .parquet(srcDir)
       graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) =>
         psiBinCounts(batch)
-          .withColumn("batch_id", lit(batchId))
+          // batch_id PATH-addressed (write into store/batch_id=N; no per-batch
+          // literal in the plan, so the write stages codegen-cache across
+          // micro-batches) — identical layout, read-back schema and replay
+          // idempotence; see TextDedupPack.appendIncrement
           .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(store.toString))
+          .parquet(s"${store}/batch_id=$batchId"))
       val merged = s.read.parquet(store.toString)
         .groupBy("bin")
         .agg(sum(col("ref_n")).as("ref_n"), sum(col("cur_n")).as("cur_n"))
