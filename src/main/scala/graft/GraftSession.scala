@@ -58,6 +58,19 @@ object GraftSession {
     if (c.getOption("spark.sql.streaming.stateStore.providerClass").forall(_.isEmpty)
         && rocksDbAvailable)
       c.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    // Whole-stage codegen cache hits for ITERATIVE plans (r19, measured):
+    // with the default useIdInClassName=true, the per-query-execution
+    // codegenStageId is baked into the generated CLASS NAME, so every
+    // round of an iterative query (CC large/small-star, PR/HITS/LPA,
+    // Lloyd) — a fresh query execution per round under AQE — produces a
+    // textually-new source and misses the codegen cache (ProfileOne: q194
+    // re-compiled 122-125 stages per WARM iteration, q67's single CC
+    // 19-27, vs ~0 for non-iterative queries). The id is debug cosmetics
+    // (SPARK-23032 added the conf precisely for the cache trade-off);
+    // with it off, identical round plans reuse one compiled class. This
+    // is production tuning for any iterative workload, not a local-mode
+    // trick — on a cluster every executor pays the same janino misses.
+    c.set("spark.sql.codegen.useIdInClassName", "false")
     // Union.rewriteConstraints crashes ("key not found: <attr>") when a
     // filter constraint over a custom deterministic expression is
     // alias-chased through a self-union of the same scan (q57 shape; the
