@@ -20,6 +20,9 @@ object Bench {
       // q30 3.9 s in-fleet vs 0.6-1.0 s warm in isolation). Production
       // tuning for any many-query service, not a bench trick.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // creation-time off: session clones must not bind per-clone executor
+      // classloaders (re-keys the codegen cache per clone; GraftSession.tune)
+      .config("spark.sql.artifact.isolation.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // ---- fixture fingerprint, computed FIRST ------------------------------

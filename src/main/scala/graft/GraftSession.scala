@@ -70,7 +70,32 @@ object GraftSession {
     // with it off, identical round plans reuse one compiled class. This
     // is production tuning for any iterative workload, not a local-mode
     // trick — on a cluster every executor pays the same janino misses.
-    c.set("spark.sql.codegen.useIdInClassName", "false")
+    // getOption-guarded (r19 ADVICE): a driver that deliberately enables
+    // the id to debug codegen stack traces keeps its setting.
+    if (c.getOption("spark.sql.codegen.useIdInClassName").isEmpty)
+      c.set("spark.sql.codegen.useIdInClassName", "false")
+    // The OTHER half of the iterative-recompile tax, root-caused in r20
+    // (CodegenProbe): Spark 4 keys the codegen cache on
+    // (contextClassLoader, source). With per-session artifact isolation
+    // on (the 4.x default, added for Spark Connect), every cloned
+    // session — each streaming run's internal clone, every
+    // Components.narrowClone around CC/PR/HITS/LPA rounds — ships its
+    // own JobArtifactState, so the executor binds tasks to a FRESH
+    // ExecutorClassLoader per clone and byte-identical generated sources
+    // re-janino-compile under the new cache key (q194 warm iteration:
+    // ~100 recompiles, 100% same-body-new-loader, 0 textually novel).
+    // This engine adds no session artifacts (no addArtifact/REPL jars),
+    // so isolation buys nothing and the per-clone loaders only cost:
+    // janino time each iteration plus an ever-growing executor-side
+    // loader/class live set in a long session (the fleet-JVM pressure
+    // limb). Disabling it restores one stable loader = one cache entry
+    // per distinct source. Set here so every session this engine tunes
+    // passes it to the clones it spawns (the conf is creation-time for
+    // a session's OWN ArtifactManager, but clones copy the runtime conf
+    // before their managers materialize); the graft session builders
+    // also set it at construction.
+    if (c.getOption("spark.sql.artifact.isolation.enabled").isEmpty)
+      c.set("spark.sql.artifact.isolation.enabled", "false")
     // Union.rewriteConstraints crashes ("key not found: <attr>") when a
     // filter constraint over a custom deterministic expression is
     // alias-chased through a self-union of the same scan (q57 shape; the
@@ -94,6 +119,10 @@ object GraftSession {
       // the working tree
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse-").toString)
+      // no session artifacts anywhere in this engine: creation-time off so
+      // session clones never bind per-clone executor classloaders (which
+      // would re-key the codegen cache per clone — see tune())
+      .config("spark.sql.artifact.isolation.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     tune(spark)
