@@ -15,6 +15,11 @@ import org.apache.spark.sql.execution.ExplainMode
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println(
+        "usage: runMain graft.PlanDump <q1[,q2,...]> [sfDir] [outDir] [suffix]")
+      sys.exit(2)
+    }
     val names = args(0).split(',').toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 2) args(2) else "plans/r19"
@@ -31,14 +36,15 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
-    names.foreach { name =>
+    // try/finally: a failing query name must not leave the session running
+    // (r19 ADVICE)
+    try names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       val out = java.nio.file.Paths.get(outDir, s"${name}_$suffix.txt")
       java.nio.file.Files.write(out, plan.getBytes("UTF-8"))
       println(s"[plandump] wrote $out (${plan.length} chars)")
       spark.catalog.clearCache()
-    }
-    spark.stop()
+    } finally spark.stop()
   }
 }

@@ -516,6 +516,33 @@ object TextDedupPack {
       .parquet(s"$store/batch_id=$batchId")
   }
 
+  /** Measured narrow width for a per-batch store pipeline (r20; guide §2
+    * "make partitioning scale-adaptive", the Components.roundWidth
+    * discipline applied to the streaming-store engines): one shuffle
+    * partition per ~64 MB of accumulated on-disk store, at least 1,
+    * never above the session's configured width. Sized by a DRIVER-side
+    * directory walk — no Spark job, no extra action per micro-batch.
+    * Rationale: the recrawl/semantic per-batch reconcile pipelines run
+    * ~15-20 exchange-bearing stages per micro-batch over stores that are
+    * a few MB at bench scale; planned at the session width (32 locally)
+    * every one of those stages schedules full-width task waves whose
+    * launch/commit overhead dominates the work — the measured source of
+    * the family's ANTI-scaling (BENCH_r19: q306 ran 2.4× FASTER on 8
+    * cores than 32). AQE cannot fix it: coalescePartitions.
+    * parallelismFirst (default true) refuses to coalesce below
+    * defaultParallelism. At 100 TB the same formula saturates at the
+    * submit-time width (stores are GB-TB), so nothing is tuned to local
+    * mode. */
+  private[queries] def storeWidth(
+      spark: org.apache.spark.sql.SparkSession, dirs: Seq[String]): Int = {
+    def bytes(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles()).map(_.map(bytes).sum).getOrElse(0L)
+    val b = dirs.map(d => bytes(new java.io.File(d))).sum
+    val configured = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    math.max(1L, math.min(configured.toLong, b / (64L << 20) + 1L)).toInt
+  }
+
   /** Read one logical table (`kind` partition) back from an
     * [[appendKinds]] store — or, when the store directory holds no part
     * file at all (EVERY append was empty, so there is nothing to infer a
@@ -3310,8 +3337,12 @@ object TextDedupPack {
         ss.range(0).select(col("id").as("doc_a"), col("id").as("doc_b"),
           lit(null).cast("int").as("band"), lit(null).cast("string").as("bh"),
           lit(0).as("batch_id"), lit("").as("kind"))
-      graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) => {
-        val ss = batch.sparkSession
+      graft.streaming.Streams.runForeachBatch(s, stream, (batch0, batchId) => {
+        // per-batch pipeline planned at the measured store width (r20;
+        // see storeWidth / versionedRecrawlClusters — same anti-scaling fix)
+        val ss = graft.operators.Components.narrowClone(batch0.sparkSession,
+          storeWidth(batch0.sparkSession, Seq(docState, pairState)))
+        val batch = graft.operators.Components.rebind(batch0, ss)
         val docs = batch.select(col("doc_id"), col("text"))
         // new docs' derived state, computed ONCE (never recomputed later),
         // landed as ONE write job. Bands come from the persisted gram rows
@@ -3371,22 +3402,27 @@ object TextDedupPack {
           col("id").as("is_canonical"))
       } else {
         // final reconcile: FINAL occupancy re-filters the event store, the
-        // survivors' verified pairs feed the q67 closure
-        val allB = readKindOr(s, docState, "bucket", emptyDocState(s))
+        // survivors' verified pairs feed the q67 closure — planned at the
+        // measured store width (r20), rebound to the caller
+        val sN = graft.operators.Components.narrowClone(s,
+          storeWidth(s, Seq(docState, pairState)))
+        val allB = readKindOr(sN, docState, "bucket", emptyDocState(sN))
         val under = allB.groupBy("band", "bh").agg(count(lit(1)).as("nb"))
           .filter(col("nb") <= MAX_BUCKET).select("band", "bh")
-        val kept = readKindOr(s, pairState, "event", emptyPairState(s))
+        val kept = readKindOr(sN, pairState, "event", emptyPairState(sN))
           .join(under, Seq("band", "bh"))
           .select("doc_a", "doc_b").distinct()
-          .join(readKindOr(s, pairState, "pair", emptyPairState(s))
+          .join(readKindOr(sN, pairState, "pair", emptyPairState(sN))
             .select("doc_a", "doc_b"),
             Seq("doc_a", "doc_b"))
-        graft.operators.Components
-          .connectedComponents(kept, "doc_a", "doc_b")
-          .select(col("component").as("cluster_id"), col("id").as("doc_id"),
-            when(col("id") === col("component"), 1L).otherwise(0L)
-              .as("is_canonical"))
-          .orderBy("cluster_id", "doc_id")
+        graft.operators.Components.rebind(
+          graft.operators.Components
+            .connectedComponents(kept, "doc_a", "doc_b")
+            .select(col("component").as("cluster_id"), col("id").as("doc_id"),
+              when(col("id") === col("component"), 1L).otherwise(0L)
+                .as("is_canonical"))
+            .orderBy("cluster_id", "doc_id"),
+          s)
       }
     },
 
@@ -3632,8 +3668,15 @@ object TextDedupPack {
           col("id").as("ua"), col("id").as("ub"),
           lit(null).cast("int").as("band"), lit(null).cast("string").as("bh"),
           lit(0).as("batch_id"), lit("").as("kind"))
-      graft.streaming.Streams.runForeachBatch(s, stream, (batch, batchId) => {
-        val ss = batch.sparkSession
+      graft.streaming.Streams.runForeachBatch(s, stream, (batch0, batchId) => {
+        // the whole per-batch pipeline (derive + write + reconcile joins)
+        // plans inside a conf-isolated clone at the measured store width
+        // (r20; see storeWidth — the fix for the family's 8c-beats-32c
+        // anti-scaling). Results are partitioning-independent: integer
+        // keys, md5 strings, count aggregates, set semantics.
+        val ss = graft.operators.Components.narrowClone(batch0.sparkSession,
+          storeWidth(batch0.sparkSession, Seq(docState, pairState)))
+        val batch = graft.operators.Components.rebind(batch0, ss)
         // this batch's versions, keyed by uid = doc_id*4 + ver(=batchId);
         // derived state computed ONCE and landed as ONE write job (bands
         // from the persisted gram rows — codegen'd agg form, not the
@@ -3700,27 +3743,33 @@ object TextDedupPack {
         s.range(0).select(col("id").as("cluster_id"), col("id").as("doc_id"),
           col("id").as("is_canonical"))
       } else {
-        // final reconcile: cumulative cap + both endpoint versions latest
-        val lat = readKindOr(s, docState, "version", emptyDocState(s))
+        // final reconcile: cumulative cap + both endpoint versions latest —
+        // planned at the measured store width like the per-batch pipelines
+        // (r20; CC narrows its own rounds already), rebound to the caller
+        val sN = graft.operators.Components.narrowClone(s,
+          storeWidth(s, Seq(docState, pairState)))
+        val lat = readKindOr(sN, docState, "version", emptyDocState(sN))
           .groupBy("doc_id").agg(max(col("batch_id")).as("ver"))
           .select((col("doc_id") * 4L + col("ver")).as("uid"))
-        val allB = readKindOr(s, docState, "bucket", emptyDocState(s))
+        val allB = readKindOr(sN, docState, "bucket", emptyDocState(sN))
         val under = allB.groupBy("band", "bh").agg(count(lit(1)).as("nb"))
           .filter(col("nb") <= MAX_BUCKET).select("band", "bh")
-        val kept = readKindOr(s, pairState, "event", emptyPairState(s))
+        val kept = readKindOr(sN, pairState, "event", emptyPairState(sN))
           .join(under, Seq("band", "bh"))
           .join(lat.select(col("uid").as("ua")), "ua")
           .join(lat.select(col("uid").as("ub")), "ub")
           .select("doc_a", "doc_b", "ua", "ub").distinct()
-          .join(readKindOr(s, pairState, "pair", emptyPairState(s))
+          .join(readKindOr(sN, pairState, "pair", emptyPairState(sN))
             .select("doc_a", "doc_b", "ua", "ub"),
             Seq("doc_a", "doc_b", "ua", "ub"))
-        graft.operators.Components
-          .connectedComponents(kept.select("doc_a", "doc_b"), "doc_a", "doc_b")
-          .select(col("component").as("cluster_id"), col("id").as("doc_id"),
-            when(col("id") === col("component"), 1L).otherwise(0L)
-              .as("is_canonical"))
-          .orderBy("cluster_id", "doc_id")
+        graft.operators.Components.rebind(
+          graft.operators.Components
+            .connectedComponents(kept.select("doc_a", "doc_b"), "doc_a", "doc_b")
+            .select(col("component").as("cluster_id"), col("id").as("doc_id"),
+              when(col("id") === col("component"), 1L).otherwise(0L)
+                .as("is_canonical"))
+            .orderBy("cluster_id", "doc_id"),
+          s)
       }
   }
 
